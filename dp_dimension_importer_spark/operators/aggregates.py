@@ -1,0 +1,235 @@
+"""Aggregation operators — SURVEY.md §2.3 Q13–Q18, Q40–Q41 (+ Q28/Q29
+subqueries, which Catalyst rewrites into agg+join).
+
+Scale notes: every ``groupBy().agg()`` here compiles to partial (map-side)
+aggregation before the shuffle — at 100 TB the shuffle carries one row per
+(partition × group), not per input row. ``collect_list`` outputs are
+``array_sort``-ed because list order after a shuffle is nondeterministic.
+Pivot uses a pinned category list (no extra distinct-scan job, deterministic
+columns). The rollup/cube shuffle key includes the grouping-set id, so
+Catalyst computes all grouping sets in one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark.catalog import load_tables, register_views
+from dp_dimension_importer_spark.operators.common import make_registry
+
+QUERIES, ORACLE, register = make_registry()
+
+#: Pinned from the data (driver seed=42) — stable across scale factors.
+EVENT_TYPES: tuple[str, ...] = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q13_groupby_agg",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity), 4)       AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)  AS sum_price,
+           ROUND(AVG(l_discount), 4)       AS avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q13_groupby_agg(spark, sf_dir):
+    """TPC-H Q1 core: hash aggregate with map-side partial aggregation."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q14_global_agg",
+    sql="""
+    SELECT COUNT(*) AS cnt,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           strftime(CAST(MIN(o_orderdate) AS DATE), '%Y-%m-%d') AS min_d,
+           strftime(CAST(MAX(o_orderdate) AS DATE), '%Y-%m-%d') AS max_d
+    FROM orders
+    """,
+)
+def q14_global_agg(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t.orders.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.date_format(F.min(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("min_d"),
+        F.date_format(F.max(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("max_d"),
+    )
+
+
+@register(
+    "q15_distinct_agg",
+    sql="SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
+)
+def q15_distinct_agg(spark, sf_dir):
+    """Distinct aggregate — Spark expands to a two-stage partial distinct."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.agg(F.countDistinct("o_custkey").alias("n"))
+
+
+@register(
+    "q16_rollup",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q16_rollup(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q17_having",
+    sql="""
+    SELECT o_custkey, COUNT(*) AS c
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+    ORDER BY o_custkey
+    """,
+)
+def q17_having(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 3)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "q18_collect_list",
+    sql="""
+    SELECT c_mktsegment,
+           COUNT(c_name) AS n,
+           MIN(c_name)   AS mn,
+           MAX(c_name)   AS mx,
+           STRING_AGG(c_name, ',' ORDER BY c_name) AS names
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q18_collect_list(spark, sf_dir):
+    """collect_list per group (reference R14: group codes by code list,
+    handler/incoming_instance_handler.go:219-223). List order after the
+    shuffle is nondeterministic → always array_sort before serializing."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.groupBy("c_mktsegment")
+        .agg(
+            F.count("c_name").alias("n"),
+            F.min("c_name").alias("mn"),
+            F.max("c_name").alias("mx"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q40_pivot",
+    sql="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS "click",
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS "error",
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS "signup",
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS "view"
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q40_pivot(spark, sf_dir):
+    """Pivot with a pinned category list: one aggregation pass, no extra
+    distinct-scan job, deterministic output columns."""
+    t = load_tables(spark, sf_dir)
+    out = (
+        t.events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("user_id")
+    )
+    return out
+
+
+@register(
+    "q41_exact_dedup",
+    sql="""
+    SELECT event_type, user_id
+    FROM (SELECT DISTINCT event_type, user_id FROM events)
+    ORDER BY event_type, user_id
+    """,
+)
+def q41_exact_dedup(spark, sf_dir):
+    """Exact dedup = hash groupBy on the full key (reference's uniqueness
+    constraint R18 as an operator; store/store.go:15)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.select("event_type", "user_id")
+        .dropDuplicates()
+        .orderBy("event_type", "user_id")
+    )
+
+
+@register(
+    "q28_scalar_subquery",
+    sql="""
+    SELECT o_orderkey FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def q28_scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery — declared in SQL so Catalyst does the
+    subquery→join rewrite itself (SURVEY.md §4: don't reimplement)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "q29_correlated_subquery",
+    sql="""
+    SELECT c_custkey FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c_custkey
+    """,
+)
+def q29_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery — Catalyst decorrelates into agg + join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+        """
+    )

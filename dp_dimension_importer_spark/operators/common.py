@@ -1,0 +1,50 @@
+"""Shared plumbing for operator modules.
+
+Contract (driver's correctness gate, see ``__spark_entry__.py``):
+
+* every query is a callable ``(spark, sf_dir) -> DataFrame``;
+* oracled queries also carry one DuckDB SQL string producing the same
+  rows with the SAME column names (the driver sorts columns by name and
+  value-hashes);
+* floating outputs are pre-rounded (4 dp; 3 dp for float32-derived),
+  timestamps reduced to DATE or epoch seconds, so both engines serialize
+  identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def make_registry() -> tuple[dict[str, QueryFn], dict[str, str], Callable]:
+    """Returns (queries, oracle, register) for a module.
+
+    Usage::
+
+        QUERIES, ORACLE, register = make_registry()
+
+        @register("q01_scan_project", sql="SELECT ...")
+        def q01(spark, sf_dir): ...
+
+    ``sql=None`` marks a rows-only query (non-SQL-expressible: LSH paths,
+    stateful streaming) — the driver records a weaker check for those.
+    """
+    queries: dict[str, QueryFn] = {}
+    oracle: dict[str, str] = {}
+
+    def register(name: str, sql: str | None = None):
+        def deco(fn: QueryFn) -> QueryFn:
+            if name in queries:
+                raise ValueError(f"duplicate query name {name!r}")
+            queries[name] = fn
+            if sql is not None:
+                oracle[name] = sql.strip()
+            return fn
+
+        return deco
+
+    return queries, oracle, register

@@ -1,0 +1,211 @@
+"""Join operators — SURVEY.md §2.3 Q05–Q12.
+
+Scale notes (these run against ~100 TB fact tables in production):
+
+* equi-joins (Q05, Q07, Q08): leave strategy choice to Catalyst + AQE —
+  at real scale orders⋈customer is a shuffle join on the key; AQE switches
+  to broadcast when a filtered side turns out small at runtime.
+* small static dims (region=5, nation=25 rows at ANY sf) are explicitly
+  ``F.broadcast(...)`` — never worth a shuffle (Q06, Q07).
+* semi/anti joins (Q09/Q10) are the reference's idempotency gate
+  (handler/incoming_instance_handler.go:305-313 expressed as a join, see
+  SURVEY.md R9): Spark plans them as broadcast/shuffled hash semi-joins and
+  never materializes the probe side's payload columns.
+* theta join (Q11) keeps the equi prefix (``c_nationkey = s_nationkey``) so
+  Spark hashes on it and evaluates only the range residual per bucket —
+  instead of a pure broadcast-nested-loop over the cross product.
+* the as-of join (Q12) is expressed as range-join + per-key windowed top-1.
+  At 100 TB both sides would be bucketed/range-partitioned on the key so
+  the window never re-shuffles; locally the row_number collapses in one
+  shuffle stage. (A merge-as-of `applyInPandas` variant is the fallback if
+  the event side is too dense per key.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark.catalog import load_tables
+from dp_dimension_importer_spark.operators.common import make_registry
+
+QUERIES, ORACLE, register = make_registry()
+
+
+@register(
+    "q05_inner_equi_join",
+    sql="""
+    SELECT o.o_orderkey, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def q05_inner_equi_join(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey, "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q06_broadcast_join",
+    sql="""
+    SELECT n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY n.n_nationkey
+    """,
+)
+def q06_broadcast_join(spark, sf_dir):
+    """Explicit broadcast of the 5-row dim — zero shuffle at any scale."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.nation.join(
+            F.broadcast(t.region),
+            t.nation.n_regionkey == t.region.r_regionkey,
+        )
+        .orderBy("n_nationkey")
+        .select("n_name", "r_name")
+    )
+
+
+@register(
+    "q07_multiway_join",
+    sql="""
+    SELECT c.c_name, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY c.c_custkey
+    """,
+)
+def q07_multiway_join(spark, sf_dir):
+    """3-way chain; both dims broadcast, so the big side never shuffles."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey
+        )
+        .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+        .orderBy("c_custkey")
+        .select("c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "q08_left_outer_join",
+    sql="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST
+    """,
+)
+def q08_left_outer_join(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            t.orders, t.customer.c_custkey == t.orders.o_custkey, "left"
+        )
+        .select("c_custkey", "o_orderkey")
+        .orderBy(F.col("c_custkey"), F.col("o_orderkey").asc_nulls_first())
+    )
+
+
+@register(
+    "q09_left_semi_join",
+    sql="""
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q09_left_semi_join(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q10_left_anti_join",
+    sql="""
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q10_left_anti_join(spark, sf_dir):
+    """NOT EXISTS — the reference's idempotent-create gate (R9) as a join."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q11_theta_range_join",
+    sql="""
+    SELECT s.s_suppkey, c.c_custkey
+    FROM supplier s
+    JOIN customer c
+      ON c.c_acctbal > s.s_acctbal AND c.c_nationkey = s.s_nationkey
+    ORDER BY s.s_suppkey, c.c_custkey
+    """,
+)
+def q11_theta_range_join(spark, sf_dir):
+    """Theta join with an equi prefix: hash on nationkey, range residual."""
+    t = load_tables(spark, sf_dir)
+    s, c = t.supplier, t.customer
+    return (
+        s.join(
+            c,
+            (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal),
+        )
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey")
+    )
+
+
+@register(
+    "q12_asof_join",
+    sql="""
+    SELECT event_id, o_orderkey FROM (
+        SELECT e.event_id, o.o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def q12_asof_join(spark, sf_dir):
+    """As-of join: for each event, that user's most recent order at/before
+    the event time. Range join on the equi key + windowed top-1
+    (deterministic tie-break on o_orderkey)."""
+    t = load_tables(spark, sf_dir)
+    e, o = t.events, t.orders
+    joined = e.join(
+        o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "inner"
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "o_orderkey")
+        .orderBy("event_id")
+    )

@@ -1,0 +1,226 @@
+"""Scans, filters and scalar expressions — SURVEY.md §2.3 Q01–Q04, Q30–Q35.
+
+All of these compile to a single parquet scan stage: Catalyst pushes the
+predicates into the scan (``PushedFilters``) and prunes columns
+(``ReadSchema``), so at 100 TB they read only the row groups / columns they
+need. No shuffle except the final presentation sort, which the driver's
+order-insensitive hash does not even require — it is kept because the
+declared canonical queries end in ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark.catalog import load_tables
+from dp_dimension_importer_spark.operators.common import make_registry
+
+QUERIES, ORACLE, register = make_registry()
+
+
+@register(
+    "q01_scan_project",
+    sql="""
+    SELECT l_orderkey, l_quantity
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q01_scan_project(spark, sf_dir):
+    """Parquet scan + projection (column pruning reaches the scan)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_quantity")
+    )
+
+
+@register(
+    "q02_filter_conjunctive",
+    sql="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_discount > 0.05 AND l_quantity < 10
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q02_filter_conjunctive(spark, sf_dir):
+    """Conjunctive predicates, both pushed into the parquet scan."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.filter((F.col("l_discount") > 0.05) & (F.col("l_quantity") < 10))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q03_in_between",
+    sql="""
+    SELECT o_orderkey
+    FROM orders
+    WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 1000 AND 5000
+    ORDER BY o_orderkey
+    """,
+)
+def q03_in_between(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.filter(
+            F.col("o_orderstatus").isin("F", "O")
+            & F.col("o_totalprice").between(1000, 5000)
+        )
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q04_null_predicate",
+    sql="SELECT event_id FROM events WHERE value IS NULL ORDER BY event_id",
+)
+def q04_null_predicate(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.filter(F.col("value").isNull()).select("event_id").orderBy("event_id")
+    )
+
+
+@register(
+    "q30_case_expr",
+    sql="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 3000 THEN 'hi'
+                WHEN o_totalprice > 1000 THEN 'mid'
+                ELSE 'lo' END AS bucket
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q30_case_expr(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 3000, "hi")
+        .when(F.col("o_totalprice") > 1000, "mid")
+        .otherwise("lo")
+        .alias("bucket"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q31_string_funcs",
+    sql="""
+    SELECT c_custkey,
+           UPPER(c_name)            AS uname,
+           SUBSTR(c_name, 1, 5)     AS pfx,
+           LENGTH(c_name)           AS ln,
+           REPLACE(c_name, '#','_') AS repl,
+           CONCAT(c_name, '!')      AS bang
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q31_string_funcs(spark, sf_dir):
+    """String scalar functions (reference's R8 replace semantics,
+    model/models.go:47-52)."""
+    t = load_tables(spark, sf_dir)
+    return t.customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 5).alias("pfx"),
+        F.length("c_name").cast("long").alias("ln"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("_")).alias("repl"),
+        F.concat(F.col("c_name"), F.lit("!")).alias("bang"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "q32_like_regexp",
+    sql="""
+    SELECT p_partkey FROM part
+    WHERE p_type LIKE '%BRASS%' OR p_name LIKE 'a%'
+    ORDER BY p_partkey
+    """,
+)
+def q32_like_regexp(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.part.filter(F.col("p_type").like("%BRASS%") | F.col("p_name").like("a%"))
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q33_date_extract",
+    sql="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')  AS d,
+           CAST(EXTRACT(YEAR  FROM o_orderdate) AS BIGINT)  AS y,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)  AS m
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q33_date_extract(spark, sf_dir):
+    """DATE outputs are serialized as ISO strings on both sides — engines'
+    client layers disagree on date-vs-midnight-timestamp representation."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("d"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q34_date_arith",
+    sql="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS d30
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+    ORDER BY o_orderkey
+    """,
+)
+def q34_date_arith(spark, sf_dir):
+    """Date literal filter + interval arithmetic."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            F.date_format(
+                F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd"
+            ).alias("d30"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q35_math_exprs",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           ABS(l_discount - 0.05)                           AS adisc,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)           AS fl,
+           CAST(CEIL(l_extendedprice)  AS BIGINT)           AS cl
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q35_math_exprs(spark, sf_dir):
+    """Scalar arithmetic is left UNROUNDED: identical IEEE expressions over
+    identical inputs are bit-identical in both engines, whereas each
+    engine's ROUND diverges at half-ulp decimal boundaries (observed:
+    17947.60995 → 17947.6100 vs 17947.6099). Rounding is reserved for
+    multi-row aggregates where summation order genuinely differs."""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        F.abs(F.col("l_discount") - 0.05).alias("adisc"),
+        F.floor("l_extendedprice").alias("fl"),
+        F.ceil("l_extendedprice").alias("cl"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -1,0 +1,79 @@
+"""Set operators — SURVEY.md §2.3 Q26–Q27.
+
+``union`` in Spark is purely logical (no shuffle); the ``distinct`` /
+``intersect`` / ``subtract`` variants each add one hash-aggregate shuffle on
+the full row — which is the minimum any engine pays for set semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark.catalog import load_tables
+from dp_dimension_importer_spark.operators.common import make_registry
+
+QUERIES, ORACLE, register = make_registry()
+
+
+def _nationkeys(t):
+    c = t.customer.select(F.col("c_nationkey").alias("k"))
+    s = t.supplier.select(F.col("s_nationkey").alias("k"))
+    return c, s
+
+
+@register(
+    "q26_union_distinct",
+    sql="""
+    SELECT c_nationkey AS k FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    ORDER BY k
+    """,
+)
+def q26_union_distinct(spark, sf_dir):
+    c, s = _nationkeys(load_tables(spark, sf_dir))
+    return c.unionByName(s).distinct().orderBy("k")
+
+
+@register(
+    "q26b_union_all_counts",
+    sql="""
+    SELECT k, COUNT(*) AS c FROM (
+        SELECT c_nationkey AS k FROM customer
+        UNION ALL
+        SELECT s_nationkey FROM supplier
+    ) GROUP BY k ORDER BY k
+    """,
+)
+def q26b_union_all_counts(spark, sf_dir):
+    """UNION ALL duplicate-preservation checked through a count."""
+    c, s = _nationkeys(load_tables(spark, sf_dir))
+    return c.unionByName(s).groupBy("k").agg(F.count("*").alias("c")).orderBy("k")
+
+
+@register(
+    "q27_intersect",
+    sql="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY k
+    """,
+)
+def q27_intersect(spark, sf_dir):
+    c, s = _nationkeys(load_tables(spark, sf_dir))
+    return c.intersect(s).orderBy("k")
+
+
+@register(
+    "q27b_except",
+    sql="""
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY k
+    """,
+)
+def q27b_except(spark, sf_dir):
+    c, s = _nationkeys(load_tables(spark, sf_dir))
+    return c.subtract(s).orderBy("k")

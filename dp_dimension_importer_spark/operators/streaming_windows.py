@@ -1,0 +1,174 @@
+"""Event-time window operators — SURVEY.md §2.3 Q46–Q50.
+
+Q46–Q48 use the same ``window()`` / ``session_window()`` expressions in
+batch and streaming (Spark guarantees identical semantics); the oracled
+``queries()`` entries run the batch form, and the streaming replay tests
+(tests/test_streaming.py) prove the streaming path emits the same rows.
+
+Q49 (watermark) and Q50 (stateful dedup) are *real* Structured Streaming
+runs even inside ``queries()``: the events table is replayed through a file
+source one micro-batch per event-time chunk, with a far-future sentinel
+event pushing the watermark past every real window so append mode flushes
+all state (see streaming/replay.py). Their oracles are the corresponding
+batch SQL — the whole point of the exercise.
+
+Window starts are compared as epoch seconds (BIGINT) to sidestep ns/us
+timestamp-precision drift between engines (FIXTURES.md canonicalization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark.catalog import load_tables, table
+from dp_dimension_importer_spark.operators.common import make_registry
+from dp_dimension_importer_spark.streaming.replay import (
+    SENTINEL_TYPE,
+    run_replay,
+    write_replay_dir,
+)
+
+QUERIES, ORACLE, register = make_registry()
+
+_Q46_SQL = """
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS w,
+           event_type,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("q46_tumbling_window", sql=_Q46_SQL)
+def q46_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour event-time window (same expression streams with a
+    watermark — see test_streaming.py)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("window.start").cast("long").alias("w"), "event_type", "c"
+        )
+        .orderBy("w", "event_type")
+    )
+
+
+@register(
+    "q47_sliding_window",
+    sql="""
+    SELECT CAST(epoch_us(wstart) // 1000000 AS BIGINT) AS w,
+           event_type,
+           COUNT(*) AS c
+    FROM (
+        SELECT UNNEST([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart,
+               event_type
+        FROM events
+    ) GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q47_sliding_window(spark, sf_dir):
+    """Sliding window (2h size, 1h slide): every event lands in 2 windows;
+    the oracle materializes both window starts per event."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("window.start").cast("long").alias("w"), "event_type", "c"
+        )
+        .orderBy("w", "event_type")
+    )
+
+
+@register(
+    "q48_session_window",
+    sql="""
+    WITH marks AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS session_start,
+           COUNT(*) AS c
+    FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+)
+def q48_session_window(spark, sf_dir):
+    """Session window (30-minute gap) per user; oracle is the classic
+    gaps-and-islands formulation. Spark closes a session when the next event
+    is ≥ gap after the previous one ([start, last+gap) window), hence the
+    ``>= INTERVAL 30 MINUTE`` break condition."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("session_start"),
+            "c",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register("q49_watermark_replay", sql=_Q46_SQL)
+def q49_watermark_replay(spark, sf_dir):
+    """Q46's tumbling aggregation as a REAL streaming job: event-time-ordered
+    replay (4 micro-batches) + 1-hour watermark + append mode. The sentinel
+    file advances the watermark past all real windows so every window is
+    flushed; in-order replay means nothing is dropped → output must equal
+    the batch oracle. (Late-data *dropping* is asserted separately in
+    tests/test_streaming.py with a shuffled replay.)"""
+    events = table(spark, sf_dir, "events")
+    replay_dir = write_replay_dir(events, n_files=4, sentinel=True)
+
+    def transform(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("c"))
+            .select(
+                F.col("window.start").cast("long").alias("w"), "event_type", "c"
+            )
+        )
+
+    out = run_replay(spark, replay_dir, events.schema, transform, "append")
+    return out.filter(F.col("event_type") != SENTINEL_TYPE).orderBy("w", "event_type")
+
+
+@register(
+    "q50_stateful_dedup",
+    sql="""
+    SELECT event_id, user_id, event_type
+    FROM events ORDER BY event_id
+    """,
+)
+def q50_stateful_dedup(spark, sf_dir):
+    """Stateful streaming dedup: replay events with every 10th event
+    re-delivered (the reference's at-least-once redelivery case, SURVEY.md
+    §1.4), dropDuplicates on event_id with a watermark wide enough to keep
+    all state → output equals the batch DISTINCT of the clean table."""
+    events = table(spark, sf_dir, "events")
+    dups = events.filter(F.col("event_id") % 10 == 0)
+    replay_dir = write_replay_dir(events.unionByName(dups), n_files=4, sentinel=False)
+
+    def transform(stream):
+        return (
+            stream.withWatermark("ts", "40 days")
+            .dropDuplicates(["event_id"])
+            .select("event_id", "user_id", "event_type")
+        )
+
+    out = run_replay(spark, replay_dir, events.schema, transform, "append")
+    return out.orderBy("event_id")

@@ -1,0 +1,195 @@
+"""Text-analysis operators for large-scale training-data pipelines —
+SURVEY.md §2.3 Q42 plus language-ID, quality scoring, token counting and
+document fingerprinting over the ``documents`` table.
+
+Everything here is built from codegen'd JVM expressions (``regexp_count``,
+``regexp_replace``, higher-order array folds) — no Python in the hot path, so
+at 100 TB these run inside whole-stage codegen on the scan, shuffling only
+the final (tiny) aggregates. The regex subset used (char classes,
+alternation, ``\\b``) behaves identically in Java regex (Spark) and RE2
+(DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark.catalog import load_tables
+from dp_dimension_importer_spark.operators.common import make_registry
+
+QUERIES, ORACLE, register = make_registry()
+
+#: language → marker-word regex (lowercased text). Deterministic heuristic:
+#: count marker hits per language, argmax with fixed priority tie-break.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|is|was|to)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "es": r"\b(el|la|los|que|de|es)\b",
+    "fr": r"\b(le|les|des|est|et|une)\b",
+    "zh": r"[一-鿿]",
+}
+_LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+@register(
+    "q42_token_stats",
+    sql="""
+    SELECT lang,
+           COUNT(*)                      AS docs,
+           CAST(SUM(n_chars) AS BIGINT)  AS chars,
+           ROUND(AVG(n_chars), 3)        AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q42_token_stats(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("chars"),
+            F.round(F.avg("n_chars"), 3).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_token_count",
+    sql="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|in|to)\\b')) AS BIGINT) AS n_stop
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token + stopword counting via JVM-side regexp_count (the BPE-ish
+    regex tokenizer path; the pandas_udf variant is q44)."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+")).cast("long").alias("n_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(r"\b(the|a|of|and|in|to)\b"))
+        .cast("long")
+        .alias("n_stop"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    sql="""
+    SELECT doc_id,
+           ROUND(CAST(LEAST(n_chars, 1000) AS DOUBLE) / 1000 * 0.5
+                 + CASE WHEN nt > 0 THEN CAST(ns AS DOUBLE) / nt ELSE 0 END * 0.3
+                 + CASE WHEN n_chars > 0 THEN CAST(na AS DOUBLE) / n_chars ELSE 0 END * 0.2,
+                 4) AS quality
+    FROM (
+        SELECT doc_id, n_chars,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+'))                    AS nt,
+               len(regexp_extract_all(lower(text), '\\b(the|a|of|and|in|to)\\b')) AS ns,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))               AS na
+        FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic doc-quality score: length + stopword ratio + alpha ratio
+    (the classic pretraining-corpus filters), all as codegen'd expressions."""
+    t = load_tables(spark, sf_dir)
+    nt = F.regexp_count("text", F.lit(r"[A-Za-z0-9]+"))
+    ns = F.regexp_count(F.lower("text"), F.lit(r"\b(the|a|of|and|in|to)\b"))
+    na = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    quality = F.round(
+        F.least(F.col("n_chars"), F.lit(1000)).cast("double") / 1000 * 0.5
+        + F.when(nt > 0, ns.cast("double") / nt).otherwise(0.0) * 0.3
+        + F.when(F.col("n_chars") > 0, na.cast("double") / F.col("n_chars")).otherwise(0.0) * 0.2,
+        4,
+    )
+    return t.documents.select("doc_id", quality.alias("quality")).orderBy("doc_id")
+
+
+def _lang_case_sql() -> str:
+    """Shared argmax-with-priority CASE over marker counts (c_en, c_de, ...)."""
+    clauses = []
+    for i, lang in enumerate(_LANG_ORDER):
+        rest = _LANG_ORDER[i + 1 :]
+        if not rest:
+            clauses.append(f"ELSE '{lang}'")
+        else:
+            cond = " AND ".join(f"c_{lang} >= c_{r}" for r in rest)
+            clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+@register(
+    "text_lang_id",
+    sql=f"""
+    SELECT doc_id, {_lang_case_sql()} AS lang_pred
+    FROM (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS c_en,
+               len(regexp_extract_all(lower(text), '{LANG_MARKERS["de"]}')) AS c_de,
+               len(regexp_extract_all(lower(text), '{LANG_MARKERS["es"]}')) AS c_es,
+               len(regexp_extract_all(lower(text), '{LANG_MARKERS["fr"]}')) AS c_fr,
+               len(regexp_extract_all(text, '{LANG_MARKERS["zh"]}'))        AS c_zh
+        FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """n-gram/marker-word language ID: count marker hits per language and
+    take the argmax (fixed priority order breaks ties deterministically)."""
+    t = load_tables(spark, sf_dir)
+    counted = t.documents.select(
+        "doc_id",
+        *[
+            F.regexp_count(
+                F.lower("text") if lang != "zh" else F.col("text"),
+                F.lit(LANG_MARKERS[lang]),
+            ).alias(f"c_{lang}")
+            for lang in _LANG_ORDER
+        ],
+    )
+    pred = None
+    for i, lang in enumerate(_LANG_ORDER):
+        rest = _LANG_ORDER[i + 1 :]
+        if not rest:
+            pred = pred.otherwise(lang)
+            break
+        cond = None
+        for r in rest:
+            c = F.col(f"c_{lang}") >= F.col(f"c_{r}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return counted.select("doc_id", pred.alias("lang_pred")).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    sql="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       list_filter(string_split(text, ' '), x -> x <> ''),
+                       x -> CAST(length(x) * 31 + ascii(x) AS BIGINT))),
+               (a, b) -> (a * 1000003 + b) % 2147483647
+           ) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Deterministic rolling-hash document fingerprint: left fold of a
+    polynomial hash over the token stream, mod 2^31-1 each step (keeps the
+    accumulator in 31 bits so ``acc*1000003 + v`` never overflows int64).
+    Bit-identical across engines because both fold left-to-right in exact
+    integer arithmetic."""
+    t = load_tables(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    fp = F.aggregate(
+        F.transform(toks, lambda x: (F.length(x) * 31 + F.ascii(x)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 1000003 + v) % 2147483647,
+    )
+    return t.documents.select("doc_id", fp.alias("fp")).orderBy("doc_id")

@@ -1,0 +1,103 @@
+"""Vectorized Python UDF surface — SURVEY.md §2.3 Q44 (pandas_udf scalar)
+and Q45 (grouped-map applyInPandas).
+
+These two are the *deliberate* Python-boundary operators: everything else in
+the engine stays JVM-side. Both use Arrow batches (session pins
+``spark.sql.execution.arrow.pyspark.enabled``), i.e. the 10-100× faster path
+vs row-at-a-time Python UDFs. The oracle checks them against pure-SQL
+formulations, proving the UDFs compute exactly what the declarative form
+would.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dp_dimension_importer_spark.catalog import load_tables
+from dp_dimension_importer_spark.operators.common import make_registry
+
+QUERIES, ORACLE, register = make_registry()
+
+_TOKEN_RE = r"[A-Za-z0-9]+"
+
+# NOTE: the UDF bodies are defined as *closures* inside factory functions, so
+# cloudpickle serializes them by value. A module-level function would be
+# pickled by reference and every Python worker would have to be able to
+# `import dp_dimension_importer_spark` — not true when the driver process
+# runs from another cwd (observed during verification).
+
+
+def make_tokenize_count():
+    """Vectorized token counter — one Arrow batch per call."""
+    token_re = _TOKEN_RE
+
+    def _count(texts: pd.Series) -> pd.Series:
+        return texts.str.count(token_re).astype("int64")
+
+    return F.pandas_udf(_count, T.LongType())
+
+
+@register(
+    "q44_pandas_udf",
+    sql="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS tc
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q44_pandas_udf(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    tokenize_count = make_tokenize_count()
+    return t.documents.select(
+        "doc_id", tokenize_count("text").alias("tc")
+    ).orderBy("doc_id")
+
+
+_Z_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "q45_grouped_map",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN sd IS NOT NULL AND sd > 0
+                THEN ROUND((n_chars - m) / sd, 4) END AS z
+    FROM (
+        SELECT doc_id, n_chars,
+               AVG(n_chars)         OVER (PARTITION BY lang) AS m,
+               STDDEV_SAMP(n_chars) OVER (PARTITION BY lang) AS sd
+        FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def q45_grouped_map(spark, sf_dir):
+    """applyInPandas grouped-map UDAF, oracle-checked against the window-agg
+    SQL equivalence declared in SURVEY.md Q45."""
+    t = load_tables(spark, sf_dir)
+
+    def zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Per-language mean/std normalization of n_chars (sample std,
+        # ddof=1 — matches SQL STDDEV_SAMP). Degenerate groups (n=1 or
+        # zero variance) produce NULL, matching the SQL CASE guard.
+        m = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        if pd.isna(sd) or sd == 0:
+            z = pd.Series([np.nan] * len(pdf), index=pdf.index)
+        else:
+            z = ((pdf["n_chars"] - m) / sd).round(4)
+        return pd.DataFrame({"doc_id": pdf["doc_id"], "z": z})
+
+    return (
+        t.documents.select("doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(zscore_group, schema=_Z_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,169 @@
+"""Window / ranking / top-k operators — SURVEY.md §2.3 Q19–Q25.
+
+Scale notes: every window here partitions by a key (one shuffle on the
+partition key, then an in-partition sort). The only global sorts are the
+explicit top-k queries (Q23/Q25), which Spark executes as
+``TakeOrderedAndProject`` — per-partition heaps + driver merge of k rows,
+never a full global sort. Q24 (per-group top-k) filters ``row_number <= k``
+so state per group stays O(k) after the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark.catalog import load_tables
+from dp_dimension_importer_spark.operators.common import make_registry
+
+QUERIES, ORACLE, register = make_registry()
+
+
+@register(
+    "q19_row_number",
+    sql="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS BIGINT) AS rn
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q19_row_number(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t.orders.select(
+            "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
+        ).orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q20_rank_dense_rank",
+    sql="""
+    SELECT p_partkey,
+           CAST(RANK()       OVER (ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS r,
+           CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS BIGINT) AS dr
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q20_rank_dense_rank(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w1 = W.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    w2 = W.orderBy("p_brand")
+    return t.part.select(
+        "p_partkey",
+        F.rank().over(w1).cast("long").alias("r"),
+        F.dense_rank().over(w2).cast("long").alias("dr"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q21_lag_lead",
+    sql="""
+    SELECT event_id,
+           ROUND(LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS pv,
+           ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS nv
+    FROM events ORDER BY event_id
+    """,
+)
+def q21_lag_lead(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return t.events.select(
+        "event_id",
+        F.round(F.lag("value").over(w), 4).alias("pv"),
+        F.round(F.lead("value").over(w), 4).alias("nv"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q22_running_sum",
+    sql="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS rt
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q22_running_sum(spark, sf_dir):
+    """Frame-spec running aggregate."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t.orders.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 4).alias("rt")
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q23_topk",
+    sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q23_topk(spark, sf_dir):
+    """Global top-k → TakeOrderedAndProject (no full sort at scale)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "q24_per_group_topk",
+    sql="""
+    SELECT c_nationkey, c_custkey, rn FROM (
+        SELECT c_nationkey, c_custkey,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ) AS BIGINT) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    ORDER BY c_nationkey, rn
+    """,
+)
+def q24_per_group_topk(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        t.customer.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "rn")
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+@register(
+    "q25_multikey_sort",
+    sql="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    ORDER BY l_returnflag ASC, l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q25_multikey_sort(spark, sf_dir):
+    """Multi-key mixed-direction sort + limit (total order → deterministic)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.orderBy(
+            F.col("l_returnflag").asc(),
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        .select("l_orderkey", "l_linenumber")
+        .limit(100)
+    )

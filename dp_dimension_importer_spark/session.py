@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+One place to pin every conf that correctness or scale depends on:
+
+* ``spark.sql.session.timeZone=UTC`` — the DuckDB oracle compares timestamps
+  as epoch seconds / dates; a non-UTC session would shift them.
+* AQE on (+ coalesce + skew join) — at 100 TB the runtime re-plan is what
+  turns a 32-partition dev plan into a sane 1000-executor plan: it coalesces
+  tiny post-shuffle partitions, switches sort-merge → broadcast when a side
+  turns out small, and splits skewed partitions.
+* Arrow on — every Pandas-UDF boundary (similarity, text ops, multimodal)
+  pays per-batch serialization; Arrow makes it columnar.
+* ``spark.sql.shuffle.partitions`` — small default for local test scale;
+  at cluster scale AQE's coalescing makes the initial number far less
+  critical, and callers override via ``shuffle_partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dp-dimension-importer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the pinned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Local mode: shuffle files land on local disk; keep them compressed.
+        .config("spark.shuffle.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

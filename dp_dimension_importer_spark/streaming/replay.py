@@ -1,0 +1,121 @@
+"""Replay harness: re-drive a batch table through Structured Streaming.
+
+The correctness strategy for streaming operators (SURVEY.md §2.3 Q46–Q50,
+§5 t2) is *batch-oracle equivalence*: replay the ``events`` parquet through
+a rate-limited file source (one file per micro-batch, deterministic order),
+run the streaming query, and compare the final output to a batch SQL oracle.
+
+Determinism notes:
+
+* file order is forced via file names AND mtimes (the file source lists by
+  modification time); each chunk is a contiguous event-time range, so
+  watermarks advance monotonically across micro-batches;
+* an optional far-future *sentinel* row (its own final file) pushes the
+  watermark past every real window so append-mode aggregations flush all
+  state before the query ends — mirrors the reference's drain-then-stop
+  shutdown (SURVEY.md R23);
+* all temp/checkpoint dirs are per-invocation (uuid) so concurrent queries
+  in one session never collide.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: event-time column + sentinel marker shared by the streaming operators
+SENTINEL_TYPE = "__sentinel__"
+
+
+def write_replay_dir(
+    df: DataFrame,
+    n_files: int = 4,
+    order_col: str = "ts",
+    sentinel: bool = True,
+) -> str:
+    """Materialize ``df`` as ``n_files`` single-partition parquet files in
+    event-time order (file i = i-th quantile range of ``order_col``), plus an
+    optional sentinel file 10 days past max event time. Returns the dir."""
+    base = tempfile.mkdtemp(prefix="replay_")
+    rows = df.orderBy(order_col, "event_id").collect()
+    chunk = max(1, (len(rows) + n_files - 1) // n_files)
+    spark = df.sparkSession
+    schema = df.schema
+    # mtimes must be strictly increasing in replay order (the file source
+    # processes oldest-modified first) and the sentinel strictly LAST —
+    # otherwise the watermark jumps early and real chunks get dropped as
+    # late data.
+    t0 = time.time() - 1000
+    n_chunks = 0
+    for i in range(0, len(rows), chunk):
+        part = spark.createDataFrame(rows[i : i + chunk], schema=schema)
+        path = os.path.join(base, f"chunk_{i // chunk:05d}.parquet")
+        _write_single_file(part, path, t0 + n_chunks)
+        n_chunks += 1
+    if sentinel:
+        max_ts = df.agg(F.max(order_col)).collect()[0][0]
+        sent = spark.createDataFrame(
+            [(int(-1), max_ts, int(-1), SENTINEL_TYPE, None, "{}")],
+            schema=schema,
+        ).withColumn(order_col, F.col(order_col) + F.expr("INTERVAL 10 DAYS"))
+        # two sentinel batches: the first advances the watermark past every
+        # real window, the second triggers the state flush that emits them
+        # (watermark-driven emission happens one batch after the advance).
+        for j in range(2):
+            sent2 = sent.withColumn(
+                order_col, F.col(order_col) + F.expr(f"INTERVAL {j} HOURS")
+            )
+            _write_single_file(
+                sent2,
+                os.path.join(base, f"zz_sentinel_{j}.parquet"),
+                t0 + n_chunks + 10 + j,
+            )
+    return base
+
+
+def _write_single_file(part: DataFrame, dest: str, mtime: float) -> None:
+    """Write a DataFrame as exactly one parquet file at ``dest``."""
+    tmp = dest + ".dir"
+    part.coalesce(1).write.mode("overwrite").parquet(tmp)
+    data_file = next(
+        f for f in os.listdir(tmp) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    os.replace(os.path.join(tmp, data_file), dest)
+    for f in os.listdir(tmp):
+        os.remove(os.path.join(tmp, f))
+    os.rmdir(tmp)
+    os.utime(dest, (mtime, mtime))
+
+
+def run_replay(
+    spark: SparkSession,
+    replay_dir: str,
+    schema,
+    transform,
+    output_mode: str = "append",
+) -> DataFrame:
+    """readStream over ``replay_dir`` (1 file per micro-batch), apply
+    ``transform(stream_df) -> stream_df``, drain with availableNow into a
+    memory sink, return the result table."""
+    name = "replay_" + uuid.uuid4().hex[:12]
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    query = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
