@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Per-round benchmark runner (driver contract).
+
+Runs every batch query from the registry at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Timing = wall-clock of plan + execution + collect (count() of the final
+DataFrame — the driver's own gate collects, so we measure the same shape).
+Per BASELINE.md, streaming replay queries (q49/q50) are excluded from the
+timed set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dp_dimension_importer_spark.registry import QUERIES  # noqa: E402
+from dp_dimension_importer_spark.session import get_spark  # noqa: E402
+
+EXCLUDE = {"q49_watermark_replay", "q50_stateful_dedup"}  # streaming replay
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+
+    # warm-up: JVM, parquet footers, Python worker pool
+    QUERIES["q13_groupby_agg"](spark, sf_dir).count()
+    QUERIES["q44_pandas_udf"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        if name in EXCLUDE:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_batch_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "nproc": os.cpu_count(),
+                "config": {
+                    "master": spark.sparkContext.master,
+                    "shuffle_partitions": spark.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    ),
+                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

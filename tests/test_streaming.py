@@ -1,0 +1,194 @@
+"""Streaming behavior tests (SURVEY.md §2.3 Q46–Q50, §5.3):
+
+* streaming tumbling window == batch oracle on ordered replay (Q46/Q49)
+* late rows beyond the watermark are DROPPED on shuffled replay (Q49)
+* stateful dedup under duplicate redelivery == batch DISTINCT (Q50)
+* the import pipeline runs as a real writeStream with checkpoint, and
+  re-delivering the same events is a no-op (idempotent sinks)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark.catalog import table
+from dp_dimension_importer_spark.pipeline.models import (
+    CODE_LIST_SCHEMA,
+    DIMENSION_SCHEMA,
+    INSTANCE_SCHEMA,
+)
+from dp_dimension_importer_spark.pipeline.runner import run_stream
+from dp_dimension_importer_spark.pipeline.sinks import (
+    ParquetGraphStore,
+    RecordingPatchSender,
+)
+from dp_dimension_importer_spark.streaming.replay import (
+    SENTINEL_TYPE,
+    run_replay,
+    write_replay_dir,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_watermark_drops_late_rows_for_finalized_windows(spark):
+    """Spark's watermark guarantee (verified empirically — the late-input
+    filter is best-effort): once a window is finalized and emitted in
+    append mode, late rows for it are DROPPED and the window is never
+    re-emitted or updated. Replay: newer half first (watermark jumps),
+    older half (aggregated late, flushed once), then the SAME older rows
+    re-delivered — the redelivery must change nothing."""
+    events = table(spark, SF_SMOKE, "events")
+    # split by event TIME so the two halves are disjoint in event time
+    tmid = events.selectExpr("percentile(cast(ts as long), 0.5)").collect()[0][0]
+    newer = events.filter(F.col("ts").cast("long") >= tmid)
+    older = events.filter(F.col("ts").cast("long") < tmid)
+
+    base = tempfile.mkdtemp(prefix="late_")
+    d1 = write_replay_dir(newer, n_files=1, sentinel=False)
+    d2 = write_replay_dir(older, n_files=1, sentinel=False)
+    # re-delivery; sentinel anchored to FULL table max so the newest real
+    # windows (in the `newer` half) also finalize and flush
+    d3 = write_replay_dir(older, n_files=1, sentinel=True, sentinel_base=events)
+    os.rename(os.path.join(d1, "chunk_00000.parquet"), os.path.join(base, "a.parquet"))
+    os.rename(os.path.join(d2, "chunk_00000.parquet"), os.path.join(base, "b.parquet"))
+    os.rename(os.path.join(d3, "chunk_00000.parquet"), os.path.join(base, "c.parquet"))
+    for j in range(2):
+        os.rename(
+            os.path.join(d3, f"zz_sentinel_{j}.parquet"),
+            os.path.join(base, f"zz_{j}.parquet"),
+        )
+    now = __import__("time").time()
+    for i, f in enumerate(sorted(os.listdir(base))):
+        os.utime(os.path.join(base, f), (now - 100 + i, now - 100 + i))
+
+    def transform(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("c"))
+            .select(F.col("window.start").cast("long").alias("w"), "event_type", "c")
+        )
+
+    out = (
+        run_replay(spark, base, events.schema, transform, "append")
+        .filter(F.col("event_type") != SENTINEL_TYPE)
+    )
+    rows = out.collect()
+    got = {}
+    for r in rows:
+        assert (r.w, r.event_type) not in got, "window re-emitted!"
+        got[(r.w, r.event_type)] = r.c
+
+    # every window appears exactly once with single-delivery counts —
+    # i.e. the re-delivered late rows were dropped, not double-counted
+    expected_df = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(F.col("window.start").cast("long").alias("w"), "event_type", "c")
+    )
+    expected = {(r.w, r.event_type): r.c for r in expected_df.collect()}
+    assert got == expected
+
+
+def test_streaming_session_window_matches_batch(spark):
+    """session_window in a stream (ordered replay, big watermark) equals the
+    batch session_window aggregation."""
+    events = table(spark, SF_SMOKE, "events")
+    replay_dir = write_replay_dir(events, n_files=3, sentinel=True)
+
+    def transform(stream):
+        # 1h watermark: ordered replay drops nothing, and the +10d sentinel
+        # pushes the watermark past every session end so append mode emits
+        # all sessions before the query drains.
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("c"))
+            .select(
+                "user_id",
+                F.col("session_window.start").cast("long").alias("s"),
+                "c",
+            )
+        )
+
+    out = run_replay(spark, replay_dir, events.schema, transform, "append")
+    got = {(r.user_id, r.s): r.c for r in out.collect() if r.user_id >= 0}
+    batch = (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("c"))
+        .select("user_id", F.col("session_window.start").cast("long").alias("s"), "c")
+    )
+    expected = {(r.user_id, r.s): r.c for r in batch.collect()}
+    assert got == expected
+
+
+def test_import_pipeline_streaming_idempotent(spark):
+    """The import pipeline as a real writeStream: events arrive as files,
+    foreachBatch imports them; re-delivering the same events (new files,
+    fresh checkpoint) writes nothing new — idempotent sinks."""
+    out_dir = tempfile.mkdtemp(prefix="pipe_out_")
+    event_dir = tempfile.mkdtemp(prefix="pipe_events_")
+    patch_log = os.path.join(out_dir, "patches.jsonl")
+
+    instances = spark.createDataFrame(
+        [("i1", ["h1", "h2"]), ("i2", ["h"])], INSTANCE_SCHEMA
+    )
+    dimensions = spark.createDataFrame(
+        [
+            ("i1", "i1_Geo", "England", "1", "cl"),
+            ("i1", "time", "2024", "2", "tcl"),
+            ("i2", "i2_Sex", "Male", "", "scl"),
+        ],
+        DIMENSION_SCHEMA,
+    )
+    code_lists = spark.createDataFrame(
+        [("cl", "England", 7), ("scl", "Male", None)], CODE_LIST_SCHEMA
+    )
+
+    def deliver(payloads, name):
+        with open(os.path.join(event_dir, name), "w") as f:
+            f.write("\n".join(payloads) + "\n")
+
+    deliver(
+        [
+            json.dumps({"file_url": "/f1", "instance_id": "i1"}),
+            json.dumps({"file_url": "/f2", "instance_id": "i2"}),
+            "garbage payload",
+        ],
+        "batch1.jsonl",
+    )
+    sender = RecordingPatchSender(patch_log)
+    q = run_stream(
+        spark, event_dir, instances, dimensions, code_lists, out_dir, sender
+    )
+    q.awaitTermination(120)
+
+    store = ParquetGraphStore(spark, os.path.join(out_dir, "graph"))
+    nodes1 = store.nodes().count()
+    edges1 = store.edges().count()
+    assert nodes1 == 2 + 3  # 2 instance nodes + 3 dimension nodes
+    assert edges1 == 2  # time-dimension edge excluded
+    patch_calls = sender.calls()
+    # i1: England(node 1, order 7) + time(node 2); i2: Male(no node, no order) omitted
+    patched = {u["option"] for c in patch_calls for u in c["updates"]}
+    assert patched == {"England", "2024"}
+    completed = spark.read.json(os.path.join(out_dir, "completed"))
+    assert {r.instance_id for r in completed.collect()} == {"i1", "i2"}
+    dead = spark.read.json(os.path.join(out_dir, "dead_letter"))
+    assert dead.count() == 1
+
+    # redelivery: same events again (availableNow query already stopped;
+    # run a new one over a fresh checkpoint to simulate at-least-once)
+    deliver(
+        [json.dumps({"file_url": "/f1", "instance_id": "i1"})], "batch2.jsonl"
+    )
+    q2 = run_stream(
+        spark, event_dir, instances, dimensions, code_lists, out_dir, sender
+    )
+    q2.awaitTermination(120)
+    assert store.nodes().count() == nodes1  # no duplicate nodes
+    assert store.edges().count() == edges1  # no duplicate edges
