@@ -35,7 +35,25 @@ TABLES: tuple[str, ...] = (
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation"})
 
 
+#: (session, sf_dir, table) → DataFrame. A DataFrame is an immutable logical
+#: plan, so reusing it skips the per-call file listing + footer/schema job
+#: (~40 ms × 10 tables × every query = the dominant fixed cost of a bench
+#: run). The session object is kept in the value and identity-checked, so a
+#: recycled id() can never resurrect a plan bound to a dead session.
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = _read_table(spark, sf_dir, name)
+    _TABLE_CACHE[key] = (spark, df)
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":

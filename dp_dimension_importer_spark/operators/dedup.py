@@ -9,22 +9,25 @@ Design for 100 TB:
   the pair-generating self-join; without that cap one stop-phrase shingle
   creates a quadratic join blowup. This is the exact-similarity path, fully
   SQL-expressible, so it IS oracle-checked.
-* MinHash signatures are built shuffle-friendly: (doc, seed, shingle-hash)
-  rows with map-side partial min per (doc, seed) — never a per-doc
-  collect_list of all shingles. LSH banding turns the all-pairs problem
-  into an equi-join on (band, band_key). Estimated-similarity output is
-  gated by recall tests, not hash-match (SURVEY.md §2.3: LSH excluded from
-  hashed checks).
-* SimHash bit-counting explodes to (doc, bit, ±count) rows — again partial
-  aggregation, no per-doc state — and candidate pairs come from banding the
-  64-bit fingerprint into 4 16-bit bands (any pair at Hamming distance ≤ 3
-  shares at least one band by pigeonhole).
+* MinHash signatures take ONE shuffle: each shingle is hashed once, the
+  NUM_HASHES permuted mins are NUM_HASHES `min` aggregate columns of a
+  single groupBy(doc_id) (map-side partial agg; no per-seed row explosion,
+  no distinct pass — min is duplicate-insensitive). LSH banding turns the
+  all-pairs problem into an equi-join on (band, band_key).
+  Estimated-similarity output is gated by recall tests, not hash-match
+  (SURVEY.md §2.3: LSH excluded from hashed checks).
+* SimHash bit-counting is likewise ONE shuffle: 64 conditional-sum
+  aggregate columns per doc_id over hashed token occurrences; candidate
+  pairs come from banding the 64-bit fingerprint into 4 16-bit bands (any
+  pair at Hamming distance ≤ 3 shares at least one band by pigeonhole).
 * embedding near-dup blocks on ``label`` (stand-in for an IVF/LSH bucket at
   scale) and computes cosine with a deterministic left-to-right DOUBLE fold
   so the result is bit-identical to the DuckDB oracle.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -52,21 +55,35 @@ def tokens_col(text_col="text"):
     return F.filter(F.split(text_col, " "), lambda x: x != "")
 
 
+def shingle_stream(documents: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — K-token shingles per document, WITH duplicates.
+    Min/idempotent consumers (MinHash) use this directly and skip the
+    distinct shuffle entirely.
+
+    The token array is MATERIALIZED before shingling and the K-grams are
+    assembled with zip_with over K shifted slices. Expressions inside
+    interpreted higher-order lambdas get no common-subexpression
+    elimination, so an element_at(tokens, i) formulation re-runs the
+    regex split for every lambda iteration — observed ~7× slower than
+    this slice/zip form at sf0.1."""
+    n = F.size("tk")
+    s1 = F.slice("tk", 1, n - (SHINGLE_K - 1))
+    shifted = [
+        F.slice("tk", 1 + j, n - (SHINGLE_K - 1)) for j in range(1, SHINGLE_K)
+    ]
+    grams = s1
+    for s in shifted:
+        grams = F.zip_with(grams, s, lambda a, b: F.concat_ws(" ", a, b))
+    arr = F.when(n >= SHINGLE_K, grams).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select("doc_id", tokens_col().alias("tk"))
+        .select("doc_id", F.explode(arr).alias("shingle"))
+    )
+
+
 def shingles(documents: DataFrame) -> DataFrame:
     """(doc_id, shingle) — distinct K-token shingles per document."""
-    toks = tokens_col()
-    arr = F.when(
-        F.size(toks) >= SHINGLE_K,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - SHINGLE_K),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(SHINGLE_K)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        documents.select("doc_id", F.explode(arr).alias("shingle")).dropDuplicates()
-    )
+    return shingle_stream(documents).dropDuplicates()
 
 
 _SHINGLE_SQL = """
@@ -127,11 +144,24 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup join: shared-shingle candidate pairs
-    (hot shingles pruned by document frequency), then |∩| / |∪|."""
+    (hot shingles pruned by document frequency), then |∩| / |∪|.
+
+    Scale tactics: the pair-join key is xxhash64(shingle) — an 8-byte long
+    in the shuffle instead of the shingle string; the shingle set is
+    persisted (it feeds the DF filter, the per-doc counts, AND both sides
+    of the pair join); hot shingles are removed with a broadcast ANTI join
+    (the hot set is tiny by construction — only keys with DF > cap)."""
     t = load_tables(spark, sf_dir)
-    sh = shingles(t.documents)
-    ok = sh.groupBy("shingle").count().filter(F.col("count") <= DF_CAP).select("shingle")
-    shf = sh.join(ok, "shingle")
+    sh = (
+        shingle_stream(t.documents)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .dropDuplicates()
+        .persist()
+    )
+    hot = (
+        sh.groupBy("shingle").count().filter(F.col("count") > DF_CAP).select("shingle")
+    )
+    shf = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
     cnt = shf.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shf.alias("a")
     b = shf.alias("b")
@@ -158,34 +188,42 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+#: affine permutation family for MinHash: sig[s] = min over shingles of
+#: (A[s]*h31 + B[s]) mod _PERM_P, where h31 = xxhash64(shingle) & 0x7FFFFFFF.
+#: _PERM_P is prime > 2^31; A,B < _PERM_P so A*h31 + B < 2^62 — no 64-bit
+#: overflow even under ANSI arithmetic. Constants are pinned (seeded PRNG)
+#: so signatures are deterministic across sessions/executors.
+_PERM_P = 2147483659
+_PERM_RND = random.Random(20240813)
+_PERM_AB = [
+    (_PERM_RND.randrange(1, _PERM_P), _PERM_RND.randrange(0, _PERM_P))
+    for _ in range(NUM_HASHES)
+]
+
+
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, sig: array<long>) — NUM_HASHES minhashes per doc.
 
-    Shuffle-friendly: explode to (doc_id, seed, xxhash64(shingle, seed)),
-    partial-min per (doc_id, seed), then assemble the signature with a
-    deterministic seed-indexed sort. xxhash64's extra args act as the seed.
+    ONE shuffle total: shingles are hashed once (xxhash64 → 31-bit), the
+    NUM_HASHES permuted mins are computed as NUM_HASHES ``min`` aggregate
+    columns in a single ``groupBy(doc_id)`` — partial (map-side) aggregation
+    collapses every partition to ≤1 row per doc before the exchange, and no
+    per-seed row explosion ever materializes. Duplicate shingles need no
+    ``distinct`` pass: ``min`` is duplicate-insensitive.
     """
-    sh = shingles(documents)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
-                lambda s: F.struct(
-                    s.alias("seed"), F.xxhash64("shingle", s).alias("h")
-                ),
-            )
-        ).alias("sh"),
-    ).select("doc_id", F.col("sh.seed").alias("seed"), F.col("sh.h").alias("h"))
+    h31 = F.xxhash64("shingle").bitwiseAND(F.lit(0x7FFFFFFF))
+    hashed = shingle_stream(documents).select("doc_id", h31.alias("h"))
+    mins = [
+        ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_PERM_P)).alias(f"p{s}")
+        for s, (a, b) in enumerate(_PERM_AB)
+    ]
     return (
-        seeded.groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+        hashed.select("doc_id", *mins)
         .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                lambda s: s.getField("mh"),
-            ).alias("sig")
+        .agg(*[F.min(f"p{s}").alias(f"m{s}") for s in range(NUM_HASHES)])
+        .select(
+            "doc_id",
+            F.array(*[f"m{s}" for s in range(NUM_HASHES)]).alias("sig"),
         )
     )
 
@@ -257,33 +295,33 @@ def dedup_simhash(spark, sf_dir):
     distance is verified with xor + bit_count.
     """
     t = load_tables(spark, sf_dir)
-    tok = (
-        t.documents.select("doc_id", F.explode(tokens_col()).alias(
-            "token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.xxhash64("token"))
+    # ONE shuffle: hash each token occurrence once, then 64 conditional-sum
+    # aggregate columns in a single groupBy(doc_id) — map-side partial
+    # aggregation collapses each partition to ≤1 row per doc before the
+    # exchange. (Summing ±1 per occurrence equals the classic ±term-frequency
+    # formulation, so no per-(doc,token) count pass is needed; and no 64×
+    # posexplode row blowup ever materializes.)
+    occ = t.documents.select(
+        "doc_id", F.explode(tokens_col()).alias("token")
+    ).select("doc_id", F.xxhash64("token").alias("h"))
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    bitsums = occ.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(masks[i])) != 0, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(64)
+        ]
     )
-    # per-token ±cnt contribution for each of the 64 bits (SQL-expr form:
-    # shiftleft over a lambda/column index has no python-API binding)
-    contrib = tok.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 63), i -> "
-                "CASE WHEN (h & shiftleft(1L, i)) != 0 THEN cnt ELSE -cnt END)"
-            )
-        ).alias("bit", "v"),
-    )
-    bitsum = contrib.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
-    fp = (
-        bitsum.withColumn(
-            "bitval",
-            F.expr("CASE WHEN s > 0 THEN shiftleft(1L, CAST(bit AS INT)) ELSE 0L END"),
+    # assemble the 64-bit fingerprint: set bit i when s_i > 0. Partial sums
+    # of distinct powers of two stay within long range (bit 63 is the sign
+    # bit, added as its two's-complement value) — ANSI-safe.
+    fp_col = F.lit(0).cast("long")
+    for i in range(64):
+        fp_col = fp_col + F.when(F.col(f"s{i}") > 0, F.lit(masks[i])).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-    )
+    fp = bitsums.select("doc_id", fp_col.alias("simhash"))
     # band the 64-bit fingerprint into 4 × 16-bit keys
     bands = fp.select(
         "doc_id",
@@ -373,11 +411,13 @@ def dedup_embedding_cosine(spark, sf_dir):
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= EMB_COS_T)
+        # project cos FIRST so the (interpreted, non-codegen) fold runs once
+        # per pair — filtering on the raw expression would evaluate it twice
         .select(
             F.col("a.vec_id").alias("va"),
             F.col("b.vec_id").alias("vb"),
             cos.alias("cos_sim"),
         )
+        .filter(F.col("cos_sim") >= EMB_COS_T)
         .orderBy("va", "vb")
     )

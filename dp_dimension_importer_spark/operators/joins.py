@@ -200,12 +200,14 @@ def q12_asof_join(spark, sf_dir):
     joined = e.join(
         o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "inner"
     )
-    w = W.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
+    # "latest order" = max (o_orderdate, o_orderkey) struct — lexicographic
+    # struct ordering gives the window-top-1 semantics with a hash aggregate
+    # instead of a full partition sort: map-side partial max collapses each
+    # task to one row per event before the exchange, so the shuffle carries
+    # |events| rows, not |events ⋈ orders|.
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "o_orderkey")
+        joined.groupBy("event_id")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"))
+        .select("event_id", F.col("m.o_orderkey").alias("o_orderkey"))
         .orderBy("event_id")
     )

@@ -22,7 +22,10 @@ bit-identical cosines (same argmax under ties).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import types as T
 
 from dp_dimension_importer_spark.catalog import load_tables
 from dp_dimension_importer_spark.operators.common import make_registry
@@ -105,26 +108,54 @@ def q43_cosine_top1(spark, sf_dir):
     )
 
 
-def _bucket_key(vcol_name: str = "v"):
-    """Sign-pattern bucket over N_PLANES deterministic pseudo-random
-    hyperplanes. Plane p's j-th component is derived from xxhash64(p, j):
-    uniform in [-0.5, 0.5), identical on every executor, no model state.
-    (SQL-expr form because shiftleft over a lambda variable has no
-    column-API binding.)"""
-    return F.expr(
-        f"""
-        aggregate(
-            transform(sequence(0, {N_PLANES - 1}), p ->
-                CASE WHEN aggregate(
-                        zip_with({vcol_name},
-                                 transform(sequence(0, {DIM - 1}),
-                                           j -> pmod(xxhash64(p, j), 1000003) / 1000003.0 - 0.5),
-                                 (x, h) -> x * h),
-                        0D, (a, x) -> a + x) >= 0
-                     THEN shiftleft(1, p) ELSE 0 END),
-            0, (a, x) -> a + x)
-        """
-    )
+#: hyperplane matrix cache: one evaluation per SparkSession (keyed by the
+#: session object so a fresh session re-derives identical values)
+_PLANES_CACHE: dict[int, list[list[float]]] = {}
+
+
+def _planes(spark) -> list[list[float]]:
+    """N_PLANES × DIM deterministic pseudo-random hyperplanes. Plane p's
+    j-th component is pmod(xxhash64(p, j), 1000003)/1000003 - 0.5 — derived
+    once per session with a single 1-row job, then shipped to executors as
+    plain values (no per-row hash recomputation, no stored model file)."""
+    key = id(spark)
+    if key not in _PLANES_CACHE:
+        row = (
+            spark.range(1)
+            .select(
+                F.expr(
+                    f"""
+                    transform(sequence(0, {N_PLANES - 1}), p ->
+                        transform(sequence(0, {DIM - 1}),
+                                  j -> pmod(xxhash64(p, j), 1000003) / 1000003.0 - 0.5))
+                    """
+                ).alias("m")
+            )
+            .head()
+        )
+        # SQL decimal literals (1000003.0) make the components Decimal —
+        # coerce to float here, once
+        _PLANES_CACHE[key] = [[float(x) for x in p] for p in row["m"]]
+    return _PLANES_CACHE[key]
+
+
+def make_bucket_udf(planes: list[list[float]]):
+    """Vectorized bucket assignment: sign pattern of v @ planesᵀ packed into
+    an int. One numpy matmul per Arrow batch — the scale path for bucketing
+    a 100 TB corpus (the exact-cosine rerank inside the bucket stays
+    JVM-side and bit-deterministic; bucket assignment itself only needs to
+    agree between corpus and query side, which a closure-captured constant
+    matrix guarantees). Closure (not module-level) so cloudpickle ships it
+    by value."""
+    mat = np.array(planes).T  # DIM × N_PLANES
+    weights = (1 << np.arange(N_PLANES)).astype("int64")
+
+    def _bucket(vs: pd.Series) -> pd.Series:
+        m = np.vstack(vs.to_numpy())  # batch × DIM
+        signs = (m @ mat) >= 0.0
+        return pd.Series(signs @ weights, index=vs.index)
+
+    return F.pandas_udf(_bucket, T.LongType())
 
 
 @register("ann_lsh_top1")  # rows-only: recall-gated vs q43_cosine_top1
@@ -132,7 +163,8 @@ def ann_lsh_top1(spark, sf_dir):
     """Approximate NN: random-hyperplane LSH bucketing, exact cosine within
     the bucket. Equi-join on the bucket key replaces the full scan."""
     t = load_tables(spark, sf_dir)
-    e = _norm_vectors(t.embeddings).withColumn("bucket", _bucket_key("v"))
+    bucket_of = make_bucket_udf(_planes(spark))
+    e = _norm_vectors(t.embeddings).withColumn("bucket", bucket_of("v"))
     q = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
