@@ -34,13 +34,15 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="bench")
 
-    # warm-up: JVM, parquet footers, Python worker pool
+    # warm-up: JVM, parquet footers, Python worker pool, each table family
     QUERIES["q13_groupby_agg"](spark, sf_dir).count()
     QUERIES["q44_pandas_udf"](spark, sf_dir).count()
+    QUERIES["q36_array_fold"](spark, sf_dir).count()
 
+    only = {n for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n}
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
-        if name in EXCLUDE:
+        if name in EXCLUDE or (only and name not in only):
             continue
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

@@ -18,8 +18,8 @@ Design for 100 TB:
   (SURVEY.md §2.3: LSH excluded from hashed checks).
 * SimHash bit-counting is likewise ONE shuffle: 64 conditional-sum
   aggregate columns per doc_id over hashed token occurrences; candidate
-  pairs come from banding the 64-bit fingerprint into 4 16-bit bands (any
-  pair at Hamming distance ≤ 3 shares at least one band by pigeonhole).
+  pairs come from banding the 64-bit fingerprint into 8 8-bit bands (any
+  pair at Hamming distance ≤ 7 shares at least one band by pigeonhole).
 * embedding near-dup blocks on ``label`` (stand-in for an IVF/LSH bucket at
   scale) and computes cosine with a deterministic left-to-right DOUBLE fold
   so the result is bit-identical to the DuckDB oracle.
@@ -45,8 +45,11 @@ JACCARD_T = 0.5
 #: MinHash signature length and banding (16 bands × 2 rows)
 NUM_HASHES = 32
 NUM_BANDS = 16
-#: SimHash reporting threshold (Hamming distance over 64 bits)
-SIMHASH_MAX_DIST = 3
+#: SimHash reporting threshold (Hamming distance over 64 bits). Banding
+#: into SIMHASH_MAX_DIST+1 bands guarantees (pigeonhole) every pair within
+#: the threshold shares a band. 7 ≈ what a few token edits flip on a
+#: ~50-token doc — distance ≤ 3 missed 40% of true Jaccard ≥ 0.9 pairs.
+SIMHASH_MAX_DIST = 7
 #: cosine threshold for embedding near-dup pairs
 EMB_COS_T = 0.9
 
@@ -55,35 +58,30 @@ def tokens_col(text_col="text"):
     return F.filter(F.split(text_col, " "), lambda x: x != "")
 
 
-def shingle_stream(documents: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — K-token shingles per document, WITH duplicates.
-    Min/idempotent consumers (MinHash) use this directly and skip the
-    distinct shuffle entirely.
+def shingle_hashes(documents: DataFrame) -> DataFrame:
+    """(doc_id, h) — one xxhash64 per K-token shingle occurrence, WITH
+    duplicates. Min/idempotent consumers (MinHash) use this directly and
+    skip any distinct shuffle.
 
-    The token array is MATERIALIZED before shingling and the K-grams are
-    assembled with zip_with over K shifted slices. Expressions inside
+    Tokens are hashed ONCE each; the K-gram hash is a nested xxhash64
+    combine over K shifted slices of the materialized per-token hash
+    array, so no shingle strings are ever built and every downstream
+    shuffle carries 8-byte longs. (Both the token array and its hash
+    array are materialized between selects: expressions inside
     interpreted higher-order lambdas get no common-subexpression
     elimination, so an element_at(tokens, i) formulation re-runs the
-    regex split for every lambda iteration — observed ~7× slower than
-    this slice/zip form at sf0.1."""
-    n = F.size("tk")
-    s1 = F.slice("tk", 1, n - (SHINGLE_K - 1))
-    shifted = [
-        F.slice("tk", 1 + j, n - (SHINGLE_K - 1)) for j in range(1, SHINGLE_K)
-    ]
-    grams = s1
-    for s in shifted:
-        grams = F.zip_with(grams, s, lambda a, b: F.concat_ws(" ", a, b))
-    arr = F.when(n >= SHINGLE_K, grams).otherwise(F.array().cast("array<string>"))
+    regex split per lambda iteration — observed ~7× slower at sf0.1.)"""
+    n = F.size("th")
+    parts = [F.slice("th", 1 + j, n - (SHINGLE_K - 1)) for j in range(SHINGLE_K)]
+    grams = parts[0]
+    for s in parts[1:]:
+        grams = F.zip_with(grams, s, lambda a, b: F.xxhash64(a, b))
+    arr = F.when(n >= SHINGLE_K, grams).otherwise(F.array().cast("array<long>"))
     return (
         documents.select("doc_id", tokens_col().alias("tk"))
-        .select("doc_id", F.explode(arr).alias("shingle"))
+        .select("doc_id", F.transform("tk", lambda t: F.xxhash64(t)).alias("th"))
+        .select("doc_id", F.explode(arr).alias("h"))
     )
-
-
-def shingles(documents: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct K-token shingles per document."""
-    return shingle_stream(documents).dropDuplicates()
 
 
 _SHINGLE_SQL = """
@@ -153,8 +151,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     (the hot set is tiny by construction — only keys with DF > cap)."""
     t = load_tables(spark, sf_dir)
     sh = (
-        shingle_stream(t.documents)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        shingle_hashes(t.documents)
+        .select("doc_id", F.col("h").alias("shingle"))
         .dropDuplicates()
         .persist()
     )
@@ -211,8 +209,9 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     per-seed row explosion ever materializes. Duplicate shingles need no
     ``distinct`` pass: ``min`` is duplicate-insensitive.
     """
-    h31 = F.xxhash64("shingle").bitwiseAND(F.lit(0x7FFFFFFF))
-    hashed = shingle_stream(documents).select("doc_id", h31.alias("h"))
+    hashed = shingle_hashes(documents).select(
+        "doc_id", F.col("h").bitwiseAND(F.lit(0x7FFFFFFF)).alias("h")
+    )
     mins = [
         ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_PERM_P)).alias(f"p{s}")
         for s, (a, b) in enumerate(_PERM_AB)
@@ -255,32 +254,31 @@ def dedup_minhash_lsh(spark, sf_dir):
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.sig").alias("siga"),
-            F.col("b.sig").alias("sigb"),
-        )
-        .dropDuplicates(["da", "db"])
-    )
     est = (
         F.aggregate(
-            F.zip_with("siga", "sigb", lambda x, y: (x == y).cast("int")),
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
             F.lit(0),
             lambda acc, v: acc + v,
         ).cast("double")
         / NUM_HASHES
     )
     return (
-        cand.select("da", "db", F.round(est, 4).alias("est_jaccard"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # estimate + threshold BEFORE the dedup shuffle: the exchange then
+        # carries only (da, db, est) for pairs over the threshold, never the
+        # two 32-long signature arrays of every multi-band collision
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= JACCARD_T)
+        .dropDuplicates(["da", "db"])
         .orderBy("da", "db")
     )
 
@@ -291,7 +289,7 @@ def dedup_simhash(spark, sf_dir):
 
     Bit sums go through (doc_id, bit, ±1) rows → partial aggregation; the
     fingerprint is assembled with exact integer arithmetic. Candidates come
-    from 4 × 16-bit bands (pigeonhole: distance ≤ 3 ⇒ one band equal);
+    from 8 × 8-bit bands (pigeonhole: distance ≤ 7 ⇒ one band equal);
     distance is verified with xor + bit_count.
     """
     t = load_tables(spark, sf_dir)
@@ -313,24 +311,39 @@ def dedup_simhash(spark, sf_dir):
             for i in range(64)
         ]
     )
-    # assemble the 64-bit fingerprint: set bit i when s_i > 0. Partial sums
-    # of distinct powers of two stay within long range (bit 63 is the sign
-    # bit, added as its two's-complement value) — ANSI-safe.
+    # Corpus mean-centering: classic sign(s_i > 0) bits are heavily biased
+    # here (ubiquitous tokens push every doc's bit the same way — observed
+    # per-bit means from 0.006 to 0.976), which makes narrow band keys
+    # collide en masse (8-bit bands: 6.8M candidate pairs vs 0.24M). Setting
+    # bit i = (s_i > corpus_mean(s_i)) rebalances every bit to ~50/50 for
+    # the cost of ONE 64-column global aggregate (rows already reduced to
+    # one per doc) broadcast back as a literal row. A pair's Hamming
+    # distance still reflects similarity: s_a ≈ s_b keeps both on the same
+    # side of any common threshold.
+    means = bitsums.agg(
+        *[F.avg(f"s{i}").alias(f"m{i}") for i in range(64)]
+    )
+    centered = bitsums.crossJoin(F.broadcast(means))
+    # assemble the 64-bit fingerprint: set bit i when s_i > m_i. Partial
+    # sums of distinct powers of two stay within long range (bit 63 is the
+    # sign bit, added as its two's-complement value) — ANSI-safe.
     fp_col = F.lit(0).cast("long")
     for i in range(64):
-        fp_col = fp_col + F.when(F.col(f"s{i}") > 0, F.lit(masks[i])).otherwise(
-            F.lit(0).cast("long")
-        )
-    fp = bitsums.select("doc_id", fp_col.alias("simhash"))
-    # band the 64-bit fingerprint into 4 × 16-bit keys
+        fp_col = fp_col + F.when(
+            F.col(f"s{i}") > F.col(f"m{i}"), F.lit(masks[i])
+        ).otherwise(F.lit(0).cast("long"))
+    fp = centered.select("doc_id", fp_col.alias("simhash"))
+    # band the 64-bit fingerprint into 8 × 8-bit keys (pigeonhole: any pair
+    # at Hamming distance ≤ 7 has all its differing bits inside ≤ 7 bands,
+    # so at least one of the 8 bands matches exactly)
     bands = fp.select(
         "doc_id",
         "simhash",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), b -> named_struct("
+                "transform(sequence(0, 7), b -> named_struct("
                 "'band', b, "
-                "'bkey', shiftrightunsigned(simhash, CAST(b * 16 AS INT)) & 65535L))"
+                "'bkey', shiftrightunsigned(simhash, CAST(b * 8 AS INT)) & 255L))"
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
@@ -350,8 +363,12 @@ def dedup_simhash(spark, sf_dir):
             F.col("b.doc_id").alias("db"),
             dist.alias("hamming"),
         )
-        .dropDuplicates(["da", "db"])
+        # verify distance BEFORE the dedup shuffle: the xor+bit_count filter
+        # is codegen'd map-side work, so the exchange carries only the few
+        # true near-dup pairs instead of every multi-band collision (~200×
+        # fewer rows at sf0.1)
         .filter(F.col("hamming") <= SIMHASH_MAX_DIST)
+        .dropDuplicates(["da", "db"])
         .orderBy("da", "db")
     )
 
@@ -381,9 +398,18 @@ def dedup_simhash(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked by ``label`` (the stand-in
-    for an IVF/LSH bucket at scale — the join is an equi-join on the block
-    key, never an unblocked cross product). Cosine uses a deterministic
-    left-to-right DOUBLE fold ⇒ bit-identical to the DuckDB oracle."""
+    for an IVF/LSH bucket at scale — never an unblocked cross product).
+
+    Two-stage plan. Stage 1 (the scale path): per block, one numpy matmul
+    in ``applyInPandas`` emits candidate pairs with approximate cosine ≥
+    threshold − 1e-6 — vectorized SIMD work instead of ~|block|²/2
+    interpreted lambda folds. Stage 2: candidates (a tiny set by
+    construction) join back to their vectors and the REPORTED cosine is the
+    deterministic left-to-right DOUBLE fold ⇒ bit-identical to the DuckDB
+    oracle. The 1e-6 margin dwarfs the ~1e-13 summation-order gap between
+    matmul and fold, so the prefilter can never drop a true pair."""
+    import pandas as pd
+
     t = load_tables(spark, sf_dir)
     v = F.transform("embedding", lambda x: x.cast("double"))
     e = t.embeddings.select(
@@ -398,26 +424,40 @@ def dedup_embedding_cosine(spark, sf_dir):
             )
         ).alias("nrm"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    threshold = EMB_COS_T - 1e-6
+
+    def block_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = np.vstack(pdf["v"].to_numpy())
+        n = np.linalg.norm(m, axis=1)
+        c = (m / n[:, None]) @ (m / n[:, None]).T
+        ia, ib = np.where(np.triu(c, k=1) >= threshold)
+        ids = pdf["vec_id"].to_numpy()
+        va, vb = ids[ia], ids[ib]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"va": lo, "vb": hi})
+
+    cand_schema = "va long, vb long"
+    cand = (
+        e.select("vec_id", "label", "v")
+        .groupBy("label")
+        .applyInPandas(block_candidates, schema=cand_schema)
     )
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    a = e.select(F.col("vec_id").alias("va"), F.col("v").alias("av"), F.col("nrm").alias("an"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("v").alias("bv"), F.col("nrm").alias("bn"))
+    cos = (
+        F.aggregate(
+            F.zip_with("av", "bv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("an") * F.col("bn"))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        # project cos FIRST so the (interpreted, non-codegen) fold runs once
-        # per pair — filtering on the raw expression would evaluate it twice
-        .select(
-            F.col("a.vec_id").alias("va"),
-            F.col("b.vec_id").alias("vb"),
-            cos.alias("cos_sim"),
-        )
+        cand.join(a, "va")
+        .join(b, "vb")
+        .select("va", "vb", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= EMB_COS_T)
         .orderBy("va", "vb")
     )

@@ -4,17 +4,17 @@ random-hyperplane LSH variant (the scale path, recall-gated).
 
 Scale design:
 
-* Q43 broadcasts the (small) query set against the full corpus — a
-  BroadcastNestedLoopJoin where the corpus side streams and never shuffles.
-  At 100 TB corpus the same plan holds: queries are broadcast, each executor
-  scans its corpus partitions once, and the per-query top-k collapses via
-  partial aggregation (window over a key-partitioned shuffle of only
-  |queries| × |corpus|/partitions candidate rows... then rn ≤ k).
-* the LSH variant buckets both sides by sign-pattern of P deterministic
-  hyperplanes (derived from xxhash64, no stored model), turning the scan
-  into an equi-join on the bucket key — the standard recall/throughput
-  trade; recall is asserted against Q43 in tests, not hash-matched
-  (SURVEY.md §2.3 exclusion).
+* Q43 captures the (small, pinned-size) query block in a mapInPandas
+  closure and scans the corpus ONCE with a numpy matmul per Arrow batch,
+  emitting only per-batch near-top candidates; an exact-fold rerank over
+  those few rows produces the bit-deterministic reported cosine. At 100 TB
+  the same plan holds: the corpus never shuffles, and the shuffled
+  candidate set is |queries| × |corpus batches| rows.
+* the LSH variant hashes every vector into N_TABLES buckets (N_BITS
+  sign-bits each, deterministic seeded hyperplanes, no stored model) and
+  joins corpus to queries on the table-qualified bucket key — the standard
+  multi-table recall/throughput trade; recall is asserted against Q43 in
+  tests, not hash-matched (SURVEY.md §2.3 exclusion).
 
 All dot products fold left-to-right in DOUBLE so Spark and DuckDB produce
 bit-identical cosines (same argmax under ties).
@@ -34,8 +34,12 @@ QUERIES, ORACLE, register = make_registry()
 
 #: Q43 contract: queries are the first 50 vec_ids
 N_QUERY = 50
-#: LSH: number of sign-hyperplanes (bucket key bits)
-N_PLANES = 8
+#: LSH: L independent hash tables of B sign-bits each. Recall for a
+#: neighbor at angle θ is 1 − (1 − p^B)^L with p = 1 − θ/π — multiple
+#: short tables, not one long key, is what makes random-hyperplane LSH
+#: usable (a single 8-bit table gives ~2% recall@1 on this corpus).
+N_TABLES = 16
+N_BITS = 4
 #: embedding dimensionality (pinned by the driver's generator)
 DIM = 64
 
@@ -85,18 +89,62 @@ def _dot(av, bv):
     """,
 )
 def q43_cosine_top1(spark, sf_dir):
-    """Exact cosine nearest neighbor for the first N_QUERY vectors —
-    broadcast the query set, stream the corpus, windowed top-1."""
+    """Exact cosine nearest neighbor for the first N_QUERY vectors.
+
+    Scan-then-rerank: the (tiny, pinned-size) query block is captured in a
+    ``mapInPandas`` closure; each corpus batch does ONE numpy matmul and
+    emits, per query, only the candidates within 1e-6 of that batch's best
+    approximate cosine — the global exact top-1 is necessarily among some
+    batch's near-top set, and any exact-cosine tie contender survives the
+    margin. The REPORTED cosine is then recomputed for the ~|queries| ×
+    |batches| candidates with the deterministic left-to-right DOUBLE fold,
+    so the result (and its DESC/nn_id tie-break) is bit-identical to the
+    DuckDB oracle. The corpus is scanned once and never shuffled; the only
+    shuffled rows are the candidate ids."""
     t = load_tables(spark, sf_dir)
     e = _norm_vectors(t.embeddings)
-    q = e.filter(F.col("vec_id") < N_QUERY).select(
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERY).select("vec_id", "v").collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows])
+    qm = np.vstack([np.asarray(r["v"], dtype=float) for r in qrows])
+    qunit = qm / np.linalg.norm(qm, axis=1)[:, None]
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["v"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            c = (m / pdf["nrm"].to_numpy()[:, None]) @ qunit.T  # batch × nq
+            out_q, out_n = [], []
+            for j in range(len(qids)):
+                col = c[:, j].copy()
+                col[ids == qids[j]] = -np.inf  # exclude self
+                best = col.max()
+                if best == -np.inf:
+                    continue
+                keep = np.where(col >= best - 1e-6)[0]
+                out_q.append(np.full(len(keep), qids[j]))
+                out_n.append(ids[keep])
+            if out_q:
+                yield pd.DataFrame(
+                    {"qid": np.concatenate(out_q), "nn_id": np.concatenate(out_n)}
+                )
+
+    cand = e.select("vec_id", "v", "nrm").mapInPandas(scan, "qid long, nn_id long")
+    qside = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    cand = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    nside = e.select(
+        F.col("vec_id").alias("nn_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn")
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nn_id"))
     return (
-        cand.select(F.col("qid"), F.col("vec_id").alias("nn_id"), cos.alias("cos"))
+        cand.join(F.broadcast(qside), "qid")
+        .join(nside, "nn_id")
+        .select("qid", "nn_id", cos.alias("cos"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -108,83 +156,72 @@ def q43_cosine_top1(spark, sf_dir):
     )
 
 
-#: hyperplane matrix cache: one evaluation per SparkSession (keyed by the
-#: session object so a fresh session re-derives identical values)
-_PLANES_CACHE: dict[int, list[list[float]]] = {}
+def _planes() -> list[list[float]]:
+    """(N_TABLES·N_BITS) × DIM deterministic pseudo-random hyperplanes from
+    a pinned PRNG seed — identical on every driver/executor with zero Spark
+    jobs and no stored model file. (numpy's RandomState stream is stable
+    across platforms/versions by API contract.)"""
+    rs = np.random.RandomState(20240813)
+    return rs.uniform(-0.5, 0.5, size=(N_TABLES * N_BITS, DIM)).tolist()
 
 
-def _planes(spark) -> list[list[float]]:
-    """N_PLANES × DIM deterministic pseudo-random hyperplanes. Plane p's
-    j-th component is pmod(xxhash64(p, j), 1000003)/1000003 - 0.5 — derived
-    once per session with a single 1-row job, then shipped to executors as
-    plain values (no per-row hash recomputation, no stored model file)."""
-    key = id(spark)
-    if key not in _PLANES_CACHE:
-        row = (
-            spark.range(1)
-            .select(
-                F.expr(
-                    f"""
-                    transform(sequence(0, {N_PLANES - 1}), p ->
-                        transform(sequence(0, {DIM - 1}),
-                                  j -> pmod(xxhash64(p, j), 1000003) / 1000003.0 - 0.5))
-                    """
-                ).alias("m")
-            )
-            .head()
-        )
-        # SQL decimal literals (1000003.0) make the components Decimal —
-        # coerce to float here, once
-        _PLANES_CACHE[key] = [[float(x) for x in p] for p in row["m"]]
-    return _PLANES_CACHE[key]
+def make_table_keys_udf(planes: list[list[float]]):
+    """Vectorized multi-table bucket assignment: ONE numpy matmul per Arrow
+    batch computes all N_TABLES·N_BITS signs; table t's key packs its
+    N_BITS signs plus t's offset so keys never collide across tables.
+    Returns array<long> of length N_TABLES per vector — the scale path for
+    bucketing a 100 TB corpus (the exact-cosine rerank inside the bucket
+    stays JVM-side and bit-deterministic; bucket assignment itself only
+    needs to agree between corpus and query side, which a closure-captured
+    constant matrix guarantees). Closure (not module-level) so cloudpickle
+    ships it by value."""
+    mat = np.array(planes).T  # DIM × (N_TABLES·N_BITS)
+    weights = (1 << np.arange(N_BITS)).astype("int64")
+    offsets = (np.arange(N_TABLES) << N_BITS).astype("int64")
 
-
-def make_bucket_udf(planes: list[list[float]]):
-    """Vectorized bucket assignment: sign pattern of v @ planesᵀ packed into
-    an int. One numpy matmul per Arrow batch — the scale path for bucketing
-    a 100 TB corpus (the exact-cosine rerank inside the bucket stays
-    JVM-side and bit-deterministic; bucket assignment itself only needs to
-    agree between corpus and query side, which a closure-captured constant
-    matrix guarantees). Closure (not module-level) so cloudpickle ships it
-    by value."""
-    mat = np.array(planes).T  # DIM × N_PLANES
-    weights = (1 << np.arange(N_PLANES)).astype("int64")
-
-    def _bucket(vs: pd.Series) -> pd.Series:
+    def _keys(vs: pd.Series) -> pd.Series:
         m = np.vstack(vs.to_numpy())  # batch × DIM
-        signs = (m @ mat) >= 0.0
-        return pd.Series(signs @ weights, index=vs.index)
+        signs = ((m @ mat) >= 0.0).reshape(len(m), N_TABLES, N_BITS)
+        keys = signs @ weights + offsets  # batch × N_TABLES
+        return pd.Series(list(keys), index=vs.index)
 
-    return F.pandas_udf(_bucket, T.LongType())
+    return F.pandas_udf(_keys, T.ArrayType(T.LongType()))
 
 
 @register("ann_lsh_top1")  # rows-only: recall-gated vs q43_cosine_top1
 def ann_lsh_top1(spark, sf_dir):
-    """Approximate NN: random-hyperplane LSH bucketing, exact cosine within
-    the bucket. Equi-join on the bucket key replaces the full scan."""
+    """Approximate NN: multi-table random-hyperplane LSH. Each vector lands
+    in one bucket per table; candidates are the union over the tables (an
+    equi-join on the table-qualified bucket key — never a full scan), then
+    exact fold-cosine rerank and top-1 per query."""
     t = load_tables(spark, sf_dir)
-    bucket_of = make_bucket_udf(_planes(spark))
-    e = _norm_vectors(t.embeddings).withColumn("bucket", bucket_of("v"))
-    q = e.filter(F.col("vec_id") < N_QUERY).select(
+    keys_of = make_table_keys_udf(_planes())
+    e = _norm_vectors(t.embeddings).withColumn("keys", keys_of("v"))
+    buckets = e.select("vec_id", "v", "nrm", F.explode("keys").alias("bkey"))
+    q = buckets.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-        F.col("bucket").alias("qbucket"),
+        F.col("bkey").alias("qkey"),
     )
-    cand = e.join(
+    cand = buckets.join(
         F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+        (F.col("bkey") == F.col("qkey")) & (F.col("vec_id") != F.col("qid")),
     )
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
-    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nn_id"))
+    # no dedup pass for multi-table collisions and no window sort: a
+    # duplicate (qid, nn) pair can't change a max, and top-1 with the
+    # (cos DESC, nn_id ASC) tie-break is max(struct(cos, -nn_id)) — a hash
+    # aggregate with map-side partial max, so the exchange carries one row
+    # per query instead of every in-bucket candidate
     return (
         cand.select(F.col("qid"), F.col("vec_id").alias("nn_id"), cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("qid")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("nn_id")).alias("neg_nn"))).alias("m"))
         .select(
             F.col("qid").alias("vec_id"),
-            "nn_id",
-            F.col("cos").alias("cos_sim"),
+            (-F.col("m.neg_nn")).alias("nn_id"),
+            F.col("m.cos").alias("cos_sim"),
         )
         .orderBy("vec_id")
     )

@@ -1,0 +1,77 @@
+"""Quality gates for the approximate (rows-only) operators — the
+"recall tests" SURVEY.md §2.3 assigns to everything excluded from the
+DuckDB hash-match: MinHash/LSH near-dup candidates and the multi-table
+LSH approximate-nearest-neighbor path. Ground truth comes from the exact,
+oracle-checked counterparts (dedup_ngram_jaccard / q43_cosine_top1) at
+sf0.01 — large enough to be statistically meaningful, small enough for CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dp_dimension_importer_spark import registry
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def run(name):
+        return registry.QUERIES[name](spark, SF).collect()
+
+    return run
+
+
+def test_ann_lsh_recall_at_1(q):
+    """Multi-table LSH must recover the exact top-1 neighbor for the large
+    majority of queries (observed 0.96–0.98; single-table LSH scores ~0.02
+    on this corpus, so the floor also guards the table structure)."""
+    exact = {(r.vec_id, r.nn_id) for r in q("q43_cosine_top1")}
+    approx = {(r.vec_id, r.nn_id) for r in q("ann_lsh_top1")}
+    assert exact, "exact NN baseline returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ann_lsh_top1 recall@1 {recall:.2f} < 0.8"
+
+
+def test_ann_lsh_answers_every_query(q):
+    """Every query id must get some neighbor (the tables jointly cover the
+    corpus densely enough that no query's candidate set is empty)."""
+    approx = {r.vec_id for r in q("ann_lsh_top1")}
+    exact = {r.vec_id for r in q("q43_cosine_top1")}
+    assert len(approx) >= 0.9 * len(exact)
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(q):
+    """MinHash+LSH banding must surface (almost) every true Jaccard ≥ 0.5
+    pair found by the exact n-gram join. With 16 bands × 2 rows the
+    theoretical candidate probability at j = 0.5 is 1 − (1 − 0.5²)¹⁶ ≈ 0.99
+    (observed 1.0 at both sf0.01 and sf0.1)."""
+    true_pairs = {(r.da, r.db) for r in q("dedup_ngram_jaccard")}
+    cand = {(r.da, r.db) for r in q("dedup_minhash_lsh")}
+    assert true_pairs, "exact Jaccard ground truth returned nothing"
+    recall = len(true_pairs & cand) / len(true_pairs)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9"
+
+
+def test_minhash_estimates_track_exact_jaccard(q):
+    """For pairs found by both paths, the minhash similarity estimate must
+    be close to the true Jaccard (32 hashes ⇒ σ ≈ 0.09; allow 3σ)."""
+    true_j = {(r.da, r.db): r.jaccard for r in q("dedup_ngram_jaccard")}
+    est_j = {(r.da, r.db): r.est_jaccard for r in q("dedup_minhash_lsh")}
+    both = set(true_j) & set(est_j)
+    assert both
+    worst = max(abs(true_j[p] - est_j[p]) for p in both)
+    assert worst <= 0.28, f"minhash estimate off by {worst:.2f}"
+
+
+def test_simhash_finds_near_identical_docs(q):
+    """Docs whose true 3-gram Jaccard is very high must collide in SimHash
+    space (Hamming ≤ 3) — the fingerprint is a locality-sensitive digest,
+    so txt-near-identity implies fingerprint-near-identity."""
+    true_pairs = {(r.da, r.db) for r in q("dedup_ngram_jaccard") if r.jaccard >= 0.9}
+    if not true_pairs:
+        pytest.skip("no Jaccard >= 0.9 pairs at this sf")
+    sim = {(r.da, r.db) for r in q("dedup_simhash")}
+    recall = len(true_pairs & sim) / len(true_pairs)
+    assert recall >= 0.9, f"simhash recall on near-identical docs {recall:.2f}"
