@@ -113,3 +113,86 @@ def extract_features_fake(assets: DataFrame, feature_dim: int = 4) -> DataFrame:
             )
 
     return assets.mapInPandas(_fake, schema=FEATURE_SCHEMA)
+
+
+#: schema of the (stubbed) image resize output
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+#: schema of sampled video frames — one row per kept frame
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched resize with a deterministic fake resample (real decode
+    needs an imaging library — :func:`decode_image` stub). The fake
+    truncates/cycles payload bytes to exactly width×height so output size
+    is shape-correct; the distributed plumbing (schema, batch shape, no
+    driver collect, partition-preserving narrow transform) is exactly what
+    a real resampler drops into."""
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                b = bytes(p) or b"\x00"
+                reps = (target + len(b) - 1) // len(b)
+                out.append((b * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "payload": out,
+                }
+            )
+
+    return assets.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = 16, every_n: int = 4
+) -> DataFrame:
+    """Video frame sampling: split each payload into fixed-size "frames"
+    and keep every N-th — emitted as one row per kept frame (a generator /
+    flat-map over Arrow batches, the shape a real container demuxer needs:
+    one input row fans out to many output rows WITHOUT collecting either
+    side). Real frame decode is stubbed like :func:`decode_image`."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
+            )
+
+    return assets.mapInPandas(_sample, schema=FRAME_SCHEMA)
