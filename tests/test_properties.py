@@ -1,0 +1,130 @@
+"""Property-based tests (SURVEY.md §5.4): algebraic identities and codec
+totality on generated inputs.
+
+Spark-backed properties use few, small examples (a SparkSession round-trip
+per example); the pure-Python properties (codec, the batched chunk loop)
+run hundreds of cases.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from dp_dimension_importer_spark.pipeline.avro_codec import (
+    _decode_long,
+    _encode_long,
+    decode_event,
+    encode_event,
+)
+from dp_dimension_importer_spark.pipeline.importer import (
+    BatchedCalls,
+    process_instance_batched,
+)
+
+# ---------------------------------------------------------------------------
+# Avro codec
+# ---------------------------------------------------------------------------
+
+int64s = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@given(int64s)
+def test_avro_long_roundtrip(n):
+    assert _decode_long(_encode_long(n), 0) == (n, len(_encode_long(n)))
+
+
+@given(st.text(), st.text())
+def test_avro_event_roundtrip(f, i):
+    assert decode_event(encode_event(f, i)) == (f, i)
+
+
+@given(st.binary(max_size=64))
+def test_avro_decode_is_total(b):
+    """Arbitrary bytes never raise: either a full strict decode or None."""
+    out = decode_event(b)
+    assert out is None or encode_event(*out) == b
+
+
+# ---------------------------------------------------------------------------
+# batched per-instance loop vs its spec (the reference handler's contract:
+# handler/incoming_instance_handler_test.go:159-199, 830-889)
+# ---------------------------------------------------------------------------
+
+dim_strategy = st.fixed_dictionaries(
+    {
+        "dimension_id": st.sampled_from(["geo", "sex", "age", "time"]),
+        "option": st.text(
+            alphabet=st.characters(whitelist_categories=("Ll",)), min_size=1, max_size=6
+        ),
+        "code_list_id": st.sampled_from(["cl1", "cl2"]),
+        "node_id": st.sampled_from(["", "n1", "n2"]),
+    }
+)
+
+
+@given(st.lists(dim_strategy, min_size=1, max_size=12), st.integers(1, 5))
+@settings(max_examples=200, deadline=None)
+def test_batched_loop_invariants(dims, batch_size):
+    orders = {}
+
+    def lookup(cl_id, codes):
+        return {c: (orders.setdefault(c, len(c) % 3) or None) for c in codes}
+
+    calls = BatchedCalls()
+    process_instance_batched("inst", dims, batch_size, lookup, calls)
+
+    # every dimension inserted exactly once, in order
+    assert calls.inserted == list(dims)
+    # chunking: full chunks then remainder (reference :186-204)
+    n_chunks = len(dims) // batch_size + (1 if len(dims) % batch_size else 0)
+    assert len(calls.patches) == n_chunks  # ONE patch per chunk (:269-278)
+    # 'time' dimensions never create code relationships (:295-302)
+    rel_counts = len([d for d in dims if d["dimension_id"] != "time"])
+    assert len(calls.relationships) == rel_counts
+    # each chunk's order lookups partition that chunk's codes by code list
+    flat_lookup_codes = sorted(c for _, codes in calls.order_lookups for c in codes)
+    assert flat_lookup_codes == sorted(d["option"] for d in dims)
+    # patch updates omit rows with neither node_id nor order (:830-889)
+    for _, updates in calls.patches:
+        for u in updates:
+            assert u.get("node_id") or u.get("order") is not None
+    # finalization once, after all chunks (:206-209, :322-328)
+    assert calls.added_dimensions == ["inst"]
+    assert calls.constraints == ["inst"]
+    assert calls.completed == ["inst"]
+
+
+# ---------------------------------------------------------------------------
+# Spark algebraic identities on generated frames
+# ---------------------------------------------------------------------------
+
+keys = st.lists(st.integers(0, 20), min_size=0, max_size=30)
+
+
+@given(keys, keys)
+@settings(max_examples=8, deadline=None)
+def test_semi_anti_partition(spark, left_keys, right_keys):
+    """semi(L, R) ⊎ anti(L, R) == L for any L, R (the idempotency-gate
+    identity behind split_new_instances)."""
+    L = spark.createDataFrame([(k,) for k in left_keys] or [(None,)], "k int").filter(
+        "k is not null"
+    )
+    R = spark.createDataFrame([(k,) for k in right_keys] or [(None,)], "k int").filter(
+        "k is not null"
+    )
+    semi = L.join(R, "k", "left_semi").collect()
+    anti = L.join(R, "k", "left_anti").collect()
+    assert sorted([r.k for r in semi] + [r.k for r in anti]) == sorted(left_keys)
+    right_set = set(right_keys)
+    assert all(r.k in right_set for r in semi)
+    assert all(r.k not in right_set for r in anti)
+
+
+@given(keys)
+@settings(max_examples=8, deadline=None)
+def test_union_all_count_additivity(spark, ks):
+    df = spark.createDataFrame([(k,) for k in ks] or [(None,)], "k int").filter(
+        "k is not null"
+    )
+    assert df.unionByName(df).count() == 2 * len(ks)
+    assert df.unionByName(df).distinct().count() == len(set(ks))
