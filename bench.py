@@ -26,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dp_dimension_importer_spark.registry import QUERIES  # noqa: E402
 from dp_dimension_importer_spark.session import get_spark  # noqa: E402
 
-EXCLUDE = {"q49_watermark_replay", "q50_stateful_dedup"}  # streaming replay
+EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
+    "q49_watermark_replay",
+    "q50_stateful_dedup",
+    "q51_stateful_running_agg",
+}
 
 
 def main() -> None:

@@ -172,3 +172,39 @@ def q50_stateful_dedup(spark, sf_dir):
 
     out = run_replay(spark, replay_dir, events.schema, transform, "append")
     return out.orderBy("event_id")
+
+
+@register(
+    "q51_stateful_running_agg",
+    sql="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(COALESCE(value, 0)), 4) AS value_sum,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q51_stateful_running_agg(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user state
+    accumulates (count, value sum, distinct types) across micro-batches —
+    the reference's accumulate-then-bulk-emit (R17) generalized. The final
+    emission per user (update mode → max) must equal the batch aggregate."""
+    from dp_dimension_importer_spark.streaming.stateful import running_user_stats
+
+    events = table(spark, sf_dir, "events")
+    replay_dir = write_replay_dir(events, n_files=3, sentinel=False)
+    out = run_replay(
+        spark, replay_dir, events.schema, running_user_stats, "update"
+    )
+    # the final emission is the one with the highest n_events (strictly
+    # increasing per user) — value_sum itself is NOT monotonic (negative
+    # values), so max_by, not max
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("value_sum", "n_events"), 4).alias("value_sum"),
+            F.max("n_types").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )

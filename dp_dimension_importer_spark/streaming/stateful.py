@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator — ``applyInPandasWithState``.
+
+The reference accumulates per-instance dimensions across batches and emits
+one bulk call when the instance is complete (AddDimensions, R17 —
+handler/incoming_instance_handler.go:206-209, model/models.go:90-92).
+Generalized here as a per-key **running accumulator**: arbitrary
+user-defined state evolves batch-by-batch, emitting the updated aggregate
+per key per micro-batch — the operator shape Structured Streaming's
+built-in windows cannot express (cross-batch custom state + custom emit
+policy).
+
+Scale design: state lives in Spark's per-key state store (RocksDB-backed
+on a real cluster), partitioned by the grouping key — no driver state, no
+global synchronization. Each micro-batch touches only the keys present in
+that batch plus timed-out keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: output: one row per (key, micro-batch touch)
+RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("n_types", T.LongType()),
+    ]
+)
+
+#: state: counters + the distinct event-type set seen so far
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("types", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value sum, distinct event types) across
+    micro-batches. Emits the post-update aggregate for every user touched
+    in a batch; the LAST emission per user is the final total (tests take
+    max). Null ``value`` rows count toward n_events but add 0.0."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, s, types = state.get
+            types = set(types)
+        else:
+            n, s, types = 0, 0.0, set()
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+            types |= set(pdf["event_type"].dropna())
+        state.update((n, s, sorted(types)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [s],
+                "n_types": [len(types)],
+            }
+        )
+
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -126,6 +126,47 @@ def test_streaming_session_window_matches_batch(spark):
     assert got == expected
 
 
+def test_stateful_running_accumulator_matches_batch(spark):
+    """Custom applyInPandasWithState operator (the reference's per-instance
+    accumulate-then-bulk-emit, R17, generalized): per-user state evolves
+    across micro-batches; the last emission per user equals the batch
+    aggregate."""
+    import uuid
+
+    from dp_dimension_importer_spark.streaming.stateful import running_user_stats
+
+    events = table(spark, SF_SMOKE, "events")
+    rd = write_replay_dir(events, n_files=3, sentinel=False)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(rd)
+    )
+    name = "stateful_" + uuid.uuid4().hex[:8]
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_state_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    # one emission per (user, touching batch); state accumulates across them
+    assert out.count() > out.select("user_id").distinct().count()
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n"), F.max("n_types").alias("nt")
+    )
+    batch = events.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.countDistinct("event_type").alias("nt")
+    )
+    got = {r.user_id: (r.n, r.nt) for r in final.collect()}
+    exp = {r.user_id: (r.n, r.nt) for r in batch.collect()}
+    assert got == exp
+
+
 def test_import_pipeline_streaming_idempotent(spark):
     """The import pipeline as a real writeStream: events arrive as files,
     foreachBatch imports them; re-delivering the same events (new files,
