@@ -236,6 +236,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     scan anywhere). Estimated similarity = fraction of agreeing minhashes.
     """
     t = load_tables(spark, sf_dir)
+    # NOT persisted: both sides of the band self-join are the identical
+    # subplan, so Spark's ReuseExchange computes the signatures once and
+    # replays the shuffle files for the other side — a cache would only add
+    # a materialization pass (measured +1s at sf0.1).
     sigs = minhash_signatures(t.documents)
     r = NUM_HASHES // NUM_BANDS
     bands = sigs.select(
@@ -303,6 +307,9 @@ def dedup_simhash(spark, sf_dir):
         "doc_id", F.explode(tokens_col()).alias("token")
     ).select("doc_id", F.xxhash64("token").alias("h"))
     masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    # persisted: consumed twice (corpus means + centered fingerprints) and
+    # tiny — one 64-long row per doc, ~0.5 KB/doc, so caching it costs
+    # |docs|×0.5 KB while recomputing it costs a full token re-scan
     bitsums = occ.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -310,7 +317,7 @@ def dedup_simhash(spark, sf_dir):
             ).alias(f"s{i}")
             for i in range(64)
         ]
-    )
+    ).persist()
     # Corpus mean-centering: classic sign(s_i > 0) bits are heavily biased
     # here (ubiquitous tokens push every doc's bit the same way — observed
     # per-bit means from 0.006 to 0.976), which makes narrow band keys

@@ -196,6 +196,10 @@ def ann_lsh_top1(spark, sf_dir):
     exact fold-cosine rerank and top-1 per query."""
     t = load_tables(spark, sf_dir)
     keys_of = make_table_keys_udf(_planes())
+    # not persisted: the query side's vec_id < N_QUERY filter pushes down to
+    # the scan, so its UDF bucket assignment touches only N_QUERY rows; the
+    # corpus side is a single scan. Caching the whole corpus would not fit
+    # at target scale.
     e = _norm_vectors(t.embeddings).withColumn("keys", keys_of("v"))
     buckets = e.select("vec_id", "v", "nrm", F.explode("keys").alias("bkey"))
     q = buckets.filter(F.col("vec_id") < N_QUERY).select(
