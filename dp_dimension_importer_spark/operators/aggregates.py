@@ -233,3 +233,65 @@ def q29_correlated_subquery(spark, sf_dir):
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "agg_exact_median",
+    sql="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_exact_median(spark, sf_dir):
+    """Exact continuous percentiles per group. Both engines use the same
+    linear-interpolation definition (position p·(n−1)), so the doubles are
+    bit-identical and the 4-dp round is safe. At scale the exact form needs
+    a per-group sort — the approximate path (agg_approx_quantiles) is the
+    100 TB plan; this is its oracle-checked ground truth."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register("agg_approx_quantiles")  # rows-only: sketch output, tolerance-gated
+def agg_approx_quantiles(spark, sf_dir):
+    """Approximate per-group percentiles via ``percentile_approx`` (the
+    KLL/GK-style mergeable sketch). The scale path for quantiles on 100 TB:
+    fixed-size sketches merge map-side, so the shuffle carries one sketch
+    per (partition × group) instead of every value. Accuracy is gated by a
+    tolerance test against agg_exact_median, not hash-matched."""
+    t = load_tables(spark, sf_dir)
+    acc = 10_000  # 1/acc relative-rank error bound
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.percentile_approx("o_totalprice", 0.5, acc), 4
+            ).alias("p50"),
+            F.round(
+                F.percentile_approx("o_totalprice", 0.95, acc), 4
+            ).alias("p95"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register("agg_approx_count_distinct")  # rows-only: HLL estimate, tolerance-gated
+def agg_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct counts (rsd 1%). The 100 TB replacement for
+    Q15's exact COUNT(DISTINCT): HLL registers merge map-side, so the
+    shuffle carries a fixed-size sketch per group instead of every distinct
+    key. Estimates are tolerance-gated against the exact counts in tests."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_custkeys"),
+        F.approx_count_distinct("o_orderdate", 0.01).alias("approx_orderdates"),
+    )

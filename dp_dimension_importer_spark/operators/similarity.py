@@ -156,6 +156,204 @@ def q43_cosine_top1(spark, sf_dir):
     )
 
 
+#: top-k contract for the exact brute-force baseline
+TOP_K = 3
+#: IVF: number of coarse cells and probed cells per query. nprobe=8 of 16
+#: (≈50% scan fraction) because this corpus is synthetic near-uniform —
+#: the adversarial case for IVF, where nearest-neighbor margins are tiny.
+#: On real clustered embeddings the same recall needs far fewer probes;
+#: the recall test (≥0.75 @ sf0.01) pins the trade-off.
+IVF_CELLS = 16
+IVF_NPROBE = 8
+
+
+@register(
+    "q43b_cosine_topk",
+    sql=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    p AS (
+        SELECT q.vec_id AS vec_id, c.vec_id AS nn_id,
+               list_sum(list_transform(generate_series(1, len(q.v)),
+                                       i -> q.v[i] * c.v[i]))
+                   / (q.nrm * c.nrm) AS cos
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERY}
+    )
+    SELECT vec_id, nn_id, rk, cos AS cos_sim FROM (
+        SELECT vec_id, nn_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rk
+        FROM p
+    ) WHERE rk <= {TOP_K} ORDER BY vec_id, rk
+    """,
+)
+def q43b_cosine_topk(spark, sf_dir):
+    """Exact cosine top-K neighbors for the first N_QUERY vectors — the
+    brute-force ANN baseline the approximate paths are recall-gated against.
+
+    Same scan-then-rerank shape as q43_cosine_top1: each corpus batch emits,
+    per query, every candidate within 1e-6 of that batch's K-th best
+    approximate cosine. Any global top-K neighbor is beaten by < K vectors
+    overall, hence by < K within its own batch, so it always survives its
+    batch's cut; the margin additionally protects exact-cosine ties against
+    matmul/fold summation-order drift. The corpus is scanned once, never
+    shuffled; only candidate ids shuffle into the exact JVM-fold rerank."""
+    t = load_tables(spark, sf_dir)
+    e = _norm_vectors(t.embeddings)
+    qrows = e.filter(F.col("vec_id") < N_QUERY).select("vec_id", "v").collect()
+    qids = np.array([r["vec_id"] for r in qrows])
+    qm = np.vstack([np.asarray(r["v"], dtype=float) for r in qrows])
+    qunit = qm / np.linalg.norm(qm, axis=1)[:, None]
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["v"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            c = (m / pdf["nrm"].to_numpy()[:, None]) @ qunit.T  # batch × nq
+            out_q, out_n = [], []
+            for j in range(len(qids)):
+                col = c[:, j].copy()
+                col[ids == qids[j]] = -np.inf  # exclude self
+                live = np.isfinite(col)
+                if not live.any():
+                    continue
+                kth = (
+                    np.partition(col[live], -TOP_K)[-TOP_K]
+                    if live.sum() >= TOP_K
+                    else col[live].min()
+                )
+                keep = np.where(col >= kth - 1e-6)[0]
+                out_q.append(np.full(len(keep), qids[j]))
+                out_n.append(ids[keep])
+            if out_q:
+                yield pd.DataFrame(
+                    {"qid": np.concatenate(out_q), "nn_id": np.concatenate(out_n)}
+                )
+
+    cand = e.select("vec_id", "v", "nrm").mapInPandas(scan, "qid long, nn_id long")
+    qside = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    nside = e.select(
+        F.col("vec_id").alias("nn_id"), F.col("v").alias("nv"), F.col("nrm").alias("cn")
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("cn"))
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nn_id"))
+    return (
+        cand.join(F.broadcast(qside), "qid")
+        .join(nside, "nn_id")
+        .select("qid", "nn_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "nn_id",
+            "rk",
+            F.col("cos").alias("cos_sim"),
+        )
+        .orderBy("vec_id", "rk")
+    )
+
+
+def _ivf_centroids(e) -> np.ndarray:
+    """IVF_CELLS × DIM unit-norm centroids via spherical k-means on a
+    deterministic hash-sample of the corpus (xxhash64(vec_id) % 3 == 0 —
+    at 100 TB raise the modulus so the driver-side fit stays a bounded few
+    thousand vectors; the fit is O(sample), never O(corpus)). Init = first
+    IVF_CELLS sample vectors by vec_id; 8 Lloyd iterations; empty cells
+    re-seeded deterministically from the sample. Pinned arithmetic order ⇒
+    identical centroids on every run/driver."""
+    rows = (
+        e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(3)) == 0)
+        .select("vec_id", "v")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    m = np.vstack([np.asarray(r["v"], dtype=float) for r in rows])
+    u = m / np.linalg.norm(m, axis=1)[:, None]
+    cents = u[:IVF_CELLS].copy()
+    for _ in range(8):
+        assign = (u @ cents.T).argmax(axis=1)
+        for c in range(IVF_CELLS):
+            mask = assign == c
+            if mask.any():
+                cents[c] = u[mask].mean(axis=0)
+            else:
+                cents[c] = u[c % len(u)]
+        cents /= np.linalg.norm(cents, axis=1)[:, None]
+    return cents
+
+
+def make_ivf_cells_udf(cents: np.ndarray, nprobe: int):
+    """array<int> of the ``nprobe`` nearest cells (by centroid dot product,
+    descending) per vector — one numpy matmul per Arrow batch. Corpus rows
+    use cell[0] (their home cell); queries probe all ``nprobe``. Closure so
+    cloudpickle ships the centroid matrix by value."""
+    matT = cents.T
+
+    def _cells(vs: pd.Series) -> pd.Series:
+        m = np.vstack(vs.to_numpy())
+        m = m / np.linalg.norm(m, axis=1)[:, None]
+        sims = m @ matT  # batch × IVF_CELLS
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype("int32")
+        return pd.Series(list(order), index=vs.index)
+
+    return F.pandas_udf(_cells, T.ArrayType(T.IntegerType()))
+
+
+@register("ann_ivf_top1")  # rows-only: recall-gated vs q43_cosine_top1
+def ann_ivf_top1(spark, sf_dir):
+    """Approximate NN via IVF (inverted-file) coarse quantization: spherical
+    k-means centroids partition the corpus into IVF_CELLS cells; each corpus
+    vector lives in its nearest cell, each query probes its IVF_NPROBE
+    nearest cells, and the exact fold-cosine rerank runs only inside probed
+    cells (an equi-join on cell id — never a full scan). The standard
+    recall/throughput trade vs ann_lsh_top1's hash-bucket variant: IVF cells
+    adapt to the data distribution, LSH buckets don't."""
+    t = load_tables(spark, sf_dir)
+    e = _norm_vectors(t.embeddings)
+    cells_of = make_ivf_cells_udf(_ivf_centroids(e), IVF_NPROBE)
+    ec = e.withColumn("cells", cells_of("v"))
+    corpus = ec.select(
+        "vec_id", "v", "nrm", F.element_at("cells", 1).alias("cell")
+    )
+    q = (
+        ec.filter(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode("cells").alias("cell"),
+        )
+    )
+    cand = corpus.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    # same one-shuffle max_by finish as ann_lsh_top1: top-1 with the
+    # (cos DESC, nn_id ASC) tie-break as max(struct(...)) — map-side partial
+    # max, one row per query crosses the exchange
+    return (
+        cand.select(F.col("qid"), F.col("vec_id").alias("nn_id"), cos.alias("cos"))
+        .groupBy("qid")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("nn_id")).alias("neg_nn"))).alias("m"))
+        .select(
+            F.col("qid").alias("vec_id"),
+            (-F.col("m.neg_nn")).alias("nn_id"),
+            F.col("m.cos").alias("cos_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def _planes() -> list[list[float]]:
     """(N_TABLES·N_BITS) × DIM deterministic pseudo-random hyperplanes from
     a pinned PRNG seed — identical on every driver/executor with zero Spark

@@ -193,3 +193,31 @@ def text_fingerprint(spark, sf_dir):
         lambda acc, v: (acc * 1000003 + v) % 2147483647,
     )
     return t.documents.select("doc_id", fp.alias("fp")).orderBy("doc_id")
+
+
+@register(
+    "text_top_tokens",
+    sql="""
+    SELECT token, cnt FROM (
+        SELECT token, COUNT(*) AS cnt FROM (
+            SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+            FROM documents
+        ) GROUP BY token
+    ) ORDER BY cnt DESC, token LIMIT 20
+    """,
+)
+def text_top_tokens(spark, sf_dir):
+    """Corpus heavy hitters: top-20 tokens by frequency (vocabulary /
+    stopword discovery for pretraining pipelines). Map-side partial
+    aggregation collapses each scan partition to its local token counts
+    before the shuffle, and the final top-k is TakeOrderedAndProject — no
+    global sort materializes. Ties break on the token string."""
+    t = load_tables(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return (
+        t.documents.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )

@@ -42,6 +42,27 @@ def test_ann_lsh_answers_every_query(q):
     assert len(approx) >= 0.9 * len(exact)
 
 
+def test_ann_ivf_recall_at_1(q):
+    """IVF coarse quantization must recover the exact top-1 for most
+    queries. This corpus is synthetic near-uniform — IVF's adversarial
+    case (tiny NN margins, no cluster structure) — so the floor is 0.75
+    at nprobe/cells = 8/16 (observed 0.84–0.86); clustered real
+    embeddings do far better at far lower scan fractions."""
+    exact = {(r.vec_id, r.nn_id) for r in q("q43_cosine_top1")}
+    approx = {(r.vec_id, r.nn_id) for r in q("ann_ivf_top1")}
+    assert exact, "exact NN baseline returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.75, f"ann_ivf_top1 recall@1 {recall:.2f} < 0.75"
+
+
+def test_topk_contains_top1(q):
+    """The exact top-K baseline must rank the exact top-1 neighbor first —
+    the two brute-force paths must agree with each other exactly."""
+    top1 = {(r.vec_id, r.nn_id) for r in q("q43_cosine_top1")}
+    topk_first = {(r.vec_id, r.nn_id) for r in q("q43b_cosine_topk") if r.rk == 1}
+    assert top1 == topk_first
+
+
 def test_minhash_lsh_recall_vs_exact_jaccard(q):
     """MinHash+LSH banding must surface (almost) every true Jaccard ≥ 0.5
     pair found by the exact n-gram join. With 16 bands × 2 rows the
@@ -75,3 +96,26 @@ def test_simhash_finds_near_identical_docs(q):
     sim = {(r.da, r.db) for r in q("dedup_simhash")}
     recall = len(true_pairs & sim) / len(true_pairs)
     assert recall >= 0.9, f"simhash recall on near-identical docs {recall:.2f}"
+
+
+def test_approx_count_distinct_tolerance(q, spark):
+    """HLL estimates (rsd 1%) must land within 5% of the exact counts."""
+    import duckdb
+
+    row = q("agg_approx_count_distinct")[0]
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT o_custkey), COUNT(DISTINCT o_orderdate) "
+        f"FROM '{SF}/orders.parquet'"
+    ).fetchone()
+    for got, want in zip((row.approx_custkeys, row.approx_orderdates), exact):
+        assert abs(got - want) <= 0.05 * want, f"approx {got} vs exact {want}"
+
+
+def test_approx_quantiles_tolerance(q):
+    """Sketch percentiles must track the exact ones within 1% relative."""
+    exact = {r.o_orderstatus: (r.p50, r.p95) for r in q("agg_exact_median")}
+    approx = {r.o_orderstatus: (r.p50, r.p95) for r in q("agg_approx_quantiles")}
+    assert set(exact) == set(approx)
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) <= 0.01 * abs(e), f"{k}: approx {a} vs exact {e}"
