@@ -30,6 +30,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q49_watermark_replay",
     "q50_stateful_dedup",
     "q51_stateful_running_agg",
+    "q52_stream_stream_join",
 }
 
 

@@ -211,3 +211,54 @@ def q12_asof_join(spark, sf_dir):
         .select("event_id", F.col("m.o_orderkey").alias("o_orderkey"))
         .orderBy("event_id")
     )
+
+
+#: salt fan-out for the skew-mitigation join
+N_SALT = 8
+
+
+@register(
+    "join_skew_salted",
+    sql="""
+    SELECT o.o_orderstatus,
+           COUNT(*)                        AS n,
+           ROUND(SUM(l.l_extendedprice),4) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-mitigated equi-join via key salting: the fact side gets a
+    deterministic per-row salt in [0, N_SALT); the dimension side is
+    replicated N_SALT times; the join key becomes (key, salt), spreading a
+    hot key's rows over N_SALT reducers instead of one straggler task.
+
+    This is the manual fallback for skew AQE can't fix (e.g. a hot key
+    inside ONE shuffle block feeding a stateful op). AQE's skewJoin
+    (enabled in session.py) handles the common case automatically — the
+    plan-visible technique here is what you reach for beyond it. The salt
+    derives from existing row columns (xxhash64), so retries/speculative
+    tasks recompute identical salts — no rand() nondeterminism. Results are
+    provably salt-independent, hence the exact-join oracle."""
+    t = load_tables(spark, sf_dir)
+    fact = t.lineitem.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALT))
+    )
+    dim = t.orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt"),
+    )
+    return (
+        fact.join(
+            dim,
+            (fact["l_orderkey"] == dim["o_orderkey"])
+            & (fact["salt"] == dim["salt"]),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

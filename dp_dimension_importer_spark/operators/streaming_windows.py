@@ -208,3 +208,59 @@ def q51_stateful_running_agg(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q52_stream_stream_join",
+    sql="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q52_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with event-time bounds: click→purchase
+    attribution (purchase within 1 hour of a click by the same user), both
+    sides derived from one replayed stream.
+
+    The time-range condition plus a watermark on each side is what makes
+    this run with BOUNDED state at 100 TB/day: Spark evicts a buffered
+    click once the purchase-side watermark passes click.ts + 1h (and vice
+    versa), so state holds ~1 hour of events per side, not the stream's
+    history. Inner-join rows emit as soon as both sides arrive; the
+    watermark only drives eviction."""
+    events = table(spark, sf_dir, "events")
+    replay_dir = write_replay_dir(events, n_files=4)
+
+    def transform(stream):
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return clicks.join(
+            purchases,
+            F.expr(
+                "p_user = c_user AND p_ts >= c_ts "
+                "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+            ),
+        ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+
+    out = run_replay(spark, replay_dir, events.schema, transform, "append")
+    return out.orderBy("click_id", "purchase_id")

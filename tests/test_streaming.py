@@ -233,3 +233,16 @@ def test_import_pipeline_streaming_idempotent(spark):
     q2.awaitTermination(120)
     assert store.nodes().count() == nodes1  # no duplicate nodes
     assert store.edges().count() == edges1  # no duplicate edges
+
+
+def test_stream_stream_join_matches_batch(spark, duck):
+    """Stream-stream inner join (click→purchase attribution, 1h bound,
+    watermarks both sides) must emit exactly the batch join's pairs."""
+    from dp_dimension_importer_spark.registry import ORACLE_SQL, QUERIES
+
+    got = [
+        (r.click_id, r.purchase_id, r.user_id)
+        for r in QUERIES["q52_stream_stream_join"](spark, SF_SMOKE).collect()
+    ]
+    exp = [tuple(r) for r in duck.execute(ORACLE_SQL["q52_stream_stream_join"]).fetchall()]
+    assert got == exp and len(got) > 0
