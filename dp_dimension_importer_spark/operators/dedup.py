@@ -242,21 +242,22 @@ def dedup_minhash_lsh(spark, sf_dir):
     # a materialization pass (measured +1s at sf0.1).
     sigs = minhash_signatures(t.documents)
     r = NUM_HASHES // NUM_BANDS
+    # band keys as NUM_BANDS codegen'd xxhash64-over-longs projections fed
+    # to stack() — not an interpreted transform() lambda building strings
+    # (concat_ws): measured 1.7s → 1.0s for the whole candidate join at
+    # sf0.1. Same collisions either way; only the key derivation changes.
+    pairs = []
+    for b in range(NUM_BANDS):
+        pairs += [
+            F.lit(b),
+            F.xxhash64(
+                *[F.element_at("sig", b * r + i + 1) for i in range(r)],
+                F.lit(b),
+            ),
+        ]
     bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(NUM_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("sig", b * r + 1, r)), b
-                    ).alias("bkey"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        "doc_id", "sig", F.stack(F.lit(NUM_BANDS), *pairs).alias("band", "bkey")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     est = (
         F.aggregate(
@@ -343,17 +344,15 @@ def dedup_simhash(spark, sf_dir):
     # band the 64-bit fingerprint into 8 × 8-bit keys (pigeonhole: any pair
     # at Hamming distance ≤ 7 has all its differing bits inside ≤ 7 bands,
     # so at least one of the 8 bands matches exactly)
+    band_pairs = []
+    for b in range(8):
+        band_pairs += [
+            F.lit(b),
+            F.expr(f"shiftrightunsigned(simhash, {b * 8}) & 255L"),
+        ]
     bands = fp.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 7), b -> named_struct("
-                "'band', b, "
-                "'bkey', shiftrightunsigned(simhash, CAST(b * 8 AS INT)) & 255L))"
-            )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        "doc_id", "simhash", F.stack(F.lit(8), *band_pairs).alias("band", "bkey")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     dist = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
