@@ -45,13 +45,21 @@ def main() -> None:
     QUERIES["q36_array_fold"](spark, sf_dir).count()
 
     only = {n for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n}
+    # BASELINE.md protocol: per query, 1 warm-up run then median of 3 timed
+    # runs (SPARK_GRAFT_BENCH_RUNS=1 for a quick cold single-pass instead).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         if name in EXCLUDE or (only and name not in only):
             continue
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        if runs > 1:
+            QUERIES[name](spark, sf_dir).count()  # warm-up
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
