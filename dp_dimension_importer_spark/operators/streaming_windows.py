@@ -264,3 +264,39 @@ def q52_stream_stream_join(spark, sf_dir):
 
     out = run_replay(spark, replay_dir, events.schema, transform, "append")
     return out.orderBy("click_id", "purchase_id")
+
+
+@register(
+    "q53_stream_static_join",
+    sql="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """,
+)
+def q53_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join: purchases stream joined to a static
+    customer dimension (the reference's code-order lookup R15 as a live
+    stream). A stream-static inner join needs no watermark and no stream
+    state: Spark re-plans the static side per micro-batch and (for a small
+    dim) broadcasts it, so each batch is a map-side hash join — at 100 TB/
+    day of events the static side is loaded once per trigger, the stream
+    side never shuffles."""
+    events = table(spark, sf_dir, "events")
+    customer = load_tables(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    replay_dir = write_replay_dir(events, n_files=3, sentinel=False)
+
+    def transform(stream):
+        return (
+            stream.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id")
+            .join(F.broadcast(customer), "user_id")
+            .select("event_id", "user_id", "segment")
+        )
+
+    out = run_replay(spark, replay_dir, events.schema, transform, "append")
+    return out.orderBy("event_id")

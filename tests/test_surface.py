@@ -1,0 +1,80 @@
+"""Meta-test: the declared operator surface (SURVEY.md §2.3 + §2.4) is the
+implemented surface — every contract query is registered, every oracle
+belongs to a registered query, and names stay unique across modules.
+
+This is the first thing to break when a refactor drops a module from
+``registry._MODULES`` or renames a query without updating its oracle — a
+silent coverage regression the per-operator tests can't see.
+"""
+
+from __future__ import annotations
+
+from dp_dimension_importer_spark.registry import ORACLE_SQL, QUERIES
+
+#: SURVEY.md §2.3 contract rows (Q01–Q50) + §2.4 extended surface.
+EXPECTED = {
+    # §2.3 relational / streaming contract
+    *(f"q{i:02d}" for i in range(1, 51)),
+    # §2.4 extended surface (exact registered names)
+    "q26b_union_all_counts",
+    "q27b_except",
+    "q43b_cosine_topk",
+    "q51_stateful_running_agg",
+    "q52_stream_stream_join",
+    "q53_stream_static_join",
+    "join_skew_salted",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_lsh_top1",
+    "ann_ivf_top1",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_top_tokens",
+    "agg_exact_median",
+    "agg_approx_quantiles",
+    "agg_approx_count_distinct",
+    "multimodal_binary_meta",
+}
+
+#: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
+NO_ORACLE_OK = {
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_top1",
+    "ann_ivf_top1",
+    "agg_approx_quantiles",
+    "agg_approx_count_distinct",
+}
+
+
+def _prefix(name: str) -> str:
+    return name.split("_")[0]
+
+
+def test_every_contract_query_is_registered():
+    registered_prefixes = {_prefix(n) for n in QUERIES}
+    missing = []
+    for want in EXPECTED:
+        if want.startswith("q") and len(want) == 3:  # bare Qxx id
+            if want not in registered_prefixes:
+                missing.append(want)
+        elif want not in QUERIES:
+            missing.append(want)
+    assert not missing, f"contract queries not registered: {sorted(missing)}"
+
+
+def test_every_query_has_oracle_or_is_whitelisted():
+    bad = [
+        n for n in QUERIES if n not in ORACLE_SQL and n not in NO_ORACLE_OK
+    ]
+    assert not bad, f"queries without oracle nor whitelist entry: {bad}"
+
+
+def test_every_oracle_has_a_query():
+    orphans = [n for n in ORACLE_SQL if n not in QUERIES]
+    assert not orphans, f"oracles without query: {orphans}"
