@@ -295,3 +295,92 @@ def agg_approx_count_distinct(spark, sf_dir):
         F.approx_count_distinct("o_custkey", 0.01).alias("approx_custkeys"),
         F.approx_count_distinct("o_orderdate", 0.01).alias("approx_orderdates"),
     )
+
+
+@register(
+    "agg_conditional",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 2000)            AS n_big,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')   AS n_urgent,
+           ROUND(COALESCE(SUM(o_totalprice)
+                 FILTER (WHERE o_orderpriority = '1-URGENT'), 0), 4) AS urgent_rev
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    """Conditional aggregation (SQL FILTER clause): one scan computes all
+    the conditional counts/sums — the idiom that replaces N self-joins."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 2000).alias("n_big"),
+            F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("o_orderpriority") == "1-URGENT",
+                            F.col("o_totalprice"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("urgent_rev"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_string_concat",
+    sql="""
+    SELECT n_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 9000
+    GROUP BY n_nationkey ORDER BY n_nationkey
+    """,
+)
+def agg_string_concat(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG): sort the collected list
+    before joining so the result is deterministic after any shuffle."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "names"
+            )
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "agg_histogram",
+    sql="""
+    SELECT CAST(FLOOR(o_totalprice / 500) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram binning — the profiling primitive for data
+    quality dashboards; the bucket expression keeps the aggregation a
+    single map-side-combinable groupBy."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.groupBy(
+            F.floor(F.col("o_totalprice") / 500).cast("long").alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )

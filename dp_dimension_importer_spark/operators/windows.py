@@ -167,3 +167,62 @@ def q25_multikey_sort(spark, sf_dir):
         .select("l_orderkey", "l_linenumber")
         .limit(100)
     )
+
+
+@register(
+    "win_latest_per_key",
+    sql="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type
+    FROM (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def win_latest_per_key(spark, sf_dir):
+    """Latest record per key — the CDC-compaction / upsert-resolution
+    staple of every ingestion pipeline. Expressed as max_by over a struct
+    tie-break instead of window+filter: a hash aggregate with map-side
+    partial max, so the shuffle carries ONE row per key instead of every
+    row sorting inside window partitions."""
+    t = load_tables(spark, sf_dir)
+    pick = F.max(
+        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    ).alias("m")
+    return (
+        t.events.groupBy("user_id")
+        .agg(pick)
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.event_type").alias("last_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "win_distribution",
+    sql="""
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER w AS BIGINT)       AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 4)       AS pr,
+           ROUND(CUME_DIST() OVER w, 4)          AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def win_distribution(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist) —
+    quantile bucketing per partition, one shuffle on the partition key."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return t.customer.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    ).orderBy("c_custkey")

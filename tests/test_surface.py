@@ -38,6 +38,11 @@ EXPECTED = {
     "agg_exact_median",
     "agg_approx_quantiles",
     "agg_approx_count_distinct",
+    "agg_conditional",
+    "agg_string_concat",
+    "agg_histogram",
+    "win_latest_per_key",
+    "win_distribution",
     "multimodal_binary_meta",
 }
 
