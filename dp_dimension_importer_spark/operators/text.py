@@ -221,3 +221,30 @@ def text_top_tokens(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), "token")
         .limit(20)
     )
+
+
+@register(
+    "text_normalize",
+    sql="""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization (lowercase → strip non-alphanumerics →
+    collapse whitespace) — the step before any exact/near dedup so trivial
+    formatting differences don't defeat content identity. Pure codegen'd
+    regexp_replace chain; composes with dedup_exact as
+    ``dedup_exact(normalize(docs))``."""
+    t = load_tables(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", " "),
+            r" +",
+            " ",
+        )
+    )
+    return t.documents.select("doc_id", norm.alias("norm")).orderBy("doc_id")

@@ -226,3 +226,39 @@ def win_distribution(spark, sf_dir):
         F.round(F.percent_rank().over(w), 4).alias("pr"),
         F.round(F.cume_dist().over(w), 4).alias("cd"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "win_range_frame",
+    sql="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY d
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS rev_30d
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                 CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS BIGINT) AS d
+          FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    """Rolling 30-day revenue per customer — a RANGE (value-based) window
+    frame over epoch days, the time-windowed running metric every
+    monitoring pipeline computes. RANGE frames include ALL peer rows of
+    equal order-key (unlike ROWS), so same-day orders aggregate
+    symmetrically and the result is deterministic without a tie-break."""
+    t = load_tables(spark, sf_dir)
+    d = (F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400)).cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("d"))
+        .rangeBetween(-30, W.currentRow)
+    )
+    return (
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice", d.alias("d"))
+        .select(
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 4).alias("rev_30d"),
+        )
+        .orderBy("o_orderkey")
+    )

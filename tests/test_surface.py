@@ -35,6 +35,8 @@ EXPECTED = {
     "text_lang_id",
     "text_fingerprint",
     "text_top_tokens",
+    "text_normalize",
+    "win_range_frame",
     "agg_exact_median",
     "agg_approx_quantiles",
     "agg_approx_count_distinct",
