@@ -65,3 +65,35 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
 def read_event_batch(spark: SparkSession, payloads: list[str]) -> DataFrame:
     """Batch fixture source used by tests and the batch runner."""
     return spark.createDataFrame([(p,) for p in payloads], "value string")
+
+
+def read_csv_strict(
+    spark: SparkSession, path: str, schema, header: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """CSV with the same strict-decode + dead-letter contract as
+    ``decode_events`` (reference R2: drop-on-bad-record, improved to keep
+    the evidence): rows that fail the declared schema come back in a second
+    DataFrame instead of silently vanishing (or poisoning columns as nulls).
+
+    Spark-native mechanics: PERMISSIVE mode + ``columnNameOfCorruptRecord``
+    captures the raw line of every malformed row; the good frame drops the
+    capture column, so downstream plans see exactly ``schema``."""
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        schema.fields + [T.StructField("_corrupt", T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .cache()  # one pass decides good/bad; uncached, each side re-parses
+    )
+    good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    dead = df.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("payload"),
+        F.lit("malformed csv row").alias("reason"),
+    )
+    return good, dead

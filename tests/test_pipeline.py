@@ -247,3 +247,32 @@ def test_dimension_name_derivation(spark):
     ).collect()
     # expectations pinned against Go strings.Replace(s, tok, "", 2) semantics
     assert [r.n for r in out] == ["Geography", "_time", "inst1_Sex", "inst1X"]
+
+
+def test_csv_strict_source_dead_letters(spark, tmp_path):
+    """CSV source honors the strict-decode + dead-letter contract: schema
+    violations land in the dead frame with the raw line preserved; the good
+    frame carries exactly the declared schema."""
+    from pyspark.sql import types as T
+
+    from dp_dimension_importer_spark.pipeline.sources import read_csv_strict
+
+    p = tmp_path / "events.csv"
+    p.write_text(
+        "id,qty,name\n"
+        "1,10,alpha\n"
+        "2,not_a_number,beta\n"   # qty violates IntegerType
+        "3,30,gamma\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    good, dead = read_csv_strict(spark, str(p), schema)
+    assert [r.id for r in good.orderBy("id").collect()] == [1, 3]
+    assert good.columns == ["id", "qty", "name"]
+    deads = dead.collect()
+    assert len(deads) == 1 and "not_a_number" in deads[0].payload
