@@ -384,3 +384,95 @@ def agg_histogram(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "q16b_cube",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c,
+           CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q16b_cube(spark, sf_dir):
+    """CUBE over (status, priority) — all 4 grouping sets in one pass —
+    with GROUPING() markers distinguishing rollup-NULLs from data-NULLs.
+    Spark's Expand node replicates each input row once per grouping set
+    BEFORE the exchange, so partial aggregation still collapses per-task
+    to |groups|×4 rows; no second scan, no union of separate GROUP BYs."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("c"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_stats_moments",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+           ROUND(stddev_samp(l_quantity), 4)           AS sd_qty,
+           ROUND(var_pop(l_discount), 4)               AS var_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark, sf_dir):
+    """Second-moment statistics (corr / covariance / stddev / variance) —
+    the feature-profiling aggregates of any dataset report. All four are
+    single-pass partial-aggregable (sum, sum-of-squares, co-moments merge
+    associatively), so 100 TB costs one map-side-combined shuffle. Rounded
+    stats are O(1)–O(10²) magnitudes (normalized corr; quantity/discount
+    moments), keeping a 4-dp round far above cross-engine float noise —
+    raw price×price moments (~1e15) would not survive hash-match."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias(
+                "cov_qty_disc"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_pop("l_discount"), 4).alias("var_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_bool",
+    sql="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 500)    AS all_over_500,
+           bool_or(o_totalprice > 300000)  AS any_over_300k
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_bool(spark, sf_dir):
+    """Boolean aggregates (bool_and / bool_or) — the assertion primitive of
+    data-quality checks ("every row in the partition satisfies P"). Both
+    are trivially partial-aggregable, and Spark short-circuits them inside
+    codegen'd hash aggregation."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 500).alias("all_over_500"),
+            F.bool_or(F.col("o_totalprice") > 300000).alias("any_over_300k"),
+        )
+        .orderBy("o_orderstatus")
+    )

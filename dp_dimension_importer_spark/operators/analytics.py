@@ -1,0 +1,179 @@
+"""Dataset- and event-analytics operators for training-data pipelines:
+deterministic train/valid/test splitting, conversion funnels, cohort
+retention.
+
+Scale notes:
+
+* the split is a pure hash of the row key — no shuffle, no sampling state,
+  stable under retries and across engines/runs (the property a 100 TB
+  corpus split MUST have: re-running the job may not move documents
+  between splits).
+* funnel and retention both reduce events per user BEFORE any join —
+  at 100 TB the joins carry one row per user, not one per event, and each
+  per-user reduction is a map-side-combinable min/distinct aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark.catalog import load_tables
+from dp_dimension_importer_spark.operators.common import make_registry
+
+QUERIES, ORACLE, register = make_registry()
+
+
+@register(
+    "split_train_test",
+    sql="""
+    WITH b AS (
+        SELECT n_chars,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10
+                   AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS docs,
+           ROUND(AVG(n_chars), 3) AS avg_chars
+    FROM b GROUP BY 1 ORDER BY split
+    """,
+)
+def split_train_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test split by key hash — the
+    split every corpus build needs: a pure function of ``doc_id`` (md5 →
+    two hex chars → bucket 0–9), so membership never changes across runs,
+    retries, engines, or data order. No sampling, no RNG, no shuffle to
+    assign; the check aggregates per-split counts + mean length (the
+    stratification sanity stats). md5 hex agrees across Spark and DuckDB,
+    making the split itself oracle-checkable."""
+    t = load_tables(spark, sf_dir)
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
+    )
+    return (
+        t.documents.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("n_chars"), 3).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "events_funnel",
+    sql="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts) AS t2
+               FROM events e JOIN v ON v.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t1
+               GROUP BY e.user_id),
+         p AS (SELECT DISTINCT e.user_id
+               FROM events e JOIN c ON c.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t2)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked,
+           (SELECT COUNT(*) FROM p) AS n_purchased
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): a user counts
+    at each stage only with an event STRICTLY AFTER their previous stage's
+    first event — the sequential semantics a bare per-type COUNT(DISTINCT)
+    gets wrong. Each stage is min-per-user reduced before joining, so the
+    stage joins carry |users| rows; at scale all three stages shuffle on
+    the same user_id key, and AQE broadcasts the shrinking stage frames."""
+    t = load_tables(spark, sf_dir)
+    e = t.events
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased")))
+    )
+
+
+@register(
+    "events_retention",
+    sql="""
+    WITH f AS (SELECT user_id,
+                      CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+               FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT e.user_id, f.cohort,
+                      CAST(date_diff('day', f.cohort,
+                           CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                           AS BIGINT) AS week_n
+               FROM events e JOIN f ON f.user_id = e.user_id)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort, week_n,
+           COUNT(*) AS active_users
+    FROM a GROUP BY cohort, week_n ORDER BY cohort, week_n
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by the ISO week of their
+    first event; ``active_users`` = distinct users of that cohort active
+    in week N after it. Week distance is day-difference // 7 (NOT
+    week-boundary counting, which the two engines define differently).
+    The per-user first-event reduction and the distinct both shuffle on
+    user_id, so Spark reuses one exchange for the join + distinct."""
+    t = load_tables(spark, sf_dir)
+    e = t.events
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    a = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return (
+        a.groupBy("cohort", "week_n")
+        .agg(F.count("*").alias("active_users"))
+        # DATE serialized as ISO string on both sides (engines' client
+        # layers disagree on date-vs-midnight-timestamp representation)
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "week_n",
+            "active_users",
+        )
+        .orderBy("cohort", "week_n")
+    )

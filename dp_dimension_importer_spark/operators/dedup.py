@@ -186,6 +186,93 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    ok  AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    pairs0 AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pr AS (
+        SELECT da, db FROM pairs0
+        JOIN cnt ca ON ca.doc_id = da
+        JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= {JACCARD_T}
+    ),
+    edges AS (SELECT da AS src, db AS dst FROM pr
+              UNION ALL SELECT db, da FROM pr),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard pair
+    graph (pairs alone under-delete — A~B and B~C must collapse to one
+    cluster even when A~C misses the threshold; keep-one-per-cluster needs
+    components, not pairs). Singleton docs are omitted (identity clusters).
+
+    Implementation is iterative min-label propagation: each round every
+    node takes the min component id among itself and its neighbours, with
+    ``localCheckpoint`` truncating lineage per round; rounds = graph
+    diameter — near-dup clusters are shallow (a hub duplicate links its
+    variants), so convergence is a handful of rounds. At 100 TB scale the
+    same loop holds (edges shuffle on src each round); a two-phase
+    large-star/small-star variant halves rounds if profiling demands it.
+    The DuckDB oracle computes the same components via a recursive-CTE
+    transitive closure and agrees exactly — an oracle-checked ITERATIVE
+    algorithm, not a rows-only gate."""
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir).select("da", "db").persist()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("db").alias("da"), F.col("da").alias("db"))
+    ).select(F.col("da").alias("src"), F.col("db").alias("dst")).persist()
+    comp = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr_min = (
+            edges.join(comp, edges.dst == comp.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nc"))
+        )
+        new = (
+            comp.join(nbr_min, comp.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nc", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    pairs.unpersist()
+    edges.unpersist()
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 #: affine permutation family for MinHash: sig[s] = min over shingles of
 #: (A[s]*h31 + B[s]) mod _PERM_P, where h31 = xxhash64(shingle) & 0x7FFFFFFF.
 #: _PERM_P is prime > 2^31; A,B < _PERM_P so A*h31 + B < 2^62 — no 64-bit

@@ -262,3 +262,64 @@ def join_skew_salted(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "q54_full_outer_join",
+    sql="""
+    WITH ca AS (SELECT c_nationkey AS k, COUNT(*) AS n_debtors
+                FROM customer WHERE c_acctbal < 0 GROUP BY c_nationkey),
+         sa AS (SELECT s_nationkey AS k, COUNT(*) AS n_rich_supps
+                FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey)
+    SELECT COALESCE(ca.k, sa.k) AS k, ca.n_debtors, sa.n_rich_supps
+    FROM ca FULL OUTER JOIN sa ON ca.k = sa.k
+    ORDER BY k
+    """,
+)
+def q54_full_outer_join(spark, sf_dir):
+    """Full outer join of two filtered aggregates — both sides can miss
+    nations, so both null-extension directions are exercised. Aggregating
+    BEFORE the join shrinks each side to ≤25 rows, so the outer join is a
+    broadcast-able reconciliation instead of a row-level shuffle — the shape
+    to reach for when full-outer reconciling two 100 TB fact extracts."""
+    t = load_tables(spark, sf_dir)
+    ca = (
+        t.customer.filter(F.col("c_acctbal") < 0)
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_debtors"))
+    )
+    sa = (
+        t.supplier.filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_rich_supps"))
+    )
+    return (
+        ca.join(sa, "k", "full_outer")  # USING-join coalesces k for us
+        .select("k", "n_debtors", "n_rich_supps")
+        .orderBy("k")
+    )
+
+
+@register(
+    "q09b_in_subquery",
+    sql="""
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    ORDER BY o_orderkey
+    """,
+)
+def q09b_in_subquery(spark, sf_dir):
+    """IN (subquery) — the second decorrelation surface next to EXISTS
+    (Q09): Catalyst rewrites it to a left-semi join on the subquery output.
+    Expressed through spark.sql so the subquery path itself is what runs."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("v_orders_inq")
+    t.customer.createOrReplaceTempView("v_customer_inq")
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM v_orders_inq
+        WHERE o_custkey IN (SELECT c_custkey FROM v_customer_inq
+                            WHERE c_acctbal < 0)
+        ORDER BY o_orderkey
+        """
+    )

@@ -66,6 +66,41 @@ def q27_intersect(spark, sf_dir):
 
 
 @register(
+    "q55_unpivot",
+    sql="""
+    SELECT metric, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+    FROM (
+        SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    ) GROUP BY metric ORDER BY metric
+    """,
+)
+def q55_unpivot(spark, sf_dir):
+    """Unpivot / melt (wide → long reshape), the inverse of Q40's pivot,
+    then per-metric profiling stats. ``DataFrame.unpivot`` expands rows
+    inside the scan stage (an Expand node — no join, no shuffle to melt),
+    and the groupBy collapses map-side to 4 rows per task, so a 100 TB melt
+    ships only per-metric partials."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.unpivot(
+            [],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "metric",
+            "value",
+        )
+        .groupBy("metric")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .orderBy("metric")
+    )
+
+
+@register(
     "q27b_except",
     sql="""
     SELECT c_nationkey AS k FROM customer

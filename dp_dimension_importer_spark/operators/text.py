@@ -248,3 +248,39 @@ def text_normalize(spark, sf_dir):
         )
     )
     return t.documents.select("doc_id", norm.alias("norm")).orderBy("doc_id")
+
+
+@register(
+    "text_pii_redact",
+    sql=r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.org or call 07'
+                    || lpad(CAST(doc_id * 7919 % 10000000 AS VARCHAR), 7, '0'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{7,}', '<PHONE>', 'g') AS redacted
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII redaction (emails, long digit runs → placeholder tokens) — the
+    compliance scrub every pretraining corpus pass runs. The corpus has no
+    real PII, so a deterministic synthetic email+phone is appended per doc
+    first; redaction itself is a codegen'd regexp_replace chain (global
+    replace in both engines; the regex sticks to character-class syntax
+    valid in Java regex AND RE2). Email pass runs before the digit pass so
+    digits inside an address aren't double-redacted."""
+    t = load_tables(spark, sf_dir)
+    base = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or call 07"),
+        F.lpad((F.col("doc_id") * 7919 % 10000000).cast("string"), 7, "0"),
+    )
+    red = F.regexp_replace(
+        base, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    red = F.regexp_replace(red, r"[0-9]{7,}", "<PHONE>")
+    return t.documents.select("doc_id", red.alias("redacted")).orderBy("doc_id")

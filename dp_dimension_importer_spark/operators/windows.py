@@ -262,3 +262,34 @@ def win_range_frame(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "win_first_last",
+    sql="""
+    SELECT o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w                AS first_ok,
+           LAST_VALUE(o_orderkey)  OVER wf               AS last_ok,
+           NTH_VALUE(o_orderkey, 2) OVER wf              AS second_ok
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+)
+def win_first_last(spark, sf_dir):
+    """first_value / last_value / nth_value navigation windows — the
+    "customer's first and latest order" pattern. last/nth need the explicit
+    full ROWS frame (the default frame stops at CURRENT ROW, where
+    last_value degenerates to the row itself); all three share ONE
+    partition sort, so Spark plans a single Window node and one shuffle."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return t.orders.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wf).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_ok"),
+    ).orderBy("o_orderkey")

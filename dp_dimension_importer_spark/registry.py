@@ -28,6 +28,7 @@ _MODULES = [
 
 # Optional modules (added incrementally; keep imports explicit and fail loud
 # once present).
+from dp_dimension_importer_spark.operators import analytics  # noqa: E402
 from dp_dimension_importer_spark.operators import dedup  # noqa: E402
 from dp_dimension_importer_spark.operators import similarity  # noqa: E402
 from dp_dimension_importer_spark.operators import text  # noqa: E402
@@ -35,7 +36,7 @@ from dp_dimension_importer_spark.operators import udfs  # noqa: E402
 from dp_dimension_importer_spark.operators import multimodal  # noqa: E402
 from dp_dimension_importer_spark.operators import streaming_windows  # noqa: E402
 
-_MODULES += [text, udfs, dedup, similarity, multimodal, streaming_windows]
+_MODULES += [text, udfs, dedup, similarity, multimodal, streaming_windows, analytics]
 
 
 def _merge() -> tuple[dict[str, QueryFn], dict[str, str]]:

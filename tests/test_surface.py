@@ -46,6 +46,20 @@ EXPECTED = {
     "win_latest_per_key",
     "win_distribution",
     "multimodal_binary_meta",
+    # relational staples beyond the Q01–Q50 contract
+    "q54_full_outer_join",
+    "q09b_in_subquery",
+    "q55_unpivot",
+    "q16b_cube",
+    "win_first_last",
+    "agg_stats_moments",
+    "agg_bool",
+    # training-data pipeline analytics
+    "split_train_test",
+    "events_funnel",
+    "events_retention",
+    "dedup_clusters",
+    "text_pii_redact",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
