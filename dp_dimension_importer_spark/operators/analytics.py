@@ -69,6 +69,52 @@ def split_train_test(spark, sf_dir):
 
 
 @register(
+    "corpus_mix",
+    sql="""
+    WITH w AS (
+        SELECT doc_id, source,
+               100 - (CAST(substr(source, 4) AS INTEGER) % 4) * 25 AS weight,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+                   AS bucket
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS docs,
+           COUNT(*) FILTER (WHERE bucket < weight) AS kept
+    FROM w GROUP BY source ORDER BY source
+    """,
+)
+def corpus_mix(spark, sf_dir):
+    """Deterministic corpus mixing: each source gets a sampling weight
+    (here 100/75/50/25% derived from the source id; in production a config
+    map) and a document survives iff its key-hash bucket falls under the
+    weight — the weighted up/down-sampling step that balances domains in a
+    pretraining mix. Like ``split_train_test`` the decision is a pure
+    function of (doc_id, source): no RNG, no sampling state, stable across
+    runs/retries/engines, and at 100 TB it is a scan-side filter — no
+    shuffle at all until the audit aggregate."""
+    t = load_tables(spark, sf_dir)
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    weight = 100 - (
+        F.substring("source", 4, 10).cast("int") % 4
+    ) * 25
+    return (
+        t.documents.select(
+            "source", (bucket < weight).cast("int").alias("keep")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("keep").cast("long").alias("kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "events_funnel",
     sql="""
     WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events

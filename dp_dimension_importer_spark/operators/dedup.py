@@ -234,40 +234,47 @@ def dedup_clusters(spark, sf_dir):
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir).select("da", "db").persist()
     )
+    # Materializing the cache also yields the edge count for free; when the
+    # pair graph is small (the common case — near-dup pairs are a sliver of
+    # the corpus) the per-round label frame is broadcast, removing both
+    # join exchanges from every round. Beyond the cutoff it degrades to
+    # plain shuffle joins — the same loop, AQE-coalesced.
+    n_pairs = pairs.count()
+    bcast = F.broadcast if n_pairs < 1_000_000 else (lambda df: df)
+    # edges stays a cheap view over the cached pairs (union of two cache
+    # reads) — persisting it too would just materialize the same rows twice
     edges = pairs.union(
         pairs.select(F.col("db").alias("da"), F.col("da").alias("db"))
-    ).select(F.col("da").alias("src"), F.col("db").alias("dst")).persist()
+    ).select(F.col("da").alias("src"), F.col("db").alias("dst"))
     comp = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    # Convergence metric: labels only ever DECREASE under min-propagation,
+    # so sum(comp) is strictly monotone and stalls exactly at the fixpoint —
+    # one tiny aggregate per round instead of a new-vs-old join + count.
+    prev_sum = comp.agg(F.sum("comp")).collect()[0][0]
     while True:
         nbr_min = (
-            edges.join(comp, edges.dst == comp.node)
+            edges.join(bcast(comp), edges.dst == comp.node)
             .groupBy("src")
             .agg(F.min("comp").alias("nc"))
         )
-        new = (
-            comp.join(nbr_min, comp.node == nbr_min.src, "left")
+        comp = (
+            comp.join(bcast(nbr_min), comp.node == nbr_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nc", "comp")).alias("comp"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(comp.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        comp = new
-        if changed == 0:
+        cur_sum = comp.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     pairs.unpersist()
-    edges.unpersist()
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     ).orderBy("doc_id")

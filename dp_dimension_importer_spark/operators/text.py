@@ -284,3 +284,61 @@ def text_pii_redact(spark, sf_dir):
     )
     red = F.regexp_replace(red, r"[0-9]{7,}", "<PHONE>")
     return t.documents.select("doc_id", red.alias("redacted")).orderBy("doc_id")
+
+
+#: tokens per training chunk for text_chunk (small so the test corpus's
+#: ~50–100-token docs actually split)
+CHUNK_TOKENS = 32
+
+
+@register(
+    "text_chunk",
+    sql=f"""
+    WITH n AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n,
+               UNNEST(generate_series(0, CAST(CEIL(n / {CHUNK_TOKENS}.0)
+                                              AS BIGINT) - 1)) AS chunk_id
+        FROM n WHERE n > 0
+    )
+    SELECT doc_id, chunk_id,
+           LEAST({CHUNK_TOKENS}, n - chunk_id * {CHUNK_TOKENS}) AS tok_in_chunk
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunk(spark, sf_dir):
+    """Context-window chunking: split each document into fixed token-budget
+    chunks — the sequence-slicing pass before packing a pretraining batch.
+    One generator expression per doc (explode of a sequence, an Expand in
+    the scan stage — no shuffle, no UDF); chunk count = ceil(tokens/budget).
+    Output is the (doc, chunk) index table with each chunk's token count;
+    the actual token-slice materialization is ``slice(tokens, start, len)``
+    on the same expression shape."""
+    t = load_tables(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n = F.size(toks)
+    nc = F.ceil(n / F.lit(float(CHUNK_TOKENS))).cast("long")
+    return (
+        t.documents.select("doc_id", n.alias("n"), nc.alias("nc"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("nc") - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.least(
+                F.lit(CHUNK_TOKENS).cast("long"),
+                F.col("n") - F.col("chunk_id") * CHUNK_TOKENS,
+            ).alias("tok_in_chunk"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -60,6 +60,8 @@ EXPECTED = {
     "events_retention",
     "dedup_clusters",
     "text_pii_redact",
+    "corpus_mix",
+    "text_chunk",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
