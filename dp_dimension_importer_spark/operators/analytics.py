@@ -223,3 +223,78 @@ def events_retention(spark, sf_dir):
         )
         .orderBy("cohort", "week_n")
     )
+
+
+#: shingle width (tokens) for decontamination overlap
+DECON_K = 5
+
+
+@register(
+    "decontaminate",
+    sql=f"""
+    WITH b AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10
+                   AS bucket
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, bucket,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM b
+    ), sh AS (
+        SELECT DISTINCT doc_id, bucket,
+               UNNEST(list_transform(
+                   generate_series(1, len(toks) - {DECON_K - 1}),
+                   i -> array_to_string(toks[i:i + {DECON_K - 1}], ' ')))
+                   AS shingle
+        FROM tok WHERE len(toks) >= {DECON_K}
+    ), test_sh AS (
+        SELECT DISTINCT shingle FROM sh WHERE bucket = 9
+    )
+    SELECT s.doc_id, COUNT(*) AS hits
+    FROM sh s JOIN test_sh USING (shingle)
+    WHERE s.bucket < 8
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Train/test decontamination: flag training documents that share any
+    DECON_K-token shingle with the held-out test split (splits per the
+    ``split_train_test`` hash — bucket<8 train, 9 test). Output is each
+    contaminated train doc with its count of distinct leaked shingles —
+    the pass run before any benchmark-adjacent corpus ships.
+
+    Scale: the test split's distinct-shingle set is orders of magnitude
+    smaller than the corpus, so the join is a broadcast (here) or a bloom-
+    filter semi-join pre-pass (at 100 TB) — the train side never shuffles
+    its full shingle explosion; distinct-per-doc is map-side combinable."""
+    t = load_tables(spark, sf_dir)
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % 10
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = t.documents.select(
+        "doc_id", bucket.alias("bucket"), toks.alias("toks")
+    ).filter(F.size("toks") >= DECON_K)
+    sh = base.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (DECON_K - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, DECON_K)),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    test_sh = (
+        sh.filter(F.col("bucket") == 9).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("bucket") < 8)
+        .join(F.broadcast(test_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+        .orderBy("doc_id")
+    )

@@ -427,3 +427,34 @@ def ann_lsh_top1(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "embedding_centroid",
+    sql="""
+    WITH u AS (
+        SELECT label,
+               UNNEST(generate_series(0, len(embedding) - 1)) AS dim,
+               UNNEST(embedding) AS v
+        FROM embeddings
+    )
+    SELECT label, dim, ROUND(AVG(v), 3) + 0.0 AS centroid
+    FROM u GROUP BY label, dim ORDER BY label, dim
+    """,
+)
+def embedding_centroid(spark, sf_dir):
+    """Per-label centroid of the embedding column, dim-wise — the building
+    block for IVF coarse quantizers, cluster drift monitoring, and
+    class-conditional corpus statistics.
+
+    Scale: posexplode (a codegen'd Generate — no interpreted higher-order
+    fold) multiplies rows by DIM, then a map-side-combinable avg reduces to
+    |labels| × DIM partials before the single shuffle; the shuffled volume
+    is independent of corpus size."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.embeddings.select("label", F.posexplode("embedding"))
+        .groupBy("label", F.col("pos").alias("dim"))
+        .agg((F.round(F.avg("col"), 3) + F.lit(0.0)).alias("centroid"))
+        .orderBy("label", "dim")
+    )

@@ -12,7 +12,7 @@ alternation, ``\\b``) behaves identically in Java regex (Spark) and RE2
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from dp_dimension_importer_spark.catalog import load_tables
 from dp_dimension_importer_spark.operators.common import make_registry
@@ -341,4 +341,140 @@ def text_chunk(spark, sf_dir):
             ).alias("tok_in_chunk"),
         )
         .orderBy("doc_id", "chunk_id")
+    )
+
+
+#: tokens per packed training sequence for text_pack
+PACK_BUDGET = 128
+#: hash shards for text_pack — at scale this is the write parallelism
+PACK_SHARDS = 8
+
+
+@register(
+    "text_pack",
+    sql=f"""
+    WITH n AS (
+        SELECT doc_id,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)))
+                   % {PACK_SHARDS} AS shard,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        FROM documents
+    ), c AS (
+        SELECT doc_id, shard, n,
+               COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cum_before
+        FROM n WHERE n > 0
+    )
+    SELECT doc_id, shard,
+           CAST(FLOOR(cum_before / {PACK_BUDGET}) AS BIGINT) AS start_seq,
+           CAST(FLOOR((cum_before + n - 1) / {PACK_BUDGET}) AS BIGINT)
+               AS end_seq
+    FROM c ORDER BY doc_id
+    """,
+)
+def text_pack(spark, sf_dir):
+    """Sequence packing, concat-and-cut style: documents are hash-sharded
+    (same md5-bucket idiom as ``split_train_test`` — deterministic, engine-
+    independent), token streams are concatenated in doc_id order within a
+    shard, and the stream is cut every PACK_BUDGET tokens. Output maps each
+    doc to the [start_seq, end_seq] training sequences it lands in — the
+    index a batch writer needs to emit packed context windows.
+
+    Scale: ONE shuffle (hash-partition by shard) + a per-shard running sum.
+    No global order, no driver state; shard count is the write parallelism
+    knob, so at 100 TB this is embarrassingly parallel with each shard's
+    window evaluated by a single ordered scan."""
+    t = load_tables(spark, sf_dir)
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    shard = (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % PACK_SHARDS
+    n = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        t.documents.select("doc_id", shard.alias("shard"), n.alias("n"))
+        .filter(F.col("n") > 0)
+        .withColumn("cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "shard",
+            F.floor(F.col("cum_before") / PACK_BUDGET).alias("start_seq"),
+            F.floor((F.col("cum_before") + F.col("n") - 1) / PACK_BUDGET).alias(
+                "end_seq"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    sql="""
+    WITH tok AS (
+        SELECT source,
+               UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS term
+        FROM documents
+    ), tf AS (
+        SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), nsrc AS (
+        SELECT COUNT(DISTINCT source) AS n FROM documents
+    ), scored AS (
+        SELECT source, term, tf,
+               tf * LN(CAST(n AS DOUBLE) / df) AS raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY tf * LN(CAST(n AS DOUBLE) / df) DESC,
+                            tf DESC, term) AS rk
+        FROM tf JOIN df USING (term) CROSS JOIN nsrc
+    )
+    SELECT source, term, tf, ROUND(raw, 4) AS score
+    FROM scored WHERE rk <= 3 ORDER BY source, term
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-source top-3 terms by tf-idf (tf = term occurrences in the
+    source, df = number of sources containing the term, idf = ln(N/df)) —
+    the corpus-characterization pass that surfaces what distinguishes each
+    domain of a training mix.
+
+    Scale: explode → ONE (source, term) shuffle with map-side combine; df
+    is a second combine-heavy aggregate over the (much smaller) tf table;
+    N and df join back by broadcast-sized keys. Ranking ties break on
+    (tf, term) so the top-3 is engine-independent even when idf is 0 for
+    corpus-wide terms."""
+    t = load_tables(spark, sf_dir)
+    term = F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")
+    ).alias("term")
+    tf = (
+        t.documents.select("source", term)
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nsrc = t.documents.agg(
+        F.countDistinct("source").cast("double").alias("n")
+    )
+    raw = F.col("tf") * F.log(F.col("n") / F.col("df"))
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            raw.desc(), F.col("tf").desc(), "term"
+        )
+    )
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nsrc))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("source", "term", "tf", F.round(raw, 4).alias("score"))
+        .orderBy("source", "term")
     )

@@ -62,6 +62,10 @@ EXPECTED = {
     "text_pii_redact",
     "corpus_mix",
     "text_chunk",
+    "text_pack",
+    "tfidf_top_terms",
+    "decontaminate",
+    "embedding_centroid",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
