@@ -267,8 +267,11 @@ def decontaminate(spark, sf_dir):
 
     Scale: the test split's distinct-shingle set is orders of magnitude
     smaller than the corpus, so the join is a broadcast (here) or a bloom-
-    filter semi-join pre-pass (at 100 TB) — the train side never shuffles
-    its full shingle explosion; distinct-per-doc is map-side combinable."""
+    filter semi-join pre-pass (at 100 TB). Order of operations is what
+    makes this scale: the train-side shingle explosion is filtered by the
+    broadcast join IN THE SCAN STAGE — before any distinct/shuffle — so
+    the only train rows that ever hit an exchange are actual leaks, and
+    the per-doc count_distinct is map-side combinable on those few."""
     t = load_tables(spark, sf_dir)
     h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
     bucket = (
@@ -287,7 +290,7 @@ def decontaminate(spark, sf_dir):
                 lambda i: F.concat_ws(" ", F.slice("toks", i, DECON_K)),
             )
         ).alias("shingle"),
-    ).distinct()
+    )
     test_sh = (
         sh.filter(F.col("bucket") == 9).select("shingle").distinct()
     )
@@ -295,6 +298,6 @@ def decontaminate(spark, sf_dir):
         sh.filter(F.col("bucket") < 8)
         .join(F.broadcast(test_sh), "shingle")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("hits"))
+        .agg(F.countDistinct("shingle").alias("hits"))
         .orderBy("doc_id")
     )

@@ -241,33 +241,37 @@ def dedup_clusters(spark, sf_dir):
     # plain shuffle joins — the same loop, AQE-coalesced.
     n_pairs = pairs.count()
     bcast = F.broadcast if n_pairs < 1_000_000 else (lambda df: df)
-    # edges stays a cheap view over the cached pairs (union of two cache
-    # reads) — persisting it too would just materialize the same rows twice
-    edges = pairs.union(
-        pairs.select(F.col("db").alias("da"), F.col("da").alias("db"))
-    ).select(F.col("da").alias("src"), F.col("db").alias("dst"))
-    comp = (
-        edges.select(F.col("src").alias("node"))
+    nodes = (
+        pairs.select(F.col("da").alias("node"))
+        .union(pairs.select(F.col("db").alias("node")))
         .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
+    # Undirected edges PLUS one self-loop per node: the per-round update
+    # comp(n) = min(comp(n), min over neighbours) then collapses to a
+    # single join + min-aggregate — the self-loop carries the node's own
+    # label through the same groupBy, so there is no second left-join /
+    # least / coalesce pass per round.
+    edges = (
+        pairs.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+        .union(pairs.select(F.col("db").alias("src"), F.col("da").alias("dst")))
+        .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+    )
+    if n_pairs < 1_000_000:
+        # small graph: collapse to one partition so each round is a
+        # couple of single-task stages instead of 32 near-empty tasks
+        edges = edges.coalesce(1)
+    edges = edges.persist()
+    comp = nodes.withColumn("comp", F.col("node")).localCheckpoint()
     # Convergence metric: labels only ever DECREASE under min-propagation,
     # so sum(comp) is strictly monotone and stalls exactly at the fixpoint —
     # one tiny aggregate per round instead of a new-vs-old join + count.
     prev_sum = comp.agg(F.sum("comp")).collect()[0][0]
     while True:
-        nbr_min = (
+        comp = (
             edges.join(bcast(comp), edges.dst == comp.node)
             .groupBy("src")
-            .agg(F.min("comp").alias("nc"))
-        )
-        comp = (
-            comp.join(bcast(nbr_min), comp.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nc", "comp")).alias("comp"),
-            )
+            .agg(F.min("comp").alias("comp"))
+            .select(F.col("src").alias("node"), "comp")
             .localCheckpoint()
         )
         cur_sum = comp.agg(F.sum("comp")).collect()[0][0]
@@ -275,6 +279,7 @@ def dedup_clusters(spark, sf_dir):
             break
         prev_sum = cur_sum
     pairs.unpersist()
+    edges.unpersist()
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     ).orderBy("doc_id")
