@@ -476,3 +476,42 @@ def agg_bool(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+#: columns profiled by profile_columns (the orders fact table)
+PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, COUNT(*) - COUNT({c}) AS nulls,"
+    f" COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in PROFILE_COLS
+)
+
+
+@register("profile_columns", sql=_PROFILE_SQL + "\nORDER BY col_name")
+def profile_columns(spark, sf_dir):
+    """Column-level data-quality profile of a fact table: null count and
+    exact distinct cardinality per column, in long format — the assertion
+    input for pipeline contracts (null-rate gates, key-uniqueness checks).
+
+    Scale: ONE pass over the table — all per-column aggregates evaluate in
+    a single multi-distinct aggregate (Catalyst plans it via one Expand +
+    two-stage partial aggregation), then ``stack()`` unpivots the 1-row
+    result. No per-column rescans, unlike the oracle's UNION ALL."""
+    t = load_tables(spark, sf_dir)
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"d_{c}"))
+    stack = "stack({n}, {parts}) as (col_name, nulls, n_distinct)".format(
+        n=len(PROFILE_COLS),
+        parts=", ".join(f"'{c}', n_{c}, d_{c}" for c in PROFILE_COLS),
+    )
+    return t.orders.agg(*aggs).select(F.expr(stack)).orderBy("col_name")

@@ -564,3 +564,76 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("cos_sim") >= EMB_COS_T)
         .orderBy("va", "vb")
     )
+
+
+@register(
+    "fuzzy_dedup_names",
+    sql="""
+    WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+    t AS (SELECT name, string_split(name, ' ') AS tk FROM n),
+    v AS (
+        SELECT name,
+               UNNEST(list_transform(generate_series(1, len(tk)),
+                   i -> CAST(i AS VARCHAR) || ':' ||
+                        array_to_string(
+                            list_concat(tk[1:i-1], tk[i+1:len(tk)]), ' ')))
+                   AS k
+        FROM t
+    )
+    SELECT DISTINCT a.name AS na, b.name AS nb,
+           levenshtein(a.name, b.name) AS dist
+    FROM v a JOIN v b ON a.k = b.k AND a.name < b.name
+    ORDER BY na, nb
+    """,
+)
+def fuzzy_dedup_names(spark, sf_dir):
+    """Fuzzy candidate generation by DELETION-NEIGHBORHOOD blocking: two
+    names are candidates iff deleting one token (at the same position) from
+    each yields the same string — i.e. they differ by exactly one token
+    substitution. Each name emits len(tk) position-tagged deletion variants;
+    candidates come from an exact equi-join on the variant key, then a
+    cheap levenshtein verify on the (tiny) candidate set.
+
+    This is the scalable shape for fuzzy matching: the quadratic
+    block-and-compare self-join never happens — work is linear in input
+    (k variants per name) plus output (actual near-matches). Dedup runs on
+    DISTINCT names first, so the corpus's value-frequency skew never
+    reaches the variant join."""
+    t = load_tables(spark, sf_dir)
+    names = t.part.select(F.col("p_name").alias("name")).distinct()
+    tk = F.split("name", " ")
+    variants = names.select(
+        "name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk)),
+                lambda i: F.concat_ws(
+                    ":",
+                    i.cast("string"),
+                    F.concat_ws(
+                        " ",
+                        F.concat(
+                            F.slice(tk, F.lit(1), i - 1),
+                            F.slice(tk, i + 1, F.size(tk) - i),
+                        ),
+                    ),
+                ),
+            )
+        ).alias("k"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("na"),
+            F.col("b.name").alias("nb"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+        )
+        .distinct()
+        .orderBy("na", "nb")
+    )

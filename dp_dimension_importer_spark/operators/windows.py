@@ -293,3 +293,127 @@ def win_first_last(spark, sf_dir):
         F.last("o_orderkey").over(wf).alias("last_ok"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_ok"),
     ).orderBy("o_orderkey")
+
+
+#: gapfill only considers high-value events so the hourly series has real
+#: holes to fill at test scale (~10% of events clear the bar)
+GAPFILL_MIN_VALUE = 8
+
+
+@register(
+    "ts_gapfill_locf",
+    sql=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               ROUND(AVG(value), 4) AS v
+        FROM events WHERE value >= {GAPFILL_MIN_VALUE} GROUP BY 1, 2
+    ), span AS (
+        SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+    ), spine AS (
+        SELECT event_type,
+               UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM span
+    )
+    SELECT s.event_type,
+           CAST(FLOOR(epoch(s.h)) AS BIGINT) AS hour_ts,
+           last_value(hy.v IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+           CASE WHEN hy.v IS NULL THEN 1 ELSE 0 END AS filled
+    FROM spine s LEFT JOIN hourly hy
+      ON hy.event_type = s.event_type AND hy.h = s.h
+    ORDER BY 1, 2
+    """,
+)
+def ts_gapfill_locf(spark, sf_dir):
+    """Time-series gap filling with last-observation-carried-forward: the
+    hourly aggregate of a (thinned) event stream is joined onto a dense
+    per-series hour spine generated from each series' own [min, max] span,
+    and holes take the latest preceding value — the timescale-style
+    ``time_bucket_gapfill + locf`` rollup.
+
+    Scale: the spine is generated per GROUP (one sequence-explode per
+    series — never a global calendar cross-join), the hourly aggregate is
+    map-side combinable, the spine join is on (series, hour) co-partitioned
+    keys, and the fill is one ordered window per series."""
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t.events.filter(F.col("value") >= GAPFILL_MIN_VALUE)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").cast("long").alias("hour_ts"),
+            F.last("v", ignorenulls=True).over(w).alias("v_fill"),
+            F.col("v").isNull().cast("int").alias("filled"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+@register(
+    "scd2_intervals",
+    sql="""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(value) AS INTEGER) % 3 AS tier
+        FROM events
+    ), d AS (
+        SELECT user_id, event_id, ts, tier,
+               LAG(tier) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+        FROM e
+    ), ch AS (
+        SELECT user_id, event_id, ts, tier FROM d
+        WHERE prev IS NULL OR prev <> tier
+    )
+    SELECT user_id, tier,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS eff_from,
+           CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)))
+                AS BIGINT) AS eff_to
+    FROM ch ORDER BY user_id, eff_from, tier
+    """,
+)
+def scd2_intervals(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension type 2) interval build: collapse each
+    user's event stream into effective-dated [eff_from, eff_to) rows, one per
+    change of the tracked attribute (here a derived tier), open interval
+    (NULL eff_to) for the current value — the change-data-capture → warehouse
+    dimension pass.
+
+    Scale: ONE shuffle on user_id serves both windows (change detection and
+    interval close) since they share partitioning and ordering; rows shrink
+    to change-points before the second window."""
+    t = load_tables(spark, sf_dir)
+    tier = (F.floor("value").cast("int") % 3).alias("tier")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        t.events.select("user_id", "event_id", "ts", tier)
+        .withColumn("prev", F.lag("tier").over(wo))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("tier")))
+    )
+    return ch.select(
+        "user_id",
+        "tier",
+        F.col("ts").cast("long").alias("eff_from"),
+        F.lead(F.col("ts").cast("long")).over(wo).alias("eff_to"),
+    ).orderBy("user_id", "eff_from", "tier")

@@ -66,6 +66,10 @@ EXPECTED = {
     "tfidf_top_terms",
     "decontaminate",
     "embedding_centroid",
+    "ts_gapfill_locf",
+    "scd2_intervals",
+    "fuzzy_dedup_names",
+    "profile_columns",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
