@@ -158,3 +158,44 @@ def test_partitioned_write_prunes_partitions(spark, warehouse):
 def test_aqe_is_on(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_decontaminate_broadcasts_test_shingles(spark):
+    """The train-side shingle explosion must be filtered by a BROADCAST
+    join (test shingles are the small side) — shuffling the full train
+    explosion at 100 TB would defeat the operator's design."""
+    plan = plan_of(QUERIES["decontaminate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_dedup_is_equi_join(spark):
+    """Deletion-neighborhood blocking exists to avoid quadratic compares:
+    the candidate join must be a hash/merge EQUI join on the variant key,
+    never a nested-loop / cartesian plan."""
+    plan = plan_of(QUERIES["fuzzy_dedup_names"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_pack_shuffles_once_on_shard(spark):
+    """Concat-and-cut packing must hash-partition by shard exactly once
+    (the window), plus only the final presentation sort."""
+    plan = plan_of(QUERIES["text_pack"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_profile_columns_single_scan_expand(spark):
+    """All per-column aggregates must come from ONE scan of orders via an
+    Expand-based multi-distinct aggregate — not one scan per column like
+    the oracle's UNION ALL."""
+    plan = plan_of(QUERIES["profile_columns"](spark, SF_SMOKE), "simple")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_embedding_centroid_partial_aggregates(spark):
+    """posexplode then avg must partial-aggregate before the exchange —
+    the shuffle carries |labels|×DIM partials, not |rows|×DIM values."""
+    plan = plan_of(QUERIES["embedding_centroid"](spark, SF_SMOKE), "simple")
+    assert "Generate" in plan and plan.count("HashAggregate") >= 2
