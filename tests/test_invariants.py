@@ -1,0 +1,113 @@
+"""Cross-operator invariants on the fixed test corpus — properties the
+oracle hash-match can't express (it only proves Spark == DuckDB; these
+prove both compute something with the right STRUCTURE).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dp_dimension_importer_spark.operators.text import CHUNK_TOKENS, PACK_BUDGET
+from dp_dimension_importer_spark.registry import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def run(name) -> pd.DataFrame:
+        return QUERIES[name](spark, SF_SMOKE).toPandas()
+
+    return run
+
+
+def test_text_chunk_partitions_every_token(q):
+    """Chunks tile each doc exactly: token counts per doc re-add to the
+    doc's token count, every non-final chunk is full, ids are dense."""
+    ch = q("text_chunk")
+    for doc_id, g in ch.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        assert list(g.chunk_id) == list(range(len(g)))
+        assert (g.tok_in_chunk.iloc[:-1] == CHUNK_TOKENS).all()
+        assert 1 <= g.tok_in_chunk.iloc[-1] <= CHUNK_TOKENS
+
+
+def test_text_pack_is_monotone_and_contiguous(q):
+    """Within a shard, docs occupy non-decreasing, overlapping-or-adjacent
+    sequence ranges — the concat stream never jumps backwards or skips a
+    training sequence."""
+    pk = q("text_pack")
+    for shard, g in pk.groupby("shard"):
+        g = g.sort_values("doc_id")
+        assert (g.end_seq >= g.start_seq).all()
+        prev_start, prev_end = None, None
+        for s, e in zip(g.start_seq, g.end_seq):
+            if prev_start is not None:
+                assert s >= prev_start
+                # next doc starts in or right after the previous doc's range
+                assert s <= prev_end + 1
+            prev_start, prev_end = s, e
+
+
+def test_scd2_intervals_tile_the_timeline(q):
+    """Per user: intervals are ordered, contiguous (eff_to == next
+    eff_from), non-empty, and exactly the last one is open (NULL)."""
+    iv = q("scd2_intervals")
+    for user, g in iv.groupby("user_id"):
+        g = g.sort_values("eff_from")
+        opens = g.eff_to.isna()
+        assert opens.sum() == 1 and opens.iloc[-1]
+        closed = g.iloc[:-1]
+        assert (closed.eff_to.values == g.eff_from.values[1:]).all()
+        assert (closed.eff_to > closed.eff_from).all() or len(closed) == 0
+
+
+def test_gapfill_is_dense_and_filled(q):
+    """The spine has every hour between each series' min and max, v_fill
+    is never null, and filled rows carry the previous observation."""
+    gf = q("ts_gapfill_locf")
+    assert gf.v_fill.notna().all()
+    for et, g in gf.groupby("event_type"):
+        g = g.sort_values("hour_ts")
+        assert list(g.hour_ts) == list(
+            range(int(g.hour_ts.min()), int(g.hour_ts.max()) + 3600, 3600)
+        )
+        # LOCF: a filled row's value equals the previous row's value
+        vals = g.v_fill.values
+        fill = g.filled.values
+        for i in range(1, len(g)):
+            if fill[i] == 1:
+                assert vals[i] == vals[i - 1]
+
+
+def test_dedup_clusters_label_is_min_member(q):
+    """Each cluster's id is its smallest member and every near-dup pair
+    lands in one cluster (the under-delete guarantee pairs alone lack)."""
+    cl = q("dedup_clusters")
+    lab = dict(zip(cl.doc_id, cl.cluster_id))
+    for cid, g in cl.groupby("cluster_id"):
+        assert cid == g.doc_id.min()
+    pairs = q("dedup_ngram_jaccard")
+    for da, db in zip(pairs.da, pairs.db):
+        assert lab[da] == lab[db]
+
+
+def test_fuzzy_candidates_are_real_near_misses(q):
+    """Ordered pairs of distinct names: positive distance, and each pair
+    differs in exactly one token position (the blocking guarantee)."""
+    fz = q("fuzzy_dedup_names")
+    assert (fz.na < fz.nb).all()
+    assert (fz.dist >= 1).all()
+    for na, nb in zip(fz.na, fz.nb):
+        ta, tb = na.split(" "), nb.split(" ")
+        assert len(ta) == len(tb)
+        assert sum(x != y for x, y in zip(ta, tb)) == 1
+
+
+def test_corpus_mix_keeps_subset(q):
+    """Kept docs never exceed the source's doc count; weights order the
+    keep-rates the way the mix intends (weight 100 sources keep all)."""
+    cm = q("corpus_mix")
+    assert (cm.kept <= cm.docs).all()
+    full = cm[cm.source.str.slice(3).astype(int) % 4 == 0]
+    assert (full.kept == full.docs).all()
