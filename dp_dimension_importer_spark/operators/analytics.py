@@ -15,7 +15,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from dp_dimension_importer_spark.catalog import load_tables
 from dp_dimension_importer_spark.operators.common import make_registry
@@ -300,4 +300,85 @@ def decontaminate(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("hits"))
         .orderBy("doc_id")
+    )
+
+
+#: docs kept per source by sample_per_group
+SAMPLE_K = 5
+
+
+@register(
+    "sample_per_group",
+    sql=f"""
+    WITH r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, rk FROM r WHERE rk <= {SAMPLE_K}
+    ORDER BY source, rk
+    """,
+)
+def sample_per_group(spark, sf_dir):
+    """Deterministic stratified sampling: exactly K docs per source, chosen
+    by ranking on a key hash — the eyeball-sample / golden-set extraction
+    pass. No RNG: re-runs, retries, and engines agree on the sample, the
+    property a reviewed data release needs.
+
+    Scale: the shuffle carries (source, doc_id, hash); at 100 TB swap the
+    full per-group sort for a per-partition top-K pre-prune (keep K rows
+    per group per partition before the exchange) — same result, bounded
+    memory."""
+    t = load_tables(spark, sf_dir)
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), "doc_id"
+        )
+    )
+    return (
+        t.documents.select("source", "doc_id", rk.alias("rk"))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .orderBy("source", "rk")
+    )
+
+
+#: |z| threshold for events_anomaly
+ANOMALY_Z = 2.5
+
+
+@register(
+    "events_anomaly",
+    sql=f"""
+    WITH s AS (
+        SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sd, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE ABS(ROUND((e.value - s.mu) / s.sd, 4)) >= {ANOMALY_Z}
+    ORDER BY e.event_id
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Per-group z-score outlier flagging: events whose value is ≥ ANOMALY_Z
+    sample standard deviations from their type's mean — the metric-quality
+    tripwire pass. The filter compares the ROUNDED z on both engines so the
+    cut is insensitive to float summation order.
+
+    Scale: group moments are a map-side-combinable aggregate producing one
+    row per type; the join back is a broadcast, so the event stream is
+    scanned once and never shuffled."""
+    t = load_tables(spark, sf_dir)
+    stats = t.events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        t.events.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= ANOMALY_Z)
+        .orderBy("event_id")
     )

@@ -70,6 +70,8 @@ EXPECTED = {
     "scd2_intervals",
     "fuzzy_dedup_names",
     "profile_columns",
+    "sample_per_group",
+    "events_anomaly",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
