@@ -515,3 +515,28 @@ def profile_columns(spark, sf_dir):
         parts=", ".join(f"'{c}', n_{c}, d_{c}" for c in PROFILE_COLS),
     )
     return t.orders.agg(*aggs).select(F.expr(stack)).orderBy("col_name")
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 4) AS rev,
+           GROUPING(o_orderstatus)    AS g_status,
+           GROUPING(o_orderpriority)  AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+"""
+
+
+@register("q56_grouping_sets", sql=_GROUPING_SETS_SQL)
+def q56_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over —
+    Q16/Q16b cover those): an arbitrary set list with GROUPING() markers
+    disambiguating real NULL keys from subtotal rows. Identical ANSI text
+    runs on both engines.
+
+    Scale: Catalyst plans one Expand (×|sets|) + a single partial-agg
+    shuffle — same shape as rollup, no per-set rescans."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

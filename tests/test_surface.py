@@ -72,6 +72,7 @@ EXPECTED = {
     "profile_columns",
     "sample_per_group",
     "events_anomaly",
+    "q56_grouping_sets",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
