@@ -530,16 +530,37 @@ def dedup_embedding_cosine(spark, sf_dir):
     threshold = EMB_COS_T - 1e-6
 
     def block_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Tiled upper-triangle matmul: TILE×TILE similarity panels instead
+        # of one dense |block|² matrix, so scratch memory is a fixed
+        # O(TILE²) ≈ 2 MB however large the label block is (the vectors
+        # themselves are the applyInPandas input either way). Global-index
+        # comparison gi < gj keeps exactly the strict upper triangle, so
+        # each unordered pair is emitted once.
         import numpy as np
 
+        TILE = 512
         m = np.vstack(pdf["v"].to_numpy())
-        n = np.linalg.norm(m, axis=1)
-        c = (m / n[:, None]) @ (m / n[:, None]).T
-        ia, ib = np.where(np.triu(c, k=1) >= threshold)
+        u = m / np.linalg.norm(m, axis=1)[:, None]
         ids = pdf["vec_id"].to_numpy()
-        va, vb = ids[ia], ids[ib]
-        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
-        return pd.DataFrame({"va": lo, "vb": hi})
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s in range(0, len(u), TILE):
+            a = u[s : s + TILE]
+            for t0 in range(s, len(u), TILE):
+                c = a @ u[t0 : t0 + TILE].T
+                ia, ib = np.where(c >= threshold)
+                gi, gj = ia + s, ib + t0
+                keep = gi < gj
+                if keep.any():
+                    va, vb = ids[gi[keep]], ids[gj[keep]]
+                    out_a.append(np.minimum(va, vb))
+                    out_b.append(np.maximum(va, vb))
+        if not out_a:
+            return pd.DataFrame({"va": pd.Series(dtype="int64"),
+                                 "vb": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {"va": np.concatenate(out_a), "vb": np.concatenate(out_b)}
+        )
 
     cand_schema = "va long, vb long"
     cand = (

@@ -263,17 +263,25 @@ def q43b_cosine_topk(spark, sf_dir):
     )
 
 
+#: fixed k-means fit sample size — the ONLY thing that ever reaches the
+#: driver for the IVF fit, regardless of corpus size
+IVF_SAMPLE = 4096
+
+
 def _ivf_centroids(e) -> np.ndarray:
     """IVF_CELLS × DIM unit-norm centroids via spherical k-means on a
-    deterministic hash-sample of the corpus (xxhash64(vec_id) % 3 == 0 —
-    at 100 TB raise the modulus so the driver-side fit stays a bounded few
-    thousand vectors; the fit is O(sample), never O(corpus)). Init = first
+    FIXED-SIZE deterministic sample: the IVF_SAMPLE lowest xxhash64(vec_id)
+    ranks, fetched with orderBy+limit — Spark plans that as a distributed
+    TakeOrderedAndProject (per-partition top-k, merge on the driver), so
+    driver memory is O(IVF_SAMPLE · DIM) ≈ 2 MB no matter how large the
+    corpus is; the fit is O(sample), never O(corpus). Init = first
     IVF_CELLS sample vectors by vec_id; 8 Lloyd iterations; empty cells
     re-seeded deterministically from the sample. Pinned arithmetic order ⇒
     identical centroids on every run/driver."""
     rows = (
-        e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(3)) == 0)
-        .select("vec_id", "v")
+        e.select("vec_id", "v")
+        .orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(IVF_SAMPLE)
         .collect()
     )
     rows.sort(key=lambda r: r["vec_id"])
