@@ -16,43 +16,69 @@ import json
 import os
 from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dp_dimension_importer_spark.pipeline.models import EDGE_SCHEMA, NODE_SCHEMA
 
 
 class ParquetGraphStore:
     """Nodes/edges as parquet tables (GraphFrames-compatible layout:
-    vertices + edges). Idempotent append: re-delivered rows are dropped by
-    anti-join on the node identity before write."""
+    vertices + edges), hive-partitioned by ``instance_id``. Idempotent
+    append: re-delivered rows are dropped by a NULL-SAFE anti-join on the
+    row identity before write (dimension_name/option are NULL for instance
+    nodes and code_list_id/code may be NULL on edges, so plain ``=`` would
+    never match a re-delivered row — eqNullSafe makes the sink idempotent
+    standalone, not only behind the importer's upstream gate).
+
+    Scale: a micro-batch carries a bounded set of instance_ids, so the
+    anti-join probe reads ONLY those hive partitions (partition pruning on
+    the isin filter) — per-batch sink work is O(batch instances), not
+    O(accumulated history)."""
 
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark
         self.nodes_dir = os.path.join(base_dir, "nodes")
         self.edges_dir = os.path.join(base_dir, "edges")
 
+    @staticmethod
+    def _has_data(path: str) -> bool:
+        # partitioned layout: parquet files live under instance_id=... dirs
+        for _root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _read(self, path: str, schema) -> DataFrame:
+        if self._has_data(path):
+            df = self.spark.read.schema(schema).parquet(path)
+            return df.select([f.name for f in schema.fields])
+        return self.spark.createDataFrame([], schema)
+
     def nodes(self) -> DataFrame:
-        if os.path.isdir(self.nodes_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.nodes_dir)
-        ):
-            return self.spark.read.parquet(self.nodes_dir)
-        return self.spark.createDataFrame([], NODE_SCHEMA)
+        return self._read(self.nodes_dir, NODE_SCHEMA)
 
     def edges(self) -> DataFrame:
-        if os.path.isdir(self.edges_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.edges_dir)
-        ):
-            return self.spark.read.parquet(self.edges_dir)
-        return self.spark.createDataFrame([], EDGE_SCHEMA)
+        return self._read(self.edges_dir, EDGE_SCHEMA)
+
+    def _fresh(self, batch: DataFrame, path: str, schema, key: list[str]) -> DataFrame:
+        # bounded collect: one row per instance in the micro-batch
+        ids = [r[0] for r in batch.select("instance_id").distinct().collect()]
+        existing = self._read(path, schema).filter(
+            F.col("instance_id").isin(ids)  # -> hive partition pruning
+        )
+        cond = [batch[k].eqNullSafe(existing[k]) for k in key]
+        return batch.join(existing, cond, "left_anti")
 
     def write_nodes(self, nodes: DataFrame) -> None:
         key = ["node_kind", "instance_id", "dimension_name", "option"]
-        fresh = nodes.join(self.nodes().select(*key), key, "left_anti")
-        fresh.write.mode("append").parquet(self.nodes_dir)
+        fresh = self._fresh(nodes, self.nodes_dir, NODE_SCHEMA, key)
+        fresh.write.mode("append").partitionBy("instance_id").parquet(self.nodes_dir)
 
     def write_edges(self, edges: DataFrame) -> None:
-        fresh = edges.join(self.edges(), list(edges.columns), "left_anti")
-        fresh.write.mode("append").parquet(self.edges_dir)
+        fresh = self._fresh(
+            edges, self.edges_dir, EDGE_SCHEMA, list(edges.columns)
+        )
+        fresh.write.mode("append").partitionBy("instance_id").parquet(self.edges_dir)
 
 
 def patch_sink(

@@ -37,6 +37,7 @@ def write_replay_dir(
     order_col: str = "ts",
     sentinel: bool = True,
     sentinel_base: DataFrame | None = None,
+    max_rows: int = 250_000,
 ) -> str:
     """Materialize ``df`` as ``n_files`` single-partition parquet files in
     event-time order (file i = i-th quantile range of ``order_col``), plus an
@@ -47,7 +48,16 @@ def write_replay_dir(
     table — a sentinel anchored to the slice's max can land before the
     table's newest windows, and those would never flush in append mode."""
     base = tempfile.mkdtemp(prefix="replay_")
-    rows = df.orderBy(order_col, "event_id").collect()
+    # test-harness collect, explicitly bounded: limit(max_rows+1) caps what
+    # can ever reach the driver, and overflow fails loud instead of OOMing
+    # if someone points the harness at a production-sized table.
+    rows = df.orderBy(order_col, "event_id").limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_replay_dir: input exceeds max_rows={max_rows}; the "
+            "replay harness is driver-side by design — pass a slice, or "
+            "raise max_rows deliberately."
+        )
     chunk = max(1, (len(rows) + n_files - 1) // n_files)
     spark = df.sparkSession
     schema = df.schema

@@ -276,3 +276,33 @@ def test_csv_strict_source_dead_letters(spark, tmp_path):
     assert good.columns == ["id", "qty", "name"]
     deads = dead.collect()
     assert len(deads) == 1 and "not_a_number" in deads[0].payload
+
+
+def test_graph_store_idempotent_standalone(spark, tmp_path):
+    """The sink drops re-delivered rows BY ITSELF (null-safe identity
+    anti-join) — including instance nodes whose dimension_name/option are
+    NULL and edges with NULL code_list_id, which a null-unsafe join would
+    re-append every delivery."""
+    from dp_dimension_importer_spark.pipeline.models import EDGE_SCHEMA
+    from dp_dimension_importer_spark.pipeline.sinks import ParquetGraphStore
+
+    store = ParquetGraphStore(spark, str(tmp_path / "graph"))
+    nodes = spark.createDataFrame(
+        [
+            ("instance", "inst1", None, None, ["h1", "h2"]),
+            ("dimension", "inst1", "Geography", "England", None),
+        ],
+        NODE_SCHEMA,
+    )
+    edges = spark.createDataFrame(
+        [("inst1", None, "England"), ("inst1", "cl1", None)], EDGE_SCHEMA
+    )
+    for _ in range(2):  # second delivery must be a no-op
+        store.write_nodes(nodes)
+        store.write_edges(edges)
+    assert store.nodes().count() == 2
+    assert store.edges().count() == 2
+    # second instance appends without touching inst1's partition
+    store.write_nodes(nodes.replace("inst1", "inst2", "instance_id"))
+    assert store.nodes().count() == 4
+    assert store.nodes().filter("instance_id = 'inst1'").count() == 2
