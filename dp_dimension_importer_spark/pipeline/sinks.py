@@ -114,6 +114,31 @@ def jsonl_event_sink(events: DataFrame, path: str) -> None:
     events.write.mode("append").json(path)
 
 
+def kafka_writer_options(brokers: list[str], topic: str) -> dict[str, str]:
+    """Reference producer config → spark-sql-kafka writer options
+    (config/config.go:45 DIMENSIONS_INSERTED_TOPIC; producer
+    message/producer.go:26-34). Pure mapping, testable without a broker."""
+    return {"kafka.bootstrap.servers": ",".join(brokers), "topic": topic}
+
+
+def kafka_event_sink(
+    events: DataFrame, brokers: list[str], topic: str = "dimensions-inserted"
+) -> None:
+    """R19 as one ``.format()`` swap for ``jsonl_event_sink``: completion
+    events leave as Avro-binary ``value`` bytes — the reference's exact
+    wire format (avro_codec encodes the InstanceCompleted schema,
+    schema/schema.go:28-47). Requires spark-sql-kafka at deployment."""
+    from dp_dimension_importer_spark.pipeline.avro_codec import encode_events_avro
+
+    (
+        encode_events_avro(events)
+        .select("value")
+        .write.format("kafka")
+        .options(**kafka_writer_options(brokers, topic))
+        .save()
+    )
+
+
 def read_jsonl_events(spark: SparkSession, path: str, schema) -> DataFrame:
     if not os.path.isdir(path):
         return spark.createDataFrame([], schema)

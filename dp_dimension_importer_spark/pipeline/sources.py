@@ -67,6 +67,43 @@ def read_event_batch(spark: SparkSession, payloads: list[str]) -> DataFrame:
     return spark.createDataFrame([(p,) for p in payloads], "value string")
 
 
+def kafka_reader_options(
+    brokers: list[str],
+    topic: str = "dimensions-extracted",
+    consumer_group: str = "dp-dimension-importer",
+    offset_oldest: bool = True,
+) -> dict[str, str]:
+    """Reference consumer config → spark-sql-kafka reader options
+    (config/config.go:56-67: KAFKA_ADDR, DIMENSIONS_EXTRACTED_TOPIC,
+    DIMENSIONS_EXTRACTED_CONSUMER_GROUP, KAFKA_OFFSET_OLDEST). Pure mapping
+    so the contract is testable without a broker. ``failOnDataLoss=false``
+    mirrors the reference's commit-always consumer (message/consumer.go:
+    39-41) — it never re-reads a lost offset either."""
+    return {
+        "kafka.bootstrap.servers": ",".join(brokers),
+        "subscribe": topic,
+        "kafka.group.id": consumer_group,
+        "startingOffsets": "earliest" if offset_oldest else "latest",
+        "failOnDataLoss": "false",
+    }
+
+
+def read_kafka_event_stream(
+    spark: SparkSession, brokers: list[str], topic: str = "dimensions-extracted", **kw
+) -> DataFrame:
+    """R1 as one ``.format()`` swap: same downstream contract as
+    ``read_event_stream`` — a ``value`` column of raw bytes — so decode
+    (JSON or Avro via ``avro_codec.decode_events_avro``) and the import
+    transform are untouched. Requires the spark-sql-kafka package on the
+    cluster; everything else in the pipeline is package-agnostic."""
+    return (
+        spark.readStream.format("kafka")
+        .options(**kafka_reader_options(brokers, topic, **kw))
+        .load()
+        .select("value")
+    )
+
+
 def read_csv_strict(
     spark: SparkSession, path: str, schema, header: bool = True
 ) -> tuple[DataFrame, DataFrame]:
