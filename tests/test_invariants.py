@@ -111,3 +111,18 @@ def test_corpus_mix_keeps_subset(q):
     assert (cm.kept <= cm.docs).all()
     full = cm[cm.source.str.slice(3).astype(int) % 4 == 0]
     assert (full.kept == full.docs).all()
+
+
+def test_dedup_clusters_paths_agree(spark, monkeypatch):
+    """The one-pass executor union-find (small-graph path) and the
+    iterative min-label-propagation loop (large-graph path) are the same
+    operator: forcing the loop via the cutoff must give identical
+    clusters."""
+    from dp_dimension_importer_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.01"
+    fast = dedup.dedup_clusters(spark, sf).collect()
+    monkeypatch.setattr(dedup, "_CC_LOCAL_MAX_PAIRS", 0)
+    slow = dedup.dedup_clusters(spark, sf).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+    assert len(fast) > 0
