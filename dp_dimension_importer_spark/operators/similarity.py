@@ -62,6 +62,50 @@ def _dot(av, bv):
     return F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
 
 
+def _query_block(embeddings) -> tuple[np.ndarray, np.ndarray]:
+    """(qids, unit-norm query matrix) for the pinned-size query block —
+    the filter pushes to the parquet scan, so only N_QUERY rows are read
+    and no higher-order expression touches the corpus."""
+    rows = (
+        embeddings.filter(F.col("vec_id") < N_QUERY)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in rows])
+    qm = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return qids, qm / np.linalg.norm(qm, axis=1)[:, None]
+
+
+def _rerank_cos(embeddings, cand):
+    """(qid, nn_id, cos) with the bit-deterministic left-to-right DOUBLE
+    fold — computed ONLY for candidate rows. The interpreted higher-order
+    expressions (transform/zip_with/aggregate get no codegen) live in the
+    Project ABOVE the candidate joins, so the corpus-side scan streams raw
+    float arrays and never evaluates a lambda; round-1 profiling showed the
+    corpus-wide lambda Project was the dominant cost of the q43 pair."""
+    raw_q = embeddings.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    raw_n = embeddings.select(
+        F.col("vec_id").alias("nn_id"), F.col("embedding").alias("ne")
+    )
+    qv = F.transform("qe", lambda x: x.cast("double"))
+    nv = F.transform("ne", lambda x: x.cast("double"))
+
+    def nrm(v):
+        return F.sqrt(
+            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+
+    cos = _dot(qv, nv) / (nrm(qv) * nrm(nv))
+    return (
+        cand.join(F.broadcast(raw_q), "qid")
+        .join(raw_n, "nn_id")
+        .select("qid", "nn_id", cos.alias("cos"))
+    )
+
+
 @register(
     "q43_cosine_top1",
     sql=f"""
@@ -102,21 +146,15 @@ def q43_cosine_top1(spark, sf_dir):
     DuckDB oracle. The corpus is scanned once and never shuffled; the only
     shuffled rows are the candidate ids."""
     t = load_tables(spark, sf_dir)
-    e = _norm_vectors(t.embeddings)
-    qrows = (
-        e.filter(F.col("vec_id") < N_QUERY).select("vec_id", "v").collect()
-    )
-    qids = np.array([r["vec_id"] for r in qrows])
-    qm = np.vstack([np.asarray(r["v"], dtype=float) for r in qrows])
-    qunit = qm / np.linalg.norm(qm, axis=1)[:, None]
+    qids, qunit = _query_block(t.embeddings)
 
     def scan(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.vstack(pdf["v"].to_numpy())
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy()
-            c = (m / pdf["nrm"].to_numpy()[:, None]) @ qunit.T  # batch × nq
+            c = (m / np.linalg.norm(m, axis=1)[:, None]) @ qunit.T  # batch × nq
             out_q, out_n = [], []
             for j in range(len(qids)):
                 col = c[:, j].copy()
@@ -132,25 +170,20 @@ def q43_cosine_top1(spark, sf_dir):
                     {"qid": np.concatenate(out_q), "nn_id": np.concatenate(out_n)}
                 )
 
-    cand = e.select("vec_id", "v", "nrm").mapInPandas(scan, "qid long, nn_id long")
-    qside = e.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    cand = t.embeddings.select("vec_id", "embedding").mapInPandas(
+        scan, "qid long, nn_id long"
     )
-    nside = e.select(
-        F.col("vec_id").alias("nn_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn")
-    )
-    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
-    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nn_id"))
+    # top-1 with the (cos DESC, nn_id ASC) tie-break as max(struct(...)) —
+    # a hash aggregate with map-side partial max instead of a Window with
+    # its sort+exchange pair; one row per query crosses the exchange
     return (
-        cand.join(F.broadcast(qside), "qid")
-        .join(nside, "nn_id")
-        .select("qid", "nn_id", cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        _rerank_cos(t.embeddings, cand)
+        .groupBy("qid")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("nn_id")).alias("neg_nn"))).alias("m"))
         .select(
             F.col("qid").alias("vec_id"),
-            "nn_id",
-            F.col("cos").alias("cos_sim"),
+            (-F.col("m.neg_nn")).alias("nn_id"),
+            F.col("m.cos").alias("cos_sim"),
         )
         .orderBy("vec_id")
     )
@@ -205,19 +238,15 @@ def q43b_cosine_topk(spark, sf_dir):
     matmul/fold summation-order drift. The corpus is scanned once, never
     shuffled; only candidate ids shuffle into the exact JVM-fold rerank."""
     t = load_tables(spark, sf_dir)
-    e = _norm_vectors(t.embeddings)
-    qrows = e.filter(F.col("vec_id") < N_QUERY).select("vec_id", "v").collect()
-    qids = np.array([r["vec_id"] for r in qrows])
-    qm = np.vstack([np.asarray(r["v"], dtype=float) for r in qrows])
-    qunit = qm / np.linalg.norm(qm, axis=1)[:, None]
+    qids, qunit = _query_block(t.embeddings)
 
     def scan(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.vstack(pdf["v"].to_numpy())
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy()
-            c = (m / pdf["nrm"].to_numpy()[:, None]) @ qunit.T  # batch × nq
+            c = (m / np.linalg.norm(m, axis=1)[:, None]) @ qunit.T  # batch × nq
             out_q, out_n = [], []
             for j in range(len(qids)):
                 col = c[:, j].copy()
@@ -238,19 +267,12 @@ def q43b_cosine_topk(spark, sf_dir):
                     {"qid": np.concatenate(out_q), "nn_id": np.concatenate(out_n)}
                 )
 
-    cand = e.select("vec_id", "v", "nrm").mapInPandas(scan, "qid long, nn_id long")
-    qside = e.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    cand = t.embeddings.select("vec_id", "embedding").mapInPandas(
+        scan, "qid long, nn_id long"
     )
-    nside = e.select(
-        F.col("vec_id").alias("nn_id"), F.col("v").alias("nv"), F.col("nrm").alias("cn")
-    )
-    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("cn"))
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nn_id"))
     return (
-        cand.join(F.broadcast(qside), "qid")
-        .join(nside, "nn_id")
-        .select("qid", "nn_id", cos.alias("cos"))
+        _rerank_cos(t.embeddings, cand)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select(
