@@ -1,0 +1,65 @@
+"""Public engine facade: the corpus-pipeline operators on YOUR DataFrames.
+
+Every operator in ``operators/`` is registered as a fixture query
+``(spark, sf_dir) -> DataFrame`` for the correctness harness; this module
+is the user-facing surface — the same cores, parameterized by column
+names, applied to arbitrary tables. Example::
+
+    from dp_dimension_importer_spark import engine
+
+    df = spark.read.parquet("s3://bucket/corpus")          # id, body, ...
+
+    # exact + near-duplicate removal
+    dups = engine.exact_duplicates(df, id_col="id", text_col="body")
+    pairs = engine.jaccard_pairs(df, id_col="id", text_col="body",
+                                 threshold=0.8)
+    clusters = engine.connected_components(pairs)           # node, comp
+    keep = df.join(clusters.filter("node != comp")
+                           .withColumnRenamed("node", "id"),
+                   "id", "left_anti")                       # drop non-canonical
+
+    # deterministic split on what's left
+    train = keep.filter(engine.split_col("id") == "train")
+
+Each re-exported function documents its distributed plan in its home
+module (file:line citations to the reference where behavior derives from
+it). Nothing here wraps or re-implements — these ARE the operators the
+oracle-checked queries run, so facade behavior is pinned by the same
+DuckDB parity suite.
+"""
+
+from __future__ import annotations
+
+from dp_dimension_importer_spark.operators.analytics import (  # noqa: F401
+    hash_bucket,
+    split_col,
+    stratified_sample,
+)
+from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
+    connected_components,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_signatures,
+    shingle_hashes,
+)
+from dp_dimension_importer_spark.pipeline.http_client import (  # noqa: F401
+    fetch_dimensions_http,
+    fetch_instances_http,
+)
+from dp_dimension_importer_spark.pipeline.importer import (  # noqa: F401
+    run_import,
+)
+
+__all__ = [
+    "hash_bucket",
+    "split_col",
+    "stratified_sample",
+    "connected_components",
+    "exact_duplicates",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "shingle_hashes",
+    "fetch_dimensions_http",
+    "fetch_instances_http",
+    "run_import",
+]

@@ -23,6 +23,30 @@ from dp_dimension_importer_spark.operators.common import make_registry
 QUERIES, ORACLE, register = make_registry()
 
 
+def hash_bucket(key_col, mod: int):
+    """Deterministic bucket 0..mod-1 as a pure function of the key: md5 →
+    first two hex chars → weighted ascii sum. Identical in Spark and
+    DuckDB (md5 hex agrees), so every consumer stays oracle-checkable and
+    membership never changes across runs, retries, engines, or data
+    order."""
+    h = F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8"))
+    return (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % mod
+
+
+def split_col(key_col: str, train: int = 8, valid: int = 1, mod: int = 10):
+    """Public core (engine facade): 'train'/'valid'/'test' label column
+    from a key hash — train/valid/test get ``train``/``valid``/the rest of
+    ``mod`` buckets."""
+    bucket = hash_bucket(key_col, mod)
+    return (
+        F.when(bucket < train, "train")
+        .when(bucket < train + valid, "valid")
+        .otherwise("test")
+    )
+
+
 @register(
     "split_train_test",
     sql="""
@@ -50,15 +74,8 @@ def split_train_test(spark, sf_dir):
     stratification sanity stats). md5 hex agrees across Spark and DuckDB,
     making the split itself oracle-checkable."""
     t = load_tables(spark, sf_dir)
-    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
-    bucket = (
-        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
-    ) % 10
-    split = (
-        F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
-    )
     return (
-        t.documents.select(split.alias("split"), "n_chars")
+        t.documents.select(split_col("doc_id").alias("split"), "n_chars")
         .groupBy("split")
         .agg(
             F.count("*").alias("docs"),
@@ -94,10 +111,7 @@ def corpus_mix(spark, sf_dir):
     runs/retries/engines, and at 100 TB it is a scan-side filter — no
     shuffle at all until the audit aggregate."""
     t = load_tables(spark, sf_dir)
-    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
-    bucket = (
-        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
-    ) % 100
+    bucket = hash_bucket("doc_id", 100)
     weight = 100 - (
         F.substring("source", 4, 10).cast("int") % 4
     ) * 25
@@ -332,16 +346,24 @@ def sample_per_group(spark, sf_dir):
     per group per partition before the exchange) — same result, bounded
     memory."""
     t = load_tables(spark, sf_dir)
-    rk = F.row_number().over(
-        W.partitionBy("source").orderBy(
-            F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), "doc_id"
-        )
-    )
     return (
-        t.documents.select("source", "doc_id", rk.alias("rk"))
-        .filter(F.col("rk") <= SAMPLE_K)
+        stratified_sample(t.documents, "source", "doc_id", SAMPLE_K)
+        .select("source", "doc_id", "rk")
         .orderBy("source", "rk")
     )
+
+
+def stratified_sample(
+    df, group_col: str, id_col: str, k: int
+):
+    """Public DataFrame-in core (engine facade): exactly k rows per group,
+    chosen deterministically by key-hash rank (column ``rk`` added)."""
+    rk = F.row_number().over(
+        W.partitionBy(group_col).orderBy(
+            F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), id_col
+        )
+    )
+    return df.withColumn("rk", rk).filter(F.col("rk") <= k)
 
 
 #: |z| threshold for events_anomaly

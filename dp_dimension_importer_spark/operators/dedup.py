@@ -58,7 +58,9 @@ def tokens_col(text_col="text"):
     return F.filter(F.split(text_col, " "), lambda x: x != "")
 
 
-def shingle_hashes(documents: DataFrame) -> DataFrame:
+def shingle_hashes(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
     """(doc_id, h) — one xxhash64 per K-token shingle occurrence, WITH
     duplicates. Min/idempotent consumers (MinHash) use this directly and
     skip any distinct shuffle.
@@ -78,7 +80,7 @@ def shingle_hashes(documents: DataFrame) -> DataFrame:
         grams = F.zip_with(grams, s, lambda a, b: F.xxhash64(a, b))
     arr = F.when(n >= SHINGLE_K, grams).otherwise(F.array().cast("array<long>"))
     return (
-        documents.select("doc_id", tokens_col().alias("tk"))
+        documents.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("tk"))
         .select("doc_id", F.transform("tk", lambda t: F.xxhash64(t)).alias("th"))
         .select("doc_id", F.explode(arr).alias("h"))
     )
@@ -111,11 +113,21 @@ def dedup_exact(spark, sf_dir):
     (The reference's idempotent-create / uniqueness-constraint semantics —
     SURVEY.md R9/R18 — generalized to content identity.)"""
     t = load_tables(spark, sf_dir)
+    return exact_duplicates(t.documents).orderBy("h")
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Public DataFrame-in core (engine facade): (h, keep_id, dups) per
+    distinct content — the shuffle carries md5 digests, never text."""
     return (
-        t.documents.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("h"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.encode(text_col, "UTF-8")).alias("h"),
+        )
         .groupBy("h")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dups"))
-        .orderBy("h")
     )
 
 
@@ -160,17 +172,32 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _jaccard_pairs(spark, sf_dir):
-    """Unordered (da, db, jaccard) near-dup pairs — shared by the
-    registered query (which adds the contract ORDER BY) and dedup_clusters
-    (which doesn't need the sort)."""
+    """Unordered (da, db, jaccard) near-dup pairs on the fixture table —
+    shared by the registered query (which adds the contract ORDER BY) and
+    dedup_clusters (which doesn't need the sort)."""
     t = load_tables(spark, sf_dir)
-    sh = shingle_hashes(t.documents).select("doc_id", F.col("h").alias("shingle"))
+    return jaccard_pairs(t.documents)
+
+
+def jaccard_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = DF_CAP,
+    threshold: float = JACCARD_T,
+) -> DataFrame:
+    """Public DataFrame-in core (engine facade): exact n-gram Jaccard
+    near-dup pairs (da, db, jaccard) over any table with an id and a text
+    column. Plan shape documented on the registered query above."""
+    sh = shingle_hashes(documents, id_col, text_col).select(
+        "doc_id", F.col("h").alias("shingle")
+    )
     # persisted: feeds two structurally different branches (doc counts and
     # pair generation), and repeat invocations hit the same cache entry
     per = (
         sh.groupBy("shingle")
         .agg(F.collect_set("doc_id").alias("docs"))
-        .filter(F.size("docs") <= DF_CAP)
+        .filter(F.size("docs") <= df_cap)
         .persist()
     )
     cnt = (
@@ -194,7 +221,7 @@ def _jaccard_pairs(spark, sf_dir):
     return (
         pairs.join(F.broadcast(ca), "da")
         .join(F.broadcast(cb), "db")
-        .filter(jac >= JACCARD_T)
+        .filter(jac >= threshold)
         .select("da", "db", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -296,25 +323,34 @@ def dedup_clusters(spark, sf_dir):
     The DuckDB oracle computes the same components via a recursive-CTE
     transitive closure and agrees exactly — an oracle-checked ITERATIVE
     algorithm, not a rows-only gate."""
-    pairs = (
-        _jaccard_pairs(spark, sf_dir).select("da", "db").persist()
-    )
-    # Materializing the cache also yields the edge count for free. Two
-    # execution paths on the SAME contract:
-    #   small graph (the common case — near-dup pairs are a sliver of the
-    #   corpus): one executor-side union-find over a single coalesced
-    #   partition — exact components in ONE pass, no iteration, and
-    #   nothing ever reaches the driver;
-    #   large graph: the iterative min-label-propagation loop below, whose
-    #   per-round label frame is shuffle-joined (AQE-coalesced) and whose
-    #   convergence is the monotone sum(comp) fixpoint.
+    pairs = _jaccard_pairs(spark, sf_dir).select("da", "db")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def connected_components(pair_df: DataFrame, src: str = "da", dst: str = "db") -> DataFrame:
+    """Public DataFrame-in core (engine facade): exact connected components
+    of an undirected pair graph → (node, comp) with comp = min node id in
+    the component. Two execution paths on the SAME contract:
+
+    * small graph (the common case — near-dup pairs are a sliver of the
+      corpus): one executor-side union-find over a single coalesced
+      partition — exact components in ONE pass, no iteration, and nothing
+      ever reaches the driver;
+    * large graph: iterative min-label propagation, per-round label frame
+      shuffle-joined (AQE-coalesced), convergence by the monotone
+      sum(comp) fixpoint.
+    """
+    pairs = pair_df.select(
+        F.col(src).alias("da"), F.col(dst).alias("db")
+    ).persist()
+    # materializing the cache also yields the edge count for free
     n_pairs = pairs.count()
     if n_pairs < _CC_LOCAL_MAX_PAIRS:
         comp = _components_single_partition(pairs)
         pairs.unpersist()
-        return comp.select(
-            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
-        ).orderBy("doc_id")
+        return comp
     bcast = F.broadcast if n_pairs < 5_000_000 else (lambda df: df)
     nodes = (
         pairs.select(F.col("da").alias("node"))
@@ -351,9 +387,7 @@ def dedup_clusters(spark, sf_dir):
         prev_sum = cur_sum
     pairs.unpersist()
     edges.unpersist()
-    return comp.select(
-        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
-    ).orderBy("doc_id")
+    return comp.select("node", "comp")
 
 
 #: affine permutation family for MinHash: sig[s] = min over shingles of

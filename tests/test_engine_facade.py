@@ -1,0 +1,54 @@
+"""The engine facade runs the oracle-checked operator cores on ARBITRARY
+DataFrames (user column names, not the fixture schema) — the public API
+contract promised in README."""
+
+from __future__ import annotations
+
+from dp_dimension_importer_spark import engine
+
+
+def test_dedup_and_split_on_arbitrary_dataframe(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (3, "the quick brown fox jumps over a lazy dog"),  # near dup
+            (4, "completely different content about spark engines"),
+        ],
+        "id long, body string",
+    )
+    dups = engine.exact_duplicates(df, id_col="id", text_col="body")
+    by_hash = {r.h: (r.keep_id, r.dups) for r in dups.collect()}
+    assert len(by_hash) == 3  # 1+2 collapse
+    assert (1, 2) in by_hash.values()
+
+    # docs 1 and 3 share 4 of 10 distinct shingles -> jaccard 0.4
+    pairs = engine.jaccard_pairs(
+        df, id_col="id", text_col="body", threshold=0.35
+    )
+    got = {(r.da, r.db) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert not any(4 in p for p in got)
+
+    clusters = engine.connected_components(pairs.select("da", "db"))
+    comp = {r.node: r.comp for r in clusters.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+    split = df.select("id", engine.split_col("id").alias("split"))
+    labels = {r.split for r in split.collect()}
+    assert labels <= {"train", "valid", "test"}
+    # deterministic: same ids -> same labels on re-run
+    assert split.collect() == df.select(
+        "id", engine.split_col("id").alias("split")
+    ).collect()
+
+
+def test_stratified_sample_on_arbitrary_dataframe(spark):
+    rows = [(g, i) for g in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    out = engine.stratified_sample(df, group_col="grp", id_col="key", k=3)
+    per = out.groupBy("grp").count().collect()
+    assert {r.grp: r["count"] for r in per} == {"a": 3, "b": 3}
+    assert out.collect() == engine.stratified_sample(
+        df, group_col="grp", id_col="key", k=3
+    ).collect()
