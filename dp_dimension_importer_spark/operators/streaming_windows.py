@@ -125,13 +125,15 @@ def q48_session_window(spark, sf_dir):
 @register("q49_watermark_replay", sql=_Q46_SQL)
 def q49_watermark_replay(spark, sf_dir):
     """Q46's tumbling aggregation as a REAL streaming job: event-time-ordered
-    replay (4 micro-batches) + 1-hour watermark + append mode. The sentinel
+    replay (2 data micro-batches — the minimum that crosses a batch
+    boundary, so watermark advancement between triggers is still exercised
+    while the replay stays cheap) + 1-hour watermark + append mode. The sentinel
     file advances the watermark past all real windows so every window is
     flushed; in-order replay means nothing is dropped → output must equal
     the batch oracle. (Late-data *dropping* is asserted separately in
     tests/test_streaming.py with a shuffled replay.)"""
     events = table(spark, sf_dir, "events")
-    replay_dir = write_replay_dir(events, n_files=4, sentinel=True)
+    replay_dir = write_replay_dir(events, n_files=2, sentinel=True)
 
     def transform(stream):
         return (
@@ -161,7 +163,7 @@ def q50_stateful_dedup(spark, sf_dir):
     all state → output equals the batch DISTINCT of the clean table."""
     events = table(spark, sf_dir, "events")
     dups = events.filter(F.col("event_id") % 10 == 0)
-    replay_dir = write_replay_dir(events.unionByName(dups), n_files=4, sentinel=False)
+    replay_dir = write_replay_dir(events.unionByName(dups), n_files=2, sentinel=False)
 
     def transform(stream):
         return (
@@ -192,7 +194,7 @@ def q51_stateful_running_agg(spark, sf_dir):
     from dp_dimension_importer_spark.streaming.stateful import running_user_stats
 
     events = table(spark, sf_dir, "events")
-    replay_dir = write_replay_dir(events, n_files=3, sentinel=False)
+    replay_dir = write_replay_dir(events, n_files=2, sentinel=False)
     out = run_replay(
         spark, replay_dir, events.schema, running_user_stats, "update"
     )
@@ -233,7 +235,7 @@ def q52_stream_stream_join(spark, sf_dir):
     history. Inner-join rows emit as soon as both sides arrive; the
     watermark only drives eviction."""
     events = table(spark, sf_dir, "events")
-    replay_dir = write_replay_dir(events, n_files=4)
+    replay_dir = write_replay_dir(events, n_files=2)
 
     def transform(stream):
         clicks = (
@@ -288,7 +290,7 @@ def q53_stream_static_join(spark, sf_dir):
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    replay_dir = write_replay_dir(events, n_files=3, sentinel=False)
+    replay_dir = write_replay_dir(events, n_files=2, sentinel=False)
 
     def transform(stream):
         return (

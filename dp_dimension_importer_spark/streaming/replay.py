@@ -124,14 +124,25 @@ def run_replay(
         .option("maxFilesPerTrigger", "1")
         .parquet(replay_dir)
     )
-    query = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # Stateful streaming cost here is dominated by state-store commits:
+    # every trigger writes delta files for EVERY shuffle partition. The
+    # replay tables are small, so pin a low partition count for the
+    # stream's lifetime (state partitioning is fixed by the conf at first
+    # checkpoint) and restore the session conf afterwards. A production
+    # deployment sizes this to the cluster instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
