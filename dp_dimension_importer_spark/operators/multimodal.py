@@ -75,15 +75,94 @@ def to_asset_table(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real image decode requires an imaging library not present in this
-    environment — deliberately stubbed. The surrounding Spark plumbing
-    (schema, batching, partitioning) is real and tested with
-    :func:`extract_features_fake`."""
+def decode_image(payload: bytes):
+    """REAL image decode for the uncompressed raster formats that need no
+    imaging library — binary PPM (P6, RGB), PGM (P5, grayscale), and
+    24-bit uncompressed BMP — returning a numpy uint8 array (H×W×3 or
+    H×W). Compressed formats (PNG/JPEG/WebP) genuinely require a codec
+    library absent from this environment and raise NotImplementedError;
+    at deployment, route those through Pillow/libvips in the same
+    ``mapInPandas`` seam (:func:`extract_features_real`)."""
+    import numpy as np
+
+    if payload[:2] in (b"P6", b"P5"):
+        # Netpbm: ASCII header tokens (magic, width, height, maxval) with
+        # '#' comments, ONE whitespace byte, then raw samples.
+        tokens, pos = [], 2
+        while len(tokens) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while payload[pos : pos + 1] not in (b"\n", b""):
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = tokens
+        if maxval > 255:
+            raise NotImplementedError("16-bit Netpbm not supported")
+        ch = 3 if payload[:2] == b"P6" else 1
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+        return arr.reshape((h, w, 3) if ch == 3 else (h, w))
+    if payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError("only 24-bit uncompressed BMP")
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * abs(h), offset=off
+        ).reshape(abs(h), stride)
+        img = rows[:, : w * 3].reshape(abs(h), w, 3)[..., ::-1]  # BGR→RGB
+        return img[::-1] if h > 0 else img  # positive h = bottom-up
     raise NotImplementedError(
-        "image decoding requires an imaging library (e.g. Pillow) — "
-        "not available in this environment; use extract_features_fake"
+        "compressed image formats require a codec library (e.g. Pillow) — "
+        "not available in this environment; PPM/PGM/BMP decode natively"
     )
+
+
+def extract_features_real(assets: DataFrame, feature_dim: int = 4) -> DataFrame:
+    """The REAL counterpart of :func:`extract_features_fake`: decodes each
+    payload with :func:`decode_image` and emits true (width, height) plus a
+    per-channel mean/std feature vector. Same distributed shape —
+    Arrow-batched ``mapInPandas``, no driver collect; undecodable payloads
+    yield NULL metadata instead of failing the partition (the dead-letter
+    philosophy of the import pipeline applied to media)."""
+    import numpy as np
+
+    def _real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, feats = [], [], []
+            for p in pdf["payload"]:
+                try:
+                    img = decode_image(bytes(p))
+                except (NotImplementedError, ValueError, IndexError, TypeError):
+                    widths.append(None)
+                    heights.append(None)
+                    feats.append(None)
+                    continue
+                h, w = img.shape[:2]
+                px = img.reshape(-1, img.shape[2] if img.ndim == 3 else 1)
+                f = np.concatenate([px.mean(axis=0), px.std(axis=0)])
+                widths.append(w)
+                heights.append(h)
+                feats.append([float(x) for x in f[:feature_dim]])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pd.Series(widths, dtype="Int32"),
+                    "height": pd.Series(heights, dtype="Int32"),
+                    "feature": feats,
+                }
+            )
+
+    return assets.mapInPandas(_real, schema=FEATURE_SCHEMA)
 
 
 def extract_features_fake(assets: DataFrame, feature_dim: int = 4) -> DataFrame:

@@ -77,3 +77,61 @@ def test_sample_frames_counts(spark):
     assert [r.frame_idx for r in sorted(one, key=lambda r: r.frame_idx)] == list(
         range(0, (sizes[got[0].asset_id] + 15) // 16, 4)
     )
+
+
+def test_decode_image_ppm_pgm_bmp_real(spark):
+    """decode_image is REAL for uncompressed rasters: PPM/PGM/BMP bytes
+    built by hand round-trip through the distributed extractor with true
+    dimensions and channel statistics; compressed formats still refuse."""
+    import numpy as np
+    import pytest
+
+    from dp_dimension_importer_spark.operators.multimodal import (
+        decode_image,
+        extract_features_real,
+    )
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    ppm = b"P6\n# comment\n3 2\n255\n" + rgb.tobytes()
+    assert (decode_image(ppm) == rgb).all()
+
+    gray = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    pgm = b"P5 3 2 255 " + gray.tobytes()
+    assert (decode_image(pgm) == gray).all()
+
+    # 24-bit BMP, bottom-up, stride padded to 4 bytes (w=3 -> stride 12)
+    h, w = 2, 3
+    stride = (w * 3 + 3) & ~3
+    px = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        row = rgb[y][:, ::-1].reshape(-1)  # RGB -> BGR
+        px[h - 1 - y, : w * 3] = row  # bottom-up
+    header = (
+        b"BM" + (54 + px.size).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + b"\x00" * 20
+    )
+    assert (decode_image(header + px.tobytes()) == rgb).all()
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image/x-portable-pixmap", bytearray(ppm), len(ppm)),
+            (2, "image/bmp", bytearray(header + px.tobytes()), 0),
+            (3, "image/png", bytearray(b"\x89PNGgarbage"), 0),
+        ],
+        "asset_id long, mime string, payload binary, nbytes long",
+    )
+    out = {r.asset_id: r for r in extract_features_real(assets).collect()}
+    assert (out[1].width, out[1].height) == (3, 2)
+    assert (out[2].width, out[2].height) == (3, 2)
+    assert out[3].width is None and out[3].feature is None
+    # feature = per-channel means of 0..17 reshaped HxWx3
+    exp = rgb.reshape(-1, 3).mean(axis=0)
+    assert out[1].feature[:3] == pytest.approx(list(exp), abs=1e-4)
+    assert out[1].feature == out[2].feature  # same pixels via both formats
