@@ -285,34 +285,32 @@ def decontaminate(spark, sf_dir):
     makes this scale: the train-side shingle explosion is filtered by the
     broadcast join IN THE SCAN STAGE — before any distinct/shuffle — so
     the only train rows that ever hit an exchange are actual leaks, and
-    the per-doc count_distinct is map-side combinable on those few."""
+    the per-doc count_distinct is map-side combinable on those few.
+
+    Shingles travel as xxhash64 longs (dedup.shingle_hashes — no shingle
+    strings are ever built; the interpreted concat_ws-per-slice lambda the
+    first version used measured ~2× the whole query's cost). The oracle
+    counts distinct shingle STRINGS; distinct-hash counts agree unless two
+    distinct 5-gram strings collide in 64 bits (~1e-9 at this corpus, and
+    deterministic — the same inputs always compare equal or not)."""
+    from dp_dimension_importer_spark.operators.dedup import shingle_hashes
+
     t = load_tables(spark, sf_dir)
-    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
-    bucket = (
-        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
-    ) % 10
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    base = t.documents.select(
-        "doc_id", bucket.alias("bucket"), toks.alias("toks")
-    ).filter(F.size("toks") >= DECON_K)
-    sh = base.select(
-        "doc_id",
-        "bucket",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (DECON_K - 1)),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, DECON_K)),
-            )
-        ).alias("shingle"),
-    )
+    # bucket filters go BEFORE shingling: the broadcast build side and the
+    # probe side are separate jobs (no Exchange to reuse across a
+    # broadcast), so each must only tokenize ITS split — 10% + 80% of the
+    # corpus instead of 2 × 100%.
+    docs = t.documents.withColumn("bucket", hash_bucket("doc_id", 10))
     test_sh = (
-        sh.filter(F.col("bucket") == 9).select("shingle").distinct()
+        shingle_hashes(docs.filter(F.col("bucket") == 9), k=DECON_K)
+        .select("h")
+        .distinct()
     )
     return (
-        sh.filter(F.col("bucket") < 8)
-        .join(F.broadcast(test_sh), "shingle")
+        shingle_hashes(docs.filter(F.col("bucket") < 8), k=DECON_K)
+        .join(F.broadcast(test_sh), "h")
         .groupBy("doc_id")
-        .agg(F.countDistinct("shingle").alias("hits"))
+        .agg(F.countDistinct("h").alias("hits"))
         .orderBy("doc_id")
     )
 

@@ -59,7 +59,10 @@ def tokens_col(text_col="text"):
 
 
 def shingle_hashes(
-    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
 ) -> DataFrame:
     """(doc_id, h) — one xxhash64 per K-token shingle occurrence, WITH
     duplicates. Min/idempotent consumers (MinHash) use this directly and
@@ -74,11 +77,11 @@ def shingle_hashes(
     elimination, so an element_at(tokens, i) formulation re-runs the
     regex split per lambda iteration — observed ~7× slower at sf0.1.)"""
     n = F.size("th")
-    parts = [F.slice("th", 1 + j, n - (SHINGLE_K - 1)) for j in range(SHINGLE_K)]
+    parts = [F.slice("th", 1 + j, n - (k - 1)) for j in range(k)]
     grams = parts[0]
     for s in parts[1:]:
         grams = F.zip_with(grams, s, lambda a, b: F.xxhash64(a, b))
-    arr = F.when(n >= SHINGLE_K, grams).otherwise(F.array().cast("array<long>"))
+    arr = F.when(n >= k, grams).otherwise(F.array().cast("array<long>"))
     return (
         documents.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("tk"))
         .select("doc_id", F.transform("tk", lambda t: F.xxhash64(t)).alias("th"))
