@@ -44,20 +44,6 @@ N_BITS = 4
 DIM = 64
 
 
-def _norm_vectors(embeddings: DataFrame) -> DataFrame:
-    """vec_id, v (double array), nrm — shared by exact and LSH paths."""
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    return embeddings.select(
-        "vec_id",
-        v.alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-            )
-        ).alias("nrm"),
-    )
-
-
 def _dot(av, bv):
     return F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
 
@@ -301,13 +287,13 @@ def _ivf_centroids(e) -> np.ndarray:
     re-seeded deterministically from the sample. Pinned arithmetic order ⇒
     identical centroids on every run/driver."""
     rows = (
-        e.select("vec_id", "v")
+        e.select("vec_id", "embedding")
         .orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
         .limit(IVF_SAMPLE)
         .collect()
     )
     rows.sort(key=lambda r: r["vec_id"])
-    m = np.vstack([np.asarray(r["v"], dtype=float) for r in rows])
+    m = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     u = m / np.linalg.norm(m, axis=1)[:, None]
     cents = u[:IVF_CELLS].copy()
     for _ in range(8):
@@ -330,7 +316,9 @@ def make_ivf_cells_udf(cents: np.ndarray, nprobe: int):
     matT = cents.T
 
     def _cells(vs: pd.Series) -> pd.Series:
-        m = np.vstack(vs.to_numpy())
+        # raw float32 arrays in, float64 math — identical cell argmax to
+        # the previous double-cast column path (float32→64 is exact)
+        m = np.vstack(vs.to_numpy()).astype(np.float64)
         m = m / np.linalg.norm(m, axis=1)[:, None]
         sims = m @ matT  # batch × IVF_CELLS
         order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype("int32")
@@ -349,30 +337,25 @@ def ann_ivf_top1(spark, sf_dir):
     recall/throughput trade vs ann_lsh_top1's hash-bucket variant: IVF cells
     adapt to the data distribution, LSH buckets don't."""
     t = load_tables(spark, sf_dir)
-    e = _norm_vectors(t.embeddings)
-    cells_of = make_ivf_cells_udf(_ivf_centroids(e), IVF_NPROBE)
-    ec = e.withColumn("cells", cells_of("v"))
-    corpus = ec.select(
-        "vec_id", "v", "nrm", F.element_at("cells", 1).alias("cell")
+    cells_of = make_ivf_cells_udf(_ivf_centroids(t.embeddings), IVF_NPROBE)
+    ec = t.embeddings.select("vec_id", cells_of("embedding").alias("cells"))
+    # the cell join carries ONLY (vec_id, cell) — vectors never enter the
+    # shuffle or the broadcast; candidates join back to raw arrays in
+    # _rerank_cos, where the fold-cosine runs on candidate rows alone
+    corpus = ec.select("vec_id", F.element_at("cells", 1).alias("cell"))
+    q = ec.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("qid"), F.explode("cells").alias("cell")
     )
-    q = (
-        ec.filter(F.col("vec_id") < N_QUERY)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            F.explode("cells").alias("cell"),
-        )
+    cand = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nn_id"))
     )
-    cand = corpus.join(F.broadcast(q), "cell").filter(
-        F.col("vec_id") != F.col("qid")
-    )
-    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
     # same one-shuffle max_by finish as ann_lsh_top1: top-1 with the
     # (cos DESC, nn_id ASC) tie-break as max(struct(...)) — map-side partial
     # max, one row per query crosses the exchange
     return (
-        cand.select(F.col("qid"), F.col("vec_id").alias("nn_id"), cos.alias("cos"))
+        _rerank_cos(t.embeddings, cand)
         .groupBy("qid")
         .agg(F.max(F.struct(F.col("cos"), (-F.col("nn_id")).alias("neg_nn"))).alias("m"))
         .select(
@@ -408,7 +391,7 @@ def make_table_keys_udf(planes: list[list[float]]):
     offsets = (np.arange(N_TABLES) << N_BITS).astype("int64")
 
     def _keys(vs: pd.Series) -> pd.Series:
-        m = np.vstack(vs.to_numpy())  # batch × DIM
+        m = np.vstack(vs.to_numpy()).astype(np.float64)  # batch × DIM
         signs = ((m @ mat) >= 0.0).reshape(len(m), N_TABLES, N_BITS)
         keys = signs @ weights + offsets  # batch × N_TABLES
         return pd.Series(list(keys), index=vs.index)
@@ -428,26 +411,26 @@ def ann_lsh_top1(spark, sf_dir):
     # the scan, so its UDF bucket assignment touches only N_QUERY rows; the
     # corpus side is a single scan. Caching the whole corpus would not fit
     # at target scale.
-    e = _norm_vectors(t.embeddings).withColumn("keys", keys_of("v"))
-    buckets = e.select("vec_id", "v", "nrm", F.explode("keys").alias("bkey"))
+    # The bucket join carries ONLY (vec_id, bkey) — no vectors in the
+    # shuffle or the broadcast; candidates join back to raw arrays in
+    # _rerank_cos, so the fold-cosine runs on candidate rows alone.
+    buckets = t.embeddings.select(
+        "vec_id", F.explode(keys_of("embedding")).alias("bkey")
+    )
     q = buckets.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        F.col("bkey").alias("qkey"),
+        F.col("vec_id").alias("qid"), F.col("bkey").alias("qkey")
     )
     cand = buckets.join(
         F.broadcast(q),
         (F.col("bkey") == F.col("qkey")) & (F.col("vec_id") != F.col("qid")),
-    )
-    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    ).select("qid", F.col("vec_id").alias("nn_id"))
     # no dedup pass for multi-table collisions and no window sort: a
     # duplicate (qid, nn) pair can't change a max, and top-1 with the
     # (cos DESC, nn_id ASC) tie-break is max(struct(cos, -nn_id)) — a hash
     # aggregate with map-side partial max, so the exchange carries one row
     # per query instead of every in-bucket candidate
     return (
-        cand.select(F.col("qid"), F.col("vec_id").alias("nn_id"), cos.alias("cos"))
+        _rerank_cos(t.embeddings, cand)
         .groupBy("qid")
         .agg(F.max(F.struct(F.col("cos"), (-F.col("nn_id")).alias("neg_nn"))).alias("m"))
         .select(
