@@ -126,3 +126,51 @@ def test_dedup_clusters_paths_agree(spark, monkeypatch):
     slow = dedup.dedup_clusters(spark, sf).collect()
     assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
     assert len(fast) > 0
+
+
+def test_star_contraction_matches_union_find(spark):
+    """The large-graph CC path (alternating large-star/small-star) must
+    agree with reference union-find on adversarial shapes: a long chain
+    (worst case for diameter-bound propagation), a star, a clique, and
+    seeded random graphs."""
+    import random
+
+    from dp_dimension_importer_spark.operators.dedup import (
+        _components_star_contraction,
+    )
+
+    def uf(pairs):
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(20260813)
+    cases = [
+        [(i, i + 1) for i in range(40)],                      # chain
+        [(0, i) for i in range(1, 25)],                       # star
+        [(i, j) for i in range(7) for j in range(i + 1, 7)],  # clique
+    ]
+    for _ in range(3):
+        n = rng.randint(15, 50)
+        cases.append(
+            [(rng.randint(0, n), rng.randint(0, n)) for _ in range(n)]
+        )
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "da long, db long")
+        got = {
+            r.node: r.comp for r in _components_star_contraction(df).collect()
+        }
+        assert got == uf(pairs)
