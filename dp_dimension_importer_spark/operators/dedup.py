@@ -497,35 +497,42 @@ def dedup_minhash_lsh(spark, sf_dir):
     for b in range(NUM_BANDS):
         args = ", ".join(f"element_at(sig, {b * r + i + 1})" for i in range(r))
         pairs += [F.lit(b), F.expr(f"xxhash64({args}, {b})")]
+    # The band self-join moves ONLY (doc_id, band, bkey) — 24 bytes/row —
+    # never the 32-long signature array (that would be 16 copies of every
+    # signature through the exchange at scale). Candidates dedup as bare id
+    # pairs, then the two signatures rejoin once per DISTINCT pair for the
+    # estimate — the interpreted zip_with fold runs per candidate pair, not
+    # per multi-band collision. The sigs side of those joins is already
+    # hash-partitioned by doc_id from its own groupBy exchange.
     bands = sigs.select(
-        "doc_id", "sig", F.stack(F.lit(NUM_BANDS), *pairs).alias("band", "bkey")
+        "doc_id", F.stack(F.lit(NUM_BANDS), *pairs).alias("band", "bkey")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    est = (
-        F.aggregate(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ).cast("double")
-        / NUM_HASHES
-    )
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        # estimate + threshold BEFORE the dedup shuffle: the exchange then
-        # carries only (da, db, est) for pairs over the threshold, never the
-        # two 32-long signature arrays of every multi-band collision
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.round(est, 4).alias("est_jaccard"),
-        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .dropDuplicates()
+    )
+    sa = sigs.select(F.col("doc_id").alias("da"), F.col("sig").alias("siga"))
+    sb = sigs.select(F.col("doc_id").alias("db"), F.col("sig").alias("sigb"))
+    est = (
+        F.aggregate(
+            F.zip_with("siga", "sigb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / NUM_HASHES
+    )
+    return (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .select("da", "db", F.round(est, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= JACCARD_T)
-        .dropDuplicates(["da", "db"])
         .orderBy("da", "db")
     )
 
