@@ -193,22 +193,43 @@ def q11_theta_range_join(spark, sf_dir):
 )
 def q12_asof_join(spark, sf_dir):
     """As-of join: for each event, that user's most recent order at/before
-    the event time. Range join on the equi key + windowed top-1
-    (deterministic tie-break on o_orderkey)."""
+    the event time.
+
+    Union-then-window, the as-of shape that survives scale: orders and
+    events merge into ONE per-user time-ordered stream (orders sort before
+    events at equal timestamps — the ``<=`` bound; equal-date orders sort
+    by orderkey so the running ``last`` is the max-key tie-break), and a
+    single running ``last(o_orderkey, ignorenulls)`` window carries each
+    user's latest order forward to every event. One shuffle of
+    |events| + |orders| rows and O(n log n) per user — a range join would
+    materialize |user's events| × |user's orders| intermediate rows per
+    key, quadratic fan-out for any hot user."""
     t = load_tables(spark, sf_dir)
     e, o = t.events, t.orders
-    joined = e.join(
-        o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "inner"
+    ev = e.select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(1).alias("kind"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
     )
-    # "latest order" = max (o_orderdate, o_orderkey) struct — lexicographic
-    # struct ordering gives the window-top-1 semantics with a hash aggregate
-    # instead of a full partition sort: map-side partial max collapses each
-    # task to one row per event before the exchange, so the shuffle carries
-    # |events| rows, not |events ⋈ orders|.
+    od = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return (
-        joined.groupBy("event_id")
-        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"))
-        .select("event_id", F.col("m.o_orderkey").alias("o_orderkey"))
+        ev.unionByName(od)
+        .withColumn("last_ok", F.last("o_orderkey", ignorenulls=True).over(w))
+        .filter((F.col("kind") == 1) & F.col("last_ok").isNotNull())
+        .select("event_id", F.col("last_ok").alias("o_orderkey"))
         .orderBy("event_id")
     )
 
