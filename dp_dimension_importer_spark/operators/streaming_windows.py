@@ -235,7 +235,11 @@ def q52_stream_stream_join(spark, sf_dir):
     history. Inner-join rows emit as soon as both sides arrive; the
     watermark only drives eviction."""
     events = table(spark, sf_dir, "events")
-    replay_dir = write_replay_dir(events, n_files=2)
+    # no sentinel: inner-join rows emit as soon as both sides match — the
+    # watermark only evicts state, it never gates emission, so the
+    # flush-forcing sentinel batches (needed by append-mode aggregations)
+    # would just be two more no-op triggers here
+    replay_dir = write_replay_dir(events, n_files=2, sentinel=False)
 
     def transform(stream):
         clicks = (
