@@ -195,10 +195,34 @@ def jaccard_pairs(
     sh = shingle_hashes(documents, id_col, text_col).select(
         "doc_id", F.col("h").alias("shingle")
     )
+    # Hot-shingle prune BEFORE the collect_set, so no aggregation buffer
+    # ever holds more than df_cap doc ids (a web-scale stopword shingle
+    # would otherwise build a multi-million-entry set in one task):
+    #  1. occurrence counts (map-side partial, 16-byte rows) — occurrences
+    #     >= distinct docs, so any shingle with occ <= cap is provably
+    #     safe and skips step 2;
+    #  2. EXACT distinct-doc count, computed only for the tiny
+    #     occurrence-hot set — semantics stay identical to the oracle's
+    #     pure document-frequency cap.
+    occ_hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") > df_cap)
+        .select("shingle")
+    )
+    exact_hot = (
+        sh.join(F.broadcast(occ_hot), "shingle", "leftsemi")
+        .dropDuplicates(["shingle", "doc_id"])
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
     # persisted: feeds two structurally different branches (doc counts and
     # pair generation), and repeat invocations hit the same cache entry
     per = (
-        sh.groupBy("shingle")
+        sh.join(F.broadcast(exact_hot), "shingle", "left_anti")
+        .groupBy("shingle")
         .agg(F.collect_set("doc_id").alias("docs"))
         .filter(F.size("docs") <= df_cap)
         .persist()
