@@ -128,3 +128,42 @@ def test_union_all_count_additivity(spark, ks):
     )
     assert df.unionByName(df).count() == 2 * len(ks)
     assert df.unionByName(df).distinct().count() == len(set(ks))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_star_contraction_components_property(spark, pairs):
+    """Property: on ANY undirected pair graph, large-star/small-star
+    contraction labels every node with the minimum id of its component
+    (reference: driver-side union-find)."""
+    from dp_dimension_importer_spark.operators.dedup import (
+        _components_star_contraction,
+    )
+
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(pairs, "da long, db long")
+    got = {r.node: r.comp for r in _components_star_contraction(df).collect()}
+    assert got == want
