@@ -86,19 +86,30 @@ def main() -> None:
 
     short = {_short(k): v for k, v in timings.items()}
     assert len(short) == len(timings), "short-name collision"
-    for ndigits in (3, 2, 1):
-        line = json.dumps(
+    def _line(qdict: dict[str, float], ndigits: int) -> str:
+        return json.dumps(
             {
                 "metric": "total_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": {k: round(v, ndigits) for k, v in short.items()},
+                "queries": {k: round(v, ndigits) for k, v in qdict.items()},
                 "sf": sf,
             },
             separators=(",", ":"),
         )
+
+    for ndigits in (3, 2, 1):
+        line = _line(short, ndigits)
         if len(line) <= 1950:
             break
+    else:
+        # terminal fallback: an oversized line would be truncated mid-JSON
+        # by the driver's 2000-byte tail capture — better a parseable line
+        # with only the slowest N queries than an unparseable full one
+        keep = dict(sorted(short.items(), key=lambda kv: -kv[1]))
+        while len(keep) > 1 and len(_line(keep, 1)) > 1950:
+            keep.pop(next(reversed(keep)))
+        line = _line(keep, 1)
     print(line, flush=True)
 
 

@@ -269,12 +269,11 @@ def _components_single_partition(pairs):
     the corpus)."""
 
     def uf(batches):
-        import numpy as np
         import pandas as pd
 
-        parent: dict[int, int] = {}
+        parent: dict = {}
 
-        def find(x: int) -> int:
+        def find(x):
             r = x
             while parent[r] != r:
                 r = parent[r]
@@ -283,8 +282,9 @@ def _components_single_partition(pairs):
             return r
 
         for pdf in batches:
-            for a, b in zip(pdf["da"].to_numpy(), pdf["db"].to_numpy()):
-                a, b = int(a), int(b)
+            # .tolist() keeps native python values, so the same code
+            # handles long AND string node ids (min = lexicographic)
+            for a, b in zip(pdf["da"].tolist(), pdf["db"].tolist()):
                 parent.setdefault(a, a)
                 parent.setdefault(b, b)
                 ra, rb = find(a), find(b)
@@ -296,13 +296,15 @@ def _components_single_partition(pairs):
         if parent:
             nodes = sorted(parent)
             yield pd.DataFrame(
-                {
-                    "node": np.array(nodes, dtype="int64"),
-                    "comp": np.array([find(n) for n in nodes], dtype="int64"),
-                }
+                {"node": nodes, "comp": [find(n) for n in nodes]}
             )
 
-    return pairs.coalesce(1).mapInPandas(uf, "node long, comp long")
+    # output type mirrors the id column's type (works for long or string
+    # ids — the engine facade runs on arbitrary user tables)
+    id_type = pairs.schema["da"].dataType.simpleString()
+    return pairs.coalesce(1).mapInPandas(
+        uf, f"node {id_type}, comp {id_type}"
+    )
 
 
 @register(
@@ -371,9 +373,13 @@ def connected_components(pair_df: DataFrame, src: str = "da", dst: str = "db") -
     # materializing the cache also yields the edge count for free
     n_pairs = pairs.count()
     if n_pairs < _CC_LOCAL_MAX_PAIRS:
-        comp = _components_single_partition(pairs)
-        pairs.unpersist()
-        return comp
+        # NOT unpersisted: the returned plan is lazy — dropping the cache
+        # here would recompute the whole pair pipeline when the caller
+        # finally evaluates. The cached pair list is tiny by construction
+        # (< _CC_LOCAL_MAX_PAIRS rows) and LRU-evictable.
+        return _components_single_partition(pairs)
+    # star path: its per-round collects run while the cache is live, so
+    # releasing it after convergence is safe
     comp = _components_star_contraction(pairs)
     pairs.unpersist()
     return comp

@@ -141,6 +141,10 @@ def q43_cosine_top1(spark, sf_dir):
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy()
             c = (m / np.linalg.norm(m, axis=1)[:, None]) @ qunit.T  # batch × nq
+            # a zero-norm/NaN corpus row yields a NaN similarity row; NaN
+            # would poison max() and the >= cut below, silently dropping
+            # the whole batch's candidates — demote to -inf (excluded)
+            c[np.isnan(c)] = -np.inf
             out_q, out_n = [], []
             for j in range(len(qids)):
                 col = c[:, j].copy()
@@ -233,6 +237,7 @@ def q43b_cosine_topk(spark, sf_dir):
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy()
             c = (m / np.linalg.norm(m, axis=1)[:, None]) @ qunit.T  # batch × nq
+            c[np.isnan(c)] = -np.inf  # zero-norm rows: exclude, don't poison
             out_q, out_n = [], []
             for j in range(len(qids)):
                 col = c[:, j].copy()

@@ -52,3 +52,25 @@ def test_stratified_sample_on_arbitrary_dataframe(spark):
     assert out.collect() == engine.stratified_sample(
         df, group_col="grp", id_col="key", k=3
     ).collect()
+
+
+def test_connected_components_string_ids(spark):
+    """The facade's components run on string ids too — both the one-pass
+    union-find path and the star-contraction path (min = lexicographic)."""
+    import pytest
+
+    from dp_dimension_importer_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y")],
+        "da string, db string",
+    )
+    want = {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+            "x": "x", "y": "x"}
+    got = {r.node: r.comp for r in engine.connected_components(pairs).collect()}
+    assert got == want
+    star = {
+        r.node: r.comp
+        for r in dedup._components_star_contraction(pairs).collect()
+    }
+    assert star == want
