@@ -26,6 +26,12 @@ module (file:line citations to the reference where behavior derives from
 it). Nothing here wraps or re-implements — these ARE the operators the
 oracle-checked queries run, so facade behavior is pinned by the same
 DuckDB parity suite.
+
+Caching note: ``jaccard_pairs`` / ``connected_components`` persist small
+intermediates (per-shingle doc sets, the pair list) and deliberately leave
+them cached so repeat invocations on the same input reuse them. In a
+long-lived session processing MANY different inputs, call
+``spark.catalog.clearCache()`` between corpora to release them.
 """
 
 from __future__ import annotations

@@ -168,7 +168,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     map-side explode + tiny doc-keyed agg, and candidate pairs come from a
     double explode of each (≤ DF_CAP-sized) doc array — pair generation is
     map-side work on the grouped rows, not a second shuffle of the whole
-    shingle table through a join. Both count joins broadcast (|docs| rows).
+    shingle table through a join. The per-doc count joins are left to AQE
+    (cnt is corpus-proportional — never force-broadcast it).
     The grouped subplan feeds two branches and is canonicalized identical,
     so Spark reuses one Exchange (ReuseExchange) instead of recomputing."""
     return _jaccard_pairs(spark, sf_dir).orderBy("da", "db")
@@ -245,18 +246,23 @@ def jaccard_pairs(
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
+    # NO broadcast hint on the count joins: cnt has one row per document —
+    # corpus-proportional, exactly what must never be forced through the
+    # driver at scale. AQE still picks a broadcast at small actual sizes.
     return (
-        pairs.join(F.broadcast(ca), "da")
-        .join(F.broadcast(cb), "db")
+        pairs.join(ca, "da")
+        .join(cb, "db")
         .filter(jac >= threshold)
         .select("da", "db", F.round(jac, 4).alias("jaccard"))
     )
 
 
 #: below this pair count, components are computed by one executor-side
-#: union-find over a single coalesced partition (16 B/edge → well under a
-#: task's memory); above it, the iterative distributed loop takes over.
-_CC_LOCAL_MAX_PAIRS = 2_000_000
+#: union-find over a single coalesced partition. Budget honestly: the
+#: Python worker holds a boxed-int parent dict (~80 B/entry) plus one
+#: output frame — ~100-200 MB worst case at this cutoff, inside a default
+#: executor's Python memory; above it, star contraction takes over.
+_CC_LOCAL_MAX_PAIRS = 500_000
 
 
 def _components_single_partition(pairs):

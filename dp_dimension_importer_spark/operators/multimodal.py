@@ -149,10 +149,16 @@ def extract_features_real(assets: DataFrame, feature_dim: int = 4) -> DataFrame:
                     continue
                 h, w = img.shape[:2]
                 px = img.reshape(-1, img.shape[2] if img.ndim == 3 else 1)
-                f = np.concatenate([px.mean(axis=0), px.std(axis=0)])
+                if px.shape[1] == 1:  # grayscale → replicate to 3 channels
+                    px = np.repeat(px, 3, axis=1)
+                # fixed-width contract (same as extract_features_fake):
+                # [meanR, meanG, meanB, std_overall, ...] padded/truncated
+                # to feature_dim so mixed-format batches never go ragged
+                f = np.concatenate([px.mean(axis=0), [px.std()]])
+                f = np.pad(f, (0, max(0, feature_dim - len(f))))[:feature_dim]
                 widths.append(w)
                 heights.append(h)
-                feats.append([float(x) for x in f[:feature_dim]])
+                feats.append([float(x) for x in f])
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

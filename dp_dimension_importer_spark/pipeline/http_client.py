@@ -32,6 +32,7 @@ import urllib.error
 import urllib.request
 from collections.abc import Iterator
 from concurrent.futures import ThreadPoolExecutor
+from urllib.parse import quote
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -92,7 +93,7 @@ def fetch_dimensions_http(
                 for instance_id in pdf["instance_id"].dropna():
                     first = _get_json(
                         base_url,
-                        f"/instances/{instance_id}/dimensions"
+                        f"/instances/{quote(str(instance_id), safe='')}/dimensions"
                         f"?offset=0&limit={page_size}",
                         auth_token,
                         timeout,
@@ -103,7 +104,7 @@ def fetch_dimensions_http(
                     pages = pool.map(
                         lambda off: _get_json(
                             base_url,
-                            f"/instances/{instance_id}/dimensions"
+                            f"/instances/{quote(str(instance_id), safe='')}/dimensions"
                             f"?offset={off}&limit={page_size}",
                             auth_token,
                             timeout,
@@ -135,7 +136,10 @@ def fetch_instances_http(
             rows = []
             for instance_id in pdf["instance_id"].dropna():
                 body = _get_json(
-                    base_url, f"/instances/{instance_id}", auth_token, timeout
+                    base_url,
+                    f"/instances/{quote(str(instance_id), safe='')}",
+                    auth_token,
+                    timeout,
                 )
                 rows.append((body.get("id", instance_id), body.get("headers")))
             yield pd.DataFrame(rows, columns=["instance_id", "csv_header"])

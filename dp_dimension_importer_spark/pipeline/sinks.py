@@ -63,9 +63,14 @@ class ParquetGraphStore:
     def _fresh(self, batch: DataFrame, path: str, schema, key: list[str]) -> DataFrame:
         # bounded collect: one row per instance in the micro-batch
         ids = [r[0] for r in batch.select("instance_id").distinct().collect()]
-        existing = self._read(path, schema).filter(
-            F.col("instance_id").isin(ids)  # -> hive partition pruning
-        )
+        # null-safe pruning: isin uses '=' and never matches NULL, so a
+        # NULL-instance row (written under the hive default partition)
+        # would dodge the probe and re-append forever — include the NULL
+        # partition explicitly when the batch carries one.
+        probe = F.col("instance_id").isin([i for i in ids if i is not None])
+        if any(i is None for i in ids):
+            probe = probe | F.col("instance_id").isNull()
+        existing = self._read(path, schema).filter(probe)
         cond = [batch[k].eqNullSafe(existing[k]) for k in key]
         return batch.join(existing, cond, "left_anti")
 
