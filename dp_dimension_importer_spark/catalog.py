@@ -56,18 +56,41 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Naive parquet timestamps (isAdjustedToUTC=false) must surface as
+    # session-tz TIMESTAMP, not TIMESTAMP_NTZ: NTZ rejects epoch casts /
+    # unix_timestamp, and the DuckDB oracle treats naive as UTC. Disabling
+    # NTZ inference keeps the instant type AT THE SCAN (timestamp predicate
+    # pushdown survives — no cast on top). Both confs are runtime-settable,
+    # so this holds on the driver's own session too; the timezone pin makes
+    # the naive→instant reading UTC regardless of who built the session.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as raw nanos and convert (integer div —
-        # a double division would lose sub-microsecond precision at 2^60).
+        # Some driver generations write events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects; read it as raw nanos and
+        # convert (integer div — a double division would lose sub-microsecond
+        # precision at 2^60).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        return _tz_normalize(df)
+    return _tz_normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _tz_normalize(df: DataFrame) -> DataFrame:
+    """Naive parquet timestamps (isAdjustedToUTC=false) read as
+    TIMESTAMP_NTZ, which rejects epoch casts (`CAST(ts AS BIGINT)`) and
+    `unix_timestamp`. The session timezone is pinned to UTC, so casting to
+    session-tz TIMESTAMP is value-preserving and matches DuckDB's
+    treat-naive-as-UTC `epoch()`. A plain Project on top of the scan —
+    column pruning and predicate pushdown pass through it."""
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if not ntz:
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
