@@ -43,7 +43,25 @@ BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation"})
 _TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Naive parquet timestamps (isAdjustedToUTC=false) must surface as
+    session-tz TIMESTAMP, not TIMESTAMP_NTZ: NTZ rejects epoch casts /
+    unix_timestamp, and the DuckDB oracle treats naive as UTC. Disabling
+    NTZ inference keeps the instant type AT THE SCAN (timestamp predicate
+    pushdown survives — no cast on top). Both confs are runtime-settable,
+    so this holds on the driver's own session too; the timezone pin makes
+    the naive→instant reading UTC regardless of who built the session.
+
+    Called on EVERY ``table()`` call, not only on cache misses: a cached
+    plan's date-part extraction evaluates against the session timezone at
+    ACTION time, so a caller flipping the timezone between queries would
+    silently diverge from the UTC-based oracle unless re-pinned here."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin_session_confs(spark)
     key = (id(spark), sf_dir, name)
     hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
@@ -56,15 +74,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # Naive parquet timestamps (isAdjustedToUTC=false) must surface as
-    # session-tz TIMESTAMP, not TIMESTAMP_NTZ: NTZ rejects epoch casts /
-    # unix_timestamp, and the DuckDB oracle treats naive as UTC. Disabling
-    # NTZ inference keeps the instant type AT THE SCAN (timestamp predicate
-    # pushdown survives — no cast on top). Both confs are runtime-settable,
-    # so this holds on the driver's own session too; the timezone pin makes
-    # the naive→instant reading UTC regardless of who built the session.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Some driver generations write events.ts as parquet TIMESTAMP(NANOS),
         # which Spark's vectorized reader rejects; read it as raw nanos and
@@ -81,12 +90,17 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _tz_normalize(df: DataFrame) -> DataFrame:
-    """Naive parquet timestamps (isAdjustedToUTC=false) read as
-    TIMESTAMP_NTZ, which rejects epoch casts (`CAST(ts AS BIGINT)`) and
-    `unix_timestamp`. The session timezone is pinned to UTC, so casting to
-    session-tz TIMESTAMP is value-preserving and matches DuckDB's
-    treat-naive-as-UTC `epoch()`. A plain Project on top of the scan —
-    column pruning and predicate pushdown pass through it."""
+    """Fallback for sessions where the NTZ-inference conf did not take
+    effect: naive parquet timestamps read as TIMESTAMP_NTZ, which rejects
+    epoch casts (`CAST(ts AS BIGINT)`) and `unix_timestamp`. The session
+    timezone is pinned to UTC, so casting to session-tz TIMESTAMP is
+    value-preserving and matches DuckDB's treat-naive-as-UTC `epoch()`.
+    With ``_pin_session_confs`` applied this path is normally dead (the
+    scan already yields TIMESTAMP); when it does fire, filters on the cast
+    column may not be pushed to the parquet scan — column pruning still
+    passes through the Project. Top-level fields only: a TIMESTAMP_NTZ
+    nested inside a struct/array would pass through unnormalized (driver
+    data is flat; revisit if nested timestamps ever appear)."""
     ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
     if not ntz:
         return df

@@ -127,22 +127,31 @@ def fetch_instances_http(
     base_url: str,
     auth_token: str = "",
     timeout: float = 30.0,
+    max_workers: int = 8,
 ) -> DataFrame:
     """Distributed fetch of instance entities (csv_header) — INSTANCE_SCHEMA
-    rows, one GET per instance inside ``mapInPandas``."""
+    rows, one GET per instance, fanned out over a bounded per-partition
+    thread pool (same session-pool shape as ``fetch_dimensions_http``; one
+    slow endpoint delays its own GET, not the whole partition)."""
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for instance_id in pdf["instance_id"].dropna():
-                body = _get_json(
-                    base_url,
-                    f"/instances/{quote(str(instance_id), safe='')}",
-                    auth_token,
-                    timeout,
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            for pdf in batches:
+                ids = [str(i) for i in pdf["instance_id"].dropna()]
+                bodies = pool.map(
+                    lambda iid: _get_json(
+                        base_url,
+                        f"/instances/{quote(iid, safe='')}",
+                        auth_token,
+                        timeout,
+                    ),
+                    ids,
                 )
-                rows.append((body.get("id", instance_id), body.get("headers")))
-            yield pd.DataFrame(rows, columns=["instance_id", "csv_header"])
+                rows = [
+                    (body.get("id", iid), body.get("headers"))
+                    for iid, body in zip(ids, bodies)
+                ]
+                yield pd.DataFrame(rows, columns=["instance_id", "csv_header"])
 
     return instance_ids.select("instance_id").mapInPandas(
         scan, "instance_id string, csv_header array<string>"

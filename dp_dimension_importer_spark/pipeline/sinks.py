@@ -16,6 +16,7 @@ import json
 import os
 from collections.abc import Callable, Iterator
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dp_dimension_importer_spark.pipeline.models import EDGE_SCHEMA, NODE_SCHEMA
@@ -40,19 +41,18 @@ class ParquetGraphStore:
         self.nodes_dir = os.path.join(base_dir, "nodes")
         self.edges_dir = os.path.join(base_dir, "edges")
 
-    @staticmethod
-    def _has_data(path: str) -> bool:
-        # partitioned layout: parquet files live under instance_id=... dirs
-        for _root, _dirs, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
-
     def _read(self, path: str, schema) -> DataFrame:
-        if self._has_data(path):
+        # No pre-walk of the table tree: a directory walk is driver-side
+        # O(files ever written), reintroducing an O(history) component into
+        # a sink whose anti-join is O(batch). Attempt the schema'd read and
+        # treat a missing path as an empty table — an existing-but-empty
+        # dir already yields an empty relation because the schema is
+        # explicit (no file listing needed for inference).
+        try:
             df = self.spark.read.schema(schema).parquet(path)
             return df.select([f.name for f in schema.fields])
-        return self.spark.createDataFrame([], schema)
+        except AnalysisException:  # PATH_NOT_FOUND before the first write
+            return self.spark.createDataFrame([], schema)
 
     def nodes(self) -> DataFrame:
         return self._read(self.nodes_dir, NODE_SCHEMA)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -36,8 +37,15 @@ class _StubDatasetAPI:
     """Threaded Dataset-API stub: paginated /instances/{id}/dimensions and
     /instances/{id}, recording every request's path/query/auth header."""
 
-    def __init__(self, dims: dict[str, list[dict]], headers: dict[str, list[str]]):
+    def __init__(
+        self,
+        dims: dict[str, list[dict]],
+        headers: dict[str, list[str]],
+        delay: float = 0.0,
+    ):
         self.requests: list[dict] = []
+        self.max_in_flight = 0
+        self._in_flight = 0
         self._lock = threading.Lock()
         stub = self
 
@@ -49,6 +57,8 @@ class _StubDatasetAPI:
                 u = urlparse(self.path)
                 q = {k: v[0] for k, v in parse_qs(u.query).items()}
                 with stub._lock:
+                    stub._in_flight += 1
+                    stub.max_in_flight = max(stub.max_in_flight, stub._in_flight)
                     stub.requests.append(
                         {
                             "path": u.path,
@@ -56,28 +66,34 @@ class _StubDatasetAPI:
                             "auth": self.headers.get("Authorization"),
                         }
                     )
-                parts = u.path.strip("/").split("/")
-                if len(parts) == 3 and parts[2] == "dimensions":
-                    items = dims.get(parts[1], [])
-                    off = int(q.get("offset", 0))
-                    lim = int(q.get("limit", len(items)))
-                    body = {
-                        "items": items[off : off + lim],
-                        "total_count": len(items),
-                        "offset": off,
-                        "limit": lim,
-                    }
-                elif len(parts) == 2:
-                    body = {"id": parts[1], "headers": headers.get(parts[1])}
-                else:
-                    self.send_error(404)
-                    return
-                payload = json.dumps(body).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
+                if delay:
+                    time.sleep(delay)
+                try:
+                    parts = u.path.strip("/").split("/")
+                    if len(parts) == 3 and parts[2] == "dimensions":
+                        items = dims.get(parts[1], [])
+                        off = int(q.get("offset", 0))
+                        lim = int(q.get("limit", len(items)))
+                        body = {
+                            "items": items[off : off + lim],
+                            "total_count": len(items),
+                            "offset": off,
+                            "limit": lim,
+                        }
+                    elif len(parts) == 2:
+                        body = {"id": parts[1], "headers": headers.get(parts[1])}
+                    else:
+                        self.send_error(404)
+                        return
+                    payload = json.dumps(body).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                finally:
+                    with stub._lock:
+                        stub._in_flight -= 1
 
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self.url = f"http://127.0.0.1:{self.server.server_port}"
@@ -105,6 +121,15 @@ def stub():
     s.close()
 
 
+@pytest.fixture()
+def stub_slow():
+    s = _StubDatasetAPI(
+        {}, {f"inst-{i}": ["h"] for i in range(6)}, delay=0.25
+    )
+    yield s
+    s.close()
+
+
 def test_pagination_params_and_auth(spark, stub):
     """5 dimensions at page_size=2 → offsets exactly {0,2,4}, constant
     limit, Bearer token on every request — the paginated-batch contract of
@@ -121,6 +146,21 @@ def test_pagination_params_and_auth(spark, stub):
     assert sorted(int(r["query"]["offset"]) for r in dim_reqs) == [0, 2, 4]
     assert {r["query"]["limit"] for r in dim_reqs} == {"2"}
     assert {r["auth"] for r in stub.requests} == {"Bearer s3cret"}
+
+
+def test_instance_fetch_concurrent_gets(spark, stub_slow):
+    """Instance GETs within a partition overlap (bounded pool), so one slow
+    endpoint delays its own request, not the whole partition: 6 instances
+    behind a 0.25 s-per-request stub must show >1 request in flight at once
+    and answer every id."""
+    ids = spark.createDataFrame(
+        [(f"inst-{i}",) for i in range(6)], "instance_id string"
+    ).coalesce(1)  # single partition → overlap can only come from the pool
+    out = fetch_instances_http(ids, stub_slow.url, max_workers=6)
+    rows = out.collect()
+    assert {r.instance_id for r in rows} == {f"inst-{i}" for i in range(6)}
+    assert all(r.csv_header == ["h"] for r in rows)
+    assert stub_slow.max_in_flight > 1
 
 
 def test_import_pipeline_with_http_dimensions(spark, stub):

@@ -174,3 +174,16 @@ def test_star_contraction_matches_union_find(spark):
             r.node: r.comp for r in _components_star_contraction(df).collect()
         }
         assert got == uf(pairs)
+
+
+def test_catalog_repins_utc_on_cache_hit(spark):
+    """A caller flipping the session timezone between queries must not
+    poison cached plans: table() re-asserts the UTC pin on EVERY call,
+    including cache hits (ADVICE r2: cache hits bypassed _read_table)."""
+    from dp_dimension_importer_spark import catalog
+
+    catalog.table(spark, SF_SMOKE, "orders")  # populate cache
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    df = catalog.table(spark, SF_SMOKE, "orders")  # cache hit
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert df is catalog.table(spark, SF_SMOKE, "orders")  # still cached
