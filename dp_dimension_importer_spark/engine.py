@@ -28,10 +28,12 @@ oracle-checked queries run, so facade behavior is pinned by the same
 DuckDB parity suite.
 
 Caching note: ``jaccard_pairs`` / ``connected_components`` persist small
-intermediates (per-shingle doc sets, the pair list) and deliberately leave
+intermediates (per-shingle doc sets, the pair list) and by default leave
 them cached so repeat invocations on the same input reuse them. In a
-long-lived session processing MANY different inputs, call
-``spark.catalog.clearCache()`` between corpora to release them.
+long-lived session processing MANY different inputs, either pass
+``unpersist_after=True`` (materializes the small result, releases the
+internal caches immediately — the caller unpersists the returned frame
+when done) or call ``spark.catalog.clearCache()`` between corpora.
 """
 
 from __future__ import annotations

@@ -189,10 +189,18 @@ def jaccard_pairs(
     text_col: str = "text",
     df_cap: int = DF_CAP,
     threshold: float = JACCARD_T,
+    unpersist_after: bool = False,
 ) -> DataFrame:
     """Public DataFrame-in core (engine facade): exact n-gram Jaccard
     near-dup pairs (da, db, jaccard) over any table with an id and a text
-    column. Plan shape documented on the registered query above."""
+    column. Plan shape documented on the registered query above.
+
+    ``unpersist_after=True`` trades laziness for bounded cache: the (small,
+    above-threshold) pair result is persisted and materialized, the internal
+    per-shingle cache is released immediately, and the caller owns
+    unpersisting the returned frame. Default False keeps the lazy plan and
+    leaves the internal cache live for repeat invocations (long-lived
+    multi-corpus sessions should pass True or clearCache between corpora)."""
     sh = shingle_hashes(documents, id_col, text_col).select(
         "doc_id", F.col("h").alias("shingle")
     )
@@ -249,12 +257,17 @@ def jaccard_pairs(
     # NO broadcast hint on the count joins: cnt has one row per document —
     # corpus-proportional, exactly what must never be forced through the
     # driver at scale. AQE still picks a broadcast at small actual sizes.
-    return (
+    out = (
         pairs.join(ca, "da")
         .join(cb, "db")
         .filter(jac >= threshold)
         .select("da", "db", F.round(jac, 4).alias("jaccard"))
     )
+    if unpersist_after:
+        out = out.persist()
+        out.count()  # materialize past the internal cache before dropping it
+        per.unpersist()
+    return out
 
 
 #: below this pair count, components are computed by one executor-side
@@ -360,7 +373,12 @@ def dedup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def connected_components(pair_df: DataFrame, src: str = "da", dst: str = "db") -> DataFrame:
+def connected_components(
+    pair_df: DataFrame,
+    src: str = "da",
+    dst: str = "db",
+    unpersist_after: bool = False,
+) -> DataFrame:
     """Public DataFrame-in core (engine facade): exact connected components
     of an undirected pair graph → (node, comp) with comp = min node id in
     the component. Two execution paths on the SAME contract:
@@ -372,6 +390,10 @@ def connected_components(pair_df: DataFrame, src: str = "da", dst: str = "db") -
     * large graph: alternating large-star/small-star contraction
       (:func:`_components_star_contraction`) — rounds grow with log of the
       component size, independent of graph diameter.
+
+    ``unpersist_after=True``: materialize the (node, comp) result (persisted
+    — caller owns releasing it) and drop the internal edge cache before
+    returning, so a long-lived session doesn't accumulate entries.
     """
     pairs = pair_df.select(
         F.col(src).alias("da"), F.col(dst).alias("db")
@@ -379,11 +401,16 @@ def connected_components(pair_df: DataFrame, src: str = "da", dst: str = "db") -
     # materializing the cache also yields the edge count for free
     n_pairs = pairs.count()
     if n_pairs < _CC_LOCAL_MAX_PAIRS:
-        # NOT unpersisted: the returned plan is lazy — dropping the cache
-        # here would recompute the whole pair pipeline when the caller
-        # finally evaluates. The cached pair list is tiny by construction
-        # (< _CC_LOCAL_MAX_PAIRS rows) and LRU-evictable.
-        return _components_single_partition(pairs)
+        comp = _components_single_partition(pairs)
+        if unpersist_after:
+            comp = comp.persist()
+            comp.count()  # evaluate past the edge cache before dropping it
+            pairs.unpersist()
+        # else NOT unpersisted: the returned plan is lazy — dropping the
+        # cache here would recompute the whole pair pipeline when the
+        # caller finally evaluates. The cached pair list is tiny by
+        # construction (< _CC_LOCAL_MAX_PAIRS rows) and LRU-evictable.
+        return comp
     # star path: its per-round collects run while the cache is live, so
     # releasing it after convergence is safe
     comp = _components_star_contraction(pairs)

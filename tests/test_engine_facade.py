@@ -74,3 +74,38 @@ def test_connected_components_string_ids(spark):
         for r in dedup._components_star_contraction(pairs).collect()
     }
     assert star == want
+
+
+def test_unpersist_after_releases_internal_caches(spark):
+    """unpersist_after=True materializes the result and releases the
+    operators' internal caches, so a long-lived session's storage doesn't
+    grow per corpus; results are identical to the lazy default."""
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over a lazy dog"),
+            (4, "completely different content about spark engines"),
+        ],
+        "id long, body string",
+    )
+    pairs = engine.jaccard_pairs(
+        df, id_col="id", text_col="body", threshold=0.35, unpersist_after=True
+    )
+    clusters = engine.connected_components(
+        pairs.select("da", "db"), unpersist_after=True
+    )
+    assert {(r.da, r.db) for r in pairs.collect()} == {(1, 2), (1, 3), (2, 3)}
+    assert {r.node: r.comp for r in clusters.collect()} == {1: 1, 2: 1, 3: 1}
+    # the RESULTS are persisted (caller-owned)...
+    assert pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+    assert clusters.storageLevel.useMemory or clusters.storageLevel.useDisk
+    # ...and they are the ONLY SQL-cache entries: releasing them leaves the
+    # cache manager empty, i.e. the internal per-shingle / edge-list caches
+    # were already dropped by unpersist_after. (RDD-storage counting is
+    # flaky here — ContextCleaner GCs old localCheckpoint RDDs mid-test;
+    # the SQL cache manager is deterministic.)
+    pairs.unpersist(blocking=True)
+    clusters.unpersist(blocking=True)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
