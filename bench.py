@@ -49,15 +49,27 @@ def main() -> None:
     only = {n for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n}
     # BASELINE.md protocol: per query, 1 warm-up run then median of 3 timed
     # runs (SPARK_GRAFT_BENCH_RUNS=1 for a quick cold single-pass instead).
+    # Round-2 lesson: sub-second queries showed ±0.1 s round-to-round drift
+    # on UNTOUCHED code — isolated re-runs confirmed pure measurement noise
+    # (JIT/GC interference from the ~90 queries that run before them). Two
+    # mitigations: a GC barrier after each warm-up (accumulated garbage
+    # from earlier queries can't stall a later query's timed samples), and
+    # median-of-5 instead of 3 for queries whose warm-up ran sub-second
+    # (widest relative noise, cheapest to re-sample).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         if name in EXCLUDE or (only and name not in only):
             continue
+        n_samples = runs
         if runs > 1:
+            w0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()  # warm-up
+            if time.perf_counter() - w0 < 1.0:
+                n_samples = max(runs, 5)
+            spark.sparkContext._jvm.System.gc()
         samples = []
-        for _ in range(runs):
+        for _ in range(n_samples):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)

@@ -483,3 +483,108 @@ def tfidf_top_terms(spark, sf_dir):
         .select("source", "term", "tf", F.round(raw, 4).alias("score"))
         .orderBy("source", "term")
     )
+
+
+@register(
+    "text_repetition_filter",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), cnt AS (
+        SELECT doc_id, t, COUNT(*) AS c
+        FROM tok WHERE t != '' GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT)                      AS n_tokens,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4)   AS top_token_share,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS distinct_ratio,
+           (CAST(MAX(c) AS DOUBLE) / SUM(c)) > 0.12    AS flagged
+    FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    """Repetition-based quality signals (the Gopher-rules family): per-doc
+    top-token share and distinct-token ratio, with a flag for docs whose
+    most frequent token exceeds 12% of all tokens — the standard screen for
+    boilerplate/keyword-stuffed pages before pretraining.
+
+    Scale: the classic two-level wordcount shape — explode feeds a
+    (doc_id, token) groupBy with map-side combine (shuffle rows are
+    (doc_id, token, cnt), never raw text), then a doc-sized second
+    aggregate. Both shuffles partial-aggregate; nothing is
+    corpus-quadratic and no token list is ever collected."""
+    t = load_tables(spark, sf_dir)
+    tokens = t.documents.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"),
+    )
+    cnt = tokens.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    share = F.col("mx").cast("double") / F.col("n_tokens")
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("mx"),
+            F.count("*").alias("nd"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(share, 4).alias("top_token_share"),
+            F.round(F.col("nd").cast("double") / F.col("n_tokens"), 4).alias(
+                "distinct_ratio"
+            ),
+            (share > 0.12).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), tok2 AS (
+        SELECT doc_id, t FROM tok WHERE t != ''
+    ), cf AS (
+        SELECT t, COUNT(*) AS c FROM tok2 GROUP BY t
+    ), tot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS s FROM cf
+    )
+    SELECT doc_id, ROUND(AVG(LN(CAST(c AS DOUBLE) / s)), 4) AS avg_logprob
+    FROM tok2 JOIN cf USING (t) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Per-doc average token log-probability under the corpus unigram
+    distribution — the cheap LM-quality score (the CCNet idea with a
+    unigram model instead of a trained KenLM): fluent/common text scores
+    high, gibberish and out-of-domain docs score low. Rank/filter docs by
+    ``avg_logprob`` to build a quality-stratified training mix.
+
+    Scale: corpus frequencies are VOCABULARY-sized, exploded tokens are
+    corpus-sized. The tokens⋈cf equi-join shuffles on token — the same
+    exchange the cf aggregate already produced, so Spark reuses it for the
+    probe side; no broadcast hint on cf (web-scale vocabularies are not
+    broadcastable — AQE still picks one when actual size allows). The
+    1-row corpus total IS forced broadcast."""
+    t = load_tables(spark, sf_dir)
+    tokens = t.documents.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"),
+    )
+    cf = tokens.groupBy("t").agg(F.count("*").alias("c"))
+    tot = cf.agg(F.sum("c").cast("double").alias("s"))
+    return (
+        tokens.join(cf, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("s"))), 4
+            ).alias("avg_logprob")
+        )
+        .orderBy("doc_id")
+    )
