@@ -874,3 +874,66 @@ def fuzzy_dedup_names(spark, sf_dir):
         .distinct()
         .orderBy("na", "nb")
     )
+
+
+@register(
+    "dedup_keep_corpus",
+    sql=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    ok  AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    pairs0 AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pr AS (
+        SELECT da, db FROM pairs0
+        JOIN cnt ca ON ca.doc_id = da
+        JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= {JACCARD_T}
+    ),
+    edges AS (SELECT da AS src, db AS dst FROM pr
+              UNION ALL SELECT db, da FROM pr),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    LEFT JOIN (SELECT node FROM comp WHERE node != cluster_id) dropd
+           ON d.doc_id = dropd.node
+    WHERE dropd.node IS NULL
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_keep_corpus(spark, sf_dir):
+    """END-TO-END near-dup removal — the op a pretraining pipeline actually
+    runs: shingle → exact-Jaccard pairs → connected components → keep one
+    doc per cluster (the min doc_id) → surviving corpus rows. Composes the
+    oracle-checked pieces (:func:`jaccard_pairs`,
+    :func:`connected_components`) into the deliverable keep-list, checked
+    end-to-end against a single DuckDB query (recursive-CTE closure +
+    anti-join).
+
+    Scale: the drop-list is PAIR-GRAPH-sized (near-dups are a sliver of
+    any real corpus) while the kept side is the full corpus — exactly the
+    asymmetry a broadcast anti-join wants, and the plan gets one from AQE
+    without a hint (a forced broadcast would be wrong on adversarial
+    corpora where most docs are near-dups). The corpus scan prunes to the
+    3 output columns."""
+    t = load_tables(spark, sf_dir)
+    pairs = _jaccard_pairs(spark, sf_dir).select("da", "db")
+    drop = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        t.documents.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -565,26 +565,29 @@ def text_unigram_logprob(spark, sf_dir):
     ``avg_logprob`` to build a quality-stratified training mix.
 
     Scale: corpus frequencies are VOCABULARY-sized, exploded tokens are
-    corpus-sized. The tokens⋈cf equi-join shuffles on token — the same
-    exchange the cf aggregate already produced, so Spark reuses it for the
-    probe side; no broadcast hint on cf (web-scale vocabularies are not
-    broadcastable — AQE still picks one when actual size allows). The
-    1-row corpus total IS forced broadcast."""
+    corpus-sized. The corpus total is folded into the frequency table via
+    an unpartitioned window over cf — that window moves only VOCAB rows to
+    one task, and it saves a third full corpus scan (a separate
+    ``cf.agg(sum)`` subplan would re-read documents; `.explain` confirmed
+    3 FileScans → 2). Per-token log-probs are computed on the vocab table,
+    so the corpus-sized join carries one double per token. No broadcast
+    hint on cf (web-scale vocabularies are not broadcastable — Catalyst/
+    AQE still picks one when actual size allows)."""
     t = load_tables(spark, sf_dir)
     tokens = t.documents.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"),
     )
     cf = tokens.groupBy("t").agg(F.count("*").alias("c"))
-    tot = cf.agg(F.sum("c").cast("double").alias("s"))
+    logp = cf.select(
+        "t",
+        F.log(
+            F.col("c").cast("double") / F.sum("c").over(W.partitionBy())
+        ).alias("lp"),
+    )
     return (
-        tokens.join(cf, "t")
-        .crossJoin(F.broadcast(tot))
+        tokens.join(logp, "t")
         .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.avg(F.log(F.col("c").cast("double") / F.col("s"))), 4
-            ).alias("avg_logprob")
-        )
+        .agg(F.round(F.avg("lp"), 4).alias("avg_logprob"))
         .orderBy("doc_id")
     )

@@ -246,3 +246,34 @@ def test_exact_cosine_corpus_scan_has_no_lambda_projection(spark):
     phys = plan.split("== Physical Plan ==")[-1]
     # the fold appears exactly once (rerank projection), not per scan branch
     assert phys.count("aggregate(zip_with") <= 1
+
+
+def test_repetition_filter_two_level_wordcount(spark):
+    """text_repetition_filter must be the two-level wordcount shape: both
+    aggregations partial+final (4 HashAggregate levels around 2 hash
+    exchanges), the scan pruned to (doc_id, text), and zero Python in the
+    plan — at 100 TB the shuffles carry (doc_id, token, cnt) rows only."""
+    plan = plan_of(QUERIES["text_repetition_filter"](spark, SF_SMOKE), "simple")
+    assert plan.count("HashAggregate") == 4
+    assert plan.count("Exchange hashpartitioning") == 2
+    sched = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in sched and "lang" not in sched and "source" not in sched
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_unigram_logprob_single_corpus_token_pass(spark):
+    """text_unigram_logprob must read the corpus exactly twice (token
+    stream + vocabulary aggregate) — the corpus total comes from a window
+    over the VOCAB-sized frequency table, not a third scan — and the
+    single-partition exchange must sit above the vocab aggregate, never
+    above the raw token stream."""
+    plan = plan_of(QUERIES["text_unigram_logprob"](spark, SF_SMOKE), "simple")
+    assert plan.count("FileScan") == 2
+    lines = plan.splitlines()
+    sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert len(sp) == 1
+    # the subtree under the SinglePartition exchange is the (already
+    # aggregated) vocab table: a HashAggregate appears between it and its
+    # FileScan
+    below = "\n".join(lines[sp[0]:])
+    assert "HashAggregate" in below.split("FileScan")[0]
