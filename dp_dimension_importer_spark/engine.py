@@ -50,6 +50,10 @@ from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
     minhash_signatures,
     shingle_hashes,
 )
+from dp_dimension_importer_spark.operators.text import (  # noqa: F401
+    repetition_metrics,
+    unigram_logprob,
+)
 from dp_dimension_importer_spark.pipeline.http_client import (  # noqa: F401
     fetch_dimensions_http,
     fetch_instances_http,
@@ -67,6 +71,8 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signatures",
     "shingle_hashes",
+    "repetition_metrics",
+    "unigram_logprob",
     "fetch_dimensions_http",
     "fetch_instances_http",
     "run_import",

@@ -503,9 +503,21 @@ def tfidf_top_terms(spark, sf_dir):
     """,
 )
 def text_repetition_filter(spark, sf_dir):
-    """Repetition-based quality signals (the Gopher-rules family): per-doc
-    top-token share and distinct-token ratio, with a flag for docs whose
-    most frequent token exceeds 12% of all tokens — the standard screen for
+    """Repetition-based quality signals (the Gopher-rules family) over the
+    fixture corpus — core in :func:`repetition_metrics`."""
+    t = load_tables(spark, sf_dir)
+    return repetition_metrics(t.documents).orderBy("doc_id")
+
+
+def repetition_metrics(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flag_share: float = 0.12,
+):
+    """Public DataFrame-in core (engine facade): per-doc top-token share
+    and distinct-token ratio, with a flag for docs whose most frequent
+    token exceeds ``flag_share`` of all tokens — the standard screen for
     boilerplate/keyword-stuffed pages before pretraining.
 
     Scale: the classic two-level wordcount shape — explode feeds a
@@ -513,10 +525,9 @@ def text_repetition_filter(spark, sf_dir):
     (doc_id, token, cnt), never raw text), then a doc-sized second
     aggregate. Both shuffles partial-aggregate; nothing is
     corpus-quadratic and no token list is ever collected."""
-    t = load_tables(spark, sf_dir)
-    tokens = t.documents.select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"),
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(text_col, " "), lambda x: x != "")).alias("t"),
     )
     cnt = tokens.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
     share = F.col("mx").cast("double") / F.col("n_tokens")
@@ -534,9 +545,8 @@ def text_repetition_filter(spark, sf_dir):
             F.round(F.col("nd").cast("double") / F.col("n_tokens"), 4).alias(
                 "distinct_ratio"
             ),
-            (share > 0.12).alias("flagged"),
+            (share > flag_share).alias("flagged"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -558,11 +568,19 @@ def text_repetition_filter(spark, sf_dir):
     """,
 )
 def text_unigram_logprob(spark, sf_dir):
-    """Per-doc average token log-probability under the corpus unigram
-    distribution — the cheap LM-quality score (the CCNet idea with a
-    unigram model instead of a trained KenLM): fluent/common text scores
-    high, gibberish and out-of-domain docs score low. Rank/filter docs by
-    ``avg_logprob`` to build a quality-stratified training mix.
+    """CCNet-style unigram LM quality score over the fixture corpus —
+    core in :func:`unigram_logprob`."""
+    t = load_tables(spark, sf_dir)
+    return unigram_logprob(t.documents).orderBy("doc_id")
+
+
+def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Public DataFrame-in core (engine facade): per-doc average token
+    log-probability under the corpus unigram distribution — the cheap
+    LM-quality score (the CCNet idea with a unigram model instead of a
+    trained KenLM): fluent/common text scores high, gibberish and
+    out-of-domain docs score low. Rank/filter docs by ``avg_logprob`` to
+    build a quality-stratified training mix.
 
     Scale: corpus frequencies are VOCABULARY-sized, exploded tokens are
     corpus-sized. The corpus total is folded into the frequency table via
@@ -573,10 +591,9 @@ def text_unigram_logprob(spark, sf_dir):
     so the corpus-sized join carries one double per token. No broadcast
     hint on cf (web-scale vocabularies are not broadcastable — Catalyst/
     AQE still picks one when actual size allows)."""
-    t = load_tables(spark, sf_dir)
-    tokens = t.documents.select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"),
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(text_col, " "), lambda x: x != "")).alias("t"),
     )
     cf = tokens.groupBy("t").agg(F.count("*").alias("c"))
     logp = cf.select(
@@ -589,5 +606,4 @@ def text_unigram_logprob(spark, sf_dir):
         tokens.join(logp, "t")
         .groupBy("doc_id")
         .agg(F.round(F.avg("lp"), 4).alias("avg_logprob"))
-        .orderBy("doc_id")
     )

@@ -109,3 +109,23 @@ def test_unpersist_after_releases_internal_caches(spark):
     pairs.unpersist(blocking=True)
     clusters.unpersist(blocking=True)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_quality_scores_on_arbitrary_dataframe(spark):
+    """repetition_metrics / unigram_logprob run on user column names; the
+    repeated-token doc flags and scores below the varied one."""
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam ham"),
+            (2, "a varied sentence with nine entirely unique words here"),
+        ],
+        "id long, body string",
+    )
+    rep = {r.doc_id: r for r in
+           engine.repetition_metrics(df, id_col="id", text_col="body").collect()}
+    assert rep[1].flagged and not rep[2].flagged
+    assert rep[1].top_token_share > 0.8 and rep[2].distinct_ratio == 1.0
+    lp = {r.doc_id: r.avg_logprob for r in
+          engine.unigram_logprob(df, id_col="id", text_col="body").collect()}
+    # doc 1 is dominated by the corpus's most common token -> higher logprob
+    assert lp[1] > lp[2]
