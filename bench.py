@@ -32,6 +32,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q50_stateful_dedup",
     "q51_stateful_running_agg",
     "q52_stream_stream_join",
+    "q52b_stream_stream_left_join",
     "q53_stream_static_join",
 }
 

@@ -306,3 +306,82 @@ def q53_stream_static_join(spark, sf_dir):
 
     out = run_replay(spark, replay_dir, events.schema, transform, "append")
     return out.orderBy("event_id")
+
+
+@register(
+    "q52b_stream_stream_left_join",
+    sql="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q52b_stream_stream_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER join with event-time bounds: q52's
+    click→purchase attribution, but unconverted clicks surface too (the
+    shape a funnel/abandonment pipeline needs). The outer side makes this
+    the strictly harder streaming problem: a null-padded row may only emit
+    once the purchase-side watermark proves no match can still arrive
+    (click.ts + 1h < watermark), so emission is watermark-GATED, not just
+    watermark-evicted — the replay's two far-future sentinel batches are
+    what flush the final unmatched clicks before the drain stops
+    (streaming/replay.py:75-92), mirroring the reference's
+    drain-then-stop shutdown (R23).
+
+    State stays bounded exactly as in q52: ~1 hour of events per side.
+    Batch-oracle equivalence: with the watermark advanced past every real
+    event, matched rows equal the inner join and every unmatched click has
+    emitted with nulls, so the final table equals the batch LEFT JOIN."""
+    events = table(spark, sf_dir, "events")
+    replay_dir = write_replay_dir(events, n_files=2, sentinel=True)
+
+    def transform(stream):
+        # The sentinel rows must ride BOTH sides: outer-join finalization is
+        # gated by the GLOBAL watermark (the min over every input's
+        # watermark), so a sentinel that advances only the purchase side
+        # leaves the click-side watermark at (last real click - 1h) and the
+        # final hour of unmatched clicks never emits. Sentinel rows
+        # self-join (user_id -1, same ts) into rows with click_id = -1,
+        # dropped by the post-join filter.
+        clicks = (
+            stream.filter(F.col("event_type").isin("click", SENTINEL_TYPE))
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_type").isin("purchase", SENTINEL_TYPE))
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        # NO sentinel filter inside the streaming plan: a filter on the
+        # left key pushes through the left-outer join to below the
+        # click-side watermark node, so the sentinels never advance that
+        # watermark and the final hour of unmatched clicks NEVER emits
+        # (reproduced + pinned in tests/test_streaming.py). Sentinel
+        # artifacts (click_id = -1) are dropped from the materialized
+        # result instead.
+        return clicks.join(
+            purchases,
+            F.expr(
+                "p_user = c_user AND p_ts >= c_ts "
+                "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+            ),
+            "left_outer",
+        ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+
+    out = run_replay(spark, replay_dir, events.schema, transform, "append")
+    return (
+        out.filter(F.col("click_id") != -1)
+        .orderBy("click_id", "purchase_id")
+    )

@@ -246,3 +246,36 @@ def test_stream_stream_join_matches_batch(spark, duck):
     ]
     exp = [tuple(r) for r in duck.execute(ORACLE_SQL["q52_stream_stream_join"]).fetchall()]
     assert got == exp and len(got) > 0
+
+
+def test_outer_join_unmatched_tail_emits(spark, duck):
+    """Left-outer stream-stream join: the unmatched clicks in the stream's
+    FINAL watermark-delay window must still emit null rows. Pins the
+    pushdown hazard found building q52b: a sentinel filter INSIDE the
+    streaming plan pushes below the click-side watermark node, stalls that
+    watermark at (last real click - 1h), and silently swallows the tail.
+    The operator filters the materialized result instead."""
+    from dp_dimension_importer_spark.registry import ORACLE_SQL, QUERIES
+
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in QUERIES["q52b_stream_stream_left_join"](spark, SF_SMOKE).collect()
+    }
+    exp = {
+        (r[0], r[1])
+        for r in duck.execute(
+            ORACLE_SQL["q52b_stream_stream_left_join"]
+        ).fetchall()
+    }
+    assert got == exp
+    # the regression's signature: the latest unmatched click is present
+    events = table(spark, SF_SMOKE, "events")
+    last_unmatched = (
+        duck.execute(
+            ORACLE_SQL["q52b_stream_stream_left_join"]
+            .replace("ORDER BY click_id, purchase_id", "")
+            + " QUALIFY ROW_NUMBER() OVER (ORDER BY c.ts DESC) = 1"
+        ).fetchall()
+    )
+    assert events.count() > 0 and len(last_unmatched) == 1
+    assert (last_unmatched[0][0], last_unmatched[0][1]) in got
