@@ -33,6 +33,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q51_stateful_running_agg",
     "q52_stream_stream_join",
     "q52b_stream_stream_left_join",
+    "q52c_stream_stream_full_join",
     "q53_stream_static_join",
 }
 

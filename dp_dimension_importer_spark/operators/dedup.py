@@ -937,3 +937,70 @@ def dedup_keep_corpus(spark, sf_dir):
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_dup_ngram_share",
+    sql="""
+    WITH tk AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   UNNEST(CASE WHEN len(tk) >= 8
+                          THEN list_transform(generate_series(1, len(tk) - 7),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                 || ' ' || tk[i+3] || ' ' || tk[i+4]
+                                 || ' ' || tk[i+5] || ' ' || tk[i+6]
+                                 || ' ' || tk[i+7])
+                          ELSE CAST([] AS VARCHAR[]) END) AS shingle
+            FROM tk)
+    ),
+    dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 4) AS dup_share
+    FROM sh JOIN dfc USING (shingle)
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
+)
+def text_dup_ngram_share(spark, sf_dir):
+    """Duplicated-span screen (the BigCode/substring-dedup family's cheap
+    cousin): per doc, the fraction of its distinct 8-grams that also
+    appear in at least one OTHER document — high share means the doc is
+    largely assembled from corpus-repeated spans (boilerplate, mirrors,
+    templating) even when no single whole-doc near-dup exists. Rank by
+    ``dup_share`` to prioritize span-level dedup or drop.
+
+    Scale: reuses :func:`shingle_hashes` (k=8) — every shuffled row is
+    (doc_id, 8-byte gram hash), never gram STRINGS. One shuffle builds
+    per-gram document frequencies; the join back to the per-doc gram list
+    shuffles on the same gram-hash key, so the Exchange is reused; the
+    final aggregate is doc-keyed. Same single-wide-shuffle budget as
+    dedup_ngram_jaccard, no quadratic term anywhere. (Gram identity is a
+    64-bit hash both here and conceptually in the oracle's string grams —
+    at 2^32 distinct grams the collision odds are ~2^-1, so a production
+    run at that scale widens to 128-bit via two seeds; the contract and
+    plan shape are unchanged.)"""
+    t = load_tables(spark, sf_dir)
+    sh = shingle_hashes(t.documents, k=8).dropDuplicates(["doc_id", "h"])
+    dfc = sh.groupBy("h").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("dup"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.round(
+                F.col("dup").cast("double") / F.col("n_grams"), 4
+            ).alias("dup_share"),
+        )
+        .orderBy("doc_id")
+    )

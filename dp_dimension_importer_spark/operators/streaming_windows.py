@@ -385,3 +385,74 @@ def q52b_stream_stream_left_join(spark, sf_dir):
         out.filter(F.col("click_id") != -1)
         .orderBy("click_id", "purchase_id")
     )
+
+
+@register(
+    "q52c_stream_stream_full_join",
+    sql="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           COALESCE(c.user_id, p.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q52c_stream_stream_full_join(spark, sf_dir):
+    """Stream-stream FULL OUTER join with event-time bounds: q52b's funnel
+    plus the mirror image — purchases with no qualifying prior click
+    (organic/attribution-less conversions) emit null-click rows. Each
+    side's null emission is gated by the OTHER side's watermark proving no
+    match can still arrive; state stays bounded at ~1 hour per side
+    exactly as in q52/q52b.
+
+    Same pushdown hazard as q52b: sentinel artifacts are dropped from the
+    MATERIALIZED result, never inside the streaming plan (a key filter
+    would push below a watermark node and stall it — see
+    tests/test_streaming.py). The null-safe drop condition matters: a
+    plain ``!= -1`` is NULL for the outer rows and would silently delete
+    every null-padded row the operator exists to produce."""
+    events = table(spark, sf_dir, "events")
+    replay_dir = write_replay_dir(events, n_files=2, sentinel=True)
+
+    def transform(stream):
+        clicks = (
+            stream.filter(F.col("event_type").isin("click", SENTINEL_TYPE))
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_type").isin("purchase", SENTINEL_TYPE))
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return clicks.join(
+            purchases,
+            F.expr(
+                "p_user = c_user AND p_ts >= c_ts "
+                "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+            ),
+            "full_outer",
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.coalesce("c_user", "p_user").alias("user_id"),
+        )
+
+    out = run_replay(spark, replay_dir, events.schema, transform, "append")
+    return (
+        out.filter(
+            ~F.coalesce(F.col("click_id"), F.lit(0)).eqNullSafe(-1)
+            & ~F.coalesce(F.col("purchase_id"), F.lit(0)).eqNullSafe(-1)
+        )
+        .orderBy("click_id", "purchase_id")
+    )
