@@ -476,3 +476,42 @@ def embedding_centroid(spark, sf_dir):
         .agg((F.round(F.avg("col"), 3) + F.lit(0.0)).alias("centroid"))
         .orderBy("label", "dim")
     )
+
+
+@register("ann_ivf_topk")  # rows-only: recall-gated vs q43b_cosine_topk
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN generalized to top-K (K = TOP_K, matching the exact q43b
+    baseline): same bounded-sample centroid fit, same (vec_id, cell)-only
+    candidate join, but the finish is a per-query top-K window over the
+    exact-reranked candidates instead of ann_ivf_top1's single max_by —
+    rank ties break (cos DESC, nn_id ASC) so output is deterministic.
+    Queries whose probed cells hold fewer than K candidates return fewer
+    rows (approximate contract; the recall gate measures overlap with the
+    exact top-K, tests/test_recall.py)."""
+    t = load_tables(spark, sf_dir)
+    cells_of = make_ivf_cells_udf(_ivf_centroids(t.embeddings), IVF_NPROBE)
+    ec = t.embeddings.select("vec_id", cells_of("embedding").alias("cells"))
+    corpus = ec.select("vec_id", F.element_at("cells", 1).alias("cell"))
+    q = ec.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("qid"), F.explode("cells").alias("cell")
+    )
+    cand = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nn_id"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cos").desc(), "nn_id")
+    )
+    return (
+        _rerank_cos(t.embeddings, cand)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "rk",
+            "nn_id",
+            F.col("cos").alias("cos_sim"),
+        )
+        .orderBy("vec_id", "rk")
+    )

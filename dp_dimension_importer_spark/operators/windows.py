@@ -305,7 +305,9 @@ GAPFILL_MIN_VALUE = 8
     sql=f"""
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
-               ROUND(AVG(value), 4) AS v
+               CAST((SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                     + 50 * COUNT(*)) // (100 * COUNT(*)) AS DOUBLE)
+               / 10000.0 AS v
         FROM events WHERE value >= {GAPFILL_MIN_VALUE} GROUP BY 1, 2
     ), span AS (
         SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
@@ -337,10 +339,31 @@ def ts_gapfill_locf(spark, sf_dir):
     map-side combinable, the spine join is on (series, hour) co-partitioned
     keys, and the fill is one ordered window per series."""
     t = load_tables(spark, sf_dir)
+    # Bucket average via EXACT integer arithmetic end to end, not
+    # ROUND(AVG(double), 4): double summation is order-dependent (Spark's
+    # partial/final agg order differs from DuckDB's — at sf0.1 three
+    # buckets landed one ulp from a .00005 boundary and flipped the last
+    # digit; found by the full sf0.1 oracle sweep), and even with exact
+    # sums the two engines' ROUND disagree on exact half-boundaries
+    # (Spark: BigDecimal HALF_UP on the double's full expansion; DuckDB:
+    # x*1e4 → nearbyint). So: quantize each value to integer micros,
+    # integer-sum (associative, exact), and round-half-up IN INTEGER
+    # SPACE — (sum + 50 n) div (100 n) — then divide by 1e4 once. Every
+    # step is exact and engine-independent; the int64 headroom holds to
+    # ~9e15 micro-units per bucket (≈ 9×10^9 rows/bucket at value≈100).
+    micros = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
     hourly = (
         t.events.filter(F.col("value") >= GAPFILL_MIN_VALUE)
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
-        .agg(F.round(F.avg("value"), 4).alias("v"))
+        .agg(F.sum(micros).alias("sm"), F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "h",
+            (
+                F.expr("(sm + 50 * n) div (100 * n)").cast("double")
+                / F.lit(10000.0)
+            ).alias("v"),
+        )
     )
     spine = (
         hourly.groupBy("event_type")

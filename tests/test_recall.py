@@ -119,3 +119,20 @@ def test_approx_quantiles_tolerance(q):
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
             assert abs(a - e) <= 0.01 * abs(e), f"{k}: approx {a} vs exact {e}"
+
+
+def test_ann_ivf_topk_recall(q):
+    """IVF top-K overlap with the exact top-K (q43b): mean per-query
+    recall@K must clear the same floor as top-1 — probing NPROBE cells
+    keeps most of the true neighborhood in the candidate set."""
+    exact: dict[int, set[int]] = {}
+    for r in q("q43b_cosine_topk"):
+        exact.setdefault(r.vec_id, set()).add(r.nn_id)
+    approx: dict[int, set[int]] = {}
+    for r in q("ann_ivf_topk"):
+        approx.setdefault(r.vec_id, set()).add(r.nn_id)
+    recalls = [
+        len(exact[v] & approx.get(v, set())) / len(exact[v]) for v in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.75, f"ann_ivf_topk recall@K {mean_recall:.2f} < 0.75"

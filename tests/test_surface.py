@@ -81,6 +81,7 @@ NO_ORACLE_OK = {
     "dedup_simhash",
     "ann_lsh_top1",
     "ann_ivf_top1",
+    "ann_ivf_topk",
     "agg_approx_quantiles",
     "agg_approx_count_distinct",
 }
