@@ -45,6 +45,7 @@ from dp_dimension_importer_spark.operators.analytics import (  # noqa: F401
 )
 from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
     connected_components,
+    dup_ngram_share,
     exact_duplicates,
     jaccard_pairs,
     minhash_signatures,
@@ -67,6 +68,7 @@ __all__ = [
     "split_col",
     "stratified_sample",
     "connected_components",
+    "dup_ngram_share",
     "exact_duplicates",
     "jaccard_pairs",
     "minhash_signatures",

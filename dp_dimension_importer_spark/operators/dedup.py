@@ -968,14 +968,27 @@ def dedup_keep_corpus(spark, sf_dir):
     """,
 )
 def text_dup_ngram_share(spark, sf_dir):
-    """Duplicated-span screen (the BigCode/substring-dedup family's cheap
-    cousin): per doc, the fraction of its distinct 8-grams that also
-    appear in at least one OTHER document — high share means the doc is
-    largely assembled from corpus-repeated spans (boilerplate, mirrors,
-    templating) even when no single whole-doc near-dup exists. Rank by
-    ``dup_share`` to prioritize span-level dedup or drop.
+    """Duplicated-span screen over the fixture corpus — core in
+    :func:`dup_ngram_share`."""
+    t = load_tables(spark, sf_dir)
+    return dup_ngram_share(t.documents).orderBy("doc_id")
 
-    Scale: reuses :func:`shingle_hashes` (k=8) — every shuffled row is
+
+def dup_ngram_share(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Public DataFrame-in core (engine facade): the BigCode/substring-
+    dedup family's cheap cousin — per doc, the fraction of its distinct
+    k-grams that also appear in at least one OTHER document. High share
+    means the doc is largely assembled from corpus-repeated spans
+    (boilerplate, mirrors, templating) even when no single whole-doc
+    near-dup exists. Rank by ``dup_share`` to prioritize span-level dedup
+    or drop.
+
+    Scale: reuses :func:`shingle_hashes` — every shuffled row is
     (doc_id, 8-byte gram hash), never gram STRINGS. One shuffle builds
     per-gram document frequencies; the join back to the per-doc gram list
     shuffles on the same gram-hash key, so the Exchange is reused; the
@@ -985,8 +998,9 @@ def text_dup_ngram_share(spark, sf_dir):
     at 2^32 distinct grams the collision odds are ~2^-1, so a production
     run at that scale widens to 128-bit via two seeds; the contract and
     plan shape are unchanged.)"""
-    t = load_tables(spark, sf_dir)
-    sh = shingle_hashes(t.documents, k=8).dropDuplicates(["doc_id", "h"])
+    sh = shingle_hashes(df, id_col, text_col, k=k).dropDuplicates(
+        ["doc_id", "h"]
+    )
     dfc = sh.groupBy("h").agg(F.count("*").alias("df"))
     return (
         sh.join(dfc, "h")
@@ -1002,5 +1016,4 @@ def text_dup_ngram_share(spark, sf_dir):
                 F.col("dup").cast("double") / F.col("n_grams"), 4
             ).alias("dup_share"),
         )
-        .orderBy("doc_id")
     )

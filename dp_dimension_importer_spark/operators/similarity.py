@@ -528,3 +528,45 @@ def ann_ivf_topk(spark, sf_dir):
         )
         .orderBy("vec_id", "rk")
     )
+
+
+@register("ann_lsh_topk")  # rows-only: recall-gated vs q43b_cosine_topk
+def ann_lsh_topk(spark, sf_dir):
+    """Multi-table LSH ANN generalized to top-K (K = TOP_K): same
+    (vec_id, bkey)-only bucket join as ann_lsh_top1, then dedup of
+    multi-table candidate collisions — REQUIRED here, unlike top-1 where a
+    duplicate can't change a max, because a repeated neighbor would occupy
+    two window ranks — then the exact rerank and a per-query top-K window
+    with the (cos DESC, nn_id ASC) tie-break. The dedup keys are 16-byte
+    (qid, nn_id) rows, pre-aggregated map-side."""
+    t = load_tables(spark, sf_dir)
+    keys_of = make_table_keys_udf(_planes())
+    buckets = t.embeddings.select(
+        "vec_id", F.explode(keys_of("embedding")).alias("bkey")
+    )
+    q = buckets.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("qid"), F.col("bkey").alias("qkey")
+    )
+    cand = (
+        buckets.join(
+            F.broadcast(q),
+            (F.col("bkey") == F.col("qkey")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", F.col("vec_id").alias("nn_id"))
+        .dropDuplicates(["qid", "nn_id"])
+    )
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cos").desc(), "nn_id")
+    )
+    return (
+        _rerank_cos(t.embeddings, cand)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "rk",
+            "nn_id",
+            F.col("cos").alias("cos_sim"),
+        )
+        .orderBy("vec_id", "rk")
+    )

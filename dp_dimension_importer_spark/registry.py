@@ -153,7 +153,7 @@ _PRIORITY = [
 # slot spent on them yields only a row-count check. Always last.
 _GATED = frozenset({
     "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_top1", "ann_ivf_top1",
-    "ann_ivf_topk",
+    "ann_ivf_topk", "ann_lsh_topk",
 })
 
 _VERIFIED = _VERIFIED_R01 | _VERIFIED_R02

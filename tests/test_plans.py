@@ -206,7 +206,7 @@ def test_ann_bucket_joins_carry_no_vectors(spark):
     embedding array may appear in the candidate RERANK join, never in the
     exploded per-table bucket exchange. Regression guard for the plan
     where each corpus vector crossed the exchange once per hash table."""
-    for name in ("ann_lsh_top1", "ann_ivf_top1", "ann_ivf_topk"):
+    for name in ("ann_lsh_top1", "ann_ivf_top1", "ann_ivf_topk", "ann_lsh_topk"):
         plan = plan_of(QUERIES[name](spark, SF_SMOKE))
         lines = plan.splitlines()
         # Generate = the explode of bucket keys; formatted mode puts the

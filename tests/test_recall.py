@@ -136,3 +136,19 @@ def test_ann_ivf_topk_recall(q):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.75, f"ann_ivf_topk recall@K {mean_recall:.2f} < 0.75"
+
+
+def test_ann_lsh_topk_recall(q):
+    """Multi-table LSH top-K overlap with the exact top-K (q43b): mean
+    per-query recall@K clears the top-1 floor."""
+    exact: dict[int, set[int]] = {}
+    for r in q("q43b_cosine_topk"):
+        exact.setdefault(r.vec_id, set()).add(r.nn_id)
+    approx: dict[int, set[int]] = {}
+    for r in q("ann_lsh_topk"):
+        approx.setdefault(r.vec_id, set()).add(r.nn_id)
+    recalls = [
+        len(exact[v] & approx.get(v, set())) / len(exact[v]) for v in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.8, f"ann_lsh_topk recall@K {mean_recall:.2f} < 0.8"

@@ -82,6 +82,7 @@ NO_ORACLE_OK = {
     "ann_lsh_top1",
     "ann_ivf_top1",
     "ann_ivf_topk",
+    "ann_lsh_topk",
     "agg_approx_quantiles",
     "agg_approx_count_distinct",
 }
