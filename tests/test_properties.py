@@ -167,3 +167,58 @@ def test_star_contraction_components_property(spark, pairs):
     df = spark.createDataFrame(pairs, "da long, db long")
     got = {r.node: r.comp for r in _components_star_contraction(df).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# quality-score cores: structural invariants on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll",)), min_size=1, max_size=5
+)
+doc_text = st.lists(word, min_size=1, max_size=30).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(doc_text, min_size=1, max_size=6))
+def test_repetition_metrics_invariants(spark, texts):
+    """For every doc: counts re-add (n_tokens = token count), shares are
+    valid probabilities, top share ≥ 1/n_distinct ≥ distinct_ratio·top
+    bound, and the flag is exactly share > threshold."""
+    from dp_dimension_importer_spark import engine
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, body string"
+    )
+    rows = engine.repetition_metrics(df, id_col="id", text_col="body").collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        toks = texts[r.doc_id].split()
+        assert r.n_tokens == len(toks)
+        n_distinct = len(set(toks))
+        assert 0 < r.distinct_ratio <= 1
+        assert 0 < r.top_token_share <= 1
+        # max count ≥ ceil(n/k): top share is at least 1/n_distinct
+        assert r.top_token_share >= round(1 / n_distinct, 4) - 1e-9
+        assert r.flagged == (
+            max(toks.count(w) for w in set(toks)) / len(toks) > 0.12
+        )
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(doc_text, min_size=1, max_size=6))
+def test_unigram_logprob_invariants(spark, texts):
+    """Log-probs are ≤ 0 (no token is more frequent than the corpus), = 0
+    only for a single-token-vocabulary corpus, and every doc scores."""
+    from dp_dimension_importer_spark import engine
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, body string"
+    )
+    rows = engine.unigram_logprob(df, id_col="id", text_col="body").collect()
+    assert len(rows) == len(texts)
+    vocab = {w for t in texts for w in t.split()}
+    for r in rows:
+        assert r.avg_logprob <= 1e-9
+        if len(vocab) == 1:
+            assert abs(r.avg_logprob) <= 1e-9
