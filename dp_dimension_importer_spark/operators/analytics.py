@@ -402,3 +402,43 @@ def events_anomaly(spark, sf_dir):
         .filter(F.abs(F.col("z")) >= ANOMALY_Z)
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_transitions",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_transitions(spark, sf_dir):
+    """Event-transition (Markov) matrix: for each user's time-ordered event
+    stream, count every (previous event type → next event type) step — the
+    behavioral-analytics staple behind flow diagrams, next-action models,
+    and bot detection (improbable transition mass).
+
+    Scale: ONE shuffle on user_id for the LAG window (ties broken by
+    event_id so the sequence is deterministic), then a tiny
+    |types|²-keyed aggregate with map-side combine — the second exchange
+    carries at most |types|² rows per task regardless of corpus size."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t.events.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
