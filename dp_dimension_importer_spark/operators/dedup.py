@@ -961,8 +961,9 @@ def dedup_keep_corpus(spark, sf_dir):
     dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
     SELECT sh.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_grams,
-           ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE
-                 / COUNT(*), 4) AS dup_share
+           CAST((20000 * SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+               / 10000.0 AS dup_share
     FROM sh JOIN dfc USING (shingle)
     GROUP BY sh.doc_id ORDER BY sh.doc_id
     """,
@@ -997,7 +998,13 @@ def dup_ngram_share(
     64-bit hash both here and conceptually in the oracle's string grams —
     at 2^32 distinct grams the collision odds are ~2^-1, so a production
     run at that scale widens to 128-bit via two seeds; the contract and
-    plan shape are unchanged.)"""
+    plan shape are unchanged.)
+
+    Rounding: dup/n_grams is an exact integer ratio; ROUND(double, 4)
+    lands on half-boundaries (1/32 = 0.03125) where Spark HALF_UP and
+    DuckDB nearbyint disagree, so round half-up in INTEGER space:
+    (20000·dup + n) div (2·n) — exact, positive, truncation-safe on
+    both engines."""
     sh = shingle_hashes(df, id_col, text_col, k=k).dropDuplicates(
         ["doc_id", "h"]
     )
@@ -1012,8 +1019,9 @@ def dup_ngram_share(
         .select(
             "doc_id",
             F.col("n_grams").cast("long").alias("n_grams"),
-            F.round(
-                F.col("dup").cast("double") / F.col("n_grams"), 4
+            (
+                F.expr("(20000 * dup + n_grams) div (2 * n_grams)")
+                .cast("double") / 10000.0
             ).alias("dup_share"),
         )
     )

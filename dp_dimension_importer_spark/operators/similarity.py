@@ -280,13 +280,17 @@ def q43b_cosine_topk(spark, sf_dir):
 #: driver for the IVF fit, regardless of corpus size
 IVF_SAMPLE = 4096
 
-#: embeddings-DataFrame identity → fitted centroids. The fit is fully
-#: deterministic (fixed sample, pinned arithmetic order), so reuse across
-#: queries (top1 + topk in one session/bench run) changes nothing but
-#: skips a collect + 8 Lloyd iterations. catalog.table() returns the SAME
-#: DataFrame object per (session, sf_dir), so its identity keys the data;
-#: the DataFrame is held in the value so a recycled id() can't collide.
-_CENTROID_CACHE: dict[int, tuple[object, np.ndarray]] = {}
+#: ONE-SLOT cache: (embeddings DataFrame, fitted centroids). The fit is
+#: fully deterministic (fixed sample, pinned arithmetic order), so reuse
+#: across queries (top1 + topk in one session/bench run) changes nothing
+#: but skips a collect + 8 Lloyd iterations. catalog.table() returns the
+#: SAME DataFrame object per (session, sf_dir), so identity (`is`) keys
+#: the data. Single slot ON PURPOSE: a dict keyed by id() pinning every
+#: frame ever fitted would grow without bound in a long-lived facade
+#: session over many corpora (and keep their SparkSessions reachable);
+#: the sharing this cache exists for is always between consecutive
+#: queries on the SAME frame, which one slot fully captures.
+_CENTROID_CACHE: list[tuple[object, np.ndarray]] = []
 
 
 def _ivf_centroids(e) -> np.ndarray:
@@ -300,9 +304,8 @@ def _ivf_centroids(e) -> np.ndarray:
     re-seeded deterministically from the sample. Pinned arithmetic order ⇒
     identical centroids on every run/driver (which is what makes the
     cross-query cache above a pure win)."""
-    hit = _CENTROID_CACHE.get(id(e))
-    if hit is not None and hit[0] is e:
-        return hit[1]
+    if _CENTROID_CACHE and _CENTROID_CACHE[0][0] is e:
+        return _CENTROID_CACHE[0][1]
     rows = (
         e.select("vec_id", "embedding")
         .orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
@@ -322,7 +325,7 @@ def _ivf_centroids(e) -> np.ndarray:
             else:
                 cents[c] = u[c % len(u)]
         cents /= np.linalg.norm(cents, axis=1)[:, None]
-    _CENTROID_CACHE[id(e)] = (e, cents)
+    _CENTROID_CACHE[:] = [(e, cents)]
     return cents
 
 

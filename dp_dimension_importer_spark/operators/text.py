@@ -496,8 +496,10 @@ def tfidf_top_terms(spark, sf_dir):
     )
     SELECT doc_id,
            CAST(SUM(c) AS BIGINT)                      AS n_tokens,
-           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4)   AS top_token_share,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS distinct_ratio,
+           CAST((20000 * MAX(c) + SUM(c)) // (2 * SUM(c)) AS DOUBLE)
+               / 10000.0                               AS top_token_share,
+           CAST((20000 * COUNT(*) + SUM(c)) // (2 * SUM(c)) AS DOUBLE)
+               / 10000.0                               AS distinct_ratio,
            (CAST(MAX(c) AS DOUBLE) / SUM(c)) > 0.12    AS flagged
     FROM cnt GROUP BY doc_id ORDER BY doc_id
     """,
@@ -524,7 +526,14 @@ def repetition_metrics(
     (doc_id, token) groupBy with map-side combine (shuffle rows are
     (doc_id, token, cnt), never raw text), then a doc-sized second
     aggregate. Both shuffles partial-aggregate; nothing is
-    corpus-quadratic and no token list is ever collected."""
+    corpus-quadratic and no token list is ever collected.
+
+    Rounding: the shares are exact integer ratios, so ROUND(double, 4)
+    would hit the engines' half-boundary disagreement (Spark BigDecimal
+    HALF_UP vs DuckDB nearbyint — e.g. 1/32 = 0.03125 → 0.0313 vs
+    0.0312). Round half-up in INTEGER space instead:
+    (20000·num + den) div (2·den), exact and engine-independent for the
+    positive ratios here (both engines truncate toward zero)."""
     tokens = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.filter(F.split(text_col, " "), lambda x: x != "")).alias("t"),
@@ -541,10 +550,14 @@ def repetition_metrics(
         .select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.round(share, 4).alias("top_token_share"),
-            F.round(F.col("nd").cast("double") / F.col("n_tokens"), 4).alias(
-                "distinct_ratio"
-            ),
+            (
+                F.expr("(20000 * mx + n_tokens) div (2 * n_tokens)")
+                .cast("double") / 10000.0
+            ).alias("top_token_share"),
+            (
+                F.expr("(20000 * nd + n_tokens) div (2 * n_tokens)")
+                .cast("double") / 10000.0
+            ).alias("distinct_ratio"),
             (share > flag_share).alias("flagged"),
         )
     )
@@ -561,9 +574,16 @@ def repetition_metrics(
         SELECT t, COUNT(*) AS c FROM tok2 GROUP BY t
     ), tot AS (
         SELECT CAST(SUM(c) AS DOUBLE) AS s FROM cf
+    ), lp AS (
+        SELECT t,
+               CAST(FLOOR(LN(CAST(c AS DOUBLE) / s) * 1000000.0 + 0.5)
+                    AS BIGINT) AS lpm
+        FROM cf CROSS JOIN tot
     )
-    SELECT doc_id, ROUND(AVG(LN(CAST(c AS DOUBLE) / s)), 4) AS avg_logprob
-    FROM tok2 JOIN cf USING (t) CROSS JOIN tot
+    SELECT doc_id,
+           FLOOR((CAST(SUM(lpm) AS DOUBLE) / COUNT(*)) / 100.0 + 0.5)
+               / 10000.0 AS avg_logprob
+    FROM tok2 JOIN lp USING (t)
     GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -588,9 +608,21 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     one task, and it saves a third full corpus scan (a separate
     ``cf.agg(sum)`` subplan would re-read documents; `.explain` confirmed
     3 FileScans → 2). Per-token log-probs are computed on the vocab table,
-    so the corpus-sized join carries one double per token. No broadcast
+    so the corpus-sized join carries one long per token. No broadcast
     hint on cf (web-scale vocabularies are not broadcastable — Catalyst/
-    AQE still picks one when actual size allows)."""
+    AQE still picks one when actual size allows).
+
+    Rounding: ROUND(AVG(double), 4) is NOT engine-stable — Spark's
+    partial/final double-sum order differs from DuckDB's, and the two
+    engines' ROUND disagree on half-boundaries (the ts_gapfill_locf
+    lesson). So each token's log-prob is quantized ONCE to integer
+    micros on the vocab table (floor(lp·1e6 + 0.5) — each engine
+    computes ln/÷ identically to the ulp on the same exact inputs), the
+    per-doc average runs over exact int64 sums (associative,
+    order-independent), and the final 4-dp rounding is
+    floor(x/100 + 0.5)/1e4 — half-up toward +∞, identical on both
+    engines (int div would truncate toward zero on these negative
+    values, so floor on the exactly-rounded double is used instead)."""
     tokens = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.filter(F.split(text_col, " "), lambda x: x != "")).alias("t"),
@@ -598,12 +630,25 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     cf = tokens.groupBy("t").agg(F.count("*").alias("c"))
     logp = cf.select(
         "t",
-        F.log(
-            F.col("c").cast("double") / F.sum("c").over(W.partitionBy())
-        ).alias("lp"),
+        F.floor(
+            F.log(
+                F.col("c").cast("double") / F.sum("c").over(W.partitionBy())
+            )
+            * 1000000.0
+            + 0.5
+        ).alias("lpm"),
     )
     return (
         tokens.join(logp, "t")
         .groupBy("doc_id")
-        .agg(F.round(F.avg("lp"), 4).alias("avg_logprob"))
+        .agg(F.sum("lpm").alias("sm"), F.count("*").alias("n"))
+        .select(
+            "doc_id",
+            (
+                F.floor(
+                    (F.col("sm").cast("double") / F.col("n")) / 100.0 + 0.5
+                ).cast("double")
+                / 10000.0
+            ).alias("avg_logprob"),
+        )
     )

@@ -51,7 +51,24 @@ class ParquetGraphStore:
         try:
             df = self.spark.read.schema(schema).parquet(path)
             return df.select([f.name for f in schema.fields])
-        except AnalysisException:  # PATH_NOT_FOUND before the first write
+        except AnalysisException as e:
+            # ONLY a missing path (no write yet) means "empty store". Any
+            # other analysis failure (corrupt/incompatible files, bad path
+            # type, permissions) must stay loud: swallowing it would make
+            # the dedup anti-join see an empty table and silently
+            # re-append every batch as new.
+            cond = None
+            for attr in ("getCondition", "getErrorClass"):
+                fn = getattr(e, attr, None)
+                if fn is not None:
+                    try:
+                        cond = fn()
+                    except Exception:
+                        cond = None
+                    if cond:
+                        break
+            if (cond or "") != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(e):
+                raise
             return self.spark.createDataFrame([], schema)
 
     def nodes(self) -> DataFrame:

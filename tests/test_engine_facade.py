@@ -129,3 +129,37 @@ def test_quality_scores_on_arbitrary_dataframe(spark):
           engine.unigram_logprob(df, id_col="id", text_col="body").collect()}
     # doc 1 is dominated by the corpus's most common token -> higher logprob
     assert lp[1] > lp[2]
+
+
+def test_centroid_cache_is_single_slot(spark):
+    """The IVF centroid cache holds ONE (frame, centroids) slot: fitting a
+    second distinct embeddings frame evicts the first, so a long-lived
+    session over many corpora can't grow the cache (or pin old frames)
+    unboundedly, while consecutive queries on the SAME frame still reuse
+    the fit."""
+    import numpy as np
+
+    from dp_dimension_importer_spark.operators import similarity
+
+    def frame(seed):
+        rng = np.random.default_rng(seed)
+        rows = [
+            (int(i), [float(x) for x in rng.normal(size=8)])
+            for i in range(64)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    a, b = frame(1), frame(2)
+    ca1 = similarity._ivf_centroids(a)
+    assert len(similarity._CENTROID_CACHE) == 1
+    ca2 = similarity._ivf_centroids(a)
+    assert ca2 is ca1  # same frame -> cache hit, no refit
+    similarity._ivf_centroids(b)
+    assert len(similarity._CENTROID_CACHE) == 1  # evicted, not grown
+    assert similarity._CENTROID_CACHE[0][0] is b
+    # returning to the first frame refits (slot was evicted) but is
+    # deterministic: identical centroids
+    ca3 = similarity._ivf_centroids(a)
+    assert ca3 is not ca1 and np.array_equal(ca3, ca1)

