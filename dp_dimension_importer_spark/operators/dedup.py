@@ -1025,3 +1025,188 @@ def dup_ngram_share(
             ).alias("dup_share"),
         )
     )
+
+
+def shingle_hashes_pos(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """(doc_id, i, h) — :func:`shingle_hashes` with the gram's 0-based
+    token position ``i`` carried along (posexplode instead of explode),
+    for span-level consumers that need to map duplicated grams back onto
+    token ranges. Same one-pass nested-hash build: shuffles carry
+    (doc_id, int, 8-byte long), never gram strings."""
+    n = F.size("th")
+    parts = [F.slice("th", 1 + j, n - (k - 1)) for j in range(k)]
+    grams = parts[0]
+    for s in parts[1:]:
+        grams = F.zip_with(grams, s, lambda a, b: F.xxhash64(a, b))
+    arr = F.when(n >= k, grams).otherwise(F.array().cast("array<long>"))
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("tk")
+        )
+        .select("doc_id", F.transform("tk", lambda t: F.xxhash64(t)).alias("th"))
+        .select("doc_id", F.posexplode(arr).alias("i", "h"))
+    )
+
+
+@register(
+    "text_dedup_spans",
+    sql="""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, tk,
+               UNNEST(CASE WHEN len(tk) >= 8
+                      THEN generate_series(1, len(tk) - 7)
+                      ELSE CAST([] AS BIGINT[]) END) AS i
+        FROM tk
+    ), g AS (
+        SELECT doc_id, i,
+               tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+               || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+               || ' ' || tk[i+7] AS gram
+        FROM pos
+    ), duph AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT doc_id) AS c FROM g GROUP BY gram
+        ) WHERE c >= 2
+    ), dup AS (
+        SELECT doc_id, i FROM g SEMI JOIN duph USING (gram)
+    ), isl AS (
+        SELECT doc_id, i,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        FROM dup
+    ), runs AS (
+        SELECT doc_id, MIN(i) AS i0, COUNT(*) AS rl
+        FROM isl GROUP BY doc_id, isl HAVING COUNT(*) >= 2
+    ), cov AS (
+        SELECT DISTINCT doc_id, j FROM (
+            SELECT doc_id,
+                   UNNEST(generate_series(i0, i0 + rl + 6)) AS j
+            FROM runs)
+    ), tok AS (
+        SELECT doc_id, UNNEST(tk) AS tok,
+               UNNEST(generate_series(1, len(tk))) AS j
+        FROM tk
+    ), kept AS (
+        SELECT doc_id, j, tok FROM tok ANTI JOIN cov USING (doc_id, j)
+    ), cl AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               STRING_AGG(tok, ' ' ORDER BY j) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(tk) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(cleaned_text, '') AS cleaned_text
+    FROM tk t LEFT JOIN cl USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def text_dedup_spans(spark, sf_dir):
+    """Span-level dedup TRANSFORM over the fixture corpus — core in
+    :func:`dedup_spans`."""
+    t = load_tables(spark, sf_dir)
+    return dedup_spans(t.documents).orderBy("doc_id")
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_run: int = 2,
+) -> DataFrame:
+    """Public DataFrame-in core (engine facade): the substring-dedup
+    deliverable :func:`dup_ngram_share` only SCORES — emit a CLEANED
+    corpus where every maximal run of ``min_run``-or-more consecutive
+    corpus-duplicated ``k``-grams is excised from the doc (the
+    BigCode/deduplicate-text-datasets idea restated on token k-grams:
+    a qualifying run of ``r`` grams removes its ``r + k - 1`` covered
+    tokens). Cross-doc duplication only — a gram repeated solely within
+    one doc is not "corpus-duplicated" (that is repetition_metrics'
+    job). Output per doc: original token count, removed token count,
+    and the reconstructed cleaned text (kept tokens joined by single
+    spaces; empty string when the whole doc is excised).
+
+    This is the reference's R18 uniqueness idea (`store/store.go:15`,
+    unique-observation constraint) applied INSIDE documents: spans
+    already seen elsewhere in the corpus are dropped before training.
+
+    Scale, stage by stage (nothing corpus-quadratic, no strings in any
+    wide shuffle):
+    * gram build reuses :func:`shingle_hashes`'s nested-hash pass —
+      shuffle rows are (doc_id, pos, 8-byte hash);
+    * duplicated-gram set = distinct (doc, h) → groupBy(h) count ≥ 2,
+      map-side combinable; the flagging join back to positions is a
+      LEFT SEMI on the 8-byte key (AQE broadcasts it when small);
+    * run detection is one per-doc window (row_number over gram pos) +
+      a doc-keyed aggregate — partitions are doc-sized;
+    * coverage explode emits run-length-bounded (doc_id, pos) rows;
+      the kept-token filter is a positional LEFT ANTI join;
+    * reconstruction is one doc-keyed collect_list of (pos, token)
+      structs — per-doc memory, the same budget as text_chunk/pack.
+
+    64-bit gram identity: same collision maths as dup_ngram_share
+    (widen to 128-bit via two seeds at web scale; plan unchanged)."""
+    from pyspark.sql.window import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("tk")
+    )
+    g = shingle_hashes_pos(df, id_col, text_col, k=k)
+    dup_h = (
+        g.select("doc_id", "h")
+        .dropDuplicates()
+        .groupBy("h")
+        .agg(F.count("*").alias("dfreq"))
+        .filter(F.col("dfreq") >= 2)
+        .select("h")
+    )
+    dup = g.join(dup_h, "h", "left_semi").select("doc_id", "i")
+    w = W.partitionBy("doc_id").orderBy("i")
+    runs = (
+        dup.withColumn("isl", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("i").alias("i0"), F.count("*").alias("rl"))
+        .filter(F.col("rl") >= min_run)
+    )
+    cov = runs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("i0"), F.col("i0") + F.col("rl") + F.lit(k - 2))
+        ).alias("j"),
+    ).dropDuplicates()
+    toks = base.select("doc_id", F.posexplode("tk").alias("j", "tok"))
+    cl = (
+        toks.join(cov, ["doc_id", "j"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("cleaned_text"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

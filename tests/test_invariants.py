@@ -187,3 +187,70 @@ def test_catalog_repins_utc_on_cache_hit(spark):
     df = catalog.table(spark, SF_SMOKE, "orders")  # cache hit
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert df is catalog.table(spark, SF_SMOKE, "orders")  # still cached
+
+
+def test_dedup_spans_excises_shared_runs_only(spark):
+    """dedup_spans semantics on a constructed corpus: a span shared
+    verbatim across docs is excised from both, unique text survives
+    untouched, a whole-doc duplicate empties, and the token accounting
+    (n_tokens - n_removed = tokens of cleaned_text) always balances."""
+    from dp_dimension_importer_spark.operators.dedup import dedup_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 tokens -> 5 8-grams
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"one two three {shared} four five six"),
+        (3, "totally unique sentence with enough tokens to form grams ok"),
+        (4, shared),
+        (5, shared),
+        (6, "short doc"),  # < k tokens: no grams, untouched
+    ]
+    df = spark.createDataFrame(docs, "id long, body string")
+    out = {
+        r.doc_id: r
+        for r in dedup_spans(df, id_col="id", text_col="body").collect()
+    }
+    assert len(out) == 6  # every doc present, even fully-excised ones
+    for r in out.values():
+        kept = [t for t in r.cleaned_text.split(" ") if t != ""]
+        assert r.n_tokens - r.n_removed == len(kept)
+    # the shared 12-token span is gone from docs 1/2; their unique
+    # prefix/suffix tokens survive
+    assert out[1].cleaned_text == "alpha beta gamma delta"
+    assert out[2].cleaned_text == "one two three four five six"
+    # unique docs untouched
+    assert out[3].n_removed == 0 and out[3].cleaned_text == docs[2][1]
+    assert out[6].n_removed == 0 and out[6].cleaned_text == "short doc"
+    # verbatim whole-doc duplicates are fully excised
+    assert out[4].cleaned_text == "" and out[4].n_removed == 12
+    assert out[5].cleaned_text == "" and out[5].n_removed == 12
+
+
+def test_dedup_spans_min_run_gate(spark):
+    """A single isolated duplicated gram (run length 1 < min_run=2) does
+    NOT trigger excision — the run gate keeps one-off collisions from
+    shredding documents."""
+    from dp_dimension_importer_spark.operators.dedup import dedup_spans
+
+    shared8 = " ".join(f"w{i}" for i in range(8))  # exactly one 8-gram
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared8} a3 a4"),
+            (2, f"b1 b2 b3 {shared8} b4"),
+        ],
+        "id long, body string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_spans(df, id_col="id", text_col="body").collect()
+    }
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
+    # but with min_run=1 the shared gram IS excised from both
+    out1 = {
+        r.doc_id: r
+        for r in dedup_spans(
+            df, id_col="id", text_col="body", min_run=1
+        ).collect()
+    }
+    assert out1[1].cleaned_text == "a1 a2 a3 a4"
+    assert out1[2].cleaned_text == "b1 b2 b3 b4"

@@ -277,3 +277,21 @@ def test_unigram_logprob_single_corpus_token_pass(spark):
     # FileScan
     below = "\n".join(lines[sp[0]:])
     assert "HashAggregate" in below.split("FileScan")[0]
+
+
+def test_dedup_spans_shuffles_hashed_grams_only(spark):
+    """text_dedup_spans' gram pipeline must shuffle (doc_id, pos, 8-byte
+    hash) rows — no gram STRINGS (no concat/substring of text in any
+    exchange input) and zero Python in the plan. The only stage allowed
+    to carry token strings is the doc-keyed reconstruction collect_list."""
+    plan = plan_of(QUERIES["text_dedup_spans"](spark, SF_SMOKE), "simple")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # gram identity is built by nested xxhash64 over token-hash slices —
+    # string concat of tokens must never appear anywhere in the plan
+    assert "concat_ws( , tk" not in plan
+    lines = plan.splitlines()
+    gen = [ln for ln in lines if "Generate posexplode" in ln]
+    assert gen, "positional gram/token explodes missing"
+    # the duplicated-gram flagging must be a LEFT SEMI on the hash key and
+    # the kept-token filter a LEFT ANTI on (doc_id, pos) — never a full join
+    assert "LeftSemi" in plan and "LeftAnti" in plan
