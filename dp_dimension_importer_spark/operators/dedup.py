@@ -52,6 +52,19 @@ NUM_BANDS = 16
 SIMHASH_MAX_DIST = 7
 #: cosine threshold for embedding near-dup pairs
 EMB_COS_T = 0.9
+#: cosine threshold for SEMANTIC dedup on the synthetic fixture. The
+#: fixture embeddings are near-uniform 64-dim (max pairwise cosine ≈ 0.53
+#: at sf0.01) — no planted near-identical pairs — so the SemDeDup queries
+#: pin a threshold in the fixture's own top-similarity tail (≈30 pairs at
+#: sf0.01) to exercise the full pair→component→keep-list path; production
+#: corpora use ~0.9+ via the cores' ``threshold`` parameter.
+SEM_COS_T = 0.42
+#: cells each vector enters for IVF semantic dedup (multi-probe): a pair
+#: survives if the two vectors share ANY probed cell. 4 of 16 cells gives
+#: ≥0.96 measured pair recall on the near-uniform fixture (single-probe
+#: is ~0.35 here — this corpus is IVF's adversarial case, like the
+#: ann_ivf tests note); clustered real embeddings need fewer probes.
+SEM_NPROBE = 4
 
 
 def tokens_col(text_col="text"):
@@ -716,8 +729,23 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by ``label`` (the stand-in
-    for an IVF/LSH bucket at scale — never an unblocked cross product).
+    """Embedding-cosine near-dup pairs on the fixture corpus — core in
+    :func:`cosine_pairs`, blocked by ``label`` (the stand-in for an
+    IVF/LSH bucket at scale — never an unblocked cross product)."""
+    t = load_tables(spark, sf_dir)
+    return cosine_pairs(t.embeddings).orderBy("va", "vb")
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = EMB_COS_T,
+) -> DataFrame:
+    """Public DataFrame-in core (engine facade): (va, vb, cos_sim)
+    near-dup pairs with cosine ≥ ``threshold``, blocked by ``block_col``
+    (an IVF/LSH bucket at scale — never an unblocked cross product).
 
     Two-stage plan. Stage 1 (the scale path): per block, one numpy matmul
     in ``applyInPandas`` emits candidate pairs with approximate cosine ≥
@@ -729,11 +757,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     matmul and fold, so the prefilter can never drop a true pair."""
     import pandas as pd
 
-    t = load_tables(spark, sf_dir)
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    e = t.embeddings.select(
-        "vec_id",
-        "label",
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(block_col).alias("blk"),
         v.alias("v"),
         F.sqrt(
             F.aggregate(
@@ -743,7 +770,7 @@ def dedup_embedding_cosine(spark, sf_dir):
             )
         ).alias("nrm"),
     )
-    threshold = EMB_COS_T - 1e-6
+    t_lo = threshold - 1e-6
 
     def block_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
         # Tiled upper-triangle matmul: TILE×TILE similarity panels instead
@@ -764,7 +791,7 @@ def dedup_embedding_cosine(spark, sf_dir):
             a = u[s : s + TILE]
             for t0 in range(s, len(u), TILE):
                 c = a @ u[t0 : t0 + TILE].T
-                ia, ib = np.where(c >= threshold)
+                ia, ib = np.where(c >= t_lo)
                 gi, gj = ia + s, ib + t0
                 keep = gi < gj
                 if keep.any():
@@ -780,8 +807,8 @@ def dedup_embedding_cosine(spark, sf_dir):
 
     cand_schema = "va long, vb long"
     cand = (
-        e.select("vec_id", "label", "v")
-        .groupBy("label")
+        e.select("vec_id", "blk", "v")
+        .groupBy("blk")
         .applyInPandas(block_candidates, schema=cand_schema)
     )
     a = e.select(F.col("vec_id").alias("va"), F.col("v").alias("av"), F.col("nrm").alias("an"))
@@ -798,8 +825,7 @@ def dedup_embedding_cosine(spark, sf_dir):
         cand.join(a, "va")
         .join(b, "vb")
         .select("va", "vb", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= EMB_COS_T)
-        .orderBy("va", "vb")
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 
@@ -1210,3 +1236,196 @@ def dedup_spans(
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+@register(
+    "dedup_semantic",
+    sql=f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    pr AS (
+        SELECT va, vb FROM (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   list_sum(list_transform(generate_series(1, len(a.v)),
+                                           i -> a.v[i] * b.v[i]))
+                       / (a.nrm * b.nrm) AS cos_sim
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cos_sim >= {SEM_COS_T}
+    ),
+    edges AS (SELECT va AS src, vb AS dst FROM pr
+              UNION ALL SELECT vb, va FROM pr),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT reach.node, e2.dst FROM reach JOIN edges e2 ON e2.src = reach.r
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT em.vec_id, em.label FROM embeddings em
+    LEFT JOIN (SELECT node FROM comp WHERE node != cluster_id) dropd
+           ON em.vec_id = dropd.node
+    WHERE dropd.node IS NULL
+    ORDER BY em.vec_id
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """END-TO-END semantic dedup (the SemDeDup recipe) over the fixture
+    embeddings — core in :func:`semantic_dedup`. Blocked by ``label``
+    (the fixture's deterministic stand-in for a learned cell, which keeps
+    this variant fully SQL-expressible and therefore ORACLED; the
+    learned-cell twin is :func:`dedup_semantic_ivf`, recall-gated like
+    every approx op per SURVEY §2.3)."""
+    t = load_tables(spark, sf_dir)
+    return semantic_dedup(t.embeddings).select("vec_id", "label").orderBy(
+        "vec_id"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = SEM_COS_T,
+) -> DataFrame:
+    """Public DataFrame-in core (engine facade): SemDeDup-style semantic
+    deduplication — embeddings whose cosine ≥ ``threshold`` within a
+    block form near-dup clusters; every cluster keeps exactly its min-id
+    member and the survivors of the input frame are returned unchanged.
+    Composes the oracle-checked pieces: :func:`cosine_pairs` (blocked
+    matmul prefilter + exact-fold rerank) → :func:`connected_components`
+    → pair-graph-sized drop-list anti-join (the same asymmetry
+    dedup_keep_corpus exploits — AQE broadcasts the drop list when it is
+    genuinely small, no forced hint)."""
+    pairs = cosine_pairs(df, id_col, vec_col, block_col, threshold).select(
+        "va", "vb"
+    )
+    drop = (
+        connected_components(pairs, src="va", dst="vb")
+        .filter(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+@register("dedup_semantic_ivf")  # rows-only: recall-gated vs exact pairs
+def dedup_semantic_ivf(spark, sf_dir):
+    """SemDeDup with LEARNED cells — core in :func:`semantic_dedup_ivf`:
+    blocks come from the pinned deterministic IVF fit
+    (:func:`similarity._ivf_centroids`) instead of the fixture label.
+    Rows-only in the driver (a learned partition is not SQL-expressible);
+    quality is gated by tests/test_recall.py: every dropped id is part of
+    a TRUE cosine≥T pair (precision 1 by construction — the rerank is
+    exact) and the drop set recovers a floor fraction of the global exact
+    drop set."""
+    t = load_tables(spark, sf_dir)
+    return semantic_dedup_ivf(t.embeddings).select("vec_id", "label").orderBy(
+        "vec_id"
+    )
+
+
+def semantic_dedup_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = SEM_COS_T,
+    nprobe: int = SEM_NPROBE,
+) -> DataFrame:
+    """Public DataFrame-in core (engine facade): :func:`semantic_dedup`
+    with blocks ASSIGNED BY THE DATA — each embedding lives in its
+    nearest IVF cell from the pinned deterministic k-means fit (shared,
+    via the one-slot centroid cache, with the ann_ivf_* queries when they
+    run on the same frame).
+
+    Multi-probe: each vector enters its ``nprobe`` nearest cells and a
+    pair is a candidate if the two share ANY probed cell (then deduped on
+    (va, vb) before the rerank). Necessary here because the fixture has
+    no cluster structure (see SEM_NPROBE); real clustered embeddings run
+    nprobe=1 — classic SemDeDup.
+
+    Scale shape — the plan the 100 TB path needs (and the one the plan
+    audit pins): cell assignment is a map-side Arrow-batched pandas_udf;
+    the candidate self-join shuffles (cell, vec_id) rows ONLY — vectors
+    never enter the cell exchange — and vectors reappear exclusively in
+    the per-candidate exact-fold rerank joins (vec_id-keyed). Cell
+    population stays bounded by scaling IVF_CELLS ~ sqrt(corpus) exactly
+    as SemDeDup prescribes, so the intra-cell pair count is capped and
+    nothing is corpus-quadratic."""
+    from dp_dimension_importer_spark.operators.similarity import (
+        _ivf_centroids,
+        make_ivf_cells_udf,
+    )
+
+    fit_frame = (
+        df
+        if id_col == "vec_id" and vec_col == "embedding"
+        else df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+    )
+    cells_of = make_ivf_cells_udf(_ivf_centroids(fit_frame), nprobe)
+    cells = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(cells_of(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        cells.select("cell", F.col("vec_id").alias("va"))
+        .join(cells.select("cell", F.col("vec_id").alias("vb")), "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .dropDuplicates(["va", "vb"])
+    )
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    cos = (
+        F.aggregate(
+            F.zip_with("av", "bv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("an") * F.col("bn"))
+    )
+    pairs = (
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("va"),
+                F.col("v").alias("av"),
+                F.col("nrm").alias("an"),
+            ),
+            "va",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("vb"),
+                F.col("v").alias("bv"),
+                F.col("nrm").alias("bn"),
+            ),
+            "vb",
+        )
+        .select("va", "vb", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("va", "vb")
+    )
+    drop = (
+        connected_components(pairs, src="va", dst="vb")
+        .filter(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")

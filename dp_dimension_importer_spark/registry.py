@@ -173,7 +173,7 @@ _PRIORITY = [
 # slot spent on them yields only a row-count check. Always last.
 _GATED = frozenset({
     "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_top1", "ann_ivf_top1",
-    "ann_ivf_topk", "ann_lsh_topk",
+    "ann_ivf_topk", "ann_lsh_topk", "dedup_semantic_ivf",
 })
 
 _VERIFIED = _VERIFIED_R01 | _VERIFIED_R02 | _VERIFIED_R03

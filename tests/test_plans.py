@@ -295,3 +295,28 @@ def test_dedup_spans_shuffles_hashed_grams_only(spark):
     # the duplicated-gram flagging must be a LEFT SEMI on the hash key and
     # the kept-token filter a LEFT ANTI on (doc_id, pos) — never a full join
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_semantic_ivf_cell_shuffle_carries_no_vectors(spark):
+    """dedup_semantic_ivf must shuffle (cell, vec_id) rows only in the
+    candidate self-join — embeddings are assigned to cells map-side
+    (ArrowEvalPython) and the vectors reappear exclusively in the
+    vec_id-keyed exact-fold rerank joins. In formatted mode every
+    Exchange lists its Input columns: any exchange hash-partitioned on
+    the cell key must carry neither the raw embedding nor the cast
+    double vector."""
+    plan = plan_of(QUERIES["dedup_semantic_ivf"](spark, SF_SMOKE), "formatted")
+    blocks = plan.split("\n\n")
+    # any exchange moving the cell key (hash-partitioned at scale, or a
+    # BroadcastExchange when AQE picks BHJ at fixture size) must carry ids
+    # only — never the raw embedding or the cast double vector
+    cell_exchanges = [
+        b for b in blocks
+        if "Exchange" in b.split("\n", 1)[0] and "cell#" in b
+    ]
+    assert cell_exchanges, "no cell-keyed exchange found"
+    for b in cell_exchanges:
+        assert "embedding" not in b and " v#" not in b, (
+            f"cell exchange carries vectors:\n{b}"
+        )
+    assert "ArrowEvalPython" in plan  # map-side cell assignment

@@ -152,3 +152,41 @@ def test_ann_lsh_topk_recall(q):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.8, f"ann_lsh_topk recall@K {mean_recall:.2f} < 0.8"
+
+
+def test_semantic_ivf_drop_set_vs_global_truth(q, spark):
+    """dedup_semantic_ivf's drop set vs GLOBAL exact truth (single-block
+    cosine_pairs — no label, no cell): (a) precision is exactly 1 by
+    construction (the rerank is exact, so every IVF edge is a true edge,
+    components only ever refine, and a refined part's extra keep is a
+    true-dropped node — never the reverse); (b) recall ≥ 0.8 — near-dup
+    pairs (cos ≥ 0.9) should land in the same learned cell almost always."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.catalog import load_tables
+    from dp_dimension_importer_spark.operators.dedup import (
+        connected_components,
+        cosine_pairs,
+    )
+
+    from dp_dimension_importer_spark.operators.dedup import SEM_COS_T
+
+    emb = load_tables(spark, SF).embeddings
+    true_pairs = cosine_pairs(
+        emb.withColumn("one", F.lit(1)), block_col="one",
+        threshold=SEM_COS_T,
+    ).select("va", "vb")
+    true_drop = {
+        r.node
+        for r in connected_components(true_pairs, src="va", dst="vb")
+        .filter(F.col("node") != F.col("comp"))
+        .collect()
+    }
+    assert true_drop, "fixture has no global near-dup pairs"
+    kept = {r.vec_id for r in q("dedup_semantic_ivf")}
+    ivf_drop = {r.vec_id for r in emb.select("vec_id").collect()} - kept
+    assert ivf_drop <= true_drop, (
+        f"IVF dropped non-duplicates: {sorted(ivf_drop - true_drop)[:5]}"
+    )
+    recall = len(ivf_drop & true_drop) / len(true_drop)
+    assert recall >= 0.8, f"semantic IVF drop recall {recall:.2f} < 0.8"

@@ -83,6 +83,7 @@ NO_ORACLE_OK = {
     "ann_ivf_top1",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "dedup_semantic_ivf",
     "agg_approx_quantiles",
     "agg_approx_count_distinct",
 }
