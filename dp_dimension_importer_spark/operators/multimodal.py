@@ -76,14 +76,19 @@ def to_asset_table(documents: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """REAL image decode for the uncompressed raster formats that need no
-    imaging library — binary PPM (P6, RGB), PGM (P5, grayscale), and
-    24-bit uncompressed BMP — returning a numpy uint8 array (H×W×3 or
-    H×W). Compressed formats (PNG/JPEG/WebP) genuinely require a codec
-    library absent from this environment and raise NotImplementedError;
-    at deployment, route those through Pillow/libvips in the same
+    """REAL image decode for the formats the standard library can carry —
+    binary PPM (P6, RGB), PGM (P5, grayscale), 24-bit uncompressed BMP,
+    and non-interlaced 8-bit gray/RGB/RGBA PNG (IHDR/IDAT parsing +
+    stdlib ``zlib`` inflate + per-scanline unfilter; see
+    :func:`_decode_png`) — returning a numpy uint8 array (H×W×C or H×W).
+    JPEG/WebP (DCT/VP8 codecs) genuinely require an imaging library
+    absent from this environment and raise NotImplementedError; at
+    deployment, route those through Pillow/libvips in the same
     ``mapInPandas`` seam (:func:`extract_features_real`)."""
     import numpy as np
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
 
     if payload[:2] in (b"P6", b"P5"):
         # Netpbm: ASCII header tokens (magic, width, height, maxval) with
@@ -122,9 +127,84 @@ def decode_image(payload: bytes):
         img = rows[:, : w * 3].reshape(abs(h), w, 3)[..., ::-1]  # BGR→RGB
         return img[::-1] if h > 0 else img  # positive h = bottom-up
     raise NotImplementedError(
-        "compressed image formats require a codec library (e.g. Pillow) — "
-        "not available in this environment; PPM/PGM/BMP decode natively"
+        "JPEG/WebP require a codec library (e.g. Pillow) — not available "
+        "in this environment; PPM/PGM/BMP/PNG decode natively"
     )
+
+
+def _decode_png(payload: bytes):
+    """Stdlib-only PNG decode: non-interlaced 8-bit grayscale (color type
+    0), RGB (2), gray+alpha (4), RGBA (6). PNG is chunked (length / type /
+    data / crc); pixel data is the zlib-inflated concatenation of the IDAT
+    chunks, one filter-type byte per scanline followed by the filtered
+    bytes, filters per the spec: 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth —
+    each reconstructed modulo 256 against left/up/up-left neighbors.
+    Palette (3) and 16-bit/interlaced images raise: they need tables and
+    Adam7 passes this decoder deliberately doesn't carry."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc32
+        if typ == b"IHDR":
+            (width, height, bit_depth, color_type,
+             _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError("only non-interlaced 8-bit PNG")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError("palette PNG not supported")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    bpp = channels  # bytes per pixel (8-bit samples)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for y in range(height):
+        ft = raw[off]
+        off += 1
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off).copy()
+        off += stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif ft == 2:  # Up (uint8 addition wraps mod 256 — the spec's math)
+            row += prev
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = row
+        prev = row
+    img = out.reshape(height, width, channels)
+    return img[:, :, 0] if channels == 1 else img
 
 
 def extract_features_real(assets: DataFrame, feature_dim: int = 4) -> DataFrame:
