@@ -47,8 +47,20 @@ def import_batch(
         existing_nodes=store.nodes(),
         enable_patch_node_id=enable_patch_node_id,
     )
-    # Stage order matters (reference: nodes → dims/edges → patch → constraint
-    # → completed). Dead letters first so bad payloads are never lost.
+    # Stage order: dead letters first (bad payloads are never lost), then
+    # dimension nodes → edges → patches → completed, and the INSTANCE node
+    # LAST — it is the batch's COMMIT RECORD. The instance-exists skip
+    # (R9, handler test :939-968) keys on that node, so writing it first
+    # (the reference's call order) would turn a crash between it and the
+    # later sinks into a permanently half-imported instance that every
+    # redelivery then skips. Writing it last makes redelivery semantics
+    # exact: node absent → reprocess (row-idempotent sinks swallow any
+    # partial writes); node present → every prior stage provably ran, so
+    # the skip is safe. Net guarantee: graph store exactly-once
+    # OBSERVABLE, completion events at-least-once (only a crash inside
+    # the completed→instance-node window can duplicate one — the same
+    # contract a Kafka producer gives). Fail-fast between stages is
+    # unchanged (handler tests :247-304).
     dead_all = dead.unionByName(
         result.rejected_events.select(
             result.rejected_events.instance_id.alias("payload"), "reason"
@@ -56,12 +68,12 @@ def import_batch(
     )
     if dead_all.take(1):
         jsonl_event_sink(dead_all, dead_letter_dir)
-    store.write_nodes(result.instance_nodes)
     store.write_nodes(result.dimension_nodes)
     store.write_edges(result.edges)
     patch_sink(result.patches, patch_send)
     if result.completed.take(1):
         jsonl_event_sink(result.completed, completed_dir)
+    store.write_nodes(result.instance_nodes)
     return result
 
 

@@ -279,3 +279,129 @@ def test_outer_join_unmatched_tail_emits(spark, duck):
     )
     assert events.count() > 0 and len(last_unmatched) == 1
     assert (last_unmatched[0][0], last_unmatched[0][1]) in got
+
+
+def test_checkpoint_restart_recovers_exactly_once(spark):
+    """R23 crash/graceful-shutdown semantics as a test: a stream dies
+    MID-BATCH — after the node sink wrote but before later stages ran or
+    the offset committed — then restarts from the SAME checkpoint. The
+    restart must (a) NOT reprocess the earlier, committed batch, (b)
+    reprocess the crashed batch, and (c) leave the graph store identical
+    to a never-crashed run — the partial write is invisible because the
+    sinks are idempotent (at-least-once + idempotent = exactly-once
+    OBSERVABLE)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dp_dimension_importer_spark.pipeline import importer, sources
+    from dp_dimension_importer_spark.pipeline.runner import import_batch
+
+    out_dir = tempfile.mkdtemp(prefix="ckptr_out_")
+    event_dir = tempfile.mkdtemp(prefix="ckptr_events_")
+    ckpt = tempfile.mkdtemp(prefix="ckptr_state_")
+    patch_log = os.path.join(out_dir, "patches.jsonl")
+
+    instances = spark.createDataFrame(
+        [("i1", ["h1"]), ("i2", ["h2"]), ("i3", ["h3"])], INSTANCE_SCHEMA
+    )
+    dimensions = spark.createDataFrame(
+        [
+            ("i1", "i1_Geo", "England", "1", "cl"),
+            ("i2", "i2_Sex", "Male", "3", "scl"),
+            ("i3", "i3_Age", "0-15", "9", "acl"),
+        ],
+        DIMENSION_SCHEMA,
+    )
+    code_lists = spark.createDataFrame(
+        [("cl", "England", 7), ("scl", "Male", 2), ("acl", "0-15", 1)],
+        CODE_LIST_SCHEMA,
+    )
+
+    def deliver(payloads, name):
+        with open(os.path.join(event_dir, name), "w") as f:
+            f.write("\n".join(payloads) + "\n")
+
+    def crashing_stream(handle):
+        return (
+            sources.read_event_stream(spark, event_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    sender = RecordingPatchSender(patch_log)
+    store = ParquetGraphStore(spark, os.path.join(out_dir, "graph"))
+
+    # batch 1 commits cleanly
+    deliver([json.dumps({"file_url": "/f1", "instance_id": "i1"})], "b1.jsonl")
+    q1 = run_stream(
+        spark, event_dir, instances, dimensions, code_lists, out_dir,
+        sender, checkpoint_dir=ckpt,
+    )
+    q1.awaitTermination(120)
+    assert store.nodes().count() == 2  # i1 instance + 1 dimension node
+
+    # batch 2 crashes after the FIRST sink stage (dimension nodes) — the
+    # commit record (instance node) is never written
+    deliver([json.dumps({"file_url": "/f2", "instance_id": "i2"})], "b2.jsonl")
+
+    def crash_early(batch_df, batch_id):
+        events, _dead = sources.decode_events(batch_df)
+        result = importer.run_import(
+            events, instances, dimensions, code_lists,
+            existing_nodes=store.nodes(),
+        )
+        store.write_nodes(result.dimension_nodes)  # partial sink write...
+        raise RuntimeError("simulated crash mid-batch")  # ...then die
+
+    with pytest.raises(StreamingQueryException):
+        crashing_stream(crash_early).awaitTermination(120)
+    # partial state on disk: i2's dimension node, NO instance node
+    i2 = store.nodes().filter(F.col("instance_id") == "i2")
+    assert i2.count() == 1
+    assert i2.filter(F.col("node_kind") == "instance").count() == 0
+
+    # restart from the SAME checkpoint: batch 1 is not replayed (committed
+    # offset), batch 2 reprocesses — the absent commit record marks it
+    # incomplete — and the row-idempotent sinks swallow the partial write
+    q2 = run_stream(
+        spark, event_dir, instances, dimensions, code_lists, out_dir,
+        sender, checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(120)
+    assert store.nodes().count() == 4  # == a never-crashed run
+    assert store.edges().count() == 2
+    assert store.nodes().filter(F.col("instance_id") == "i2").count() == 2
+
+    # batch 3 crashes AFTER every sink ran but BEFORE the offset commits —
+    # the worst redelivery case: the restart replays the batch, sees the
+    # commit record, and must skip without duplicating anything (including
+    # the already-emitted completion event, which gates on new instances)
+    deliver([json.dumps({"file_url": "/f3", "instance_id": "i3"})], "b3.jsonl")
+
+    def crash_after_commit(batch_df, batch_id):
+        import_batch(
+            batch_df, instances, dimensions, code_lists, store, sender,
+            os.path.join(out_dir, "completed"),
+            os.path.join(out_dir, "dead_letter"),
+        )
+        raise RuntimeError("simulated crash after sinks, before offset")
+
+    with pytest.raises(StreamingQueryException):
+        crashing_stream(crash_after_commit).awaitTermination(120)
+    q3 = run_stream(
+        spark, event_dir, instances, dimensions, code_lists, out_dir,
+        sender, checkpoint_dir=ckpt,
+    )
+    q3.awaitTermination(120)
+
+    assert store.nodes().count() == 6
+    assert store.edges().count() == 3
+    completed = spark.read.json(os.path.join(out_dir, "completed"))
+    got = {
+        r.instance_id: r["count"]
+        for r in completed.groupBy("instance_id").count().collect()
+    }
+    # every instance completed EXACTLY once across both crash modes
+    assert got == {"i1": 1, "i2": 1, "i3": 1}
