@@ -52,7 +52,10 @@ from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
     shingle_hashes,
 )
 from dp_dimension_importer_spark.operators.text import (  # noqa: F401
+    chunk_index,
+    pack_index,
     repetition_metrics,
+    tokens_expr,
     unigram_logprob,
 )
 from dp_dimension_importer_spark.pipeline.http_client import (  # noqa: F401
@@ -73,7 +76,10 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signatures",
     "shingle_hashes",
+    "chunk_index",
+    "pack_index",
     "repetition_metrics",
+    "tokens_expr",
     "unigram_logprob",
     "fetch_dimensions_http",
     "fetch_instances_http",

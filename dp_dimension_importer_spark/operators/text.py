@@ -19,6 +19,29 @@ from dp_dimension_importer_spark.operators.common import make_registry
 
 QUERIES, ORACLE, register = make_registry()
 
+
+def tokens_expr(text_col: str = "text", tokenizer=None):
+    """The tokenizer seam shared by the text cores (repetition_metrics,
+    unigram_logprob, chunk_index, pack_index): one ``array<string>``
+    column of the document's tokens.
+
+    * ``tokenizer=None`` (default): whitespace split — a codegen'd JVM
+      expression, the plan every oracled query pins.
+    * ``tokenizer=callable`` (``str -> sequence[str]``): wrapped in an
+      Arrow-batched pandas_udf (a CLOSURE, so cloudpickle ships the
+      vocab/merges by value to executors) — how a real BPE tokenizer
+      slots in at deployment. Downstream plans are unchanged either
+      way: both paths emit the same column type, so explodes, counts
+      and windows above the seam don't care which produced it."""
+    if tokenizer is None:
+        return F.filter(F.split(text_col, " "), lambda x: x != "")
+
+    @F.pandas_udf("array<string>")
+    def _tok(s):
+        return s.map(lambda t: list(tokenizer(t)) if t is not None else [])
+
+    return _tok(text_col)
+
 #: language → marker-word regex (lowercased text). Deterministic heuristic:
 #: count marker hits per language, argmax with fixed priority tie-break.
 LANG_MARKERS: dict[str, str] = {
@@ -317,30 +340,42 @@ def text_chunk(spark, sf_dir):
     the scan stage — no shuffle, no UDF); chunk count = ceil(tokens/budget).
     Output is the (doc, chunk) index table with each chunk's token count;
     the actual token-slice materialization is ``slice(tokens, start, len)``
-    on the same expression shape."""
+    on the same expression shape. Core in :func:`chunk_index`."""
     t = load_tables(spark, sf_dir)
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    n = F.size(toks)
-    nc = F.ceil(n / F.lit(float(CHUNK_TOKENS))).cast("long")
+    return chunk_index(t.documents).orderBy("doc_id", "chunk_id")
+
+
+def chunk_index(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    tokenizer=None,
+):
+    """Public DataFrame-in core (engine facade): the (doc, chunk) index
+    table for fixed token-budget chunking. ``tokenizer``: see
+    :func:`tokens_expr` — a BPE tokenizer changes only the token COUNTS;
+    the explode/sequence plan above the seam is identical."""
+    n = F.size(tokens_expr(text_col, tokenizer))
+    nc = F.ceil(F.col("n") / F.lit(float(chunk_tokens))).cast("long")
     return (
-        t.documents.select("doc_id", n.alias("n"), nc.alias("nc"))
+        df.select(F.col(id_col).alias("doc_id"), n.alias("n"))
         .filter(F.col("n") > 0)
         .select(
             "doc_id",
             "n",
-            F.explode(F.sequence(F.lit(0).cast("long"), F.col("nc") - 1)).alias(
-                "chunk_id"
-            ),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), nc - 1)
+            ).alias("chunk_id"),
         )
         .select(
             "doc_id",
             "chunk_id",
             F.least(
-                F.lit(CHUNK_TOKENS).cast("long"),
-                F.col("n") - F.col("chunk_id") * CHUNK_TOKENS,
+                F.lit(chunk_tokens).cast("long"),
+                F.col("n") - F.col("chunk_id") * chunk_tokens,
             ).alias("tok_in_chunk"),
         )
-        .orderBy("doc_id", "chunk_id")
     )
 
 
@@ -385,31 +420,47 @@ def text_pack(spark, sf_dir):
     Scale: ONE shuffle (hash-partition by shard) + a per-shard running sum.
     No global order, no driver state; shard count is the write parallelism
     knob, so at 100 TB this is embarrassingly parallel with each shard's
-    window evaluated by a single ordered scan."""
+    window evaluated by a single ordered scan. Core in
+    :func:`pack_index`."""
     t = load_tables(spark, sf_dir)
-    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    return pack_index(t.documents).orderBy("doc_id")
+
+
+def pack_index(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = PACK_BUDGET,
+    shards: int = PACK_SHARDS,
+    tokenizer=None,
+):
+    """Public DataFrame-in core (engine facade): each doc's
+    [start_seq, end_seq] range in the shard's packed token stream.
+    ``tokenizer``: see :func:`tokens_expr`."""
+    h = F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
     shard = (
         F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
-    ) % PACK_SHARDS
-    n = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    ) % shards
+    n = F.size(tokens_expr(text_col, tokenizer))
     w = (
         W.partitionBy("shard")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     return (
-        t.documents.select("doc_id", shard.alias("shard"), n.alias("n"))
+        df.select(
+            F.col(id_col).alias("doc_id"), shard.alias("shard"), n.alias("n")
+        )
         .filter(F.col("n") > 0)
         .withColumn("cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
         .select(
             "doc_id",
             "shard",
-            F.floor(F.col("cum_before") / PACK_BUDGET).alias("start_seq"),
-            F.floor((F.col("cum_before") + F.col("n") - 1) / PACK_BUDGET).alias(
+            F.floor(F.col("cum_before") / budget).alias("start_seq"),
+            F.floor((F.col("cum_before") + F.col("n") - 1) / budget).alias(
                 "end_seq"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -516,6 +567,7 @@ def repetition_metrics(
     id_col: str = "doc_id",
     text_col: str = "text",
     flag_share: float = 0.12,
+    tokenizer=None,
 ):
     """Public DataFrame-in core (engine facade): per-doc top-token share
     and distinct-token ratio, with a flag for docs whose most frequent
@@ -533,10 +585,13 @@ def repetition_metrics(
     HALF_UP vs DuckDB nearbyint — e.g. 1/32 = 0.03125 → 0.0313 vs
     0.0312). Round half-up in INTEGER space instead:
     (20000·num + den) div (2·den), exact and engine-independent for the
-    positive ratios here (both engines truncate toward zero)."""
+    positive ratios here (both engines truncate toward zero).
+
+    ``tokenizer``: see :func:`tokens_expr` — plug a real BPE tokenizer in
+    without changing anything above the seam."""
     tokens = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.filter(F.split(text_col, " "), lambda x: x != "")).alias("t"),
+        F.explode(tokens_expr(text_col, tokenizer)).alias("t"),
     )
     cnt = tokens.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
     share = F.col("mx").cast("double") / F.col("n_tokens")
@@ -594,7 +649,9 @@ def text_unigram_logprob(spark, sf_dir):
     return unigram_logprob(t.documents).orderBy("doc_id")
 
 
-def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+def unigram_logprob(
+    df, id_col: str = "doc_id", text_col: str = "text", tokenizer=None
+):
     """Public DataFrame-in core (engine facade): per-doc average token
     log-probability under the corpus unigram distribution — the cheap
     LM-quality score (the CCNet idea with a unigram model instead of a
@@ -622,10 +679,12 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     order-independent), and the final 4-dp rounding is
     floor(x/100 + 0.5)/1e4 — half-up toward +∞, identical on both
     engines (int div would truncate toward zero on these negative
-    values, so floor on the exactly-rounded double is used instead)."""
+    values, so floor on the exactly-rounded double is used instead).
+
+    ``tokenizer``: see :func:`tokens_expr`."""
     tokens = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.filter(F.split(text_col, " "), lambda x: x != "")).alias("t"),
+        F.explode(tokens_expr(text_col, tokenizer)).alias("t"),
     )
     cf = tokens.groupBy("t").agg(F.count("*").alias("c"))
     logp = cf.select(

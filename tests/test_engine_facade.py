@@ -163,3 +163,59 @@ def test_centroid_cache_is_single_slot(spark):
     # deterministic: identical centroids
     ca3 = similarity._ivf_centroids(a)
     assert ca3 is not ca1 and np.array_equal(ca3, ca1)
+
+
+def test_tokenizer_seam_plugs_into_text_cores(spark):
+    """A custom (non-whitespace) tokenizer slots into the text cores
+    through tokens_expr without changing anything above the seam: token
+    counts, repetition shares, chunk indices and pack ranges all follow
+    the pluggable tokenization, and the default stays whitespace."""
+    import re
+
+    # toy "BPE": lowercase alphanumeric runs — splits punctuation-glued
+    # words that whitespace keeps together
+    def toy(t):
+        return re.findall(r"[a-z0-9]+", t.lower())
+
+    df = spark.createDataFrame(
+        [
+            (1, "Spam,spam;SPAM!spam spam"),     # ws: 2 toks, toy: 5x 'spam'
+            (2, "a-b c-d e-f g-h"),              # ws: 4, toy: 8 uniques
+        ],
+        "id long, body string",
+    )
+    rep_ws = {r.doc_id: r for r in
+              engine.repetition_metrics(df, id_col="id", text_col="body").collect()}
+    rep_toy = {r.doc_id: r for r in
+               engine.repetition_metrics(
+                   df, id_col="id", text_col="body", tokenizer=toy
+               ).collect()}
+    assert rep_ws[1].n_tokens == 2 and rep_toy[1].n_tokens == 5
+    assert rep_toy[1].top_token_share == 1.0 and rep_toy[1].flagged
+    assert rep_ws[2].n_tokens == 4 and rep_toy[2].n_tokens == 8
+    assert rep_toy[2].distinct_ratio == 1.0
+    assert rep_toy[2].top_token_share == 0.125  # 1/8, all-unique toy tokens
+
+    ch = {r.doc_id: r for r in engine.chunk_index(
+        df, id_col="id", text_col="body", chunk_tokens=4, tokenizer=toy
+    ).collect()}
+    # doc 1: 5 toy tokens -> chunks of 4+1; doc 2: 8 -> 4+4
+    ch_all = engine.chunk_index(
+        df, id_col="id", text_col="body", chunk_tokens=4, tokenizer=toy
+    ).collect()
+    per_doc = {}
+    for r in ch_all:
+        per_doc.setdefault(r.doc_id, []).append(r.tok_in_chunk)
+    assert sorted(per_doc[1]) == [1, 4] and per_doc[2] == [4, 4]
+
+    pk = {r.doc_id: r for r in engine.pack_index(
+        df, id_col="id", text_col="body", budget=4, shards=1, tokenizer=toy
+    ).collect()}
+    # one shard, doc order: doc1 tokens 0-4, doc2 tokens 5-12 (budget 4)
+    assert (pk[1].start_seq, pk[1].end_seq) == (0, 1)
+    assert (pk[2].start_seq, pk[2].end_seq) == (1, 3)
+
+    lp = {r.doc_id: r.avg_logprob for r in engine.unigram_logprob(
+        df, id_col="id", text_col="body", tokenizer=toy
+    ).collect()}
+    assert lp[1] > lp[2]  # 'spam' dominates the toy-token corpus
