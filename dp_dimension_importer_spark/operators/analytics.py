@@ -404,6 +404,83 @@ def events_anomaly(spark, sf_dir):
     )
 
 
+#: inactivity gap that closes a session (ms) — the classic 30 minutes
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+@register(
+    "events_sessionize",
+    sql=f"""
+    WITH m AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+    ), g AS (
+        SELECT user_id, event_id, ms,
+               CASE WHEN LAG(ms) OVER w IS NULL
+                         OR ms - LAG(ms) OVER w > {SESSION_GAP_MS}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM m
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ), s AS (
+        SELECT user_id, ms,
+               CAST(SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ms, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+        FROM g
+    )
+    SELECT user_id, session_n, COUNT(*) AS n_events,
+           MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+           MAX(ms) - MIN(ms) AS duration_ms
+    FROM s GROUP BY user_id, session_n
+    ORDER BY user_id, session_n
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Batch sessionization: split each user's time-ordered event stream at
+    inactivity gaps > 30 minutes and emit per-session stats — the batch
+    twin of the streaming session window (q48) and the preprocessing step
+    behind engagement metrics, session-level features, and funnel scoping.
+
+    Gap and duration math is integer epoch-milliseconds on both engines
+    (no float timestamp arithmetic anywhere), so the session boundaries are
+    bit-identical across Spark and DuckDB.
+
+    Scale: ONE shuffle on user_id for the lag + running-sum window pair
+    (both use the same window spec, so one sort); the per-session
+    aggregation then groups on (user_id, session_n) — a SUPERSET of the
+    existing hash partitioning, which Spark recognizes as already
+    clustered, so no second exchange. The whole operator is one exchange
+    over the event stream regardless of corpus size."""
+    t = load_tables(spark, sf_dir)
+    return sessionize(t.events).orderBy("user_id", "session_n")
+
+
+def sessionize(events, gap_ms: int = SESSION_GAP_MS):
+    """Public core (engine facade): per-(user_id, session_n) stats for any
+    frame with (user_id, event_id, ts) — gap STRICTLY greater than
+    ``gap_ms`` opens a new session (an exactly-at-threshold event stays)."""
+    w = W.partitionBy("user_id").orderBy("ms", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ms") - F.lag("ms").over(w)
+    new_s = F.when(gap.isNull() | (gap > gap_ms), 1).otherwise(0)
+    return (
+        events.select("user_id", "event_id", F.unix_millis("ts").alias("ms"))
+        # two steps: a window expression can't nest inside another window's
+        # aggregate; both specs share (user_id, ms/event_id) so one sort
+        .withColumn("new_s", new_s)
+        .select(
+            "user_id", "ms",
+            F.sum("new_s").over(run).cast("long").alias("session_n"),
+        )
+        .groupBy("user_id", "session_n")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ms").alias("start_ms"),
+            F.max("ms").alias("end_ms"),
+            (F.max("ms") - F.min("ms")).alias("duration_ms"),
+        )
+    )
+
+
 @register(
     "events_transitions",
     sql="""

@@ -207,6 +207,221 @@ def _decode_png(payload: bytes):
     return img[:, :, 0] if channels == 1 else img
 
 
+def _make_wav_codec():
+    """WAV (RIFF/PCM) encode + decode as NESTED functions so closures that
+    capture them are cloudpickle'd BY VALUE (a module-level def would pickle
+    by reference and require ``import dp_dimension_importer_spark`` on every
+    Python worker — not true when the driver runs from a foreign cwd; same
+    rationale as operators/udfs.py)."""
+    import struct
+
+    def encode_wav(
+        pcm: bytes, sample_rate: int = 8000, channels: int = 1, bits: int = 8
+    ) -> bytes:
+        """Wrap raw PCM sample bytes in a canonical 44-byte WAV header
+        (RIFF / fmt / data). 8-bit PCM is unsigned, 16-bit is signed LE —
+        the payload is taken verbatim as the data chunk."""
+        if bits not in (8, 16):
+            raise ValueError("PCM bits must be 8 or 16")
+        block_align = channels * bits // 8
+        byte_rate = sample_rate * block_align
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(pcm), b"WAVE",
+            b"fmt ", 16, 1, channels, sample_rate, byte_rate,
+            block_align, bits,
+            b"data", len(pcm),
+        )
+        return hdr + pcm
+
+    def decode_audio(payload: bytes) -> dict:
+        """REAL WAV decode (stdlib only): parse the RIFF chunk list, read
+        the ``fmt `` chunk (PCM format 1 only — compressed codecs like MP3/
+        AAC/FLAC need a codec library this environment lacks and raise, the
+        audio twin of :func:`decode_image`'s JPEG guard), return sample
+        metadata plus the raw data-chunk bytes and a numpy sample array
+        (n_frames × channels; 8-bit unsigned / 16-bit signed LE)."""
+        import numpy as np
+
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise NotImplementedError(
+                "not a RIFF/WAVE payload — compressed audio (MP3/AAC/FLAC) "
+                "requires a codec library absent from this environment"
+            )
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = payload[pos + 8 : pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        audio_format, channels, sample_rate, _rate, _align, bits = fmt
+        if audio_format != 1 or bits not in (8, 16):
+            raise NotImplementedError("only 8/16-bit PCM WAV supported")
+        width = bits // 8
+        n_frames = len(data) // (channels * width)
+        dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+        samples = np.frombuffer(
+            data, dtype=dtype, count=n_frames * channels
+        ).reshape(n_frames, channels)
+        return {
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "bits": bits,
+            "n_frames": n_frames,
+            "data": data,
+            "samples": samples,
+        }
+
+    return encode_wav, decode_audio
+
+
+encode_wav, decode_audio = _make_wav_codec()
+
+#: schema produced by the audio feature extractor
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads: decode each
+    WAV with :func:`decode_audio` and emit duration, RMS level (samples
+    normalized to [-1, 1]) and zero-crossing count — the triage features a
+    speech-corpus build filters on (silence, clipping, truncated files).
+    Arrow-batched ``mapInPandas``, partition-preserving, no driver collect;
+    undecodable payloads yield NULL metadata (dead-letter philosophy, like
+    :func:`extract_features_real`)."""
+    import numpy as np
+
+    _, decode = _make_wav_codec()
+
+    def _audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "sample_rate", "channels", "n_frames", "duration_ms",
+                "rms", "zero_crossings")}
+            for p in pdf["payload"]:
+                try:
+                    a = decode(bytes(p))
+                except (NotImplementedError, ValueError, IndexError, TypeError):
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                s = a["samples"].astype(np.float64)
+                # normalize: 8-bit PCM is unsigned around 128, 16-bit signed
+                s = (s - 128.0) / 128.0 if a["bits"] == 8 else s / 32768.0
+                mono = s.mean(axis=1)
+                rows["sample_rate"].append(a["sample_rate"])
+                rows["channels"].append(a["channels"])
+                rows["n_frames"].append(a["n_frames"])
+                rows["duration_ms"].append(
+                    a["n_frames"] * 1000 // a["sample_rate"]
+                )
+                rows["rms"].append(
+                    float(np.sqrt((mono ** 2).mean())) if len(mono) else 0.0
+                )
+                rows["zero_crossings"].append(
+                    int((np.signbit(mono[1:]) != np.signbit(mono[:-1])).sum())
+                    if len(mono) > 1 else 0
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="Int64"),
+                    "channels": pd.Series(rows["channels"], dtype="Int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="Int64"),
+                    "duration_ms": pd.Series(rows["duration_ms"], dtype="Int64"),
+                    "rms": pd.Series(rows["rms"], dtype="float64"),
+                    "zero_crossings": pd.Series(
+                        rows["zero_crossings"], dtype="Int64"
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(_audio, schema=AUDIO_FEATURE_SCHEMA)
+
+
+_AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("digest", T.StringType(), True),
+    ]
+)
+
+
+@register(
+    "multimodal_audio_meta",
+    sql="""
+    SELECT doc_id,
+           CAST(8000 AS BIGINT)                          AS sample_rate,
+           octet_length(encode(text))                    AS n_frames,
+           octet_length(encode(text)) * 1000 // 8000     AS duration_ms,
+           sha256(text)                                  AS digest
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_audio_meta(spark, sf_dir):
+    """Audio-column plumbing, proven END-TO-END through a real WAV codec:
+    each document's UTF-8 bytes become 8-bit mono PCM @8 kHz, wrapped in a
+    real RIFF/WAVE container (``encode_wav``), then decoded back by the
+    same stdlib parser the feature extractor uses (``decode_audio``) — all
+    inside one Arrow-batched ``mapInPandas``, no driver collect. The
+    emitted metadata (rate, frame count, integer-ms duration) and the
+    sha256 of the decoded data chunk are computed FROM THE DECODED SAMPLES,
+    so the oracle equality proves the header round-trip is byte-exact.
+    DuckDB reproduces every column from the text directly (the synth is
+    invertible by construction: 1 byte = 1 frame)."""
+    import hashlib
+
+    t = load_tables(spark, sf_dir)
+    enc, dec = _make_wav_codec()
+    sha256, RATE = hashlib.sha256, 8000
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, frames, durs, digests = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                wav = enc(text.encode("utf-8"), sample_rate=RATE)
+                a = dec(wav)
+                ids.append(doc_id)
+                rates.append(a["sample_rate"])
+                frames.append(a["n_frames"])
+                durs.append(a["n_frames"] * 1000 // a["sample_rate"])
+                digests.append(sha256(a["data"]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": pd.Series(rates, dtype="Int64"),
+                    "n_frames": pd.Series(frames, dtype="Int64"),
+                    "duration_ms": pd.Series(durs, dtype="Int64"),
+                    "digest": digests,
+                }
+            )
+
+    return (
+        t.documents.select("doc_id", "text")
+        .mapInPandas(_roundtrip, schema=_AUDIO_META_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
 def extract_features_real(assets: DataFrame, feature_dim: int = 4) -> DataFrame:
     """The REAL counterpart of :func:`extract_features_fake`: decodes each
     payload with :func:`decode_image` and emits true (width, height) plus a

@@ -60,14 +60,15 @@ QUERIES, ORACLE_SQL = _merge()
 # order (budgeted check; confirmed rounds 1-3 — CORRECTNESS_r03.json is
 # 50/50 green on round 3's priority block). Round-4 ordering (the judge's
 # explicit #1 ask: rotate the budget to the STALEST evidence):
-#   1-2   operators NEW this round (text_dedup_spans, dedup_semantic —
-#         zero driver evidence; never park a new oracled op past budget),
-#   3-5   r3-verified ops whose CODE CHANGED this round (rounding fixes /
+#   1-4   operators NEW this round (text_dedup_spans, dedup_semantic,
+#         events_sessionize, multimodal_audio_meta — zero driver
+#         evidence; never park a new oracled op past budget),
+#   5-7   r3-verified ops whose CODE CHANGED this round (rounding fixes /
 #         tokenizer seam: text_unigram_logprob, text_dup_ngram_share,
 #         text_repetition_filter) — their green rows predate the change,
-#   6-12  the seven queries whose newest driver row is ROUND 1 (three
+#   8-14  the seven queries whose newest driver row is ROUND 1 (three
 #         rounds stale by now): q01-q04, q33-q35,
-#   13-50 round-2-verified entries (two rounds stale), changed cores
+#   15-50 round-2-verified entries (two rounds stale), changed cores
 #         (text_chunk/text_pack) and intricate plans first, trivial
 #         exprs last,
 #   tail  the 11 most-trivial r2 entries that don't fit the budget (they
@@ -133,7 +134,8 @@ _VERIFIED_R03 = frozenset({
 
 _PRIORITY = [
     # NEW this round — zero driver evidence
-    "text_dedup_spans", "dedup_semantic",
+    "text_dedup_spans", "dedup_semantic", "events_sessionize",
+    "multimodal_audio_meta",
     # r3-verified but CHANGED this round (integer-space rounding fix /
     # tokenizer seam); their green rows predate the change
     "text_unigram_logprob", "text_dup_ngram_share", "text_repetition_filter",

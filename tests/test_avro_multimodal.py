@@ -245,3 +245,58 @@ def test_decode_image_png_real(spark):
     out = {r.asset_id: r for r in extract_features_real(assets).collect()}
     assert (out[1].width, out[1].height) == (7, 11)
     assert out[1].feature == out[2].feature
+
+
+def test_wav_codec_roundtrip_and_features(spark):
+    """decode_audio is REAL for PCM WAV: hand-built 8-bit mono and 16-bit
+    stereo containers round-trip byte-exactly; compressed audio refuses;
+    the distributed extractor emits true duration/RMS/zero-crossings and
+    NULL metadata (not a partition failure) for undecodable payloads."""
+    import numpy as np
+    import pytest
+
+    from dp_dimension_importer_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+        extract_audio_features,
+    )
+
+    # 8-bit mono: a square wave alternating 64/192 around the 128 midpoint
+    # -> normalized amplitude 0.5, RMS exactly 0.5, a crossing every frame
+    sq = np.tile(np.array([192, 64], dtype=np.uint8), 400)
+    wav8 = encode_wav(sq.tobytes(), sample_rate=8000, channels=1, bits=8)
+    a = decode_audio(wav8)
+    assert (a["sample_rate"], a["channels"], a["bits"]) == (8000, 1, 8)
+    assert a["n_frames"] == 800 and a["data"] == sq.tobytes()
+    assert (a["samples"][:, 0] == sq).all()
+
+    # 16-bit stereo, both channels the same sign so the mono mix is real
+    sig = (np.sin(np.linspace(0, 40 * np.pi, 4000)) * 20000).astype("<i2")
+    stereo = np.stack([sig, sig // 2], axis=1)
+    wav16 = encode_wav(stereo.tobytes(), sample_rate=16000, channels=2, bits=16)
+    b = decode_audio(wav16)
+    assert (b["sample_rate"], b["channels"], b["bits"]) == (16000, 2, 16)
+    assert b["n_frames"] == 4000 and np.array_equal(b["samples"], stereo)
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03\x00 mp3 needs a codec library")
+    with pytest.raises(NotImplementedError):  # RIFF but non-PCM format tag
+        bad_fmt = bytearray(wav8)
+        bad_fmt[20] = 2  # fmt.audio_format: 1 (PCM) -> 2 (ADPCM)
+        decode_audio(bytes(bad_fmt))
+
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(wav8)),
+            (2, bytearray(wav16)),
+            (3, bytearray(b"\x00not audio")),
+        ],
+        "asset_id long, payload binary",
+    )
+    out = {r.asset_id: r for r in extract_audio_features(assets).collect()}
+    assert out[1].duration_ms == 100  # 800 frames @ 8 kHz
+    assert out[1].rms == pytest.approx(0.5)
+    assert out[1].zero_crossings == 799  # alternates every frame
+    assert out[2].duration_ms == 250  # 4000 frames @ 16 kHz
+    assert 0.3 < out[2].rms < 0.6
+    assert out[3].sample_rate is None and out[3].rms is None

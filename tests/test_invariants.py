@@ -254,3 +254,34 @@ def test_dedup_spans_min_run_gate(spark):
     }
     assert out1[1].cleaned_text == "a1 a2 a3 a4"
     assert out1[2].cleaned_text == "b1 b2 b3 b4"
+
+
+def test_sessionize_gap_boundary(spark):
+    """A gap of EXACTLY gap_ms stays in-session; gap_ms+1 opens a new one;
+    users never share sessions. Integer-ms timestamps, no float drift."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.operators.analytics import sessionize
+
+    base = 1_700_000_000_000
+    rows = [
+        # user 1: e1, +gap exactly (same session), +gap+1 (new session)
+        (1, 1, base),
+        (1, 2, base + 1_000),
+        (1, 3, base + 1_000 + 1_000),
+        (1, 4, base + 2_000 + 1_001),
+        # user 2: single event — its own session regardless of user 1
+        (2, 5, base),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ms long"
+    ).select("user_id", "event_id", F.timestamp_millis(F.col("ms")).alias("ts"))
+    out = {
+        (r.user_id, r.session_n): r
+        for r in sessionize(df, gap_ms=1_000).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    assert out[(1, 1)].n_events == 3  # both 1 000 ms gaps stay in-session
+    assert out[(1, 1)].duration_ms == 2_000
+    assert out[(1, 2)].n_events == 1 and out[(1, 2)].duration_ms == 0
+    assert out[(2, 1)].n_events == 1
