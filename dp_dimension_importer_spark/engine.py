@@ -58,12 +58,26 @@ from dp_dimension_importer_spark.operators.text import (  # noqa: F401
     tokens_expr,
     unigram_logprob,
 )
+from dp_dimension_importer_spark.operators.analytics import (  # noqa: F401
+    sessionize,
+)
+from dp_dimension_importer_spark.operators.multimodal import (  # noqa: F401
+    decode_audio,
+    encode_wav,
+    extract_audio_features,
+)
 from dp_dimension_importer_spark.pipeline.http_client import (  # noqa: F401
     fetch_dimensions_http,
     fetch_instances_http,
 )
 from dp_dimension_importer_spark.pipeline.importer import (  # noqa: F401
     run_import,
+)
+from dp_dimension_importer_spark.storage import (  # noqa: F401
+    read_bucketed,
+    read_partitioned,
+    write_bucketed,
+    write_partitioned,
 )
 
 __all__ = [
@@ -81,7 +95,15 @@ __all__ = [
     "repetition_metrics",
     "tokens_expr",
     "unigram_logprob",
+    "sessionize",
+    "decode_audio",
+    "encode_wav",
+    "extract_audio_features",
     "fetch_dimensions_http",
     "fetch_instances_http",
     "run_import",
+    "read_bucketed",
+    "read_partitioned",
+    "write_bucketed",
+    "write_partitioned",
 ]

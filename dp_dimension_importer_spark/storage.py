@@ -1,0 +1,86 @@
+"""Physical table layout: partitioned and bucketed parquet writes.
+
+This is the piece that turns the engine's "repoint the catalog at
+partitioned / bucketed tables" claim (catalog.py module docstring) into
+working code. Two layouts, each killing a different cost at 100 TB:
+
+* **Partitioned writes** (``partitionBy`` → one directory per value):
+  partition PRUNING happens at file-listing time, so a filter on the
+  partition column never touches excluded files at all — the scan cost is
+  proportional to the data you asked for, not the table size. The audit
+  (tests/test_plans.py) pins ``PartitionFilters`` in the scan node.
+
+* **Bucketed writes** (``bucketBy(n, key)`` + ``sortBy`` → fixed file
+  fan-out per bucket): every reader joining or aggregating ON THE BUCKET
+  KEY skips its Exchange entirely — the scan's output partitioning already
+  satisfies the required distribution. For the fact-to-fact joins that
+  dominate a 100 TB star schema (lineitem ⋈ orders on orderkey), bucketing
+  both sides with the same count turns every downstream join from a
+  full-table shuffle into a zipped per-bucket merge. The audit pins
+  zero ``Exchange`` nodes in a bucketed sort-merge join AND in a
+  bucket-key aggregate.
+
+Bucketed tables go through ``saveAsTable`` (bucket metadata lives in the
+session catalog; a bare ``parquet(path)`` write cannot record it). Pass
+``path`` to make the table EXTERNAL at a location you own — dropping the
+catalog entry then never deletes data. Bucket counts should be sized so
+one bucket of the biggest table fits an executor's memory (at 100 TB and
+1024 buckets that is ~100 GB/bucket pre-compression — size up accordingly;
+counts must MATCH across tables you intend to co-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet partitioned by ``partition_cols`` (one
+    directory level per column, low-cardinality columns only — each value
+    is a directory; a high-cardinality partition column is the classic
+    small-files trap)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned parquet table; filters on partition columns
+    prune directories before any file is opened."""
+    return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    mode: str = "overwrite",
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as a bucketed (and, by default, per-bucket sorted)
+    parquet table registered in the session catalog. Sorting within
+    buckets lets a sort-merge join skip its per-task Sort too, and gives
+    min/max row-group pruning on the key.
+
+    One hard rule at scale: the writer must not produce one file per
+    (task × bucket). Spark handles this by shuffling on the bucket
+    expression during the write; the output is exactly ``n_buckets`` file
+    groups however many tasks wrote them."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)  # external table: data outlives catalog
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table THROUGH THE CATALOG — ``spark.table`` is what
+    carries the bucket spec to the planner; reading the parquet path
+    directly would silently lose it (and reintroduce the shuffle)."""
+    return spark.table(table)

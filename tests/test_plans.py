@@ -107,6 +107,8 @@ def test_bucketed_tables_join_without_exchange(spark, warehouse):
     """Bucketing both join sides on the key pre-partitions the data on
     disk: the join plans with ZERO Exchange — the co-located-join strategy
     for repeated large joins at 100 TB (pay the shuffle once at write)."""
+    from dp_dimension_importer_spark.storage import read_bucketed, write_bucketed
+
     t = load_tables(spark, SF_SMOKE)
     n_orders = t.orders.count()
     for name, df, key in (
@@ -114,21 +116,15 @@ def test_bucketed_tables_join_without_exchange(spark, warehouse):
         ("customer_b", t.customer, "c_custkey"),
     ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.write.bucketBy(8, key)
-            .sortBy(key)
-            .option("path", os.path.join(warehouse, name))
-            .mode("overwrite")
-            .saveAsTable(name)
-        )
+        write_bucketed(df, name, key, 8, path=os.path.join(warehouse, name))
     # force the sort-merge strategy (at test scale the planner would just
     # broadcast tiny customer, which bypasses bucketing entirely); at real
     # scale both sides are too big to broadcast and this IS the plan
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = spark.table("orders_b").join(
-            spark.table("customer_b"),
+        joined = read_bucketed(spark, "orders_b").join(
+            read_bucketed(spark, "customer_b"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         plan = plan_of(joined, "simple")
@@ -140,14 +136,42 @@ def test_bucketed_tables_join_without_exchange(spark, warehouse):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_bucketed_groupby_without_exchange(spark, warehouse):
+    """A group-by ON the bucket key reads each bucket as one partition and
+    aggregates in place — zero Exchange (the scan's output partitioning
+    already satisfies the aggregate's required distribution). The other
+    repeated-cost win of paying the shuffle once at write time."""
+    from dp_dimension_importer_spark.storage import read_bucketed, write_bucketed
+
+    t = load_tables(spark, SF_SMOKE)
+    spark.sql("DROP TABLE IF EXISTS orders_gb")
+    write_bucketed(
+        t.orders, "orders_gb", "o_custkey", 8,
+        path=os.path.join(warehouse, "orders_gb"),
+    )
+    agg = (
+        read_bucketed(spark, "orders_gb")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    )
+    plan = plan_of(agg, "simple")
+    assert "Exchange" not in plan, plan
+    assert agg.count() == t.orders.select("o_custkey").distinct().count()
+
+
 def test_partitioned_write_prunes_partitions(spark, warehouse):
     """Hive-style partitioned parquet + an equality filter on the partition
     column must prune at planning time: the scan's PartitionFilters carry
     the predicate and non-matching directories are never listed."""
+    from dp_dimension_importer_spark.storage import (
+        read_partitioned,
+        write_partitioned,
+    )
+
     t = load_tables(spark, SF_SMOKE)
     path = os.path.join(warehouse, "events_by_type")
-    t.events.write.partitionBy("event_type").mode("overwrite").parquet(path)
-    got = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    write_partitioned(t.events, path, ["event_type"])
+    got = read_partitioned(spark, path).filter(F.col("event_type") == "click")
     plan = plan_of(got)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "event_type" in pf
