@@ -285,3 +285,37 @@ def test_sessionize_gap_boundary(spark):
     assert out[(1, 1)].duration_ms == 2_000
     assert out[(1, 2)].n_events == 1 and out[(1, 2)].duration_ms == 0
     assert out[(2, 1)].n_events == 1
+
+
+def test_bloom_route_exactness_and_no_false_negatives(spark):
+    """bloom_route_new returns EXACTLY batch-minus-corpus (bloom is
+    routing, never truth), and the bitmap has zero false negatives —
+    every corpus member probes positive, the property that makes the
+    negative fast-path safe."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.operators.dedup import (
+        bloom_contains_udf,
+        bloom_route_new,
+        build_bloom_bitmap,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # batch: 100 re-ingested duplicates (ids shifted) + 50 new docs
+    batch = spark.createDataFrame(
+        [(1000 + i, f"corpus doc {i}") for i in range(100)]
+        + [(2000 + i, f"new doc {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in bloom_route_new(corpus, batch).collect())
+    assert got == [2000 + i for i in range(50)]
+
+    h1, h2 = F.xxhash64(F.col("text")), F.xxhash64(F.col("text"), F.lit(1))
+    bm = build_bloom_bitmap(
+        corpus.select(h1.alias("h1"), h2.alias("h2")), "h1", "h2"
+    )
+    contains = bloom_contains_udf(spark, bm)
+    misses = corpus.select(contains(h1, h2).alias("m")).filter(~F.col("m"))
+    assert misses.count() == 0  # membership is never missed

@@ -344,3 +344,14 @@ def test_semantic_ivf_cell_shuffle_carries_no_vectors(spark):
             f"cell exchange carries vectors:\n{b}"
         )
     assert "ArrowEvalPython" in plan  # map-side cell assignment
+
+
+def test_bloom_incremental_joins_only_positives(spark):
+    """dedup_bloom_incremental's plan must be a Union of (a) the
+    bloom-negative fast path — probe + filter, NO join — and (b) exactly
+    one text-equality LEFT ANTI for the bloom-positive rows. The probe is
+    an Arrow-batched pandas_udf; the batch as a whole never shuffles."""
+    plan = plan_of(QUERIES["dedup_bloom_incremental"](spark, SF_SMOKE), "simple")
+    assert "Union" in plan
+    assert plan.count("LeftAnti") == 1, plan
+    assert "ArrowEvalPython" in plan  # vectorized probe, not row-at-a-time
