@@ -59,7 +59,11 @@ from dp_dimension_importer_spark.operators.text import (  # noqa: F401
     unigram_logprob,
 )
 from dp_dimension_importer_spark.operators.analytics import (  # noqa: F401
+    pagerank,
     sessionize,
+)
+from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
+    bloom_route_new,
 )
 from dp_dimension_importer_spark.operators.multimodal import (  # noqa: F401
     decode_audio,
@@ -96,6 +100,8 @@ __all__ = [
     "tokens_expr",
     "unigram_logprob",
     "sessionize",
+    "pagerank",
+    "bloom_route_new",
     "decode_audio",
     "encode_wav",
     "extract_audio_features",

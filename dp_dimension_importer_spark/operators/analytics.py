@@ -519,3 +519,132 @@ def events_transitions(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+#: PageRank fixture geometry: rank mass in integer micros, 0.85 damping
+PR_ITERS = 3
+PR_SCALE = 1_000_000
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # 0.85 as a ratio — integer math only
+PR_TELEPORT = PR_SCALE - PR_SCALE * PR_DAMP_NUM // PR_DAMP_DEN  # 150 000
+
+
+def pagerank(edges, iters: int = PR_ITERS, unpersist_after: bool = False):
+    """Public core (engine facade): weighted PageRank over an edge-count
+    frame (src, dst, n), ranks as INTEGER micro-units — every contribution
+    is ``r·85·n div (100·out)`` and the per-destination reduction is a sum
+    of longs, so the result is bit-identical regardless of summation order
+    or engine (the property that lets an ITERATIVE algorithm be
+    oracle-checked exactly; same pattern as the gapfill/logprob integer
+    rounding). Dangling mass evaporates identically on both sides.
+
+    Scale: the expensive part is building ``edges`` (one scan + one
+    shuffle, done by the caller); each iteration joins the |V|-row rank
+    frame to the |E|-row edge frame on src — co-partitioned after the
+    first iteration, broadcast when small — and reduces per dst. Deep
+    iteration counts need a lineage cut (checkpoint/localCheckpoint)
+    every ~10 rounds; at 3 the plan stays shallow.
+
+    ``unpersist_after=True`` materializes the |V|-row result via an eager
+    localCheckpoint and releases the internal edge/node caches — the
+    long-lived-session hygiene the other cached cores offer."""
+    edges = edges.persist()  # reused every iteration: count once
+    out = edges.groupBy("src").agg(F.sum("n").alias("tot"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    r = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(r, edges.src == r.node)
+            .join(out, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"r * {PR_DAMP_NUM} * n div ({PR_DAMP_DEN} * tot)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        r = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(PR_TELEPORT) + F.coalesce("c", F.lit(0)))
+            .cast("long")
+            .alias("r"),
+        )
+    if unpersist_after:
+        r = r.localCheckpoint(eager=True)
+        edges.unpersist()
+        nodes.unpersist()
+    return r
+
+
+@register(
+    "graph_pagerank",
+    sql=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), e AS (
+        SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), outdeg AS (
+        SELECT src, SUM(n) AS tot FROM e GROUP BY src
+    ), nodes AS (
+        SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), r0 AS (
+        SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes
+    ), c1 AS (
+        SELECT e.dst AS node, SUM(r0.r * {PR_DAMP_NUM} * e.n
+                                   // ({PR_DAMP_DEN} * o.tot)) AS c
+        FROM e JOIN r0 ON r0.node = e.src JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ), r1 AS (
+        SELECT n.node, CAST({PR_TELEPORT} + COALESCE(c.c, 0) AS BIGINT) AS r
+        FROM nodes n LEFT JOIN c1 c USING (node)
+    ), c2 AS (
+        SELECT e.dst AS node, SUM(r1.r * {PR_DAMP_NUM} * e.n
+                                   // ({PR_DAMP_DEN} * o.tot)) AS c
+        FROM e JOIN r1 ON r1.node = e.src JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ), r2 AS (
+        SELECT n.node, CAST({PR_TELEPORT} + COALESCE(c.c, 0) AS BIGINT) AS r
+        FROM nodes n LEFT JOIN c2 c USING (node)
+    ), c3 AS (
+        SELECT e.dst AS node, SUM(r2.r * {PR_DAMP_NUM} * e.n
+                                   // ({PR_DAMP_DEN} * o.tot)) AS c
+        FROM e JOIN r2 ON r2.node = e.src JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    )
+    SELECT n.node, CAST({PR_TELEPORT} + COALESCE(c.c, 0) AS BIGINT) AS r
+    FROM nodes n LEFT JOIN c3 c USING (node)
+    ORDER BY node
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Weighted PageRank over the event-type transition graph (edges =
+    the events_transitions Markov counts): which states users flow INTO —
+    the centrality read on any interaction graph, here run on the
+    type-contracted graph so the iterative machinery is exercised with a
+    bounded node set. Three damped iterations in exact integer micro-unit
+    arithmetic (see :func:`pagerank`); the oracle unrolls the same three
+    iterations as chained CTEs — a driver-checked ITERATIVE algorithm,
+    like the star-contraction components. One events scan builds the edge
+    counts; every iteration after that touches only |types|²-row frames."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        t.events.select(
+            F.col("event_type").alias("dst"),
+            F.lag("event_type").over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    return pagerank(edges).orderBy("node")

@@ -319,3 +319,32 @@ def test_bloom_route_exactness_and_no_false_negatives(spark):
     contains = bloom_contains_udf(spark, bm)
     misses = corpus.select(contains(h1, h2).alias("m")).filter(~F.col("m"))
     assert misses.count() == 0  # membership is never missed
+
+
+def test_pagerank_mass_and_sink_dominance(spark):
+    """On src->sink star graphs the sink must accumulate the damped mass
+    of every source; unpersist_after releases the internal caches and the
+    checkpointed result stays collectable. Exact integer expectations —
+    no tolerance anywhere."""
+    from dp_dimension_importer_spark.operators.analytics import (
+        PR_SCALE,
+        PR_TELEPORT,
+        pagerank,
+    )
+
+    # 4 sources all pointing at one sink, one self-loop on the sink
+    edges = spark.createDataFrame(
+        [(f"s{i}", "sink", 1) for i in range(4)] + [("sink", "sink", 1)],
+        "src string, dst string, n long",
+    )
+    r = {row.node: row.r for row in pagerank(edges, unpersist_after=True).collect()}
+    assert set(r) == {"s0", "s1", "s2", "s3", "sink"}
+    # sources receive nothing: teleport mass only, every iteration
+    assert all(r[f"s{i}"] == PR_TELEPORT for i in range(4))
+    # iteration 1: sink = teleport + 0.85*(4 sources + own) * scale
+    # thereafter sources contribute 0.85*teleport each, sink keeps 0.85 of
+    # itself — closed-form check of the third iterate
+    s1 = PR_TELEPORT + (PR_SCALE * 85 // 100) * 5
+    s2 = PR_TELEPORT + 4 * (PR_TELEPORT * 85 // 100) + s1 * 85 // 100
+    s3 = PR_TELEPORT + 4 * (PR_TELEPORT * 85 // 100) + s2 * 85 // 100
+    assert r["sink"] == s3
