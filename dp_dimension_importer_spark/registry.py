@@ -34,9 +34,13 @@ from dp_dimension_importer_spark.operators import similarity  # noqa: E402
 from dp_dimension_importer_spark.operators import text  # noqa: E402
 from dp_dimension_importer_spark.operators import udfs  # noqa: E402
 from dp_dimension_importer_spark.operators import multimodal  # noqa: E402
+from dp_dimension_importer_spark.operators import sketches  # noqa: E402
 from dp_dimension_importer_spark.operators import streaming_windows  # noqa: E402
 
-_MODULES += [text, udfs, dedup, similarity, multimodal, streaming_windows, analytics]
+_MODULES += [
+    text, udfs, dedup, similarity, multimodal, streaming_windows, analytics,
+    sketches,
+]
 
 
 def _merge() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -176,6 +180,7 @@ _PRIORITY = [
 _GATED = frozenset({
     "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_top1", "ann_ivf_top1",
     "ann_ivf_topk", "ann_lsh_topk", "dedup_semantic_ivf",
+    "sketch_hll_mergeable", "sketch_theta_set_ops", "sketch_kll_quantiles",
 })
 
 _VERIFIED = _VERIFIED_R01 | _VERIFIED_R02 | _VERIFIED_R03

@@ -190,3 +190,75 @@ def test_semantic_ivf_drop_set_vs_global_truth(q, spark):
     )
     recall = len(ivf_drop & true_drop) / len(true_drop)
     assert recall >= 0.8, f"semantic IVF drop recall {recall:.2f} < 0.8"
+
+
+def test_hll_sketch_tolerance_and_merge_consistency(q, spark):
+    """Per-group HLL estimates within 5% of exact distincts, and the
+    union-merged global estimate within 5% of the TRUE global distinct —
+    the merge must not degrade accuracy beyond the sketch's own error."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.catalog import load_tables
+
+    got = {r.scope: r.est for r in q("sketch_hll_mergeable")}
+    t = load_tables(spark, SF)
+    exact = {
+        r.o_orderpriority: r.d
+        for r in t.orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    exact["ALL"] = t.orders.select("o_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for scope, est in got.items():
+        assert abs(est - exact[scope]) <= 0.05 * exact[scope], (
+            scope, est, exact[scope],
+        )
+
+
+def test_theta_set_ops_tolerance(q, spark):
+    """Theta union/intersection/A-NOT-B estimates within 5% of the exact
+    split-vocabulary sizes, and the identity |A∪B| ≈ |A∩B| + |AΔ…| family
+    stays self-consistent."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.catalog import load_tables
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+    from dp_dimension_importer_spark.operators.text import tokens_expr
+
+    row = q("sketch_theta_set_ops")[0]
+    t = load_tables(spark, SF)
+    toks = t.documents.select(
+        hash_bucket("doc_id", 10).alias("bucket"),
+        F.explode(tokens_expr("text")).alias("tok"),
+    )
+    train = {r.tok for r in toks.filter("bucket < 8").select("tok").distinct().collect()}
+    test = {r.tok for r in toks.filter("bucket >= 8").select("tok").distinct().collect()}
+    for est, exact in (
+        (row.union_est, len(train | test)),
+        (row.intersect_est, len(train & test)),
+        (row.train_only_est, len(train - test)),
+    ):
+        assert abs(est - exact) <= max(0.05 * exact, 2.0), (est, exact)
+
+
+def test_kll_quantiles_rank_tolerance(q, spark):
+    """Every KLL quantile (per-group and merged-global) must sit within
+    2.5% RANK error of the exact distribution — the sketch's guarantee is
+    on rank, not value, so the assertion checks the CDF position of the
+    returned value."""
+    from dp_dimension_importer_spark.catalog import load_tables
+
+    t = load_tables(spark, SF)
+    rows = q("sketch_kll_quantiles")
+    li = t.lineitem.select("l_returnflag", "l_extendedprice").toPandas()
+    for r in rows:
+        vals = (
+            li["l_extendedprice"]
+            if r.scope == "ALL"
+            else li.loc[li["l_returnflag"] == r.scope, "l_extendedprice"]
+        ).sort_values().to_numpy()
+        n = len(vals)
+        for pct, v in ((0.5, r.q50), (0.9, r.q90), (0.99, r.q99)):
+            rank = (vals <= v).sum() / n
+            assert abs(rank - pct) <= 0.025, (r.scope, pct, v, rank)
