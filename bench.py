@@ -31,6 +31,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q49_watermark_replay",
     "q50_stateful_dedup",
     "q51_stateful_running_agg",
+    "q51b_transform_with_state",
     "q52_stream_stream_join",
     "q52b_stream_stream_left_join",
     "q52c_stream_stream_full_join",

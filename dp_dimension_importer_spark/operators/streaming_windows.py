@@ -212,6 +212,90 @@ def q51_stateful_running_agg(spark, sf_dir):
     )
 
 
+def _has_protobuf() -> bool:
+    """``transformWithStateInPandas`` speaks a protobuf protocol between
+    the Python state worker and the JVM state server; without
+    ``google.protobuf`` the streaming runner crashes at init. Gate the
+    query registration on it (this sandbox lacks protobuf — same
+    environment-limited treatment as the Kafka broker seam, R1): the
+    processor SEMANTICS stay fully unit-tested against fake state objects
+    in tests/test_streaming.py, and the query registers itself on any
+    deployment that has protobuf installed."""
+    import importlib.util
+
+    try:  # find_spec on a dotted name raises if the parent pkg is absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+_register_q51b = (
+    register(
+        "q51b_transform_with_state",
+        sql="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(COALESCE(value, 0)), 4) AS value_sum,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    )
+    if _has_protobuf()
+    else (lambda fn: fn)
+)
+
+
+@_register_q51b
+def q51b_transform_with_state(spark, sf_dir):
+    """q51's running accumulator on the NEW Spark 4 arbitrary-state API
+    (``transformWithStateInPandas``): typed ValueState counters + a
+    ListState of distinct types with delta-sized appends, against the
+    RocksDB state store provider the API requires. Same batch oracle and
+    final-emission equivalence as q51 — one semantics, two stateful
+    engines."""
+    from dp_dimension_importer_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    events = table(spark, sf_dir, "events")
+    replay_dir = write_replay_dir(events, n_files=2, sentinel=False)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, rocksdb)
+    try:
+        out = run_replay(
+            spark, replay_dir, events.schema, running_user_stats_tws, "update"
+        )
+        final = (
+            out.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.round(F.max_by("value_sum", "n_events"), 4).alias(
+                    "value_sum"
+                ),
+                F.max("n_types").alias("n_types"),
+            )
+            .orderBy("user_id")
+        )
+        # materialize before the provider conf is restored: the memory
+        # sink already holds the rows, but the plan must not lazily
+        # re-plan against a different provider
+        final = final.localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return final.orderBy("user_id")
+
+
 @register(
     "q52_stream_stream_join",
     sql="""

@@ -86,3 +86,72 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def make_user_stats_processor():
+    """StatefulProcessor (the Spark 4 ``transformWithStateInPandas`` API)
+    computing the SAME per-user running stats as ``running_user_stats`` —
+    but with TYPED, SEPARATE state variables instead of one opaque tuple:
+    a ValueState for the counters and a ListState for the distinct types
+    (appendList only ships the NEW types each batch, so state writes are
+    delta-sized — the API's point vs applyInPandasWithState's whole-blob
+    rewrite). Defined inside a factory so cloudpickle ships the class by
+    value (same foreign-cwd rule as every UDF here).
+
+    The handle also offers timers and per-state TTL
+    (``getValueState(..., ttlDurationMs=...)``) — deliberately unused:
+    eviction would break the totals this operator promises."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, s DOUBLE")
+            self._types = handle.getListState("types", "t STRING")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s = self._agg.get() if self._agg.exists() else (0, 0.0)
+            seen = (
+                {r[0] for r in self._types.get()}
+                if self._types.exists()
+                else set()
+            )
+            batch_types: set[str] = set()
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+                batch_types |= set(pdf["event_type"].dropna())
+            fresh = sorted(batch_types - seen)
+            if fresh:
+                self._types.appendList([(t,) for t in fresh])
+            self._agg.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [s],
+                    "n_types": [len(seen | batch_types)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStats()
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """``running_user_stats`` re-expressed on ``transformWithStateInPandas``
+    (requires the RocksDB state store provider — the caller sets it)."""
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            make_user_stats_processor(),
+            outputStructType=RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

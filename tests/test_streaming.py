@@ -405,3 +405,65 @@ def test_checkpoint_restart_recovers_exactly_once(spark):
     }
     # every instance completed EXACTLY once across both crash modes
     assert got == {"i1": 1, "i2": 1, "i3": 1}
+
+
+def test_transform_with_state_processor_semantics():
+    """The q51b StatefulProcessor's SEMANTICS, driven directly with fake
+    state objects (the protobuf state protocol is unavailable in this
+    sandbox, so the streaming runner can't host it here — the logic is
+    what we own, and it must match q51's accumulator exactly): running
+    totals accumulate across calls, the types ListState receives only
+    DELTA appends, and null values count toward n_events but add 0."""
+    import pandas as pd
+
+    from dp_dimension_importer_spark.streaming.stateful import (
+        make_user_stats_processor,
+    )
+
+    class FakeValue:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, new):
+            self.v = new
+
+    class FakeList:
+        def __init__(self):
+            self.rows = []
+            self.appends = []
+        def exists(self):
+            return bool(self.rows)
+        def get(self):
+            return iter(self.rows)
+        def appendList(self, rows):
+            self.rows.extend(rows)
+            self.appends.append(list(rows))
+
+    class FakeHandle:
+        def __init__(self):
+            self.value = FakeValue()
+            self.list = FakeList()
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.value
+        def getListState(self, name, schema, ttlDurationMs=None):
+            return self.list
+
+    proc = make_user_stats_processor()
+    h = FakeHandle()
+    proc.init(h)
+
+    b1 = pd.DataFrame({"value": [1.5, None, 2.0], "event_type": ["a", "b", "a"]})
+    (out1,) = proc.handleInputRows((7,), iter([b1]), None)
+    assert out1.iloc[0].tolist() == [7, 3, 3.5, 2]
+
+    b2 = pd.DataFrame({"value": [0.5], "event_type": ["a"]})  # no new type
+    b3 = pd.DataFrame({"value": [1.0], "event_type": ["c"]})  # one new type
+    (out2,) = proc.handleInputRows((7,), iter([b2, b3]), None)
+    assert out2.iloc[0].tolist() == [7, 5, 5.0, 3]
+    # delta appends: first call shipped {a, b}, second ONLY {c}
+    assert h.list.appends == [[("a",), ("b",)], [("c",)]]
+    assert h.value.get() == (5, 5.0)
+    proc.close()

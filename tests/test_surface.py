@@ -73,6 +73,20 @@ EXPECTED = {
     "sample_per_group",
     "events_anomaly",
     "q56_grouping_sets",
+    # round-4 additions
+    "text_dedup_spans",
+    "dedup_semantic",
+    "dedup_semantic_ivf",
+    "events_sessionize",
+    "multimodal_audio_meta",
+    "dedup_bloom_incremental",
+    "graph_pagerank",
+    # "q51b_transform_with_state" registers only when google.protobuf is
+    # installed (transformWithStateInPandas protocol dep) — asserted
+    # conditionally below
+    "sketch_hll_mergeable",
+    "sketch_theta_set_ops",
+    "sketch_kll_quantiles",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
@@ -86,6 +100,9 @@ NO_ORACLE_OK = {
     "dedup_semantic_ivf",
     "agg_approx_quantiles",
     "agg_approx_count_distinct",
+    "sketch_hll_mergeable",
+    "sketch_theta_set_ops",
+    "sketch_kll_quantiles",
 }
 
 
@@ -149,3 +166,13 @@ def test_driver_ordering_is_complete_and_prioritized():
     assert not stragglers, (
         f"unverified queries ordered after verified ones: {stragglers}"
     )
+
+
+def test_q51b_registered_iff_protobuf_available():
+    """transformWithStateInPandas needs google.protobuf at runtime; the
+    query must be present exactly when the dependency is."""
+    from dp_dimension_importer_spark.operators.streaming_windows import (
+        _has_protobuf,
+    )
+
+    assert ("q51b_transform_with_state" in QUERIES) == _has_protobuf()
