@@ -222,3 +222,104 @@ def test_unigram_logprob_invariants(spark, texts):
         assert r.avg_logprob <= 1e-9
         if len(vocab) == 1:
             assert abs(r.avg_logprob) <= 1e-9
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(max_examples=6, deadline=None)
+def test_bloom_positions_jvm_equals_numpy(spark, h1s, h2s):
+    """THE bloom-router safety invariant: the JVM build-side probe
+    positions (pmod expressions) and the numpy probe-side positions must
+    agree for arbitrary int64 hash pairs — any divergence manifests as a
+    false NEGATIVE, i.e. silently dropped duplicates. Exercises negative
+    hashes and the full 64-bit range."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.operators.dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        _bloom_positions,
+    )
+
+    n = min(len(h1s), len(h2s))
+    pairs = list(zip(h1s[:n], h2s[:n]))
+    df = spark.createDataFrame(pairs, "h1 long, h2 long")
+    jvm = (
+        df.select(
+            F.array(
+                *_bloom_positions(F.col("h1"), F.col("h2"), BLOOM_M_BITS, BLOOM_K)
+            ).alias("pos")
+        )
+        .collect()
+    )
+    m = np.int64(BLOOM_M_BITS)
+    for (h1, h2), row in zip(pairs, jvm):
+        r1 = np.int64(h1) % m
+        r2 = np.int64(h2) % m
+        want = [int((r1 + np.int64(i) * r2) % m) for i in range(BLOOM_K)]
+        assert row.pos == want, (h1, h2)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=40),     # offset units
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=8),              # gap in units
+)
+@settings(max_examples=8, deadline=None)
+def test_sessionize_matches_bruteforce(spark, rows, gap_units):
+    """sessionize == a python brute-force reference on arbitrary event
+    sets: same session count per user, same per-session event counts and
+    integer durations (unit = 1 000 ms so boundaries are exercised)."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.operators.analytics import sessionize
+
+    UNIT = 1_000
+    base = 1_700_000_000_000
+    events = [
+        (u, i + 1, base + off * UNIT) for i, (u, off) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        events, "user_id long, event_id long, ms long"
+    ).select(
+        "user_id", "event_id", F.timestamp_millis(F.col("ms")).alias("ts")
+    )
+    got = {
+        (r.user_id, r.session_n): (r.n_events, r.duration_ms)
+        for r in sessionize(df, gap_ms=gap_units * UNIT).collect()
+    }
+
+    ref: dict[tuple[int, int], tuple[int, int]] = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for u, eid, ms in events:
+        by_user.setdefault(u, []).append((ms, eid))
+    for u, evs in by_user.items():
+        evs.sort()
+        sess, start, prev, count = 0, None, None, 0
+        for ms, _eid in evs:
+            if prev is None or ms - prev > gap_units * UNIT:
+                if sess:
+                    ref[(u, sess)] = (count, prev - start)
+                sess += 1
+                start, count = ms, 0
+            count += 1
+            prev = ms
+        ref[(u, sess)] = (count, prev - start)
+    assert got == ref
