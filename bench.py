@@ -30,6 +30,7 @@ from dp_dimension_importer_spark.session import get_spark  # noqa: E402
 EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q49_watermark_replay",
     "q50_stateful_dedup",
+    "q50b_dedup_within_watermark",
     "q51_stateful_running_agg",
     "q51b_transform_with_state",
     "q52_stream_stream_join",

@@ -212,6 +212,40 @@ def q51_stateful_running_agg(spark, sf_dir):
     )
 
 
+@register(
+    "q50b_dedup_within_watermark",
+    sql="""
+    SELECT event_id, user_id, event_type
+    FROM events ORDER BY event_id
+    """,
+)
+def q50b_dedup_within_watermark(spark, sf_dir):
+    """q50's redelivery dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` evicts a key once the watermark
+    passes its event time + delay, so state holds ~1 hour of ids instead
+    of the stream's whole history (q50's plain ``dropDuplicates`` keeps
+    every id forever — correct, but unrunnable over 100 TB/day; this is
+    the production form). The redelivered copies carry the ORIGINAL event
+    time and the replay is event-time ordered, so every duplicate arrives
+    while its key is still in state → output equals the batch DISTINCT,
+    and the driver's oracle proves eviction never fired early."""
+    events = table(spark, sf_dir, "events")
+    dups = events.filter(F.col("event_id") % 10 == 0)
+    replay_dir = write_replay_dir(
+        events.unionByName(dups), n_files=2, sentinel=False
+    )
+
+    def transform(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id", "event_type")
+        )
+
+    out = run_replay(spark, replay_dir, events.schema, transform, "append")
+    return out.orderBy("event_id")
+
+
 def _has_protobuf() -> bool:
     """``transformWithStateInPandas`` speaks a protobuf protocol between
     the Python state worker and the JVM state server; without

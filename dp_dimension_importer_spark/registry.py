@@ -140,7 +140,7 @@ _PRIORITY = [
     # NEW this round — zero driver evidence
     "text_dedup_spans", "dedup_semantic", "events_sessionize",
     "multimodal_audio_meta", "dedup_bloom_incremental", "graph_pagerank",
-    "q51b_transform_with_state",
+    "q51b_transform_with_state", "q50b_dedup_within_watermark",
     # r3-verified but CHANGED this round (integer-space rounding fix /
     # tokenizer seam); their green rows predate the change
     "text_unigram_logprob", "text_dup_ngram_share", "text_repetition_filter",

@@ -355,3 +355,13 @@ def test_bloom_incremental_joins_only_positives(spark):
     assert "Union" in plan
     assert plan.count("LeftAnti") == 1, plan
     assert "ArrowEvalPython" in plan  # vectorized probe, not row-at-a-time
+
+
+def test_sessionize_single_data_exchange(spark):
+    """events_sessionize must shuffle the event stream ONCE (both window
+    specs share the user_id sort, and the per-session aggregate groups on
+    a superset of the window's hash partitioning) — the only other
+    exchange allowed is the presentation orderBy's range partitioning."""
+    plan = plan_of(QUERIES["events_sessionize"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 2  # lag + running sum, one sort span
