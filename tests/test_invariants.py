@@ -348,3 +348,38 @@ def test_pagerank_mass_and_sink_dominance(spark):
     s2 = PR_TELEPORT + 4 * (PR_TELEPORT * 85 // 100) + s1 * 85 // 100
     s3 = PR_TELEPORT + 4 * (PR_TELEPORT * 85 // 100) + s2 * 85 // 100
     assert r["sink"] == s3
+
+
+def test_sessionize_agrees_with_spark_session_window(spark):
+    """Cross-validation of the batch sessionize core against Spark's own
+    session_window: same session count and same (user, start) set at
+    smoke scale (session_window's window.start = first event; its end
+    extends by the gap, ours is the last event — starts are comparable,
+    ends are not)."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.catalog import table
+    from dp_dimension_importer_spark.operators.analytics import (
+        SESSION_GAP_MS,
+        sessionize,
+    )
+    from tests.conftest import SF_SMOKE
+
+    events = table(spark, SF_SMOKE, "events")
+    ours = sessionize(events).select(
+        "user_id", F.col("start_ms").alias("start")
+    )
+    theirs = (
+        events.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MS // 1000} seconds"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("start"),
+        )
+    )
+    a = {(r.user_id, r.start) for r in ours.collect()}
+    b = {(r.user_id, r.start) for r in theirs.collect()}
+    assert a == b and len(a) > 0
