@@ -711,3 +711,75 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+
+#: pinned "trained" weights for the linear quality classifier, integer
+#: micro-units: logit = BIAS + 2·stop_ratio + alpha_ratio div 2
+#:                      + mean_token_len div 10   (all in micros)
+QC_BIAS = -900_000
+
+
+def _quality_logit_sql(div: str) -> str:
+    """The classifier's logit as SQL, parameterized ONLY by the engine's
+    integer-division spelling (`div` in Spark, `//` in DuckDB). Features
+    are quantized to integer micros BEFORE weighting and the logit is a
+    sum of longs, so both engines agree bit-for-bit — a float dot product
+    + ROUND would diverge at half-boundaries (the repo's engine-stable
+    rounding rule). nt/na are provided by the surrounding projection."""
+    stop_m = f"(ns * 1000000) {div} nt"
+    alpha_m = f"(na * 1000000) {div} n_chars"
+    toklen_m = f"(na * 1000000) {div} nt"
+    return (
+        f"CASE WHEN nt > 0 AND n_chars > 0 THEN "
+        f"CAST({QC_BIAS} + 2 * ({stop_m}) + ({alpha_m}) {div} 2 "
+        f"+ ({toklen_m}) {div} 10 AS BIGINT) END"
+    )
+
+
+@register(
+    "text_quality_classifier",
+    sql=f"""
+    SELECT doc_id,
+           {_quality_logit_sql('//')} AS logit_micros,
+           CASE WHEN {_quality_logit_sql('//')} >= 0
+                THEN 1 ELSE 0 END AS keep
+    FROM (
+        SELECT doc_id, n_chars,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+'))  AS nt,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|a|of|and|in|to)\\b'))             AS ns,
+               length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS na
+        FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Model-based quality filter, fastText-shape: a LINEAR classifier
+    over cheap engineered features (stopword ratio, alphanumeric ratio,
+    mean token length) with pinned integer weights — the learned-filter
+    slot in a pretraining pipeline (swap the constants for trained
+    weights at deployment; the scoring plan is identical). Scoring is
+    exact integer arithmetic end-to-end (see :func:`_quality_logit_sql`),
+    so the decision boundary is oracle-checked bit-for-bit — unusual for
+    a "model score" and exactly why the features are quantized. Runs as
+    codegen'd JVM expressions in one scan: no UDF, no shuffle before the
+    presentation sort."""
+    t = load_tables(spark, sf_dir)
+    feats = t.documents.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+")).cast("long").alias("nt"),
+        F.regexp_count(
+            F.lower("text"), F.lit(r"\b(the|a|of|and|in|to)\b")
+        ).cast("long").alias("ns"),
+        F.length(F.regexp_replace("text", r"[^A-Za-z0-9]", ""))
+        .cast("long")
+        .alias("na"),
+    )
+    logit = F.expr(_quality_logit_sql("div"))
+    return feats.select(
+        "doc_id",
+        logit.alias("logit_micros"),
+        F.when(logit >= 0, 1).otherwise(0).alias("keep"),
+    ).orderBy("doc_id")

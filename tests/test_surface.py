@@ -87,6 +87,8 @@ EXPECTED = {
     "sketch_hll_mergeable",
     "sketch_theta_set_ops",
     "sketch_kll_quantiles",
+    "q50b_dedup_within_watermark",
+    "text_quality_classifier",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
