@@ -82,6 +82,7 @@ from dp_dimension_importer_spark.storage import (  # noqa: F401
     read_partitioned,
     write_bucketed,
     write_partitioned,
+    write_sharded,
 )
 
 __all__ = [
@@ -112,4 +113,5 @@ __all__ = [
     "read_partitioned",
     "write_bucketed",
     "write_partitioned",
+    "write_sharded",
 ]

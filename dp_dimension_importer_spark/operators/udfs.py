@@ -101,3 +101,49 @@ def q45_grouped_map(spark, sf_dir):
         .applyInPandas(zscore_group, schema=_Z_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q45b_apply_in_arrow",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN sd IS NOT NULL AND sd > 0
+                THEN ROUND((n_chars - m) / sd, 4) END AS z
+    FROM (
+        SELECT doc_id, n_chars,
+               AVG(n_chars)         OVER (PARTITION BY lang) AS m,
+               STDDEV_SAMP(n_chars) OVER (PARTITION BY lang) AS sd
+        FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def q45b_apply_in_arrow(spark, sf_dir):
+    """q45's grouped-map normalization on the PURE-ARROW boundary
+    (``applyInArrow``): the group arrives as a ``pyarrow.Table`` and the
+    math runs on Arrow buffers directly — no pandas materialization, the
+    lowest-overhead Python hop Spark offers (the right boundary when the
+    per-group logic is columnar numpy, as here). Same oracle as q45: one
+    semantics, both Python boundaries pinned."""
+    import pyarrow as pa
+
+    t = load_tables(spark, sf_dir)
+
+    def zscore_arrow(tbl: "pa.Table") -> "pa.Table":
+        x = tbl.column("n_chars").to_numpy().astype("float64")
+        n = len(x)
+        m = x.mean() if n else float("nan")
+        sd = x.std(ddof=1) if n > 1 else float("nan")
+        if n < 2 or sd == 0 or np.isnan(sd):
+            z = np.full(n, np.nan)
+        else:
+            z = np.round((x - m) / sd, 4)
+        return pa.table(
+            {"doc_id": tbl.column("doc_id"), "z": pa.array(z, pa.float64())}
+        )
+
+    return (
+        t.documents.select("doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .applyInArrow(zscore_arrow, schema="doc_id long, z double")
+        .orderBy("doc_id")
+    )

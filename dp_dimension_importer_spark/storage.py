@@ -84,3 +84,37 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     carries the bucket spec to the planner; reading the parquet path
     directly would silently lose it (and reintroduce the shuffle)."""
     return spark.table(table)
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    order_col: str | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a size-controlled training-shard set — the defense against
+    the two output pathologies of a 100 TB job: the SMALL-FILES problem
+    (one file per task × partition — thousands of KB-sized parquet files
+    that throttle every later scan on listing + footer reads) and its
+    inverse (one monster file per skewed partition that a single reader
+    must chew through).
+
+    * ``n_shards`` fixes the file fan-out: a round-robin ``repartition``
+      (or ``repartitionByRange`` on ``order_col``, which keeps a global
+      sort order across shard files — what a curriculum or
+      deterministic-iteration loader wants) produces exactly that many
+      balanced write tasks.
+    * ``max_records_per_file`` caps rows per file on top of that, so one
+      oversized range still splits instead of producing a monster file.
+    """
+    part = (
+        df.repartitionByRange(n_shards, order_col)
+        if order_col is not None
+        else df.repartition(n_shards)
+    )
+    w = part.write.mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)

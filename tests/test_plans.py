@@ -365,3 +365,30 @@ def test_sessionize_single_data_exchange(spark):
     plan = plan_of(QUERIES["events_sessionize"](spark, SF_SMOKE), "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Window") == 2  # lag + running sum, one sort span
+
+
+def test_write_sharded_controls_file_counts(spark, warehouse):
+    """write_sharded must emit exactly n_shards balanced files, and the
+    max_records_per_file cap must split oversized shards instead of
+    producing monster files — the small-files/monster-file defenses,
+    asserted on the actual output directory."""
+    import glob
+
+    from dp_dimension_importer_spark.storage import write_sharded
+
+    t = load_tables(spark, SF_SMOKE)
+    p1 = os.path.join(warehouse, "shards_fixed")
+    write_sharded(t.orders, p1, n_shards=4)
+    files = glob.glob(os.path.join(p1, "*.parquet"))
+    assert len(files) == 4
+    sizes = sorted(os.path.getsize(f) for f in files)
+    assert sizes[0] > 0.5 * sizes[-1]  # round-robin => balanced shards
+
+    n = t.orders.count()
+    p2 = os.path.join(warehouse, "shards_capped")
+    write_sharded(t.orders, p2, n_shards=2, order_col="o_orderkey",
+                  max_records_per_file=n // 5)
+    files2 = glob.glob(os.path.join(p2, "*.parquet"))
+    assert len(files2) >= 5  # the cap split the 2 range shards further
+    back = spark.read.parquet(p2)
+    assert back.count() == n

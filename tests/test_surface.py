@@ -89,6 +89,7 @@ EXPECTED = {
     "sketch_kll_quantiles",
     "q50b_dedup_within_watermark",
     "text_quality_classifier",
+    "q45b_apply_in_arrow",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
