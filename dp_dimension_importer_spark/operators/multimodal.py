@@ -78,9 +78,10 @@ def to_asset_table(documents: DataFrame) -> DataFrame:
 def decode_image(payload: bytes):
     """REAL image decode for the formats the standard library can carry —
     binary PPM (P6, RGB), PGM (P5, grayscale), 24-bit uncompressed BMP,
-    and non-interlaced 8-bit gray/RGB/RGBA PNG (IHDR/IDAT parsing +
-    stdlib ``zlib`` inflate + per-scanline unfilter; see
-    :func:`_decode_png`) — returning a numpy uint8 array (H×W×C or H×W).
+    non-interlaced 8-bit gray/RGB/RGBA PNG (IHDR/IDAT parsing + stdlib
+    ``zlib`` inflate + per-scanline unfilter; see :func:`_decode_png`),
+    and single-frame non-interlaced GIF (hand-rolled GIF-LZW; see
+    :func:`_decode_gif`) — returning a numpy uint8 array (H×W×C or H×W).
     JPEG/WebP (DCT/VP8 codecs) genuinely require an imaging library
     absent from this environment and raise NotImplementedError; at
     deployment, route those through Pillow/libvips in the same
@@ -89,6 +90,9 @@ def decode_image(payload: bytes):
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+
+    if payload[:4] == b"GIF8":
+        return _decode_gif(payload)
 
     if payload[:2] in (b"P6", b"P5"):
         # Netpbm: ASCII header tokens (magic, width, height, maxval) with
@@ -420,6 +424,191 @@ def multimodal_audio_meta(spark, sf_dir):
         .mapInPandas(_roundtrip, schema=_AUDIO_META_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+def _lzw_decode(data: bytes, min_code: int) -> list[int]:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/END control codes,
+    code width growing
+    min+1 → 12 bits as the dictionary fills). Returns the index stream."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, end + 1, min_code + 1
+
+    table, next_code, width = reset()
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, next_code, width = reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            if prev is not None:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode(indices, min_code: int) -> bytes:
+    """The matching GIF-LZW encoder (fixture/test aid and the write half
+    of the codec): greedy longest-match against the growing dictionary,
+    emitting CLEAR when the 12-bit space fills."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset():
+        return {(i,): i for i in range(clear)}, end + 1, min_code + 1
+
+    table, next_code, width = reset()
+    emit(clear, width)
+    run: tuple[int, ...] = ()
+    for ix in indices:
+        cand = run + (int(ix),)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == (1 << 12):
+            emit(clear, width)
+            table, next_code, width = reset()
+        run = (int(ix),)
+    if run:
+        emit(table[run], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes):
+    """Stdlib-only GIF decode: non-interlaced single-frame GIF87a/89a with
+    a global or local color table — header parse, sub-block reassembly,
+    :func:`_lzw_decode`, palette mapping to H×W×3 RGB. Interlaced or
+    multi-frame animations raise (Adam-style passes / frame compositing
+    this decoder deliberately doesn't carry, like the PNG decoder's
+    palette guard)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    frames = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        frames += 1
+        if frames > 1:
+            raise NotImplementedError("animated GIF (multi-frame)")
+        w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        ipacked = payload[pos + 9]
+        pos += 10
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(data), min_code)[: w * h]
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data underrun")
+        img = pal[np.asarray(idx, dtype=np.int32)].reshape(h, w, 3)
+    if not frames:
+        raise ValueError("GIF with no image block")
+    del sw, sh
+    return img
+
+
+def encode_gif(indices, palette, width: int, height: int) -> bytes:
+    """Minimal single-frame GIF89a writer (global color table, no
+    extensions) — the inverse of :func:`_decode_gif`, used by the codec
+    tests to prove the LZW roundtrip on real containers."""
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.uint8)
+    n = len(pal)
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    table = np.zeros((size, 3), dtype=np.uint8)
+    table[:n] = pal
+    min_code = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT present, bg 0
+    out += table.tobytes()
+    out += b"\x2c" + b"\x00" * 4  # image at (0, 0)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += b"\x00"  # no LCT, not interlaced
+    out += bytes([min_code])
+    lzw = _lzw_encode(indices, min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def extract_features_real(assets: DataFrame, feature_dim: int = 4) -> DataFrame:

@@ -323,3 +323,21 @@ def test_sessionize_matches_bruteforce(spark, rows, gap_units):
             prev = ms
         ref[(u, sess)] = (count, prev - start)
     assert got == ref
+
+
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.lists(st.integers(min_value=0, max_value=255), max_size=600),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip(min_code, seq):
+    """GIF-LZW encode→decode is the identity for any index stream whose
+    symbols fit the alphabet — across code widths, dictionary growth, and
+    the empty stream."""
+    from dp_dimension_importer_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    seq = [s % (1 << min_code) for s in seq]
+    assert _lzw_decode(_lzw_encode(seq, min_code), min_code) == seq
