@@ -78,6 +78,7 @@ from dp_dimension_importer_spark.pipeline.importer import (  # noqa: F401
     run_import,
 )
 from dp_dimension_importer_spark.storage import (  # noqa: F401
+    compact_parquet,
     read_bucketed,
     read_partitioned,
     write_bucketed,
@@ -114,4 +115,5 @@ __all__ = [
     "write_bucketed",
     "write_partitioned",
     "write_sharded",
+    "compact_parquet",
 ]

@@ -540,3 +540,46 @@ def q56_grouping_sets(spark, sf_dir):
     shuffle — same shape as rollup, no per-set rescans."""
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "agg_mode",
+    sql="""
+    SELECT l_returnflag, l_linestatus AS mode_status, cnt AS mode_n
+    FROM (
+        SELECT l_returnflag, l_linestatus, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY cnt DESC, l_linestatus) AS rk
+        FROM (
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        )
+    ) WHERE rk = 1 ORDER BY l_returnflag
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Deterministic per-group MODE (most frequent value, smallest value
+    winning ties) — the categorical profiling primitive engines disagree
+    on by default (SQL MODE() leaves ties implementation-defined, so it
+    can never be oracle-checked; this formulation pins the tie-break and
+    becomes exact). Two map-side-combinable aggregates: (group, value)
+    counts, then max_by on (count desc, value asc) — the second exchange
+    carries one row per distinct pair, never per input row."""
+    t = load_tables(spark, sf_dir)
+    counts = t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(
+            # min_by over (-cnt, value): highest count wins, ties break to
+            # the smallest value — the pinned order both engines share
+            F.min_by(
+                "l_linestatus",
+                F.struct((-F.col("cnt")).alias("nc"), F.col("l_linestatus")),
+            ).alias("mode_status"),
+            F.max("cnt").alias("mode_n"),
+        )
+        .orderBy("l_returnflag")
+    )

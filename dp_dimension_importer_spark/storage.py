@@ -118,3 +118,29 @@ def write_sharded(
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    order_col: str | None = None,
+) -> int:
+    """Compact a small-files parquet directory (the debris an incremental
+    append sink accumulates — one file per micro-batch per partition)
+    down to ``target_files``, optionally range-ordered. Rewrites through
+    a temp directory and swaps atomically-enough for a single writer
+    (cluster deployments do this under a table format's transaction log;
+    the rewrite-and-swap shape is the same). Returns the new file count."""
+    import glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    write_sharded(df, tmp, n_shards=target_files, order_col=order_col)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(path, "*.parquet")))

@@ -392,3 +392,23 @@ def test_write_sharded_controls_file_counts(spark, warehouse):
     assert len(files2) >= 5  # the cap split the 2 range shards further
     back = spark.read.parquet(p2)
     assert back.count() == n
+
+
+def test_compact_parquet_reduces_file_count(spark, warehouse):
+    """An append-accumulated directory of many small files compacts to
+    the target fan-out with identical content."""
+    from dp_dimension_importer_spark.storage import compact_parquet
+
+    t = load_tables(spark, SF_SMOKE)
+    path = os.path.join(warehouse, "smallfiles")
+    # simulate an incremental sink: 6 tiny appends, several files each
+    for i in range(6):
+        (t.orders.filter(F.col("o_orderkey") % 6 == i)
+         .repartition(3).write.mode("append").parquet(path))
+    import glob
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert before >= 12
+    n_rows = spark.read.parquet(path).count()
+    after = compact_parquet(spark, path, target_files=2)
+    assert after == 2
+    assert spark.read.parquet(path).count() == n_rows

@@ -90,6 +90,7 @@ EXPECTED = {
     "q50b_dedup_within_watermark",
     "text_quality_classifier",
     "q45b_apply_in_arrow",
+    "agg_mode",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
