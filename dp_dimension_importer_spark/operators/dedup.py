@@ -1461,8 +1461,16 @@ def build_bloom_bitmap(
     """Distributed bloom-filter build: explode each key's k probe positions,
     OR them into 64-bit words with ONE map-side-combinable bit_or aggregate
     (shuffle ≤ m/64 rows per task regardless of corpus size), and collect
-    the bounded bitmap (m/64 longs — 1 MiB at the pinned geometry; the ONLY
-    driver materialization, pinned by m, not by data size). Returns a numpy
+    the bitmap (m/64 longs — 1 MiB at the pinned fixture geometry; the ONLY
+    driver materialization, pinned by m, not by data size).
+
+    Sizing honesty at 100 TB: useful fpr needs m ≈ 10·n bits, so a 10⁹-key
+    corpus wants ~1.2 GB of bitmap — still a feasible (torrent-)broadcast,
+    but no longer a casual driver collect. The scale form keeps THIS build
+    unchanged per shard: pre-shard the key space S ways (pmod(h1, S)),
+    build S independent bitmaps of bounded size, and have the probe UDF
+    select its shard's bitmap — same math, driver memory m/S, and shards
+    can build/refresh independently as the corpus grows. Returns a numpy
     uint64 array of length m/64."""
     import numpy as np
 

@@ -344,3 +344,66 @@ def q09b_in_subquery(spark, sf_dir):
         ORDER BY o_orderkey
         """
     )
+
+
+#: bucket width for the interval join — MUST be ≥ the interval width (20)
+#: so every interval spans at most 2 buckets
+INTERVAL_BUCKET_W = 20
+INTERVAL_HALF = 10
+
+
+@register(
+    "join_interval_bucketed",
+    sql=f"""
+    SELECT c.c_custkey, s.s_suppkey
+    FROM customer c, supplier s
+    WHERE c.c_acctbal BETWEEN s.s_acctbal - {INTERVAL_HALF}
+                          AND s.s_acctbal + {INTERVAL_HALF}
+    ORDER BY c_custkey, s_suppkey
+    """,
+)
+def join_interval_bucketed(spark, sf_dir):
+    """Point-in-interval join with NO equi key (customers within ±10
+    account balance of a supplier) — the shape that naively plans as a
+    cartesian/nested-loop filter and dies at scale. The fix is bucket
+    binning: pick a bucket width ≥ the interval width, explode each
+    interval to the ≤2 buckets it touches, give each point its single
+    bucket, and the containment check rides an ordinary HASH equi-join on
+    the bucket id with the BETWEEN as a residual filter. No dedup is
+    needed (a point lives in exactly one bucket, so each true pair meets
+    exactly once), and floor(x/W) is monotone even in IEEE doubles, so
+    bucketing can never lose a pair the oracle's plain BETWEEN finds.
+
+    At 100 TB: work is |points| + 2·|intervals| shuffle rows on a key
+    whose cardinality tracks the value range — versus |points|·|intervals|
+    for the nested loop. Skewed value ranges (many points in one bucket)
+    fall to AQE's skew-join splitting like any hot hash key. The plan
+    audit pins hash-join-not-nested-loop."""
+    t = load_tables(spark, sf_dir)
+    W, H = INTERVAL_BUCKET_W, INTERVAL_HALF
+    pts = t.customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / W).alias("bk"),
+    )
+    lo = F.col("s_acctbal") - H
+    hi = F.col("s_acctbal") + H
+    iv = t.supplier.select(
+        "s_suppkey",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        F.explode(
+            F.array_distinct(
+                F.array(F.floor(lo / W), F.floor(hi / W))
+            )
+        ).alias("bk"),
+    )
+    return (
+        pts.join(iv, "bk")
+        .filter(
+            (F.col("c_acctbal") >= F.col("lo"))
+            & (F.col("c_acctbal") <= F.col("hi"))
+        )
+        .select("c_custkey", "s_suppkey")
+        .orderBy("c_custkey", "s_suppkey")
+    )

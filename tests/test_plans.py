@@ -412,3 +412,13 @@ def test_compact_parquet_reduces_file_count(spark, warehouse):
     after = compact_parquet(spark, path, target_files=2)
     assert after == 2
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_interval_join_is_hash_not_nested_loop(spark):
+    """join_interval_bucketed must plan as a HASH equi-join on the bucket
+    id with the BETWEEN as a residual — never a BroadcastNestedLoopJoin /
+    CartesianProduct (what a bare interval predicate plans as, and what
+    dies at scale)."""
+    plan = plan_of(QUERIES["join_interval_bucketed"](spark, SF_SMOKE), "simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Join" in plan  # broadcast or sort-merge — both are fine

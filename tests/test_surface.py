@@ -91,6 +91,7 @@ EXPECTED = {
     "text_quality_classifier",
     "q45b_apply_in_arrow",
     "agg_mode",
+    "join_interval_bucketed",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
