@@ -647,4 +647,6 @@ def graph_pagerank(spark, sf_dir):
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n"))
     )
-    return pagerank(edges).orderBy("node")
+    # unpersist_after: a registered query may run many times per session
+    # (bench samples, driver checks) — never leak the iteration caches
+    return pagerank(edges, unpersist_after=True).orderBy("node")

@@ -69,7 +69,12 @@ SEM_NPROBE = 4
 
 
 def tokens_col(text_col="text"):
-    return F.filter(F.split(text_col, " "), lambda x: x != "")
+    """One tokenizer seam repo-wide: delegate to text.tokens_expr (the
+    pluggable seam) so the dedup cores and the text cores can never
+    silently tokenize differently."""
+    from dp_dimension_importer_spark.operators.text import tokens_expr
+
+    return tokens_expr(text_col)
 
 
 def shingle_hashes(
@@ -1498,6 +1503,15 @@ def bloom_contains_udf(spark, bitmap, m_bits: int = BLOOM_M_BITS, k: int = BLOOM
     """Vectorized membership probe against a spark-broadcast bitmap:
     (h1, h2) -> maybe-present boolean. False is a GUARANTEE of absence —
     that is what lets the router skip the join for negatives."""
+    return _bloom_contains_with_handle(spark, bitmap, m_bits, k)[0]
+
+
+def _bloom_contains_with_handle(
+    spark, bitmap, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+):
+    """As :func:`bloom_contains_udf`, but also returns the Broadcast
+    handle so callers that materialize their result can destroy it —
+    broadcasts are otherwise only reclaimed at context teardown."""
     import numpy as np
 
     bc = spark.sparkContext.broadcast(bitmap.tobytes())
@@ -1516,7 +1530,7 @@ def bloom_contains_udf(spark, bitmap, m_bits: int = BLOOM_M_BITS, k: int = BLOOM
             hit &= (bm[word] & bit) != 0
         return pd.Series(hit)
 
-    return _contains
+    return _contains, bc
 
 
 def bloom_route_new(
@@ -1526,6 +1540,7 @@ def bloom_route_new(
     id_col: str = "doc_id",
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
+    unpersist_after: bool = False,
 ) -> DataFrame:
     """Public core (engine facade): ids of ``batch`` rows whose text is NOT
     already in ``corpus`` — the incremental-ingestion dedup pass (the
@@ -1543,14 +1558,19 @@ def bloom_route_new(
     exchange carries the duplicate rate, not the corpus.
 
     The verification join is on the text itself, so hash collisions cannot
-    produce a wrong answer — the bloom is routing, never truth."""
+    produce a wrong answer — the bloom is routing, never truth.
+
+    ``unpersist_after=True`` materializes the (small) id result via an
+    eager localCheckpoint and DESTROYS the bitmap broadcast — otherwise
+    each invocation leaks one bitmap until context teardown (a per-batch
+    cost in a long-lived ingestion session)."""
     h1 = F.xxhash64(F.col(text_col))
     h2 = F.xxhash64(F.col(text_col), F.lit(1))
     spark = corpus.sparkSession
     bitmap = build_bloom_bitmap(
         corpus.select(h1.alias("h1"), h2.alias("h2")), "h1", "h2", m_bits, k
     )
-    contains = bloom_contains_udf(spark, bitmap, m_bits, k)
+    contains, bc = _bloom_contains_with_handle(spark, bitmap, m_bits, k)
     routed = batch.select(
         id_col, text_col, contains(h1, h2).alias("maybe")
     )
@@ -1560,7 +1580,11 @@ def bloom_route_new(
         .join(corpus.select(text_col), text_col, "left_anti")
         .select(id_col)
     )
-    return negatives.unionByName(positives)
+    out = negatives.unionByName(positives)
+    if unpersist_after:
+        out = out.localCheckpoint(eager=True)
+        bc.destroy()
+    return out
 
 
 @register(
@@ -1593,4 +1617,8 @@ def dedup_bloom_incremental(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     docs = t.documents.withColumn("bucket", hash_bucket("doc_id", 10))
     corpus = docs.filter(F.col("bucket") < 8)
-    return bloom_route_new(corpus, t.documents).orderBy("doc_id")
+    # unpersist_after: registered queries run repeatedly per session —
+    # release the bitmap broadcast instead of leaking one per run
+    return bloom_route_new(
+        corpus, t.documents, unpersist_after=True
+    ).orderBy("doc_id")

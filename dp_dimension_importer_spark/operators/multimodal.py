@@ -314,6 +314,12 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
     _, decode = _make_wav_codec()
 
     def _audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        DECODE_ERRORS = (
+            NotImplementedError, ValueError, IndexError, TypeError,
+            KeyError, struct.error,
+        )
         for pdf in batches:
             rows = {k: [] for k in (
                 "sample_rate", "channels", "n_frames", "duration_ms",
@@ -321,7 +327,7 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
             for p in pdf["payload"]:
                 try:
                     a = decode(bytes(p))
-                except (NotImplementedError, ValueError, IndexError, TypeError):
+                except DECODE_ERRORS:
                     for k in rows:
                         rows[k].append(None)
                     continue
@@ -621,12 +627,23 @@ def extract_features_real(assets: DataFrame, feature_dim: int = 4) -> DataFrame:
     import numpy as np
 
     def _real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        # the dead-letter net: every exception class a corrupt payload can
+        # raise out of the decoders (zlib.error for bad IDAT, struct.error
+        # for truncated headers, KeyError for corrupt LZW codes) — a bad
+        # row must yield NULLs, never fail the partition
+        DECODE_ERRORS = (
+            NotImplementedError, ValueError, IndexError, TypeError,
+            KeyError, struct.error, zlib.error,
+        )
         for pdf in batches:
             widths, heights, feats = [], [], []
             for p in pdf["payload"]:
                 try:
                     img = decode_image(bytes(p))
-                except (NotImplementedError, ValueError, IndexError, TypeError):
+                except DECODE_ERRORS:
                     widths.append(None)
                     heights.append(None)
                     feats.append(None)

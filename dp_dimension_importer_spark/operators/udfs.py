@@ -137,8 +137,14 @@ def q45b_apply_in_arrow(spark, sf_dir):
             z = np.full(n, np.nan)
         else:
             z = np.round((x - m) / sd, 4)
+        # from_pandas=True maps NaN -> Arrow NULL; a bare pa.array keeps
+        # NaN as a VALUE (null_count 0), diverging from the oracle's CASE
+        # NULL on degenerate (n<2 / zero-variance) groups
         return pa.table(
-            {"doc_id": tbl.column("doc_id"), "z": pa.array(z, pa.float64())}
+            {
+                "doc_id": tbl.column("doc_id"),
+                "z": pa.array(z, pa.float64(), from_pandas=True),
+            }
         )
 
     return (

@@ -68,10 +68,19 @@ def write_bucketed(
     min/max row-group pruning on the key.
 
     One hard rule at scale: the writer must not produce one file per
-    (task × bucket). Spark handles this by shuffling on the bucket
-    expression during the write; the output is exactly ``n_buckets`` file
-    groups however many tasks wrote them."""
-    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    (task × bucket) — Spark does NOT shuffle for a bucketBy write, so a
+    T-task write of a B-bucket table emits up to T×B small files (at
+    1000 executors × 1024 buckets, millions). The explicit
+    ``repartition(n_buckets, bucket_col)`` here aligns write tasks with
+    buckets (both sides hash with the same Murmur3 pmod), so each task
+    holds exactly one bucket's rows and the output is ``n_buckets``
+    files."""
+    w = (
+        df.repartition(n_buckets, bucket_col)
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+    )
     if sort:
         w = w.sortBy(bucket_col)
     if path is not None:

@@ -355,3 +355,53 @@ def test_decode_gif_real(spark):
     out = {r.asset_id: r for r in extract_features_real(assets).collect()}
     assert (out[1].width, out[1].height) == (6, 5)
     assert out[1].feature == out[2].feature
+
+
+def test_dead_letter_covers_decoder_exception_classes(spark):
+    """Corrupt payloads that get PAST the magic checks must still yield
+    NULL metadata, not fail the partition: a PNG with a valid IHDR but
+    garbage IDAT (zlib.error), a GIF whose LZW stream opens with an
+    out-of-table code (KeyError), and a WAV with a truncated fmt chunk
+    (struct.error)."""
+    import struct
+    import zlib
+
+    from dp_dimension_importer_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_features_real,
+    )
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"\xde\xad\xbe\xef" * 8)  # not a zlib stream
+        + chunk(b"IEND", b"")
+    )
+    # GIF header + GCT + image block whose first LZW code is out of table
+    bad_gif = (
+        b"GIF89a" + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + bytes([0x80, 0, 0]) + b"\x01\x02\x03\x04\x05\x06"
+        + b"\x2c" + b"\x00" * 4
+        + (2).to_bytes(2, "little") + (2).to_bytes(2, "little") + b"\x00"
+        + bytes([2]) + bytes([2, 0b11111111, 0b00001111]) + b"\x00\x3b"
+    )
+    imgs = spark.createDataFrame(
+        [(1, "x", bytearray(bad_png), 0), (2, "x", bytearray(bad_gif), 0)],
+        "asset_id long, mime string, payload binary, nbytes long",
+    )
+    out = {r.asset_id: r for r in extract_features_real(imgs).collect()}
+    assert out[1].width is None and out[2].width is None
+
+    bad_wav = b"RIFF" + (20).to_bytes(4, "little") + b"WAVE" + b"fmt " \
+        + (6).to_bytes(4, "little") + b"\x01\x00\x01\x00\x40\x1f"
+    auds = spark.createDataFrame(
+        [(1, bytearray(bad_wav))], "asset_id long, payload binary"
+    )
+    (row,) = extract_audio_features(auds).collect()
+    assert row.sample_rate is None and row.rms is None

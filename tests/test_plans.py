@@ -134,6 +134,13 @@ def test_bucketed_tables_join_without_exchange(spark, warehouse):
         assert joined.count() == n_orders
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the writer must emit n_buckets files, not (tasks × buckets) —
+    # write_bucketed repartitions on the bucket column to align tasks
+    # with buckets (the small-files hard rule its docstring states)
+    import glob
+
+    files = glob.glob(os.path.join(warehouse, "orders_b", "*.parquet"))
+    assert len(files) == 8, files
 
 
 def test_bucketed_groupby_without_exchange(spark, warehouse):
@@ -347,11 +354,22 @@ def test_semantic_ivf_cell_shuffle_carries_no_vectors(spark):
 
 
 def test_bloom_incremental_joins_only_positives(spark):
-    """dedup_bloom_incremental's plan must be a Union of (a) the
-    bloom-negative fast path — probe + filter, NO join — and (b) exactly
-    one text-equality LEFT ANTI for the bloom-positive rows. The probe is
-    an Arrow-batched pandas_udf; the batch as a whole never shuffles."""
-    plan = plan_of(QUERIES["dedup_bloom_incremental"](spark, SF_SMOKE), "simple")
+    """bloom_route_new's plan must be a Union of (a) the bloom-negative
+    fast path — probe + filter, NO join — and (b) exactly one
+    text-equality LEFT ANTI for the bloom-positive rows. The probe is an
+    Arrow-batched pandas_udf; the batch as a whole never shuffles.
+    (Audited on the core with unpersist_after=False: the registered query
+    materializes via localCheckpoint, which hides the logical plan.)"""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+    from dp_dimension_importer_spark.operators.dedup import bloom_route_new
+
+    docs = load_tables(spark, SF_SMOKE).documents.withColumn(
+        "bucket", hash_bucket("doc_id", 10)
+    )
+    out = bloom_route_new(docs.filter(F.col("bucket") < 8), docs)
+    plan = plan_of(out, "simple")
     assert "Union" in plan
     assert plan.count("LeftAnti") == 1, plan
     assert "ArrowEvalPython" in plan  # vectorized probe, not row-at-a-time
