@@ -1499,6 +1499,85 @@ def build_bloom_bitmap(
     return bitmap
 
 
+def _bloom_shard_expr(h1, h2, n_shards: int):
+    """Shard id as a pure function of the hash pair, identical in the JVM
+    and numpy: pmod(h1 xor h2, S). XOR decorrelates the shard choice from
+    probe position 0 (which is pmod(h1, m)); any residual correlation
+    only nudges fpr, never membership."""
+    return F.pmod(h1.bitwiseXOR(h2), F.lit(n_shards))
+
+
+def build_bloom_bitmaps_sharded(
+    df: DataFrame,
+    h1_col: str,
+    h2_col: str,
+    n_shards: int,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+):
+    """The scale form of :func:`build_bloom_bitmap`: S independent bitmaps
+    of ``m_bits`` each, one per key-space shard — the same one-aggregate
+    build with (shard, word) keys. Driver peak per collected shard stays
+    m/8 bytes however big the corpus grows (grow S, not m), and shards
+    can be rebuilt independently as the corpus ingests. Returns a numpy
+    uint64 array of shape (S, m/64)."""
+    import numpy as np
+
+    n_words = m_bits // 64
+    h1, h2 = F.col(h1_col), F.col(h2_col)
+    pos = F.explode(
+        F.array(*_bloom_positions(h1, h2, m_bits, k))
+    ).alias("pos")
+    words = (
+        df.select(_bloom_shard_expr(h1, h2, n_shards).alias("s"), pos)
+        .select(
+            "s",
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("s", "w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    bm = np.zeros((n_shards, n_words), dtype=np.uint64)
+    for r in words:
+        bm[r["s"], r["w"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return bm
+
+
+def _bloom_contains_sharded_with_handle(
+    spark, bitmaps, n_shards: int, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+):
+    """Sharded membership probe: each row selects its shard's bitmap by
+    the same pmod(h1 xor h2, S) the build used. One broadcast carries the
+    stacked (S × m/64) array — total size is the corpus's bit budget
+    either way; sharding bounds the per-shard build/collect, not the
+    probe-side broadcast."""
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(bitmaps.tobytes())
+    m, kk, S = m_bits, k, n_shards
+    n_words = m_bits // 64
+
+    @F.pandas_udf("boolean")
+    def _contains(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint64).reshape(S, n_words)
+        a = h1.to_numpy(dtype=np.int64)
+        b = h2.to_numpy(dtype=np.int64)
+        shard = (a ^ b) % np.int64(S)  # pmod: numpy % is floored, matches
+        r1 = a % np.int64(m)
+        r2 = b % np.int64(m)
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(kk):
+            pos = (r1 + np.int64(i) * r2) % np.int64(m)
+            word = (pos >> 6).astype(np.int64)
+            bit = np.uint64(1) << (pos & np.int64(63)).astype(np.uint64)
+            hit &= (bm[shard, word] & bit) != 0
+        return pd.Series(hit)
+
+    return _contains, bc
+
+
 def bloom_contains_udf(spark, bitmap, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
     """Vectorized membership probe against a spark-broadcast bitmap:
     (h1, h2) -> maybe-present boolean. False is a GUARANTEE of absence —
@@ -1541,6 +1620,7 @@ def bloom_route_new(
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
     unpersist_after: bool = False,
+    n_shards: int = 1,
 ) -> DataFrame:
     """Public core (engine facade): ids of ``batch`` rows whose text is NOT
     already in ``corpus`` — the incremental-ingestion dedup pass (the
@@ -1567,10 +1647,17 @@ def bloom_route_new(
     h1 = F.xxhash64(F.col(text_col))
     h2 = F.xxhash64(F.col(text_col), F.lit(1))
     spark = corpus.sparkSession
-    bitmap = build_bloom_bitmap(
-        corpus.select(h1.alias("h1"), h2.alias("h2")), "h1", "h2", m_bits, k
-    )
-    contains, bc = _bloom_contains_with_handle(spark, bitmap, m_bits, k)
+    hashed = corpus.select(h1.alias("h1"), h2.alias("h2"))
+    if n_shards > 1:  # scale form: S bounded per-shard builds (docstring)
+        bm = build_bloom_bitmaps_sharded(
+            hashed, "h1", "h2", n_shards, m_bits, k
+        )
+        contains, bc = _bloom_contains_sharded_with_handle(
+            spark, bm, n_shards, m_bits, k
+        )
+    else:
+        bitmap = build_bloom_bitmap(hashed, "h1", "h2", m_bits, k)
+        contains, bc = _bloom_contains_with_handle(spark, bitmap, m_bits, k)
     routed = batch.select(
         id_col, text_col, contains(h1, h2).alias("maybe")
     )

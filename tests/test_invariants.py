@@ -383,3 +383,40 @@ def test_sessionize_agrees_with_spark_session_window(spark):
     a = {(r.user_id, r.start) for r in ours.collect()}
     b = {(r.user_id, r.start) for r in theirs.collect()}
     assert a == b and len(a) > 0
+
+
+def test_bloom_sharded_route_matches_unsharded(spark):
+    """The sharded bloom (scale form) must be a pure routing refinement:
+    exact same final ids as the single-bitmap route, and zero false
+    negatives per shard — for every corpus member, its shard's bitmap
+    answers positive."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.operators.dedup import (
+        _bloom_contains_sharded_with_handle,
+        bloom_route_new,
+        build_bloom_bitmaps_sharded,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i}") for i in range(300)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, f"corpus doc {i}") for i in range(150)]
+        + [(2000 + i, f"new doc {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    flat = sorted(r.doc_id for r in bloom_route_new(corpus, batch).collect())
+    sharded = sorted(
+        r.doc_id
+        for r in bloom_route_new(corpus, batch, n_shards=4).collect()
+    )
+    assert flat == sharded == [2000 + i for i in range(60)]
+
+    h1, h2 = F.xxhash64(F.col("text")), F.xxhash64(F.col("text"), F.lit(1))
+    bm = build_bloom_bitmaps_sharded(
+        corpus.select(h1.alias("h1"), h2.alias("h2")), "h1", "h2", 4
+    )
+    contains, _bc = _bloom_contains_sharded_with_handle(spark, bm, 4)
+    misses = corpus.select(contains(h1, h2).alias("m")).filter(~F.col("m"))
+    assert misses.count() == 0
