@@ -341,3 +341,25 @@ def test_gif_lzw_roundtrip(min_code, seq):
 
     seq = [s % (1 << min_code) for s in seq]
     assert _lzw_decode(_lzw_encode(seq, min_code), min_code) == seq
+
+
+@given(
+    st.binary(max_size=400),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from([8, 16]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip(pcm, rate, channels, bits):
+    """encode_wav -> decode_audio is the identity on the data chunk for
+    any PCM payload/rate/layout; frame count floors to whole frames."""
+    from dp_dimension_importer_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    a = decode_audio(encode_wav(pcm, sample_rate=rate, channels=channels, bits=bits))
+    assert a["sample_rate"] == rate
+    assert a["channels"] == channels and a["bits"] == bits
+    assert a["data"] == pcm
+    assert a["n_frames"] == len(pcm) // (channels * bits // 8)
