@@ -650,3 +650,49 @@ def graph_pagerank(spark, sf_dir):
     # unpersist_after: a registered query may run many times per session
     # (bench samples, driver checks) — never leak the iteration caches
     return pagerank(edges, unpersist_after=True).orderBy("node")
+
+
+_RCTE_SQL = """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+            SELECT event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM {events}
+        ) WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ),
+    reach(node, hops) AS (
+        SELECT CAST('view' AS {strtype}), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN e ON e.src = r.node
+        WHERE r.hops < 3
+    )
+    SELECT node, MIN(hops) AS hops
+    FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@register(
+    "q57_recursive_cte",
+    sql=_RCTE_SQL.format(events="events", strtype="VARCHAR"),
+)
+def q57_recursive_cte(spark, sf_dir):
+    """Recursive CTE (WITH RECURSIVE — new SQL surface in Spark 4):
+    breadth-first reachability over the event-type transition graph,
+    min-hops from 'view' with a depth bound — the transitive-closure
+    query shape (org charts, BOMs, lineage graphs) that previously
+    required the driver-loop iteration :func:`pagerank` uses. Both
+    engines run the IDENTICAL recursive SQL; hops are integers, so the
+    fixpoint is exact.
+
+    Scale: each recursion step is one equi-join of the frontier against
+    the (tiny, contracted) edge list; Spark plans every step as a normal
+    hash join, and the depth bound caps the unrolling — unbounded
+    closures over web-scale graphs belong to the star-contraction /
+    pagerank machinery instead."""
+    t = load_tables(spark, sf_dir)
+    view = f"events_rcte_{abs(id(spark)) % 99991}"
+    t.events.createOrReplaceTempView(view)
+    return spark.sql(_RCTE_SQL.format(events=view, strtype="STRING"))

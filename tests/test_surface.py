@@ -92,6 +92,7 @@ EXPECTED = {
     "q45b_apply_in_arrow",
     "agg_mode",
     "join_interval_bucketed",
+    "q57_recursive_cte",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
