@@ -107,3 +107,28 @@ def q39_explode(spark, sf_dir):
         .orderBy("doc_id", "w")
         .limit(500)
     )
+
+
+@register(
+    "q37b_variant",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_num
+    FROM events ORDER BY event_id
+    """,
+)
+def q37b_variant(spark, sf_dir):
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` shreds the string into the binary variant encoding
+    once, ``variant_get`` then extracts typed paths WITHOUT re-parsing —
+    at 100 TB the parse-once/extract-many economics (and variant's
+    columnar shredding in parquet) replace q37's per-path
+    ``get_json_object`` string re-parse. Oracle is the same typed
+    extraction via DuckDB's JSON type."""
+    t = load_tables(spark, sf_dir)
+    return t.events.select(
+        "event_id",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias(
+            "k_num"
+        ),
+    ).orderBy("event_id")

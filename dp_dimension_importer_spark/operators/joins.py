@@ -407,3 +407,28 @@ def join_interval_bucketed(spark, sf_dir):
         .select("c_custkey", "s_suppkey")
         .orderBy("c_custkey", "s_suppkey")
     )
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, s.s_suppkey, s.s_acctbal
+    FROM nation n, LATERAL (
+        SELECT s_suppkey, s_acctbal FROM supplier
+        WHERE s_nationkey = n.n_nationkey
+        ORDER BY s_acctbal DESC, s_suppkey LIMIT 2
+    ) s
+    ORDER BY n.n_name, s.s_acctbal DESC, s.s_suppkey
+"""
+
+
+@register("q58_lateral_join", sql=_LATERAL_SQL)
+def q58_lateral_join(spark, sf_dir):
+    """LATERAL correlated table subquery (per-nation top-2 suppliers):
+    the SQL spelling of per-group top-k — the planner decorrelates the
+    correlated ORDER BY ... LIMIT into a window/join instead of running
+    the subquery per outer row, which is what makes the construct usable
+    at scale (q24 is the DataFrame spelling of the same plan). Identical
+    SQL on both engines."""
+    from dp_dimension_importer_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

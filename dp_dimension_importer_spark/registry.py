@@ -142,7 +142,8 @@ _PRIORITY = [
     "multimodal_audio_meta", "dedup_bloom_incremental", "graph_pagerank",
     "q51b_transform_with_state", "q50b_dedup_within_watermark",
     "text_quality_classifier", "q45b_apply_in_arrow", "agg_mode",
-    "join_interval_bucketed", "q57_recursive_cte",
+    "join_interval_bucketed", "q57_recursive_cte", "q37b_variant",
+    "q58_lateral_join",
     # r3-verified but CHANGED this round (integer-space rounding fix /
     # tokenizer seam); their green rows predate the change
     "text_unigram_logprob", "text_dup_ngram_share", "text_repetition_filter",

@@ -93,6 +93,8 @@ EXPECTED = {
     "agg_mode",
     "join_interval_bucketed",
     "q57_recursive_cte",
+    "q37b_variant",
+    "q58_lateral_join",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
