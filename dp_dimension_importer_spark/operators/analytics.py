@@ -528,7 +528,12 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # 0.85 as a ratio — integer math only
 PR_TELEPORT = PR_SCALE - PR_SCALE * PR_DAMP_NUM // PR_DAMP_DEN  # 150 000
 
 
-def pagerank(edges, iters: int = PR_ITERS, unpersist_after: bool = False):
+def pagerank(
+    edges,
+    iters: int = PR_ITERS,
+    unpersist_after: bool = False,
+    persist: bool = True,
+):
     """Public core (engine facade): weighted PageRank over an edge-count
     frame (src, dst, n), ranks as INTEGER micro-units — every contribution
     is ``r·85·n div (100·out)`` and the per-destination reduction is a sum
@@ -544,17 +549,23 @@ def pagerank(edges, iters: int = PR_ITERS, unpersist_after: bool = False):
     iteration counts need a lineage cut (checkpoint/localCheckpoint)
     every ~10 rounds; at 3 the plan stays shallow.
 
-    ``unpersist_after=True`` materializes the |V|-row result via an eager
-    localCheckpoint and releases the internal edge/node caches — the
-    long-lived-session hygiene the other cached cores offer."""
-    edges = edges.persist()  # reused every iteration: count once
+    Cache policy: ``persist=True`` (default) caches the edge/node frames
+    across iterations; pass ``unpersist_after=True`` to materialize the
+    |V|-row result via an eager localCheckpoint and release those caches
+    (long-lived-session hygiene). ``persist=False`` embeds the edge
+    lineage in each iteration instead — a few redundant scans, but NO
+    cache and no checkpoint, the right trade for a run-and-exit query
+    over a contracted graph (the registered fixture query does this)."""
+    if persist:
+        edges = edges.persist()  # reused every iteration: count once
     out = edges.groupBy("src").agg(F.sum("n").alias("tot"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
+    if persist:
+        nodes = nodes.persist()
     r = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(iters):
         contribs = (
@@ -575,7 +586,7 @@ def pagerank(edges, iters: int = PR_ITERS, unpersist_after: bool = False):
             .cast("long")
             .alias("r"),
         )
-    if unpersist_after:
+    if unpersist_after and persist:
         r = r.localCheckpoint(eager=True)
         edges.unpersist()
         nodes.unpersist()
@@ -647,9 +658,10 @@ def graph_pagerank(spark, sf_dir):
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n"))
     )
-    # unpersist_after: a registered query may run many times per session
-    # (bench samples, driver checks) — never leak the iteration caches
-    return pagerank(edges, unpersist_after=True).orderBy("node")
+    # persist=False: a registered query may run many times per session
+    # and must not leak caches; on the contracted graph the redundant
+    # per-iteration edge scans are cheaper than an eager checkpoint
+    return pagerank(edges, persist=False).orderBy("node")
 
 
 _RCTE_SQL = """
