@@ -34,17 +34,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: default parquet codec for every writer here: zstd compresses the text-
+#: heavy tables ~30-40% smaller than snappy at similar CPU — at 100 TB
+#: that is the difference in scan time, shuffle spill, and storage bill.
+PARQUET_CODEC = "zstd"
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
     partition_cols: list[str],
     mode: str = "overwrite",
+    compression: str = PARQUET_CODEC,
 ) -> None:
     """Write ``df`` as parquet partitioned by ``partition_cols`` (one
     directory level per column, low-cardinality columns only — each value
     is a directory; a high-cardinality partition column is the classic
     small-files trap)."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    (df.write.mode(mode).option("compression", compression)
+     .partitionBy(*partition_cols).parquet(path))
 
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
@@ -61,6 +69,7 @@ def write_bucketed(
     mode: str = "overwrite",
     path: str | None = None,
     sort: bool = True,
+    compression: str = PARQUET_CODEC,
 ) -> None:
     """Write ``df`` as a bucketed (and, by default, per-bucket sorted)
     parquet table registered in the session catalog. Sorting within
@@ -79,6 +88,7 @@ def write_bucketed(
         df.repartition(n_buckets, bucket_col)
         .write.mode(mode)
         .format("parquet")
+        .option("compression", compression)
         .bucketBy(n_buckets, bucket_col)
     )
     if sort:
@@ -102,6 +112,7 @@ def write_sharded(
     order_col: str | None = None,
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
+    compression: str = PARQUET_CODEC,
 ) -> None:
     """Write a size-controlled training-shard set — the defense against
     the two output pathologies of a 100 TB job: the SMALL-FILES problem
@@ -123,7 +134,7 @@ def write_sharded(
         if order_col is not None
         else df.repartition(n_shards)
     )
-    w = part.write.mode(mode)
+    w = part.write.mode(mode).option("compression", compression)
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
