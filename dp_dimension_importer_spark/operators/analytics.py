@@ -708,3 +708,65 @@ def q57_recursive_cte(spark, sf_dir):
     view = f"events_rcte_{abs(id(spark)) % 99991}"
     t.events.createOrReplaceTempView(view)
     return spark.sql(_RCTE_SQL.format(events=view, strtype="STRING"))
+
+
+@register(
+    "events_pattern_match",
+    sql="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY epoch_ms(ts), event_id)
+                   AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(s, 'view,click')) AS BIGINT)
+               AS n_view_click,
+           CAST(CASE WHEN regexp_matches(s, 'click(,[a-z]+)*,purchase')
+                THEN 1 ELSE 0 END AS BIGINT) AS converted
+    FROM seq
+    WHERE len(regexp_extract_all(s, 'view,click')) > 0
+    ORDER BY user_id
+    """,
+)
+def events_pattern_match(spark, sf_dir):
+    """Sequence-pattern detection (the MATCH_RECOGNIZE-shaped capability
+    Spark SQL lacks): build each user's time-ordered event-type string
+    ONCE, then run ordinary regexes over it — adjacent view→click counts
+    and an eventually-purchase-after-click flag. Deterministic ordering
+    (integer ms + event_id tie-break inside an array_sort of structs) is
+    what makes a collected sequence oracle-checkable at all.
+
+    Scale: one user-keyed shuffle builds the sequences (map-side partial
+    collect_list); pattern evaluation is then a codegen'd regexp over one
+    row per user — no self-joins, no per-event state machine. Users with
+    pathological event counts bound the row size; cap with a slice() at
+    ingestion if a hard limit is needed."""
+    t = load_tables(spark, sf_dir)
+    seq = t.events.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_millis("ts").alias("ms"),
+                            F.col("event_id").alias("eid"),
+                            F.col("event_type").alias("et"),
+                        )
+                    )
+                ),
+                lambda x: x.et,
+            ),
+        ).alias("s")
+    )
+    n_vc = F.regexp_count("s", F.lit("view,click")).cast("long")
+    conv = (
+        F.regexp_like("s", F.lit("click(,[a-z]+)*,purchase"))
+        .cast("long")
+    )
+    return (
+        seq.select("user_id", n_vc.alias("n_view_click"), conv.alias("converted"))
+        .filter(F.col("n_view_click") > 0)
+        .orderBy("user_id")
+    )

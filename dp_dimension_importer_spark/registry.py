@@ -143,7 +143,7 @@ _PRIORITY = [
     "q51b_transform_with_state", "q50b_dedup_within_watermark",
     "text_quality_classifier", "q45b_apply_in_arrow", "agg_mode",
     "join_interval_bucketed", "q57_recursive_cte", "q37b_variant",
-    "q58_lateral_join",
+    "q58_lateral_join", "events_pattern_match",
     # r3-verified but CHANGED this round (integer-space rounding fix /
     # tokenizer seam); their green rows predate the change
     "text_unigram_logprob", "text_dup_ngram_share", "text_repetition_filter",

@@ -95,6 +95,7 @@ EXPECTED = {
     "q57_recursive_cte",
     "q37b_variant",
     "q58_lateral_join",
+    "events_pattern_match",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
