@@ -586,10 +586,14 @@ def pagerank(
             .cast("long")
             .alias("r"),
         )
-    if unpersist_after and persist:
+    if unpersist_after:
+        # materialization and cache release are decoupled: the documented
+        # eager checkpoint always happens, the unpersists only when there
+        # is something cached to release
         r = r.localCheckpoint(eager=True)
-        edges.unpersist()
-        nodes.unpersist()
+        if persist:
+            edges.unpersist()
+            nodes.unpersist()
     return r
 
 
@@ -704,69 +708,99 @@ def q57_recursive_cte(spark, sf_dir):
     hash join, and the depth bound caps the unrolling — unbounded
     closures over web-scale graphs belong to the star-contraction /
     pagerank machinery instead."""
-    t = load_tables(spark, sf_dir)
-    view = f"events_rcte_{abs(id(spark)) % 99991}"
-    t.events.createOrReplaceTempView(view)
-    return spark.sql(_RCTE_SQL.format(events=view, strtype="STRING"))
+    from dp_dimension_importer_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RCTE_SQL.format(events="events", strtype="STRING"))
 
 
 @register(
     "events_pattern_match",
     sql="""
-    WITH seq AS (
+    WITH lagged AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ) AS prev_type
+        FROM events
+    ), adj AS (
         SELECT user_id,
-               string_agg(event_type, ',' ORDER BY epoch_ms(ts), event_id)
+               CAST(COUNT(*) FILTER (
+                   WHERE prev_type = 'view' AND event_type = 'click'
+               ) AS BIGINT) AS n_view_click
+        FROM lagged GROUP BY user_id
+    ), seq AS (
+        SELECT user_id,
+               ',' || string_agg(event_type, ','
+                                 ORDER BY epoch_ms(ts), event_id) || ','
                    AS s
         FROM events GROUP BY user_id
     )
-    SELECT user_id,
-           CAST(len(regexp_extract_all(s, 'view,click')) AS BIGINT)
-               AS n_view_click,
-           CAST(CASE WHEN regexp_matches(s, 'click(,[a-z]+)*,purchase')
+    SELECT a.user_id, a.n_view_click,
+           CAST(CASE WHEN regexp_matches(s, ',click(,[^,]+)*,purchase,')
                 THEN 1 ELSE 0 END AS BIGINT) AS converted
-    FROM seq
-    WHERE len(regexp_extract_all(s, 'view,click')) > 0
+    FROM adj a JOIN seq USING (user_id)
+    WHERE a.n_view_click > 0
     ORDER BY user_id
     """,
 )
 def events_pattern_match(spark, sf_dir):
     """Sequence-pattern detection (the MATCH_RECOGNIZE-shaped capability
-    Spark SQL lacks): build each user's time-ordered event-type string
-    ONCE, then run ordinary regexes over it — adjacent view→click counts
-    and an eventually-purchase-after-click flag. Deterministic ordering
-    (integer ms + event_id tie-break inside an array_sort of structs) is
-    what makes a collected sequence oracle-checkable at all.
+    Spark SQL lacks), with token-safe matching: the ADJACENCY count uses
+    an exact LAG pair test (a substring regex over the joined sequence
+    would phantom-match 'preview,click'), and the eventually-follows flag
+    runs a comma-anchored regex over the delimiter-wrapped sequence
+    string (',click(,[^,]+)*,purchase,' — `[^,]+` accepts any token, so
+    an 'add_to_cart' in between can't break the chain; RE2-compatible,
+    no lookahead, and overlap-safe because an existence flag needs only
+    one match). Deterministic ordering (integer ms + event_id tie-break)
+    makes the collected sequence oracle-checkable at all.
 
-    Scale: one user-keyed shuffle builds the sequences (map-side partial
-    collect_list); pattern evaluation is then a codegen'd regexp over one
-    row per user — no self-joins, no per-event state machine. Users with
+    Scale: ONE user-keyed shuffle serves both the LAG window and the
+    sequence build; pattern evaluation is a codegen'd regexp over one row
+    per user — no self-joins, no per-event state machine. Users with
     pathological event counts bound the row size; cap with a slice() at
     ingestion if a hard limit is needed."""
     t = load_tables(spark, sf_dir)
-    seq = t.events.groupBy("user_id").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.unix_millis("ts").alias("ms"),
-                            F.col("event_id").alias("eid"),
-                            F.col("event_type").alias("et"),
+    w = W.partitionBy("user_id").orderBy(F.unix_millis("ts"), "event_id")
+    lagged = t.events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+    )
+    per_user = lagged.groupBy("user_id").agg(
+        F.count_if(
+            (F.col("prev_type") == "view") & (F.col("event_type") == "click")
+        ).cast("long").alias("n_view_click"),
+        F.concat(
+            F.lit(","),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ms"),
+                                F.col("event_id").alias("eid"),
+                                F.col("event_type").alias("et"),
+                            )
                         )
-                    )
+                    ),
+                    lambda x: x.et,
                 ),
-                lambda x: x.et,
             ),
-        ).alias("s")
+            F.lit(","),
+        ).alias("s"),
     )
-    n_vc = F.regexp_count("s", F.lit("view,click")).cast("long")
-    conv = (
-        F.regexp_like("s", F.lit("click(,[a-z]+)*,purchase"))
-        .cast("long")
-    )
+    conv = F.regexp_like(
+        "s", F.lit(",click(,[^,]+)*,purchase,")
+    ).cast("long")
     return (
-        seq.select("user_id", n_vc.alias("n_view_click"), conv.alias("converted"))
+        per_user.select(
+            "user_id", "n_view_click", conv.alias("converted")
+        )
         .filter(F.col("n_view_click") > 0)
         .orderBy("user_id")
     )

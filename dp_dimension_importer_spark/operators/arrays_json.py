@@ -128,7 +128,10 @@ def q37b_variant(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return t.events.select(
         "event_id",
-        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias(
+        # try_parse_json + try_variant_get: malformed rows yield NULL
+        # (dead-letter philosophy) instead of failing the query — strict
+        # parse_json would die on the first bad record
+        F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint").alias(
             "k_num"
         ),
     ).orderBy("event_id")

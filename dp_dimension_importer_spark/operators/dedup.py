@@ -1476,27 +1476,13 @@ def build_bloom_bitmap(
     build S independent bitmaps of bounded size, and have the probe UDF
     select its shard's bitmap — same math, driver memory m/S, and shards
     can build/refresh independently as the corpus grows. Returns a numpy
-    uint64 array of length m/64."""
-    import numpy as np
+    uint64 array of length m/64.
 
-    n_words = m_bits // 64
-    pos = F.explode(
-        F.array(*_bloom_positions(F.col(h1_col), F.col(h2_col), m_bits, k))
-    ).alias("pos")
-    words = (
-        df.select(pos)
-        .select(
-            (F.col("pos") / 64).cast("long").alias("w"),
-            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("b"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("b").alias("bits"))
-        .collect()
-    )
-    bitmap = np.zeros(n_words, dtype=np.uint64)
-    for r in words:
-        bitmap[r["w"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
-    return bitmap
+    Implementation: the S=1 special case of
+    :func:`build_bloom_bitmaps_sharded` — ONE copy of the position/word
+    math, so build and probe can never desynchronize between the flat and
+    sharded paths."""
+    return build_bloom_bitmaps_sharded(df, h1_col, h2_col, 1, m_bits, k)[0]
 
 
 def _bloom_shard_expr(h1, h2, n_shards: int):
@@ -1590,26 +1576,12 @@ def _bloom_contains_with_handle(
 ):
     """As :func:`bloom_contains_udf`, but also returns the Broadcast
     handle so callers that materialize their result can destroy it —
-    broadcasts are otherwise only reclaimed at context teardown."""
-    import numpy as np
-
-    bc = spark.sparkContext.broadcast(bitmap.tobytes())
-    m, kk = m_bits, k
-
-    @F.pandas_udf("boolean")
-    def _contains(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        bm = np.frombuffer(bc.value, dtype=np.uint64)
-        r1 = h1.to_numpy(dtype=np.int64) % np.int64(m)  # non-negative, < m
-        r2 = h2.to_numpy(dtype=np.int64) % np.int64(m)
-        hit = np.ones(len(r1), dtype=bool)
-        for i in range(kk):
-            pos = (r1 + np.int64(i) * r2) % np.int64(m)  # ≤ k·m, no wrap
-            word = (pos >> 6).astype(np.int64)
-            bit = np.uint64(1) << (pos & np.int64(63)).astype(np.uint64)
-            hit &= (bm[word] & bit) != 0
-        return pd.Series(hit)
-
-    return _contains, bc
+    broadcasts are otherwise only reclaimed at context teardown.
+    Delegates to the sharded probe with S=1 (pmod(x, 1) = 0 routes every
+    row to the single bitmap) — one copy of the probe math."""
+    return _bloom_contains_sharded_with_handle(
+        spark, bitmap.reshape(1, -1), 1, m_bits, k
+    )
 
 
 def bloom_route_new(
@@ -1640,10 +1612,16 @@ def bloom_route_new(
     The verification join is on the text itself, so hash collisions cannot
     produce a wrong answer — the bloom is routing, never truth.
 
-    ``unpersist_after=True`` materializes the (small) id result via an
-    eager localCheckpoint and DESTROYS the bitmap broadcast — otherwise
-    each invocation leaks one bitmap until context teardown (a per-batch
-    cost in a long-lived ingestion session)."""
+    ``unpersist_after=True`` materializes the id result via an eager
+    localCheckpoint and DESTROYS the bitmap broadcast — otherwise each
+    invocation leaks one bitmap until context teardown (a per-batch cost
+    in a long-lived ingestion session). Trade-off to know: localCheckpoint
+    blocks are executor-local, NOT fault-tolerant, and the destroyed
+    broadcast means a lost block cannot be recomputed — right for a
+    consume-immediately batch loop; a long-lived cluster job that must
+    survive executor loss should instead write the result to storage
+    (checkpoint/sink) before releasing, or leave the default and release
+    per-corpus via ``spark.sparkContext`` teardown."""
     h1 = F.xxhash64(F.col(text_col))
     h2 = F.xxhash64(F.col(text_col), F.lit(1))
     spark = corpus.sparkSession

@@ -65,8 +65,9 @@ QUERIES, ORACLE_SQL = _merge()
 # 50/50 green on round 3's priority block). Round-4 policy (the judge's
 # explicit #1 ask: rotate the budget to the STALEST evidence):
 #   first  every operator NEW this round (zero driver evidence — a new
-#          oracled op must never park past the budget): the 11 round-4
-#          additions,
+#          oracled op must never park past the budget): the 16 round-4
+#          additions (15 register in this environment —
+#          q51b_transform_with_state needs google.protobuf),
 #   then   r3-verified ops whose CODE CHANGED this round (integer-space
 #          rounding fix / tokenizer seam) — their green rows predate the
 #          change,
