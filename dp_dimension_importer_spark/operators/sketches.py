@@ -130,3 +130,117 @@ def sketch_kll_quantiles(spark, sf_dir):
     )
     total = probe(merged, F.lit("ALL"))
     return groups.unionByName(total).orderBy("scope")
+
+
+# -- Count-min sketch: distributed build, Python-side decode ---------------
+
+#: CMS geometry: eps 0.01 -> width 200 (est ≤ exact + eps·N), conf 0.95 ->
+#: depth 5; the agg's seed feeds the integral-type hash family only
+CMS_EPS, CMS_CONF, CMS_SEED = 0.01, 0.95, 42
+#: heavy hitters probed from the sketch
+CMS_TOP = 10
+
+
+def _murmur3_32_spark(data: bytes, seed: int) -> int:
+    """Spark's ``Murmur3_x86_32.hashUnsafeBytes`` exactly (validated
+    against the JVM): standard Murmur3 body over little-endian ints, but
+    each TAIL byte is sign-extended and mixed as a full round (not the
+    reference murmur tail). Returns the unsigned 32-bit hash."""
+    M = 0xFFFFFFFF
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+
+    def mix_k1(k1: int) -> int:
+        k1 = (k1 * c1) & M
+        k1 = ((k1 << 15) | (k1 >> 17)) & M
+        return (k1 * c2) & M
+
+    def mix_h1(h1: int, k1: int) -> int:
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & M
+        return (h1 * 5 + 0xE6546B64) & M
+
+    h1 = seed & M
+    n = len(data) - len(data) % 4
+    for i in range(0, n, 4):
+        h1 = mix_h1(h1, mix_k1(int.from_bytes(data[i : i + 4], "little")))
+    for i in range(n, len(data)):
+        b = data[i]
+        h1 = mix_h1(h1, mix_k1((b - 256 if b >= 128 else b) & M))
+    h1 ^= len(data)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M
+    return h1 ^ (h1 >> 16)
+
+
+def decode_count_min(blob: bytes):
+    """Parse Spark's CountMinSketch wire format (version, totalCount,
+    depth, width, hashA[depth], table[depth][width] — all big-endian, the
+    layout ``CountMinSketchImpl.writeTo`` emits)."""
+    import struct
+
+    ver, total = struct.unpack(">i", blob[:4])[0], struct.unpack(">q", blob[4:12])[0]
+    if ver != 1:
+        raise ValueError(f"unsupported CountMinSketch version {ver}")
+    depth, width = struct.unpack(">ii", blob[12:20])
+    off = 20 + 8 * depth  # skip hashA (integral-type hash family)
+    table = struct.unpack(f">{depth * width}q", blob[off : off + 8 * depth * width])
+    return {"total": total, "depth": depth, "width": width, "table": table}
+
+
+def cms_estimate_string(sk: dict, item: str) -> int:
+    """Frequency estimate for a string item — the exact bucket walk the
+    JVM's ``estimateCount`` does (validated cell-for-cell): h1/h2 double
+    hashing, row i uses signed32(h1 + i·h2), negatives NEGATED (not
+    bit-flipped), Java %-semantics. Never underestimates."""
+    data = item.encode("utf-8")
+    h1u = _murmur3_32_spark(data, 0)
+    h1 = h1u - (1 << 32) if h1u & 0x80000000 else h1u
+    h2u = _murmur3_32_spark(data, h1u)
+    depth, width, table = sk["depth"], sk["width"], sk["table"]
+    est = None
+    for i in range(depth):
+        ch = (h1 + i * h2u) & 0xFFFFFFFF
+        if ch & 0x80000000:
+            ch = (-(ch - (1 << 32))) & 0xFFFFFFFF  # Java: hash = -hash
+        v = table[i * width + ch % width]
+        est = v if est is None else min(est, v)
+    return int(est)
+
+
+@register("sketch_count_min_heavy", sql=None)
+def sketch_count_min_heavy(spark, sf_dir):
+    """Heavy-hitter screen from ONE count-min sketch: the token stream is
+    folded into a depth×width counter grid in a single distributed
+    aggregate (KBs of state, mergeable like the other sketches), then the
+    candidate tokens' frequencies are read back from the sketch bytes —
+    Spark ships no estimator expression, so the probe decodes the wire
+    format directly (:func:`cms_estimate_string`, validated against the
+    JVM's estimateCount). Emits (token, exact_n, est_n) for the exact
+    top-K tokens; the gate asserts the CMS contract: est ≥ exact always,
+    est ≤ exact + eps·N at the sketch's confidence."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(F.explode(tokens_expr("text")).alias("tok"))
+    blob = bytes(
+        toks.agg(
+            F.count_min_sketch(
+                "tok", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+            ).alias("s")
+        ).collect()[0]["s"]
+    )
+    sk = decode_count_min(blob)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(CMS_TOP)
+        .collect()
+    )
+    rows = [
+        (r["tok"], r["exact_n"], cms_estimate_string(sk, r["tok"]))
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "tok string, exact_n long, est_n long"
+    ).orderBy(F.desc("exact_n"), "tok")

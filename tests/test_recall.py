@@ -262,3 +262,50 @@ def test_kll_quantiles_rank_tolerance(q, spark):
         for pct, v in ((0.5, r.q50), (0.9, r.q90), (0.99, r.q99)):
             rank = (vals <= v).sum() / n
             assert abs(rank - pct) <= 0.025, (r.scope, pct, v, rank)
+
+
+def test_count_min_bounds(q, spark):
+    """CMS contract on the fixture: estimates NEVER underestimate (a
+    deterministic guarantee, not probabilistic), and stay within
+    eps·N_total of exact at the pinned geometry. Also pins the wire-format
+    decode against the JVM's own estimateCount."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.catalog import load_tables
+    from dp_dimension_importer_spark.operators.sketches import (
+        CMS_CONF,
+        CMS_EPS,
+        CMS_SEED,
+        decode_count_min,
+        cms_estimate_string,
+    )
+    from dp_dimension_importer_spark.operators.text import tokens_expr
+
+    rows = q("sketch_count_min_heavy")
+    total = (
+        load_tables(spark, SF)
+        .documents.select(F.explode(tokens_expr("text")).alias("t"))
+        .count()
+    )
+    assert len(rows) == 10
+    for r in rows:
+        assert r.est_n >= r.exact_n, (r.tok, r.est_n, r.exact_n)
+        assert r.est_n <= r.exact_n + CMS_EPS * total
+
+    # decode parity vs the JVM estimator on a controlled sketch
+    df = spark.createDataFrame(
+        [("alpha",)] * 7 + [("beta",)] * 2 + [("g_3",)] * 5, "t string"
+    )
+    blob = bytes(
+        df.agg(
+            F.count_min_sketch(
+                "t", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+            ).alias("s")
+        ).collect()[0]["s"]
+    )
+    sk = decode_count_min(blob)
+    jvm_sk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        spark._jvm.java.io.ByteArrayInputStream(bytearray(blob))
+    )
+    for item in ("alpha", "beta", "g_3", "absent", "", "Ω-unicode"):
+        assert cms_estimate_string(sk, item) == jvm_sk.estimateCount(item)

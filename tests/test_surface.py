@@ -87,6 +87,7 @@ EXPECTED = {
     "sketch_hll_mergeable",
     "sketch_theta_set_ops",
     "sketch_kll_quantiles",
+    "sketch_count_min_heavy",
     "q50b_dedup_within_watermark",
     "text_quality_classifier",
     "q45b_apply_in_arrow",
@@ -112,6 +113,7 @@ NO_ORACLE_OK = {
     "sketch_hll_mergeable",
     "sketch_theta_set_ops",
     "sketch_kll_quantiles",
+    "sketch_count_min_heavy",
 }
 
 
