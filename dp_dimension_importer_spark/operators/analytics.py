@@ -549,6 +549,17 @@ def pagerank(
     iteration counts need a lineage cut (checkpoint/localCheckpoint)
     every ~10 rounds; at 3 the plan stays shallow.
 
+    Overflow bound (int64, ANSI mode errors rather than wraps): the widest
+    intermediate is ``r * 85 * n``. Rank mass is conserved at ≤ PR_SCALE·|V|
+    micros total, so in the pathological all-mass-on-one-node case
+    r ≤ 1e6·|V| and the product needs ``|V| · n_max ≲ 1.08e11`` (e.g. 1e6
+    nodes with edge weights up to 1e5). That comfortably covers any
+    contracted graph this facade targets (the docstring's intended input —
+    |V| = event-type cardinality); for raw BILLION-edge graphs with huge
+    multiplicities, pre-normalize edge weights (divide ``n`` per-src so
+    tot ≤ 1e6) before calling — reordering the division here instead would
+    change the pinned integer semantics the oracle replays.
+
     Cache policy: ``persist=True`` (default) caches the edge/node frames
     across iterations; pass ``unpersist_after=True`` to materialize the
     |V|-row result via an eager localCheckpoint and release those caches

@@ -267,6 +267,15 @@ def _make_wav_codec():
         audio_format, channels, sample_rate, _rate, _align, bits = fmt
         if audio_format != 1 or bits not in (8, 16):
             raise NotImplementedError("only 8/16-bit PCM WAV supported")
+        # A corrupt fmt chunk may declare zero channels / zero rate; without
+        # this guard the frame-count and duration divisions below raise
+        # ZeroDivisionError, which is NOT in DECODE_ERRORS and would fail the
+        # whole partition instead of dead-lettering the one bad payload.
+        if channels <= 0 or sample_rate <= 0:
+            raise ValueError(
+                f"corrupt WAV fmt chunk: channels={channels} "
+                f"sample_rate={sample_rate}"
+            )
         width = bits // 8
         n_frames = len(data) // (channels * width)
         dtype = np.uint8 if bits == 8 else np.dtype("<i2")

@@ -158,8 +158,14 @@ def compact_parquet(
 
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
-    write_sharded(df, tmp, n_shards=target_files, order_col=order_col)
     old = path.rstrip("/") + "__compact_old"
+    # A previous crashed run can leave either scratch directory behind;
+    # os.rename onto an existing dir errors, so clear them first (the data
+    # dir itself is untouched — a crash before the first rename loses
+    # nothing, a crash between renames leaves __compact_old recoverable).
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    write_sharded(df, tmp, n_shards=target_files, order_col=order_col)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -400,8 +400,22 @@ def test_dead_letter_covers_decoder_exception_classes(spark):
 
     bad_wav = b"RIFF" + (20).to_bytes(4, "little") + b"WAVE" + b"fmt " \
         + (6).to_bytes(4, "little") + b"\x01\x00\x01\x00\x40\x1f"
+
+    def pcm_wav(channels, rate):
+        # structurally valid PCM WAV whose fmt declares the given (possibly
+        # zero) channels/rate — ZeroDivisionError bait for decode_audio
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate, 1, 8)
+        data = b"\x80" * 16
+        body = b"WAVE" + b"fmt " + (16).to_bytes(4, "little") + fmt \
+            + b"data" + len(data).to_bytes(4, "little") + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
     auds = spark.createDataFrame(
-        [(1, bytearray(bad_wav))], "asset_id long, payload binary"
+        [(1, bytearray(bad_wav)),
+         (2, bytearray(pcm_wav(0, 8000))),    # channels=0
+         (3, bytearray(pcm_wav(1, 0)))],      # sample_rate=0
+        "asset_id long, payload binary",
     )
-    (row,) = extract_audio_features(auds).collect()
-    assert row.sample_rate is None and row.rms is None
+    rows = {r.asset_id: r for r in extract_audio_features(auds).collect()}
+    for i in (1, 2, 3):
+        assert rows[i].sample_rate is None and rows[i].rms is None
