@@ -77,15 +77,37 @@ def tokens_col(text_col="text"):
     return tokens_expr(text_col)
 
 
+def _gram_hash_array(th_col: str, k: int):
+    """K-gram hash array over a per-token hash column: nested xxhash64
+    combine of K shifted slices (empty when the doc has < k tokens)."""
+    n = F.size(th_col)
+    parts = [F.slice(th_col, 1 + j, n - (k - 1)) for j in range(k)]
+    grams = parts[0]
+    for s in parts[1:]:
+        grams = F.zip_with(grams, s, lambda a, b: F.xxhash64(a, b))
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<long>"))
+
+
+#: columns that identify a gram for the given hash width — every consumer
+#: that groups/joins on gram identity keys on exactly these
+def gram_key_cols(hash_bits: int = 64) -> list[str]:
+    if hash_bits == 64:
+        return ["h"]
+    if hash_bits == 128:
+        return ["h", "h2"]
+    raise ValueError(f"hash_bits must be 64 or 128, got {hash_bits}")
+
+
 def shingle_hashes(
     documents: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = SHINGLE_K,
+    hash_bits: int = 64,
 ) -> DataFrame:
-    """(doc_id, h) — one xxhash64 per K-token shingle occurrence, WITH
-    duplicates. Min/idempotent consumers (MinHash) use this directly and
-    skip any distinct shuffle.
+    """(doc_id, h[, h2]) — one hashed identity per K-token shingle
+    occurrence, WITH duplicates. Min/idempotent consumers (MinHash) use
+    this directly and skip any distinct shuffle.
 
     Tokens are hashed ONCE each; the K-gram hash is a nested xxhash64
     combine over K shifted slices of the materialized per-token hash
@@ -94,17 +116,42 @@ def shingle_hashes(
     array are materialized between selects: expressions inside
     interpreted higher-order lambdas get no common-subexpression
     elimination, so an element_at(tokens, i) formulation re-runs the
-    regex split per lambda iteration — observed ~7× slower at sf0.1.)"""
-    n = F.size("th")
-    parts = [F.slice("th", 1 + j, n - (k - 1)) for j in range(k)]
-    grams = parts[0]
-    for s in parts[1:]:
-        grams = F.zip_with(grams, s, lambda a, b: F.xxhash64(a, b))
-    arr = F.when(n >= k, grams).otherwise(F.array().cast("array<long>"))
+    regex split per lambda iteration — observed ~7× slower at sf0.1.)
+
+    ``hash_bits=128`` adds a second, independent 64-bit gram hash ``h2``
+    built from seed-1 token hashes — the web-scale collision defense the
+    dup_ngram_share/dedup_spans docstrings promise (at 2^32 distinct
+    grams a single 64-bit key collides with odds ~1/2; two independent
+    keys push that to ~2^-65). The plan shape is unchanged: shuffles
+    carry (doc_id, h, h2) — 16 bytes of key, still never gram strings."""
+    gram_key_cols(hash_bits)  # validate
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("tk")
+    )
+    if hash_bits == 64:
+        return (
+            base.select(
+                "doc_id", F.transform("tk", lambda t: F.xxhash64(t)).alias("th")
+            )
+            .select("doc_id", F.explode(_gram_hash_array("th", k)).alias("h"))
+        )
     return (
-        documents.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("tk"))
-        .select("doc_id", F.transform("tk", lambda t: F.xxhash64(t)).alias("th"))
-        .select("doc_id", F.explode(arr).alias("h"))
+        base.select(
+            "doc_id",
+            F.transform("tk", lambda t: F.xxhash64(t)).alias("th"),
+            F.transform("tk", lambda t: F.xxhash64(t, F.lit(1))).alias("th2"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    _gram_hash_array("th", k),
+                    _gram_hash_array("th2", k),
+                    lambda a, b: F.struct(a.alias("h"), b.alias("h2")),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.h").alias("h"), F.col("g.h2").alias("h2"))
     )
 
 
@@ -1012,6 +1059,7 @@ def dup_ngram_share(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Public DataFrame-in core (engine facade): the BigCode/substring-
     dedup family's cheap cousin — per doc, the fraction of its distinct
@@ -1026,23 +1074,25 @@ def dup_ngram_share(
     per-gram document frequencies; the join back to the per-doc gram list
     shuffles on the same gram-hash key, so the Exchange is reused; the
     final aggregate is doc-keyed. Same single-wide-shuffle budget as
-    dedup_ngram_jaccard, no quadratic term anywhere. (Gram identity is a
-    64-bit hash both here and conceptually in the oracle's string grams —
-    at 2^32 distinct grams the collision odds are ~2^-1, so a production
-    run at that scale widens to 128-bit via two seeds; the contract and
-    plan shape are unchanged.)
+    dedup_ngram_jaccard, no quadratic term anywhere. Gram identity
+    defaults to a 64-bit hash; at web scale (≥2^32 distinct grams, where
+    a single 64-bit key collides with odds ~1/2) pass ``hash_bits=128``
+    to key on two independent seeds — contract and plan shape unchanged
+    (property-tested identical on the fixture corpus; shuffle rows stay
+    (doc_id, h[, h2]) only).
 
     Rounding: dup/n_grams is an exact integer ratio; ROUND(double, 4)
     lands on half-boundaries (1/32 = 0.03125) where Spark HALF_UP and
     DuckDB nearbyint disagree, so round half-up in INTEGER space:
     (20000·dup + n) div (2·n) — exact, positive, truncation-safe on
     both engines."""
-    sh = shingle_hashes(df, id_col, text_col, k=k).dropDuplicates(
-        ["doc_id", "h"]
-    )
-    dfc = sh.groupBy("h").agg(F.count("*").alias("df"))
+    key = gram_key_cols(hash_bits)
+    sh = shingle_hashes(
+        df, id_col, text_col, k=k, hash_bits=hash_bits
+    ).dropDuplicates(["doc_id", *key])
+    dfc = sh.groupBy(*key).agg(F.count("*").alias("df"))
     return (
-        sh.join(dfc, "h")
+        sh.join(dfc, key)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
@@ -1064,24 +1114,44 @@ def shingle_hashes_pos(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = SHINGLE_K,
+    hash_bits: int = 64,
 ) -> DataFrame:
-    """(doc_id, i, h) — :func:`shingle_hashes` with the gram's 0-based
-    token position ``i`` carried along (posexplode instead of explode),
-    for span-level consumers that need to map duplicated grams back onto
-    token ranges. Same one-pass nested-hash build: shuffles carry
-    (doc_id, int, 8-byte long), never gram strings."""
-    n = F.size("th")
-    parts = [F.slice("th", 1 + j, n - (k - 1)) for j in range(k)]
-    grams = parts[0]
-    for s in parts[1:]:
-        grams = F.zip_with(grams, s, lambda a, b: F.xxhash64(a, b))
-    arr = F.when(n >= k, grams).otherwise(F.array().cast("array<long>"))
-    return (
-        documents.select(
-            F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("tk")
+    """(doc_id, i, h[, h2]) — :func:`shingle_hashes` with the gram's
+    0-based token position ``i`` carried along (posexplode instead of
+    explode), for span-level consumers that need to map duplicated grams
+    back onto token ranges. Same one-pass nested-hash build: shuffles
+    carry (doc_id, int, hash key), never gram strings; ``hash_bits=128``
+    widens the key exactly as in :func:`shingle_hashes`."""
+    gram_key_cols(hash_bits)  # validate
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("tk")
+    )
+    if hash_bits == 64:
+        return (
+            base.select(
+                "doc_id", F.transform("tk", lambda t: F.xxhash64(t)).alias("th")
+            )
+            .select("doc_id", F.posexplode(_gram_hash_array("th", k)).alias("i", "h"))
         )
-        .select("doc_id", F.transform("tk", lambda t: F.xxhash64(t)).alias("th"))
-        .select("doc_id", F.posexplode(arr).alias("i", "h"))
+    return (
+        base.select(
+            "doc_id",
+            F.transform("tk", lambda t: F.xxhash64(t)).alias("th"),
+            F.transform("tk", lambda t: F.xxhash64(t, F.lit(1))).alias("th2"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.zip_with(
+                    _gram_hash_array("th", k),
+                    _gram_hash_array("th2", k),
+                    lambda a, b: F.struct(a.alias("h"), b.alias("h2")),
+                )
+            ).alias("i", "g"),
+        )
+        .select(
+            "doc_id", "i", F.col("g.h").alias("h"), F.col("g.h2").alias("h2")
+        )
     )
 
 
@@ -1154,6 +1224,7 @@ def dedup_spans(
     text_col: str = "text",
     k: int = 8,
     min_run: int = 2,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Public DataFrame-in core (engine facade): the substring-dedup
     deliverable :func:`dup_ngram_share` only SCORES — emit a CLEANED
@@ -1185,23 +1256,25 @@ def dedup_spans(
     * reconstruction is one doc-keyed collect_list of (pos, token)
       structs — per-doc memory, the same budget as text_chunk/pack.
 
-    64-bit gram identity: same collision maths as dup_ngram_share
-    (widen to 128-bit via two seeds at web scale; plan unchanged)."""
+    Gram identity: same collision maths as dup_ngram_share — pass
+    ``hash_bits=128`` at web scale to key on two independent seeds; the
+    plan is unchanged (property-tested identical on the fixture)."""
     from pyspark.sql.window import Window as W
 
+    key = gram_key_cols(hash_bits)
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("tk")
     )
-    g = shingle_hashes_pos(df, id_col, text_col, k=k)
+    g = shingle_hashes_pos(df, id_col, text_col, k=k, hash_bits=hash_bits)
     dup_h = (
-        g.select("doc_id", "h")
+        g.select("doc_id", *key)
         .dropDuplicates()
-        .groupBy("h")
+        .groupBy(*key)
         .agg(F.count("*").alias("dfreq"))
         .filter(F.col("dfreq") >= 2)
-        .select("h")
+        .select(*key)
     )
-    dup = g.join(dup_h, "h", "left_semi").select("doc_id", "i")
+    dup = g.join(dup_h, key, "left_semi").select("doc_id", "i")
     w = W.partitionBy("doc_id").orderBy("i")
     runs = (
         dup.withColumn("isl", F.col("i") - F.row_number().over(w))
@@ -1686,4 +1759,44 @@ def dedup_bloom_incremental(spark, sf_dir):
     # release the bitmap broadcast instead of leaking one per run
     return bloom_route_new(
         corpus, t.documents, unpersist_after=True
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_bloom_sharded",
+    sql="""
+    WITH b AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10
+                   AS bucket
+        FROM documents
+    )
+    SELECT d.doc_id FROM b d
+    WHERE NOT EXISTS (SELECT 1 FROM b c
+                      WHERE c.bucket < 8 AND c.text = d.text)
+    ORDER BY doc_id
+    """,
+)
+def dedup_bloom_sharded(spark, sf_dir):
+    """The SCALE form of :func:`dedup_bloom_incremental` as a first-class
+    driver-checked query: same corpus/batch fixture, but the bloom is
+    built as S=4 independent key-space shards
+    (:func:`build_bloom_bitmaps_sharded`) — the shape a 10⁹-key corpus
+    needs, where one m≈10n bitmap no longer fits a casual driver collect
+    but each of S bounded shards does, and shards rebuild independently
+    as the corpus ingests. The oracle is IDENTICAL to the flat query's:
+    the exact NOT EXISTS answer is sharding-invariant by construction
+    (the bloom only routes; text equality decides), so a green row here
+    pins that the shard-selection math — pmod(h1 xor h2, S) mirrored
+    between the JVM build and the numpy probe — never drops or invents a
+    membership. Per-shard zero-false-negative and flat-vs-sharded
+    equality are further pinned by tests/test_invariants.py."""
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.withColumn("bucket", hash_bucket("doc_id", 10))
+    corpus = docs.filter(F.col("bucket") < 8)
+    return bloom_route_new(
+        corpus, t.documents, unpersist_after=True, n_shards=4
     ).orderBy("doc_id")

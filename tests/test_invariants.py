@@ -447,3 +447,42 @@ def test_bloom_sharded_route_matches_unsharded(spark):
     contains, _bc = _bloom_contains_sharded_with_handle(spark, bm, 4)
     misses = corpus.select(contains(h1, h2).alias("m")).filter(~F.col("m"))
     assert misses.count() == 0
+
+
+def test_gram_hash_bits_128_matches_64(spark):
+    """hash_bits=128 is a pure identity-widening: on the fixture corpus
+    (where 64-bit collisions are absent) dup_ngram_share and dedup_spans
+    produce byte-identical results under both widths, and the widened
+    shingle frame carries exactly one extra column (h2) with h2 != h
+    (independent seeds, not a copied key)."""
+    from dp_dimension_importer_spark.catalog import table
+    from dp_dimension_importer_spark.operators.dedup import (
+        dedup_spans,
+        dup_ngram_share,
+        shingle_hashes,
+        shingle_hashes_pos,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+
+    for fn in (dup_ngram_share, dedup_spans):
+        a = fn(docs, hash_bits=64).orderBy("doc_id").collect()
+        b = fn(docs, hash_bits=128).orderBy("doc_id").collect()
+        assert a == b and len(a) > 0
+
+    sh64 = shingle_hashes(docs, k=3)
+    sh128 = shingle_hashes(docs, k=3, hash_bits=128)
+    assert sh64.columns == ["doc_id", "h"]
+    assert sh128.columns == ["doc_id", "h", "h2"]
+    assert shingle_hashes_pos(docs, k=3, hash_bits=128).columns == [
+        "doc_id", "i", "h", "h2",
+    ]
+    # same h stream either way; h2 is a genuinely different hash
+    assert sh128.filter("h = h2").count() == 0
+    assert (
+        sh64.groupBy("h").count().orderBy("h").collect()
+        == sh128.groupBy("h").count().orderBy("h").collect()
+    )
+
+    with pytest.raises(ValueError):
+        shingle_hashes(docs, hash_bits=96)

@@ -440,3 +440,28 @@ def test_interval_join_is_hash_not_nested_loop(spark):
     plan = plan_of(QUERIES["join_interval_bucketed"](spark, SF_SMOKE), "simple")
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "Join" in plan  # broadcast or sort-merge — both are fine
+
+
+def test_gram_128bit_shuffles_ids_and_hashes_only(spark):
+    """The widened 128-bit gram path must keep the 64-bit plan shape: in
+    dup_ngram_share(hash_bits=128) every hash-partitioned Exchange keyed
+    on the gram identity carries (doc_id, h, h2)-shaped rows only — no
+    token arrays, no text, no gram strings — and no Python appears
+    anywhere (the widening is a second JVM-side xxhash64 seed, not a
+    UDF)."""
+    from dp_dimension_importer_spark.operators.dedup import dup_ngram_share
+
+    docs = load_tables(spark, SF_SMOKE).documents
+    plan = plan_of(dup_ngram_share(docs, hash_bits=128), "formatted")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    blocks = plan.split("\n\n")
+    gram_exchanges = [
+        b for b in blocks
+        if ") Exchange" in b.split("\n", 1)[0]
+        and "hashpartitioning" in b and "h2#" in b
+    ]
+    assert gram_exchanges, "no gram-keyed exchange found"
+    for b in gram_exchanges:
+        assert "text#" not in b and "tk#" not in b and "th#" not in b, (
+            f"gram exchange carries token/text payloads:\n{b}"
+        )
