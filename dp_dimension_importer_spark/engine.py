@@ -70,6 +70,14 @@ from dp_dimension_importer_spark.operators.multimodal import (  # noqa: F401
     encode_wav,
     extract_audio_features,
 )
+from dp_dimension_importer_spark.operators.sketches import (  # noqa: F401
+    merge_sketch_states,
+    read_sketch_state,
+    write_sketch_state,
+)
+from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
+    dedup_spans,
+)
 from dp_dimension_importer_spark.pipeline.http_client import (  # noqa: F401
     fetch_dimensions_http,
     fetch_instances_http,
@@ -116,4 +124,8 @@ __all__ = [
     "write_partitioned",
     "write_sharded",
     "compact_parquet",
+    "dedup_spans",
+    "write_sketch_state",
+    "read_sketch_state",
+    "merge_sketch_states",
 ]

@@ -132,6 +132,70 @@ def sketch_kll_quantiles(spark, sf_dir):
     return groups.unionByName(total).orderBy("scope")
 
 
+# -- Cross-run sketch persistence ------------------------------------------
+#
+# The module docstring's headline claim — "sketch today's partitions, union
+# with yesterday's STORED sketches, never rescan history" — made executable:
+# per-group sketch states are plain binary columns, so they persist through
+# the storage layer like any other table and merge back with the *_union_agg
+# / kll_merge_agg aggregates. A daily 100 TB characterization job then costs
+# one scan of the NEW day plus a KB-per-group merge of all prior states.
+
+#: merge aggregate per sketch kind — states written under one kind must be
+#: merged with the same kind's aggregate (and, for HLL/KLL, were built with
+#: the same lg_k / k parameter)
+SKETCH_MERGE_AGGS = {
+    "hll": lambda c: F.hll_union_agg(c),
+    "theta": lambda c: F.theta_union_agg(c),
+    "kll_double": lambda c: F.kll_merge_agg_double(c),
+    "kll_bigint": lambda c: F.kll_merge_agg_bigint(c),
+    "kll_float": lambda c: F.kll_merge_agg_float(c),
+}
+
+
+def write_sketch_state(df, path: str, run_id: str, mode: str = "append"):
+    """Persist a per-group sketch-state frame (group cols + binary sketch
+    cols) for cross-run merging, stamped with ``run_id`` and written as
+    run-partitioned parquet through the storage layer
+    (:func:`dp_dimension_importer_spark.storage.write_partitioned`) —
+    partitioning by run means (a) each day's append never rewrites prior
+    state and (b) a re-run of the same day replaces exactly its own
+    partition under dynamic partition overwrite. R17's accumulate-then-
+    bulk-add (`handler/incoming_instance_handler.go:206-209`) generalized
+    across job runs: the accumulator is the stored sketch table."""
+    from dp_dimension_importer_spark import storage
+
+    if "run_id" in df.columns:
+        raise ValueError("df already has a run_id column")
+    storage.write_partitioned(
+        df.withColumn("run_id", F.lit(run_id)), path, ["run_id"], mode=mode
+    )
+
+
+def read_sketch_state(spark, path: str, run_ids: list[str] | None = None):
+    """Read stored sketch states; ``run_ids`` filters prune whole run
+    partitions at file-listing time (directory-level pruning — reading
+    30 days out of 3 years touches 30 directories)."""
+    df = spark.read.parquet(path)
+    if run_ids is not None:
+        df = df.filter(F.col("run_id").isin(run_ids))
+    return df
+
+
+def merge_sketch_states(df, group_cols: list[str], sk_col: str = "sk",
+                        kind: str = "hll"):
+    """Fold stored per-run states back into one state per group: one
+    map-side-combinable merge aggregate over KB-sized rows (the shuffle
+    carries |groups|·|runs| sketches, never data). ``kind`` selects the
+    merge algebra; pass ``group_cols=[]`` for a global rollup."""
+    if kind not in SKETCH_MERGE_AGGS:
+        raise ValueError(
+            f"unknown sketch kind {kind!r}; one of {sorted(SKETCH_MERGE_AGGS)}"
+        )
+    agg = SKETCH_MERGE_AGGS[kind](sk_col).alias(sk_col)
+    return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+
+
 # -- Count-min sketch: distributed build, Python-side decode ---------------
 
 #: CMS geometry: eps 0.01 -> width 200 (est ≤ exact + eps·N), conf 0.95 ->
