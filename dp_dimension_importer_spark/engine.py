@@ -87,6 +87,7 @@ from dp_dimension_importer_spark.pipeline.importer import (  # noqa: F401
 )
 from dp_dimension_importer_spark.storage import (  # noqa: F401
     compact_parquet,
+    merge_upsert,
     read_bucketed,
     read_partitioned,
     write_bucketed,
@@ -124,6 +125,7 @@ __all__ = [
     "write_partitioned",
     "write_sharded",
     "compact_parquet",
+    "merge_upsert",
     "dedup_spans",
     "write_sketch_state",
     "read_sketch_state",

@@ -204,6 +204,86 @@ def win_latest_per_key(spark, sf_dir):
 
 
 @register(
+    "cdc_merge_upsert",
+    sql="""
+    WITH b AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 10
+                   AS bucket
+        FROM orders
+    ), existing AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(1 AS BIGINT) AS seq
+        FROM b WHERE bucket < 8
+    ), changes AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice + 1000,
+               CAST(2 AS BIGINT) AS seq
+        FROM b WHERE bucket >= 5
+    ), u AS (
+        SELECT * FROM existing UNION ALL SELECT * FROM changes
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rn
+        FROM u
+    )
+    SELECT o_orderkey, o_orderpriority, o_totalprice AS price, seq
+    FROM r WHERE rn = 1 ORDER BY o_orderkey
+    """,
+)
+def cdc_merge_upsert(spark, sf_dir):
+    """CDC MERGE end-to-end THROUGH THE FILESYSTEM: materialize an
+    "existing" table (train-bucket orders, seq=1) as priority-partitioned
+    parquet, apply a change batch (buckets 5-9: 5-7 are updates with a
+    bumped price, 8-9 inserts; seq=2) via :func:`storage.merge_upsert`'s
+    partition-pruned dynamic-overwrite path, then READ THE TABLE BACK and
+    return it — so the driver's oracle row checks insert/update/untouched
+    semantics, latest-wins resolution, AND the on-disk round-trip in one
+    query (the reference's idempotent node-upsert R9/R10/R12 at table
+    scale). The oracle is the plain window-over-union formulation. The
+    byte-identity of untouched partitions is pinned separately by the
+    layout audit in tests/test_plans.py. The result is eagerly
+    localCheckpoint-ed so the scratch directory can be removed before
+    returning."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    b = t.orders.withColumn("bucket", hash_bucket("o_orderkey", 10))
+    existing = b.filter("bucket < 8").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        F.lit(1).cast("long").alias("seq"),
+    )
+    changes = b.filter("bucket >= 5").select(
+        "o_orderkey", "o_orderpriority",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    path = tempfile.mkdtemp(prefix="cdc_merge_upsert_")
+    try:
+        storage.write_partitioned(existing, path, ["o_orderpriority"])
+        storage.merge_upsert(
+            spark, path, changes,
+            key_cols=["o_orderkey"], seq_col="seq",
+            partition_col="o_orderpriority",
+        )
+        return (
+            spark.read.parquet(path)
+            .select(
+                "o_orderkey", "o_orderpriority",
+                F.col("o_totalprice").alias("price"), "seq",
+            )
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "win_distribution",
     sql="""
     SELECT c_custkey,

@@ -465,3 +465,81 @@ def test_gram_128bit_shuffles_ids_and_hashes_only(spark):
         assert "text#" not in b and "tk#" not in b and "th#" not in b, (
             f"gram exchange carries token/text payloads:\n{b}"
         )
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """merge_upsert's partition-pruned path: after merging a change batch
+    that touches 2 of 5 priority partitions, the other 3 partitions'
+    files are BYTE-IDENTICAL (same names, same content — never opened,
+    never rewritten: the property that makes a CDC trickle affordable
+    against a 100 TB table), the touched partitions are rewritten, and
+    the merged table holds latest-wins rows. Re-applying the same batch
+    is a no-op on row content (at-least-once safe)."""
+    import hashlib
+    import os
+
+    from dp_dimension_importer_spark import storage
+
+    docs = load_tables(spark, SF_SMOKE).orders.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        F.lit(1).cast("long").alias("seq"),
+    )
+    path = str(tmp_path / "cdc_table")
+    storage.write_partitioned(docs, path, ["o_orderpriority"])
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, path)] = hashlib.sha256(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return out
+
+    before = snapshot()
+    touched = {"1-URGENT", "2-HIGH"}
+    changes = (
+        docs.filter(F.col("o_orderpriority").isin(*touched))
+        .limit(20)
+        .select(
+            "o_orderkey", "o_orderpriority",
+            (F.col("o_totalprice") + 7).alias("o_totalprice"),
+            F.lit(2).cast("long").alias("seq"),
+        )
+    )
+    changes.cache().count()  # pin the nondeterministic limit
+    storage.merge_upsert(
+        spark, path, changes, key_cols=["o_orderkey"], seq_col="seq",
+        partition_col="o_orderpriority",
+    )
+    after = snapshot()
+
+    def part_of(rel):
+        return rel.split(os.sep)[0].split("=", 1)[1]
+
+    untouched_before = {k: v for k, v in before.items()
+                        if part_of(k) not in touched}
+    untouched_after = {k: v for k, v in after.items()
+                       if part_of(k) not in touched}
+    assert untouched_before == untouched_after and untouched_before
+    # touched partitions were rewritten (different file set)
+    assert {k for k in before if part_of(k) in touched}.isdisjoint(
+        {k for k in after if part_of(k) in touched}
+    )
+
+    merged = spark.read.parquet(path)
+    n_changed = changes.count()
+    assert merged.filter("seq = 2").count() == n_changed
+    assert merged.count() == docs.count()  # updates only, no inserts
+
+    # idempotent re-apply: same rows survive
+    rows1 = sorted(map(tuple, merged.collect()))
+    storage.merge_upsert(
+        spark, path, changes, key_cols=["o_orderkey"], seq_col="seq",
+        partition_col="o_orderpriority",
+    )
+    rows2 = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert rows1 == rows2
+    changes.unpersist()
