@@ -153,3 +153,81 @@ def q45b_apply_in_arrow(spark, sf_dir):
         .applyInArrow(zscore_arrow, schema="doc_id long, z double")
         .orderBy("doc_id")
     )
+
+
+#: tokens per emitted "sentence" window (matches the oracle's list_slice)
+UDTF_SENT_TOKENS = 10
+
+
+def make_split_sentences_udtf():
+    """Python UDTF (Spark 4 table-function surface): text → rows of
+    ``(sent_idx, sentence)``, ten whitespace tokens per sentence window.
+    Defined as a closure-scoped class so cloudpickle ships it by value
+    (same foreign-cwd rule as the pandas UDFs above). This is the
+    declared-but-unregistered UDF-machinery shape from SURVEY §2.1 ("UDF
+    machinery ... added, not ported") — the generator surface Q39 notes,
+    as a REGISTERED SQL table function consumed via LATERAL, not a
+    built-in explode.
+
+    Cost line (the UDTF-vs-explode twin of q45b's Arrow-vs-pandas note):
+    a UDTF runs row-at-a-time Python — eval() is called once per input
+    row and yields per output row, with pickle serialization both ways —
+    so for anything expressible as ``explode(slice(split()))`` the
+    codegen'd explode (text_chunk's plan) wins by an order of magnitude.
+    The UDTF earns its seat when the per-row expansion logic is genuinely
+    imperative (a real sentence segmenter, a parser) — this fixture keeps
+    the logic trivially oracle-able so the MACHINERY (registration,
+    LATERAL correlation, schema contract) is what the driver row pins."""
+    from pyspark.sql.functions import udtf
+
+    n_tok = UDTF_SENT_TOKENS
+
+    @udtf(returnType="sent_idx: bigint, sentence: string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = [t for t in text.split(" ") if t]
+            for i in range(0, len(toks), n_tok):
+                yield i // n_tok, " ".join(toks[i : i + n_tok])
+
+    return SplitSentences
+
+
+@register(
+    "q59_udtf",
+    sql=f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    )
+    SELECT doc_id, sent_idx,
+           array_to_string(
+               list_slice(tk, sent_idx * {UDTF_SENT_TOKENS} + 1,
+                          sent_idx * {UDTF_SENT_TOKENS} + {UDTF_SENT_TOKENS}),
+               ' ') AS sentence
+    FROM (
+        SELECT doc_id, tk,
+               UNNEST(generate_series(
+                   0, CAST(ceil(len(tk) / {UDTF_SENT_TOKENS}.0) AS BIGINT) - 1
+               )) AS sent_idx
+        FROM tk WHERE len(tk) > 0
+    )
+    ORDER BY doc_id, sent_idx
+    """,
+)
+def q59_udtf(spark, sf_dir):
+    """Registered Python UDTF driven through SQL LATERAL — see
+    :func:`make_split_sentences_udtf` for the machinery and the
+    UDTF-vs-explode cost line."""
+    t = load_tables(spark, sf_dir)
+    spark.udtf.register("split_sentences", make_split_sentences_udtf())
+    t.documents.createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM v_docs_udtf d, LATERAL split_sentences(d.text) s
+        ORDER BY d.doc_id, s.sent_idx
+        """
+    )
