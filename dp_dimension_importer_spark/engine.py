@@ -88,6 +88,7 @@ from dp_dimension_importer_spark.pipeline.importer import (  # noqa: F401
 from dp_dimension_importer_spark.storage import (  # noqa: F401
     compact_parquet,
     merge_upsert,
+    write_clustered,
     read_bucketed,
     read_partitioned,
     write_bucketed,
@@ -124,6 +125,7 @@ __all__ = [
     "write_bucketed",
     "write_partitioned",
     "write_sharded",
+    "write_clustered",
     "compact_parquet",
     "merge_upsert",
     "dedup_spans",

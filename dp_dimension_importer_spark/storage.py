@@ -140,6 +140,84 @@ def write_sharded(
     w.parquet(path)
 
 
+#: bits per clustering column in the Morton code (16 rank-buckets/column —
+#: enough spread for file-level skipping at any realistic shard count; the
+#: code is a write-time routing key, not an identity, so low precision is
+#: fine and keeps the bucket-boundary when-chain inside codegen)
+ZORDER_BITS = 4
+
+
+def _morton_code(bucket_cols, bits: int):
+    """Interleave the bits of N rank-bucket columns into one Z-order code:
+    bit j of column i lands at position j·N + i, so a range of codes is a
+    compact hyper-rectangle-ish region of the N-dim rank space. Pure
+    shift/or arithmetic on small ints — codegen'd, no UDF."""
+    from pyspark.sql import functions as F
+
+    n = len(bucket_cols)
+    code = F.lit(0)
+    for i, c in enumerate(bucket_cols):
+        for j in range(bits):
+            code = code.bitwiseOR(
+                F.shiftleft(F.shiftright(c, j).bitwiseAND(F.lit(1)), j * n + i)
+            )
+    return code
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_shards: int,
+    mode: str = "overwrite",
+    compression: str = PARQUET_CODEC,
+) -> None:
+    """Z-order-style MULTI-column clustering for data skipping — the gap
+    :func:`write_sharded` leaves open: range-sharding on ``order_col``
+    gives tight min/max file stats on ONE column; a predicate on any
+    other column still touches every file. This writer rank-quantizes
+    each clustering column (boundaries from a distributed
+    ``approxQuantile`` — a sample, never a global sort), interleaves the
+    bucket bits into a Morton code, and ``repartitionByRange``s on the
+    code: each output file covers a compact region of the JOINT rank
+    space, so parquet min/max stats prune files for predicates on ANY
+    clustered column or combination (the on-disk audit shows a 2-column
+    predicate skipping most files vs an unclustered layout).
+
+    Rank quantization (not value-width buckets) makes the layout skew-
+    immune: a heavy-hitter value occupies many buckets of its own instead
+    of dragging half the table into one. All arithmetic is codegen'd
+    expressions; the only driver materialization is the ~2^bits·|cols|
+    boundary values. The code column is dropped before writing — it is a
+    routing key, not data. Files are additionally sorted by the code
+    within each shard so row-group stats stay tight inside big files."""
+    from pyspark.sql import functions as F
+
+    if not cols or n_shards < 1:
+        raise ValueError("need ≥1 clustering column and ≥1 shard")
+    n_buckets = 1 << ZORDER_BITS
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bucket_exprs = []
+    for c in cols:
+        cuts = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
+            c, qs, 0.01
+        )
+        b = F.lit(0)
+        for cut in cuts:  # monotone when-chain: count boundaries passed
+            b = b + F.when(F.col(c).cast("double") > cut, 1).otherwise(0)
+        bucket_exprs.append(b)
+    code = _morton_code(bucket_exprs, ZORDER_BITS).alias("__zcode")
+    (
+        df.withColumn("__zcode", code)
+        .repartitionByRange(n_shards, F.col("__zcode"))
+        .sortWithinPartitions("__zcode")
+        .drop("__zcode")
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,

@@ -543,3 +543,72 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     rows2 = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert rows1 == rows2
     changes.unpersist()
+
+
+def test_zorder_clustered_write_prunes_files_on_two_columns(spark, tmp_path):
+    """write_clustered's data-skipping contract, measured on disk: after
+    Z-order clustering orders by (o_custkey, o_totalprice) into 16 files,
+    a 2-column low-quartile box predicate overlaps the parquet min/max
+    stats of at most 40% of the files, while the round-robin
+    write_sharded layout overlaps ≥90% (every file spans the full value
+    range — nothing skippable). This is file-level skipping, the same
+    stats Spark's scan uses for row-group pruning."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dp_dimension_importer_spark import storage
+
+    orders = load_tables(spark, SF_SMOKE).orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    qk = orders.approxQuantile("o_custkey", [0.25], 0.001)[0]
+    qp = orders.approxQuantile("o_totalprice", [0.25], 0.001)[0]
+
+    def overlap_fraction(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        assert files
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            mins = {"o_custkey": None, "o_totalprice": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        lo = col.statistics.min
+                        mins[name] = (
+                            lo if mins[name] is None else min(mins[name], lo)
+                        )
+            # the box predicate is (o_custkey <= qk AND o_totalprice <= qp):
+            # a file overlaps unless its min exceeds the bound on some col
+            if (mins["o_custkey"] is not None
+                    and mins["o_totalprice"] is not None
+                    and mins["o_custkey"] <= qk
+                    and mins["o_totalprice"] <= qp):
+                hit += 1
+        return hit / len(files), len(files)
+
+    flat_path = str(tmp_path / "flat")
+    storage.write_sharded(orders, flat_path, n_shards=16)
+    flat_frac, flat_n = overlap_fraction(flat_path)
+
+    z_path = str(tmp_path / "zorder")
+    storage.write_clustered(
+        orders, z_path, ["o_custkey", "o_totalprice"], n_shards=16
+    )
+    z_frac, z_n = overlap_fraction(z_path)
+
+    assert flat_n == 16 and z_n == 16
+    assert flat_frac >= 0.9, flat_frac     # nothing skippable round-robin
+    assert z_frac <= 0.4, z_frac           # clustered: most files skipped
+
+    # the layout is a pure reorder: same rows either way
+    a = spark.read.parquet(z_path)
+    assert a.count() == orders.count()
+    assert a.agg(F.sum("o_orderkey")).collect()[0][0] == \
+        orders.agg(F.sum("o_orderkey")).collect()[0][0]
+
+    with pytest.raises(ValueError):
+        storage.write_clustered(orders, z_path, [], n_shards=4)
