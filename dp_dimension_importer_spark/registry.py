@@ -61,24 +61,25 @@ QUERIES, ORACLE_SQL = _merge()
 # Driver-priority ordering.
 #
 # The driver verifies EXACTLY the first 50 entries of ``queries()`` in dict
-# order (budgeted check; confirmed rounds 1-3 — CORRECTNESS_r03.json is
-# 50/50 green on round 3's priority block). Round-4 policy (the judge's
-# explicit #1 ask: rotate the budget to the STALEST evidence):
-#   first  every operator NEW this round (zero driver evidence — a new
-#          oracled op must never park past the budget): the 16 round-4
-#          additions (15 register in this environment —
-#          q51b_transform_with_state needs google.protobuf),
-#   then   r3-verified ops whose CODE CHANGED this round (integer-space
-#          rounding fix / tokenizer seam) — their green rows predate the
-#          change,
-#   then   the seven queries whose newest driver row is ROUND 1 (three
-#          rounds stale): q01-q04, q33-q35,
-#   then   round-2-verified entries (two rounds stale) — seam-touched
-#          cores (text_chunk/pack, the dedup family now routed through
-#          tokens_expr) and intricate plans first, trivial exprs last,
-#   tail   the r2 entries that miss the budget (they lead round 5's
-#          rotation), then the r3-verified block (freshest evidence),
-#          then the recall/tolerance-gated rows-only ops.
+# order (budgeted check; confirmed rounds 1-4 — CORRECTNESS_r04.json is
+# 50/50 green on round 4's priority block). Round-5 policy (the judge's
+# explicit #1 ask: after this rotation, NO oracled query's newest driver
+# row is older than two rounds):
+#   first  every operator NEW this round (zero driver evidence):
+#          dedup_bloom_sharded, cdc_merge_upsert, q59_udtf,
+#   then   r4-verified ops whose CODE CHANGED this round — the gram
+#          pipeline refactor (_gram_hash_array seam + hash_bits threading)
+#          touches dup_ngram_share/dedup_spans/shingle consumers, and the
+#          WAV fmt-chunk validation touches the audio roundtrip — their
+#          green rows predate the change,
+#   then   the 26 queries whose newest driver row is ROUND 2 (three
+#          rounds stale — the r2 tail that round 4's budget pushed out,
+#          exactly the set VERDICT r4 staged),
+#   then   16 of the r3-verified block (two rounds stale), intricate
+#          plans first (streaming joins, dedup corpus ops, join family),
+#   tail   the remaining r3 entries (they lead round 6's rotation), then
+#          the r4-verified block (freshest evidence), then the
+#          recall/tolerance-gated rows-only ops.
 # ---------------------------------------------------------------------------
 
 _VERIFIED_R01 = frozenset({
@@ -139,46 +140,62 @@ _VERIFIED_R03 = frozenset({
 
 _PRIORITY = [
     # NEW this round — zero driver evidence
+    "dedup_bloom_sharded", "cdc_merge_upsert", "q59_udtf",
+    # r4-verified but CHANGED this round (gram-pipeline refactor / WAV
+    # fmt validation); their green rows predate the change
+    "text_dup_ngram_share", "text_dedup_spans", "dedup_ngram_jaccard",
+    "decontaminate", "multimodal_audio_meta",
+    # newest driver row is ROUND 2 — three rounds stale, the r2 tail the
+    # r4 budget pushed out (VERDICT r4 staged exactly this set)
+    "q36_array_fold", "q37_json_extract", "q38_struct_access",
+    "q39_explode", "q42_token_stats", "text_normalize", "text_token_count",
+    "text_fingerprint", "text_quality_score", "text_lang_id",
+    "text_pii_redact", "win_range_frame", "win_first_last",
+    "win_distribution", "q26_union_distinct", "q27_intersect",
+    "q27b_except", "q55_unpivot", "split_train_test", "sample_per_group",
+    "corpus_mix", "events_funnel", "events_retention", "events_anomaly",
+    "agg_approx_quantiles", "agg_approx_count_distinct",
+    # --- r3-verified backfill (two rounds stale): intricate plans first —
+    # streaming joins, dedup corpus ops, then the join family
+    "q53_stream_static_join", "q52b_stream_stream_left_join",
+    "q52c_stream_stream_full_join", "dedup_keep_corpus",
+    "events_transitions", "q26b_union_all_counts", "q12_asof_join",
+    "q11_theta_range_join", "q05_inner_equi_join", "q06_broadcast_join",
+    "q07_multiway_join", "q08_left_outer_join", "q09_left_semi_join",
+    "q09b_in_subquery", "q10_left_anti_join", "q54_full_outer_join",
+    # positions 51+ (past the 50-slot budget by design): the rest of the
+    # r3 block — they lead round 6's rotation
+    "join_skew_salted", "q13_groupby_agg", "q14_global_agg",
+    "q15_distinct_agg", "q16_rollup", "q16b_cube", "q56_grouping_sets",
+    "q17_having", "q18_collect_list", "q40_pivot", "q41_exact_dedup",
+    "q28_scalar_subquery", "q29_correlated_subquery", "agg_exact_median",
+    "agg_conditional", "agg_string_concat", "agg_histogram",
+    "agg_stats_moments", "agg_bool", "profile_columns", "q19_row_number",
+    "q20_rank_dense_rank", "q21_lag_lead", "q22_running_sum", "q23_topk",
+    "q24_per_group_topk", "q25_multikey_sort", "win_latest_per_key",
+    "q30_case_expr", "q31_string_funcs", "q32_like_regexp",
+]
+
+
+_VERIFIED_R04 = frozenset({
     "text_dedup_spans", "dedup_semantic", "events_sessionize",
     "multimodal_audio_meta", "dedup_bloom_incremental", "graph_pagerank",
-    "q51b_transform_with_state", "q50b_dedup_within_watermark",
-    "text_quality_classifier", "q45b_apply_in_arrow", "agg_mode",
-    "join_interval_bucketed", "q57_recursive_cte", "q37b_variant",
-    "q58_lateral_join", "events_pattern_match",
-    # r3-verified but CHANGED this round (integer-space rounding fix /
-    # tokenizer seam); their green rows predate the change
-    "text_unigram_logprob", "text_dup_ngram_share", "text_repetition_filter",
-    # newest driver row is ROUND 1 — stalest evidence in the registry
-    "q01_scan_project", "q02_filter_conjunctive", "q03_in_between",
-    "q04_null_predicate", "q33_date_extract", "q34_date_arith",
-    "q35_math_exprs",
-    # --- round-2-verified block (two rounds stale). Changed cores first
-    # (tokenizer seam touches chunk/pack), then the intricate plans
-    # (dedup, similarity, streaming replays), then the rest.
-    "text_chunk", "text_pack",
+    "q50b_dedup_within_watermark", "text_quality_classifier",
+    "q45b_apply_in_arrow", "agg_mode", "join_interval_bucketed",
+    "q57_recursive_cte", "q37b_variant", "q58_lateral_join",
+    "events_pattern_match", "text_unigram_logprob", "text_dup_ngram_share",
+    "text_repetition_filter", "q01_scan_project", "q02_filter_conjunctive",
+    "q03_in_between", "q04_null_predicate", "q33_date_extract",
+    "q34_date_arith", "q35_math_exprs", "text_chunk", "text_pack",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "dedup_clusters", "fuzzy_dedup_names", "decontaminate",
     "q43_cosine_top1", "q43b_cosine_topk", "embedding_centroid",
     "q46_tumbling_window", "q47_sliding_window", "q48_session_window",
-    "q49_watermark_replay", "q50_stateful_dedup",
-    "q51_stateful_running_agg", "q52_stream_stream_join",
-    "ts_gapfill_locf", "scd2_intervals", "q45_grouped_map",
-    "q44_pandas_udf", "multimodal_binary_meta", "tfidf_top_terms",
-    "text_top_tokens", "split_train_test", "sample_per_group", "corpus_mix",
-    "events_funnel", "events_retention", "events_anomaly",
-    "win_range_frame", "win_first_last", "win_distribution",
-    "q26_union_distinct", "q27_intersect", "q27b_except", "q55_unpivot",
-    # positions 51+ (past the 50-slot budget by design): the most trivial
-    # remaining r2 entries — single-scan exprs with the least drift risk;
-    # they lead round 5's rotation — then the tolerance-gated approx aggs
-    # (rows-only driver signal anyway)
-    "q36_array_fold", "q37_json_extract", "q38_struct_access",
-    "q39_explode", "q42_token_stats", "text_normalize", "text_token_count",
-    "text_fingerprint", "text_quality_score", "text_lang_id",
-    "text_pii_redact",
-    "agg_approx_quantiles", "agg_approx_count_distinct",
-]
-
+    "q49_watermark_replay", "q50_stateful_dedup", "q51_stateful_running_agg",
+    "q52_stream_stream_join", "ts_gapfill_locf", "scd2_intervals",
+    "q45_grouped_map", "q44_pandas_udf", "multimodal_binary_meta",
+    "tfidf_top_terms", "text_top_tokens",
+})
 
 # Recall-gated rows-only ops: no oracle by design (SURVEY §2.3), so a driver
 # slot spent on them yields only a row-count check. Always last.
@@ -189,15 +206,15 @@ _GATED = frozenset({
     "sketch_count_min_heavy",
 })
 
-_VERIFIED = _VERIFIED_R01 | _VERIFIED_R02 | _VERIFIED_R03
+_VERIFIED = _VERIFIED_R01 | _VERIFIED_R02 | _VERIFIED_R03 | _VERIFIED_R04
 
 
 def driver_ordered_queries() -> dict[str, QueryFn]:
     """QUERIES reordered so the driver's budgeted check spends its 50 slots
     where they buy the most evidence: priority block (new/changed ops first,
     then oldest-evidence re-verification), then any query not yet classified
-    (new this round), then verified tails stalest-first (r2 leftovers before
-    the r3-verified block), then the gated ops."""
+    (new this round), then verified tails stalest-first (pre-r3 leftovers,
+    the r3 block, the r4 block), then the gated ops."""
     prioritized = set(_PRIORITY)
     order = [n for n in _PRIORITY if n in QUERIES]
     order += [
@@ -206,13 +223,17 @@ def driver_ordered_queries() -> dict[str, QueryFn]:
     ]
     # verified tails, stalest evidence first; minus any verified query
     # explicitly re-prioritized (e.g. rewritten since its green row)
-    order += [
-        n for n in QUERIES
-        if n in _VERIFIED and n not in _VERIFIED_R03 and n not in prioritized
-    ]
-    order += [
-        n for n in QUERIES if n in _VERIFIED_R03 and n not in prioritized
-    ]
+    newest = {}
+    for tier, names in enumerate(
+        (_VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03, _VERIFIED_R04)
+    ):
+        for n in names:
+            newest[n] = tier  # later tiers overwrite: newest evidence wins
+    for tier in range(4):
+        order += [
+            n for n in QUERIES
+            if newest.get(n) == tier and n not in prioritized
+        ]
     order += [n for n in QUERIES if n in _GATED and n not in prioritized]
     assert len(order) == len(QUERIES), "driver ordering dropped a query"
     return {n: QUERIES[n] for n in order}
