@@ -264,11 +264,16 @@ def cdc_merge_upsert(spark, sf_dir):
     )
     path = tempfile.mkdtemp(prefix="cdc_merge_upsert_")
     try:
-        storage.write_partitioned(existing, path, ["o_orderpriority"])
+        # align write tasks with partition values (write_bucketed's
+        # small-files rule): one file per priority instead of tasks×5
+        storage.write_partitioned(
+            existing.repartition(5, "o_orderpriority"), path,
+            ["o_orderpriority"],
+        )
         storage.merge_upsert(
             spark, path, changes,
             key_cols=["o_orderkey"], seq_col="seq",
-            partition_col="o_orderpriority",
+            partition_col="o_orderpriority", n_shards=5,
         )
         return (
             spark.read.parquet(path)
