@@ -37,6 +37,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q52b_stream_stream_left_join",
     "q52c_stream_stream_full_join",
     "q53_stream_static_join",
+    "q60_stream_upsert_sink",
 }
 
 

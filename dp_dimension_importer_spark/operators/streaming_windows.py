@@ -574,3 +574,59 @@ def q52c_stream_stream_full_join(spark, sf_dir):
         )
         .orderBy("click_id", "purchase_id")
     )
+
+
+@register(
+    "q60_stream_upsert_sink",
+    sql="""
+    SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q60_stream_upsert_sink(spark, sf_dir):
+    """End-to-end exactly-once streaming MERGE sink THROUGH THE
+    FILESYSTEM: replay the events table as a CDC change stream (one file
+    per micro-batch), land each micro-batch in a parquet table via
+    ``foreachBatch`` → :func:`storage.merge_upsert` behind a batch-id
+    commit log (streaming/sink.py), then read the table back. Each event
+    row upserts its user's profile row; latest-wins on ``event_id``
+    (unique, so deterministic), so the final table is exactly "the
+    newest event per user" — the batch window-over-events oracle.
+
+    This is the reference's full consume→idempotent-upsert→commit loop
+    (`message/consumer.go:24-56`, `store/store.go:16-20`) with Spark's
+    micro-batch checkpoint in place of Kafka offsets. The crash/restart
+    and redelivery guarantees are pinned in tests/test_streaming.py; the
+    oracled run here proves the happy path lands batch-identical state.
+    The result is eagerly localCheckpoint-ed so the scratch table,
+    commit log, and checkpoint can be removed before returning."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark.streaming import sink as merge_sink
+
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    replay_dir = write_replay_dir(events, n_files=4, sentinel=False)
+    scratch = tempfile.mkdtemp(prefix="q60_sink_")
+    table_path = scratch + "/table"
+    try:
+        out = merge_sink.run_stream_merge(
+            spark, replay_dir, events.schema, table_path,
+            key_cols=["user_id"], seq_col="event_id", n_shards=4,
+            checkpoint=scratch + "/ckpt",
+        )
+        return (
+            out.select("user_id", "event_id", "ts", "event_type", "value")
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(replay_dir, ignore_errors=True)

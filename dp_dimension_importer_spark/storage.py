@@ -218,6 +218,21 @@ def write_clustered(
     )
 
 
+def compact_latest(
+    df: DataFrame, key_cols: list[str], seq_col: str
+) -> DataFrame:
+    """Latest-wins compaction: one surviving row per ``key_cols``, the one
+    with the greatest ``seq_col``. ``max_by(struct(row), seq)`` — a single
+    hash aggregate with map-side partial max, so the exchange carries one
+    row per surviving key, never the history (the win_latest_per_key
+    plan). Shared by :func:`merge_upsert` and the streaming merge sink."""
+    from pyspark.sql import functions as F
+
+    cols = df.columns
+    pick = F.max_by(F.struct(*cols), F.col(seq_col)).alias("m")
+    return df.groupBy(*key_cols).agg(pick).select("m.*")
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -258,9 +273,7 @@ def merge_upsert(
     from pyspark.sql import functions as F
 
     def latest_wins(df: DataFrame) -> DataFrame:
-        cols = df.columns
-        pick = F.max_by(F.struct(*cols), F.col(seq_col)).alias("m")
-        return df.groupBy(*key_cols).agg(pick).select("m.*")
+        return compact_latest(df, key_cols, seq_col)
 
     existing = spark.read.parquet(path)
     if set(existing.columns) != set(changes.columns):

@@ -1,0 +1,144 @@
+"""Exactly-once streaming MERGE sink: foreachBatch → ``merge_upsert``
+behind a batch-id commit log.
+
+This makes the engine's deployment story executable end-to-end: a CDC
+change stream lands in a parquet table with upsert semantics, and the
+table state is exactly-once OBSERVABLE across crashes and restarts.
+Structured Streaming's checkpoint gives at-least-once micro-batch
+delivery (a batch whose offsets were not committed is redelivered with
+the SAME batch_id after restart); the sink closes the gap with a
+per-batch commit marker written only AFTER the merge completes:
+
+* marker present  → the batch already reached the table; skip it.
+* marker absent   → merge (idempotent latest-wins), then write the
+  marker atomically (tmp + ``os.replace``).
+
+At-least-once delivery + transactional skip = exactly-once table state.
+``merge_upsert``'s latest-wins seq makes re-merging a redelivered batch
+harmless anyway — the commit log is what makes the pattern safe for
+sinks WITHOUT that property, and it is exactly the shape a table
+format's transaction log (the "cluster deployment" caveat in
+storage.py) provides at scale: idempotent commits keyed by batch id.
+
+The commit log lives NEXT to the table (``<path>__commits``), not
+inside it — the whole-table merge path swaps the table directory via
+rename, which would otherwise carry the log away mid-swap.
+
+Reference parity: the reference consumes Kafka, upserts graph nodes
+idempotently, and only then commits the message offset
+(`handler/incoming_instance_handler.go:52-118`, `store/store.go:16-20`,
+`message/consumer.go:24-56` — commit-after-sink ordering); this module
+is that contract on Spark's micro-batch checkpoint instead of Kafka
+offsets, at table scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dp_dimension_importer_spark import storage
+
+
+def commit_log_dir(table_path: str) -> str:
+    """The sink's commit-log directory for ``table_path`` (beside it)."""
+    return table_path.rstrip("/") + "__commits"
+
+
+def committed_batches(table_path: str) -> set[int]:
+    """Batch ids already merged into ``table_path`` (empty if none)."""
+    d = commit_log_dir(table_path)
+    if not os.path.isdir(d):
+        return set()
+    return {
+        int(f[: -len(".json")])
+        for f in os.listdir(d)
+        if f.endswith(".json")
+    }
+
+
+def make_merge_batch_handler(
+    table_path: str,
+    key_cols: list[str],
+    seq_col: str,
+    n_shards: int = 4,
+    transform=None,
+):
+    """Build a ``foreachBatch`` handler that merges each micro-batch into
+    the parquet table at ``table_path`` exactly once.
+
+    First batch against a non-existent table bootstraps it (latest-wins
+    compacted, sharded); subsequent batches go through
+    :func:`storage.merge_upsert`. ``transform`` (optional) maps the raw
+    micro-batch DataFrame to the change-row shape before merging."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commit_log_dir(table_path), f"{batch_id}.json")
+        if os.path.exists(marker):
+            return  # redelivered after a crash; already in the table
+        df = transform(batch_df) if transform is not None else batch_df
+        spark = batch_df.sparkSession
+        if not os.path.exists(table_path):
+            storage.write_sharded(
+                storage.compact_latest(df, key_cols, seq_col),
+                table_path,
+                n_shards=n_shards,
+            )
+        else:
+            storage.merge_upsert(
+                spark, table_path, df,
+                key_cols=key_cols, seq_col=seq_col, n_shards=n_shards,
+            )
+        os.makedirs(commit_log_dir(table_path), exist_ok=True)
+        tmp = marker + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, marker)  # commit point: atomic on POSIX
+
+    return handle
+
+
+def run_stream_merge(
+    spark: SparkSession,
+    replay_dir: str,
+    schema,
+    table_path: str,
+    key_cols: list[str],
+    seq_col: str,
+    n_shards: int = 4,
+    checkpoint: str | None = None,
+    transform=None,
+) -> DataFrame:
+    """Drive a file-source stream (1 file per micro-batch, see
+    replay.py) through the exactly-once merge sink with availableNow,
+    then read the final table back. Pass the same ``checkpoint`` across
+    calls to model restart: already-committed batches are not redelivered
+    by Spark, and redelivered ones are skipped by the commit log."""
+    handler = make_merge_batch_handler(
+        table_path, key_cols, seq_col, n_shards=n_shards, transform=transform
+    )
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_sink_")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    # small replay tables: pin a low shuffle-partition count for the
+    # stream's lifetime (same rationale as replay.run_replay)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(table_path)

@@ -467,3 +467,175 @@ def test_transform_with_state_processor_semantics():
     assert h.list.appends == [[("a",), ("b",)], [("c",)]]
     assert h.value.get() == (5, 5.0)
     proc.close()
+
+
+# ---------------------------------------------------------------------------
+# exactly-once streaming MERGE sink (streaming/sink.py)
+# ---------------------------------------------------------------------------
+
+def _sink_events(spark):
+    return table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def _latest_per_user(events):
+    from dp_dimension_importer_spark import storage
+
+    return {
+        r.user_id: (r.event_id, r.event_type)
+        for r in storage.compact_latest(
+            events, ["user_id"], "event_id"
+        ).collect()
+    }
+
+
+def test_stream_merge_sink_matches_batch_and_restart_is_noop(spark):
+    """Happy path == batch latest-wins compaction, and re-running the
+    drained stream against the SAME checkpoint redelivers nothing (Spark
+    has committed every offset): table bytes and commit log unchanged."""
+    import shutil
+
+    from dp_dimension_importer_spark.streaming import sink as merge_sink
+
+    events = _sink_events(spark)
+    replay_dir = write_replay_dir(events, n_files=3, sentinel=False)
+    scratch = tempfile.mkdtemp(prefix="sink_t1_")
+    tbl = os.path.join(scratch, "table")
+    ckpt = os.path.join(scratch, "ckpt")
+    try:
+        out = merge_sink.run_stream_merge(
+            spark, replay_dir, events.schema, tbl,
+            key_cols=["user_id"], seq_col="event_id", checkpoint=ckpt,
+        )
+        got = {r.user_id: (r.event_id, r.event_type) for r in out.collect()}
+        assert got == _latest_per_user(events)
+        commits1 = merge_sink.committed_batches(tbl)
+        assert commits1 == {0, 1, 2}
+        files1 = {
+            f: os.path.getmtime(os.path.join(tbl, f))
+            for f in os.listdir(tbl)
+        }
+        # restart against the drained checkpoint: nothing redelivered
+        merge_sink.run_stream_merge(
+            spark, replay_dir, events.schema, tbl,
+            key_cols=["user_id"], seq_col="event_id", checkpoint=ckpt,
+        )
+        assert merge_sink.committed_batches(tbl) == commits1
+        files2 = {
+            f: os.path.getmtime(os.path.join(tbl, f))
+            for f in os.listdir(tbl)
+        }
+        assert files2 == files1  # table untouched, not rewritten
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+def test_stream_merge_sink_commit_log_skips_redelivered_batch(spark, monkeypatch):
+    """A redelivered (df, batch_id) pair — Spark's at-least-once contract
+    after a crash between merge and offset commit — must NOT reach
+    merge_upsert a second time: the commit marker short-circuits it."""
+    import shutil
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.streaming import sink as merge_sink
+
+    events = _sink_events(spark)
+    half = events.filter("event_id % 2 = 0")
+    rest = events.filter("event_id % 2 = 1")
+    scratch = tempfile.mkdtemp(prefix="sink_t2_")
+    tbl = os.path.join(scratch, "table")
+    calls = []
+    real = storage.merge_upsert
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(storage, "merge_upsert", counting)
+    try:
+        handler = merge_sink.make_merge_batch_handler(
+            tbl, key_cols=["user_id"], seq_col="event_id"
+        )
+        handler(half, 0)   # bootstrap write, no merge call
+        handler(rest, 1)   # merge
+        assert len(calls) == 1
+        handler(rest, 1)   # redelivery: marker present -> skipped
+        assert len(calls) == 1
+        got = {
+            r.user_id: r.event_id
+            for r in spark.read.parquet(tbl).collect()
+        }
+        exp = {u: e for u, (e, _) in _latest_per_user(events).items()}
+        assert got == exp
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_stream_merge_sink_crash_between_merge_and_marker_recovers(spark):
+    """The hard crash window: the merge COMPLETED but the process died
+    before the commit marker was written. On restart Spark redelivers the
+    batch (offset never committed); the sink re-merges it — harmless,
+    latest-wins is idempotent — and the final table equals a never-crashed
+    run. This is at-least-once + idempotent = exactly-once OBSERVABLE,
+    the same argument as the pipeline's graph-store test above."""
+    import shutil
+
+    from dp_dimension_importer_spark.streaming import sink as merge_sink
+
+    events = _sink_events(spark)
+    replay_dir = write_replay_dir(events, n_files=3, sentinel=False)
+    scratch = tempfile.mkdtemp(prefix="sink_t3_")
+    tbl = os.path.join(scratch, "table")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    class Boom(RuntimeError):
+        pass
+
+    real_handler = merge_sink.make_merge_batch_handler(
+        tbl, key_cols=["user_id"], seq_col="event_id"
+    )
+    crashed = []
+
+    def crashing(batch_df, batch_id):
+        real_handler(batch_df, batch_id)
+        if batch_id == 1 and not crashed:
+            # simulate dying AFTER the merge: delete the marker the real
+            # handler just wrote, then kill the query
+            crashed.append(batch_id)
+            marker = os.path.join(
+                merge_sink.commit_log_dir(tbl), "1.json"
+            )
+            os.remove(marker)
+            raise Boom("crash after merge, before commit marker")
+
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(crashing)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            raise AssertionError("expected the injected crash to surface")
+        except Exception as e:  # StreamingQueryException wrapping Boom
+            assert "crash after merge" in str(e)
+        assert merge_sink.committed_batches(tbl) == {0}
+        # restart from the same checkpoint with the REAL handler
+        out = merge_sink.run_stream_merge(
+            spark, replay_dir, events.schema, tbl,
+            key_cols=["user_id"], seq_col="event_id", checkpoint=ckpt,
+        )
+        assert merge_sink.committed_batches(tbl) == {0, 1, 2}
+        got = {r.user_id: (r.event_id, r.event_type) for r in out.collect()}
+        assert got == _latest_per_user(events)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(replay_dir, ignore_errors=True)
