@@ -35,6 +35,17 @@ def hash_bucket(key_col, mod: int):
     ) % mod
 
 
+def hash_bucket_fine(key_col, mod: int):
+    """:func:`hash_bucket` widened to four md5 hex chars (weighted base-31
+    ascii sum, range ~0–3.1e6) for moduli where two chars can't cover the
+    residue space (two-char max is ~3.3e3). Same engine-portability
+    contract: md5 hex agrees between Spark and DuckDB, so per-mille /
+    basis-point sampling rates stay oracle-checkable."""
+    h = F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8"))
+    a, b, c, d = (F.ascii(F.substring(h, i, 1)) for i in (1, 2, 3, 4))
+    return (((a * 31 + b) * 31 + c) * 31 + d) % mod
+
+
 def split_col(key_col: str, train: int = 8, valid: int = 1, mod: int = 10):
     """Public core (engine facade): 'train'/'valid'/'test' label column
     from a key hash — train/valid/test get ``train``/``valid``/the rest of
@@ -125,6 +136,92 @@ def corpus_mix(spark, sf_dir):
             F.sum("keep").cast("long").alias("kept"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "corpus_temperature_mix",
+    sql="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n) AS total,
+                 SUM(CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)) AS ssum
+          FROM c),
+    r AS (
+        SELECT lang, n,
+               CAST(LEAST(
+                   10000,
+                   ((t.total // 2)
+                    * CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)
+                    // t.ssum) * 10000 // n
+               ) AS BIGINT) AS thresh_bp
+        FROM c, t
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               (((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+                 + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) * 31
+                 + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1))) * 31
+                 + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)))
+                   % 10000 AS bucket
+        FROM documents
+    )
+    SELECT b.lang, COUNT(*) AS docs, MAX(r.thresh_bp) AS thresh_bp,
+           COUNT(*) FILTER (WHERE b.bucket < r.thresh_bp) AS kept
+    FROM b JOIN r ON b.lang = r.lang
+    GROUP BY b.lang ORDER BY b.lang
+    """,
+)
+def corpus_temperature_mix(spark, sf_dir):
+    """Temperature-weighted corpus mixing (the multilingual-pretraining
+    sampler): per-language keep budgets ∝ n^α with α=1/2, so low-resource
+    languages are up-weighted relative to their raw share — the standard
+    temperature-sampling recipe — while the total stays at a fixed budget
+    (half the corpus here). Unlike ``corpus_mix`` the rates are computed
+    FROM the data, not configured.
+
+    Everything is exact integer arithmetic so the decision is engine-
+    portable: s=floor(sqrt(n)) (IEEE sqrt of a small integer is exact to
+    the ulp in both engines), target = (total div 2)·s div Σs, keep-rate
+    in basis points = target·10000 div n, and a doc survives iff its
+    4-hex-char md5 bucket (:func:`hash_bucket_fine`, mod 10000) falls
+    under the rate. Stable across runs/retries/engines/data order.
+
+    100 TB shape: the per-language count is a tiny hash aggregate, the
+    rate table is a broadcast join, and the keep decision is a scan-side
+    expression — no full-width shuffle anywhere; the only exchange
+    carries |languages| rows twice."""
+    t = load_tables(spark, sf_dir)
+    counts = t.documents.groupBy("lang").agg(F.count("*").alias("n"))
+    counts = counts.withColumn(
+        "s", F.expr("CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)")
+    )
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.sum("s").alias("ssum")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))  # single-row totals
+        .select(
+            "lang",
+            F.expr(
+                "CAST(LEAST(10000L, ((total DIV 2) * s DIV ssum) "
+                "* 10000 DIV n) AS BIGINT)"
+            ).alias("thresh_bp"),
+        )
+    )
+    docs = t.documents.select(
+        "lang", hash_bucket_fine("doc_id", 10000).alias("bucket")
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.max("thresh_bp").alias("thresh_bp"),
+            F.sum((F.col("bucket") < F.col("thresh_bp")).cast("long")).alias(
+                "kept"
+            ),
+        )
+        .orderBy("lang")
     )
 
 

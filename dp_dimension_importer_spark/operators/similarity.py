@@ -573,3 +573,102 @@ def ann_lsh_topk(spark, sf_dir):
         )
         .orderBy("vec_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA over the embedding column
+# ---------------------------------------------------------------------------
+
+#: number of principal components the registered query projects onto
+PCA_K = 2
+
+
+def fit_pca(df: DataFrame, k: int = PCA_K):
+    """Fit PCA over an ``embedding`` column with ONE distributed pass:
+    each Arrow batch emits a packed partial-moment vector
+    ``[count, sum(d), gram(d*d)]`` (one numpy matmul per batch), the
+    partials are summed DISTRIBUTED via posexplode → groupBy(pos) — the
+    shuffle carries ``batches × (1+d+d²)`` scalar rows with map-side
+    partial sums, never a vector — and only the final ``1+d+d²`` sums
+    (d=64 → 4,161 doubles, ~33 KB) reach the driver for the d×d
+    eigendecomposition. The same plan holds at 100 TB: moments are
+    associative, the collect is constant-size in the corpus.
+
+    Eigenvector sign is pinned (largest-|loading| coordinate positive) so
+    projections are deterministic across runs/partitionings — eigh's sign
+    is otherwise arbitrary, the PCA analogue of the argmax tie-break rule
+    used everywhere else in this module.
+
+    Returns ``(mean, components, explained_var)``: mean (d,), components
+    (d, k) column-orthonormal, eigenvalues (k,) descending."""
+    d = DIM
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            packed = np.concatenate(
+                ([float(len(m))], m.sum(axis=0), (m.T @ m).ravel())
+            )
+            yield pd.DataFrame({"moments": [packed.tolist()]})
+
+    moments = (
+        df.select("embedding")
+        .mapInPandas(partials, "moments array<double>")
+        .select(F.posexplode("moments").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    flat = np.zeros(1 + d + d * d)
+    for r in moments:
+        flat[r["pos"]] = r["s"]
+    n, s, g = flat[0], flat[1 : 1 + d], flat[1 + d :].reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending
+    comps = v[:, ::-1][:, :k].copy()
+    for j in range(k):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    return mean, comps, w[::-1][:k].copy()
+
+
+@register("embedding_pca")  # rows-only: eigendecomposition is not SQL
+def embedding_pca(spark, sf_dir):
+    """Project every embedding onto its corpus' top-``PCA_K`` principal
+    components — the whitening / dimensionality-reduction step in front
+    of clustering or ANN indexing. Two passes over the corpus, neither
+    shuffling a vector: :func:`fit_pca` reduces packed scalar moments,
+    then the (d×k) model rides into a ``mapInPandas`` closure and the
+    projection is a scan-side matmul per Arrow batch.
+
+    Rows-only for the driver (no SQL oracle can take an eigendecomposition);
+    the numerical contract is pinned in tests/test_invariants.py instead:
+    projections match an in-memory numpy PCA to 1e-8, components are
+    orthonormal, eigenvalues descend, and the result is invariant to
+    repartitioning (associativity of the moment sums)."""
+    t = load_tables(spark, sf_dir)
+    mean, comps, _ = fit_pca(t.embeddings)
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            p = (m - mean) @ comps
+            out = {"vec_id": pdf["vec_id"]}
+            for j in range(comps.shape[1]):
+                out[f"pc{j + 1}"] = np.round(p[:, j], 6)
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(
+        f"pc{j + 1} double" for j in range(PCA_K)
+    )
+    return (
+        t.embeddings.select("vec_id", "embedding")
+        .mapInPandas(project, schema)
+        .orderBy("vec_id")
+    )

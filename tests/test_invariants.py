@@ -486,3 +486,74 @@ def test_gram_hash_bits_128_matches_64(spark):
 
     with pytest.raises(ValueError):
         shingle_hashes(docs, hash_bits=96)
+
+
+def test_embedding_pca_matches_numpy_and_is_partition_invariant(spark):
+    """The distributed moment-sum PCA must agree with a plain in-memory
+    numpy PCA on the same data (same sign convention), its components
+    must be orthonormal with descending eigenvalues, and — because the
+    packed moments are associative sums — the fitted model must be
+    IDENTICAL (to float associativity noise) under a different input
+    partitioning."""
+    import numpy as np
+
+    from dp_dimension_importer_spark.catalog import load_tables
+    from dp_dimension_importer_spark.operators.similarity import (
+        PCA_K,
+        fit_pca,
+    )
+
+    t = load_tables(spark, SF_SMOKE)
+    mean, comps, ev = fit_pca(t.embeddings)
+
+    rows = t.embeddings.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    m = np.vstack([np.asarray(r["embedding"], np.float64) for r in rows])
+    ref_mean = m.mean(axis=0)
+    cov = (m - ref_mean).T @ (m - ref_mean) / len(m)
+    w, v = np.linalg.eigh(cov)
+    ref = v[:, ::-1][:, :PCA_K].copy()
+    for j in range(PCA_K):
+        i = int(np.argmax(np.abs(ref[:, j])))
+        if ref[i, j] < 0:
+            ref[:, j] = -ref[:, j]
+
+    assert np.abs(mean - ref_mean).max() < 1e-9
+    assert np.abs(comps - ref).max() < 1e-8
+    assert np.abs(comps.T @ comps - np.eye(PCA_K)).max() < 1e-9
+    assert ev[0] >= ev[1] > 0
+    # registered query projections == numpy projections
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in QUERIES["embedding_pca"](spark, SF_SMOKE).collect()
+    }
+    proj = (m - ref_mean) @ ref
+    for idx, r in enumerate(rows):
+        exp = np.round(proj[idx], 6)
+        assert abs(got[r["vec_id"]][0] - exp[0]) <= 1e-6
+        assert abs(got[r["vec_id"]][1] - exp[1]) <= 1e-6
+    # partition invariance of the fitted model
+    mean2, comps2, ev2 = fit_pca(t.embeddings.repartition(7))
+    assert np.abs(mean - mean2).max() < 1e-12
+    assert np.abs(comps - comps2).max() < 1e-9
+
+
+def test_corpus_temperature_mix_upweights_low_resource(spark):
+    """α=1/2 temperature: the dominant language must get a STRICTLY lower
+    keep-rate than every low-resource one, realized keep counts must track
+    the basis-point thresholds, and the total kept must come in near the
+    half-corpus budget."""
+    rows = QUERIES["corpus_temperature_mix"](spark, SF_SMOKE).collect()
+    by_lang = {r["lang"]: r for r in rows}
+    en = by_lang["en"]
+    for lang, r in by_lang.items():
+        if lang == "en":
+            continue
+        assert r["docs"] < en["docs"]  # en dominates this fixture
+        assert r["thresh_bp"] > en["thresh_bp"]
+    total = sum(r["docs"] for r in rows)
+    kept = sum(r["kept"] for r in rows)
+    assert 0.3 * total < kept < 0.7 * total  # budget = total/2, hash noise
+    for r in rows:
+        # realized rate within 15 points of the threshold (hash spread)
+        assert abs(r["kept"] / r["docs"] - r["thresh_bp"] / 10000) < 0.15

@@ -114,6 +114,7 @@ NO_ORACLE_OK = {
     "sketch_theta_set_ops",
     "sketch_kll_quantiles",
     "sketch_count_min_heavy",
+    "embedding_pca",  # eigendecomposition is not SQL; numpy-pinned instead
 }
 
 
