@@ -672,3 +672,151 @@ def embedding_pca(spark, sf_dir):
         .mapInPandas(project, schema)
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (the memory-compression scale path)
+# ---------------------------------------------------------------------------
+
+#: PQ layout: M subspaces × 8-bit codebooks → 8-byte codes for 64-dim
+#: float vectors, a 32× scan-footprint reduction. At 100 TB of raw
+#: embeddings the code table is ~3 TB — the difference between an index
+#: that fits hot storage and one that doesn't.
+PQ_M = 8
+PQ_KS = 256
+#: codebook training sample (deterministic, distributed TakeOrdered —
+#: same bounded-driver contract as the IVF centroid fit)
+PQ_SAMPLE = 2048
+#: per-batch shortlist fed to the exact rerank, per query
+PQ_SHORTLIST = 32
+
+#: single-slot codebook cache, same policy as the IVF centroid cache
+_PQ_CACHE: list = []
+
+
+def _pq_codebooks(e) -> np.ndarray:
+    """(PQ_M, PQ_KS, DIM/PQ_M) codebooks via per-subspace k-means on the
+    PQ_SAMPLE lowest-xxhash64(vec_id) vectors (orderBy+limit — planned as
+    a distributed TakeOrderedAndProject, driver memory O(sample·DIM)
+    regardless of corpus size). Init = first PQ_KS sample subvectors by
+    vec_id; 8 Lloyd iterations; empty clusters re-seeded deterministically.
+    Pinned arithmetic order ⇒ identical codebooks every run."""
+    if _PQ_CACHE and _PQ_CACHE[0][0] is e:
+        return _PQ_CACHE[0][1]
+    rows = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(PQ_SAMPLE)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    m = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    sub = DIM // PQ_M
+    books = np.zeros((PQ_M, PQ_KS, sub))
+    for j in range(PQ_M):
+        x = m[:, j * sub : (j + 1) * sub]
+        cents = x[: min(PQ_KS, len(x))].copy()
+        if len(cents) < PQ_KS:  # tiny corpus: pad by cycling the sample
+            reps = [x[i % len(x)] for i in range(len(cents), PQ_KS)]
+            cents = np.vstack([cents, np.array(reps)])
+        for _ in range(8):
+            d2 = (
+                (x ** 2).sum(1)[:, None]
+                - 2.0 * (x @ cents.T)
+                + (cents ** 2).sum(1)[None, :]
+            )
+            assign = d2.argmin(1)
+            for c in range(PQ_KS):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(0)
+                else:
+                    cents[c] = x[c % len(x)]
+        books[j] = cents
+    _PQ_CACHE[:] = [(e, books)]
+    return books
+
+
+@register("ann_pq_topk")  # rows-only: recall-gated vs q43b_cosine_topk
+def ann_pq_topk(spark, sf_dir):
+    """Approximate top-K neighbors via product quantization with
+    asymmetric distance computation (ADC): vectors are encoded as PQ_M
+    8-bit codewords (per-subspace nearest codebook entry) plus their true
+    norm; a query never decodes anything — its per-subspace dot products
+    with all PQ_KS codewords form an M×KS lookup table, and each
+    candidate's approximate cosine is M table lookups summed, divided by
+    the stored norm. Per Arrow batch that is one fancy-index + sum in
+    numpy.
+
+    Plan: encode and score are CHAINED mapInPandas over a single corpus
+    scan — no vector ever shuffles; only the per-batch per-query shortlist
+    (qid, nn_id) rows reach the exchange, then the exact rerank and
+    per-query top-K window exactly as in ann_lsh_topk. In deployment the
+    encode pass runs once and the 8-byte codes persist via
+    storage.write_sharded; the scoring scan then reads 32× fewer bytes
+    than the raw embedding column — that compression, not candidate
+    pruning, is PQ's scale contribution (compose with the IVF cell route
+    for pruning too).
+
+    Recall is gated against q43b in tests/test_recall.py (SURVEY §2.3
+    excludes approx ops from hash-match)."""
+    t = load_tables(spark, sf_dir)
+    books = _pq_codebooks(t.embeddings)
+    qids, qunit = _query_block(t.embeddings)
+    sub = DIM // PQ_M
+    # lut[q, m, k] = q-subvector · codeword — built once, broadcast in the
+    # closure (nq × M × KS doubles ≈ 800 KB at 50 queries)
+    lut = np.einsum("qms,mks->qmk", qunit.reshape(len(qids), PQ_M, sub), books)
+    marange = np.arange(PQ_M)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = np.inf  # zero vectors never rank
+            codes = np.empty((len(m), PQ_M), dtype=np.int64)
+            for j in range(PQ_M):
+                x = m[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (x ** 2).sum(1)[:, None]
+                    - 2.0 * (x @ books[j].T)
+                    + (books[j] ** 2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            out_q, out_n = [], []
+            for qi in range(len(qids)):
+                approx = lut[qi][marange, codes].sum(1) / nrm
+                approx[ids == qids[qi]] = -np.inf  # exclude self
+                k = min(PQ_SHORTLIST, len(approx))
+                top = np.argpartition(-approx, k - 1)[:k]
+                top = top[np.isfinite(approx[top])]
+                out_q.append(np.full(len(top), qids[qi]))
+                out_n.append(ids[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {"qid": np.concatenate(out_q), "nn_id": np.concatenate(out_n)}
+                )
+
+    cand = (
+        t.embeddings.select("vec_id", "embedding")
+        .mapInPandas(scan, "qid long, nn_id long")
+        .dropDuplicates(["qid", "nn_id"])
+    )
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cos").desc(), "nn_id")
+    )
+    return (
+        _rerank_cos(t.embeddings, cand)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "rk",
+            "nn_id",
+            F.col("cos").alias("cos_sim"),
+        )
+        .orderBy("vec_id", "rk")
+    )

@@ -207,7 +207,7 @@ _GATED = frozenset({
     "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_top1", "ann_ivf_top1",
     "ann_ivf_topk", "ann_lsh_topk", "dedup_semantic_ivf",
     "sketch_hll_mergeable", "sketch_theta_set_ops", "sketch_kll_quantiles",
-    "sketch_count_min_heavy", "embedding_pca",
+    "sketch_count_min_heavy", "embedding_pca", "ann_pq_topk",
 })
 
 _VERIFIED = _VERIFIED_R01 | _VERIFIED_R02 | _VERIFIED_R03 | _VERIFIED_R04

@@ -415,3 +415,21 @@ def test_sketch_persistence_across_runs(spark, tmp_path):
         write_sketch_state(stored, hll_path, "again")
     with _pytest.raises(ValueError):
         merge_sketch_states(stored, [], kind="nope")
+
+
+def test_ann_pq_topk_recall(q):
+    """PQ/ADC top-K overlap with the exact top-K (q43b): 8-bit codebooks
+    over 8 subspaces plus a PQ_SHORTLIST exact rerank must keep most of
+    the true neighborhood — the quantization error budget is absorbed by
+    the shortlist, not the final ranking (which is exact over candidates)."""
+    exact: dict[int, set[int]] = {}
+    for r in q("q43b_cosine_topk"):
+        exact.setdefault(r.vec_id, set()).add(r.nn_id)
+    approx: dict[int, set[int]] = {}
+    for r in q("ann_pq_topk"):
+        approx.setdefault(r.vec_id, set()).add(r.nn_id)
+    recalls = [
+        len(exact[v] & approx.get(v, set())) / len(exact[v]) for v in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.8, f"ann_pq_topk recall@K {mean_recall:.2f} < 0.8"

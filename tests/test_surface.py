@@ -115,6 +115,7 @@ NO_ORACLE_OK = {
     "sketch_kll_quantiles",
     "sketch_count_min_heavy",
     "embedding_pca",  # eigendecomposition is not SQL; numpy-pinned instead
+    "ann_pq_topk",  # approx: recall-gated vs q43b (SURVEY §2.3 exclusion)
 }
 
 
