@@ -86,6 +86,7 @@ from dp_dimension_importer_spark.pipeline.importer import (  # noqa: F401
     run_import,
 )
 from dp_dimension_importer_spark.storage import (  # noqa: F401
+    compact_latest,
     compact_parquet,
     merge_upsert,
     write_clustered,
@@ -94,6 +95,13 @@ from dp_dimension_importer_spark.storage import (  # noqa: F401
     write_bucketed,
     write_partitioned,
     write_sharded,
+)
+from dp_dimension_importer_spark.operators.similarity import (  # noqa: F401
+    fit_pca,
+)
+from dp_dimension_importer_spark.streaming.sink import (  # noqa: F401
+    make_merge_batch_handler,
+    run_stream_merge,
 )
 
 __all__ = [
@@ -132,4 +140,8 @@ __all__ = [
     "write_sketch_state",
     "read_sketch_state",
     "merge_sketch_states",
+    "compact_latest",
+    "fit_pca",
+    "make_merge_batch_handler",
+    "run_stream_merge",
 ]
