@@ -612,3 +612,81 @@ def test_zorder_clustered_write_prunes_files_on_two_columns(spark, tmp_path):
 
     with pytest.raises(ValueError):
         storage.write_clustered(orders, z_path, [], n_shards=4)
+
+
+def test_dynamic_partition_pruning_on_partitioned_table(spark, warehouse):
+    """Star-schema join pruning at runtime: a fact table partitioned on
+    the join key, joined to a dim filtered on a NON-partition column,
+    must plan a ``dynamicpruningexpression`` in the fact scan's
+    PartitionFilters — the dim side's surviving keys prune fact
+    directories before they are read. At 100 TB this is the difference
+    between scanning the partitions a dim filter selects and scanning
+    the table; it composes with write_partitioned for free."""
+    from dp_dimension_importer_spark.storage import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    t = load_tables(spark, SF_SMOKE)
+    path = os.path.join(warehouse, "events_dpp")
+    write_partitioned(t.events, path, ["event_type"])
+    dim = (
+        t.events.select("event_type").distinct()
+        .withColumn("grp", F.substring("event_type", 1, 1))
+    )
+    fact = read_partitioned(spark, path)
+    j = fact.join(F.broadcast(dim.filter(F.col("grp") == "c")), "event_type")
+    plan = plan_of(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    exact = t.events.filter(F.substring("event_type", 1, 1) == "c").count()
+    assert j.count() == exact
+
+
+def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark):
+    """When the dim side of a SHUFFLE join carries a selective filter,
+    Catalyst's runtime row-level filter must inject a bloom_filter_agg on
+    the dim keys and a might_contain probe into the fact scan — fact rows
+    that cannot match never enter the exchange. This is the row-level
+    complement of dynamic partition pruning for joins on non-partition
+    keys (the 100 TB default once broadcast is off the table). Thresholds
+    are production-sized, so the test pins them down to fixture scale;
+    conf is restored afterwards."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        t = load_tables(spark, SF_SMOKE)
+        urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = t.lineitem.join(
+            urgent, t.lineitem.l_orderkey == urgent.o_orderkey
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan.lower(), plan
+        assert "bloom_filter_agg" in plan.lower(), plan
+        # the probe is a pre-filter, never a correctness change
+        expected = (
+            t.lineitem.join(
+                t.orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+                t.lineitem.l_orderkey == t.orders.o_orderkey,
+            ).count()
+        )
+        assert j.count() == expected
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
