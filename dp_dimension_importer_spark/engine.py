@@ -67,8 +67,13 @@ from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
 )
 from dp_dimension_importer_spark.operators.multimodal import (  # noqa: F401
     decode_audio,
+    decode_video,
     encode_wav,
+    encode_y4m,
     extract_audio_features,
+    extract_video_features,
+    resize_nearest,
+    sample_uniform,
 )
 from dp_dimension_importer_spark.operators.sketches import (  # noqa: F401
     merge_sketch_states,
@@ -144,4 +149,9 @@ __all__ = [
     "fit_pca",
     "make_merge_batch_handler",
     "run_stream_merge",
+    "decode_video",
+    "encode_y4m",
+    "extract_video_features",
+    "resize_nearest",
+    "sample_uniform",
 ]

@@ -142,6 +142,7 @@ _PRIORITY = [
     # NEW this round — zero driver evidence
     "dedup_bloom_sharded", "cdc_merge_upsert", "q59_udtf",
     "q60_stream_upsert_sink", "corpus_temperature_mix",
+    "multimodal_video_meta",
     # r4-verified but CHANGED this round (gram-pipeline refactor / WAV
     # fmt validation); their green rows predate the change
     "text_dup_ngram_share", "text_dedup_spans", "dedup_ngram_jaccard",
@@ -163,12 +164,11 @@ _PRIORITY = [
     "events_transitions", "q26b_union_all_counts", "q12_asof_join",
     "q11_theta_range_join", "q05_inner_equi_join", "q06_broadcast_join",
     "q07_multiway_join", "q08_left_outer_join", "q09_left_semi_join",
-    "q09b_in_subquery",
     # positions 51+ (past the 50-slot budget by design): the rest of the
-    # r3 block — they lead round 6's rotation (q10/q54 bumped below the
-    # line to make room for q60 and corpus_temperature_mix, the new ops
-    # with zero driver evidence)
-    "q10_left_anti_join", "q54_full_outer_join",
+    # r3 block — they lead round 6's rotation (q09b/q10/q54 bumped below
+    # the line to make room for q60, corpus_temperature_mix, and
+    # multimodal_video_meta, the new ops with zero driver evidence)
+    "q09b_in_subquery", "q10_left_anti_join", "q54_full_outer_join",
     "join_skew_salted", "q13_groupby_agg", "q14_global_agg",
     "q15_distinct_agg", "q16_rollup", "q16b_cube", "q56_grouping_sets",
     "q17_having", "q18_collect_list", "q40_pivot", "q41_exact_dedup",

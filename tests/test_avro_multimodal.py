@@ -419,3 +419,74 @@ def test_dead_letter_covers_decoder_exception_classes(spark):
     rows = {r.asset_id: r for r in extract_audio_features(auds).collect()}
     for i in (1, 2, 3):
         assert rows[i].sample_rate is None and rows[i].rms is None
+
+
+def test_y4m_codec_roundtrip_and_features(spark):
+    """Real Y4M mux/demux: random seeded frames survive the container
+    byte-exactly (mono), a hand-built C420 stream demuxes its luma planes
+    correctly, and the video feature extractor emits dimensions, duration
+    and motion while dead-lettering undecodable payloads as NULL rows."""
+    import numpy as np
+
+    from dp_dimension_importer_spark.operators.multimodal import (
+        decode_video,
+        encode_y4m,
+        extract_video_features,
+        resize_nearest,
+        sample_uniform,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(6, 3, 5), dtype=np.uint8)
+    v = decode_video(encode_y4m(frames, 5, 3, fps=(30, 1)))
+    assert (v["width"], v["height"], v["fps_num"], v["fps_den"]) == (5, 3, 30, 1)
+    assert v["colorspace"] == "mono" and v["n_frames"] == 6
+    assert (v["frames"] == frames).all()
+
+    # hand-built C420: 2x2 luma + 1+1 chroma bytes per frame
+    y4m_420 = (
+        b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg\n"
+        + b"FRAME\n" + bytes([1, 2, 3, 4]) + bytes([9, 9])
+        + b"FRAME\n" + bytes([5, 6, 7, 8]) + bytes([9, 9])
+    )
+    v420 = decode_video(y4m_420)
+    assert v420["n_frames"] == 2
+    assert v420["frames"][0].ravel().tolist() == [1, 2, 3, 4]
+    assert v420["frames"][1].ravel().tolist() == [5, 6, 7, 8]
+
+    # default colorspace when no C tag: 420 (per spec)
+    vdef = decode_video(b"YUV4MPEG2 W2 H2 F25:1\nFRAME\n" + bytes(6))
+    assert vdef["colorspace"].startswith("420") and vdef["n_frames"] == 1
+
+    # exact integer resize: 2x upscale then stride-2 downsample is identity
+    img = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    up = resize_nearest(img, 12, 8)
+    assert up.shape == (8, 12)
+    assert (up[::2, ::2] == img).all()
+    assert (resize_nearest(img, 6, 4) == img).all()  # same-size identity
+
+    idx, samp = sample_uniform(frames, 4)
+    assert idx == [0, 4] and (samp == frames[[0, 4]]).all()
+
+    # feature extractor: good rows + dead-letter coverage (bad magic =
+    # "compressed" video, zero-width header, truncated frame)
+    good = encode_y4m(frames, 5, 3, fps=(30, 1))
+    static = encode_y4m(np.full((3, 3, 5), 7, np.uint8), 5, 3)
+    bad = [
+        b"\x00\x00\x00\x18ftypmp42 not a y4m",          # MP4 magic-ish
+        b"YUV4MPEG2 W0 H2 F25:1\nFRAME\n",              # zero width
+        b"YUV4MPEG2 W4 H4 F25:1\nFRAME\n" + bytes(3),   # truncated
+        b"YUV4MPEG2 W2 H2 F0:1\nFRAME\n" + bytes(6),    # zero fps
+    ]
+    assets = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(static))]
+        + [(10 + i, bytearray(b)) for i, b in enumerate(bad)],
+        "asset_id long, payload binary",
+    )
+    out = {r.asset_id: r for r in extract_video_features(assets).collect()}
+    assert out[1].width == 5 and out[1].n_frames == 6
+    assert out[1].duration_ms == 6 * 1000 // 30
+    assert out[1].motion > 0.0
+    assert out[2].motion == 0.0 and out[2].mean_luma == 7.0
+    for aid in (10, 11, 12, 13):
+        assert out[aid].width is None and out[aid].n_frames is None
