@@ -72,6 +72,7 @@ from dp_dimension_importer_spark.operators.multimodal import (  # noqa: F401
     encode_y4m,
     extract_audio_features,
     extract_video_features,
+    resize_images_real,
     resize_nearest,
     sample_uniform,
 )
@@ -152,6 +153,7 @@ __all__ = [
     "decode_video",
     "encode_y4m",
     "extract_video_features",
+    "resize_images_real",
     "resize_nearest",
     "sample_uniform",
 ]

@@ -490,3 +490,41 @@ def test_y4m_codec_roundtrip_and_features(spark):
     assert out[2].motion == 0.0 and out[2].mean_luma == 7.0
     for aid in (10, 11, 12, 13):
         assert out[aid].width is None and out[aid].n_frames is None
+
+
+def test_resize_images_real_decodes_resamples_reencodes(spark):
+    """decode → resize_nearest → Netpbm re-encode closes the loop: the
+    emitted payload decodes back (same decoder) to exactly the
+    integer-grid resample of the source pixels; JPEG-magic payloads
+    dead-letter as NULL rows."""
+    import numpy as np
+
+    from dp_dimension_importer_spark.operators.multimodal import (
+        decode_image,
+        resize_images_real,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(6, 4), dtype=np.uint8)
+    pgm = b"P5\n4 6\n255\n" + gray.tobytes()
+    rgb = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    ppm = b"P6\n5 3\n255\n" + rgb.tobytes()
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16  # JPEG magic → NotImplemented
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(pgm)), (2, bytearray(ppm)), (3, bytearray(jpeg))],
+        "asset_id long, payload binary",
+    )
+    out = {
+        r.asset_id: r
+        for r in resize_images_real(assets, width=8, height=8).collect()
+    }
+    got_gray = decode_image(bytes(out[1].payload))
+    assert got_gray.shape == (8, 8)
+    assert (got_gray == resize_nearest(gray, 8, 8)).all()
+    got_rgb = decode_image(bytes(out[2].payload))
+    assert got_rgb.shape == (8, 8, 3)
+    assert (got_rgb == resize_nearest(rgb, 8, 8)).all()
+    assert out[1].channels == 1 and out[2].channels == 3
+    assert out[3].payload is None and out[3].width is None
