@@ -865,7 +865,10 @@ def _make_y4m_codec():
         luma = width * height
         if cs == b"mono":
             frame_size = luma
-        elif cs.startswith(b"420"):
+        elif cs in (b"420", b"420jpeg", b"420mpeg2", b"420paldv"):
+            # exact 8-bit 4:2:0 names only — a prefix match would misparse
+            # 10/12-bit C420p10/C420p12 (2 bytes/sample) at half the true
+            # frame size and misreport a valid file as corrupt
             frame_size = luma * 3 // 2
         elif cs == b"422":
             frame_size = luma * 2
@@ -1166,6 +1169,8 @@ def resize_images_real(assets: DataFrame, width: int, height: int) -> DataFrame:
                     continue
                 if img.ndim == 3 and img.shape[2] == 4:
                     img = img[:, :, :3]  # drop alpha: Netpbm has no A
+                elif img.ndim == 3 and img.shape[2] == 2:
+                    img = img[:, :, 0]  # gray+alpha PNG → gray (P5)
                 out = _resample(img, width, height)
                 ch = 1 if out.ndim == 2 else out.shape[2]
                 magic = b"P5" if ch == 1 else b"P6"

@@ -625,6 +625,8 @@ def fit_pca(df: DataFrame, k: int = PCA_K):
     for r in moments:
         flat[r["pos"]] = r["s"]
     n, s, g = flat[0], flat[1 : 1 + d], flat[1 + d :].reshape(d, d)
+    if n == 0:
+        raise ValueError("fit_pca: empty input — no embedding rows")
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     w, v = np.linalg.eigh(cov)  # ascending
@@ -776,7 +778,13 @@ def ann_pq_topk(spark, sf_dir):
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy()
             nrm = np.linalg.norm(m, axis=1)
-            nrm[nrm == 0] = np.inf  # zero vectors never rank
+            # zero vectors must never rank: a 1/inf norm would yield a
+            # FINITE approx of 0.0 (beating negative cosines into the
+            # shortlist, where the exact rerank then computes 0/0 = NaN,
+            # which Spark sorts ABOVE all doubles) — force them to -inf
+            # so the isfinite cut below drops them outright
+            zero = nrm == 0
+            nrm[zero] = 1.0
             codes = np.empty((len(m), PQ_M), dtype=np.int64)
             for j in range(PQ_M):
                 x = m[:, j * sub : (j + 1) * sub]
@@ -789,6 +797,7 @@ def ann_pq_topk(spark, sf_dir):
             out_q, out_n = [], []
             for qi in range(len(qids)):
                 approx = lut[qi][marange, codes].sum(1) / nrm
+                approx[zero] = -np.inf  # zero vectors excluded
                 approx[ids == qids[qi]] = -np.inf  # exclude self
                 k = min(PQ_SHORTLIST, len(approx))
                 top = np.argpartition(-approx, k - 1)[:k]

@@ -218,6 +218,25 @@ def write_clustered(
     )
 
 
+def recover_swap(path: str) -> bool:
+    """Recover a table whose rename-and-swap (``merge_upsert`` whole-table
+    path, :func:`compact_parquet`) crashed BETWEEN the two renames: the
+    data survives intact at ``<path>__merge_old`` / ``<path>__compact_old``
+    while ``path`` itself is missing. Rename the old directory back and
+    return True; return False if there was nothing to recover. Idempotent;
+    called automatically at the top of ``merge_upsert``."""
+    import os
+
+    if os.path.exists(path):
+        return False
+    for suffix in ("__merge_old", "__compact_old"):
+        old = path.rstrip("/") + suffix
+        if os.path.exists(old):
+            os.rename(old, path)
+            return True
+    return False
+
+
 def compact_latest(
     df: DataFrame, key_cols: list[str], seq_col: str
 ) -> DataFrame:
@@ -275,6 +294,7 @@ def merge_upsert(
     def latest_wins(df: DataFrame) -> DataFrame:
         return compact_latest(df, key_cols, seq_col)
 
+    recover_swap(path)  # heal a crash between a previous run's renames
     existing = spark.read.parquet(path)
     if set(existing.columns) != set(changes.columns):
         raise ValueError(

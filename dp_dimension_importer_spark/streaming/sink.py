@@ -83,11 +83,34 @@ def make_merge_batch_handler(
         df = transform(batch_df) if transform is not None else batch_df
         spark = batch_df.sparkSession
         if not os.path.exists(table_path):
-            storage.write_sharded(
-                storage.compact_latest(df, key_cols, seq_col),
-                table_path,
-                n_shards=n_shards,
-            )
+            # Distinguish "never bootstrapped" from "table vanished mid-
+            # swap": merge_upsert's whole-table path renames the old table
+            # away before renaming the merge result in, so a crash in that
+            # window leaves the commit log non-empty but the path missing —
+            # taking the bootstrap branch then would silently truncate the
+            # table to this one batch. Heal the swap instead; if nothing is
+            # recoverable the data is gone and failing loud is the only
+            # honest option. (A crash mid-BOOTSTRAP needs no special case:
+            # the partial table holds a subset of exactly this batch, and
+            # the redelivered batch re-supplies every row through the
+            # latest-wins merge.)
+            if committed_batches(table_path):
+                if not storage.recover_swap(table_path):
+                    raise RuntimeError(
+                        f"merge sink: table {table_path!r} is missing but "
+                        f"its commit log is non-empty and no crashed-swap "
+                        f"directory exists to recover from"
+                    )
+                storage.merge_upsert(
+                    spark, table_path, df,
+                    key_cols=key_cols, seq_col=seq_col, n_shards=n_shards,
+                )
+            else:
+                storage.write_sharded(
+                    storage.compact_latest(df, key_cols, seq_col),
+                    table_path,
+                    n_shards=n_shards,
+                )
         else:
             storage.merge_upsert(
                 spark, table_path, df,

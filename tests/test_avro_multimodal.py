@@ -528,3 +528,50 @@ def test_resize_images_real_decodes_resamples_reencodes(spark):
     assert (got_rgb == resize_nearest(rgb, 8, 8)).all()
     assert out[1].channels == 1 and out[2].channels == 3
     assert out[3].payload is None and out[3].width is None
+
+
+def test_resize_images_real_gray_alpha_png_and_y4m_high_bit_guard(spark):
+    """Two review-pinned edges: a gray+alpha PNG (2 channels) must resize
+    to a valid P5 payload the decoder reads back (not a short P6), and a
+    10-bit C420p10 Y4M must raise NotImplementedError — never be misparsed
+    at the 8-bit frame size and reported as corrupt."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from dp_dimension_importer_spark.operators.multimodal import (
+        decode_image,
+        decode_video,
+        resize_images_real,
+    )
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    # 2x2 gray+alpha PNG (color type 4), gray plane = [[10,20],[30,40]]
+    raw = b"".join(
+        b"\x00" + bytes(v for px in row for v in px)
+        for row in [[(10, 255), (20, 255)], [(30, 255), (40, 255)]]
+    )
+    png_ga = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assets = spark.createDataFrame(
+        [(1, bytearray(png_ga))], "asset_id long, payload binary"
+    )
+    r = resize_images_real(assets, width=4, height=4).collect()[0]
+    assert r.channels == 1
+    back = decode_image(bytes(r.payload))
+    assert back.shape == (4, 4)
+    assert (back[::2, ::2] == np.array([[10, 20], [30, 40]])).all()
+
+    with pytest.raises(NotImplementedError):
+        decode_video(b"YUV4MPEG2 W2 H2 F25:1 C420p10\nFRAME\n" + bytes(12))

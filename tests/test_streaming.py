@@ -639,3 +639,43 @@ def test_stream_merge_sink_crash_between_merge_and_marker_recovers(spark):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
         shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+def test_stream_merge_sink_heals_crashed_table_swap(spark):
+    """Crash INSIDE merge_upsert's whole-table rename-and-swap: the table
+    path is missing but the data survives at ``<path>__merge_old`` and
+    the commit log is non-empty. The next handled batch must recover the
+    old directory (never bootstrap-truncate to the current batch), and if
+    nothing is recoverable it must fail loud."""
+    import shutil
+
+    from dp_dimension_importer_spark.streaming import sink as merge_sink
+
+    events = _sink_events(spark)
+    half = events.filter("event_id % 2 = 0")
+    rest = events.filter("event_id % 2 = 1")
+    scratch = tempfile.mkdtemp(prefix="sink_t4_")
+    tbl = os.path.join(scratch, "table")
+    try:
+        handler = merge_sink.make_merge_batch_handler(
+            tbl, key_cols=["user_id"], seq_col="event_id"
+        )
+        handler(half, 0)
+        # simulate the crash window: old table renamed away, swap not done
+        os.rename(tbl, tbl + "__merge_old")
+        handler(rest, 1)  # must recover + merge, not truncate
+        got = {
+            r.user_id: r.event_id
+            for r in spark.read.parquet(tbl).collect()
+        }
+        exp = {u: e for u, (e, _) in _latest_per_user(events).items()}
+        assert got == exp
+        # unrecoverable: table AND old dir gone but commits exist
+        shutil.rmtree(tbl)
+        try:
+            handler(rest, 2)
+            raise AssertionError("expected loud failure, not truncation")
+        except RuntimeError as e:
+            assert "commit log is non-empty" in str(e)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
