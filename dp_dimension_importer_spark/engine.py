@@ -52,7 +52,9 @@ from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
     shingle_hashes,
 )
 from dp_dimension_importer_spark.operators.text import (  # noqa: F401
+    bpe_train,
     chunk_index,
+    make_bpe_tokenizer,
     pack_index,
     repetition_metrics,
     tokens_expr,
@@ -150,6 +152,8 @@ __all__ = [
     "fit_pca",
     "make_merge_batch_handler",
     "run_stream_merge",
+    "bpe_train",
+    "make_bpe_tokenizer",
     "decode_video",
     "encode_y4m",
     "extract_video_features",

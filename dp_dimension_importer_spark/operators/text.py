@@ -783,3 +783,151 @@ def text_quality_classifier(spark, sf_dir):
         logit.alias("logit_micros"),
         F.when(logit >= 0, 1).otherwise(0).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# real BPE: trained merges + a tokenizer that plugs into tokens_expr
+# ---------------------------------------------------------------------------
+
+#: BPE training bounds: a deterministic sample of docs (distributed
+#: TakeOrdered, same bounded-driver contract as the IVF/PQ fits) and a
+#: fixed merge budget. Training cost is O(unique words × merges) on the
+#: driver; applying is distributed.
+BPE_SAMPLE_DOCS = 256
+BPE_MERGES = 120
+#: end-of-word marker symbol (classic Sennrich-style BPE)
+BPE_EOW = "</w>"
+
+
+def bpe_train(
+    df,
+    text_col: str = "text",
+    n_merges: int = BPE_MERGES,
+    sample_docs: int = BPE_SAMPLE_DOCS,
+) -> list[tuple[str, str]]:
+    """Train byte-pair-encoding merges on a FIXED-SIZE deterministic
+    document sample: words are whitespace-split and lowercased, spelled as
+    character symbols plus an end-of-word marker, and the most frequent
+    adjacent symbol pair is merged ``n_merges`` times (ties broken by
+    lexicographically smallest pair, so the merge list is identical on
+    every run/driver/partitioning). The sample rides the same
+    orderBy(xxhash64)+limit TakeOrdered plan as the IVF/PQ fits — driver
+    memory is O(sample), never O(corpus); at 100 TB you train once here
+    and broadcast the merges, exactly like the codebooks.
+
+    This makes the ``tokens_expr(tokenizer=...)`` seam executable with a
+    REAL subword tokenizer instead of the documented deployment stub."""
+    from collections import Counter
+
+    rows = (
+        df.select("doc_id", text_col)
+        .orderBy(F.xxhash64(F.col("doc_id")).asc(), F.col("doc_id").asc())
+        .limit(sample_docs)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["doc_id"])
+    wordfreq: Counter = Counter()
+    for r in rows:
+        txt = r[text_col] or ""
+        for w in txt.lower().split():
+            wordfreq[w] += 1
+    vocab = {w: tuple(w) + (BPE_EOW,) for w in wordfreq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, f in wordfreq.items():
+            sym = vocab[w]
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w, sym in vocab.items():
+            if a not in sym:  # cheap pre-filter
+                continue
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            vocab[w] = tuple(out)
+    return merges
+
+
+def make_bpe_tokenizer(merges: list[tuple[str, str]]):
+    """``str -> list[str]`` tokenizer applying trained merges in rank
+    order (lowest rank first, all occurrences) — the classic BPE apply.
+    A pure closure over the merge ranks plus a per-word memo, so
+    :func:`tokens_expr` ships it BY VALUE to executors and repeated words
+    inside an Arrow batch tokenize once."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    eow = BPE_EOW
+    memo: dict[str, list[str]] = {}
+
+    def encode_word(w: str) -> list[str]:
+        got = memo.get(w)
+        if got is not None:
+            return got
+        sym = list(w) + [eow]
+        while len(sym) > 1:
+            best_rank, best_pair = None, None
+            for p in zip(sym, sym[1:]):
+                r = ranks.get(p)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, p
+            if best_pair is None:
+                break
+            a, b = best_pair
+            ab = a + b
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        if len(memo) < 65536:  # bound the per-executor cache
+            memo[w] = sym
+        return sym
+
+    def tokenize(text: str) -> list[str]:
+        out: list[str] = []
+        for w in text.lower().split():
+            out.extend(encode_word(w))
+        return out
+
+    return tokenize
+
+
+@register("text_bpe_tokens")  # rows-only: iterative merge apply is not SQL
+def text_bpe_tokens(spark, sf_dir):
+    """Per-document subword token counts from a REAL trained BPE: train
+    the merge table on the bounded sample (:func:`bpe_train`), then
+    tokenize the whole corpus through the ``tokens_expr`` seam — the
+    Arrow-batched pandas_udf path the seam documents for deployment
+    tokenizers, with the merges closure-captured (broadcast by value).
+    Emits whitespace-token and BPE-token counts side by side; BPE must
+    land between words and characters, which the invariant tests pin
+    along with the textbook merge sequence and reconstruction property.
+
+    Rows-only for the driver: the iterative rank-ordered merge apply is
+    not expressible in SQL (SURVEY §2.3 exclusion class)."""
+    t = load_tables(spark, sf_dir)
+    merges = bpe_train(t.documents)
+    tok = make_bpe_tokenizer(merges)
+    return (
+        t.documents.select(
+            "doc_id",
+            F.size(tokens_expr("text")).alias("n_ws_tokens"),
+            F.size(tokens_expr("text", tokenizer=tok)).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

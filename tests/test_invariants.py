@@ -557,3 +557,50 @@ def test_corpus_temperature_mix_upweights_low_resource(spark):
     for r in rows:
         # realized rate within 15 points of the threshold (hash spread)
         assert abs(r["kept"] / r["docs"] - r["thresh_bp"] / 10000) < 0.15
+
+
+def test_bpe_textbook_merges_and_reconstruction(spark):
+    """BPE semantics pinned three ways: (1) the classic Sennrich corpus
+    produces the expected first merges; (2) concatenating a word's tokens
+    reproduces the word plus the end-of-word marker (merges never create
+    or destroy characters); (3) token counts land between whitespace
+    words and characters, and the trained merge list is identical under a
+    different partitioning of the sample."""
+    from dp_dimension_importer_spark.operators.text import (
+        BPE_EOW,
+        bpe_train,
+        make_bpe_tokenizer,
+    )
+
+    corpus = [
+        (i, txt)
+        for i, txt in enumerate(
+            ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        )
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=4, sample_docs=100)
+    # freqs: es 9 (newest+widest), then st</w> 9... pair counts on the
+    # classic corpus: ('e','s')=9 wins round 1 (smallest tie if any),
+    # then ('es','t')=9, then ('est','</w>')=9, then ('l','o')=7
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("est", BPE_EOW), ("l", "o"),
+    ]
+    tok = make_bpe_tokenizer(merges)
+    assert tok("newest") == ["n", "e", "w", "est</w>"]
+    assert tok("lowest") == ["lo", "w", "est</w>"]
+    # reconstruction: tokens concatenate back to word + marker
+    for w in ("lowering", "estimates", "widest", "zzz"):
+        assert "".join(tok(w)) == w + BPE_EOW
+
+    rows = QUERIES["text_bpe_tokens"](spark, SF_SMOKE).collect()
+    assert all(
+        r.n_ws_tokens <= r.n_bpe_tokens for r in rows
+    )  # subwords ≥ words
+    # merge determinism under repartitioning of the training input
+    from dp_dimension_importer_spark.catalog import load_tables
+
+    docs = load_tables(spark, SF_SMOKE).documents
+    m1 = bpe_train(docs)
+    m2 = bpe_train(docs.repartition(7))
+    assert m1 == m2 and len(m1) > 0

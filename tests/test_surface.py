@@ -116,6 +116,7 @@ NO_ORACLE_OK = {
     "sketch_count_min_heavy",
     "embedding_pca",  # eigendecomposition is not SQL; numpy-pinned instead
     "ann_pq_topk",  # approx: recall-gated vs q43b (SURVEY §2.3 exclusion)
+    "text_bpe_tokens",  # iterative BPE merge apply is not SQL; invariant-pinned
 }
 
 
