@@ -119,7 +119,10 @@ def shingle_hashes(
     regex split per lambda iteration — observed ~7× slower at sf0.1.)
 
     ``hash_bits=128`` adds a second, independent 64-bit gram hash ``h2``
-    built from seed-1 token hashes — the web-scale collision defense the
+    built from ``xxhash64(lit(1), t)`` token hashes — constant FIRST, so
+    the constant perturbs the running seed before the token is hashed
+    (``xxhash64(t, lit(1))`` would seed-chain on ``xxhash64(t)`` and
+    inherit every one of its collisions) — the web-scale defense the
     dup_ngram_share/dedup_spans docstrings promise (at 2^32 distinct
     grams a single 64-bit key collides with odds ~1/2; two independent
     keys push that to ~2^-65). The plan shape is unchanged: shuffles
@@ -139,7 +142,7 @@ def shingle_hashes(
         base.select(
             "doc_id",
             F.transform("tk", lambda t: F.xxhash64(t)).alias("th"),
-            F.transform("tk", lambda t: F.xxhash64(t, F.lit(1))).alias("th2"),
+            F.transform("tk", lambda t: F.xxhash64(F.lit(1), t)).alias("th2"),
         )
         .select(
             "doc_id",
@@ -1137,7 +1140,7 @@ def shingle_hashes_pos(
         base.select(
             "doc_id",
             F.transform("tk", lambda t: F.xxhash64(t)).alias("th"),
-            F.transform("tk", lambda t: F.xxhash64(t, F.lit(1))).alias("th2"),
+            F.transform("tk", lambda t: F.xxhash64(F.lit(1), t)).alias("th2"),
         )
         .select(
             "doc_id",
@@ -1696,7 +1699,7 @@ def bloom_route_new(
     (checkpoint/sink) before releasing, or leave the default and release
     per-corpus via ``spark.sparkContext`` teardown."""
     h1 = F.xxhash64(F.col(text_col))
-    h2 = F.xxhash64(F.col(text_col), F.lit(1))
+    h2 = F.xxhash64(F.lit(1), F.col(text_col))
     spark = corpus.sparkSession
     hashed = corpus.select(h1.alias("h1"), h2.alias("h2"))
     if n_shards > 1:  # scale form: S bounded per-shard builds (docstring)

@@ -153,23 +153,26 @@ SKETCH_MERGE_AGGS = {
 }
 
 
-def write_sketch_state(df, path: str, run_id: str, mode: str = "append"):
+def write_sketch_state(df, path: str, run_id: str):
     """Persist a per-group sketch-state frame (group cols + binary sketch
     cols) for cross-run merging, stamped with ``run_id`` and written as
-    run-partitioned parquet through the storage layer
-    (:func:`dp_dimension_importer_spark.storage.write_partitioned`) —
-    partitioning by run means (a) each day's append never rewrites prior
-    state and (b) a re-run of the same day replaces exactly its own
-    partition under dynamic partition overwrite. R17's accumulate-then-
-    bulk-add (`handler/incoming_instance_handler.go:206-209`) generalized
-    across job runs: the accumulator is the stored sketch table."""
-    from dp_dimension_importer_spark import storage
+    run-partitioned parquet under DYNAMIC partition overwrite — the write
+    carries only this run's partition, so (a) a new day's write never
+    rewrites prior runs' state and (b) a re-run of the same day replaces
+    exactly its own partition (plain ``overwrite`` would wipe the whole
+    history; plain ``append`` would double-count the re-run's states in
+    every later merge). R17's accumulate-then-bulk-add
+    (`handler/incoming_instance_handler.go:206-209`) generalized across
+    job runs: the accumulator is the stored sketch table."""
+    from dp_dimension_importer_spark.storage import PARQUET_CODEC
 
     if "run_id" in df.columns:
         raise ValueError("df already has a run_id column")
-    storage.write_partitioned(
-        df.withColumn("run_id", F.lit(run_id)), path, ["run_id"], mode=mode
-    )
+    (df.withColumn("run_id", F.lit(run_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .option("compression", PARQUET_CODEC)
+     .partitionBy("run_id").parquet(path))
 
 
 def read_sketch_state(spark, path: str, run_ids: list[str] | None = None):

@@ -197,11 +197,22 @@ def write_clustered(
         raise ValueError("need ≥1 clustering column and ≥1 shard")
     n_buckets = 1 << ZORDER_BITS
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE multi-column approxQuantile pass (not a scan per column), over
+    # double-casted copies so numeric/date/decimal all rank uniformly
+    casted = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    all_cuts = casted.approxQuantile(cols, qs, 0.01)
     bucket_exprs = []
-    for c in cols:
-        cuts = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
-            c, qs, 0.01
-        )
+    for c, cuts in zip(cols, all_cuts):
+        if not cuts:
+            # approxQuantile returns [] for an all-null / non-castable
+            # column — every row would land in bucket 0 and the promised
+            # skipping on this column would silently not exist
+            raise ValueError(
+                f"write_clustered: column {c!r} has no castable non-null "
+                "values to rank-quantize — clustering on it is a no-op"
+            )
         b = F.lit(0)
         for cut in cuts:  # monotone when-chain: count boundaries passed
             b = b + F.when(F.col(c).cast("double") > cut, 1).otherwise(0)
@@ -280,7 +291,13 @@ def merge_upsert(
       overwrite) — untouched partitions' files are not opened, not
       rewritten, byte-identical after the merge (layout-tested). A day's
       CDC trickle against a 100 TB table costs the touched partitions,
-      not the table.
+      not the table. PRECONDITION: ``partition_col`` must be STABLE per
+      key (a pure function of ``key_cols``, e.g. a key-hash bucket, or a
+      business attribute that never changes for a key). A change row that
+      moves a key to a new partition leaves the stored row in the old —
+      unread — partition in place, yielding two rows for that key; keys
+      whose partition can change belong on the whole-table path (every
+      table format's partition-pruned MERGE shares this contract).
     * without: the whole table is merged and swapped through a scratch
       directory (same single-writer/local-FS shape as
       :func:`compact_parquet`; a cluster deployment hands this path to a
@@ -303,14 +320,25 @@ def merge_upsert(
         )
     changes = changes.select(*existing.columns)  # align column order
     if partition_col is not None:
+        # Materialize the batch ONCE: the touched-partition collect and
+        # the merge below must see the same rows (an expensive or non-
+        # deterministic change lineage evaluated twice could overwrite a
+        # partition without having read its existing rows).
+        changes = changes.localCheckpoint(eager=True)
         # bounded driver list: one value per TOUCHED partition (low-
         # cardinality by the same rule as write_partitioned)
         touched = [
             r[0] for r in changes.select(partition_col).distinct().collect()
         ]
+        # NULL-safe membership: isin([None]) is NULL (never true), which
+        # would EXCLUDE stored null-partition rows from the merge and let
+        # the dynamic overwrite delete them. Match nulls explicitly.
+        non_null = [t for t in touched if t is not None]
+        member = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        if any(t is None for t in touched):
+            member = member | F.col(partition_col).isNull()
         merged = latest_wins(
-            existing.filter(F.col(partition_col).isin(touched))
-            .unionByName(changes)
+            existing.filter(member).unionByName(changes)
         )
         if n_shards is not None:
             merged = merged.repartition(n_shards, partition_col)
