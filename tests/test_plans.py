@@ -690,3 +690,57 @@ def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_merge_upsert_preserves_null_partition_rows(spark, warehouse):
+    """Review-pinned data-loss edge: a change batch touching the NULL
+    partition must merge against the stored null-partition rows —
+    ``isin([None])`` is NULL (never true), which would exclude them and
+    let the dynamic overwrite delete every untouched key in
+    __HIVE_DEFAULT_PARTITION__."""
+    from dp_dimension_importer_spark.storage import merge_upsert
+
+    path = os.path.join(warehouse, "merge_null_part")
+    existing = spark.createDataFrame(
+        [(1, None, 10.0, 1), (2, None, 20.0, 1), (3, "x", 30.0, 1)],
+        "k long, part string, v double, seq long",
+    )
+    existing.write.partitionBy("part").parquet(path)
+    changes = spark.createDataFrame(
+        [(1, None, 11.0, 2)], "k long, part string, v double, seq long"
+    )
+    merge_upsert(
+        spark, path, changes,
+        key_cols=["k"], seq_col="seq", partition_col="part",
+    )
+    got = {r.k: (r.part, r.v, r.seq) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: (None, 11.0, 2),   # updated
+        2: (None, 20.0, 1),   # untouched key in the SAME null partition
+        3: ("x", 30.0, 1),    # untouched partition
+    }
+
+
+def test_sketch_state_rerun_replaces_only_its_partition(spark, warehouse):
+    """write_sketch_state's documented re-run semantics, executable: a
+    re-write of run d1 replaces exactly d1's partition (no double-counted
+    states) and leaves d2 untouched; plain append would double d1, plain
+    overwrite would erase d2."""
+    from dp_dimension_importer_spark.operators.sketches import (
+        read_sketch_state,
+        write_sketch_state,
+    )
+
+    path = os.path.join(warehouse, "sketch_rerun")
+    s1 = spark.createDataFrame([("a", bytearray(b"v1"))], "g string, sk binary")
+    s2 = spark.createDataFrame([("a", bytearray(b"v2"))], "g string, sk binary")
+    s1b = spark.createDataFrame(
+        [("a", bytearray(b"v1-fixed"))], "g string, sk binary"
+    )
+    write_sketch_state(s1, path, "d1")
+    write_sketch_state(s2, path, "d2")
+    write_sketch_state(s1b, path, "d1")  # same-day re-run
+    rows = read_sketch_state(spark, path).collect()
+    got = {(r.run_id, bytes(r.sk)) for r in rows}
+    assert got == {("d1", b"v1-fixed"), ("d2", b"v2")}
+    assert len(rows) == 2  # no duplicated d1 state
