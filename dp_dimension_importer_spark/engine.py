@@ -70,6 +70,7 @@ from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
 from dp_dimension_importer_spark.operators.multimodal import (  # noqa: F401
     decode_audio,
     decode_video,
+    encode_aiff,
     encode_wav,
     encode_y4m,
     extract_audio_features,
@@ -155,6 +156,7 @@ __all__ = [
     "bpe_train",
     "make_bpe_tokenizer",
     "decode_video",
+    "encode_aiff",
     "encode_y4m",
     "extract_video_features",
     "resize_images_real",

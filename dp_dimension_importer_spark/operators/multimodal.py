@@ -238,19 +238,80 @@ def _make_wav_codec():
         )
         return hdr + pcm
 
-    def decode_audio(payload: bytes) -> dict:
-        """REAL WAV decode (stdlib only): parse the RIFF chunk list, read
-        the ``fmt `` chunk (PCM format 1 only — compressed codecs like MP3/
-        AAC/FLAC need a codec library this environment lacks and raise, the
-        audio twin of :func:`decode_image`'s JPEG guard), return sample
-        metadata plus the raw data-chunk bytes and a numpy sample array
-        (n_frames × channels; 8-bit unsigned / 16-bit signed LE)."""
+    def _decode_aiff(payload: bytes) -> dict:
+        """REAL AIFF decode (stdlib only): big-endian IFF chunk list —
+        ``COMM`` carries channels / frame count / sample size plus the
+        rate as an 80-bit IEEE extended float, ``SSND`` the signed
+        big-endian PCM after an 8-byte offset/block header. The classic
+        Mac/pro-audio counterpart of WAV (signed 8-bit where WAV is
+        unsigned; BE where WAV is LE) — same return contract."""
         import numpy as np
 
+        pos, comm, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            ln = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+            body = payload[pos + 8 : pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+            if cid == b"COMM":
+                comm = body
+            elif cid == b"SSND":
+                # 4-byte offset + 4-byte block size precede the samples
+                off = int.from_bytes(body[:4], "big")
+                data = body[8 + off :]
+        if comm is None or data is None or len(comm) < 18:
+            raise ValueError("AIFF missing COMM/SSND chunk")
+        channels = int.from_bytes(comm[0:2], "big", signed=True)
+        bits = int.from_bytes(comm[6:8], "big", signed=True)
+        # sample rate: 80-bit extended — 1+15-bit sign/exponent, 64-bit
+        # mantissa with an explicit integer bit
+        exp = int.from_bytes(comm[8:10], "big") & 0x7FFF
+        mant = int.from_bytes(comm[10:18], "big")
+        if exp == 0 and mant == 0:
+            sample_rate = 0
+        else:
+            sample_rate = mant * 2.0 ** (exp - 16383 - 63)
+            sample_rate = int(round(sample_rate))
+        if bits not in (8, 16):
+            raise NotImplementedError("only 8/16-bit PCM AIFF supported")
+        if channels <= 0 or sample_rate <= 0:
+            raise ValueError(
+                f"corrupt AIFF COMM chunk: channels={channels} "
+                f"sample_rate={sample_rate}"
+            )
+        width = bits // 8
+        n_frames = len(data) // (channels * width)
+        dtype = np.int8 if bits == 8 else np.dtype(">i2")
+        samples = np.frombuffer(
+            data, dtype=dtype, count=n_frames * channels
+        ).reshape(n_frames, channels)
+        return {
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "bits": bits,
+            "n_frames": n_frames,
+            "data": data,
+            "samples": samples,
+        }
+
+    def decode_audio(payload: bytes) -> dict:
+        """REAL audio decode (stdlib only): RIFF/WAVE (LE PCM, ``fmt ``
+        format 1 only) and FORM/AIFF (BE signed PCM) containers —
+        compressed codecs like MP3/AAC/FLAC need a codec library this
+        environment lacks and raise, the audio twin of
+        :func:`decode_image`'s JPEG guard. Returns sample metadata plus
+        the raw data-chunk bytes and a numpy sample array (n_frames ×
+        channels); sample signedness follows the container (WAV 8-bit
+        unsigned, AIFF 8-bit signed — consumers normalize by dtype)."""
+        import numpy as np
+
+        if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+            return _decode_aiff(payload)
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             raise NotImplementedError(
-                "not a RIFF/WAVE payload — compressed audio (MP3/AAC/FLAC) "
-                "requires a codec library absent from this environment"
+                "not a RIFF/WAVE or FORM/AIFF payload — compressed audio "
+                "(MP3/AAC/FLAC) requires a codec library absent from this "
+                "environment"
             )
         pos, fmt, data = 12, None, None
         while pos + 8 <= len(payload):
@@ -291,10 +352,44 @@ def _make_wav_codec():
             "samples": samples,
         }
 
-    return encode_wav, decode_audio
+    def encode_aiff(
+        pcm: bytes, sample_rate: int = 8000, channels: int = 1, bits: int = 8
+    ) -> bytes:
+        """Wrap raw big-endian signed PCM bytes in a canonical FORM/AIFF
+        container (COMM + SSND). The sample rate is written as an 80-bit
+        IEEE extended float (explicit integer bit), the format's one
+        genuinely exotic field."""
+        import struct
+
+        if bits not in (8, 16):
+            raise ValueError("PCM bits must be 8 or 16")
+        width = bits // 8
+        n_frames = len(pcm) // (channels * width)
+        if sample_rate <= 0:
+            raise ValueError("sample_rate must be positive")
+        # integer → 80-bit extended: exponent 16383 + (bit_length-1),
+        # mantissa left-aligned to 64 bits with the integer bit explicit
+        bl = sample_rate.bit_length()
+        exp = 16383 + bl - 1
+        mant = sample_rate << (64 - bl)
+        comm = (
+            struct.pack(">hLh", channels, n_frames, bits)
+            + exp.to_bytes(2, "big")
+            + mant.to_bytes(8, "big")
+        )
+        ssnd = struct.pack(">LL", 0, 0) + pcm
+        body = (
+            b"AIFF"
+            + b"COMM" + len(comm).to_bytes(4, "big") + comm
+            + b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd
+            + (b"\x00" if len(ssnd) & 1 else b"")
+        )
+        return b"FORM" + len(body).to_bytes(4, "big") + body
+
+    return encode_wav, decode_audio, encode_aiff
 
 
-encode_wav, decode_audio = _make_wav_codec()
+encode_wav, decode_audio, encode_aiff = _make_wav_codec()
 
 #: schema produced by the audio feature extractor
 AUDIO_FEATURE_SCHEMA = T.StructType(
@@ -320,7 +415,7 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
     :func:`extract_features_real`)."""
     import numpy as np
 
-    _, decode = _make_wav_codec()
+    _, decode, _enc_aiff = _make_wav_codec()
 
     def _audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -340,9 +435,16 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
                     for k in rows:
                         rows[k].append(None)
                     continue
-                s = a["samples"].astype(np.float64)
-                # normalize: 8-bit PCM is unsigned around 128, 16-bit signed
-                s = (s - 128.0) / 128.0 if a["bits"] == 8 else s / 32768.0
+                raw = a["samples"]
+                signed = np.issubdtype(raw.dtype, np.signedinteger)
+                s = raw.astype(np.float64)
+                # normalize by the container's sample convention: WAV
+                # 8-bit is UNSIGNED around 128, AIFF 8-bit is SIGNED
+                # (dtype int8), 16-bit is signed in both
+                if a["bits"] == 8:
+                    s = s / 128.0 if signed else (s - 128.0) / 128.0
+                else:
+                    s = s / 32768.0
                 mono = s.mean(axis=1)
                 rows["sample_rate"].append(a["sample_rate"])
                 rows["channels"].append(a["channels"])
@@ -410,7 +512,7 @@ def multimodal_audio_meta(spark, sf_dir):
     import hashlib
 
     t = load_tables(spark, sf_dir)
-    enc, dec = _make_wav_codec()
+    enc, dec, _enc_aiff = _make_wav_codec()
     sha256, RATE = hashlib.sha256, 8000
 
     def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

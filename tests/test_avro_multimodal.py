@@ -575,3 +575,52 @@ def test_resize_images_real_gray_alpha_png_and_y4m_high_bit_guard(spark):
 
     with pytest.raises(NotImplementedError):
         decode_video(b"YUV4MPEG2 W2 H2 F25:1 C420p10\nFRAME\n" + bytes(12))
+
+
+def test_aiff_codec_roundtrip_and_features(spark):
+    """FORM/AIFF joins the audio family: encode → decode roundtrips
+    metadata and signed samples for 8- and 16-bit PCM at odd sample
+    rates (the 80-bit extended-float field), the feature extractor
+    normalizes SIGNED 8-bit correctly (silence at 0, not at -1), and
+    corrupt AIFF payloads dead-letter as NULL rows."""
+    import numpy as np
+
+    from dp_dimension_importer_spark.operators.multimodal import (
+        decode_audio,
+        encode_aiff,
+        extract_audio_features,
+    )
+
+    rng = np.random.default_rng(3)
+    # 8-bit signed mono at 44100 (exercises the extended-float mantissa)
+    pcm8 = rng.integers(-128, 128, size=300, dtype=np.int8)
+    a8 = decode_audio(encode_aiff(pcm8.tobytes(), sample_rate=44100))
+    assert (a8["sample_rate"], a8["channels"], a8["bits"]) == (44100, 1, 8)
+    assert a8["n_frames"] == 300
+    assert (a8["samples"].ravel() == pcm8).all()
+    # 16-bit stereo big-endian at 22050
+    pcm16 = rng.integers(-32768, 32768, size=(100, 2), dtype=np.int16)
+    a16 = decode_audio(
+        encode_aiff(
+            pcm16.astype(">i2").tobytes(),
+            sample_rate=22050, channels=2, bits=16,
+        )
+    )
+    assert (a16["sample_rate"], a16["channels"], a16["n_frames"]) == (22050, 2, 100)
+    assert (a16["samples"] == pcm16).all()
+
+    # feature extraction: DC-silence (all zeros, signed) must give rms 0
+    silent = encode_aiff(bytes(200), sample_rate=8000)  # int8 zeros
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(silent)),
+            (2, bytearray(encode_aiff(pcm8.tobytes(), sample_rate=44100))),
+            (3, bytearray(b"FORM\x00\x00\x00\x04AIFF")),  # no COMM/SSND
+        ],
+        "asset_id long, payload binary",
+    )
+    out = {r.asset_id: r for r in extract_audio_features(assets).collect()}
+    assert out[1].rms == 0.0  # signed normalization: silence is 0, not -1
+    assert out[1].duration_ms == 200 * 1000 // 8000
+    assert out[2].sample_rate == 44100 and out[2].rms > 0.0
+    assert out[3].rms is None and out[3].sample_rate is None
