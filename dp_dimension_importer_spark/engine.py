@@ -71,6 +71,7 @@ from dp_dimension_importer_spark.operators.multimodal import (  # noqa: F401
     decode_audio,
     decode_video,
     encode_aiff,
+    encode_tiff,
     encode_wav,
     encode_y4m,
     extract_audio_features,
@@ -157,6 +158,7 @@ __all__ = [
     "make_bpe_tokenizer",
     "decode_video",
     "encode_aiff",
+    "encode_tiff",
     "encode_y4m",
     "extract_video_features",
     "resize_images_real",

@@ -116,6 +116,8 @@ def decode_image(payload: bytes):
         ch = 3 if payload[:2] == b"P6" else 1
         arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
         return arr.reshape((h, w, 3) if ch == 3 else (h, w))
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     if payload[:2] == b"BM":
         off = int.from_bytes(payload[10:14], "little")
         w = int.from_bytes(payload[18:22], "little", signed=True)
@@ -134,6 +136,111 @@ def decode_image(payload: bytes):
         "JPEG/WebP require a codec library (e.g. Pillow) — not available "
         "in this environment; PPM/PGM/BMP/PNG decode natively"
     )
+
+
+def _decode_tiff(payload: bytes):
+    """Stdlib-only baseline TIFF decode: both byte orders (II/MM), one
+    IFD, 8-bit grayscale or RGB, compression 1 (none), any strip layout
+    (strips concatenate to the raster). LZW/JPEG-compressed, 16-bit,
+    tiled and palette TIFFs raise NotImplementedError — those need the
+    codec machinery the JPEG guard already documents. Tag values of the
+    BYTE/SHORT/LONG types are read inline when they fit the 4-byte value
+    slot and via offset otherwise, per the TIFF 6.0 spec."""
+    import numpy as np
+
+    e = "little" if payload[:2] == b"II" else "big"
+    if int.from_bytes(payload[2:4], e) != 42:
+        raise ValueError("bad TIFF magic")
+    ifd = int.from_bytes(payload[4:8], e)
+    n_tags = int.from_bytes(payload[ifd : ifd + 2], e)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_tags):
+        p = ifd + 2 + 12 * i
+        tag = int.from_bytes(payload[p : p + 2], e)
+        typ = int.from_bytes(payload[p + 2 : p + 4], e)
+        cnt = int.from_bytes(payload[p + 4 : p + 8], e)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)  # BYTE / SHORT / LONG
+        if size is None:
+            continue  # RATIONAL etc. — nothing we need uses them
+        total = size * cnt
+        if total <= 4:
+            data = payload[p + 8 : p + 8 + total]
+        else:
+            off = int.from_bytes(payload[p + 8 : p + 12], e)
+            data = payload[off : off + total]
+        tags[tag] = [
+            int.from_bytes(data[j * size : (j + 1) * size], e)
+            for j in range(cnt)
+        ]
+    try:
+        width = tags[256][0]
+        height = tags[257][0]
+        offs = tags[273]
+        counts = tags[279]
+    except KeyError as missing:
+        raise ValueError(f"TIFF missing required tag {missing}") from None
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8])
+    if comp != 1:
+        raise NotImplementedError(
+            "only uncompressed TIFF (compression=1); LZW/JPEG variants "
+            "need a codec library"
+        )
+    if any(b != 8 for b in bps) or spp not in (1, 3):
+        raise NotImplementedError("only 8-bit gray/RGB TIFF")
+    if width <= 0 or height <= 0:
+        raise ValueError("corrupt TIFF dimensions")
+    raster = b"".join(payload[o : o + c] for o, c in zip(offs, counts))
+    arr = np.frombuffer(raster, np.uint8, count=width * height * spp)
+    return arr.reshape((height, width, 3) if spp == 3 else (height, width))
+
+
+def encode_tiff(img) -> bytes:
+    """Minimal single-strip little-endian baseline TIFF writer for an
+    (H, W) gray or (H, W, 3) RGB uint8 array — the roundtrip partner of
+    :func:`_decode_tiff` (same role as ``encode_wav``/``encode_y4m``)."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    data = img.tobytes()
+
+    def tag(tid, typ, cnt, val):
+        return (
+            tid.to_bytes(2, "little") + typ.to_bytes(2, "little")
+            + cnt.to_bytes(4, "little") + val.to_bytes(4, "little")
+        )
+
+    # layout: 8-byte header, raster, then the IFD
+    strip_off = 8
+    ifd_off = 8 + len(data)
+    entries = [
+        tag(256, 3, 1, w),                 # ImageWidth
+        tag(257, 3, 1, h),                 # ImageLength
+        tag(258, 3, 1, 8) if spp == 1 else None,  # BitsPerSample (inline)
+        tag(259, 3, 1, 1),                 # Compression: none
+        tag(262, 3, 1, 1 if spp == 1 else 2),  # Photometric
+        tag(273, 4, 1, strip_off),         # StripOffsets
+        tag(277, 3, 1, spp),               # SamplesPerPixel
+        tag(278, 3, 1, h),                 # RowsPerStrip
+        tag(279, 4, 1, len(data)),         # StripByteCounts
+    ]
+    if spp == 3:
+        # BitsPerSample needs 3 SHORTs (6 bytes) — store after the IFD
+        bps_off = ifd_off + 2 + 12 * 9 + 4
+        entries[2] = tag(258, 3, 3, bps_off)
+    entries = [x for x in entries if x is not None]
+    ifd = (
+        len(entries).to_bytes(2, "little")
+        + b"".join(sorted(entries))  # tags must be ascending
+        + (0).to_bytes(4, "little")  # no next IFD
+    )
+    out = b"II*\x00" + ifd_off.to_bytes(4, "little") + data + ifd
+    if spp == 3:
+        out += (8).to_bytes(2, "little") * 3
+    return out
 
 
 def _decode_png(payload: bytes):

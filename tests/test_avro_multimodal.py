@@ -624,3 +624,78 @@ def test_aiff_codec_roundtrip_and_features(spark):
     assert out[1].duration_ms == 200 * 1000 // 8000
     assert out[2].sample_rate == 44100 and out[2].rms > 0.0
     assert out[3].rms is None and out[3].sample_rate is None
+
+
+def test_tiff_decode_real(spark):
+    """Baseline TIFF joins the image family: gray and RGB roundtrip
+    through the single-strip writer, a hand-built big-endian (MM) file
+    decodes, multi-strip rasters concatenate, LZW-compressed raises
+    NotImplementedError, and resize_images_real consumes TIFF input."""
+    import numpy as np
+    import pytest
+
+    from dp_dimension_importer_spark.operators.multimodal import (
+        decode_image,
+        encode_tiff,
+        resize_images_real,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(9)
+    gray = rng.integers(0, 256, (6, 4), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    assert (decode_image(encode_tiff(gray)) == gray).all()
+    assert (decode_image(encode_tiff(rgb)) == rgb).all()
+
+    def be_tag(tid, typ, cnt, val):
+        # inline values are LEFT-justified in the 4-byte slot (TIFF 6.0):
+        # a single SHORT occupies the first two bytes in MM order
+        vb = (
+            val.to_bytes(2, "big") + b"\x00\x00"
+            if typ == 3 and cnt == 1
+            else val.to_bytes(4, "big")
+        )
+        return (
+            tid.to_bytes(2, "big") + typ.to_bytes(2, "big")
+            + cnt.to_bytes(4, "big") + vb
+        )
+
+    # hand-built MM gray 2x2, TWO strips of one row each
+    data = bytes([1, 2, 3, 4])
+    entries = [
+        be_tag(256, 3, 1, 2), be_tag(257, 3, 1, 2), be_tag(258, 3, 1, 8),
+        be_tag(259, 3, 1, 1), be_tag(262, 3, 1, 1),
+    ]
+    # StripOffsets/Counts: 2 LONGs each -> stored after the IFD
+    ifd_off = 8 + len(data)
+    after = ifd_off + 2 + 12 * 9 + 4
+    entries += [
+        be_tag(273, 4, 2, after), be_tag(277, 3, 1, 1),
+        be_tag(278, 3, 1, 1), be_tag(279, 4, 2, after + 8),
+    ]
+    mm = (
+        b"MM\x00*" + ifd_off.to_bytes(4, "big") + data
+        + (9).to_bytes(2, "big") + b"".join(entries)
+        + (0).to_bytes(4, "big")
+        + (8).to_bytes(4, "big") + (10).to_bytes(4, "big")  # strip offsets
+        + (2).to_bytes(4, "big") + (2).to_bytes(4, "big")   # strip counts
+    )
+    assert decode_image(mm).tolist() == [[1, 2], [3, 4]]
+
+    # compressed -> NotImplementedError (codec-absent class)
+    lzw = bytearray(encode_tiff(gray))
+    # tag 259 value lives in the IFD; patch its value slot to 5 (LZW)
+    idf_off = int.from_bytes(lzw[4:8], "little")
+    n = int.from_bytes(lzw[idf_off : idf_off + 2], "little")
+    for i in range(n):
+        p = idf_off + 2 + 12 * i
+        if int.from_bytes(lzw[p : p + 2], "little") == 259:
+            lzw[p + 8 : p + 12] = (5).to_bytes(4, "little")
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(lzw))
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(encode_tiff(rgb)))], "asset_id long, payload binary"
+    )
+    out = resize_images_real(assets, width=10, height=6).collect()[0]
+    assert (decode_image(bytes(out.payload)) == resize_nearest(rgb, 10, 6)).all()
