@@ -48,3 +48,24 @@ def make_registry() -> tuple[dict[str, QueryFn], dict[str, str], Callable]:
         return deco
 
     return queries, oracle, register
+
+
+def take_deterministic(df: DataFrame, id_col: str, n: int, cols=None):
+    """The shared bounded-sample idiom behind every driver-side model fit
+    (IVF centroids, PQ codebooks, BPE merges): the ``n`` lowest
+    ``xxhash64(id)`` rows fetched via orderBy+limit — Spark plans that as
+    a distributed TakeOrderedAndProject (per-partition top-n, merged on
+    the driver), so driver memory is O(n) regardless of table size — then
+    re-sorted by id so downstream arithmetic sees a pinned order. One
+    definition keeps the tie-break (hash asc, id asc) identical across
+    fits; the determinism tests rely on it."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.select(*(cols or df.columns))
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    return rows

@@ -168,9 +168,13 @@ def _decode_tiff(payload: bytes):
         else:
             off = int.from_bytes(payload[p + 8 : p + 12], e)
             data = payload[off : off + total]
+        # a corrupt cnt can be ~2^31 while the slice above is short —
+        # iterate only the values actually present, never allocate
+        # cnt-sized lists from attacker/corruption-controlled counts
+        n_vals = len(data) // size
         tags[tag] = [
             int.from_bytes(data[j * size : (j + 1) * size], e)
-            for j in range(cnt)
+            for j in range(n_vals)
         ]
     try:
         width = tags[256][0]
@@ -182,6 +186,8 @@ def _decode_tiff(payload: bytes):
     comp = tags.get(259, [1])[0]
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8])
+    photometric = tags.get(262, [1])[0]
+    planar = tags.get(284, [1])[0]
     if comp != 1:
         raise NotImplementedError(
             "only uncompressed TIFF (compression=1); LZW/JPEG variants "
@@ -189,11 +195,20 @@ def _decode_tiff(payload: bytes):
         )
     if any(b != 8 for b in bps) or spp not in (1, 3):
         raise NotImplementedError("only 8-bit gray/RGB TIFF")
+    if planar != 1:
+        # planar (RRR…GGG…BBB) rasters would reshape to scrambled pixels
+        # if treated as interleaved — refuse rather than mis-decode
+        raise NotImplementedError("planar-configuration TIFF not supported")
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError("palette/separated TIFF not supported")
     if width <= 0 or height <= 0:
         raise ValueError("corrupt TIFF dimensions")
     raster = b"".join(payload[o : o + c] for o, c in zip(offs, counts))
     arr = np.frombuffer(raster, np.uint8, count=width * height * spp)
-    return arr.reshape((height, width, 3) if spp == 3 else (height, width))
+    arr = arr.reshape((height, width, 3) if spp == 3 else (height, width))
+    if photometric == 0:  # WhiteIsZero grayscale: invert to BlackIsZero
+        arr = 255 - arr
+    return arr
 
 
 def encode_tiff(img) -> bytes:
@@ -217,8 +232,8 @@ def encode_tiff(img) -> bytes:
     strip_off = 8
     ifd_off = 8 + len(data)
     entries = [
-        tag(256, 3, 1, w),                 # ImageWidth
-        tag(257, 3, 1, h),                 # ImageLength
+        tag(256, 4, 1, w),                 # ImageWidth (LONG: >64k safe)
+        tag(257, 4, 1, h),                 # ImageLength
         tag(258, 3, 1, 8) if spp == 1 else None,  # BitsPerSample (inline)
         tag(259, 3, 1, 1),                 # Compression: none
         tag(262, 3, 1, 1 if spp == 1 else 2),  # Photometric
@@ -376,6 +391,12 @@ def _make_wav_codec():
         mant = int.from_bytes(comm[10:18], "big")
         if exp == 0 and mant == 0:
             sample_rate = 0
+        elif not (16383 - 64) <= exp <= (16383 + 40):
+            # real rates are well under 2^40 Hz; a huge exponent (incl.
+            # 0x7FFF = Inf/NaN) would make the float below raise
+            # OverflowError, which is NOT in DECODE_ERRORS and would fail
+            # the partition instead of dead-lettering this payload
+            raise ValueError(f"corrupt AIFF sample-rate exponent {exp}")
         else:
             sample_rate = mant * 2.0 ** (exp - 16383 - 63)
             sample_rate = int(round(sample_rate))

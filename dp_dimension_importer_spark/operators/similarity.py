@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from pyspark.sql import types as T
 
 from dp_dimension_importer_spark.catalog import load_tables
-from dp_dimension_importer_spark.operators.common import make_registry
+from dp_dimension_importer_spark.operators.common import (
+    make_registry,
+    take_deterministic,
+)
 
 QUERIES, ORACLE, register = make_registry()
 
@@ -306,13 +309,9 @@ def _ivf_centroids(e) -> np.ndarray:
     cross-query cache above a pure win)."""
     if _CENTROID_CACHE and _CENTROID_CACHE[0][0] is e:
         return _CENTROID_CACHE[0][1]
-    rows = (
-        e.select("vec_id", "embedding")
-        .orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
-        .limit(IVF_SAMPLE)
-        .collect()
+    rows = take_deterministic(
+        e, "vec_id", IVF_SAMPLE, cols=["vec_id", "embedding"]
     )
-    rows.sort(key=lambda r: r["vec_id"])
     m = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     u = m / np.linalg.norm(m, axis=1)[:, None]
     cents = u[:IVF_CELLS].copy()
@@ -705,13 +704,9 @@ def _pq_codebooks(e) -> np.ndarray:
     Pinned arithmetic order ⇒ identical codebooks every run."""
     if _PQ_CACHE and _PQ_CACHE[0][0] is e:
         return _PQ_CACHE[0][1]
-    rows = (
-        e.select("vec_id", "embedding")
-        .orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
-        .limit(PQ_SAMPLE)
-        .collect()
+    rows = take_deterministic(
+        e, "vec_id", PQ_SAMPLE, cols=["vec_id", "embedding"]
     )
-    rows.sort(key=lambda r: r["vec_id"])
     m = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     sub = DIM // PQ_M
     books = np.zeros((PQ_M, PQ_KS, sub))

@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import Window as W, functions as F
 
 from dp_dimension_importer_spark.catalog import load_tables
-from dp_dimension_importer_spark.operators.common import make_registry
+from dp_dimension_importer_spark.operators.common import (
+    make_registry,
+    take_deterministic,
+)
 
 QUERIES, ORACLE, register = make_registry()
 
@@ -819,13 +822,9 @@ def bpe_train(
     REAL subword tokenizer instead of the documented deployment stub."""
     from collections import Counter
 
-    rows = (
-        df.select("doc_id", text_col)
-        .orderBy(F.xxhash64(F.col("doc_id")).asc(), F.col("doc_id").asc())
-        .limit(sample_docs)
-        .collect()
+    rows = take_deterministic(
+        df, "doc_id", sample_docs, cols=["doc_id", text_col]
     )
-    rows.sort(key=lambda r: r["doc_id"])
     wordfreq: Counter = Counter()
     for r in rows:
         txt = r[text_col] or ""

@@ -235,16 +235,40 @@ def recover_swap(path: str) -> bool:
     data survives intact at ``<path>__merge_old`` / ``<path>__compact_old``
     while ``path`` itself is missing. Rename the old directory back and
     return True; return False if there was nothing to recover. Idempotent;
-    called automatically at the top of ``merge_upsert``."""
-    import os
+    called automatically at the top of ``merge_upsert`` and
+    ``compact_parquet``.
 
+    Two hazards this function must not mishandle: a crash AFTER the
+    second rename but BEFORE the old-directory cleanup leaves a STALE
+    ``*_old`` next to a healthy table — when ``path`` exists those are
+    deleted here (they are by definition older than the live table), so
+    they can never shadow real data later. And if ``path`` is missing
+    with MORE THAN ONE candidate (a stale dir from one op plus the
+    genuine crash artifact of another), guessing could silently
+    time-travel the table — refuse loudly instead."""
+    import os
+    import shutil
+
+    candidates = [
+        path.rstrip("/") + s for s in ("__merge_old", "__compact_old")
+    ]
     if os.path.exists(path):
+        # the table is live: any *_old sibling is debris from a swap that
+        # completed but crashed before cleanup — remove it NOW so it can
+        # never be mistaken for recovery data once path goes missing
+        for old in candidates:
+            shutil.rmtree(old, ignore_errors=True)
         return False
-    for suffix in ("__merge_old", "__compact_old"):
-        old = path.rstrip("/") + suffix
-        if os.path.exists(old):
-            os.rename(old, path)
-            return True
+    present = [c for c in candidates if os.path.exists(c)]
+    if len(present) > 1:
+        raise RuntimeError(
+            f"recover_swap: {path!r} is missing but multiple crashed-swap "
+            f"directories exist ({present}); refusing to guess which holds "
+            "the current data — inspect and rename manually"
+        )
+    if present:
+        os.rename(present[0], path)
+        return True
     return False
 
 
@@ -380,6 +404,7 @@ def compact_parquet(
     import os
     import shutil
 
+    recover_swap(path)  # heal a crash between a previous run's renames
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
