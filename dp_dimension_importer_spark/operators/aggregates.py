@@ -12,6 +12,7 @@ Catalyst computes all grouping sets in one pass.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dp_dimension_importer_spark.catalog import load_tables, register_views
@@ -582,4 +583,68 @@ def agg_mode(spark, sf_dir):
             F.max("cnt").alias("mode_n"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_weighted_median",
+    sql="""
+    WITH b AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS p,
+               CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        FROM lineitem
+    ), c AS (
+        SELECT flag, p,
+               SUM(w) OVER (PARTITION BY flag
+                            ORDER BY p, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS tw
+        FROM b
+    )
+    SELECT flag, MIN(p) AS wmedian
+    FROM c WHERE 2 * cw >= tw GROUP BY flag ORDER BY flag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact WEIGHTED median per group (quantity-weighted price): the
+    lower weighted median — the smallest value whose cumulative weight
+    reaches half the group total. Neither engine ships a weighted
+    percentile aggregate, so both express it as a running-weight window +
+    threshold selection; the definition is pinned in integers (weights
+    cast to long, threshold ``2*cum >= total``), so no interpolation and
+    no float boundary exists to disagree on.
+
+    Scale: one shuffle on the group key serves the ordered cumulative
+    window AND the whole-partition total (same partitioning, one sort);
+    the threshold filter then reduces to a per-group MIN — map-side
+    combinable. Value ties are safe by construction: if the threshold is
+    crossed inside a run of equal values the MIN over qualifying rows is
+    that value regardless of intra-tie order; the (orderkey, linenumber)
+    tie-break just pins both engines to identical cumulative sums."""
+    t = load_tables(spark, sf_dir)
+    b = t.lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = (
+        W.partitionBy("flag")
+        .orderBy("p", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("flag")
+    c = b.select(
+        "flag",
+        "p",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("p").alias("wmedian"))
+        .orderBy("flag")
     )

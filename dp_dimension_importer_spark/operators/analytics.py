@@ -925,3 +925,308 @@ def events_pattern_match(spark, sf_dir):
         .filter(F.col("n_view_click") > 0)
         .orderBy("user_id")
     )
+
+
+#: basket-graph thinning for graph_triangle_count: only high-quantity lines
+#: form co-purchase edges, keeping the pair blow-up quadratic-in-small
+TRIANGLE_MIN_QTY = 40
+
+
+@register(
+    "graph_triangle_count",
+    sql=f"""
+    WITH l AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= {TRIANGLE_MIN_QTY}
+    ), e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM l a JOIN l b ON a.o = b.o AND a.p < b.p
+    )
+    SELECT (SELECT COUNT(*) FROM (SELECT u FROM e UNION SELECT v FROM e))
+               AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM e e1
+              JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting over the co-purchase (market-basket) graph —
+    parts linked when they ship in the same order. Triangles are the
+    clustering-coefficient / community-density primitive every graph
+    characterization pass computes.
+
+    Scale — DEGREE-ORDERED ORIENTATION (the standard distributed trick,
+    e.g. Suri & Vassilvitskii's MR triangle counting): each undirected
+    edge is directed from its lower-(degree, id) endpoint to the higher,
+    then triangles are wedges u->x, u->y (x before y in the same total
+    order) closed by an oriented edge x->y. Every triangle is counted
+    exactly once, and — the point — the wedge join fans out on
+    OUT-degree, which orientation bounds by O(sqrt(m)) even when a hub
+    part sits in thousands of orders; the naive u<v self-join (what the
+    DuckDB oracle runs, fine at oracle scale) explodes on exactly those
+    hubs. Edges carry two longs end-to-end; the final counts reduce to
+    one row."""
+    t = load_tables(spark, sf_dir)
+    l = (
+        t.lineitem.filter(F.col("l_quantity") >= TRIANGLE_MIN_QTY)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        l.alias("a")
+        .join(l.alias("b"), "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient: src = lower (degree, id) endpoint -> out-degree <= O(sqrt(m))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lower_first = F.struct(F.col("du"), F.col("u")) < F.struct(
+        F.col("dv"), F.col("v")
+    )
+    uk = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    vk = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, vk).otherwise(uk).alias("dk"),
+        )
+        .select("s", F.col("dk").getField("n").alias("t"), F.col("dk").alias("tk"))
+    )
+    # wedges s->x, s->y with x before y in the SAME (degree, id) order the
+    # orientation used, so the closing edge is oriented x->y
+    w1 = oriented.select("s", F.col("t").alias("x"), F.col("tk").alias("xk"))
+    w2 = oriented.select("s", F.col("t").alias("y"), F.col("tk").alias("yk"))
+    wedges = (
+        w1.join(w2, "s")
+        .filter(F.col("xk") < F.col("yk"))
+        .select(F.col("x").alias("s"), F.col("y").alias("t"))
+    )
+    closing = oriented.select("s", "t")
+    tri = wedges.join(closing, ["s", "t"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    nodes = deg.agg(F.count("*").alias("n_nodes"))
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return nodes.crossJoin(edges).crossJoin(tri)
+
+
+@register(
+    "events_attribution",
+    sql="""
+    WITH s AS (
+        SELECT user_id, event_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+    ), nx AS (
+        SELECT user_id, event_id, ts, event_type,
+               first_value(CASE WHEN event_type = 'purchase' THEN event_id
+                           END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS conv_id
+        FROM s
+    ), tch AS (
+        SELECT user_id, event_id, ts, event_type, conv_id FROM nx
+        WHERE event_type <> 'purchase' AND conv_id IS NOT NULL
+    ), pos AS (
+        SELECT event_type, conv_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id, conv_id) AS n
+        FROM tch
+    ), cr AS (
+        SELECT event_type, conv_id,
+               CASE WHEN n = 1 THEN 10000
+                    WHEN n = 2 THEN 5000
+                    WHEN rn = 1 OR rn = n THEN 4000
+                    ELSE 2000 // (n - 2)
+                         + CASE WHEN rn - 1 <= 2000 % (n - 2)
+                                THEN 1 ELSE 0 END
+               END AS bps
+        FROM pos
+    )
+    SELECT event_type AS channel, CAST(SUM(bps) AS BIGINT) AS credit_bps,
+           COUNT(*) AS n_touches, COUNT(DISTINCT conv_id) AS n_conversions
+    FROM cr GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: every
+    view/click/signup touch is assigned to the user's NEXT purchase, and
+    each purchase's credit is split 40% / 40% to the first and last touch
+    with the middle 20% spread over interior touches — the marketing-
+    analytics allocation that single-touch (first/last-click) models
+    misstate.
+
+    Credit is INTEGER basis points so the split is exact and
+    order-independent: 1 touch -> 10000; 2 -> 5000 each; n>=3 -> 4000 /
+    4000 ends, interior base = 2000 div (n-2) with the remainder bps
+    handed to the EARLIEST interior touches (rn-1 <= remainder) — every
+    journey's credits sum to exactly 10000, pinned on both engines.
+
+    Scale: ONE shuffle on user_id drives the next-purchase scan
+    (reverse-frame first_value) and the journey windows re-key by (user,
+    conv) — a refinement of the same partitioning, so AQE keeps them
+    co-located; the final channel rollup is map-side combinable. No
+    self-joins: the classic touch x purchase as-of join is replaced by
+    the per-user ordered scan."""
+    t = load_tables(spark, sf_dir)
+    s = t.events.filter(
+        F.col("event_type").isin("view", "click", "signup", "purchase")
+    ).select("user_id", "event_id", "ts", "event_type")
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    conv = F.first(
+        F.when(F.col("event_type") == "purchase", F.col("event_id")),
+        ignorenulls=True,
+    ).over(wn)
+    tch = (
+        s.withColumn("conv_id", conv)
+        .filter(
+            (F.col("event_type") != "purchase") & F.col("conv_id").isNotNull()
+        )
+    )
+    wj = W.partitionBy("user_id", "conv_id").orderBy("ts", "event_id")
+    wjn = W.partitionBy("user_id", "conv_id")
+    pos = tch.select(
+        "event_type",
+        "conv_id",
+        F.row_number().over(wj).alias("rn"),
+        F.count("*").over(wjn).alias("n"),
+    )
+    bps = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("n") == 2, F.lit(5000))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(4000))
+        .otherwise(
+            F.expr(
+                "2000 div (n - 2)"
+                " + (CASE WHEN rn - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END)"
+            )
+        )
+    )
+    return (
+        pos.select("event_type", "conv_id", bps.alias("bps"))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.sum("bps").alias("credit_bps"),
+            F.count("*").alias("n_touches"),
+            F.countDistinct("conv_id").alias("n_conversions"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    sql="""
+    WITH e AS (
+        SELECT event_type, event_id,
+               CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS m
+        FROM events
+    ), r AS (
+        SELECT event_type, m,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY m, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM e
+    ), med AS (
+        SELECT event_type, MIN(m) AS med FROM r WHERE 2 * rn >= n GROUP BY 1
+    ), d AS (
+        SELECT e.event_type, e.event_id, med.med,
+               ABS(e.m - med.med) AS dev
+        FROM e JOIN med USING (event_type)
+    ), r2 AS (
+        SELECT event_type, dev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY dev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d
+    ), mad AS (
+        SELECT event_type, MIN(dev) AS mad FROM r2 WHERE 2 * rn >= n
+        GROUP BY 1
+    )
+    SELECT d.event_type, MAX(d.med) AS med_m, MAX(mad.mad) AS mad_m,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN 10000 * d.dev > 44478 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """ROBUST per-group outlier detection: median / MAD (median absolute
+    deviation) instead of ``events_anomaly``'s mean / stddev — the
+    moment-based screen is itself dragged by the outliers it hunts; the
+    median/MAD one has a 50% breakdown point (the robust-statistics
+    standard, flag |x − med| > 3·1.4826·MAD).
+
+    Exactness: values quantized once to integer micros; both medians are
+    the pinned LOWER median (smallest value whose rank reaches half the
+    group — the agg_weighted_median selection, no interpolation), and the
+    flag comparison is scaled to integers (10000·dev > 44478·MAD embeds
+    3·1.4826 exactly) — no float boundary anywhere, bit-identical across
+    engines.
+
+    Scale: two ordered windows per group (value rank, then deviation
+    rank) and two broadcast-sized joins (one row per group); the flag
+    count is a map-side-combinable aggregate. Headroom: 10000·dev ≤ 1e12
+    at value≤1e8 micros — int64-safe."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("m"),
+    )
+
+    def lower_median(df, val, out):
+        wr = W.partitionBy("event_type").orderBy(val, "event_id")
+        wn = W.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                F.col(val),
+                F.row_number().over(wr).alias("rn"),
+                F.count("*").over(wn).alias("n"),
+            )
+            .filter(2 * F.col("rn") >= F.col("n"))
+            .groupBy("event_type")
+            .agg(F.min(val).alias(out))
+        )
+
+    med = lower_median(e, "m", "med")
+    d = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "med",
+        F.abs(F.col("m") - F.col("med")).alias("dev"),
+    )
+    mad = lower_median(d, "dev", "mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med_m"),
+            F.max("mad").alias("mad_m"),
+            F.count("*").alias("n"),
+            F.sum(
+                (10000 * F.col("dev") > 44478 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

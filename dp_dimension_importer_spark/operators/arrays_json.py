@@ -135,3 +135,114 @@ def q37b_variant(spark, sf_dir):
             "k_num"
         ),
     ).orderBy("event_id")
+
+
+@register(
+    "q61_map_type",
+    sql="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS INTEGER) AS n_types,
+           COALESCE(MAX(CASE WHEN event_type = 'click' THEN c END), 0)
+               AS clicks,
+           CAST(COUNT(*) FILTER (WHERE c >= 3) AS INTEGER) AS heavy_types,
+           string_agg(event_type, ',' ORDER BY event_type) AS type_keys
+    FROM c GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q61_map_type(spark, sf_dir):
+    """MapType surface: per user, build a ``map<string,bigint>`` of event
+    counts (``map_from_entries`` over the per-(user,type) aggregate) and
+    query it with the map operators — ``size``, ``element_at``,
+    ``map_filter`` and ``map_keys``. The oracle phrases the same answers
+    relationally (DuckDB's MAP can't aggregate from grouped rows), which
+    is exactly the point of the check: the map computes the same facts.
+
+    Determinism: map iteration order is undefined, so every emitted
+    column is order-insensitive (size / lookup / filtered size) except
+    ``type_keys``, which sorts the keys first (``array_join(sort_array(
+    map_keys(...)))`` vs ordered string_agg).
+
+    Scale: counts are a map-side-combinable aggregate; the map is built
+    per user from its OWN handful of type rows (collect_list over <=
+    |event_types| entries — bounded, never a corpus collect)."""
+    t = load_tables(spark, sf_dir)
+    c = t.events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    m = (
+        c.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct("event_type", "c"))
+                )
+            ).alias("m")
+        )
+    )
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("clicks"),
+        F.size(F.map_filter("m", lambda k, v: v >= 3)).alias("heavy_types"),
+        F.array_join(F.sort_array(F.map_keys("m")), ",").alias("type_keys"),
+    ).orderBy("user_id")
+
+
+@register(
+    "q62_array_hof",
+    sql="""
+    SELECT vec_id,
+           CAST(len(list_filter(m, x -> x > 0)) AS INTEGER) AS n_pos,
+           CAST(list_aggregate(list_transform(m, x -> ABS(x)), 'sum')
+                AS BIGINT) AS l1_m,
+           CAST(list_aggregate(list_transform(m, x -> ABS(x)), 'max')
+                AS BIGINT) AS linf_m,
+           CAST(list_aggregate(list_transform(m, x -> x * x), 'sum')
+                AS BIGINT) AS sq_m2
+    FROM (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS m
+        FROM embeddings
+    ) ORDER BY vec_id
+    """,
+)
+def q62_array_hof(spark, sf_dir):
+    """Higher-order array functions end-to-end: ``transform`` (quantize),
+    ``filter`` (positive-dim count), ``aggregate`` (L1 fold), ``array_max``
+    (L-inf) and ``zip_with`` (self dot product) — all codegen'd JVM
+    lambdas, zero Python, zero explode (q36 covers the simple fold; this
+    exercises the full lambda surface on one scan).
+
+    Exactness: elements are float32; each is widened to double (exact)
+    and quantized ONCE to integer micros, so every downstream fold is
+    int64 arithmetic — associative, engine-identical. The self-dot runs
+    on micros² (1e-12 units): |x|<=2 ⇒ per-term <= 4e12, × 64 dims well
+    inside int64."""
+    t = load_tables(spark, sf_dir)
+    m = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    e = t.embeddings.select("vec_id", m.alias("m"))
+    zero = F.lit(0).cast("long")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("m", lambda v: v > 0)).alias("n_pos"),
+        F.aggregate(
+            "m", zero, lambda acc, v: acc + F.abs(v)
+        ).alias("l1_m"),
+        F.array_max(F.transform("m", F.abs)).alias("linf_m"),
+        F.aggregate(
+            F.zip_with("m", "m", lambda a, b: a * b),
+            zero,
+            lambda acc, v: acc + v,
+        ).alias("sq_m2"),
+    ).orderBy("vec_id")

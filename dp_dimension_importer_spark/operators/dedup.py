@@ -606,20 +606,12 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")  # rows-only: LSH is recall-gated, not hash-gated
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH banding near-dup candidates with estimated Jaccard.
-
-    Bands of r = NUM_HASHES/NUM_BANDS rows; a pair becomes a candidate when
-    any band matches exactly (equi-join on (band, band_key) — no all-pairs
-    scan anywhere). Estimated similarity = fraction of agreeing minhashes.
-    """
-    t = load_tables(spark, sf_dir)
-    # NOT persisted: both sides of the band self-join are the identical
-    # subplan, so Spark's ReuseExchange computes the signatures once and
-    # replays the shuffle files for the other side — a cache would only add
-    # a materialization pass (measured +1s at sf0.1).
-    sigs = minhash_signatures(t.documents)
+def minhash_candidates(sigs: DataFrame) -> DataFrame:
+    """LSH-banded candidate pairs (da < db) from a (doc_id, sig) frame —
+    the shared front half of :func:`dedup_minhash_lsh` (which re-scores
+    candidates with the signature estimate) and
+    :func:`dedup_minhash_keep` (which verifies them with exact Jaccard).
+    Plan notes on the registered query below."""
     r = NUM_HASHES // NUM_BANDS
     # band keys as NUM_BANDS codegen'd xxhash64-over-longs projections fed
     # to stack() — not an interpreted transform() lambda building strings
@@ -640,7 +632,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         "doc_id", F.stack(F.lit(NUM_BANDS), *pairs).alias("band", "bkey")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -650,6 +642,23 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .dropDuplicates()
     )
+
+
+@register("dedup_minhash_lsh")  # rows-only: LSH is recall-gated, not hash-gated
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidates with estimated Jaccard.
+
+    Bands of r = NUM_HASHES/NUM_BANDS rows; a pair becomes a candidate when
+    any band matches exactly (equi-join on (band, band_key) — no all-pairs
+    scan anywhere). Estimated similarity = fraction of agreeing minhashes.
+    """
+    t = load_tables(spark, sf_dir)
+    # NOT persisted: both sides of the band self-join are the identical
+    # subplan, so Spark's ReuseExchange computes the signatures once and
+    # replays the shuffle files for the other side — a cache would only add
+    # a materialization pass (measured +1s at sf0.1).
+    sigs = minhash_signatures(t.documents)
+    cand = minhash_candidates(sigs)
     sa = sigs.select(F.col("doc_id").alias("da"), F.col("sig").alias("siga"))
     sb = sigs.select(F.col("doc_id").alias("db"), F.col("sig").alias("sigb"))
     est = (
@@ -1803,3 +1812,59 @@ def dedup_bloom_sharded(spark, sf_dir):
     return bloom_route_new(
         corpus, t.documents, unpersist_after=True, n_shards=4
     ).orderBy("doc_id")
+
+
+@register("dedup_minhash_keep")  # rows-only: LSH candidates, recall-gated
+def dedup_minhash_keep(spark, sf_dir):
+    """END-TO-END MinHash dedup — the 100 TB form of
+    :func:`dedup_keep_corpus`: LSH-banded candidates
+    (:func:`minhash_candidates`) are VERIFIED with exact shingle-set
+    Jaccard, verified pairs feed connected components, and one doc per
+    cluster (min id) survives. The exact pipeline's all-pairs-per-shingle
+    step is replaced by the banded equi-join, so cost scales with
+    candidate count, not document-frequency blowup.
+
+    Soundness shape (pinned in tests/test_recall.py): verification makes
+    every removed doc a TRUE near-dup (precision 1 by construction — the
+    exact Jaccard decides, LSH only proposes), so the surviving set is a
+    SUPERSET of the exact pipeline's (missed candidates can only split
+    clusters and keep extra docs, never remove a unique doc); the recall
+    floor bounds how many extras.
+
+    Scale: the verify join carries each candidate pair's two shingle-hash
+    SETS (per-doc-sized arrays, candidate-pair-sized join — never the
+    corpus); components and the anti-join reuse the exact pipeline's
+    machinery."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    cand = minhash_candidates(minhash_signatures(docs))
+    sets = (
+        shingle_hashes(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("s"))
+        .select("doc_id", "s", F.size("s").alias("n"))
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("da"), F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("db"), F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    verified = (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .filter(jac >= JACCARD_T)
+        .select("da", "db")
+    )
+    drop = (
+        connected_components(verified)
+        .filter(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -930,3 +930,97 @@ def text_bpe_tokens(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bigram_logprob",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l) + 1)) AS pos
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents)
+    ), big AS (
+        SELECT doc_id, prev, t FROM (
+            SELECT doc_id, t,
+                   LAG(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM tok
+        ) WHERE prev IS NOT NULL
+    ), bg AS (
+        SELECT prev, t, COUNT(*) AS cb FROM big GROUP BY prev, t
+    ), cx AS (
+        SELECT prev, t, cb, SUM(cb) OVER (PARTITION BY prev) AS cp FROM bg
+    ), v AS (
+        SELECT COUNT(DISTINCT t) AS vsz FROM bg
+    ), lp AS (
+        SELECT prev, t,
+               CAST(FLOOR(LN(CAST(cb + 1 AS DOUBLE) / (cp + vsz))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lpm
+        FROM cx CROSS JOIN v
+    )
+    SELECT doc_id,
+           FLOOR((CAST(SUM(lpm) AS DOUBLE) / COUNT(*)) / 100.0 + 0.5)
+               / 10000.0 AS avg_logprob
+    FROM big JOIN lp USING (prev, t)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality score: per-doc average log P(w_i | w_{i-1}) under
+    the corpus bigram model with add-one smoothing — one model order up
+    from ``text_unigram_logprob``, sensitive to scrambled word ORDER that
+    a unigram model cannot see (the CCNet quality ladder's next rung).
+
+    Model pinned so both engines agree exactly: P(t|prev) =
+    (c(prev,t)+1) / (c(prev,·)+V) where c(prev,·) sums over the observed
+    bigram table and V = number of distinct successor TYPES in that table
+    (both derivable from the bigram aggregate alone — no second corpus
+    scan). Per-type log-probs are quantized once to integer micros on the
+    bigram-TYPES table (the unigram_logprob rounding discipline); per-doc
+    averaging runs over exact int64 sums.
+
+    Scale: doc bigrams come from ONE lag window per doc (a single
+    doc_id-keyed exchange — no positional self-join); the bigram
+    frequency table is observed-bigram-sized (<< corpus), its context
+    totals fold in via a prev-partitioned window on that small table, and
+    V is a one-row aggregate cross-joined (broadcast) onto it. The
+    corpus-sized join carries one long per doc bigram."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "t")
+    )
+    wo = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("prev", F.lag("t").over(wo))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "t")
+    )
+    bg = big.groupBy("prev", "t").agg(F.count("*").alias("cb"))
+    cx = bg.withColumn("cp", F.sum("cb").over(W.partitionBy("prev")))
+    v = bg.agg(F.countDistinct("t").alias("vsz"))
+    lp = cx.crossJoin(F.broadcast(v)).select(
+        "prev",
+        "t",
+        F.floor(
+            F.log(
+                (F.col("cb") + 1).cast("double") / (F.col("cp") + F.col("vsz"))
+            )
+            * 1000000.0
+            + 0.5
+        ).alias("lpm"),
+    )
+    return (
+        big.join(lp, ["prev", "t"])
+        .groupBy("doc_id")
+        .agg(F.sum("lpm").alias("sm"), F.count("*").alias("n"))
+        .select(
+            "doc_id",
+            (
+                F.floor(
+                    (F.col("sm").cast("double") / F.col("n")) / 100.0 + 0.5
+                )
+                / 10000.0
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

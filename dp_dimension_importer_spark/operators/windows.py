@@ -525,3 +525,192 @@ def scd2_intervals(spark, sf_dir):
         F.col("ts").cast("long").alias("eff_from"),
         F.lead(F.col("ts").cast("long")).over(wo).alias("eff_to"),
     ).orderBy("user_id", "eff_from", "tier")
+
+
+@register(
+    "ts_resample_ohlc",
+    sql="""
+    WITH e AS (
+        SELECT event_type,
+               (CAST(FLOOR(epoch(ts)) AS BIGINT) // 900) * 900 AS bar_ts,
+               CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS m,
+               ts, event_id
+        FROM events
+    ), r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bar_ts
+                                  ORDER BY ts, event_id) AS ro,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bar_ts
+                                  ORDER BY ts DESC, event_id DESC) AS rc
+        FROM e
+    )
+    SELECT event_type, bar_ts,
+           CAST(MAX(CASE WHEN ro = 1 THEN m END) AS DOUBLE) / 1000000.0
+               AS v_open,
+           CAST(MAX(m) AS DOUBLE) / 1000000.0 AS v_high,
+           CAST(MIN(m) AS DOUBLE) / 1000000.0 AS v_low,
+           CAST(MAX(CASE WHEN rc = 1 THEN m END) AS DOUBLE) / 1000000.0
+               AS v_close,
+           COUNT(*) AS n_events,
+           CAST(SUM(m) AS DOUBLE) / 1000000.0 AS v_sum
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ts_resample_ohlc(spark, sf_dir):
+    """Time-series downsampling to 15-minute OHLC bars (open / high / low /
+    close / count / sum) per series — the metrics-rollup every monitoring
+    and market-data pipeline runs before charting or modeling.
+
+    Scale: ONE hash aggregation, no window, no sort. open/close are
+    ``min_by`` / ``max_by`` keyed on the (ts, event_id) struct — (ts,
+    event_id) is unique, so first/last-in-bar is deterministic and the
+    whole bar reduces with map-side partial aggregation (each partition
+    contributes one candidate per bar; the exchange carries bars, not
+    events). The DuckDB oracle phrases the same selection with two
+    ROW_NUMBER windows (its arg_min cannot take a struct key); the Spark
+    plan deliberately avoids that formulation — a windowed plan would sort
+    every partition where the agg only needs a running min/max.
+
+    Values are quantized ONCE to integer micros (exact, associative;
+    the ts_gapfill_locf rounding lesson), so min/max/sum are
+    order-independent and the final /1e6 maps the same int64 to the same
+    double on both engines."""
+    t = load_tables(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    e = t.events.select(
+        "event_type",
+        (F.expr("(unix_timestamp(ts) div 900) * 900")).alias("bar_ts"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("m"),
+        key.alias("k"),
+    )
+    return (
+        e.groupBy("event_type", "bar_ts")
+        .agg(
+            (F.min_by("m", "k").cast("double") / 1000000.0).alias("v_open"),
+            (F.max("m").cast("double") / 1000000.0).alias("v_high"),
+            (F.min("m").cast("double") / 1000000.0).alias("v_low"),
+            (F.max_by("m", "k").cast("double") / 1000000.0).alias("v_close"),
+            F.count("*").alias("n_events"),
+            (F.sum("m").cast("double") / 1000000.0).alias("v_sum"),
+        )
+        .orderBy("event_type", "bar_ts")
+    )
+
+
+@register(
+    "ts_interpolate_linear",
+    sql=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hi,
+               SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) // COUNT(*)
+                   AS vm
+        FROM events WHERE value >= {GAPFILL_MIN_VALUE} GROUP BY 1, 2
+    ), span AS (
+        SELECT event_type, MIN(hi) AS h0, MAX(hi) AS h1
+        FROM hourly GROUP BY 1
+    ), spine AS (
+        SELECT event_type, UNNEST(generate_series(h0, h1)) AS hi FROM span
+    ), j AS (
+        SELECT s.event_type, s.hi, hy.vm
+        FROM spine s LEFT JOIN hourly hy
+          ON hy.event_type = s.event_type AND hy.hi = s.hi
+    ), w AS (
+        SELECT event_type, hi, vm,
+               last_value(vm IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN vm IS NOT NULL THEN hi END IGNORE NULLS)
+                   OVER wp AS ph,
+               first_value(vm IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN vm IS NOT NULL THEN hi END IGNORE NULLS)
+                   OVER wn AS nh
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type ORDER BY hi
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY hi
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hi * 3600 AS hour_ts,
+           CAST(CASE WHEN vm IS NOT NULL THEN vm
+                     ELSE (pv * (nh - hi) + nv * (hi - ph)) // (nh - ph)
+                END AS BIGINT) AS v_m,
+           CASE WHEN vm IS NULL THEN 1 ELSE 0 END AS filled
+    FROM w ORDER BY 1, 2
+    """,
+)
+def ts_interpolate_linear(spark, sf_dir):
+    """Time-series gap filling by LINEAR INTERPOLATION — the companion to
+    ``ts_gapfill_locf``: holes in each series' hourly rollup take the
+    straight line between the nearest observed neighbors instead of the
+    last value. Same thinning (value >= GAPFILL_MIN_VALUE) so the spine
+    has real holes at test scale.
+
+    Exactness: hourly means are integer micro-units (sum div count,
+    truncating — operands nonnegative so Spark's ``div`` and DuckDB's
+    ``//`` agree), and the interpolation is evaluated entirely in int64:
+    ``(pv*(nh-hi) + nv*(hi-ph)) div (nh-ph)`` with every term >= 0, so
+    truncation == floor on both engines and no double ever enters.
+    Headroom: micros <= 1e8 x gap-hours — safe past a decade-long gap.
+    Spine endpoints are each series' own observed min/max hour, so
+    interior holes always have both neighbors (pv/nv never NULL there).
+
+    Scale: spine generated per series (no global calendar cross-join),
+    the hourly agg is map-side combinable, and BOTH neighbor windows
+    (preceding and following) share one exchange + one sort on
+    (event_type, hi) — Spark plans the reversed-frame pair as two Window
+    nodes over the same sorted partition."""
+    t = load_tables(spark, sf_dir)
+    micros = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    hourly = (
+        t.events.filter(F.col("value") >= GAPFILL_MIN_VALUE)
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 3600").alias("hi"),
+            micros.alias("m"),
+        )
+        .groupBy("event_type", "hi")
+        .agg(F.expr("sum(m) div count(*)").alias("vm"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hi").alias("h0"), F.max("hi").alias("h1"))
+        .select(
+            "event_type", F.explode(F.sequence("h0", "h1")).alias("hi")
+        )
+    )
+    j = spine.join(hourly, ["event_type", "hi"], "left")
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("hi")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("hi")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_hi = F.when(F.col("vm").isNotNull(), F.col("hi"))
+    interp = F.expr(
+        "(pv * (nh - hi) + nv * (hi - ph)) div (nh - ph)"
+    )
+    return (
+        j.select(
+            "event_type",
+            "hi",
+            "vm",
+            F.last("vm", ignorenulls=True).over(wp).alias("pv"),
+            F.last(obs_hi, ignorenulls=True).over(wp).alias("ph"),
+            F.first("vm", ignorenulls=True).over(wn).alias("nv"),
+            F.first(obs_hi, ignorenulls=True).over(wn).alias("nh"),
+        )
+        .select(
+            "event_type",
+            (F.col("hi") * 3600).alias("hour_ts"),
+            F.when(F.col("vm").isNotNull(), F.col("vm"))
+            .otherwise(interp)
+            .alias("v_m"),
+            F.col("vm").isNull().cast("int").alias("filled"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )

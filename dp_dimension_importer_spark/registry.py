@@ -139,7 +139,11 @@ _VERIFIED_R03 = frozenset({
 })
 
 _PRIORITY = [
-    # NEW this round — zero driver evidence
+    # NEW this round — zero driver evidence (session additions first, then
+    # the pre-session round-5 block)
+    "ts_resample_ohlc", "ts_interpolate_linear", "agg_weighted_median",
+    "graph_triangle_count", "events_attribution", "events_anomaly_mad",
+    "text_bigram_logprob", "q61_map_type", "q62_array_hof",
     "dedup_bloom_sharded", "cdc_merge_upsert", "q59_udtf",
     "q60_stream_upsert_sink", "corpus_temperature_mix",
     "multimodal_video_meta",
@@ -208,7 +212,7 @@ _GATED = frozenset({
     "ann_ivf_topk", "ann_lsh_topk", "dedup_semantic_ivf",
     "sketch_hll_mergeable", "sketch_theta_set_ops", "sketch_kll_quantiles",
     "sketch_count_min_heavy", "embedding_pca", "ann_pq_topk",
-    "text_bpe_tokens",
+    "text_bpe_tokens", "dedup_minhash_keep",
 })
 
 _VERIFIED = _VERIFIED_R01 | _VERIFIED_R02 | _VERIFIED_R03 | _VERIFIED_R04

@@ -433,3 +433,27 @@ def test_ann_pq_topk_recall(q):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.8, f"ann_pq_topk recall@K {mean_recall:.2f} < 0.8"
+
+
+def test_minhash_keep_superset_of_exact_and_recall(q):
+    """dedup_minhash_keep soundness shape: exact-Jaccard verification of
+    LSH candidates makes removals SOUND (every removed doc is a true
+    near-dup), so the LSH pipeline's survivors must be a SUPERSET of the
+    exact pipeline's (missed candidates can only split clusters and keep
+    extras, never drop a unique doc) — an exact invariant, not a floor.
+    The recall floor then bounds the extras: the LSH pipeline must remove
+    >= 90% of what the exact pipeline removes."""
+    exact_keep = {r.doc_id for r in q("dedup_keep_corpus")}
+    lsh_keep = {r.doc_id for r in q("dedup_minhash_keep")}
+    assert exact_keep <= lsh_keep, (
+        f"LSH pipeline dropped {len(exact_keep - lsh_keep)} docs the exact "
+        "pipeline kept — verified removals must be sound"
+    )
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    n_removed_exact = n_docs - len(exact_keep)
+    n_removed_lsh = n_docs - len(lsh_keep)
+    assert n_removed_exact > 0, "exact pipeline removed nothing at this sf"
+    recall = n_removed_lsh / n_removed_exact
+    assert recall >= 0.9, f"minhash-keep removal recall {recall:.2f} < 0.9"
