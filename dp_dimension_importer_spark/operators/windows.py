@@ -561,15 +561,19 @@ def ts_resample_ohlc(spark, sf_dir):
     close / count / sum) per series — the metrics-rollup every monitoring
     and market-data pipeline runs before charting or modeling.
 
-    Scale: ONE hash aggregation, no window, no sort. open/close are
-    ``min_by`` / ``max_by`` keyed on the (ts, event_id) struct — (ts,
-    event_id) is unique, so first/last-in-bar is deterministic and the
-    whole bar reduces with map-side partial aggregation (each partition
-    contributes one candidate per bar; the exchange carries bars, not
-    events). The DuckDB oracle phrases the same selection with two
-    ROW_NUMBER windows (its arg_min cannot take a struct key); the Spark
-    plan deliberately avoids that formulation — a windowed plan would sort
-    every partition where the agg only needs a running min/max.
+    Scale: ONE aggregation, no Window node. open/close are ``min_by`` /
+    ``max_by`` keyed on the (ts, event_id) struct — (ts, event_id) is
+    unique, so first/last-in-bar is deterministic and the whole bar
+    reduces with map-side partial aggregation (each partition contributes
+    one candidate per bar; the single exchange carries bars, not events).
+    The struct ordering key makes the buffer immutable, so Spark plans
+    SortAggregate instead of HashAggregate — a by-bar-key sort over
+    already-collapsing partitions, pinned by the plan audit
+    (tests/test_plans.py) together with the no-Window guarantee. The
+    DuckDB oracle phrases the same selection with two ROW_NUMBER windows
+    (its arg_min cannot take a struct key); the Spark plan deliberately
+    avoids that formulation — a windowed plan would carry every event
+    through the shuffle where the agg moves one candidate per bar.
 
     Values are quantized ONCE to integer micros (exact, associative;
     the ts_gapfill_locf rounding lesson), so min/max/sum are

@@ -744,3 +744,57 @@ def test_sketch_state_rerun_replaces_only_its_partition(spark, warehouse):
     got = {(r.run_id, bytes(r.sk)) for r in rows}
     assert got == {("d1", b"v1-fixed"), ("d2", b"v2")}
     assert len(rows) == 2  # no duplicated d1 state
+
+
+def test_ohlc_is_single_agg_no_window(spark):
+    """ts_resample_ohlc's whole point: open/close come from min_by/max_by
+    inside ONE aggregate — no Window node anywhere (the oracle's
+    ROW_NUMBER formulation would carry every event through a window),
+    exactly one data exchange, and map-side partial aggregation so the
+    exchange carries bars, not events. (min_by's struct ordering key
+    keeps the buffer immutable, so Spark plans SortAggregate rather than
+    HashAggregate — the sort is by bar key over already-collapsing
+    partitions, not a per-event window sort.)"""
+    plan = plan_of(QUERIES["ts_resample_ohlc"](spark, SF_SMOKE), "simple")
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_min_by" in plan, plan
+
+
+def test_interpolate_windows_share_one_sort(spark):
+    """ts_interpolate_linear's prev/next neighbor windows (reversed
+    frames) must share one (event_type, hi) sort — a second sort span
+    would double the dominant cost at scale."""
+    plan = plan_of(
+        QUERIES["ts_interpolate_linear"](spark, SF_SMOKE), "simple"
+    )
+    # exchanges: hourly agg + spine/join key + presentation orderBy; the
+    # window pair itself must not add one beyond the join's partitioning
+    assert plan.count("Window") == 1, plan  # both frames fold into one node
+
+
+def test_triangle_count_no_nested_loop(spark):
+    """graph_triangle_count: every join (pair build, degree attach, wedge
+    join, closing-edge join) must be hash-based — a nested-loop anywhere
+    turns the basket graph quadratic."""
+    plan = plan_of(QUERIES["graph_triangle_count"](spark, SF_SMOKE), "simple")
+    assert "CartesianProduct" not in plan, plan
+    # the only nested loops allowed are the two single-row result crosses
+    # (nodes x edges x triangles); every data join must be hash/SMJ
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_attribution_single_user_exchange(spark):
+    """events_attribution: the next-purchase scan and both journey
+    windows must ride ONE user_id-rooted exchange chain — (user, conv)
+    partitioning refines user partitioning, so Spark may add at most one
+    refinement exchange; the channel rollup is map-side combinable."""
+    plan = plan_of(QUERIES["events_attribution"](spark, SF_SMOKE), "simple")
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, plan  # user window + (type,conv) agg + distinct-count
+    # conv scan + rn + n — and the journey pair must NOT re-exchange: the
+    # (user, conv) windows ride the user partitioning with only a Sort
+    assert plan.count("Window") == 3, plan
+    assert "Exchange hashpartitioning(user_id" in plan, plan
+    assert "Exchange hashpartitioning(user_id#" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
