@@ -38,6 +38,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q52c_stream_stream_full_join",
     "q53_stream_static_join",
     "q60_stream_upsert_sink",
+    "q63_stream_ohlc",
 }
 
 

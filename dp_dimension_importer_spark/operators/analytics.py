@@ -1230,3 +1230,91 @@ def events_anomaly_mad(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_overlap_sweepline",
+    sql="""
+    WITH iv AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   + CAST(FLOOR(value) AS BIGINT) AS e
+        FROM events
+    ), b AS (
+        SELECT event_type, s AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS d FROM iv
+    ), sw AS (
+        SELECT event_type, t,
+               SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cc,
+               LEAD(t) OVER (PARTITION BY event_type ORDER BY t, d) AS nxt
+        FROM b
+    )
+    SELECT event_type,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+           CAST(COALESCE(SUM(CASE WHEN cc >= 1 THEN nxt - t END), 0)
+                AS BIGINT) AS sec_covered,
+           CAST(COALESCE(SUM(CASE WHEN cc >= 2 THEN nxt - t END), 0)
+                AS BIGINT) AS sec_overlap2
+    FROM sw GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_overlap_sweepline(spark, sf_dir):
+    """Interval-overlap aggregation by SWEEP-LINE — each event spans
+    [ts, ts + value seconds); per series, how many seconds are covered at
+    all and how many by >= 2 concurrent intervals (the concurrency /
+    capacity-planning measure). The sweep is the 100 TB formulation: NO
+    interval self-join ever happens — every interval becomes two boundary
+    rows (+1/-1), one ordered window per series computes the running
+    concurrency, and segment lengths between consecutive boundaries
+    aggregate conditionally. Linear in boundaries where the join
+    formulation is quadratic in overlaps.
+
+    Determinism at ties is pinned by ordering (t, d): closed-open
+    semantics (an interval ending exactly where another starts does not
+    overlap it) fall out of -1 sorting before +1; equal boundary rows are
+    IDENTICAL tuples, so any tie permutation yields the same
+    zero-length interior segments and the same concurrency at the run's
+    end. All arithmetic is int64 epoch seconds.
+
+    Scale: one exchange on event_type feeds BOTH window functions (shared
+    sort); the final rollup is map-side combinable. Skewed series (one
+    type = half the stream) would salt the sweep by day and stitch
+    boundary segments — noted, not needed at fixture scale."""
+    t = load_tables(spark, sf_dir)
+    iv = t.events.select(
+        "event_type",
+        F.expr("unix_timestamp(ts)").alias("s"),
+        (F.expr("unix_timestamp(ts)") + F.floor("value").cast("long")).alias(
+            "e"
+        ),
+    )
+    b = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    wo = W.partitionBy("event_type").orderBy("t", "d")
+    sw = b.select(
+        "event_type",
+        "t",
+        F.sum("d").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cc"),
+        F.lead("t").over(wo).alias("nxt"),
+    )
+    seg = F.col("nxt") - F.col("t")
+    return (
+        sw.groupBy("event_type")
+        .agg(
+            (F.count("*") / 2).cast("long").alias("n_intervals"),
+            F.coalesce(
+                F.sum(F.when(F.col("cc") >= 1, seg)), F.lit(0)
+            ).cast("long").alias("sec_covered"),
+            F.coalesce(
+                F.sum(F.when(F.col("cc") >= 2, seg)), F.lit(0)
+            ).cast("long").alias("sec_overlap2"),
+        )
+        .orderBy("event_type")
+    )

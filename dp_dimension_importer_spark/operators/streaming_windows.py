@@ -630,3 +630,63 @@ def q60_stream_upsert_sink(spark, sf_dir):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
         shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+from dp_dimension_importer_spark.operators.windows import (  # noqa: E402
+    ORACLE as _BATCH_ORACLE,
+)
+
+
+@register("q63_stream_ohlc", sql=_BATCH_ORACLE["ts_resample_ohlc"])
+def q63_stream_ohlc(spark, sf_dir):
+    """ts_resample_ohlc as a REAL streaming job: 15-minute tumbling
+    event-time windows with min_by/max_by open/close, replayed through
+    the file-source harness with a 1-hour watermark in append mode — the
+    market-data/metrics rollup as it would actually run on a live feed.
+    min_by/max_by are declarative aggregates, so Structured Streaming
+    maintains them incrementally in window state exactly like sum/count
+    (one candidate row per open window in the state store, flushed when
+    the watermark passes); the oracle is the batch query's SQL verbatim —
+    the same window start because 15-min tumbling == epoch//900 bars.
+
+    Scale: streaming state is ONE row per (window, event_type) holding
+    six scalars — bounded by open windows x types, independent of event
+    rate."""
+    events = table(spark, sf_dir, "events")
+    replay_dir = write_replay_dir(events, n_files=2, sentinel=True)
+
+    def transform(stream):
+        e = stream.withColumn(
+            "m", F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+        ).withColumn("k", F.struct(F.col("ts"), F.col("event_id")))
+        return (
+            e.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "15 minutes"), "event_type")
+            .agg(
+                (F.min_by("m", "k").cast("double") / 1000000.0).alias(
+                    "v_open"
+                ),
+                (F.max("m").cast("double") / 1000000.0).alias("v_high"),
+                (F.min("m").cast("double") / 1000000.0).alias("v_low"),
+                (F.max_by("m", "k").cast("double") / 1000000.0).alias(
+                    "v_close"
+                ),
+                F.count("*").alias("n_events"),
+                (F.sum("m").cast("double") / 1000000.0).alias("v_sum"),
+            )
+            .select(
+                F.col("window.start").cast("long").alias("bar_ts"),
+                "event_type",
+                "v_open",
+                "v_high",
+                "v_low",
+                "v_close",
+                "n_events",
+                "v_sum",
+            )
+        )
+
+    out = run_replay(spark, replay_dir, events.schema, transform, "append")
+    return out.filter(F.col("event_type") != SENTINEL_TYPE).orderBy(
+        "event_type", "bar_ts"
+    )
