@@ -718,3 +718,108 @@ def ts_interpolate_linear(spark, sf_dir):
         )
         .orderBy("event_type", "hour_ts")
     )
+
+
+@register(
+    "win_running_distinct",
+    sql="""
+    WITH f AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT event_id,
+           user_id,
+           CAST(SUM(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_types_seen
+    FROM f ORDER BY event_id
+    """,
+)
+def win_running_distinct(spark, sf_dir):
+    """Running DISTINCT count per key ("new things seen to date"): after
+    each event, how many distinct event types has this user encountered —
+    the cumulative-coverage metric (catalog exploration, vocabulary
+    growth). A naive formulation needs per-row set state; the scalable
+    one is the FIRST-OCCURRENCE decomposition: flag each (user, type)'s
+    first event (row_number = 1), then a running SUM of flags — distinct
+    counting reduced to two plain windows, no set ever materializes.
+
+    Scale: two user-rooted exchanges ((user, type) for the flag,
+    (user) for the running sum); both windows are simple ordered frames.
+    All-integer output, deterministic via the (ts, event_id) total
+    order."""
+    t = load_tables(spark, sf_dir)
+    wf = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wr = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    f = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.row_number().over(wf) == 1).cast("int").alias("first_seen"),
+    )
+    return f.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(wr).cast("long").alias("n_types_seen"),
+    ).orderBy("event_id")
+
+
+#: AS-OF instant for scd2_asof_snapshot: mid-span of the fixture's
+#: January 2024 event stream (2024-01-16 00:00:00 UTC)
+SCD2_ASOF_EPOCH = 1705363200
+
+
+@register(
+    "scd2_asof_snapshot",
+    sql=f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(value) AS INTEGER) % 3 AS tier
+        FROM events
+        WHERE CAST(FLOOR(epoch(ts)) AS BIGINT) <= {SCD2_ASOF_EPOCH}
+    ), r AS (
+        SELECT user_id, tier,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+    )
+    SELECT user_id, tier AS tier_asof FROM r WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def scd2_asof_snapshot(spark, sf_dir):
+    """Point-in-time (AS OF) dimension snapshot — the query an
+    effective-dated SCD2 table exists to answer: each user's attribute
+    value as of a fixed instant. Spark-side it does NOT touch the
+    interval table at all: the latest change at-or-before T is one
+    ``max_by`` keyed on the (ts, event_id) struct — a single map-side-
+    combinable aggregate over a scan whose ``ts <= T`` predicate pushes
+    down to the parquet reader (row-group pruning kills the future half
+    of the table before it is read; at 100 TB that is the difference
+    between scanning history-to-T and scanning everything). The oracle
+    phrases the same selection as a reverse ROW_NUMBER.
+
+    Pairs with ``scd2_intervals``: build intervals for range queries,
+    answer point queries straight off the change stream."""
+    t = load_tables(spark, sf_dir)
+    asof = t.events.filter(
+        F.col("ts") <= F.timestamp_seconds(F.lit(SCD2_ASOF_EPOCH))
+    ).select(
+        "user_id",
+        (F.floor("value").cast("int") % 3).alias("tier"),
+        F.struct("ts", "event_id").alias("k"),
+    )
+    return (
+        asof.groupBy("user_id")
+        .agg(F.max_by("tier", "k").alias("tier_asof"))
+        .orderBy("user_id")
+    )

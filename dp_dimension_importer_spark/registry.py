@@ -144,7 +144,8 @@ _PRIORITY = [
     "ts_resample_ohlc", "ts_interpolate_linear", "agg_weighted_median",
     "graph_triangle_count", "events_attribution", "events_anomaly_mad",
     "text_bigram_logprob", "q61_map_type", "q62_array_hof",
-    "ts_overlap_sweepline", "q63_stream_ohlc",
+    "ts_overlap_sweepline", "q63_stream_ohlc", "win_running_distinct",
+    "scd2_asof_snapshot",
     "dedup_bloom_sharded", "cdc_merge_upsert", "q59_udtf",
     "q60_stream_upsert_sink", "corpus_temperature_mix",
     "multimodal_video_meta",
