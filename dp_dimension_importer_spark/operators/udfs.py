@@ -231,3 +231,103 @@ def q59_udtf(spark, sf_dir):
         ORDER BY d.doc_id, s.sent_idx
         """
     )
+
+
+def make_range_docs_source():
+    """Factory for the ``range_docs`` Python DataSource (Spark 4
+    ``pyspark.sql.datasource`` API) — a deterministic synthetic connector:
+    ``parts`` partitions x ``rows_per_part`` rows, each row
+    (id, part, val) with val = (id * 2654435761) % 1000003 (Knuth
+    multiplicative hash — pure function of id, so any engine can
+    recompute it).
+
+    Defined INSIDE a factory so cloudpickle serializes the classes BY
+    VALUE: Spark ships the reader to worker processes, and a module-level
+    class would pickle by reference and break when the driver's
+    ``sys.path`` isn't on the workers (the repo-wide closure rule for
+    Python that crosses the executor boundary — see the verify skill's
+    foreign-cwd gotcha)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.n_parts = int(options.get("parts", "4"))
+            self.rows = int(options.get("rows_per_part", "1000"))
+
+        def partitions(self):
+            # one InputPartition per logical slice — Spark schedules one
+            # task per partition, the connector's parallelism contract
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            i = partition.value
+            base = i * self.rows
+            for r in range(base, base + self.rows):
+                yield (r, i, (r * 2654435761) % 1000003)
+
+    class RangeDocs(DataSource):
+        @classmethod
+        def name(cls):
+            return "range_docs"
+
+        def schema(self):
+            return "id bigint, part int, val bigint"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    return RangeDocs
+
+
+@register(
+    "q64_python_datasource",
+    sql="""
+    WITH g AS (
+        SELECT UNNEST(generate_series(0, 9999)) AS id
+    ), r AS (
+        SELECT id, CAST(id // 2500 AS INTEGER) AS part,
+               (id * 2654435761) % 1000003 AS val
+        FROM g
+    )
+    SELECT part, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS sval
+    FROM r WHERE val < 500000 GROUP BY part ORDER BY part
+    """,
+)
+def q64_python_datasource(spark, sf_dir):
+    """Custom CONNECTOR surface: a registered Python DataSource (Spark
+    4's ``pyspark.sql.datasource`` API — the seam a bespoke feed
+    [internal service, tape format, hardware log] plugs into when no
+    built-in reader exists) driven end-to-end: register → ``spark.read
+    .format("range_docs")`` → filter → aggregate. The source is
+    deterministic, so the DuckDB oracle recomputes identical rows from
+    ``generate_series`` — checking partition planning, the
+    worker-side ``read()`` iterator, and type mapping in one pass.
+
+    Scale: each InputPartition reads independently (one task per
+    partition, no driver materialization); the Arrow batch path
+    (``read`` yielding RecordBatches) is the high-throughput variant —
+    this row-iterator form pins the API shape. The aggregate above the
+    source is ordinary map-side-combinable Spark."""
+    try:
+        spark.dataSource.register(make_range_docs_source())
+    except Exception:
+        pass  # already registered in this session — name is stable
+    df = (
+        spark.read.format("range_docs")
+        .option("parts", "4")
+        .option("rows_per_part", "2500")
+        .load()
+    )
+    return (
+        df.filter(F.col("val") < 500000)
+        .groupBy("part")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("val").cast("long").alias("sval"),
+        )
+        .orderBy("part")
+    )

@@ -145,7 +145,7 @@ _PRIORITY = [
     "graph_triangle_count", "events_attribution", "events_anomaly_mad",
     "text_bigram_logprob", "q61_map_type", "q62_array_hof",
     "ts_overlap_sweepline", "q63_stream_ohlc", "win_running_distinct",
-    "scd2_asof_snapshot",
+    "scd2_asof_snapshot", "q64_python_datasource",
     "dedup_bloom_sharded", "cdc_merge_upsert", "q59_udtf",
     "q60_stream_upsert_sink", "corpus_temperature_mix",
     "multimodal_video_meta",
