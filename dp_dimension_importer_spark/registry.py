@@ -64,7 +64,11 @@ QUERIES, ORACLE_SQL = _merge()
 # order (budgeted check; confirmed rounds 1-4 — CORRECTNESS_r04.json is
 # 50/50 green on round 4's priority block). Round-5 policy (the judge's
 # explicit #1 ask: after this rotation, NO oracled query's newest driver
-# row is older than two rounds):
+# row is older than two rounds). Final round-5 budget: 20 ops new this
+# round (14 in-session + 6 pre-session), 5 r4-verified-but-rewritten, the
+# 24 ORACLED r2-stale queries (the two rows-only approx-aggs yield no
+# oracle evidence and are excluded — their tolerance gates run locally
+# every session), and 1 r3 leader. Plan staged before the session:
 #   first  every operator NEW this round (zero driver evidence):
 #          dedup_bloom_sharded, cdc_merge_upsert, q59_udtf,
 #   then   r4-verified ops whose CODE CHANGED this round — the gram
@@ -162,7 +166,9 @@ _PRIORITY = [
     "win_distribution", "q26_union_distinct", "q27_intersect",
     "q27b_except", "q55_unpivot", "split_train_test", "sample_per_group",
     "corpus_mix", "events_funnel", "events_retention", "events_anomaly",
-    "agg_approx_quantiles", "agg_approx_count_distinct",
+    # (the two approx-aggs stay OUT of the budget: rows-only by design, a
+    # slot spent there re-buys no oracle evidence; their quality gates run
+    # locally in test_recall.py every session)
     # --- r3-verified backfill (two rounds stale): intricate plans first —
     # streaming joins, dedup corpus ops, then the join family
     "q53_stream_static_join", "q52b_stream_stream_left_join",
