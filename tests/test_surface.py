@@ -97,6 +97,31 @@ EXPECTED = {
     "q37b_variant",
     "q58_lateral_join",
     "events_pattern_match",
+    # round-5 additions
+    "dedup_bloom_sharded",
+    "cdc_merge_upsert",
+    "q59_udtf",
+    "q60_stream_upsert_sink",
+    "corpus_temperature_mix",
+    "multimodal_video_meta",
+    "embedding_pca",
+    "ann_pq_topk",
+    "text_bpe_tokens",
+    "ts_resample_ohlc",
+    "ts_interpolate_linear",
+    "agg_weighted_median",
+    "graph_triangle_count",
+    "events_attribution",
+    "events_anomaly_mad",
+    "text_bigram_logprob",
+    "q61_map_type",
+    "q62_array_hof",
+    "dedup_minhash_keep",
+    "ts_overlap_sweepline",
+    "q63_stream_ohlc",
+    "win_running_distinct",
+    "scd2_asof_snapshot",
+    "q64_python_datasource",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
@@ -117,6 +142,7 @@ NO_ORACLE_OK = {
     "embedding_pca",  # eigendecomposition is not SQL; numpy-pinned instead
     "ann_pq_topk",  # approx: recall-gated vs q43b (SURVEY §2.3 exclusion)
     "text_bpe_tokens",  # iterative BPE merge apply is not SQL; invariant-pinned
+    "dedup_minhash_keep",  # LSH-candidate pipeline: superset+recall-gated
 }
 
 
