@@ -604,3 +604,56 @@ def test_bpe_textbook_merges_and_reconstruction(spark):
     m1 = bpe_train(docs)
     m2 = bpe_train(docs.repartition(7))
     assert m1 == m2 and len(m1) > 0
+
+
+def test_python_datasource_partition_invariance(spark):
+    """The range_docs connector must produce the SAME table regardless of
+    how it is partitioned (parts=1 vs parts=4 with the same total rows) —
+    the partition-independence property any correct DataSource needs for
+    Spark to re-plan parallelism freely."""
+    from dp_dimension_importer_spark.operators.udfs import (
+        make_range_docs_source,
+    )
+
+    try:
+        spark.dataSource.register(make_range_docs_source())
+    except Exception:
+        pass
+
+    def rows(parts, per):
+        df = (
+            spark.read.format("range_docs")
+            .option("parts", str(parts))
+            .option("rows_per_part", str(per))
+            .load()
+        )
+        return sorted((r.id, r.val) for r in df.collect())
+
+    assert rows(1, 1000) == rows(4, 250)
+
+
+def test_sweepline_matches_brute_force_per_second(q):
+    """ts_overlap_sweepline vs literal per-second counting on the smoke
+    fixture: expand every interval to its covered seconds (closed-open)
+    and count seconds with >= 1 and >= 2 concurrent intervals — the
+    definitionally-obvious O(n x duration) form the sweep replaces."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    got = q("ts_overlap_sweepline").set_index("event_type")
+    # brute force straight off the parquet via pandas
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    for et, g in ev.groupby("event_type"):
+        cov = collections.Counter()
+        for ts, val in zip(g["ts"], g["value"]):
+            s = int(ts.timestamp() // 1)  # floor epoch second
+            e = s + int(math.floor(val))
+            for t in range(s, e):
+                cov[t] += 1
+        sec1 = sum(1 for c in cov.values() if c >= 1)
+        sec2 = sum(1 for c in cov.values() if c >= 2)
+        assert got.loc[et, "sec_covered"] == sec1, et
+        assert got.loc[et, "sec_overlap2"] == sec2, et
+        assert got.loc[et, "n_intervals"] == len(g), et
