@@ -798,3 +798,14 @@ def test_attribution_single_user_exchange(spark):
     assert "Exchange hashpartitioning(user_id" in plan, plan
     assert "Exchange hashpartitioning(user_id#" in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_asof_snapshot_pushes_time_predicate_to_scan(spark):
+    """scd2_asof_snapshot's 100 TB claim: the ts <= T predicate must reach
+    the parquet scan as a pushed filter (row-group pruning kills the
+    future half of history before it is read) and the snapshot itself
+    must be an aggregate, not a window."""
+    plan = plan_of(QUERIES["scd2_asof_snapshot"](spark, SF_SMOKE))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "LessThanOrEqual(ts" in pushed, pushed
+    assert "Window" not in plan, plan
