@@ -257,6 +257,12 @@ def make_range_docs_source():
         def __init__(self, options):
             self.n_parts = int(options.get("parts", "4"))
             self.rows = int(options.get("rows_per_part", "1000"))
+            # 'rows' (default) yields Python tuples — the simple API
+            # shape; 'arrow' yields pyarrow RecordBatches — the
+            # high-throughput path (no per-row Python boxing, Arrow IPC
+            # straight into the JVM). Same data either way, pinned by
+            # tests/test_invariants.py.
+            self.mode = options.get("mode", "rows")
 
         def partitions(self):
             # one InputPartition per logical slice — Spark schedules one
@@ -266,7 +272,22 @@ def make_range_docs_source():
         def read(self, partition):
             i = partition.value
             base = i * self.rows
-            for r in range(base, base + self.rows):
+            ids = range(base, base + self.rows)
+            if self.mode == "arrow":
+                import pyarrow as pa
+
+                yield pa.record_batch(
+                    {
+                        "id": pa.array(ids, pa.int64()),
+                        "part": pa.array([i] * self.rows, pa.int32()),
+                        "val": pa.array(
+                            [(r * 2654435761) % 1000003 for r in ids],
+                            pa.int64(),
+                        ),
+                    }
+                )
+                return
+            for r in ids:
                 yield (r, i, (r * 2654435761) % 1000003)
 
     class RangeDocs(DataSource):

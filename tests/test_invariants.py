@@ -620,16 +620,20 @@ def test_python_datasource_partition_invariance(spark):
     except Exception:
         pass
 
-    def rows(parts, per):
+    def rows(parts, per, mode="rows"):
         df = (
             spark.read.format("range_docs")
             .option("parts", str(parts))
             .option("rows_per_part", str(per))
+            .option("mode", mode)
             .load()
         )
         return sorted((r.id, r.val) for r in df.collect())
 
     assert rows(1, 1000) == rows(4, 250)
+    # the Arrow RecordBatch read path must produce the identical table —
+    # same connector, high-throughput serialization
+    assert rows(4, 250, "arrow") == rows(4, 250, "rows")
 
 
 def test_sweepline_matches_brute_force_per_second(q):
