@@ -224,3 +224,90 @@ def q35_math_exprs(spark, sf_dir):
         F.floor("l_extendedprice").alias("fl"),
         F.ceil("l_extendedprice").alias("cl"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q65_schema_evolution",
+    sql="""
+    WITH b AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority,
+               (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 10
+                   AS bucket
+        FROM orders
+    ), unioned AS (
+        SELECT o_orderkey, o_totalprice, NULL AS priority_rank
+        FROM b WHERE bucket < 5
+        UNION ALL
+        SELECT o_orderkey, o_totalprice,
+               CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+        FROM b WHERE bucket >= 5
+    )
+    SELECT CASE WHEN priority_rank IS NULL THEN 0 ELSE 1 END AS has_rank,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           COUNT(DISTINCT priority_rank) AS n_ranks
+    FROM unioned GROUP BY 1 ORDER BY 1
+    """,
+)
+def q65_schema_evolution(spark, sf_dir):
+    """SCHEMA EVOLUTION through the filesystem: an old snapshot written
+    without a column and a new snapshot written with it are read back as
+    ONE table via ``mergeSchema`` — the drift every long-lived ingestion
+    layout faces when a field is added mid-stream. Old rows surface the
+    new column as NULL; the aggregate checks both cohorts' counts, an
+    exact integer-cents sum, and the evolved column's domain. The oracle
+    recomputes the union logically (no filesystem) — so a green row pins
+    that Spark's footer-merging read reconstructs exactly the logical
+    UNION ALL semantics.
+
+    Scale note: ``mergeSchema`` reconciles footers at planning time by
+    sampling every file's schema — at 100 TB pin the table schema in a
+    metastore/table format instead and let new columns arrive as NULLs
+    via the declared schema (the read below passes the merged schema
+    explicitly in production; the option form is the discovery path).
+    The result is eagerly localCheckpoint-ed so the scratch snapshots can
+    be removed before returning."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    b = t.orders.withColumn("bucket", hash_bucket("o_orderkey", 10))
+    v1 = b.filter("bucket < 5").select("o_orderkey", "o_totalprice")
+    v2 = b.filter("bucket >= 5").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.substring("o_orderpriority", 1, 1).cast("int").alias(
+            "priority_rank"
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="schema_evolution_")
+    try:
+        v1.coalesce(1).write.parquet(f"{path}/v1")
+        v2.coalesce(1).write.parquet(f"{path}/v2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{path}/v1", f"{path}/v2"
+        )
+        return (
+            merged.groupBy(
+                F.col("priority_rank").isNotNull().cast("int").alias(
+                    "has_rank"
+                )
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).alias("sum_cents"),
+                F.countDistinct("priority_rank").alias("n_ranks"),
+            )
+            .orderBy("has_rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -1024,3 +1024,72 @@ def text_bigram_logprob(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_entropy",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS t
+        FROM documents
+    ), c AS (
+        SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+    ), lc AS (
+        SELECT doc_id, c,
+               CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS lcm
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(FLOOR(LN(CAST(SUM(c) AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT)
+           - CAST(SUM(c * lcm) AS BIGINT) // CAST(SUM(c) AS BIGINT)
+               AS entropy_micro
+    FROM lc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution — the
+    diversity/quality signal that separates natural prose (high entropy)
+    from template spam and keyword stuffing (low): H = ln(n) −
+    (Σ c·ln c)/n over the doc's own token counts, in nats.
+
+    Exactness discipline (the unigram_logprob pattern): ln(c) is
+    quantized ONCE per (doc, token) count — each engine computes ln of
+    the same small integer identically to the ulp — then every
+    downstream step (c·lcm products, sums, the final truncating divide
+    with nonnegative operands) is exact int64. Output stays in integer
+    micro-nats; no double ever crosses engines.
+
+    Scale: one (doc, token) hash aggregate (map-side combinable) and one
+    doc-keyed rollup — both corpus-bounded, no vocabulary table and no
+    join at all (entropy needs only the doc's OWN counts, unlike the
+    corpus-relative logprob scores)."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("t")
+    )
+    c = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    lc = c.select(
+        "doc_id",
+        "c",
+        F.floor(F.log(F.col("c").cast("double")) * 1000000.0 + 0.5).alias(
+            "lcm"
+        ),
+    )
+    return (
+        lc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("lcm")).alias("sclc"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.floor(F.log(F.col("n").cast("double")) * 1000000.0 + 0.5)
+                - F.expr("sclc div n")
+            ).alias("entropy_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -122,6 +122,8 @@ EXPECTED = {
     "win_running_distinct",
     "scd2_asof_snapshot",
     "q64_python_datasource",
+    "text_entropy",
+    "q65_schema_evolution",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
