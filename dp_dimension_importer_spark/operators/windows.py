@@ -823,3 +823,95 @@ def scd2_asof_snapshot(spark, sf_dir):
         .agg(F.max_by("tier", "k").alias("tier_asof"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "q66_snapshot_time_travel",
+    sql="""
+    WITH b AS (
+        SELECT o_orderkey, o_totalprice,
+               (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 10
+                   AS bucket
+        FROM orders
+    ), v1 AS (
+        SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS seq
+        FROM b WHERE bucket < 8
+    ), changes AS (
+        SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice,
+               CAST(2 AS BIGINT) AS seq
+        FROM b WHERE bucket >= 5
+    ), v2 AS (
+        SELECT o_orderkey, o_totalprice, seq FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                         ORDER BY seq DESC) AS rn
+            FROM (SELECT * FROM v1 UNION ALL SELECT * FROM changes)
+        ) WHERE rn = 1
+    ), u AS (
+        SELECT 1 AS version, seq, o_totalprice FROM v1
+        UNION ALL
+        SELECT 2 AS version, seq, o_totalprice FROM v2
+    )
+    SELECT version, seq, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM u GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q66_snapshot_time_travel(spark, sf_dir):
+    """TIME TRAVEL through the snapshot/manifest table layer
+    (:func:`storage.write_snapshot` — the transaction log
+    ``compact_parquet``'s docstring defers to): commit a base table as
+    version 1, apply a CDC batch via
+    :func:`storage.merge_upsert_snapshot` (snapshot-isolated latest-wins
+    → version 2), then read BOTH versions back — v1 via time travel, v2
+    as latest — and aggregate them side by side. The oracle recomputes
+    the two versions logically, so a green row pins that commits are
+    complete, that time travel returns exactly the pre-merge table, and
+    that the merge resolved latest-wins — the full
+    write→merge→read-both-worlds contract in one query. Eagerly
+    localCheckpoint-ed so the scratch table can be removed."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    b = t.orders.withColumn("bucket", hash_bucket("o_orderkey", 10))
+    v1 = b.filter("bucket < 8").select(
+        "o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("seq")
+    )
+    changes = b.filter("bucket >= 5").select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    path = tempfile.mkdtemp(prefix="snapshot_tt_")
+    try:
+        shutil.rmtree(path)  # write_snapshot wants to create data dirs fresh
+        storage.write_snapshot(spark, v1, path)
+        storage.merge_upsert_snapshot(
+            spark, path, changes, key_cols=["o_orderkey"], seq_col="seq"
+        )
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        u = (
+            storage.read_snapshot(spark, path, version=1)
+            .withColumn("version", F.lit(1))
+            .unionByName(
+                storage.read_snapshot(spark, path).withColumn(
+                    "version", F.lit(2)
+                )
+            )
+        )
+        return (
+            u.groupBy("version", "seq")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(cents).alias("sum_cents"),
+            )
+            .orderBy("version", "seq")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -150,7 +150,7 @@ _PRIORITY = [
     "text_bigram_logprob", "q61_map_type", "q62_array_hof",
     "ts_overlap_sweepline", "win_running_distinct",
     "scd2_asof_snapshot", "q64_python_datasource", "text_entropy",
-    "q65_schema_evolution",
+    "q65_schema_evolution", "q66_snapshot_time_travel",
     "dedup_bloom_sharded", "cdc_merge_upsert", "q59_udtf",
     "q60_stream_upsert_sink", "corpus_temperature_mix",
     "multimodal_video_meta",
@@ -166,15 +166,19 @@ _PRIORITY = [
     "text_pii_redact", "win_range_frame", "win_first_last",
     "win_distribution", "q26_union_distinct", "q27_intersect",
     "q27b_except", "q55_unpivot", "split_train_test", "sample_per_group",
-    "corpus_mix", "events_funnel", "events_retention", "events_anomaly",
-    # (the two approx-aggs stay OUT of the budget: rows-only by design, a
-    # slot spent there re-buys no oracle evidence; their quality gates run
-    # locally in test_recall.py every session)
-    # position 51 (first past the budget): q63_stream_ohlc's batch twin
+    "corpus_mix", "events_funnel", "events_retention",
+    # (events_anomaly: see position 51 below. The two approx-aggs stay
+    # OUT of the budget: rows-only by design, a slot spent there re-buys
+    # no oracle evidence; their quality gates run locally in
+    # test_recall.py every session)
+    # positions 51-52 (first past the budget, leading round 6):
+    # events_anomaly is the one r2-stale op the 50 slots can no longer
+    # cover (22 new ops outrank it — zero evidence beats stale-but-green;
+    # its code is untouched since its r2 green row and this session's
+    # full sf0.1 sweep re-verified it); q63_stream_ohlc's batch twin
     # ts_resample_ohlc holds a slot above with the IDENTICAL oracle SQL,
-    # and the replay mechanics hold driver rows via q49/q50/q52 — the one
-    # new op whose driver slot re-buys the least; it leads round 6
-    "q63_stream_ohlc",
+    # and the replay mechanics hold driver rows via q49/q50/q52
+    "events_anomaly", "q63_stream_ohlc",
     # --- r3-verified backfill (two rounds stale): intricate plans first —
     # streaming joins, dedup corpus ops, then the join family
     "q53_stream_static_join", "q52b_stream_stream_left_join",

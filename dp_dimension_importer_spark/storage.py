@@ -419,3 +419,182 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+# ---------------------------------------------------------------------------
+# Snapshot / manifest table layer ("table-format-lite").
+#
+# compact_parquet's docstring defers cluster-safe swaps to "a table format's
+# transaction log" — this is that log, reduced to its load-bearing minimum:
+#
+#   <path>/data/<token>/part-*.parquet    immutable data files, one dir per
+#                                         producing write (never rewritten)
+#   <path>/_manifests/v<N>.json          the committed file list of version N
+#
+# A version EXISTS iff its manifest file exists; the manifest is published
+# with write-tmp-then-hard-link, and ``os.link`` fails atomically with
+# EEXIST if another writer claimed the same version — optimistic
+# concurrency without any lock service. Readers resolve a manifest ONCE and
+# then read only immutable files, so a concurrent commit can never show a
+# reader a half-written table (the isolation ``compact_parquet``'s
+# rename-swap cannot give). On object stores, swap the hard-link claim for
+# the store's if-none-match put; the layout is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _manifest_dir(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_manifests")
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """Committed versions, ascending (empty if the table doesn't exist)."""
+    import glob
+    import os
+    import re
+
+    out = []
+    for p in glob.glob(os.path.join(_manifest_dir(path), "v*.json")):
+        m = re.fullmatch(r"v(\d+)\.json", os.path.basename(p))
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def write_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    compression: str = PARQUET_CODEC,
+) -> int:
+    """Commit ``df`` as the table's next snapshot version; returns the
+    version number. Data files land under a fresh ``data/<token>/``
+    directory first; the version exists only once its manifest hard-link
+    succeeds, so a crash anywhere before that leaves the table exactly at
+    the previous version (orphaned data files are reclaimed by
+    ``vacuum_snapshots``). Version numbers are claimed optimistically —
+    on EEXIST (another writer won the race) the commit retries with the
+    next number; the data files need no rewrite because manifests, not
+    directory names, define membership."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", token)
+    (df.write.mode("error").option("compression", compression)
+     .parquet(data_dir))
+    files = sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{token}.json")
+    while True:
+        version = (snapshot_versions(path) or [0])[-1] + 1
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": files}, f)
+        final = os.path.join(mdir, f"v{version}.json")
+        try:
+            os.link(tmp, final)  # atomic claim: EEXIST = lost the race
+        except FileExistsError:
+            continue  # another writer committed this number; take the next
+        finally:
+            if os.path.exists(final):
+                os.unlink(tmp)
+        return version
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot — the latest by default, or any retained
+    ``version`` (time travel). The manifest is resolved once, then only
+    the immutable files it lists are read: concurrent commits are
+    invisible, and a filter/projection on top prunes and pushes down
+    exactly as on a plain parquet read."""
+    import json
+    import os
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not committed (have {versions}) — vacuumed?"
+        )
+    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(
+        *(os.path.join(path, rel) for rel in manifest["files"])
+    )
+
+
+def merge_upsert_snapshot(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+) -> int:
+    """CDC MERGE with SNAPSHOT ISOLATION: latest-wins resolve the current
+    snapshot against ``changes`` (highest ``seq_col`` per key survives;
+    ties break to the change side arriving later in the union — pass
+    monotone seqs) and commit the result as a new version. Readers of any
+    prior version are untouched — the property ``merge_upsert``'s
+    in-place partition rewrite cannot offer. Returns the new version."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    current = read_snapshot(spark, path)
+    unioned = current.unionByName(changes)
+    w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    resolved = (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return write_snapshot(spark, resolved, path)
+
+
+def vacuum_snapshots(path: str, keep_last: int = 1) -> int:
+    """Expire all but the newest ``keep_last`` versions: drop their
+    manifests, then delete every data file no retained manifest
+    references (including files orphaned by crashed commits). Returns the
+    number of files removed. Time travel to an expired version then
+    raises — the read/retention contract every table format shares."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    versions = snapshot_versions(path)
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    referenced: set[str] = set()
+    for v in versions:
+        mpath = os.path.join(_manifest_dir(path), f"v{v}.json")
+        if v in keep:
+            with open(mpath) as f:
+                referenced.update(json.load(f)["files"])
+        else:
+            os.unlink(mpath)
+    removed = 0
+    for d in glob.glob(os.path.join(path, "data", "*")):
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        live = [p for p in files if os.path.relpath(p, path) in referenced]
+        if not live:
+            # nothing in this write survives — drop the whole directory,
+            # commit markers (_SUCCESS) included
+            removed += len(files)
+            shutil.rmtree(d, ignore_errors=True)
+            continue
+        for p in files:
+            if os.path.relpath(p, path) not in referenced:
+                os.unlink(p)
+                removed += 1
+    return removed

@@ -809,3 +809,113 @@ def test_asof_snapshot_pushes_time_predicate_to_scan(spark):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
     assert "LessThanOrEqual(ts" in pushed, pushed
     assert "Window" not in plan, plan
+
+
+def test_snapshot_commit_read_and_time_travel(spark, tmp_path):
+    """Snapshot layer basics: two commits, latest read == v2, time travel
+    == v1, and a reader's resolved version is immune to later commits
+    (isolation via immutable files + manifest-once resolution)."""
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, SF_SMOKE)
+    path = str(tmp_path / "tbl")
+    v1_df = t.orders.select("o_orderkey", "o_totalprice").filter(
+        F.col("o_orderkey") % 2 == 0
+    )
+    v1 = storage.write_snapshot(spark, v1_df, path)
+    old_reader = storage.read_snapshot(spark, path)  # resolves v1 NOW
+    n1 = v1_df.count()
+    v2 = storage.write_snapshot(
+        spark, t.orders.select("o_orderkey", "o_totalprice"), path
+    )
+    assert (v1, v2) == (1, 2)
+    assert storage.read_snapshot(spark, path).count() == t.orders.count()
+    assert storage.read_snapshot(spark, path, version=1).count() == n1
+    # the pre-commit reader still sees v1's rows after v2 lands
+    assert old_reader.count() == n1
+
+
+def test_snapshot_crash_before_manifest_is_invisible(spark, tmp_path):
+    """Atomicity: data files written WITHOUT a committed manifest (a crash
+    mid-commit) must not change what readers see, and vacuum must reclaim
+    the orphans."""
+    import glob
+    import os
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, SF_SMOKE)
+    path = str(tmp_path / "tbl")
+    storage.write_snapshot(spark, t.nation, path)
+    # simulate the crashed writer: data lands, manifest never published
+    (t.region.write.option("compression", "zstd")
+     .parquet(os.path.join(path, "data", "deadbeef0000")))
+    assert storage.snapshot_versions(path) == [1]
+    assert storage.read_snapshot(spark, path).count() == t.nation.count()
+    removed = storage.vacuum_snapshots(path, keep_last=1)
+    assert removed >= 1  # the orphaned region files
+    assert not glob.glob(os.path.join(path, "data", "deadbeef0000", "*"))
+    assert storage.read_snapshot(spark, path).count() == t.nation.count()
+
+
+def test_snapshot_version_claim_is_atomic(spark, tmp_path):
+    """Optimistic concurrency: when the next version number is already
+    claimed (another writer's manifest exists), the commit must NOT
+    overwrite it — it retries and lands on the following number."""
+    import json
+    import os
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, SF_SMOKE)
+    path = str(tmp_path / "tbl")
+    storage.write_snapshot(spark, t.nation, path)
+    # a rival writer claims v2 out from under us
+    rival = {"version": 2, "files": []}
+    with open(os.path.join(path, "_manifests", "v2.json"), "w") as f:
+        json.dump(rival, f)
+    got = storage.write_snapshot(spark, t.region, path)
+    assert got == 3
+    with open(os.path.join(path, "_manifests", "v2.json")) as f:
+        assert json.load(f) == rival  # untouched
+    assert storage.read_snapshot(spark, path, version=3).count() == 5
+
+
+def test_snapshot_merge_isolation_and_vacuum_retention(spark, tmp_path):
+    """merge_upsert_snapshot: latest-wins semantics land as a NEW version
+    (prior version still readable == snapshot isolation); vacuuming to
+    the newest version expires time travel with a clear error."""
+    import pytest as _pytest
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, SF_SMOKE)
+    path = str(tmp_path / "tbl")
+    base = t.orders.select(
+        "o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("seq")
+    )
+    storage.write_snapshot(spark, base, path)
+    changes = (
+        t.orders.select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            F.lit(2).cast("long").alias("seq"),
+        )
+        .filter(F.col("o_orderkey") % 3 == 0)
+    )
+    v = storage.merge_upsert_snapshot(
+        spark, path, changes, key_cols=["o_orderkey"], seq_col="seq"
+    )
+    assert v == 2
+    merged = storage.read_snapshot(spark, path)
+    n_changed = merged.filter(F.col("seq") == 2).count()
+    assert n_changed == changes.count()
+    assert merged.count() == t.orders.count()  # upsert, no dup keys
+    # v1 still intact until vacuumed
+    assert storage.read_snapshot(spark, path, version=1).filter(
+        F.col("seq") == 2
+    ).count() == 0
+    storage.vacuum_snapshots(path, keep_last=1)
+    with _pytest.raises(FileNotFoundError):
+        storage.read_snapshot(spark, path, version=1)
+    assert storage.read_snapshot(spark, path).count() == t.orders.count()

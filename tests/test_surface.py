@@ -124,6 +124,7 @@ EXPECTED = {
     "q64_python_datasource",
     "text_entropy",
     "q65_schema_evolution",
+    "q66_snapshot_time_travel",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
