@@ -648,3 +648,109 @@ def agg_weighted_median(spark, sf_dir):
         .agg(F.min("p").alias("wmedian"))
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (mergeable aggregate state)
+# ---------------------------------------------------------------------------
+
+def merge_agg_state(state, delta_partial, keys: list[str]):
+    """Public core (engine facade): merge two mergeable-aggregate state
+    tables keyed on ``keys``. The merge rule is carried by COLUMN NAME
+    prefix — ``sum_*``/``cnt_*`` re-sum, ``min_*`` re-min, ``max_*``
+    re-max — i.e. the classic algebraic-aggregate decomposition
+    (partials merge associatively, finalizers like avg divide at read
+    time). Columns with any other prefix raise: a non-mergeable metric
+    (exact median, distinct count) must not silently pretend to be
+    incremental.
+
+    Scale contract: each refresh shuffles O(|groups|) state rows plus the
+    DELTA's partials only — history is never rescanned. This is the
+    batch twin of the streaming running agg (q51) and the cross-run
+    sketch persistence (sketches.write_sketch_state): same
+    accumulate-then-merge idea, exact instead of approximate."""
+    mergers = {"sum": F.sum, "cnt": F.sum, "min": F.min, "max": F.max}
+    aggs = []
+    for c in state.columns:
+        if c in keys:
+            continue
+        fn = mergers.get(c.split("_", 1)[0])
+        if fn is None:
+            raise ValueError(
+                f"column {c!r} has no mergeable prefix "
+                f"(expected one of {sorted(mergers)})"
+            )
+        aggs.append(fn(c).alias(c))
+    return (
+        state.unionByName(delta_partial.select(*state.columns))
+        .groupBy(*keys)
+        .agg(*aggs)
+    )
+
+
+def _mv_partial(df):
+    """Partial (mergeable) state of the demo MV: per (flag, status) sums,
+    count, min ship date, max price."""
+    return df.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+    ).agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_rows"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "mv_incremental_agg",
+    sql="""
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           SUM(l_quantity)                   AS sum_qty,
+           COUNT(*)                          AS cnt_rows,
+           strftime(CAST(MIN(l_shipdate) AS DATE), '%Y-%m-%d') AS min_ship,
+           MAX(l_extendedprice)              AS max_price,
+           ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty
+    FROM lineitem GROUP BY 1, 2 ORDER BY flag, status
+    """,
+)
+def mv_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view refresh THROUGH THE FILESYSTEM:
+    build the MV's mergeable state from the history slice (shipdate <
+    1998), commit it as snapshot v1, then refresh with the 1998+ delta
+    by scanning ONLY the delta, merging partials via
+    :func:`merge_agg_state`, and committing v2 (storage.write_snapshot —
+    so the MV itself is time-travelable and the half-built state is
+    never visible to readers). The returned frame reads v2 back and
+    applies the avg finalizer; the oracle is the one-shot GROUP BY over
+    the full table, so the driver checks that incremental == recompute
+    exactly. v1 remains readable (snapshot isolation) — pinned by the
+    storage tests. The result is eagerly localCheckpoint-ed so the
+    scratch directory can be removed before returning."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    cut = F.col("l_shipdate") >= F.lit("1998-01-01").cast("date")
+    keys = ["flag", "status"]
+    path = tempfile.mkdtemp(prefix="mv_incremental_")
+    try:
+        storage.write_snapshot(spark, _mv_partial(t.lineitem.filter(~cut)), path)
+        state = storage.read_snapshot(spark, path)
+        merged = merge_agg_state(state, _mv_partial(t.lineitem.filter(cut)), keys)
+        storage.write_snapshot(spark, merged, path)
+        mv = storage.read_snapshot(spark, path)
+        return (
+            mv.select(
+                "flag", "status", "sum_qty", "cnt_rows",
+                F.date_format("min_ship", "yyyy-MM-dd").alias("min_ship"),
+                "max_price",
+                F.round(F.col("sum_qty") / F.col("cnt_rows"), 4).alias("avg_qty"),
+            )
+            .orderBy("flag", "status")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

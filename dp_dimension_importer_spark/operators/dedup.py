@@ -1868,3 +1868,136 @@ def dedup_minhash_keep(spark, sf_dir):
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Jaccard self-join via PREFIX FILTERING (PPJoin-style candidate
+# pruning) — the exact-at-scale alternative to dedup_ngram_jaccard's
+# DF-cap inverted index.
+# ---------------------------------------------------------------------------
+
+#: threshold as an exact rational so both engines compare with integer
+#: cross-multiplication (`inter * DEN >= NUM * union`) — no float boundary
+#: anywhere in the filter, only in the displayed (rounded) jaccard
+PFX_NUM, PFX_DEN = 5, 10  # 0.5, same level as JACCARD_T
+
+
+def prefix_filter_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num: int = PFX_NUM,
+    den: int = PFX_DEN,
+) -> DataFrame:
+    """Public core (engine facade): EXACT Jaccard >= num/den pairs over
+    each document's distinct shingle-hash set, with prefix filtering
+    doing the candidate pruning instead of a hot-shingle cap.
+
+    Why this exists next to :func:`jaccard_pairs`: the DF-cap pipeline is
+    exact only under the declared cap contract (a pair whose every shared
+    shingle is hotter than DF_CAP is silently missed). Prefix filtering
+    is unconditionally exact: order the corpus vocabulary rarest-first,
+    keep only each doc's first ``p = s - ceil(t*s) + 1`` shingles as its
+    join "prefix", and any pair with J >= t provably shares a prefix
+    element (if the prefixes were disjoint, the intersection is confined
+    to the suffixes, giving inter <= min(s_a, s_b) - p < t * union).
+    Candidates then verify with an exact intersection count.
+
+    Scale shape: the global order is (document-frequency, hash) — NO
+    global rank/window is needed, per-doc ``sort_array`` on (df, h)
+    structs gives the same total order everywhere. Joins shuffle only
+    8-byte hash keys + doc ids; the verify join fans each candidate pair
+    out by ONE side's shingle set (sum of |set_a| over candidates), never
+    the corpus against itself. A size filter (``den*min >= num*max``,
+    integer) drops length-incompatible candidates before distinct.
+    Skew note: the rarest-first prefix order is itself the skew defense —
+    hot shingles sort to the BACK of every doc and fall out of prefixes,
+    so prefix-join key frequencies are bounded without dropping recall."""
+    sh = (
+        shingle_hashes(documents, id_col=id_col, text_col=text_col)
+        .distinct()
+    )
+    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"),
+            F.count("*").alias("s"),
+        )
+    )
+    # p = s - ceil(num*s/den) + 1, integer ceil-division (ANSI-safe longs)
+    p = (
+        F.col("s")
+        - F.floor((F.col("s") * num + den - 1) / den).cast("long")
+        + 1
+    )
+    pref = per_doc.select(
+        "doc_id", "s", F.explode(F.slice("ordered", F.lit(1), p)).alias("e")
+    ).select("doc_id", "s", F.col("e.h").alias("h"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.least(F.col("a.s"), F.col("b.s")) * den
+            >= F.greatest(F.col("a.s"), F.col("b.s")) * num
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "da"), "da")
+        .join(sh.withColumnRenamed("doc_id", "db"), ["db", "h"])
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = per_doc.select("doc_id", "s")
+    union = F.col("ca.s") + F.col("cb.s") - F.col("inter")
+    return (
+        inter.join(sizes.alias("ca"), F.col("da") == F.col("ca.doc_id"))
+        .join(sizes.alias("cb"), F.col("db") == F.col("cb.doc_id"))
+        .filter(F.col("inter") * den >= union * num)
+        .select(
+            "da",
+            "db",
+            F.round(F.col("inter").cast("double") / union, 4).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_jaccard_prefix",
+    sql=f"""
+    WITH {_SHINGLE_SQL},
+    cnt AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT da, db,
+           ROUND(CAST(inter AS DOUBLE) / (ca.s + cb.s - inter), 4) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = da
+    JOIN cnt cb ON cb.doc_id = db
+    WHERE inter * {PFX_DEN} >= {PFX_NUM} * (ca.s + cb.s - inter)
+    ORDER BY da, db
+    """,
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact Jaccard near-dup join WITHOUT the document-frequency cap:
+    prefix filtering (PPJoin's candidate rule) prunes the candidate space
+    instead of dropping hot shingles, so the result is unconditionally
+    exact — the DuckDB oracle is the brute-force all-shared-shingle
+    formulation with NO `ok`/cap CTE, and agrees row-for-row.
+
+    Same 0.5 threshold as dedup_ngram_jaccard, applied as an integer
+    cross-multiplied compare in both engines (no float boundary). See
+    :func:`prefix_filter_pairs` for the plan-shape / exactness argument.
+    Reference tie: SURVEY §2.4's near-dup family; this is the exact
+    member the cap-based and MinHash members approximate."""
+    t = load_tables(spark, sf_dir)
+    return prefix_filter_pairs(t.documents).orderBy("da", "db")

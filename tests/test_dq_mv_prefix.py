@@ -1,0 +1,209 @@
+"""Round-5 session additions: prefix-filter Jaccard, DQ expectations,
+incremental MV maintenance. Oracle parity already pins each registered
+query against DuckDB; these tests pin the SEMANTIC claims the oracles
+can't see — exactness where the DF-cap path loses pairs, constraint
+verdicts on injected violations, incremental == one-shot on arbitrary
+splits."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dp_dimension_importer_spark.operators.aggregates import merge_agg_state
+from dp_dimension_importer_spark.operators.dataquality import (
+    FRESH_MAX_DAYS,
+    constraint_report,
+)
+from dp_dimension_importer_spark.operators.dedup import (
+    jaccard_pairs,
+    prefix_filter_pairs,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+class TestPrefixFilterExactness:
+    def test_finds_pair_sharing_only_hot_shingles(self, spark):
+        """The case the DF-cap pipeline drops by contract: two docs whose
+        entire overlap is one super-hot shingle. Prefix filtering keeps
+        exactness — hot shingles fall out of PREFIXES (rarest-first
+        order), but near-identical docs still share a rare one; and a
+        doc pair that is ONLY hot-shingle-similar has low Jaccard anyway,
+        so exactness is decided by the verify step, not the cap."""
+        hot = "alpha beta gamma"  # appears in every doc -> df = n_docs
+        texts = [f"{hot} filler{i} x{i} y{i} z{i}" for i in range(8)]
+        # two near-duplicate docs: differ in one trailing token
+        texts += [
+            "alpha beta gamma delta epsilon zeta eta theta one",
+            "alpha beta gamma delta epsilon zeta eta theta two",
+        ]
+        docs = _docs(spark, texts)
+        got = {
+            (r.da, r.db)
+            for r in prefix_filter_pairs(docs, num=5, den=10).collect()
+        }
+        assert (8, 9) in got
+        # low-cap DF pipeline on the same corpus misses it (cap 1 kills
+        # every shared shingle of the pair) — documents why prefix
+        # filtering earns its place next to the cap path
+        capped = {
+            (r.da, r.db)
+            for r in jaccard_pairs(docs, df_cap=1, threshold=0.5).collect()
+        }
+        assert (8, 9) not in capped
+
+    def test_agrees_with_brute_force(self, spark):
+        """Exactness on an arbitrary corpus: prefix-filtered result ==
+        all-pairs brute force over the same distinct-shingle sets."""
+        from dp_dimension_importer_spark.operators.dedup import (
+            shingle_hashes,
+        )
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog today",
+            "the quick brown fox jumps over the lazy cat today",
+            "completely different words entirely unrelated to anything",
+            "the quick brown fox jumps over the lazy dog today",
+            "one two three four five six seven eight nine ten",
+            "one two three four five six seven eight nine eleven",
+        ]
+        docs = _docs(spark, texts)
+        got = {
+            (r.da, r.db, r.jaccard)
+            for r in prefix_filter_pairs(docs, num=5, den=10).collect()
+        }
+        sets = {
+            r.doc_id: set(r.s)
+            for r in shingle_hashes(docs)
+            .groupBy("doc_id")
+            .agg(F.collect_set("h").alias("s"))
+            .collect()
+        }
+        want = set()
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter * 10 >= 5 * union:
+                    want.add((a, b, round(inter / union, 4)))
+        assert got == want and len(want) >= 2
+
+    def test_prefix_is_strict_subset_of_postings(self, spark):
+        """The scale claim: the candidate join's build side carries only
+        prefix tokens — strictly fewer rows than the full posting list
+        (p = s - ceil(t*s) + 1 < s whenever s*t >= 1)."""
+        from dp_dimension_importer_spark.operators.dedup import (
+            shingle_hashes,
+        )
+
+        texts = [f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4} common "
+                 f"shared words here now" for i in range(6)]
+        docs = _docs(spark, texts)
+        full = shingle_hashes(docs).distinct().count()
+        # reconstruct the prefix relation exactly as the core builds it
+        sh = shingle_hashes(docs).distinct()
+        freq = sh.groupBy("h").agg(F.count("*").alias("df"))
+        per_doc = (
+            sh.join(freq, "h")
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("df", "h"))
+                ).alias("ordered"),
+                F.count("*").alias("s"),
+            )
+        )
+        p = F.col("s") - F.floor((F.col("s") * 5 + 9) / 10).cast("long") + 1
+        pref = per_doc.select(
+            F.explode(F.slice("ordered", F.lit(1), p))
+        ).count()
+        assert 0 < pref < full
+
+
+class TestDqExpectations:
+    def _report(self, spark, facts_rows, parent_keys, event_ts):
+        facts = spark.createDataFrame(facts_rows)
+        parents = spark.createDataFrame(
+            [Row(o_orderkey=k) for k in parent_keys]
+        )
+        events = spark.createDataFrame(
+            [Row(ts=t) for t in event_ts]
+        )
+        rep = constraint_report(
+            facts, parents, "l_orderkey", "o_orderkey", events
+        )
+        return {r["constraint"]: r for r in rep.collect()}
+
+    def test_detects_each_violation_class(self, spark):
+        rows = [
+            Row(l_orderkey=1, l_linenumber=1, l_returnflag="A",
+                l_quantity=5.0, l_extendedprice=10.0),
+            # duplicate compound key + out-of-range + bad flag + negative
+            Row(l_orderkey=1, l_linenumber=1, l_returnflag="X",
+                l_quantity=99.0, l_extendedprice=-1.0),
+            # null flag + orphan fk
+            Row(l_orderkey=7, l_linenumber=2, l_returnflag=None,
+                l_quantity=2.0, l_extendedprice=3.0),
+        ]
+        stale = dt.datetime(2023, 1, 1)  # >> FRESH_MAX_DAYS before anchor
+        got = self._report(spark, rows, parent_keys=[1], event_ts=[stale])
+        assert not got["completeness:l_returnflag"]["passed"]
+        assert not got["uniqueness:l_orderkey+l_linenumber"]["passed"]
+        assert got["uniqueness:l_orderkey+l_linenumber"]["metric"] == round(
+            2 / 3, 4
+        )
+        assert got["range:l_quantity:[1,50]"]["metric"] == 1.0
+        assert got["accepted:l_returnflag:{A,N,R}"]["metric"] == 1.0
+        assert got["non_negative:l_extendedprice"]["metric"] == 1.0
+        assert got["fk:l_orderkey->orders"]["metric"] == 1.0
+        fresh = got[f"freshness:events.ts<={FRESH_MAX_DAYS}d"]
+        assert not fresh["passed"] and fresh["metric"] > FRESH_MAX_DAYS
+
+    def test_clean_table_passes_everything(self, spark):
+        rows = [
+            Row(l_orderkey=1, l_linenumber=1, l_returnflag="A",
+                l_quantity=5.0, l_extendedprice=10.0),
+            Row(l_orderkey=1, l_linenumber=2, l_returnflag="R",
+                l_quantity=50.0, l_extendedprice=0.0),
+        ]
+        got = self._report(
+            spark, rows, parent_keys=[1],
+            event_ts=[dt.datetime(2024, 1, 30)],
+        )
+        assert all(r["passed"] for r in got.values())
+
+
+class TestMergeAggState:
+    def test_incremental_equals_one_shot(self, spark):
+        full = spark.range(0, 200).select(
+            (F.col("id") % 7).alias("k"),
+            F.col("id").alias("v"),
+        )
+        partial = lambda df: df.groupBy("k").agg(  # noqa: E731
+            F.sum("v").alias("sum_v"),
+            F.count(F.lit(1)).alias("cnt_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        for cut in (0, 50, 199, 200):  # empty delta / empty state included
+            a = full.filter(F.col("v") < cut)
+            b = full.filter(F.col("v") >= cut)
+            merged = merge_agg_state(partial(a), partial(b), ["k"])
+            got = {tuple(r) for r in merged.collect()}
+            want = {tuple(r) for r in partial(full).collect()}
+            assert got == want, f"cut={cut}"
+
+    def test_rejects_non_mergeable_column(self, spark):
+        state = spark.range(3).select(
+            F.col("id").alias("k"), F.col("id").alias("median_v")
+        )
+        with pytest.raises(ValueError, match="mergeable prefix"):
+            merge_agg_state(state, state, ["k"])

@@ -125,6 +125,9 @@ EXPECTED = {
     "text_entropy",
     "q65_schema_evolution",
     "q66_snapshot_time_travel",
+    "dedup_jaccard_prefix",
+    "dq_expectations",
+    "mv_incremental_agg",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
