@@ -10,6 +10,8 @@ so state per group stays O(k) after the window.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -911,6 +913,61 @@ def q66_snapshot_time_travel(spark, sf_dir):
                 F.sum(cents).alias("sum_cents"),
             )
             .orderBy("version", "seq")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q67_stats_pruned_scan",
+    sql="""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+                                        AND DATE '1996-12-31'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q67_stats_pruned_scan(spark, sf_dir):
+    """MANIFEST-STATS FILE SKIPPING end-to-end: commit orders as a
+    snapshot whose files are range-clustered on o_orderdate with per-file
+    min/max recorded in the manifest
+    (:func:`storage.write_snapshot_with_stats` — footer stats only, no
+    data pages read at commit), then answer a one-year window via
+    :func:`storage.read_snapshot_pruned`, which drops non-intersecting
+    files BEFORE Spark lists them. The oracle is the plain filtered
+    aggregate over the full table, so a green row pins that file
+    skipping loses no rows; the "actually skipped files" property is
+    pinned by the layout test (tests/test_dq_mv_prefix.py). Eagerly
+    localCheckpoint-ed so the scratch table can be removed."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    src = t.orders.select(
+        F.col("o_orderdate").cast("date").alias("d"), "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="stats_prune_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot_with_stats(
+            spark, src, path, stats_cols=["d"], range_col="d", n_files=8
+        )
+        pruned = storage.read_snapshot_pruned(
+            spark, path, "d",
+            datetime.date(1996, 1, 1), datetime.date(1996, 12, 31),
+        )
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        return (
+            pruned.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("month")
             .localCheckpoint(eager=True)
         )
     finally:

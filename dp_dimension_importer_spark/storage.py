@@ -598,3 +598,159 @@ def vacuum_snapshots(path: str, keep_last: int = 1) -> int:
                 os.unlink(p)
                 removed += 1
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Manifest column statistics → planning-time file skipping
+# ---------------------------------------------------------------------------
+
+#: stats value encoding, by python type of the parquet min/max: numerics
+#: stay native JSON, dates/timestamps/strings become ISO/UTF-8 strings
+#: (ISO order == chronological order, so string compare prunes correctly)
+def _stat_encode(v):
+    import datetime as _dt
+
+    if v is None or isinstance(v, (int, float)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return str(v)
+
+
+def collect_file_stats(files: list[str], root: str, cols: list[str]) -> dict:
+    """Per-file min/max of ``cols`` read from parquet FOOTERS (row-group
+    statistics the writer already computed — no data pages are touched,
+    one metadata read per file). Returns {relpath: {col: [min, max]}};
+    a column absent from a file's schema or lacking stats is simply
+    omitted, which readers must treat as "cannot prune"."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for col in cols:
+            if col not in idx:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx[col]).statistics
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if ok and lo is not None:
+                stats[col] = [_stat_encode(lo), _stat_encode(hi)]
+        out[rel] = stats
+    return out
+
+
+def write_snapshot_with_stats(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str],
+    range_col: str | None = None,
+    n_files: int = 8,
+    compression: str = PARQUET_CODEC,
+) -> int:
+    """:func:`write_snapshot` + per-file min/max column statistics in the
+    manifest (the Iceberg/Delta data-skipping idea on this layer's
+    manifests). Pass ``range_col`` to range-cluster the files on that
+    column first (``repartitionByRange`` → near-disjoint per-file value
+    ranges), which is what makes the stats selective — stats over files
+    with random layout prune nothing. Commit protocol is unchanged:
+    stats ride in the same manifest json whose hard-link IS the commit,
+    so a reader never sees files without their stats."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    if range_col is not None:
+        df = df.repartitionByRange(n_files, range_col)
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", token)
+    (df.write.mode("error").option("compression", compression)
+     .parquet(data_dir))
+    files = sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+    stats = collect_file_stats(files, path, stats_cols)
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{token}.json")
+    while True:
+        version = (snapshot_versions(path) or [0])[-1] + 1
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": version, "files": files, "stats": stats}, f
+            )
+        final = os.path.join(mdir, f"v{version}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            continue
+        finally:
+            if os.path.exists(final):
+                os.unlink(tmp)
+        return version
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read that SKIPS every file whose manifest [min,max] for
+    ``col`` cannot intersect [lo, hi] — file skipping decided from the
+    manifest alone, before Spark ever lists or opens a file (at 100 TB
+    the footer round-trips this saves dominate short queries). The
+    surviving files still get the row-level ``BETWEEN`` filter (stats
+    bound files, they don't bound rows), so the result is exactly
+    ``read_snapshot(...).filter(col BETWEEN lo AND hi)`` regardless of
+    how selective — or absent — the stats are. Files with no stats for
+    ``col`` are always read."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not committed (have {versions}) — vacuumed?"
+        )
+    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
+        manifest = json.load(f)
+    stats = manifest.get("stats", {})
+    elo, ehi = _stat_encode(lo), _stat_encode(hi)
+    keep = []
+    for rel in manifest["files"]:
+        s = stats.get(rel, {}).get(col)
+        if s is None or not (s[1] < elo or s[0] > ehi):
+            keep.append(rel)
+    if not keep:  # nothing can match; keep the schema without touching IO
+        return (
+            read_snapshot(spark, path, version)
+            .filter(F.lit(False))
+        )
+    return (
+        spark.read.parquet(*(os.path.join(path, rel) for rel in keep))
+        .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    )

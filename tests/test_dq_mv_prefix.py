@@ -207,3 +207,55 @@ class TestMergeAggState:
         )
         with pytest.raises(ValueError, match="mergeable prefix"):
             merge_agg_state(state, state, ["k"])
+
+
+class TestStatsPrunedSnapshot:
+    def test_prunes_files_and_loses_no_rows(self, spark, tmp_path):
+        import shutil
+
+        from dp_dimension_importer_spark import storage
+
+        path = str(tmp_path / "tbl")
+        shutil.rmtree(path, ignore_errors=True)
+        df = spark.range(0, 10_000).select(
+            F.col("id"), (F.col("id") % 97).alias("payload")
+        )
+        storage.write_snapshot_with_stats(
+            spark, df, path, stats_cols=["id"], range_col="id", n_files=8
+        )
+        pruned = storage.read_snapshot_pruned(spark, path, "id", 100, 600)
+        full = storage.read_snapshot(spark, path)
+        # fewer files listed at planning time (8 range files, window
+        # covers at most 2) ...
+        assert 0 < len(pruned.inputFiles()) <= 2 < len(full.inputFiles())
+        # ... and exactly the rows of the unpruned filtered read
+        want = sorted(
+            r.id for r in full.filter(F.col("id").between(100, 600)).collect()
+        )
+        got = sorted(r.id for r in pruned.collect())
+        assert got == want == list(range(100, 601))
+
+    def test_empty_window_reads_nothing_but_keeps_schema(self, spark, tmp_path):
+        from dp_dimension_importer_spark import storage
+
+        path = str(tmp_path / "tbl2")
+        df = spark.range(0, 100).select(F.col("id"))
+        storage.write_snapshot_with_stats(
+            spark, df, path, stats_cols=["id"], range_col="id", n_files=4
+        )
+        out = storage.read_snapshot_pruned(spark, path, "id", 10_000, 20_000)
+        assert out.columns == ["id"] and out.count() == 0
+
+    def test_missing_stats_column_never_prunes(self, spark, tmp_path):
+        """Files lacking stats for the prune column must all be read —
+        pruning is an optimization, never a correctness dependency."""
+        from dp_dimension_importer_spark import storage
+
+        path = str(tmp_path / "tbl3")
+        df = spark.range(0, 100).select(F.col("id"), F.lit("x").alias("s"))
+        storage.write_snapshot_with_stats(
+            spark, df, path, stats_cols=[], range_col="id", n_files=4
+        )
+        out = storage.read_snapshot_pruned(spark, path, "id", 10, 20)
+        assert len(out.inputFiles()) == 4  # nothing skippable
+        assert out.count() == 11

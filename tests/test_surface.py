@@ -128,6 +128,7 @@ EXPECTED = {
     "dedup_jaccard_prefix",
     "dq_expectations",
     "mv_incremental_agg",
+    "q67_stats_pruned_scan",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
