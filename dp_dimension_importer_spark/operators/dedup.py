@@ -1905,11 +1905,17 @@ def prefix_filter_pairs(
 
     Scale shape: the global order is (document-frequency, hash) — NO
     global rank/window is needed, per-doc ``sort_array`` on (df, h)
-    structs gives the same total order everywhere. Joins shuffle only
-    8-byte hash keys + doc ids; the verify join fans each candidate pair
-    out by ONE side's shingle set (sum of |set_a| over candidates), never
-    the corpus against itself. A size filter (``den*min >= num*max``,
-    integer) drops length-incompatible candidates before distinct.
+    structs gives the same total order everywhere. The per-doc state
+    (sorted shingle array + size) is materialized ONCE
+    (localCheckpoint — it is O(corpus) like the input itself; a
+    production run persists it to executor disk instead) and feeds all
+    three consumers: both sides of the prefix join and the verify step —
+    re-deriving it per consumer re-runs the tokenize+hash pipeline 4×
+    (measured 13 s → 5 s at sf0.1). The prefix join shuffles only 8-byte
+    hash keys + (doc_id, s); verification joins the CANDIDATE list (not
+    the corpus) against the per-doc arrays and intersects in-memory per
+    row. A size filter (``den*min >= num*max``, integer) drops
+    length-incompatible candidates before distinct.
     Skew note: the rarest-first prefix order is itself the skew defense —
     hot shingles sort to the BACK of every doc and fall out of prefixes,
     so prefix-join key frequencies are bounded without dropping recall."""
@@ -1925,6 +1931,7 @@ def prefix_filter_pairs(
             F.sort_array(F.collect_list(F.struct("df", "h"))).alias("ordered"),
             F.count("*").alias("s"),
         )
+        .localCheckpoint(eager=False)
     )
     # p = s - ceil(num*s/den) + 1, integer ceil-division (ANSI-safe longs)
     p = (
@@ -1948,22 +1955,21 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
-    inter = (
-        cand.join(sh.withColumnRenamed("doc_id", "da"), "da")
-        .join(sh.withColumnRenamed("doc_id", "db"), ["db", "h"])
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("inter"))
+    sets = per_doc.select(
+        "doc_id",
+        F.transform("ordered", lambda e: e["h"]).alias("hs"),
+        "s",
     )
-    sizes = per_doc.select("doc_id", "s")
-    union = F.col("ca.s") + F.col("cb.s") - F.col("inter")
+    inter = F.size(F.array_intersect("ca.hs", "cb.hs"))
+    union = F.col("ca.s") + F.col("cb.s") - inter
     return (
-        inter.join(sizes.alias("ca"), F.col("da") == F.col("ca.doc_id"))
-        .join(sizes.alias("cb"), F.col("db") == F.col("cb.doc_id"))
-        .filter(F.col("inter") * den >= union * num)
+        cand.join(sets.alias("ca"), F.col("da") == F.col("ca.doc_id"))
+        .join(sets.alias("cb"), F.col("db") == F.col("cb.doc_id"))
+        .filter(inter * den >= union * num)
         .select(
             "da",
             "db",
-            F.round(F.col("inter").cast("double") / union, 4).alias("jaccard"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
         )
     )
 
