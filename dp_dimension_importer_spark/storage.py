@@ -754,3 +754,134 @@ def read_snapshot_pruned(
         spark.read.parquet(*(os.path.join(path, rel) for rel in keep))
         .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
     )
+
+
+# ---------------------------------------------------------------------------
+# File-level bloom index → point-lookup file skipping
+# ---------------------------------------------------------------------------
+
+#: bits / probes per FILE bloom (vs dedup's corpus-level 8 Mbit filter):
+#: 2^17 bits ≈ 16 KiB dense, stored sparse — sized for ~10k distinct keys
+#: per file at ~1% fpr; size up with file cardinality
+BLOOM_IDX_M = 1 << 17
+BLOOM_IDX_K = 5
+
+
+def _bloom_index_path(path: str, col: str) -> str:
+    import os
+
+    return os.path.join(path, f"_bloom_{col}.json")
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_bits: int = BLOOM_IDX_M,
+    k: int = BLOOM_IDX_K,
+) -> int:
+    """Build a per-FILE bloom sidecar over ``col`` for the parquet table
+    at ``path`` — the min/max-stats complement for POINT lookups on
+    columns where range stats prune nothing (high-cardinality ids spread
+    across every file). Entirely distributed: each row explodes to its k
+    probe positions (same double-hash math as dedup's corpus bloom,
+    ``pos_i = (h1 + i*h2) mod m`` with pmod-before-combine so ANSI longs
+    never overflow), positions OR into 64-bit words with one map-side-
+    combinable bit_or keyed on (file, word) — the shuffle is bounded by
+    files × m/64 words, not by rows — and only the sparse non-zero words
+    reach the driver. Writes ``_bloom_<col>.json`` atomically
+    (tmp + rename); returns the number of files indexed.
+
+    At 100 TB: a 16 KiB-dense / sparser-in-practice bitmap per 128 MB
+    file is ~0.01% storage overhead, and a point lookup touches only the
+    files whose filter fires (expected 1 + fpr·files)."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("_file"), F.col(col).alias("_v")
+    )
+    h1, h2 = F.xxhash64("_v"), F.xxhash64(F.lit(1), F.col("_v"))
+    r1, r2 = F.pmod(h1, F.lit(m_bits)), F.pmod(h2, F.lit(m_bits))
+    pos = F.explode(
+        F.array(*[F.pmod(r1 + F.lit(i) * r2, F.lit(m_bits)) for i in range(k)])
+    ).alias("_p")
+    words = (
+        df.select("_file", pos)
+        .select(
+            "_file",
+            (F.col("_p") / 64).cast("long").alias("_w"),
+            F.expr("shiftleft(1L, CAST(pmod(_p, 64) AS INT))").alias("_b"),
+        )
+        .groupBy("_file", "_w")
+        .agg(F.bit_or("_b").alias("_word"))
+        .collect()
+    )
+    index: dict[str, dict[str, int]] = {}
+    for r in words:
+        rel = os.path.relpath(r["_file"].removeprefix("file://"), path)
+        index.setdefault(rel, {})[str(r["_w"])] = r["_word"]
+    meta = {"col": col, "m_bits": m_bits, "k": k, "files": index}
+    tmp = _bloom_index_path(path, col) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _bloom_index_path(path, col))
+    return len(index)
+
+
+def read_bloom_pruned(
+    spark: SparkSession, path: str, col: str, values: list
+) -> DataFrame:
+    """Point lookup through the bloom sidecar: read ONLY the files whose
+    filter fires for at least one of ``values``, then apply the exact
+    ``IN`` predicate (bloom positives are candidates, never answers).
+    Files missing from the sidecar are always read — the index is an
+    optimization, never a correctness dependency. A value the filter
+    rejects everywhere costs ZERO file reads.
+
+    Probe hashes come from a one-row Spark job over the SAME xxhash64
+    expressions the build used — the JVM is the single hashing authority,
+    so build and probe can never drift (the dedup bloom's lesson,
+    mirrored here)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    with open(_bloom_index_path(path, col)) as f:
+        meta = json.load(f)
+    m_bits, k = meta["m_bits"], meta["k"]
+    probe = spark.createDataFrame([(v,) for v in values]).toDF("_v")
+    h1, h2 = F.xxhash64("_v"), F.xxhash64(F.lit(1), F.col("_v"))
+    r1, r2 = F.pmod(h1, F.lit(m_bits)), F.pmod(h2, F.lit(m_bits))
+    rows = probe.select(
+        F.array(
+            *[F.pmod(r1 + F.lit(i) * r2, F.lit(m_bits)) for i in range(k)]
+        ).alias("_ps")
+    ).collect()
+    all_files = sorted(meta["files"])
+    keep: set[str] = set()
+    for r in rows:
+        for rel in all_files:
+            words = meta["files"][rel]
+            if all(
+                (words.get(str(p // 64), 0) >> (p % 64)) & 1 for p in r["_ps"]
+            ):
+                keep.add(rel)
+    # files on disk but absent from the sidecar are unindexed: always read
+    import glob
+
+    on_disk = {
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    }
+    keep |= on_disk - set(all_files)
+    if not keep:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return (
+        spark.read.parquet(*(os.path.join(path, rel) for rel in sorted(keep)))
+        .filter(F.col(col).isin(values))
+    )

@@ -259,3 +259,58 @@ class TestStatsPrunedSnapshot:
         out = storage.read_snapshot_pruned(spark, path, "id", 10, 20)
         assert len(out.inputFiles()) == 4  # nothing skippable
         assert out.count() == 11
+
+
+class TestBloomFileIndex:
+    def _table(self, spark, tmp_path, name, localized=True):
+        import shutil
+
+        path = str(tmp_path / name)
+        shutil.rmtree(path, ignore_errors=True)
+        df = spark.range(0, 8_000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+        part = df.repartitionByRange(8, "id") if localized else df.repartition(8, "v")
+        part.write.parquet(path)
+        return path
+
+    def test_point_lookup_skips_files_and_is_exact(self, spark, tmp_path):
+        from dp_dimension_importer_spark import storage
+
+        path = self._table(spark, tmp_path, "t1", localized=True)
+        n = storage.build_bloom_index(spark, path, "id")
+        assert n == 8
+        out = storage.read_bloom_pruned(spark, path, "id", [42, 7999])
+        # keys live in 2 known files; bloom may false-positive a few more
+        # but must stay well under the full listing
+        assert 0 < len(out.inputFiles()) <= 4
+        assert sorted(r.id for r in out.collect()) == [42, 7999]
+
+    def test_absent_key_reads_zero_files(self, spark, tmp_path):
+        from dp_dimension_importer_spark import storage
+
+        path = self._table(spark, tmp_path, "t2")
+        storage.build_bloom_index(spark, path, "id")
+        out = storage.read_bloom_pruned(spark, path, "id", [123_456_789])
+        assert out.count() == 0
+
+    def test_never_skips_wrongly_on_any_layout(self, spark, tmp_path):
+        """Hash layout: each key still lives in exactly one file, but
+        neighbors scatter — bloom pruning must stay exact regardless."""
+        from dp_dimension_importer_spark import storage
+
+        path = self._table(spark, tmp_path, "t3", localized=False)
+        storage.build_bloom_index(spark, path, "id")
+        keys = [0, 1, 4_000, 7_999]
+        out = storage.read_bloom_pruned(spark, path, "id", keys)
+        assert sorted(r.id for r in out.collect()) == keys
+
+    def test_unindexed_files_always_read(self, spark, tmp_path):
+        """A file written AFTER the index build must never be skipped."""
+        from dp_dimension_importer_spark import storage
+
+        path = self._table(spark, tmp_path, "t4")
+        storage.build_bloom_index(spark, path, "id")
+        spark.range(100_000, 100_001).select(
+            F.col("id"), (F.col("id") * 3).alias("v")
+        ).coalesce(1).write.mode("append").parquet(path)
+        out = storage.read_bloom_pruned(spark, path, "id", [100_000])
+        assert [r.id for r in out.collect()] == [100_000]

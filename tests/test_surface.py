@@ -129,6 +129,7 @@ EXPECTED = {
     "dq_expectations",
     "mv_incremental_agg",
     "q67_stats_pruned_scan",
+    "q68_bloom_point_lookup",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
