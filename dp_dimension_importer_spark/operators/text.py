@@ -1093,3 +1093,108 @@ def text_entropy(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring — integer-exact via staged int64 arithmetic
+# ---------------------------------------------------------------------------
+
+#: pinned demo query terms (all present in the fixture vocabulary)
+BM25_QUERY = ("spark", "join", "window")
+#: BM25 parameters as exact rationals: k1 = 6/5 (1.2), b = 3/4 (0.75) —
+#: folded into the staged integer formula below, never as floats
+
+
+@register(
+    "text_bm25_topk",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS t
+        FROM documents
+    ),
+    dl  AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    tot AS (SELECT SUM(dl) AS tt, COUNT(*) AS nn FROM dl),
+    q(t) AS (VALUES {", ".join(f"('{t}')" for t in BM25_QUERY)}),
+    tf  AS (SELECT doc_id, t, COUNT(*) AS tf
+            FROM tok JOIN q USING (t) GROUP BY 1, 2),
+    df  AS (SELECT t, COUNT(DISTINCT doc_id) AS df
+            FROM tok JOIN q USING (t) GROUP BY t),
+    idf AS (SELECT t,
+                   CAST(FLOOR(LN((nn - df + 0.5) / (df + 0.5) + 1)
+                              * 1000000 + 0.5) AS BIGINT) AS idf_u
+            FROM df, tot),
+    term AS (
+        SELECT tf.doc_id,
+               (idf_u * 22 * tt * tf * 2
+                + (10 * tt * tf + 3 * tt + 9 * dl.dl * nn))
+               // (2 * (10 * tt * tf + 3 * tt + 9 * dl.dl * nn)) AS term_u
+        FROM tf JOIN idf USING (t) JOIN dl USING (doc_id), tot
+    )
+    SELECT doc_id, CAST(SUM(term_u) AS BIGINT) AS bm25_micros
+    FROM term GROUP BY doc_id
+    ORDER BY bm25_micros DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-20 retrieval scoring (k1 = 1.2, b = 0.75) for a pinned
+    query, INTEGER-EXACT end to end: with the rationals folded in, each
+    term's score is ``idf · 22·T·tf / (10·T·tf + 3·T + 9·dl·N)`` (T =
+    corpus token count, N = docs, dl = doc length) — the only float is
+    ``ln`` in the idf, quantized to int64 micros ONCE per distinct
+    document frequency (the text_entropy lesson: a 1-ulp cross-engine ln
+    difference cannot flip a half-up quantization, and everything
+    downstream is int64 division, identical in Spark and DuckDB). Ranking
+    ties break on doc_id, so top-20 is deterministic even on a
+    near-tie-dense synthetic corpus.
+
+    Scale shape: tf is one token-explode + groupBy on (doc_id, term)
+    PRE-FILTERED to the query terms (the explode feeds a broadcast-able
+    3-row join before any shuffle); df/idf are query-term-sized; dl is a
+    doc-keyed aggregate the corpus pipeline shares; the global (T, N)
+    scalar pair joins as a 1-row cross. Overflow bound: idf_u ≤ ln(N)·1e6
+    and the widest intermediate is ``idf_u·44·T·tf`` ≈ 3e16 at sf0.1 —
+    int64-safe to ~1e10 corpus tokens per partition-set; shard T beyond
+    that (documented, like pagerank's bound)."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("t")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = dl.agg(
+        F.sum("dl").alias("tt"), F.count(F.lit(1)).alias("nn")
+    )
+    q = spark.createDataFrame([(x,) for x in BM25_QUERY]).toDF("t")
+    qtok = tok.join(F.broadcast(q), "t")
+    tf = qtok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    idf = df.crossJoin(tot).select(
+        "t",
+        F.floor(
+            F.log(
+                (F.col("nn") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+            )
+            * 1000000
+            + 0.5
+        ).cast("long").alias("idf_u"),
+    )
+    term = (
+        tf.join(F.broadcast(idf), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf_u * 22 * tt * tf * 2"
+                " + (10 * tt * tf + 3 * tt + 9 * dl * nn))"
+                " div (2 * (10 * tt * tf + 3 * tt + 9 * dl * nn))"
+            ).alias("term_u"),
+        )
+    )
+    return (
+        term.groupBy("doc_id")
+        .agg(F.sum("term_u").alias("bm25_micros"))
+        .orderBy(F.col("bm25_micros").desc(), "doc_id")
+        .limit(20)
+    )

@@ -130,6 +130,7 @@ EXPECTED = {
     "mv_incremental_agg",
     "q67_stats_pruned_scan",
     "q68_bloom_point_lookup",
+    "text_bm25_topk",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
