@@ -39,6 +39,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q53_stream_static_join",
     "q60_stream_upsert_sink",
     "q63_stream_ohlc",
+    "q69_stream_mv_refresh",
 }
 
 

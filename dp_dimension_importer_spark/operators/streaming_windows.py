@@ -690,3 +690,71 @@ def q63_stream_ohlc(spark, sf_dir):
     return out.filter(F.col("event_type") != SENTINEL_TYPE).orderBy(
         "event_type", "bar_ts"
     )
+
+
+@register(
+    "q69_stream_mv_refresh",
+    sql="""
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT)                          AS sum_micros,
+           COUNT(*)                                 AS cnt_rows,
+           CAST(MIN(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT)                          AS min_micros,
+           MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))    AS max_ts_epoch
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q69_stream_mv_refresh(spark, sf_dir):
+    """Incremental MV maintenance as a STREAMING job with exactly-once
+    state: replay events as 4 micro-batches through
+    :func:`streaming.sink.run_stream_agg`, whose ``foreachBatch`` handler
+    merges each batch's mergeable partials (merge_agg_state's prefix
+    contract) into an MVCC state table — new snapshot version per
+    refresh, atomic {batch_id, version} pointer swap as the commit point.
+    Sums are not idempotent under redelivery (unlike q60's latest-wins
+    upserts), which is exactly what the pointer protocol solves: a crash
+    between snapshot commit and pointer swap leaves an orphan version the
+    redelivered batch never sees. The oracle is the one-shot batch GROUP
+    BY over the full event table, so a green row pins stream-incremental
+    == batch recompute exactly; redelivery/crash mechanics are pinned in
+    tests/test_streaming.py. Eagerly localCheckpoint-ed so scratch state
+    can be removed before returning."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark.streaming import sink as agg_sink
+
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    replay_dir = write_replay_dir(events, n_files=4, sentinel=False)
+    scratch = tempfile.mkdtemp(prefix="q69_mv_")
+    state_path = scratch + "/state"
+
+    def partial(df):
+        m = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+        return df.groupBy("event_type").agg(
+            F.sum(m).alias("sum_micros"),
+            F.count(F.lit(1)).alias("cnt_rows"),
+            F.min(m).alias("min_micros"),
+            F.max(F.col("ts").cast("long")).alias("max_ts_epoch"),
+        )
+
+    try:
+        out = agg_sink.run_stream_agg(
+            spark, replay_dir, events.schema, state_path,
+            keys=["event_type"], partial_fn=partial,
+            checkpoint=scratch + "/ckpt",
+        )
+        return (
+            out.select(
+                "event_type", "sum_micros", "cnt_rows", "min_micros",
+                "max_ts_epoch",
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(replay_dir, ignore_errors=True)

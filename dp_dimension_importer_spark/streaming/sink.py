@@ -165,3 +165,101 @@ def run_stream_merge(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(table_path)
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming AGGREGATE-STATE maintenance (incremental MV)
+# ---------------------------------------------------------------------------
+
+def _agg_state_pointer(state_path: str) -> str:
+    """Sidecar holding {"batch_id", "version"} — the single atomic commit
+    point for the aggregate sink (beside the table, like the merge sink's
+    commit log)."""
+    return state_path.rstrip("/") + "__state.json"
+
+
+def read_agg_state_pointer(state_path: str) -> dict:
+    p = _agg_state_pointer(state_path)
+    if not os.path.exists(p):
+        return {"batch_id": -1, "version": None}
+    with open(p) as f:
+        return json.load(f)
+
+
+def make_agg_state_handler(state_path: str, keys: list[str], partial_fn):
+    """Build a ``foreachBatch`` handler that maintains a MERGEABLE
+    aggregate state table (the streaming twin of ``mv_incremental_agg``)
+    with exactly-once state, even though sums — unlike the merge sink's
+    latest-wins upserts — are NOT naturally idempotent under redelivery.
+
+    The trick is MVCC, not a separate commit log: every refresh commits
+    the merged state as a NEW snapshot version (storage.write_snapshot —
+    immutable, crash-invisible), and a pointer sidecar {batch_id,
+    version} is swapped in atomically (tmp + os.replace) only AFTER the
+    commit. Redelivered batch (id <= pointer's) → skip. Crash after
+    snapshot but before pointer swap → the orphan version is simply never
+    referenced; the redelivered batch re-merges against the version the
+    pointer still names, so nothing double-counts. Orphans are reclaimed
+    by vacuum_snapshots like any crashed commit.
+
+    ``partial_fn(batch_df) -> DataFrame`` maps a micro-batch to its
+    mergeable partial state (columns named by merge_agg_state's prefix
+    contract: sum_* / cnt_* / min_* / max_*, plus ``keys``)."""
+    from dp_dimension_importer_spark.operators.aggregates import (
+        merge_agg_state,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        meta = read_agg_state_pointer(state_path)
+        if batch_id <= meta["batch_id"]:
+            return  # redelivered after a crash; state already includes it
+        spark = batch_df.sparkSession
+        part = partial_fn(batch_df)
+        if meta["version"] is None:
+            merged = part
+        else:
+            state = storage.read_snapshot(spark, state_path, meta["version"])
+            merged = merge_agg_state(state, part, keys)
+        version = storage.write_snapshot(spark, merged, state_path)
+        tmp = _agg_state_pointer(state_path) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "version": version}, f)
+        os.replace(tmp, _agg_state_pointer(state_path))  # commit point
+
+    return handle
+
+
+def run_stream_agg(
+    spark: SparkSession,
+    replay_dir: str,
+    schema,
+    state_path: str,
+    keys: list[str],
+    partial_fn,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Drive a file-source stream through the exactly-once aggregate
+    sink with availableNow, then read back the state version the pointer
+    names (NOT blindly the latest — an orphaned crashed commit may be
+    newer)."""
+    handler = make_agg_state_handler(state_path, keys, partial_fn)
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_aggsink_")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    meta = read_agg_state_pointer(state_path)
+    return storage.read_snapshot(spark, state_path, meta["version"])

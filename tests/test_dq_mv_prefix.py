@@ -314,3 +314,72 @@ class TestBloomFileIndex:
         ).coalesce(1).write.mode("append").parquet(path)
         out = storage.read_bloom_pruned(spark, path, "id", [100_000])
         assert [r.id for r in out.collect()] == [100_000]
+
+
+class TestStreamAggExactlyOnce:
+    """The aggregate sink's MVCC pointer protocol — the part q69's green
+    oracle row can't see: sums are NOT redelivery-idempotent, so skip and
+    crash-recovery semantics carry the exactly-once claim."""
+
+    def _partial(self, df):
+        return df.groupBy("k").agg(
+            F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("cnt_v")
+        )
+
+    def test_redelivered_batch_is_skipped(self, spark, tmp_path):
+        from dp_dimension_importer_spark import storage
+        from dp_dimension_importer_spark.streaming import sink
+
+        state = str(tmp_path / "state")
+        h = sink.make_agg_state_handler(state, ["k"], self._partial)
+        batch = spark.range(10).select(
+            (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+        )
+        h(batch, 0)
+        h(batch, 0)  # redelivery after crash: same batch id
+        meta = sink.read_agg_state_pointer(state)
+        got = {
+            (r.k, r.sum_v, r.cnt_v)
+            for r in storage.read_snapshot(
+                spark, state, meta["version"]
+            ).collect()
+        }
+        assert got == {(0, 20, 5), (1, 25, 5)}  # counted once, not twice
+
+    def test_crash_between_snapshot_and_pointer_never_double_counts(
+        self, spark, tmp_path
+    ):
+        """Simulate the worst crash window: the merged snapshot committed
+        but the pointer swap never happened. The redelivered batch must
+        re-merge against the version the pointer names and end exactly
+        once; the orphan version stays unreferenced."""
+        from dp_dimension_importer_spark import storage
+        from dp_dimension_importer_spark.streaming import sink
+
+        state = str(tmp_path / "state2")
+        h = sink.make_agg_state_handler(state, ["k"], self._partial)
+        b0 = spark.range(10).select(
+            (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+        )
+        b1 = spark.range(10, 20).select(
+            (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+        )
+        h(b0, 0)
+        meta0 = sink.read_agg_state_pointer(state)
+        # crash mid-handler for batch 1: snapshot written, pointer not
+        state0 = storage.read_snapshot(spark, state, meta0["version"])
+        orphan = storage.write_snapshot(
+            spark, merge_agg_state(state0, self._partial(b1), ["k"]), state
+        )
+        assert sink.read_agg_state_pointer(state) == meta0  # pointer intact
+        h(b1, 1)  # redelivery
+        meta1 = sink.read_agg_state_pointer(state)
+        assert meta1["version"] not in (orphan, meta0["version"])
+        got = {
+            (r.k, r.sum_v, r.cnt_v)
+            for r in storage.read_snapshot(
+                spark, state, meta1["version"]
+            ).collect()
+        }
+        # 0..19: evens sum 90 count 10, odds sum 100 count 10
+        assert got == {(0, 90, 10), (1, 100, 10)}

@@ -131,6 +131,7 @@ EXPECTED = {
     "q67_stats_pruned_scan",
     "q68_bloom_point_lookup",
     "text_bm25_topk",
+    "q69_stream_mv_refresh",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
