@@ -919,3 +919,37 @@ def test_snapshot_merge_isolation_and_vacuum_retention(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         storage.read_snapshot(spark, path, version=1)
     assert storage.read_snapshot(spark, path).count() == t.orders.count()
+
+
+def test_prefix_filter_no_cartesian_and_no_python(spark):
+    """dedup_jaccard_prefix's candidate generation must be an equi-join
+    on the 8-byte gram hash (never a nested-loop/cartesian all-pairs),
+    and the whole pipeline must stay JVM-side — no Python rows anywhere
+    (sort_array/slice/array_intersect are codegen'd expressions)."""
+    from dp_dimension_importer_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    docs = load_tables(spark, SF_SMOKE).documents
+    plan = plan_of(prefix_filter_pairs(docs), "simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_dq_expectations_single_scan_per_table(spark):
+    """The DQ suite's scale contract: N constraints over lineitem fold
+    into aggregates over ONE lineitem scan feeding the stats branch plus
+    ONE for the FK anti-join probe — adding constraints must never add
+    scans. events contributes exactly one scan (freshness)."""
+    plan = plan_of(QUERIES["dq_expectations"](spark, SF_SMOKE), "simple")
+    assert plan.count("lineitem.parquet") == 2, plan
+    assert plan.count("events.parquet") == 1, plan
+
+
+def test_bm25_query_terms_broadcast(spark):
+    """BM25's term table (3 rows) must broadcast into the token stream —
+    the corpus-side explode is filtered map-side, never shuffled against
+    the query terms."""
+    plan = plan_of(QUERIES["text_bm25_topk"](spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
