@@ -110,8 +110,27 @@ from dp_dimension_importer_spark.operators.similarity import (  # noqa: F401
     fit_pca,
 )
 from dp_dimension_importer_spark.streaming.sink import (  # noqa: F401
+    make_agg_state_handler,
     make_merge_batch_handler,
+    run_stream_agg,
     run_stream_merge,
+)
+from dp_dimension_importer_spark.operators.aggregates import (  # noqa: F401
+    merge_agg_state,
+)
+from dp_dimension_importer_spark.operators.dataquality import (  # noqa: F401
+    constraint_report,
+)
+from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
+    prefix_filter_pairs,
+)
+from dp_dimension_importer_spark.storage import (  # noqa: F401
+    build_bloom_index,
+    read_bloom_pruned,
+    read_snapshot,
+    read_snapshot_pruned,
+    write_snapshot,
+    write_snapshot_with_stats,
 )
 
 __all__ = [
@@ -154,6 +173,17 @@ __all__ = [
     "fit_pca",
     "make_merge_batch_handler",
     "run_stream_merge",
+    "make_agg_state_handler",
+    "run_stream_agg",
+    "merge_agg_state",
+    "constraint_report",
+    "prefix_filter_pairs",
+    "build_bloom_index",
+    "read_bloom_pruned",
+    "read_snapshot",
+    "read_snapshot_pruned",
+    "write_snapshot",
+    "write_snapshot_with_stats",
     "bpe_train",
     "make_bpe_tokenizer",
     "decode_video",
