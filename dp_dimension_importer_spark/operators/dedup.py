@@ -395,6 +395,53 @@ def _components_single_partition(pairs):
     )
 
 
+
+
+@register(
+    "dedup_clusters_star",
+    sql=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    ok  AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    pairs0 AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pr AS (
+        SELECT da, db FROM pairs0
+        JOIN cnt ca ON ca.doc_id = da
+        JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= {JACCARD_T}
+    ),
+    edges AS (SELECT da AS src, db AS dst FROM pr
+              UNION ALL SELECT db, da FROM pr),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_clusters_star(spark, sf_dir):
+    """dedup_clusters forced down the LARGE-GRAPH path: the same exact
+    Jaccard pair graph labeled by alternating large-star/small-star
+    contraction (:func:`_components_star_contraction`) instead of the
+    small-graph single-task union-find that :func:`connected_components`
+    picks below the cutoff. Components are path-invariant, so the oracle
+    SQL is dedup_clusters' verbatim — this row exists so the SCALE form
+    itself holds driver evidence (the dedup_bloom_sharded pattern: the
+    invariant test pins equality, the driver row pins the algorithm
+    end-to-end)."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("da", "db")
+    return _components_star_contraction(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 @register(
     "dedup_clusters",
     sql=f"""

@@ -132,6 +132,7 @@ EXPECTED = {
     "q68_bloom_point_lookup",
     "text_bm25_topk",
     "q69_stream_mv_refresh",
+    "dedup_clusters_star",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
