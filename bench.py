@@ -63,6 +63,13 @@ def main() -> None:
     # from earlier queries can't stall a later query's timed samples), and
     # median-of-5 instead of 3 for queries whose warm-up ran sub-second
     # (widest relative noise, cheapest to re-sample).
+    # Round-5 lesson: common-query totals measured this session ran ~1.5×
+    # the BENCH_r04 numbers, but an A/B at the r4 commit (git worktree,
+    # SAME isolated harness: q57 2.83 vs 2.82, ann_lsh_topk 2.41 vs 2.32,
+    # q43b 0.75 vs 0.80, dedup_semantic 0.86 vs 0.89) showed r4 code runs
+    # at exactly the same speed here — the delta vs the recorded file is
+    # the measuring environment, not a plan change. Judge the trend from
+    # same-environment pairs only.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

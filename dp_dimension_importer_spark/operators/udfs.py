@@ -352,3 +352,133 @@ def q64_python_datasource(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+def make_jsonl_sink_source():
+    """Factory for the ``jsonl_sink`` Python DataSource WRITER (Spark 4
+    ``pyspark.sql.datasource`` write API) — q64's read-path twin, so the
+    connector surface covers both directions. Task protocol is the
+    standard two-phase commit every sane sink implements:
+
+    * ``write(iterator)`` (executor): serialize the task's rows to a
+      UNIQUELY-NAMED temp file (``.tmp-<uuid>``) and return its path in
+      the commit message — a re-attempted task leaves only an orphaned
+      temp, never a half-visible output;
+    * ``commit(messages)`` (driver, all tasks succeeded): rename every
+      temp to its final ``part-<i>.jsonl`` name and write a ``_SUCCESS``
+      manifest listing them — readers treat manifest-less directories as
+      uncommitted;
+    * ``abort(messages)`` (driver, any task failed): delete the temps.
+
+    Classes live in a factory so cloudpickle ships them by value (the
+    repo-wide rule for Python crossing the executor boundary)."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, tmp_path):
+            self.tmp_path = tmp_path
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options, overwrite):
+            self.path = options["path"]
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict()) + "\n")
+            return _Msg(tmp)
+
+        def commit(self, messages):
+            finals = []
+            for i, m in enumerate(sorted(
+                (m for m in messages if m is not None),
+                key=lambda m: m.tmp_path,
+            )):
+                final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+                os.replace(m.tmp_path, final)
+                finals.append(os.path.basename(final))
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                json.dump({"files": finals}, f)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.tmp_path):
+                    os.unlink(m.tmp_path)
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options, overwrite)
+
+    return JsonlSink
+
+
+@register(
+    "q64b_python_datasource_writer",
+    sql="""
+    WITH g AS (
+        SELECT UNNEST(generate_series(0, 9999)) AS id
+    ), r AS (
+        SELECT id, (id * 2654435761) % 1000003 AS val
+        FROM g
+    )
+    SELECT (id % 8) AS bucket, COUNT(*) AS n,
+           CAST(SUM(val) AS BIGINT) AS sval
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def q64b_python_datasource_writer(spark, sf_dir):
+    """The connector WRITE path end-to-end: generate the same
+    deterministic (id, val) rows as q64, write them through the
+    registered ``jsonl_sink`` Python DataSource (two-phase task commit —
+    temp file per task, rename + manifest on driver commit), read the
+    JSONL directory back with Spark's json reader, and aggregate. The
+    oracle recomputes from ``generate_series``, so a green row pins the
+    writer's row serialization, the task protocol's completeness (every
+    task's rows and no duplicates), and the type round-trip through
+    JSON. Abort/crash cleanup is pinned by the dedicated sink tests.
+    Eagerly localCheckpoint-ed so the scratch directory can be removed
+    before returning."""
+    import shutil
+    import tempfile
+
+    try:
+        spark.dataSource.register(make_jsonl_sink_source())
+    except Exception:
+        pass  # already registered in this session — name is stable
+    rows = spark.range(0, 10_000).select(
+        F.col("id"),
+        ((F.col("id") * F.lit(2654435761)) % F.lit(1000003)).alias("val"),
+    )
+    path = tempfile.mkdtemp(prefix="jsonl_sink_")
+    try:
+        shutil.rmtree(path)
+        (rows.repartition(4).write.format("jsonl_sink")
+         .option("path", path).mode("append").save())
+        back = (spark.read.option("pathGlobFilter", "part-*.jsonl")
+                .json(path))
+        return (
+            back.groupBy((F.col("id") % 8).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("val").cast("long").alias("sval"),
+            )
+            .orderBy("bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -383,3 +383,67 @@ class TestStreamAggExactlyOnce:
         }
         # 0..19: evens sum 90 count 10, odds sum 100 count 10
         assert got == {(0, 90, 10), (1, 100, 10)}
+
+
+class TestJsonlSinkProtocol:
+    """The jsonl_sink writer's two-phase commit — the part q64b's green
+    oracle row can't see: task failure must leave NO visible output, and
+    commit must publish exactly the successful tasks' files."""
+
+    def test_failed_job_leaves_no_committed_output(self, spark, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from dp_dimension_importer_spark.operators.udfs import (
+            make_jsonl_sink_source,
+        )
+
+        try:
+            spark.dataSource.register(make_jsonl_sink_source())
+        except Exception:
+            pass
+        path = str(tmp_path / "sink_fail")
+
+        @F.udf("long")
+        def boom(v):
+            if v == 7:
+                raise ValueError("injected task failure")
+            return v
+
+        df = spark.range(0, 10).select(boom(F.col("id")).alias("id"))
+        with _pytest.raises(Exception):
+            (df.repartition(2).write.format("jsonl_sink")
+             .option("path", path).mode("append").save())
+        # abort ran: no _SUCCESS manifest, no final part files
+        assert not os.path.exists(os.path.join(path, "_SUCCESS"))
+        if os.path.isdir(path):
+            assert not [
+                f for f in os.listdir(path) if f.startswith("part-")
+            ]
+
+    def test_commit_publishes_manifest_and_all_rows(self, spark, tmp_path):
+        import json
+        import os
+
+        from dp_dimension_importer_spark.operators.udfs import (
+            make_jsonl_sink_source,
+        )
+
+        try:
+            spark.dataSource.register(make_jsonl_sink_source())
+        except Exception:
+            pass
+        path = str(tmp_path / "sink_ok")
+        (spark.range(0, 100).repartition(4).write.format("jsonl_sink")
+         .option("path", path).mode("append").save())
+        with open(os.path.join(path, "_SUCCESS")) as f:
+            manifest = json.load(f)
+        on_disk = sorted(
+            f for f in os.listdir(path) if f.startswith("part-")
+        )
+        assert sorted(manifest["files"]) == on_disk and len(on_disk) == 4
+        back = spark.read.option(
+            "pathGlobFilter", "part-*.jsonl"
+        ).json(path)
+        assert sorted(r.id for r in back.collect()) == list(range(100))

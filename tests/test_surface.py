@@ -133,6 +133,7 @@ EXPECTED = {
     "text_bm25_topk",
     "q69_stream_mv_refresh",
     "dedup_clusters_star",
+    "q64b_python_datasource_writer",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
