@@ -246,3 +246,36 @@ def q62_array_hof(spark, sf_dir):
             lambda acc, v: acc + v,
         ).alias("sq_m2"),
     ).orderBy("vec_id")
+
+
+@register(
+    "q37c_from_json_typed",
+    sql="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q37c_from_json_typed(spark, sf_dir):
+    """TYPED JSON parsing: ``from_json`` with an explicit schema turns the
+    string ``props`` column into a real struct ONCE per row — the scale
+    path when several fields are consumed (q37's ``get_json_object``
+    re-parses the string per extraction; the VARIANT form q37b binarizes
+    for repeated random access). The struct field then filters and
+    aggregates as an ordinary column. Completes the JSON-access triad:
+    string path (q37) / typed struct (this) / VARIANT (q37b)."""
+    t = load_tables(spark, sf_dir)
+    parsed = t.events.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").alias("p"),
+    )
+    return (
+        parsed.filter(F.col("p.k") >= 50)
+        .groupBy("event_type")
+        .agg(F.sum("p.k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

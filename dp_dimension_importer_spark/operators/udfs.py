@@ -482,3 +482,45 @@ def q64b_python_datasource_writer(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q70_observed_metrics",
+    sql="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_heavy
+    FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def q70_observed_metrics(spark, sf_dir):
+    """The OBSERVABILITY surface: ``Observation`` + ``df.observe`` attach
+    named aggregate metrics to a flowing query — computed as accumulator
+    updates DURING the action, zero extra scans or shuffles (the
+    production shape for pipeline health counters at 100 TB: row counts
+    and integrity sums come free with the job instead of as a second
+    pass). The observed values are returned AS the result frame, so the
+    oracle pins that observe-side metrics equal a plain aggregate over
+    the same filter. (Streaming twins use the same API via
+    ``StreamingQueryProgress.observedMetrics``.)"""
+    from pyspark.sql import Observation
+
+    t = load_tables(spark, sf_dir)
+    obs = Observation("dq")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    flowing = t.lineitem.filter(F.col("l_returnflag") == "A").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("sum_cents"),
+        F.sum(
+            F.when(F.col("l_quantity") >= 25, 1).otherwise(0)
+        ).cast("long").alias("n_heavy"),
+    )
+    flowing.write.format("noop").mode("overwrite").save()  # the action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_cents"], m["n_heavy"])],
+        "n_rows bigint, sum_cents bigint, n_heavy bigint",
+    )

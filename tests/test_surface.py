@@ -134,6 +134,8 @@ EXPECTED = {
     "q69_stream_mv_refresh",
     "dedup_clusters_star",
     "q64b_python_datasource_writer",
+    "q37c_from_json_typed",
+    "q70_observed_metrics",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
