@@ -120,6 +120,7 @@ from dp_dimension_importer_spark.operators.aggregates import (  # noqa: F401
 )
 from dp_dimension_importer_spark.operators.dataquality import (  # noqa: F401
     constraint_report,
+    quarantine,
 )
 from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
     prefix_filter_pairs,
@@ -177,6 +178,7 @@ __all__ = [
     "run_stream_agg",
     "merge_agg_state",
     "constraint_report",
+    "quarantine",
     "prefix_filter_pairs",
     "build_bloom_index",
     "read_bloom_pruned",

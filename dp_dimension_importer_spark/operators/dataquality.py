@@ -197,3 +197,106 @@ def dq_expectations(spark, sf_dir):
     return constraint_report(
         t.lineitem, t.orders, "l_orderkey", "o_orderkey", t.events
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-level enforcement: quarantine (the report above is table-level)
+# ---------------------------------------------------------------------------
+
+def quarantine(df: DataFrame, expectations: dict[str, "F.Column"]):
+    """Public core (engine facade): split ``df`` into (valid, invalid)
+    by a dict of named boolean expectations — the row-level enforcement
+    the table-level :func:`constraint_report` doesn't do. ``invalid``
+    carries a ``violated`` array naming every failed expectation (a row
+    can fail several), so the quarantine table is self-describing for
+    triage. NULL predicate results count as violations (a null check
+    answer means the row could not prove validity) — ``F.coalesce(expr,
+    False)`` semantics, applied here so callers can't forget.
+
+    One projection, zero joins/shuffles: both outputs are filters over
+    the same annotated frame, and Spark reuses the scan. At 100 TB the
+    invalid side is typically tiny — write it partitioned by violation
+    for the cleanup queue, let the valid side flow on."""
+    flags = [
+        F.coalesce(expr, F.lit(False)).alias(name)
+        for name, expr in expectations.items()
+    ]
+    annotated = df.select("*", *flags)
+    violated = F.filter(
+        F.array(
+            *[
+                F.when(~F.col(n), F.lit(n)).otherwise(F.lit(None))
+                for n in expectations
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    valid = annotated.filter(
+        F.array_size(violated) == 0
+    ).drop(*expectations.keys())
+    invalid = (
+        annotated.withColumn("violated", violated)
+        .filter(F.array_size(F.col("violated")) > 0)
+        .drop(*expectations.keys())
+    )
+    return valid, invalid
+
+
+@register(
+    "dq_quarantine",
+    sql="""
+    WITH ann AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_returnflag,
+               (l_quantity BETWEEN 1 AND 49) AS qty_in_range,
+               (l_returnflag IN ('A', 'N'))  AS flag_known
+        FROM lineitem
+    ),
+    inv AS (
+        SELECT *, ARRAY_LENGTH(
+                   list_filter(
+                       [CASE WHEN NOT qty_in_range THEN 'qty_in_range' END,
+                        CASE WHEN NOT flag_known  THEN 'flag_known'  END],
+                       x -> x IS NOT NULL)) AS n_violated,
+               list_filter(
+                   [CASE WHEN NOT qty_in_range THEN 'qty_in_range' END,
+                    CASE WHEN NOT flag_known  THEN 'flag_known'  END],
+                   x -> x IS NOT NULL) AS violated
+        FROM ann
+    )
+    SELECT violated,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM inv WHERE n_violated > 0
+    GROUP BY violated ORDER BY violated
+    """,
+)
+def dq_quarantine(spark, sf_dir):
+    """Row-level expectation enforcement end-to-end: declare two
+    expectations over lineitem (a deliberately-failing quantity range —
+    the fixture's max is 50 — and an accepted-flag set missing 'R'),
+    split via :func:`quarantine`, and aggregate the INVALID side by its
+    ``violated`` signature. The oracle recomputes the same split in SQL,
+    so a green row pins the flag/array semantics (multi-violation rows
+    carry every name, sorted declaration order) and that valid+invalid
+    is a partition of the input (the counts reconcile — also asserted by
+    the dedicated test)."""
+    t = load_tables(spark, sf_dir)
+    df = t.lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag",
+    )
+    _, invalid = quarantine(
+        df,
+        {
+            "qty_in_range": F.col("l_quantity").between(1, 49),
+            "flag_known": F.col("l_returnflag").isin("A", "N"),
+        },
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        invalid.groupBy("violated")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_cents"))
+        .orderBy(F.col("violated").cast("string"))
+    )

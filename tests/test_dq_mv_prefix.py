@@ -447,3 +447,32 @@ class TestJsonlSinkProtocol:
             "pathGlobFilter", "part-*.jsonl"
         ).json(path)
         assert sorted(r.id for r in back.collect()) == list(range(100))
+
+
+class TestQuarantine:
+    def test_valid_invalid_partition_the_input(self, spark):
+        from dp_dimension_importer_spark.operators.dataquality import (
+            quarantine,
+        )
+
+        df = spark.range(0, 100).select(
+            F.col("id"),
+            F.when(F.col("id") % 10 == 0, None)
+            .otherwise(F.col("id") % 7)
+            .alias("v"),
+        )
+        valid, invalid = quarantine(
+            df,
+            {
+                "v_nonnull": F.col("v").isNotNull(),
+                "v_small": F.col("v") < 5,
+            },
+        )
+        nv, ni, n = valid.count(), invalid.count(), df.count()
+        assert nv + ni == n and ni > 0
+        # null predicate counts as violation, and multi-failures carry
+        # both names
+        rows = {r.id: list(r.violated) for r in invalid.collect()}
+        assert rows[0] == ["v_nonnull", "v_small"]  # null v fails both
+        assert rows[5] == ["v_small"]  # 5 % 7 = 5 >= 5
+        assert valid.columns == ["id", "v"]  # flags dropped

@@ -136,6 +136,7 @@ EXPECTED = {
     "q64b_python_datasource_writer",
     "q37c_from_json_typed",
     "q70_observed_metrics",
+    "dq_quarantine",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
