@@ -801,8 +801,12 @@ def build_bloom_index(
 
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path).select(
-        F.input_file_name().alias("_file"), F.col(col).alias("_v")
+    df = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("_file"), F.col(col).alias("_v"))
+        # null keys can't be point-looked-up (isin drops them) and would
+        # poison the word aggregate with null positions — exclude at build
+        .filter(F.col("_v").isNotNull())
     )
     h1, h2 = F.xxhash64("_v"), F.xxhash64(F.lit(1), F.col("_v"))
     r1, r2 = F.pmod(h1, F.lit(m_bits)), F.pmod(h2, F.lit(m_bits))
@@ -854,6 +858,9 @@ def read_bloom_pruned(
     with open(_bloom_index_path(path, col)) as f:
         meta = json.load(f)
     m_bits, k = meta["m_bits"], meta["k"]
+    values = [v for v in values if v is not None]
+    if not values:  # nothing matchable; keep the schema without IO
+        return spark.read.parquet(path).filter(F.lit(False))
     probe = spark.createDataFrame([(v,) for v in values]).toDF("_v")
     h1, h2 = F.xxhash64("_v"), F.xxhash64(F.lit(1), F.col("_v"))
     r1, r2 = F.pmod(h1, F.lit(m_bits)), F.pmod(h2, F.lit(m_bits))
