@@ -363,3 +363,92 @@ def test_wav_roundtrip(pcm, rate, channels, bits):
     assert a["channels"] == channels and a["bits"] == bits
     assert a["data"] == pcm
     assert a["n_frames"] == len(pcm) // (channels * bits // 8)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session cores: merge_agg_state associativity, quarantine law
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=0, max_size=40,
+    ),
+    cut1=st.integers(0, 40),
+    cut2=st.integers(0, 40),
+)
+def test_merge_agg_state_associative_and_equals_one_shot(
+    spark, vals, cut1, cut2
+):
+    """merge(merge(a,b),c) == merge(a,merge(b,c)) == one-shot partial of
+    the concatenation, for any 3-way split of any input — the algebraic
+    contract incremental MV refresh rests on."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.operators.aggregates import (
+        merge_agg_state,
+    )
+
+    lo, hi = sorted((cut1, cut2))
+    parts = [vals[:lo], vals[lo:hi], vals[hi:]]
+
+    def partial(rows):
+        df = spark.createDataFrame(rows or [(None, None)], "k int, v int")
+        df = df.filter(F.col("k").isNotNull())
+        return df.groupBy("k").agg(
+            F.sum("v").alias("sum_v"),
+            F.count(F.lit(1)).alias("cnt_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+
+    a, b, c = (partial(p) for p in parts)
+    left = merge_agg_state(merge_agg_state(a, b, ["k"]), c, ["k"])
+    right = merge_agg_state(a, merge_agg_state(b, c, ["k"]), ["k"])
+    oneshot = partial(vals)
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(left) == rows(right) == rows(oneshot)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-20, 20)), min_size=0, max_size=30
+    ),
+    bound=st.integers(-20, 20),
+)
+def test_quarantine_is_a_partition_for_any_predicate(spark, vals, bound):
+    """valid ∪ invalid == input, valid ∩ invalid == ∅, and every invalid
+    row's `violated` list is exactly its failed expectations — for
+    arbitrary data (nulls included) and an arbitrary threshold."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.operators.dataquality import quarantine
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)] or [(None, None)],
+        "id int, v int",
+    ).filter(F.col("id").isNotNull())
+    valid, invalid = quarantine(
+        df,
+        {
+            "v_nonnull": F.col("v").isNotNull(),
+            "v_ge": F.col("v") >= bound,
+        },
+    )
+    vrows = {r.id for r in valid.collect()}
+    irows = {r.id: list(r.violated) for r in invalid.collect()}
+    assert vrows | set(irows) == {i for i, _ in enumerate(vals)}
+    assert vrows.isdisjoint(irows)
+    for i, v in enumerate(vals):
+        want = []
+        if v is None:
+            want = ["v_nonnull", "v_ge"]
+        elif v < bound:
+            want = ["v_ge"]
+        if want:
+            assert irows[i] == want, (i, v)
+        else:
+            assert i in vrows
