@@ -40,6 +40,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q60_stream_upsert_sink",
     "q63_stream_ohlc",
     "q69_stream_mv_refresh",
+    "q70b_stream_observed_metrics",
 }
 
 

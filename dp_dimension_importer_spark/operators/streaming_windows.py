@@ -758,3 +758,73 @@ def q69_stream_mv_refresh(spark, sf_dir):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
         shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+@register(
+    "q70b_stream_observed_metrics",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_micros
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def q70b_stream_observed_metrics(spark, sf_dir):
+    """q70's STREAMING twin: ``df.observe`` on a flowing stream surfaces
+    per-micro-batch metrics through ``StreamingQueryProgress
+    .observedMetrics`` — the production health-counter path (row counts
+    and integrity sums per trigger, no second pass over the stream, no
+    extra state). The query replays events as 4 micro-batches, observes
+    (count, integer-micro sum) over the 'view' rows of each, reads every
+    batch's metrics off the progress events, and returns the driver-side
+    TOTALS — which the oracle pins equal to a one-shot batch aggregate,
+    proving no batch's metrics were dropped or double-reported."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    replay_dir = write_replay_dir(events, n_files=4, sentinel=False)
+    name = "obs_" + _uuid.uuid4().hex[:10]
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_obs_")
+    micros = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay_dir)
+        )
+        flowing = (
+            stream.filter(F.col("event_type") == "view")
+            .observe(
+                "dq",
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(micros).alias("sum_micros"),
+            )
+        )
+        query = (
+            flowing.writeStream.format("noop")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .queryName(name)
+            .start()
+        )
+        query.awaitTermination()
+        n_rows = 0
+        sum_micros = 0
+        for p in query.recentProgress:
+            m = (p.get("observedMetrics") or {}).get("dq")
+            if m is not None:
+                n_rows += m["n_rows"]
+                sum_micros += m["sum_micros"]
+        return spark.createDataFrame(
+            [(n_rows, sum_micros)], "n_rows bigint, sum_micros bigint"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        shutil.rmtree(replay_dir, ignore_errors=True)

@@ -953,3 +953,47 @@ def test_bm25_query_terms_broadcast(spark):
     plan = plan_of(QUERIES["text_bm25_topk"](spark, SF_SMOKE), "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "Cartesian" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
+
+
+def test_aqe_skew_join_splits_skewed_partitions(spark):
+    """AQE's skew-join handling must actually engage in this engine's
+    session config: a join where one key holds ~all left rows should
+    execute with the skewed partition SPLIT (isSkew=true on the
+    SortMergeJoin after adaptive replanning) instead of one straggler
+    task chewing the hot key — the runtime half of the static salting
+    demo (join_skew_salted)."""
+    left = (
+        spark.range(0, 300_000)
+        .select(
+            F.when(F.col("id") % 100 < 99, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+    )
+    right = spark.range(0, 50_000).select(F.col("id").alias("k"))
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        joined = left.join(right, "k")
+        # collect() executes THIS frame's queryExecution — a count() would
+        # spawn a separate execution and leave this plan isFinalPlan=false
+        joined.collect()
+        plan = plan_of(joined, "simple")
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

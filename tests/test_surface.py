@@ -137,6 +137,7 @@ EXPECTED = {
     "q37c_from_json_typed",
     "q70_observed_metrics",
     "dq_quarantine",
+    "q70b_stream_observed_metrics",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
