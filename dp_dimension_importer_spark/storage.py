@@ -609,9 +609,12 @@ def vacuum_snapshots(path: str, keep_last: int = 1) -> int:
 #: (ISO order == chronological order, so string compare prunes correctly)
 def _stat_encode(v):
     import datetime as _dt
+    import decimal as _dec
 
     if v is None or isinstance(v, (int, float)):
         return v
+    if isinstance(v, _dec.Decimal):
+        return float(v)  # keep numeric compare semantics (JSON-safe)
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
     if isinstance(v, bytes):
