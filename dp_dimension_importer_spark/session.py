@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Local mode: shuffle files land on local disk; keep them compressed.
         .config("spark.shuffle.compress", "true")
+        # Write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+        # columns carry NO parquet min/max statistics, so every
+        # stats-based skip (row-group pruning, the snapshot layer's
+        # manifest stats) silently degrades to scan-everything on
+        # timestamp predicates. MICROS restores the stats and is the
+        # modern interop default (Arrow/Trino/Iceberg read it natively).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -476,3 +476,39 @@ class TestQuarantine:
         assert rows[0] == ["v_nonnull", "v_small"]  # null v fails both
         assert rows[5] == ["v_small"]  # 5 % 7 = 5 >= 5
         assert valid.columns == ["id", "v"]  # flags dropped
+
+
+class TestStatsPruningTemporalTypes:
+    def test_date_and_timestamp_columns_prune(self, spark, tmp_path):
+        """Temporal stats must survive the manifest round-trip: dates and
+        timestamps encode as ISO strings (ISO order == chronological) and
+        MICROS timestamps carry parquet min/max (INT96 would not — pinned
+        by the session conf)."""
+        import datetime as _dt
+
+        from dp_dimension_importer_spark import storage
+
+        path = str(tmp_path / "temporal")
+        df = spark.range(0, 1000).select(
+            F.col("id"),
+            F.date_add(
+                F.lit("2020-01-01").cast("date"), F.col("id").cast("int")
+            ).alias("d"),
+            (
+                F.lit("2020-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=F.col("id") * 3600)
+            ).alias("ts"),
+        )
+        storage.write_snapshot_with_stats(
+            spark, df, path, stats_cols=["d", "ts"], range_col="id",
+            n_files=8,
+        )
+        pr = storage.read_snapshot_pruned(
+            spark, path, "d", _dt.date(2020, 2, 1), _dt.date(2020, 2, 10)
+        )
+        assert pr.count() == 10 and len(pr.inputFiles()) <= 2
+        pr2 = storage.read_snapshot_pruned(
+            spark, path, "ts",
+            _dt.datetime(2020, 1, 2), _dt.datetime(2020, 1, 3),
+        )
+        assert pr2.count() == 25 and len(pr2.inputFiles()) <= 2
