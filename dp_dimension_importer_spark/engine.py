@@ -53,6 +53,8 @@ from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
 )
 from dp_dimension_importer_spark.operators.text import (  # noqa: F401
     bpe_train,
+    build_inverted_index,
+    search_inverted_index,
     chunk_index,
     make_bpe_tokenizer,
     pack_index,
@@ -179,6 +181,8 @@ __all__ = [
     "merge_agg_state",
     "constraint_report",
     "quarantine",
+    "build_inverted_index",
+    "search_inverted_index",
     "prefix_filter_pairs",
     "build_bloom_index",
     "read_bloom_pruned",

@@ -1198,3 +1198,143 @@ def text_bm25_topk(spark, sf_dir):
         .orderBy(F.col("bm25_micros").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index → index-backed conjunctive search
+# ---------------------------------------------------------------------------
+
+#: pinned conjunctive search terms for the registered query
+SEARCH_TERMS = ("spark", "window", "merge")
+
+
+def build_inverted_index(
+    documents, path: str, id_col: str = "doc_id", text_col: str = "text",
+    n_buckets: int = 8,
+):
+    """Public core (engine facade): persist an INVERTED INDEX
+    (term, sorted posting array) for ``documents`` as parquet bucketed
+    into ``n_buckets`` term-hash directories. Distinct (doc, term) pairs
+    group per term with ``sort_array(collect_set(...))`` — one shuffle
+    keyed on the term string; the posting array is the classic
+    search-engine layout (docs sorted, so intersections merge linearly).
+    Postings are additionally laid out by ``pmod(xxhash64(term), B)``
+    partition directories, so a lookup's directory pruning touches 1/B of
+    the index before any row filter runs.
+
+    Scale note: a web-scale stopword's posting array would be
+    corpus-sized; production splits hot terms into posting BLOCKS
+    (term, block_id, docs[]) — the layout supports it by adding block_id
+    to the key, and the lookup union-reads blocks. Not needed at fixture
+    vocabulary sizes (the hottest fixture term posts ~80% of 500 docs =
+    one small array)."""
+    from dp_dimension_importer_spark import storage
+
+    import json
+    import os
+
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(text_col)).alias("term"),
+    ).distinct()
+    postings = (
+        tok.groupBy("term")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    storage.write_partitioned(
+        postings.repartition(n_buckets, "bucket"), path, ["bucket"]
+    )
+    # the fan-out is part of the hash contract — record it, never infer
+    # it from the directory listing (a sparse vocabulary leaves bucket
+    # directories empty and an inferred modulus probes the wrong ones)
+    with open(os.path.join(path, "_index_meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
+def search_inverted_index(spark, path: str, terms: list[str]):
+    """Conjunctive (AND) search against :func:`build_inverted_index`'s
+    layout: read ONLY the query terms' posting rows (partition pruning on
+    the term-hash bucket + a pushed-down term filter — never a corpus
+    scan), then intersect the posting arrays with ``array_intersect``
+    folded across terms in one projection. Missing term → empty result
+    (AND semantics), enforced by checking the posting count matches the
+    term count. Returns (doc_id) rows."""
+    import json
+    import os
+
+    # read the recorded bucket fan-out, then hash the query terms with
+    # the SAME JVM xxhash64 the writer used (one local 1-row job — the
+    # dedup-bloom lesson: one hashing authority, never a Python
+    # reimplementation) so the read filters on the PARTITION column too
+    # and directory pruning actually engages
+    with open(os.path.join(path, "_index_meta.json")) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    buckets = [
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms])
+        .toDF("term")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    q = (
+        spark.read.parquet(path)
+        .filter(
+            F.col("bucket").isin(buckets)
+            & F.col("term").isin(list(terms))
+        )
+        .select("docs")
+    )
+    agg = q.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.aggregate(
+            F.collect_list("docs"),
+            F.lit(None).cast("array<long>"),
+            lambda acc, d: F.when(acc.isNull(), d).otherwise(
+                F.array_intersect(acc, d)
+            ),
+        ).alias("hits"),
+    )
+    return (
+        agg.filter(F.col("n_terms") == len(terms))
+        .select(F.explode("hits").alias("doc_id"))
+    )
+
+
+@register(
+    "text_index_search",
+    sql=f"""
+    SELECT doc_id FROM documents
+    WHERE {" AND ".join(
+        "list_contains(list_filter(string_split(text, ' '), x -> x <> ''), "
+        f"'{t}')" for t in SEARCH_TERMS
+    )}
+    ORDER BY doc_id
+    """,
+)
+def text_index_search(spark, sf_dir):
+    """Index-backed conjunctive search end-to-end THROUGH THE FILESYSTEM:
+    build the inverted index for the corpus, persist it term-hash-
+    partitioned, then answer ``spark AND window AND merge`` by reading
+    ONLY those three posting rows and intersecting their sorted arrays —
+    the full-scan LIKE plan this replaces is exactly the oracle, so a
+    green row pins index build + layout + lookup against the scan
+    semantics. The posting read is directory-pruned (term-hash bucket)
+    and term-filtered at the parquet scan. Eagerly localCheckpoint-ed so
+    the scratch index can be removed before returning."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="invidx_")
+    try:
+        shutil.rmtree(path)
+        build_inverted_index(t.documents, path)
+        return (
+            search_inverted_index(spark, path, list(SEARCH_TERMS))
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -512,3 +512,60 @@ class TestStatsPruningTemporalTypes:
             _dt.datetime(2020, 1, 2), _dt.datetime(2020, 1, 3),
         )
         assert pr2.count() == 25 and len(pr2.inputFiles()) <= 2
+
+
+class TestInvertedIndex:
+    def test_lookup_prunes_buckets_and_misses_are_empty(self, spark, tmp_path):
+        from dp_dimension_importer_spark.operators.text import (
+            build_inverted_index,
+            search_inverted_index,
+        )
+
+        docs = _docs(spark, [
+            "alpha beta gamma", "alpha beta", "beta gamma delta",
+            "alpha gamma", "epsilon zeta",
+        ])
+        path = str(tmp_path / "idx")
+        build_inverted_index(docs, path, n_buckets=8)
+        hits = search_inverted_index(spark, path, ["alpha", "gamma"])
+        assert sorted(r.doc_id for r in hits.collect()) == [0, 3]
+        # directory pruning: the bucket filter must reach the scan as a
+        # PartitionFilter (inputFiles() lists pre-pruning, so audit the
+        # plan — the same check the partitioned-write tests use)
+        plan = hits._sc._jvm.PythonSQLUtils.explainString(
+            hits._jdf.queryExecution(), "formatted"
+        )
+        assert "PartitionFilters" in plan and "bucket" in plan, plan
+        # AND semantics with a term absent from the corpus: empty, not
+        # the other terms' union
+        none = search_inverted_index(spark, path, ["alpha", "nosuchterm"])
+        assert none.count() == 0
+
+    def test_index_agrees_with_scan_on_fixture(self, spark, tmp_path):
+        """Same conjunctive query answered by the index and by a direct
+        tokenized scan of the corpus — identical doc sets."""
+        from dp_dimension_importer_spark.catalog import load_tables
+        from dp_dimension_importer_spark.operators.text import (
+            build_inverted_index,
+            search_inverted_index,
+            tokens_expr,
+        )
+        from tests.conftest import SF_SMOKE
+
+        docs = load_tables(spark, SF_SMOKE).documents
+        path = str(tmp_path / "idx2")
+        build_inverted_index(docs, path)
+        got = sorted(
+            r.doc_id
+            for r in search_inverted_index(
+                spark, path, ["table", "query"]
+            ).collect()
+        )
+        tk = tokens_expr("text")
+        want = sorted(
+            r.doc_id
+            for r in docs.filter(
+                F.array_contains(tk, "table") & F.array_contains(tk, "query")
+            ).select("doc_id").collect()
+        )
+        assert got == want and len(want) > 0

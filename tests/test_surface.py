@@ -138,6 +138,7 @@ EXPECTED = {
     "q70_observed_metrics",
     "dq_quarantine",
     "q70b_stream_observed_metrics",
+    "text_index_search",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
