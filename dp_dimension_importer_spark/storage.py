@@ -467,6 +467,7 @@ def write_snapshot(
     df: DataFrame,
     path: str,
     compression: str = PARQUET_CODEC,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the table's next snapshot version; returns the
     version number. Data files land under a fresh ``data/<token>/``
@@ -476,7 +477,13 @@ def write_snapshot(
     ``vacuum_snapshots``). Version numbers are claimed optimistically —
     on EEXIST (another writer won the race) the commit retries with the
     next number; the data files need no rewrite because manifests, not
-    directory names, define membership."""
+    directory names, define membership.
+
+    ``stats_cols``: also record per-file min/max for those columns in
+    the manifest (harvested from parquet FOOTERS — no data pages read),
+    enabling ``read_snapshot_pruned``. Stats ride in the same manifest
+    whose hard-link IS the commit, so readers never see files without
+    their stats."""
     import glob
     import json
     import os
@@ -490,13 +497,16 @@ def write_snapshot(
         os.path.relpath(p, path)
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
+    manifest = {"files": files}
+    if stats_cols is not None:
+        manifest["stats"] = collect_file_stats(files, path, stats_cols)
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{token}.json")
     while True:
         version = (snapshot_versions(path) or [0])[-1] + 1
         with open(tmp, "w") as f:
-            json.dump({"version": version, "files": files}, f)
+            json.dump({"version": version, **manifest}, f)
         final = os.path.join(mdir, f"v{version}.json")
         try:
             os.link(tmp, final)  # atomic claim: EEXIST = lost the race
@@ -664,48 +674,19 @@ def write_snapshot_with_stats(
     n_files: int = 8,
     compression: str = PARQUET_CODEC,
 ) -> int:
-    """:func:`write_snapshot` + per-file min/max column statistics in the
-    manifest (the Iceberg/Delta data-skipping idea on this layer's
-    manifests). Pass ``range_col`` to range-cluster the files on that
-    column first (``repartitionByRange`` → near-disjoint per-file value
-    ranges), which is what makes the stats selective — stats over files
-    with random layout prune nothing. Commit protocol is unchanged:
-    stats ride in the same manifest json whose hard-link IS the commit,
-    so a reader never sees files without their stats."""
-    import glob
-    import json
-    import os
-    import uuid
-
+    """:func:`write_snapshot` with per-file min/max statistics (the
+    Iceberg/Delta data-skipping idea on this layer's manifests). Pass
+    ``range_col`` to range-cluster the files on that column first
+    (``repartitionByRange`` → near-disjoint per-file value ranges) —
+    that clustering is what makes the stats selective; stats over a
+    random layout prune nothing. Same commit protocol: one
+    implementation (write_snapshot), so the stats path can never drift
+    from the crash/concurrency contract the snapshot tests pin."""
     if range_col is not None:
         df = df.repartitionByRange(n_files, range_col)
-    token = uuid.uuid4().hex[:12]
-    data_dir = os.path.join(path, "data", token)
-    (df.write.mode("error").option("compression", compression)
-     .parquet(data_dir))
-    files = sorted(
-        os.path.relpath(p, path)
-        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    return write_snapshot(
+        spark, df, path, compression=compression, stats_cols=stats_cols
     )
-    stats = collect_file_stats(files, path, stats_cols)
-    mdir = _manifest_dir(path)
-    os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".tmp-{token}.json")
-    while True:
-        version = (snapshot_versions(path) or [0])[-1] + 1
-        with open(tmp, "w") as f:
-            json.dump(
-                {"version": version, "files": files, "stats": stats}, f
-            )
-        final = os.path.join(mdir, f"v{version}.json")
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
-            continue
-        finally:
-            if os.path.exists(final):
-                os.unlink(tmp)
-        return version
 
 
 def read_snapshot_pruned(
