@@ -828,3 +828,63 @@ def q70b_stream_observed_metrics(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(checkpoint, ignore_errors=True)
         shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+@register(
+    "q52d_stream_stream_semi_join",
+    sql="""
+    SELECT c.event_id AS click_id, c.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    WHERE EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    ORDER BY click_id
+    """,
+)
+def q52d_stream_stream_semi_join(spark, sf_dir):
+    """Stream-stream LEFT SEMI join — the last member of the streaming
+    join matrix (inner q52 / left q52b / full q52c): converted clicks
+    emit ONCE each, without purchase columns, regardless of how many
+    matching purchases arrive. Semi is emission-subtle in streaming: a
+    click emits on its FIRST match and must then be remembered-but-
+    suppressed for later matches until the watermark evicts it — Spark's
+    state store handles that; the replay's sentinel batches advance both
+    watermarks so eviction completes before the drain stops. Same 1-hour
+    event-time bound, so state stays ~1 hour per side. The oracle is the
+    batch EXISTS (semi join) over the same window."""
+    events = table(spark, sf_dir, "events")
+    replay_dir = write_replay_dir(events, n_files=2, sentinel=True)
+
+    def transform(stream):
+        clicks = (
+            stream.filter(F.col("event_type").isin("click", SENTINEL_TYPE))
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_type").isin("purchase", SENTINEL_TYPE))
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return clicks.join(
+            purchases,
+            F.expr(
+                "p_user = c_user AND p_ts >= c_ts "
+                "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+            ),
+            "left_semi",
+        ).select("click_id", F.col("c_user").alias("user_id"))
+
+    out = run_replay(spark, replay_dir, events.schema, transform, "append")
+    return out.filter(F.col("click_id") != -1).orderBy("click_id")

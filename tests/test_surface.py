@@ -139,6 +139,7 @@ EXPECTED = {
     "dq_quarantine",
     "q70b_stream_observed_metrics",
     "text_index_search",
+    "q52d_stream_stream_semi_join",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
