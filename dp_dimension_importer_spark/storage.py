@@ -468,6 +468,7 @@ def write_snapshot(
     path: str,
     compression: str = PARQUET_CODEC,
     stats_cols: list[str] | None = None,
+    enforce_schema: bool = True,
 ) -> int:
     """Commit ``df`` as the table's next snapshot version; returns the
     version number. Data files land under a fresh ``data/<token>/``
@@ -483,11 +484,36 @@ def write_snapshot(
     the manifest (harvested from parquet FOOTERS — no data pages read),
     enabling ``read_snapshot_pruned``. Stats ride in the same manifest
     whose hard-link IS the commit, so readers never see files without
-    their stats."""
+    their stats.
+
+    Schema contract: every manifest records the committed schema, and
+    ``enforce_schema=True`` (default) allows only ADDITIVE evolution —
+    the new snapshot must keep every existing column at its existing
+    type (new columns are fine; time travel + ``mergeSchema`` handles
+    the read side, q65's contract). A dropped or retyped column raises
+    BEFORE any data is written, because the rejected commit would
+    silently break every downstream reader of that column — pass
+    ``enforce_schema=False`` for a deliberate breaking rewrite."""
     import glob
     import json
     import os
     import uuid
+
+    new_schema = {f.name: f.dataType.simpleString() for f in df.schema}
+    versions = snapshot_versions(path)
+    if enforce_schema and versions:
+        with open(
+            os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")
+        ) as f:
+            old_schema = json.load(f).get("schema")
+        for col_name, col_type in (old_schema or {}).items():
+            if new_schema.get(col_name) != col_type:
+                raise ValueError(
+                    f"snapshot schema evolution must be additive: column "
+                    f"{col_name!r} was {col_type}, new commit has "
+                    f"{new_schema.get(col_name)!r} (pass "
+                    f"enforce_schema=False for a breaking rewrite)"
+                )
 
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
@@ -497,7 +523,7 @@ def write_snapshot(
         os.path.relpath(p, path)
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
-    manifest = {"files": files}
+    manifest = {"files": files, "schema": new_schema}
     if stats_cols is not None:
         manifest["stats"] = collect_file_stats(files, path, stats_cols)
     mdir = _manifest_dir(path)

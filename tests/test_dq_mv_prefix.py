@@ -569,3 +569,33 @@ class TestInvertedIndex:
             ).select("doc_id").collect()
         )
         assert got == want and len(want) > 0
+
+
+class TestSnapshotSchemaContract:
+    def test_additive_evolution_ok_breaking_raises(self, spark, tmp_path):
+        from dp_dimension_importer_spark import storage
+
+        path = str(tmp_path / "schema_tbl")
+        base = spark.range(5).select(F.col("id"), F.lit("x").alias("s"))
+        storage.write_snapshot(spark, base, path)
+        # additive: new column fine
+        storage.write_snapshot(
+            spark, base.withColumn("extra", F.lit(1)), path
+        )
+        # breaking: dropped column raises BEFORE writing data
+        import glob
+
+        n_data_dirs = len(glob.glob(path + "/data/*"))
+        with pytest.raises(ValueError, match="additive"):
+            storage.write_snapshot(spark, base.select("id"), path)
+        # retyped column raises too
+        with pytest.raises(ValueError, match="additive"):
+            storage.write_snapshot(
+                spark, base.withColumn("s", F.lit(3)), path
+            )
+        assert len(glob.glob(path + "/data/*")) == n_data_dirs  # no orphans
+        # deliberate rewrite with the guard off succeeds
+        v = storage.write_snapshot(
+            spark, base.select("id"), path, enforce_schema=False
+        )
+        assert storage.read_snapshot(spark, path, v).columns == ["id"]
