@@ -78,6 +78,8 @@ from dp_dimension_importer_spark.operators.multimodal import (  # noqa: F401
     encode_y4m,
     extract_audio_features,
     extract_video_features,
+    image_dhash,
+    image_near_dup_pairs,
     resize_images_real,
     resize_nearest,
     sample_uniform,
@@ -198,6 +200,8 @@ __all__ = [
     "encode_y4m",
     "extract_video_features",
     "resize_images_real",
+    "image_dhash",
+    "image_near_dup_pairs",
     "resize_nearest",
     "sample_uniform",
 ]

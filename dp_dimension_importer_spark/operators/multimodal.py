@@ -1420,3 +1420,142 @@ def resize_images_real(assets: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return assets.mapInPandas(_real, schema=RESIZED_REAL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: dHash over DECODED images + banded Hamming join
+# ---------------------------------------------------------------------------
+
+def image_dhash(assets: DataFrame, payload_col: str = "payload",
+                id_col: str = "asset_id") -> DataFrame:
+    """Public core (engine facade): 64-bit difference-hash per image —
+    decode (:func:`decode_image`, any supported container), collapse to
+    grayscale (integer channel mean), nearest-resize to 9×8
+    (:func:`resize_nearest` — integer index maps, bit-deterministic),
+    then one bit per adjacent horizontal pair (left > right). The
+    classic perceptual fingerprint: byte-identical re-encodes, resizes
+    and low-amplitude noise keep the same hash; different pictures
+    differ in many bits. Arrow-batched ``mapInPandas``; undecodable
+    payloads yield NULL (dead-letter net, same as the other decoders).
+    Returns (asset_id, dhash long)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    dec, rez = decode_image, resize_nearest
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                try:
+                    img = dec(bytes(payload))
+                    if img.ndim == 3:
+                        img = img.astype(np.uint16).mean(
+                            axis=2, dtype=np.float64
+                        ).astype(np.uint8)
+                    g = rez(img, 9, 8).astype(np.int16)
+                    bits = (g[:, 1:] > g[:, :-1]).flatten()
+                    h = 0
+                    for b in bits:
+                        h = (h << 1) | int(b)
+                    # to signed int64 (Spark long)
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    out.append(h)
+                except (NotImplementedError, ValueError, IndexError):
+                    out.append(None)
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col], "dhash": pd.array(out, "Int64")}
+            )
+
+    return assets.mapInPandas(_hash, "asset_id long, dhash long")
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate image pairs from dHashes: 4 bands of 16 bits each —
+    two hashes within Hamming distance ``max_hamming`` ≤ 6 must agree on
+    at least one whole band unless the differing bits spread 4-1-1-0+
+    across bands, so banding keeps recall high while the candidate join
+    carries only (asset_id, band_id, 16-bit key); candidates verify with
+    an exact ``bit_count(xor)``. The LSH shape of the text MinHash
+    pipeline, transplanted to perceptual hashes (recall floor pinned in
+    tests, precision by the verify)."""
+    bands = None
+    for i in range(4):
+        b = hashes.select(
+            F.col("asset_id"),
+            F.col("dhash"),
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned("dhash", 16 * i)
+            .bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.asset_id") < F.col("b.asset_id"))
+        .select(
+            F.col("a.asset_id").alias("da"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.asset_id").alias("db"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(dist <= max_hamming).select(
+        "da", "db", dist.cast("int").alias("hamming")
+    )
+
+
+@register("multimodal_image_dedup", sql=None)  # decode is Python: rows-only
+def multimodal_image_dedup(spark, sf_dir):
+    """Perceptual IMAGE dedup end-to-end on real container bytes:
+    synthesize a PGM image per document (16×16 integer picture whose
+    seed is ``doc_id % 100`` — so ~1/40th of the corpus shares each
+    base picture — plus a 1-LSB per-doc noise pixel that perceptual
+    hashing must shrug off), then decode → grayscale → 9×8 → dHash
+    (:func:`image_dhash`) and band-join near-dup pairs
+    (:func:`image_near_dup_pairs`). Rows-only by SURVEY §2.3's contract
+    (the decode is Python — no SQL oracle can re-derive the hash);
+    recall/precision floors are pinned in tests/test_dq_mv_prefix.py:
+    same-pattern pairs found, cross-pattern pairs rejected."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    t = load_tables(spark, sf_dir)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id) % 100
+                # seeded RNG = a deterministic, structure-rich base
+                # picture per group (a linear gradient would share its
+                # horizontal-difference profile across groups and give
+                # dHash nothing to tell them apart by)
+                img = np.random.RandomState(k).randint(
+                    0, 256, (16, 16)
+                ).astype(np.uint8)
+                # per-doc low-amplitude noise: two pixels perturbed by
+                # <=7 grey levels — enough to flip the occasional dHash
+                # bit (pairs land at Hamming 0-4), far from the ~32-bit
+                # distance between different base pictures
+                d = int(doc_id)
+                img[d % 16, (d // 16) % 16] ^= 7
+                img[(d * 7) % 16, (d * 13) % 16] ^= 5
+                payloads.append(b"P5 16 16 255\n" + img.tobytes())
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = t.documents.select("doc_id").mapInPandas(
+        _gen, "asset_id long, payload binary"
+    )
+    pairs = image_near_dup_pairs(image_dhash(assets), max_hamming=6)
+    return pairs.orderBy("da", "db")

@@ -245,7 +245,7 @@ _GATED = frozenset({
     "ann_ivf_topk", "ann_lsh_topk", "dedup_semantic_ivf",
     "sketch_hll_mergeable", "sketch_theta_set_ops", "sketch_kll_quantiles",
     "sketch_count_min_heavy", "embedding_pca", "ann_pq_topk",
-    "text_bpe_tokens", "dedup_minhash_keep",
+    "text_bpe_tokens", "dedup_minhash_keep", "multimodal_image_dedup",
 })
 
 _VERIFIED = _VERIFIED_R01 | _VERIFIED_R02 | _VERIFIED_R03 | _VERIFIED_R04

@@ -599,3 +599,44 @@ class TestSnapshotSchemaContract:
             spark, base.select("id"), path, enforce_schema=False
         )
         assert storage.read_snapshot(spark, path, v).columns == ["id"]
+
+
+class TestImageDedup:
+    def test_fixture_recall_and_precision(self, spark):
+        """Every same-base-picture pair must be found (the banded join's
+        recall floor at Hamming <= 6 is exact here: noise lands at 0-2
+        bits) and NO cross-picture pair may survive (seeded-random bases
+        sit ~32 bits apart)."""
+        from dp_dimension_importer_spark.registry import QUERIES
+        from tests.conftest import SF_SMOKE
+
+        rows = QUERIES["multimodal_image_dedup"](spark, SF_SMOKE).collect()
+        n_docs = 500 if len(rows) >= 1000 else 50
+        from collections import Counter
+
+        group_sizes = Counter(i % 100 for i in range(n_docs))
+        want_pairs = sum(c * (c - 1) // 2 for c in group_sizes.values())
+        assert len(rows) == want_pairs
+        assert all(r.da % 100 == r.db % 100 for r in rows)
+        assert all(r.hamming <= 6 for r in rows)
+
+    def test_dhash_stability_and_dead_letter(self, spark):
+        """Identical payloads hash identically; an undecodable payload
+        yields NULL instead of failing the partition."""
+        from pyspark.sql import Row
+
+        from dp_dimension_importer_spark.operators.multimodal import (
+            image_dhash,
+        )
+
+        img = b"P5 4 4 255\n" + bytes(range(16))
+        assets = spark.createDataFrame(
+            [
+                Row(asset_id=1, payload=img),
+                Row(asset_id=2, payload=img),
+                Row(asset_id=3, payload=b"\xff\xd8\xff junk jpeg"),
+            ]
+        )
+        got = {r.asset_id: r.dhash for r in image_dhash(assets).collect()}
+        assert got[1] == got[2] and got[1] is not None
+        assert got[3] is None

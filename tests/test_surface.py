@@ -140,6 +140,7 @@ EXPECTED = {
     "q70b_stream_observed_metrics",
     "text_index_search",
     "q52d_stream_stream_semi_join",
+    "multimodal_image_dedup",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
@@ -161,6 +162,7 @@ NO_ORACLE_OK = {
     "ann_pq_topk",  # approx: recall-gated vs q43b (SURVEY §2.3 exclusion)
     "text_bpe_tokens",  # iterative BPE merge apply is not SQL; invariant-pinned
     "dedup_minhash_keep",  # LSH-candidate pipeline: superset+recall-gated
+    "multimodal_image_dedup",  # Python decode: no SQL oracle; floor-tested
 }
 
 
