@@ -432,3 +432,92 @@ def q58_lateral_join(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "q12b_asof_nearest",
+    sql="""
+    SELECT event_id, o_orderkey FROM (
+        SELECT e.event_id, o.o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY ABS(epoch_us(e.ts)
+                                - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))),
+                            o.o_orderdate ASC, o.o_orderkey ASC
+               ) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id
+    ) WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def q12b_asof_nearest(spark, sf_dir):
+    """NEAREST as-of join — q12's two-sided sibling (pandas
+    ``merge_asof(direction='nearest')``): each event pairs with the
+    user's order closest in time on EITHER side; ties break backward
+    (the earlier order), then to the smallest orderkey. Time deltas are
+    integer MICROSECONDS on both engines (``unix_micros`` /
+    ``epoch_us``) — a truncating seconds cast would disagree with the
+    oracle whenever the two directions land within a second of each
+    other.
+
+    Same union-then-window shape as q12, run in both directions over ONE
+    per-user exchange (two Sorts, one shuffle): a running ``last`` over
+    ascending time carries the best backward order (latest date, then
+    min key — orderkey DESC in the sort makes the window's last the min
+    key), a running ``last`` over descending time carries the best
+    forward order, and a final projection picks the nearer. Still
+    O(|events| + |orders|) rows per user — no range-join fan-out."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        F.col("user_id"),
+        F.unix_micros("ts").alias("tu"),
+        F.lit(1).alias("kind"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    od = t.orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("tu"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+    )
+    u = ev.unionByName(od)
+    cand = F.when(
+        F.col("kind") == 0, F.struct(F.col("tu").alias("t"), "o_orderkey")
+    )
+    # backward scan: orders (kind 0) before events at equal time so the
+    # <= bound is inclusive; orderkey DESC so the running last is the MIN
+    # key among equal-date orders
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("tu").asc(), F.col("kind").asc(),
+                 F.col("o_orderkey").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # forward scan: same trick mirrored over descending time
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("tu").desc(), F.col("kind").asc(),
+                 F.col("o_orderkey").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ann = (
+        u.withColumn("b", F.last(cand, ignorenulls=True).over(wb))
+        .withColumn("f", F.last(cand, ignorenulls=True).over(wf))
+        .filter(F.col("kind") == 1)
+    )
+    db = F.col("tu") - F.col("b.t")
+    df_ = F.col("f.t") - F.col("tu")
+    pick = (
+        F.when(F.col("b").isNull(), F.col("f.o_orderkey"))
+        .when(F.col("f").isNull(), F.col("b.o_orderkey"))
+        .when(db <= df_, F.col("b.o_orderkey"))
+        .otherwise(F.col("f.o_orderkey"))
+    )
+    return (
+        ann.select("event_id", pick.alias("o_orderkey"))
+        .filter(F.col("o_orderkey").isNotNull())
+        .orderBy("event_id")
+    )

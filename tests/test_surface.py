@@ -141,6 +141,7 @@ EXPECTED = {
     "text_index_search",
     "q52d_stream_stream_semi_join",
     "multimodal_image_dedup",
+    "q12b_asof_nearest",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
