@@ -1318,3 +1318,79 @@ def ts_overlap_sweepline(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_rfm",
+    sql="""
+    WITH m AS (
+        SELECT user_id,
+               datediff('day', CAST(MAX(ts) AS DATE), DATE '2024-02-01')
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM events GROUP BY user_id
+    ), scored AS (
+        SELECT user_id, recency_days, frequency, monetary_cents,
+               NTILE(4) OVER (ORDER BY recency_days ASC, user_id)
+                   AS r_quartile,
+               NTILE(4) OVER (ORDER BY frequency DESC, user_id)
+                   AS f_quartile,
+               NTILE(4) OVER (ORDER BY monetary_cents DESC, user_id)
+                   AS m_quartile
+        FROM m
+    )
+    SELECT CAST(r_quartile AS BIGINT) AS r_quartile,
+           CAST(f_quartile AS BIGINT) AS f_quartile,
+           CAST(m_quartile AS BIGINT) AS m_quartile,
+           COUNT(*) AS users,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def events_rfm(spark, sf_dir):
+    """RFM SEGMENTATION — the user-analytics staple: per user, recency
+    (days from last event to the pinned as-of anchor), frequency (event
+    count) and monetary value (integer cents), each quartiled with a
+    deterministic NTILE (user_id tie-break — NTILE without a total order
+    is nondeterministic across engines AND across runs), then users
+    rolled up per (R,F,M) cell. Monetary sums stay integer end to end.
+
+    Scale shape: one event-table aggregate to per-user metrics
+    (|users|-sized), three window quartiles over that SMALL frame (the
+    unavoidable global sorts run on users, never events), one final
+    cell rollup. The as-of anchor is pinned (dataquality.FRESH_ASOF) so
+    reruns and engines agree."""
+    from dp_dimension_importer_spark.operators.dataquality import FRESH_ASOF
+
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    m = t.events.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(FRESH_ASOF), F.max(F.col("ts").cast("date"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    scored = m.select(
+        "monetary_cents",
+        F.ntile(4).over(
+            W.orderBy(F.col("recency_days").asc(), F.col("user_id"))
+        ).cast("long").alias("r_quartile"),
+        F.ntile(4).over(
+            W.orderBy(F.col("frequency").desc(), F.col("user_id"))
+        ).cast("long").alias("f_quartile"),
+        F.ntile(4).over(
+            W.orderBy(F.col("monetary_cents").desc(), F.col("user_id"))
+        ).cast("long").alias("m_quartile"),
+    )
+    return (
+        scored.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("users"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )

@@ -142,6 +142,7 @@ EXPECTED = {
     "q52d_stream_stream_semi_join",
     "multimodal_image_dedup",
     "q12b_asof_nearest",
+    "events_rfm",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
