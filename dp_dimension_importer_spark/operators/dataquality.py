@@ -38,6 +38,14 @@ def constraint_report(
     fact_fk: str,
     parent_pk: str,
     events: DataFrame,
+    *,
+    completeness_col: str = "l_returnflag",
+    unique_cols: tuple[str, ...] = ("l_orderkey", "l_linenumber"),
+    range_spec: tuple[str, float, float] = ("l_quantity", 1, 50),
+    accepted: tuple[str, tuple[str, ...]] = ("l_returnflag", ("A", "N", "R")),
+    non_negative_col: str = "l_extendedprice",
+    ts_col: str = "ts",
+    parent_name: str = "orders",
 ) -> DataFrame:
     """Public core (engine facade): evaluate the declared constraint
     suite → one row per constraint ``(constraint, metric, passed)``.
@@ -56,20 +64,22 @@ def constraint_report(
     The three 1-row frames cross-join (trivial — each side is a single
     row) and unpivot into the report, so the whole suite is one job and
     nothing but scalar aggregates ever reaches the driver."""
+    rng_col, rng_lo, rng_hi = range_spec
+    acc_col, acc_vals = accepted
     fact_stats = facts.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count("l_returnflag").alias("nn_flag"),
-        F.count_distinct("l_orderkey", "l_linenumber").alias("uq"),
+        F.count(completeness_col).alias("nn_flag"),
+        F.count_distinct(*unique_cols).alias("uq"),
         F.sum(
             F.when(
-                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                (F.col(rng_col) < rng_lo) | (F.col(rng_col) > rng_hi), 1
             ).otherwise(0)
         ).alias("range_viol"),
         F.sum(
-            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+            F.when(~F.col(acc_col).isin(*acc_vals), 1).otherwise(0)
         ).alias("accept_viol"),
         F.sum(
-            F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)
+            F.when(F.col(non_negative_col) < 0, 1).otherwise(0)
         ).alias("neg_viol"),
     )
     orphans = (
@@ -82,40 +92,40 @@ def constraint_report(
         .agg(F.count(F.lit(1)).alias("fk_orphans"))
     )
     fresh = events.agg(
-        F.datediff(F.lit(FRESH_ASOF), F.max(F.col("ts").cast("date"))).alias(
-            "lag_days"
-        )
+        F.datediff(
+            F.lit(FRESH_ASOF), F.max(F.col(ts_col).cast("date"))
+        ).alias("lag_days")
     )
     row = fact_stats.crossJoin(orphans).crossJoin(fresh)
     d = lambda c: c.cast("double")  # noqa: E731 — report metric type
     checks = F.array(
         F.struct(
-            F.lit("completeness:l_returnflag").alias("constraint"),
+            F.lit(f"completeness:{completeness_col}").alias("constraint"),
             F.round(d(F.col("nn_flag")) / F.col("n"), 4).alias("metric"),
             (F.col("nn_flag") == F.col("n")).alias("passed"),
         ),
         F.struct(
-            F.lit("uniqueness:l_orderkey+l_linenumber").alias("constraint"),
+            F.lit("uniqueness:" + "+".join(unique_cols)).alias("constraint"),
             F.round(d(F.col("uq")) / F.col("n"), 4).alias("metric"),
             (F.col("uq") == F.col("n")).alias("passed"),
         ),
         F.struct(
-            F.lit("range:l_quantity:[1,50]").alias("constraint"),
+            F.lit(f"range:{rng_col}:[{rng_lo},{rng_hi}]").alias("constraint"),
             d(F.col("range_viol")).alias("metric"),
             (F.col("range_viol") == 0).alias("passed"),
         ),
         F.struct(
-            F.lit("accepted:l_returnflag:{A,N,R}").alias("constraint"),
+            F.lit(f"accepted:{acc_col}:{{{','.join(acc_vals)}}}").alias("constraint"),
             d(F.col("accept_viol")).alias("metric"),
             (F.col("accept_viol") == 0).alias("passed"),
         ),
         F.struct(
-            F.lit("non_negative:l_extendedprice").alias("constraint"),
+            F.lit(f"non_negative:{non_negative_col}").alias("constraint"),
             d(F.col("neg_viol")).alias("metric"),
             (F.col("neg_viol") == 0).alias("passed"),
         ),
         F.struct(
-            F.lit("fk:l_orderkey->orders").alias("constraint"),
+            F.lit(f"fk:{fact_fk}->{parent_name}").alias("constraint"),
             d(F.col("fk_orphans")).alias("metric"),
             (F.col("fk_orphans") == 0).alias("passed"),
         ),
