@@ -1554,6 +1554,11 @@ def multimodal_image_dedup(spark, sf_dir):
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
+    # NOTE: no repartition before the Python stage — measured at sf0.1,
+    # inheriting the source's file-partitions (3.6 s) beats a 32-way
+    # exchange (5.5 s): the shuffle + per-batch Python worker overhead
+    # exceeds the decode it parallelizes at this asset size. A corpus of
+    # real (multi-KB) images tips the other way; repartition there.
     assets = t.documents.select("doc_id").mapInPandas(
         _gen, "asset_id long, payload binary"
     )
