@@ -122,8 +122,12 @@ from dp_dimension_importer_spark.streaming.sink import (  # noqa: F401
 from dp_dimension_importer_spark.operators.aggregates import (  # noqa: F401
     merge_agg_state,
 )
+from dp_dimension_importer_spark.operators.analytics import (  # noqa: F401
+    shortest_paths,
+)
 from dp_dimension_importer_spark.operators.dataquality import (  # noqa: F401
     constraint_report,
+    key_skew_report,
     quarantine,
 )
 from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
@@ -134,6 +138,7 @@ from dp_dimension_importer_spark.storage import (  # noqa: F401
     read_bloom_pruned,
     read_snapshot,
     read_snapshot_pruned,
+    snapshot_changes,
     write_snapshot,
     write_snapshot_with_stats,
 )
@@ -204,4 +209,7 @@ __all__ = [
     "image_near_dup_pairs",
     "resize_nearest",
     "sample_uniform",
+    "key_skew_report",
+    "shortest_paths",
+    "snapshot_changes",
 ]

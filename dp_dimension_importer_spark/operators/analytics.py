@@ -1394,3 +1394,82 @@ def events_rfm(spark, sf_dir):
         )
         .orderBy("r_quartile", "f_quartile", "m_quartile")
     )
+
+
+def shortest_paths(
+    edges: "DataFrame", source, max_iters: int = 64
+) -> "DataFrame":
+    """Public core (engine facade): unweighted single-source shortest
+    paths (min-hop BFS) over an arbitrary (src, dst) edge frame →
+    (node, hops), source included at 0. Unreachable nodes are absent.
+
+    The UNBOUNDED-closure counterpart to q57's depth-bounded recursive
+    CTE: a driver LOOP of per-level frontier relaxations. Each round is
+    one equi-join of the frontier against the edges plus one anti-join
+    against the settled set — the edge frame STAYS distributed (nothing
+    is collected, unlike q57's bounded-contraction prerequisite), so the
+    same code runs on a billion-edge graph; rounds = source eccentricity,
+    and ``localCheckpoint`` truncates lineage so round N's plan doesn't
+    re-derive rounds 1..N-1. BFS invariant: a node joins the settled set
+    the first level it is reached, which in an unweighted graph IS its
+    minimum distance — no per-node min-fixpoint needed (that is what
+    keeps each round's state |frontier|-sized, the Pregel trick)."""
+    spark = edges.sparkSession
+    node_t = edges.schema["src"].dataType.simpleString()
+    dist = spark.createDataFrame(
+        [(source, 0)], f"node {node_t}, hops long"
+    ).localCheckpoint()
+    frontier = dist
+    for _ in range(max_iters):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        new = nxt.join(dist, "node", "left_anti").localCheckpoint()
+        if not new.take(1):
+            return dist
+        dist = dist.unionByName(new).localCheckpoint()
+        frontier = new
+    raise RuntimeError(f"shortest_paths: no fixpoint in {max_iters} rounds")
+
+
+@register(
+    "graph_shortest_paths",
+    sql="""
+    WITH RECURSIVE reach(node, hops) AS (
+        SELECT CAST('view' AS VARCHAR), CAST(0 AS BIGINT)
+        UNION
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN ("""
+    + _RCTE_EDGES_SQL.format(events="events")
+    + """) e ON e.src = r.node
+        WHERE r.hops < (SELECT COUNT(DISTINCT event_type) FROM events)
+    )
+    SELECT node, MIN(hops) AS hops
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def graph_shortest_paths(spark, sf_dir):
+    """Min-hop distances from 'view' over the event-type transition graph
+    to the BFS FIXPOINT (every reachable node, no depth bound) — q57's
+    question without q57's depth-3 limit, answered by the iterative
+    driver-loop machinery (:func:`shortest_paths`) instead of the
+    recursive-SQL executor. The oracle recursion is made finite by the
+    UNION-distinct frontier plus the trivial |V| hop bound on any
+    shortest path. Together with q57 this pins the same closure from both
+    constructs: recursive SQL where depth is bounded and known, the
+    frontier loop where the closure must run to convergence at scale."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        t.events.select(
+            F.col("event_type").alias("dst"),
+            F.lag("event_type").over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .select("src", "dst")
+    )
+    return shortest_paths(edges, "view").orderBy("node")

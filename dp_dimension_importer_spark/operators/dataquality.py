@@ -310,3 +310,100 @@ def dq_quarantine(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_cents"))
         .orderBy(F.col("violated").cast("string"))
     )
+
+
+def key_skew_report(df: DataFrame, table: str, key: str) -> DataFrame:
+    """Public core (engine facade): 1-row skew diagnosis of a join/agg
+    key — the check you run BEFORE committing a 100 TB shuffle to decide
+    whether the key needs salting (`join_skew_salted`), AQE skew-join
+    handling, or is safe as-is.
+
+    Physical shape: one scan -> per-key counts (map-side combinable) ->
+    one single-row aggregate over the |keys|-sized count frame. Nothing
+    but scalars leaves the executors; the hottest key is found with a
+    ``min_by`` over ``struct(-cnt, k)`` (highest count, min-key
+    tie-break pinned) — no sort, no collect.
+
+    Emitted metrics are exact integers so the report is engine-portable:
+    ``top_share_ppm`` = hottest key's row share in parts-per-million;
+    ``imbalance_x1000`` = max/mean count ratio x1000 (the straggler
+    factor: a perfectly uniform key scores 1000; a key where the hottest
+    partition would run 40x the average scores 40000)."""
+    c = df.groupBy(F.col(key).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return c.agg(
+        F.lit(f"{table}.{key}").alias("key_col"),
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr("min_by(k, struct(-cnt, k))").alias("hot_key"),
+    ).select(
+        "key_col", "n_rows", "n_keys", "max_cnt", "hot_key",
+        F.expr("max_cnt * 1000000L div n_rows").alias("top_share_ppm"),
+        F.expr("max_cnt * n_keys * 1000L div n_rows").alias("imbalance_x1000"),
+    )
+
+
+def _skew_block(table: str, key: str, tag: str) -> str:
+    """One key's oracle block: count CTE + single-row report CTE."""
+    return f"""
+    c{tag} AS (
+        SELECT CAST({key} AS VARCHAR) AS k, COUNT(*) AS cnt
+        FROM {table} GROUP BY 1
+    ),
+    r{tag} AS (
+        SELECT '{table}.{key}' AS key_col,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys,
+               MAX(cnt) AS max_cnt,
+               (SELECT k FROM c{tag} ORDER BY cnt DESC, k LIMIT 1) AS hot_key
+        FROM c{tag}
+    )"""
+
+
+_SKEW_SELECT = """
+    SELECT key_col, n_rows, n_keys, max_cnt, hot_key,
+           max_cnt * 1000000 // n_rows AS top_share_ppm,
+           max_cnt * n_keys * 1000 // n_rows AS imbalance_x1000
+    FROM r{tag}"""
+
+
+@register(
+    "dq_skew_report",
+    sql="WITH "
+    + ",".join(
+        _skew_block(t, k, str(i))
+        for i, (t, k) in enumerate(
+            [
+                ("events", "user_id"),
+                ("events", "event_type"),
+                ("lineitem", "l_orderkey"),
+                ("orders", "o_custkey"),
+            ]
+        )
+    )
+    + "\n"
+    + "\n    UNION ALL".join(_SKEW_SELECT.format(tag=i) for i in range(4))
+    + "\n    ORDER BY key_col",
+)
+def dq_skew_report(spark, sf_dir):
+    """Join-key SKEW diagnosis across the four keys the engine's heavy
+    shuffles hash on — see :func:`key_skew_report` for the metric
+    definitions and the one-scan-per-key physical shape. (Keys on the
+    same table COULD share a scan via grouping sets, but each per-key
+    count frame is map-side combinable and carries only |keys| rows, so
+    scan sharing buys little next to plan clarity.) The companion to
+    `join_skew_salted`: that query demonstrates the mitigation, this one
+    the detection that decides when to pay for it."""
+    t = load_tables(spark, sf_dir)
+    reports = [
+        key_skew_report(t.events, "events", "user_id"),
+        key_skew_report(t.events, "events", "event_type"),
+        key_skew_report(t.lineitem, "lineitem", "l_orderkey"),
+        key_skew_report(t.orders, "orders", "o_custkey"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("key_col")

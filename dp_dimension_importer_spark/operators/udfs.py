@@ -233,6 +233,96 @@ def q59_udtf(spark, sf_dir):
     )
 
 
+_ASOF_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("o_orderkey", T.LongType()),
+    ]
+)
+
+
+@register(
+    "q45c_cogrouped_asof",
+    sql="""
+    SELECT event_id, o_orderkey FROM (
+        SELECT e.event_id, o.o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def q45c_cogrouped_asof(spark, sf_dir):
+    """The COGROUP Python boundary (``groupby().cogroup().applyInPandas``)
+    — the one grouped-map shape q44/q45/q45b leave uncovered: TWO frames
+    co-partitioned on the key arrive as a pandas pair per group. Driven
+    through ``pd.merge_asof`` so the result is pinned by q12's oracle SQL
+    verbatim — one semantics, three implementations (JVM union-window,
+    SQL row_number, pandas merge_asof) that must all agree.
+
+    Cost line (the cogroup entry in the q45b/q59 series): cogroup ships
+    BOTH sides' rows across Arrow per group, so q12's union-then-window
+    form — one shuffle, zero Python — remains the scale path. The cogroup
+    boundary earns its seat when the per-key pairing logic is genuinely
+    imperative (tolerance/nearest merge_asof variants, custom matchers,
+    per-key model scoring against a feature frame); this fixture keeps
+    the logic oracle-able so the MACHINERY (two-sided co-partitioning,
+    group pairing incl. one-sided groups, Arrow transfer, schema
+    contract) is what the green row pins."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "ts", "event_id")
+    od = t.orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+        "o_orderkey",
+    )
+
+    def asof_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # Keys in either input produce a call with the other side empty:
+        # no events -> nothing to emit; no orders -> no match for any
+        # event (the oracle's inner join drops them).
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                }
+            )
+        # merge_asof requires sorted 'on' keys. Stable sort with
+        # o_orderkey as the secondary key: among equal-ts orders
+        # merge_asof matches the LAST row, i.e. the max orderkey — the
+        # oracle's DESC,DESC tie-break.
+        lt = left.sort_values("ts", kind="mergesort")
+        rt = right.sort_values(["ots", "o_orderkey"], kind="mergesort")
+        m = pd.merge_asof(
+            lt,
+            rt[["ots", "o_orderkey"]],
+            left_on="ts",
+            right_on="ots",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["o_orderkey"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "o_orderkey": m["o_orderkey"].astype("int64"),
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(asof_group, schema=_ASOF_SCHEMA)
+        .orderBy("event_id")
+    )
+
+
 def make_range_docs_source():
     """Factory for the ``range_docs`` Python DataSource (Spark 4
     ``pyspark.sql.datasource`` API) — a deterministic synthetic connector:

@@ -920,6 +920,87 @@ def q66_snapshot_time_travel(spark, sf_dir):
 
 
 @register(
+    "q66b_snapshot_changes",
+    sql="""
+    WITH b AS (
+        SELECT o_orderkey, o_totalprice,
+               (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 10
+                   AS bucket
+        FROM orders
+    ), v1 AS (
+        SELECT o_orderkey, o_totalprice FROM b WHERE bucket < 8
+    ), v2 AS (
+        SELECT o_orderkey,
+               o_totalprice + CASE WHEN bucket BETWEEN 5 AND 7
+                                   THEN 1000 ELSE 0 END AS o_totalprice
+        FROM b WHERE bucket >= 2
+    ), d AS (
+        SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+               v1.o_totalprice AS po, v2.o_totalprice AS pn
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+           OR v1.o_totalprice <> v2.o_totalprice
+    )
+    SELECT o_orderkey,
+           CASE WHEN po IS NULL THEN 'insert'
+                WHEN pn IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           CAST(FLOOR(po * 100 + 0.5) AS BIGINT) AS old_cents,
+           CAST(FLOOR(pn * 100 + 0.5) AS BIGINT) AS new_cents
+    FROM d ORDER BY o_orderkey
+    """,
+)
+def q66b_snapshot_changes(spark, sf_dir):
+    """CDC CHANGE FEED between two committed snapshot versions
+    (:func:`storage.snapshot_changes` — q66 reads both worlds, this
+    DIFFS them): commit v1, commit a v2 containing genuine deletes
+    (buckets 0-1 dropped), updates (5-7 repriced) and inserts (8-9 new),
+    then emit the row-level delta — one row per changed key with
+    change_type and old/new values, unchanged keys absent. The oracle
+    reconstructs both versions logically and diffs them in SQL, so a
+    green row pins insert/delete/update classification AND that the
+    unchanged middle (buckets 2-4) produces no feed rows. Eagerly
+    localCheckpoint-ed so the scratch table can be removed."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    b = t.orders.withColumn("bucket", hash_bucket("o_orderkey", 10))
+    v1 = b.filter("bucket < 8").select("o_orderkey", "o_totalprice")
+    v2 = b.filter("bucket >= 2").select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("bucket").between(5, 7), 1000).otherwise(0)
+        ).alias("o_totalprice"),
+    )
+    path = tempfile.mkdtemp(prefix="snapshot_cdf_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, v1, path)
+        storage.write_snapshot(spark, v2, path)
+        feed = storage.snapshot_changes(
+            spark, path, 1, 2, key_cols=["o_orderkey"]
+        )
+        return feed.select(
+            "o_orderkey",
+            "change_type",
+            F.floor(F.col("_old.o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("old_cents"),
+            F.floor(F.col("_new.o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("new_cents"),
+        ).orderBy("o_orderkey").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q67_stats_pruned_scan",
     sql="""
     SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,

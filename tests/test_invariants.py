@@ -661,3 +661,27 @@ def test_sweepline_matches_brute_force_per_second(q):
         assert got.loc[et, "sec_covered"] == sec1, et
         assert got.loc[et, "sec_overlap2"] == sec2, et
         assert got.loc[et, "n_intervals"] == len(g), et
+
+
+def test_incremental_clusters_split_is_nontrivial(spark):
+    """dedup_clusters_incremental's value rests on the fixture split
+    actually exercising the interesting cases: the doc_id-midpoint cut
+    must yield old-only pairs (carried state matters), cross-cut pairs
+    (new edges MERGE old components — the correctness-critical path), and
+    new-only pairs (fresh components appear). Equality with the full
+    recompute is pinned by the oracle row; this pins that the equality
+    is earned, not vacuous."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.operators.dedup import _jaccard_pairs
+
+    p = _jaccard_pairs(spark, SF_SMOKE).select("da", "db").persist()
+    lo, hi = p.agg(F.min("da"), F.max("db")).first()
+    cut = (int(lo) + int(hi) + 1) // 2
+    n_old = p.filter((F.col("da") < cut) & (F.col("db") < cut)).count()
+    n_cross = p.filter((F.col("da") < cut) & (F.col("db") >= cut)).count()
+    n_new = p.filter(F.col("da") >= cut).count()
+    p.unpersist()
+    assert n_old > 0, "no old-only pairs: carried-state path untested"
+    assert n_cross > 0, "no cross-cut pairs: component-merge path untested"
+    assert n_new > 0, "no new-only pairs: fresh-component path untested"

@@ -143,6 +143,11 @@ EXPECTED = {
     "multimodal_image_dedup",
     "q12b_asof_nearest",
     "events_rfm",
+    "q45c_cogrouped_asof",
+    "dedup_clusters_incremental",
+    "dq_skew_report",
+    "graph_shortest_paths",
+    "q66b_snapshot_changes",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
