@@ -85,6 +85,7 @@ from dp_dimension_importer_spark.operators.multimodal import (  # noqa: F401
     sample_uniform,
 )
 from dp_dimension_importer_spark.operators.sketches import (  # noqa: F401
+    cms_inner_product,
     merge_sketch_states,
     read_sketch_state,
     write_sketch_state,
@@ -212,4 +213,5 @@ __all__ = [
     "key_skew_report",
     "shortest_paths",
     "snapshot_changes",
+    "cms_inner_product",
 ]

@@ -311,3 +311,77 @@ def sketch_count_min_heavy(spark, sf_dir):
     return spark.createDataFrame(
         rows, "tok string, exact_n long, est_n long"
     ).orderBy(F.desc("exact_n"), "tok")
+
+
+#: join-size sketch params: eps=0.001 -> width 2000, conf 0.99 -> depth 7;
+#: ~112 KB per side, error bound eps * N_a * N_b on the inner product
+JS_EPS, JS_CONF, JS_SEED = 0.001, 0.99, 42
+
+
+def cms_inner_product(a: dict, b: dict) -> int:
+    """Join-cardinality estimate from two count-min sketches built with
+    the SAME (eps, conf, seed): the classic AMS/CMS inner-product
+    estimator (Cormode & Muthukrishnan '05) — per depth row, the dot
+    product of the two counter rows overestimates Σ_k f_a(k)·f_b(k)
+    (= the equi-join row count); the minimum over rows is the estimate.
+    Guarantees: never below the true size; above it by at most
+    eps·N_a·N_b with probability ≥ conf."""
+    if (a["depth"], a["width"]) != (b["depth"], b["width"]):
+        raise ValueError("sketch geometry mismatch")
+    depth, width = a["depth"], a["width"]
+    ta, tb = a["table"], b["table"]
+    est = None
+    for i in range(depth):
+        row = sum(
+            ta[i * width + j] * tb[i * width + j] for j in range(width)
+        )
+        est = row if est is None else min(est, row)
+    return int(est)
+
+
+@register("sketch_join_size", sql=None)
+def sketch_join_size(spark, sf_dir):
+    """JOIN-SIZE ESTIMATION from two count-min sketches — the planning
+    companion to dq_skew_report: predict an equi-join's output
+    cardinality (events.user_id ⋈ orders.o_custkey) from two ~100 KB
+    states BEFORE paying the shuffle, the admission check that decides
+    whether a 100 TB join is a job or an outage. Each side folds its key
+    stream into one distributed ``count_min_sketch`` aggregate (same
+    eps/conf/seed, so the grids are aligned); the driver decodes both
+    wire formats and takes the row-wise inner-product minimum
+    (:func:`cms_inner_product`). Mergeable like the other sketches:
+    per-partition or per-day key sketches union first, estimate after.
+
+    Emits (side_a_rows, side_b_rows, exact_join_rows, est_join_rows);
+    approximate by design → rows-only registration, with the CMS
+    inner-product contract (est ≥ exact, est ≤ exact + eps·Na·Nb)
+    floored in tests/test_recall.py against the exact key-count join."""
+    t = load_tables(spark, sf_dir)
+    a = t.events.select(F.col("user_id").cast("string").alias("k"))
+    b = t.orders.select(F.col("o_custkey").cast("string").alias("k"))
+
+    def sketch(df):
+        blob = bytes(
+            df.agg(
+                F.count_min_sketch(
+                    "k", F.lit(JS_EPS), F.lit(JS_CONF), F.lit(JS_SEED)
+                ).alias("s")
+            ).collect()[0]["s"]
+        )
+        return decode_count_min(blob)
+
+    sa, sb = sketch(a), sketch(b)
+    est = cms_inner_product(sa, sb)
+    exact = (
+        a.groupBy("k")
+        .agg(F.count("*").alias("na"))
+        .join(b.groupBy("k").agg(F.count("*").alias("nb")), "k")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("n"))
+        .collect()[0]["n"]
+        or 0
+    )
+    return spark.createDataFrame(
+        [(sa["total"], sb["total"], int(exact), est)],
+        "side_a_rows long, side_b_rows long, exact_join_rows long, "
+        "est_join_rows long",
+    )

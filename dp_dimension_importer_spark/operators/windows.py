@@ -352,6 +352,59 @@ def win_range_frame(spark, sf_dir):
 
 
 @register(
+    "win_rolling_median",
+    sql="""
+    SELECT o_orderkey,
+           list_sort(cl)[CAST((len(cl) + 1) // 2 AS BIGINT)] AS med_cents
+    FROM (
+        SELECT o_orderkey,
+               list(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ) AS cl
+        FROM orders
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def win_rolling_median(spark, sf_dir):
+    """EXACT rolling median — the robust running metric (monitoring,
+    spike screening) that mean-based win_range_frame can't give: per
+    customer, the median of the last 5 orders' totalprice. Values are
+    quantized to integer cents FIRST and the LOWER median is pinned
+    (element (n+1) div 2 of the sorted frame), so there is no
+    interpolation or float summation for the engines to disagree on —
+    the agg_weighted_median / events_anomaly_mad convention applied to a
+    window.
+
+    Physical shape: collect_list over the ROWS frame + array_sort —
+    O(frame) state per row, the right plan while the frame is a small
+    constant (5 here; any order statistic of a bounded trailing window).
+    For wide frames the sort cost grows as frame·log(frame) per row and
+    the plan should switch to percentile_approx (gated, not exact) or a
+    stateful two-heap processor; the docstring line IS that routing
+    decision."""
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(F.collect_list(cents).over(w))
+    return (
+        t.orders.select("o_orderkey", arr.alias("arr"))
+        .select(
+            "o_orderkey",
+            F.expr(
+                "element_at(arr, CAST((size(arr) + 1) div 2 AS INT))"
+            ).alias("med_cents"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "win_first_last",
     sql="""
     SELECT o_orderkey,

@@ -457,3 +457,21 @@ def test_minhash_keep_superset_of_exact_and_recall(q):
     assert n_removed_exact > 0, "exact pipeline removed nothing at this sf"
     recall = n_removed_lsh / n_removed_exact
     assert recall >= 0.9, f"minhash-keep removal recall {recall:.2f} < 0.9"
+
+
+def test_cms_join_size_bounds(q):
+    """CMS inner-product contract (Cormode & Muthukrishnan '05): the
+    join-size estimate NEVER undershoots the exact equi-join cardinality
+    (deterministic — counters only overcount), and stays within
+    eps * N_a * N_b of it at the pinned geometry. The exact count is
+    computed by the query itself from the key-count join, so this gates
+    the estimator against ground truth at sf0.01 scale."""
+    from dp_dimension_importer_spark.operators.sketches import JS_EPS
+
+    row = q("sketch_join_size")[0]
+    assert row.exact_join_rows > 0, "fixture join is empty — gate vacuous"
+    assert row.est_join_rows >= row.exact_join_rows
+    assert (
+        row.est_join_rows
+        <= row.exact_join_rows + JS_EPS * row.side_a_rows * row.side_b_rows
+    )

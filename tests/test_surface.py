@@ -148,6 +148,8 @@ EXPECTED = {
     "dq_skew_report",
     "graph_shortest_paths",
     "q66b_snapshot_changes",
+    "win_rolling_median",
+    "sketch_join_size",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
@@ -170,6 +172,7 @@ NO_ORACLE_OK = {
     "text_bpe_tokens",  # iterative BPE merge apply is not SQL; invariant-pinned
     "dedup_minhash_keep",  # LSH-candidate pipeline: superset+recall-gated
     "multimodal_image_dedup",  # Python decode: no SQL oracle; floor-tested
+    "sketch_join_size",  # CMS inner-product estimate: bounds-gated vs exact
 }
 
 
