@@ -114,6 +114,9 @@ from dp_dimension_importer_spark.storage import (  # noqa: F401
 from dp_dimension_importer_spark.operators.similarity import (  # noqa: F401
     fit_pca,
 )
+from dp_dimension_importer_spark.streaming.stateful import (  # noqa: F401
+    session_flush,
+)
 from dp_dimension_importer_spark.streaming.sink import (  # noqa: F401
     make_agg_state_handler,
     make_merge_batch_handler,
@@ -214,4 +217,5 @@ __all__ = [
     "shortest_paths",
     "snapshot_changes",
     "cms_inner_product",
+    "session_flush",
 ]

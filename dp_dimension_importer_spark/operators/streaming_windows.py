@@ -888,3 +888,86 @@ def q52d_stream_stream_semi_join(spark, sf_dir):
 
     out = run_replay(spark, replay_dir, events.schema, transform, "append")
     return out.filter(F.col("click_id") != -1).orderBy("click_id")
+
+
+from dp_dimension_importer_spark.operators.analytics import SESSION_GAP_MS
+
+
+@register(
+    "q51c_stateful_session_timeout",
+    sql=f"""
+    WITH m AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+    ), g AS (
+        SELECT user_id, event_id, ms,
+               CASE WHEN LAG(ms) OVER w IS NULL
+                         OR ms - LAG(ms) OVER w > {SESSION_GAP_MS}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM m
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ), s AS (
+        SELECT user_id, ms,
+               CAST(SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ms, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+        FROM g
+    )
+    SELECT user_id, session_n, COUNT(*) AS n_events,
+           MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+           MAX(ms) - MIN(ms) AS duration_ms
+    FROM s GROUP BY user_id, session_n
+    ORDER BY user_id, session_n
+    """,
+)
+def q51c_stateful_session_timeout(spark, sf_dir):
+    """STREAMING sessionization with EVENT-TIME TIMEOUTS — the timer half
+    of the custom-stateful API (q51 covers state, this covers timers):
+    :func:`streaming.stateful.session_flush` holds one open session per
+    user (three longs of state) and emits each session exactly once when
+    it closes — by a past-gap successor event, or by the
+    ``GroupStateTimeout.EventTimeTimeout`` firing when the watermark
+    passes last_event + gap. The replay sentinel drives the watermark
+    past every open session, so the final no-data micro-batch flushes the
+    tail via timeouts alone — precisely the drain-then-stop shutdown the
+    reference's graceful close implements (SURVEY R23).
+
+    The oracle is events_sessionize's batch SQL verbatim, so a green row
+    pins that close-on-event and close-on-timeout TOGETHER partition the
+    stream exactly like the batch window form. ``session_n`` (the
+    per-user ordinal) is assigned by a batch window AFTER the replay —
+    sessions close in event-time order per user, and deriving the
+    ordinal outside the operator lets timed-out state be ``remove()``d
+    immediately instead of lingering as a counter."""
+    from pyspark.sql import Window as W
+
+    from dp_dimension_importer_spark.streaming.stateful import session_flush
+
+    events = table(spark, sf_dir, "events")
+    replay_dir = write_replay_dir(events, n_files=4, sentinel=True)
+
+    def transform(stream):
+        # The sentinel rows MUST flow through the watermark operator: a
+        # pre-watermark filter on event_type gets pushed below the
+        # EventTimeWatermark node into the scan (the predicate doesn't
+        # reference ts, so Catalyst is free to), the sentinel timestamps
+        # never advance the watermark, and the globally-last session's
+        # timeout never fires (debugged on a 4-row repro: the sentinel
+        # batches read 0 rows with the filter, 1 each without). So the
+        # sentinel user (-1) sessionizes like anyone else and is dropped
+        # AFTER the replay — the q46/q52 convention.
+        return session_flush(
+            stream.withWatermark("ts", "1 minute"), SESSION_GAP_MS
+        )
+
+    out = run_replay(
+        spark, replay_dir, events.schema, transform, "append"
+    ).filter(F.col("user_id") >= 0)
+    w = W.partitionBy("user_id").orderBy("start_ms")
+    return out.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_n"),
+        "n_events",
+        "start_ms",
+        "end_ms",
+        (F.col("end_ms") - F.col("start_ms")).alias("duration_ms"),
+    ).orderBy("user_id", "session_n")

@@ -155,3 +155,94 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+#: closed-session emission: one row per (user, session) — final, append-mode
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+#: state: the one OPEN session per user
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def session_flush(events: DataFrame, gap_ms: int) -> DataFrame:
+    """Per-user sessionization that emits each session ONCE, when it
+    CLOSES — the custom-stateful emit policy built-in session windows
+    can't express (they emit on watermark per window; this operator owns
+    the decision). A session closes two ways:
+
+    * a later event for the same user arrives past the gap → the open
+      session is emitted in that batch and a new one opens;
+    * no event ever arrives — the EVENT-TIME TIMEOUT fires once the
+      watermark passes last_ms + gap, Spark calls the function with
+      ``state.hasTimedOut`` and no rows, and the session flushes. This is
+      the timer half of the GroupState API (q51 exercises NoTimeout);
+      without it, the final session of every user would sit in the state
+      store forever.
+
+    Boundary convention matches :func:`...analytics.sessionize`: a gap of
+    EXACTLY ``gap_ms`` stays in-session (``>`` opens). The timeout is set
+    to ``max(last+gap+1, watermark+1)`` — Spark rejects timestamps at or
+    before the current watermark, and firing LATE never changes the
+    emitted session (its content is fixed by the events; only the flush
+    instant moves). State per user is three longs regardless of session
+    length — the O(1)-state form of sessionization, vs the built-in
+    window's buffered rows."""
+
+    def update(key, pdfs, state: GroupState):
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((key[0], int(start), int(last), int(n)))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+            ms = (
+                rows["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+                // 1_000_000
+            )
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start = last = None
+                n = 0
+            for m in ms:
+                m = int(m)
+                if start is None:
+                    start, last, n = m, m, 1
+                elif m - last > gap_ms:
+                    closed.append((key[0], int(start), int(last), int(n)))
+                    start, last, n = m, m, 1
+                else:
+                    last, n = m, n + 1
+            state.update((int(start), int(last), int(n)))
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(int(last) + gap_ms + 1, wm + 1))
+        yield pd.DataFrame(
+            closed, columns=["user_id", "start_ms", "end_ms", "n_events"]
+        ).astype("int64")
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+import numpy as np
 import pandas as pd
 
 
@@ -26,6 +27,10 @@ def _canon_value(v):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
+    if isinstance(v, np.ndarray):
+        # Spark's Arrow path yields ndarrays where DuckDB yields lists (or
+        # vice versa across versions) — canonicalize both identically
+        return "[" + ",".join(_canon_value(x) for x in v.tolist()) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_value(x) for x in v) + "]"
     return str(v)

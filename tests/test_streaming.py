@@ -679,3 +679,44 @@ def test_stream_merge_sink_heals_crashed_table_swap(spark):
             assert "commit log is non-empty" in str(e)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_session_flush_timeout_flushes_global_last_session(spark):
+    """Regression pin for the watermark-pushdown trap: session_flush's
+    sentinel rows must FLOW THROUGH the watermark operator (a pre-
+    watermark event_type filter gets pushed into the scan and the
+    watermark never advances past the last real event — the globally-last
+    session then never times out). On a 4-row fixture where both users'
+    final sessions can ONLY close via EventTimeTimeout, all four sessions
+    must emit — including the one anchored at the global max event time."""
+    from dp_dimension_importer_spark.streaming.replay import write_replay_dir
+    from dp_dimension_importer_spark.streaming.stateful import session_flush
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:05:00", 11, "view", 1.0, "{}"),
+        (1, "2024-01-01 01:00:00", 12, "view", 1.0, "{}"),
+        (2, "2024-01-01 02:00:00", 13, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts string, event_id long, event_type string, "
+        "value double, payload string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    replay_dir = write_replay_dir(df, n_files=2, sentinel=True)
+
+    def transform(stream):
+        return session_flush(stream.withWatermark("ts", "1 minute"), 1800000)
+
+    out = (
+        run_replay(spark, replay_dir, df.schema, transform, "append")
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    )
+    got = {(r.user_id, r.start_ms, r.n_events) for r in out}
+    assert got == {
+        (1, 1704067200000, 1),
+        (2, 1704067500000, 1),
+        (1, 1704070800000, 1),
+        (2, 1704074400000, 1),  # global-last: closes by timeout alone
+    }

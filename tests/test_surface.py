@@ -150,6 +150,7 @@ EXPECTED = {
     "q66b_snapshot_changes",
     "win_rolling_median",
     "sketch_join_size",
+    "q51c_stateful_session_timeout",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
