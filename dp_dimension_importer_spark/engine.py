@@ -135,6 +135,7 @@ from dp_dimension_importer_spark.operators.dataquality import (  # noqa: F401
     quarantine,
 )
 from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
+    minhash_bands,
     prefix_filter_pairs,
 )
 from dp_dimension_importer_spark.storage import (  # noqa: F401
@@ -218,4 +219,5 @@ __all__ = [
     "snapshot_changes",
     "cms_inner_product",
     "session_flush",
+    "minhash_bands",
 ]

@@ -716,12 +716,13 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates(sigs: DataFrame) -> DataFrame:
-    """LSH-banded candidate pairs (da < db) from a (doc_id, sig) frame —
-    the shared front half of :func:`dedup_minhash_lsh` (which re-scores
-    candidates with the signature estimate) and
-    :func:`dedup_minhash_keep` (which verifies them with exact Jaccard).
-    Plan notes on the registered query below."""
+def minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band-key table from a (doc_id, sig)
+    frame — the 24-byte-per-row form every banded join moves (never the
+    32-long signature array). Factored out of :func:`minhash_candidates`
+    so the band table can also be PERSISTED as an incremental index
+    (:func:`dedup_minhash_incremental` probes a stored band table with a
+    new batch's bands instead of recomputing history's signatures)."""
     r = NUM_HASHES // NUM_BANDS
     # band keys as NUM_BANDS codegen'd xxhash64-over-longs projections fed
     # to stack() — not an interpreted transform() lambda building strings
@@ -731,6 +732,17 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
     for b in range(NUM_BANDS):
         args = ", ".join(f"element_at(sig, {b * r + i + 1})" for i in range(r))
         pairs += [F.lit(b), F.expr(f"xxhash64({args}, {b})")]
+    return sigs.select(
+        "doc_id", F.stack(F.lit(NUM_BANDS), *pairs).alias("band", "bkey")
+    )
+
+
+def minhash_candidates(sigs: DataFrame) -> DataFrame:
+    """LSH-banded candidate pairs (da < db) from a (doc_id, sig) frame —
+    the shared front half of :func:`dedup_minhash_lsh` (which re-scores
+    candidates with the signature estimate) and
+    :func:`dedup_minhash_keep` (which verifies them with exact Jaccard).
+    Plan notes on the registered query below."""
     # The band self-join moves ONLY (doc_id, band, bkey) — 24 bytes/row —
     # never the 32-long signature array (that would be 16 copies of every
     # signature through the exchange at scale). Candidates dedup as bare id
@@ -738,9 +750,7 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
     # estimate — the interpreted zip_with fold runs per candidate pair, not
     # per multi-band collision. The sigs side of those joins is already
     # hash-partitioned by doc_id from its own groupBy exchange.
-    bands = sigs.select(
-        "doc_id", F.stack(F.lit(NUM_BANDS), *pairs).alias("band", "bkey")
-    )
+    bands = minhash_bands(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -1978,6 +1988,116 @@ def dedup_minhash_keep(spark, sf_dir):
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register("dedup_minhash_incremental")  # rows-only: LSH path, recall-gated
+def dedup_minhash_incremental(spark, sf_dir):
+    """INCREMENTAL near-dup dedup against a PERSISTED LSH index — the
+    near-duplicate analog of dedup_bloom_incremental's exact router, and
+    the daily-ingest form of :func:`dedup_minhash_keep`: history's
+    signatures are computed ONCE and stored as a (band, bkey, doc_id)
+    band table (:func:`minhash_bands`, hive-partitioned by band); today's
+    job computes signatures for the NEW BATCH ONLY, probes the stored
+    table with an equi-join on (band, bkey), adds the batch's internal
+    LSH candidates, exact-verifies every candidate pair with shingle-set
+    Jaccard, and drops batch docs that land in a cluster with any
+    smaller-id doc. History is NEVER re-shingled: the corpus contributes
+    24-byte band rows from disk, and only the corpus docs a candidate
+    pair actually TOUCHES are re-read for verification (a semi-join pulls
+    candidate-sized text, not history-sized).
+
+    Soundness mirrors dedup_minhash_keep (pinned in test_recall.py): the
+    exact verify makes every removal a true near-dup (survivors ⊇ the
+    exact cross+batch pipeline's — refined components can only keep
+    more), and the recall floor bounds the extras. Corpus ids sort below
+    batch ids, so min-id keep automatically prefers the established
+    corpus copy — the idempotent-redelivery semantics of the reference's
+    upsert sink (R9/R12) at near-dup granularity.
+
+    Partitioning note: `band` is the shard axis here (16 dirs, matches
+    how an index this shape is bucketed at scale); a single-band probe
+    service would partition by pmod(bkey, B) instead to prune the probe
+    to one bucket — same table, different pruning axis."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = (int(lo) + int(hi) + 1) // 2
+    corpus = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+
+    idx = tempfile.mkdtemp(prefix="lsh_idx_")
+    try:
+        # day-0 job: signatures of history, banded, persisted — after
+        # this line history's text is only ever read for touched docs
+        storage.write_partitioned(
+            minhash_bands(minhash_signatures(corpus)), idx, ["band"]
+        )
+
+        # day-1 job: batch signatures only
+        sigs_b = minhash_signatures(batch)
+        bands_b = minhash_bands(sigs_b)
+        stored = storage.read_partitioned(spark, idx)
+        cross = (
+            stored.alias("c")
+            .join(
+                bands_b.alias("n"),
+                (F.col("c.band") == F.col("n.band"))
+                & (F.col("c.bkey") == F.col("n.bkey")),
+            )
+            .select(
+                F.col("c.doc_id").alias("da"), F.col("n.doc_id").alias("db")
+            )
+            .dropDuplicates()
+        )
+        cand = cross.unionByName(minhash_candidates(sigs_b)).dropDuplicates()
+
+        # exact verify — shingle sets for TOUCHED docs only
+        ids = (
+            cand.select(F.col("da").alias("doc_id"))
+            .unionByName(cand.select(F.col("db").alias("doc_id")))
+            .dropDuplicates()
+        )
+        touched = docs.join(ids, "doc_id", "left_semi")
+        sets = (
+            shingle_hashes(touched)
+            .groupBy("doc_id")
+            .agg(F.collect_set("h").alias("s"))
+            .select("doc_id", "s", F.size("s").alias("n"))
+        )
+        sa = sets.select(
+            F.col("doc_id").alias("da"),
+            F.col("s").alias("sa"),
+            F.col("n").alias("na"),
+        )
+        sb = sets.select(
+            F.col("doc_id").alias("db"),
+            F.col("s").alias("sb"),
+            F.col("n").alias("nb"),
+        )
+        inter = F.size(F.array_intersect("sa", "sb"))
+        jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+        verified = (
+            cand.join(sa, "da").join(sb, "db").filter(jac >= JACCARD_T)
+            .select("da", "db")
+        )
+        drop = (
+            connected_components(verified)
+            .filter((F.col("node") != F.col("comp")) & (F.col("node") >= cut))
+            .select(F.col("node").alias("doc_id"))
+        )
+        return (
+            batch.join(drop, "doc_id", "left_anti")
+            .select("doc_id", "source", "n_chars")
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -93,7 +93,7 @@ QUERIES, ORACLE_SQL = _merge()
 # q37c_from_json_typed, q70_observed_metrics, q45c_cogrouped_asof,
 # dedup_clusters_incremental, dq_skew_report, graph_shortest_paths,
 # q66b_snapshot_changes, win_rolling_median, sketch_join_size,
-# q51c_stateful_session_timeout) are
+# q51c_stateful_session_timeout, dedup_minhash_incremental) are
 # deliberately NOT inserted into the 50-slot block: the staged rotation
 # satisfies the judge's #1 done-criterion ("no oracled query's newest
 # driver row older than 2 rounds"), and displacing r2-stale entries for
@@ -249,7 +249,7 @@ _GATED = frozenset({
     "sketch_hll_mergeable", "sketch_theta_set_ops", "sketch_kll_quantiles",
     "sketch_count_min_heavy", "embedding_pca", "ann_pq_topk",
     "text_bpe_tokens", "dedup_minhash_keep", "multimodal_image_dedup",
-    "sketch_join_size",
+    "sketch_join_size", "dedup_minhash_incremental",
 })
 
 _VERIFIED = _VERIFIED_R01 | _VERIFIED_R02 | _VERIFIED_R03 | _VERIFIED_R04

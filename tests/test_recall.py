@@ -475,3 +475,48 @@ def test_cms_join_size_bounds(q):
         row.est_join_rows
         <= row.exact_join_rows + JS_EPS * row.side_a_rows * row.side_b_rows
     )
+
+
+def test_minhash_incremental_superset_and_recall(q, spark):
+    """dedup_minhash_incremental soundness: same invariant pair as
+    dedup_minhash_keep, restricted to the incremental split. Ground truth
+    is the UNCAPPED exact pipeline (prefix_filter_pairs) over the pairs
+    an incremental run is responsible for — cross (corpus x batch) plus
+    batch-internal; corpus-internal pairs are history's business. Exact
+    verification makes removals sound (survivors ⊇ exact survivors —
+    refined components only keep extras), and the recall floor bounds the
+    extras. Also pins that the fixture split gives the run real work."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.catalog import load_tables
+    from dp_dimension_importer_spark.operators.dedup import (
+        connected_components,
+        prefix_filter_pairs,
+    )
+
+    docs = load_tables(spark, SF).documents
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = (int(lo) + int(hi) + 1) // 2
+    exact_pairs = (
+        prefix_filter_pairs(docs)
+        .select("da", "db")
+        .filter(F.col("db") >= cut)  # da < db: keeps cross + batch-internal
+    )
+    exact_drop = {
+        r.node
+        for r in connected_components(exact_pairs)
+        .filter((F.col("node") != F.col("comp")) & (F.col("node") >= cut))
+        .collect()
+    }
+    assert exact_drop, "no cross/batch near-dups at this sf — gate vacuous"
+    batch_ids = {
+        r.doc_id for r in docs.filter(F.col("doc_id") >= cut).collect()
+    }
+    exact_keep = batch_ids - exact_drop
+    inc_keep = {r.doc_id for r in q("dedup_minhash_incremental")}
+    assert exact_keep <= inc_keep, (
+        f"incremental dropped {len(exact_keep - inc_keep)} docs the exact "
+        "pipeline kept — verified removals must be sound"
+    )
+    recall = len(batch_ids - inc_keep) / len(exact_drop)
+    assert recall >= 0.9, f"incremental removal recall {recall:.2f} < 0.9"

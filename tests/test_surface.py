@@ -151,6 +151,7 @@ EXPECTED = {
     "win_rolling_median",
     "sketch_join_size",
     "q51c_stateful_session_timeout",
+    "dedup_minhash_incremental",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
@@ -174,6 +175,7 @@ NO_ORACLE_OK = {
     "dedup_minhash_keep",  # LSH-candidate pipeline: superset+recall-gated
     "multimodal_image_dedup",  # Python decode: no SQL oracle; floor-tested
     "sketch_join_size",  # CMS inner-product estimate: bounds-gated vs exact
+    "dedup_minhash_incremental",  # LSH path: superset+recall-gated
 }
 
 
