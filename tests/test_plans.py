@@ -997,3 +997,66 @@ def test_aqe_skew_join_splits_skewed_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lsh_index_probe_carries_no_signatures(spark):
+    """dedup_minhash_incremental's probe join (stored band table vs the
+    new batch's bands) must move 24-byte (doc_id, band, bkey) rows only:
+    the stored side reads exactly those three columns off disk, and no
+    exchange feeding the probe carries a signature array or the per-seed
+    min columns (sig#/m0#...). The registered query eagerly checkpoints
+    past its temp index, so the probe subplan is audited directly from
+    the same building blocks."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.catalog import load_tables
+    from dp_dimension_importer_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    docs = load_tables(spark, SF_SMOKE).documents
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = (int(lo) + int(hi) + 1) // 2
+    idx = tempfile.mkdtemp(prefix="lsh_idx_audit_")
+    try:
+        shutil.rmtree(idx)
+        storage.write_partitioned(
+            minhash_bands(minhash_signatures(docs.filter(F.col("doc_id") < cut))),
+            idx,
+            ["band"],
+        )
+        stored = storage.read_partitioned(spark, idx)
+        bands_b = minhash_bands(
+            minhash_signatures(docs.filter(F.col("doc_id") >= cut))
+        )
+        cross = (
+            stored.alias("c")
+            .join(
+                bands_b.alias("n"),
+                (F.col("c.band") == F.col("n.band"))
+                & (F.col("c.bkey") == F.col("n.bkey")),
+            )
+            .select(F.col("c.doc_id").alias("da"), F.col("n.doc_id").alias("db"))
+            .dropDuplicates()
+        )
+        plan = plan_of(cross, "formatted")
+        # stored index scan: three columns, nothing else
+        scan = next(
+            b for b in plan.split("\n\n")
+            if "Scan parquet" in b and "lsh_idx_audit_" in b
+        )
+        assert "ReadSchema" in scan and "bkey" in scan
+        assert "sig" not in scan and "text" not in scan
+        # no exchange anywhere in the probe carries signatures
+        for b in plan.split("\n\n"):
+            if b.strip().startswith("(") and "Exchange" in b.split("\n", 1)[0]:
+                assert "sig#" not in b and "m0#" not in b, (
+                    f"probe exchange carries signatures:\n{b}"
+                )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
