@@ -135,6 +135,7 @@ from dp_dimension_importer_spark.operators.dataquality import (  # noqa: F401
     quarantine,
 )
 from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
+    containment_pairs,
     minhash_bands,
     prefix_filter_pairs,
 )
@@ -220,4 +221,5 @@ __all__ = [
     "cms_inner_product",
     "session_flush",
     "minhash_bands",
+    "containment_pairs",
 ]

@@ -252,36 +252,25 @@ def _jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(t.documents)
 
 
-def jaccard_pairs(
-    documents: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    df_cap: int = DF_CAP,
-    threshold: float = JACCARD_T,
-    unpersist_after: bool = False,
-) -> DataFrame:
-    """Public DataFrame-in core (engine facade): exact n-gram Jaccard
-    near-dup pairs (da, db, jaccard) over any table with an id and a text
-    column. Plan shape documented on the registered query above.
+def _shingle_doc_sets(documents, id_col, text_col, df_cap):
+    """Shared front half of :func:`jaccard_pairs` /
+    :func:`containment_pairs`: ``per`` = PERSISTED (shingle, docs) grouped
+    table with hot shingles pruned, ``cnt`` = per-doc surviving-shingle
+    counts. Caller owns releasing ``per``.
 
-    ``unpersist_after=True`` trades laziness for bounded cache: the (small,
-    above-threshold) pair result is persisted and materialized, the internal
-    per-shingle cache is released immediately, and the caller owns
-    unpersisting the returned frame. Default False keeps the lazy plan and
-    leaves the internal cache live for repeat invocations (long-lived
-    multi-corpus sessions should pass True or clearCache between corpora)."""
+    Hot-shingle prune happens BEFORE the collect_set, so no aggregation
+    buffer ever holds more than df_cap doc ids (a web-scale stopword
+    shingle would otherwise build a multi-million-entry set in one task):
+
+    1. occurrence counts (map-side partial, 16-byte rows) — occurrences
+       >= distinct docs, so any shingle with occ <= cap is provably safe
+       and skips step 2;
+    2. EXACT distinct-doc count, computed only for the tiny
+       occurrence-hot set — semantics stay identical to the oracle's
+       pure document-frequency cap."""
     sh = shingle_hashes(documents, id_col, text_col).select(
         "doc_id", F.col("h").alias("shingle")
     )
-    # Hot-shingle prune BEFORE the collect_set, so no aggregation buffer
-    # ever holds more than df_cap doc ids (a web-scale stopword shingle
-    # would otherwise build a multi-million-entry set in one task):
-    #  1. occurrence counts (map-side partial, 16-byte rows) — occurrences
-    #     >= distinct docs, so any shingle with occ <= cap is provably
-    #     safe and skips step 2;
-    #  2. EXACT distinct-doc count, computed only for the tiny
-    #     occurrence-hot set — semantics stay identical to the oracle's
-    #     pure document-frequency cap.
     occ_hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("occ"))
@@ -310,7 +299,14 @@ def jaccard_pairs(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n"))
     )
-    pairs = (
+    return per, cnt
+
+
+def _intersection_pairs(per):
+    """(da < db, inter) shared-shingle counts from the grouped table —
+    pair generation is map-side work on the (≤ df_cap-sized) doc arrays,
+    never a second shuffle of the whole shingle table through a join."""
+    return (
         per.filter(F.size("docs") >= 2)
         .select(F.explode("docs").alias("da"), "docs")
         .select("da", F.explode("docs").alias("db"))
@@ -318,6 +314,28 @@ def jaccard_pairs(
         .groupBy("da", "db")
         .agg(F.count("*").alias("inter"))
     )
+
+
+def jaccard_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = DF_CAP,
+    threshold: float = JACCARD_T,
+    unpersist_after: bool = False,
+) -> DataFrame:
+    """Public DataFrame-in core (engine facade): exact n-gram Jaccard
+    near-dup pairs (da, db, jaccard) over any table with an id and a text
+    column. Plan shape documented on the registered query above.
+
+    ``unpersist_after=True`` trades laziness for bounded cache: the (small,
+    above-threshold) pair result is persisted and materialized, the internal
+    per-shingle cache is released immediately, and the caller owns
+    unpersisting the returned frame. Default False keeps the lazy plan and
+    leaves the internal cache live for repeat invocations (long-lived
+    multi-corpus sessions should pass True or clearCache between corpora)."""
+    per, cnt = _shingle_doc_sets(documents, id_col, text_col, df_cap)
+    pairs = _intersection_pairs(per)
     ca = cnt.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (
@@ -337,6 +355,86 @@ def jaccard_pairs(
         out.count()  # materialize past the internal cache before dropping it
         per.unpersist()
     return out
+
+
+#: containment threshold 0.8 as an integer ratio — the compare is
+#: cross-multiplied in int64 (inter*DEN >= NUM*n), no float boundary
+CONT_NUM, CONT_DEN = 4, 5
+
+
+def containment_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = DF_CAP,
+    num: int = CONT_NUM,
+    den: int = CONT_DEN,
+) -> DataFrame:
+    """Public core (engine facade): DIRECTED near-subset pairs
+    (sub, sup, containment) with containment = |sub ∩ sup| / |sub| >=
+    num/den over the distinct-shingle sets — the asymmetric companion to
+    :func:`jaccard_pairs`. Jaccard divides by the UNION, so a short doc
+    quoted whole inside a long one scores near |sub|/|sup| ≈ 0 and
+    near-subset duplication goes unseen; containment divides by the
+    contained side and catches it regardless of the size ratio (the
+    quote-inclusion / boilerplate-wrapper case every crawl corpus has).
+
+    Same physical shape as Jaccard: one wide shingle shuffle into the
+    shared grouped table, unordered intersection counts once, then each
+    unordered pair emits its TWO directions against the sub-side count —
+    the mirror is a projection, not a second pair generation. Threshold
+    compares are integer cross-multiplied; the emitted score is rounded
+    once for display."""
+    per, cnt = _shingle_doc_sets(documents, id_col, text_col, df_cap)
+    pairs = _intersection_pairs(per)
+    directed = pairs.select(
+        F.col("da").alias("sub"), F.col("db").alias("sup"), "inter"
+    ).unionByName(
+        pairs.select(
+            F.col("db").alias("sub"), F.col("da").alias("sup"), "inter"
+        )
+    )
+    ca = cnt.select(F.col("doc_id").alias("sub"), F.col("n").alias("ns"))
+    return (
+        directed.join(ca, "sub")
+        .filter(F.col("inter") * den >= num * F.col("ns"))
+        .select(
+            "sub",
+            "sup",
+            F.round(
+                F.col("inter").cast("double") / F.col("ns"), 4
+            ).alias("containment"),
+        )
+    )
+
+
+@register(
+    "dedup_containment",
+    sql=f"""
+    WITH {_SHINGLE_SQL},
+    ok  AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    p0 AS (
+        SELECT a.doc_id AS sub, b.doc_id AS sup, COUNT(*) AS inter
+        FROM shf a JOIN shf b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT sub, sup,
+           ROUND(CAST(inter AS DOUBLE) / ca.n, 4) AS containment
+    FROM p0 JOIN cnt ca ON ca.doc_id = sub
+    WHERE inter * {CONT_DEN} >= {CONT_NUM} * ca.n
+    ORDER BY sub, sup
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Directed near-subset detection over the fixture corpus — see
+    :func:`containment_pairs` for why containment catches the
+    quote-inclusion pairs Jaccard structurally misses and for the
+    shared-one-shuffle plan."""
+    t = load_tables(spark, sf_dir)
+    return containment_pairs(t.documents).orderBy("sub", "sup")
 
 
 #: below this pair count, components are computed by one executor-side

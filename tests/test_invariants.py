@@ -685,3 +685,38 @@ def test_incremental_clusters_split_is_nontrivial(spark):
     assert n_old > 0, "no old-only pairs: carried-state path untested"
     assert n_cross > 0, "no cross-cut pairs: component-merge path untested"
     assert n_new > 0, "no new-only pairs: fresh-component path untested"
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """The motivating case for dedup_containment, on controlled data (the
+    fixture's near-dups are same-length edits, where the two metrics
+    agree): a short doc quoted WHOLE inside a much longer one has
+    containment 1.0 but Jaccard ≈ |sub|/|sup| far below threshold — the
+    directed metric must flag (short ⊂ long) while jaccard_pairs stays
+    silent; an unrelated doc must trigger neither."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    long_doc = " ".join(f"w{i}" for i in range(50)) + " " + quote + " " + " ".join(
+        f"x{i}" for i in range(50)
+    )
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r.sub, r.sup): r.containment
+        for r in containment_pairs(docs).collect()
+    }
+    jac = jaccard_pairs(docs).collect()
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0, cont
+    assert (2, 1) not in cont  # the long doc is NOT inside the short one
+    assert not any({r.da, r.db} == {1, 2} for r in jac), (
+        "toy sizes chosen so Jaccard stays sub-threshold; fix the fixture"
+    )
+    assert all(3 not in (p[0], p[1]) for p in cont), "unrelated doc flagged"

@@ -152,6 +152,7 @@ EXPECTED = {
     "sketch_join_size",
     "q51c_stateful_session_timeout",
     "dedup_minhash_incremental",
+    "dedup_containment",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
