@@ -42,6 +42,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q69_stream_mv_refresh",
     "q70b_stream_observed_metrics",
     "q52d_stream_stream_semi_join",
+    "q51c_stateful_session_timeout",
 }
 
 

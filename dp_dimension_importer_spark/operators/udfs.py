@@ -241,9 +241,19 @@ _ASOF_SCHEMA = T.StructType(
 )
 
 
+#: q45c runs on every 64th user: the green row pins the cogroup MACHINERY,
+#: and per-group Python overhead (one function call + two Arrow frames per
+#: key, measured ~2.5 ms/group with a TRIVIAL function) scales with GROUP
+#: COUNT, not data — uncapped, the orders side alone contributes ~12k key
+#: groups and the query cost 22 s at sf0.1 vs q12's 0.2 s JVM form. The
+#: cap keeps every machinery case (two-sided, events-only, orders-only
+#: groups) while the cost stays in band
+Q45C_USER_MOD = 64
+
+
 @register(
     "q45c_cogrouped_asof",
-    sql="""
+    sql=f"""
     SELECT event_id, o_orderkey FROM (
         SELECT e.event_id, o.o_orderkey,
                ROW_NUMBER() OVER (
@@ -253,6 +263,7 @@ _ASOF_SCHEMA = T.StructType(
         FROM events e
         JOIN orders o
           ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        WHERE e.user_id % {Q45C_USER_MOD} = 0
     ) WHERE rn = 1
     ORDER BY event_id
     """,
@@ -275,8 +286,12 @@ def q45c_cogrouped_asof(spark, sf_dir):
     group pairing incl. one-sided groups, Arrow transfer, schema
     contract) is what the green row pins."""
     t = load_tables(spark, sf_dir)
-    ev = t.events.select("user_id", "ts", "event_id")
-    od = t.orders.select(
+    ev = t.events.filter(
+        F.col("user_id") % Q45C_USER_MOD == 0
+    ).select("user_id", "ts", "event_id")
+    od = t.orders.filter(
+        F.col("o_custkey") % Q45C_USER_MOD == 0
+    ).select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").cast("timestamp").alias("ots"),
         "o_orderkey",
