@@ -358,3 +358,68 @@ def q68_bloom_point_lookup(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q71_try_arithmetic",
+    sql=r"""
+    WITH e AS (
+        SELECT event_type,
+               TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+                   AS k,
+               TRY_CAST(event_type AS BIGINT) AS tk
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(k)  AS n_k_parsed,
+           COUNT(tk) AS n_type_parsed,
+           CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div0,
+           CAST(SUM(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overflow
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q71_try_arithmetic(spark, sf_dir):
+    """The ANSI error-handling surface (Spark 4 runs ANSI mode by
+    default, so `100/0` and long overflow are JOB-KILLING errors, not
+    silent nulls — one malformed row fails a 100 TB pipeline): the TRY
+    family turns each error class into a NULL the query can count and
+    quarantine. Exercised per error class against real data:
+
+    * `try_cast` on a genuine parse (the numeric `k` dug out of the
+      props JSON — all parse) and on a guaranteed non-number (the event
+      type — none parse, no exception),
+    * `try_divide(100, k)` — NULL exactly on the k=0 rows,
+    * `try_add(LONG_MAX, k)` — a data-dependent overflow, NULL exactly
+      on the k>0 rows.
+
+    The oracle states the SEMANTICS arithmetically (CASE on k) while the
+    Spark side derives the same counts from the TRY-NULLs, so the green
+    row pins divide-by-zero → NULL and overflow → NULL, not error and
+    not ±inf. Counts only — no float division result ever compared."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        F.expr(
+            "try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS BIGINT)"
+        ).alias("k"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("tk"),
+    ).select(
+        "event_type",
+        "k",
+        "tk",
+        F.expr("try_divide(100L, k)").alias("td"),
+        F.expr("try_add(9223372036854775807L, k)").alias("ta"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_k_parsed"),
+            F.count("tk").alias("n_type_parsed"),
+            (F.count(F.lit(1)) - F.count("td")).alias("n_div0"),
+            (F.count(F.lit(1)) - F.count("ta")).alias("n_overflow"),
+        )
+        .orderBy("event_type")
+    )

@@ -153,6 +153,7 @@ EXPECTED = {
     "q51c_stateful_session_timeout",
     "dedup_minhash_incremental",
     "dedup_containment",
+    "q71_try_arithmetic",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
