@@ -423,3 +423,48 @@ def q71_try_arithmetic(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q72_collation",
+    sql="""
+    WITH m AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                    ELSE event_type END AS et
+        FROM events
+    )
+    SELECT lower(et) AS et_ci, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN lower(et) = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view_ci
+    FROM m GROUP BY lower(et) ORDER BY et_ci
+    """,
+)
+def q72_collation(spark, sf_dir):
+    """Spark 4 COLLATION surface: a mixed-case column (half the rows
+    upper-cased, deterministically by event_id parity) grouped and
+    compared under the ``UTF8_LCASE`` collation — 'VIEW' and 'view' fall
+    into ONE group and one case-insensitive equality, with no lower()
+    scattered through the query (the collation travels with the TYPE, so
+    every downstream compare/join/group inherits it — the governance win
+    over ad-hoc normalization). The group-by KEY under a collation keeps
+    an arbitrary representative's case, so the output projects lower()
+    once for display; the oracle states the same semantics with explicit
+    lower() normalization. Counts only — the green row pins that LCASE
+    grouping/equality is exactly case-folding, nothing looser."""
+    t = load_tables(spark, sf_dir)
+    m = t.events.select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper("event_type")
+        ).otherwise(F.col("event_type")).alias("et")
+    ).select(F.expr("collate(et, 'UTF8_LCASE')").alias("et"))
+    return (
+        m.groupBy("et")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("et") == F.lit("view"), 1).otherwise(0)
+            ).alias("n_view_ci"),
+        )
+        .select(F.lower("et").alias("et_ci"), "n", "n_view_ci")
+        .orderBy("et_ci")
+    )

@@ -154,6 +154,7 @@ EXPECTED = {
     "dedup_minhash_incremental",
     "dedup_containment",
     "q71_try_arithmetic",
+    "q72_collation",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
