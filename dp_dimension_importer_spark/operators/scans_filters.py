@@ -468,3 +468,43 @@ def q72_collation(spark, sf_dir):
         .select(F.lower("et").alias("et_ci"), "n", "n_view_ci")
         .orderBy("et_ci")
     )
+
+
+#: q73's bound parameters — the values live HERE, not spliced into SQL
+Q73_SEGMENT, Q73_MIN_BAL = "BUILDING", 1000.0
+
+
+@register(
+    "q73_parameterized_sql",
+    sql=f"""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS bal_cents
+    FROM customer
+    WHERE c_mktsegment = '{Q73_SEGMENT}' AND c_acctbal >= {Q73_MIN_BAL}
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q73_parameterized_sql(spark, sf_dir):
+    """PARAMETERIZED SQL (Spark 4 named-parameter binding): the predicate
+    values arrive through ``spark.sql(..., args={...})`` placeholders —
+    bound as typed literals by the parser, never spliced into the query
+    text, which is both the SQL-injection-safe templating surface and
+    what keeps one plan cache entry serving every parameter value. The
+    oracle inlines the same constants, so the green row pins that binding
+    is exactly literal substitution (types and comparison semantics
+    included). Catalyst still pushes the bound predicates into the scan —
+    parameters don't defeat pushdown."""
+    t = load_tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("v_customer_q73")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS bal_cents
+        FROM v_customer_q73
+        WHERE c_mktsegment = :seg AND c_acctbal >= :min_bal
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        args={"seg": Q73_SEGMENT, "min_bal": Q73_MIN_BAL},
+    )

@@ -155,6 +155,7 @@ EXPECTED = {
     "dedup_containment",
     "q71_try_arithmetic",
     "q72_collation",
+    "q73_parameterized_sql",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
