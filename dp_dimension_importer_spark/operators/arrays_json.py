@@ -279,3 +279,53 @@ def q37c_from_json_typed(spark, sf_dir):
         .agg(F.sum("p.k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q74_xml",
+    sql=r"""
+    WITH m AS (
+        SELECT '<e><k>'
+               || CAST(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1)
+                                AS BIGINT) AS VARCHAR)
+               || '</k><t>' || event_type || '</t></e>' AS x
+        FROM events
+    ), p AS (
+        SELECT CAST(regexp_extract(x, '<k>(\d+)</k>', 1) AS BIGINT) AS k,
+               regexp_extract(x, '<t>([a-z]+)</t>', 1) AS t
+        FROM m
+    )
+    SELECT t, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM p GROUP BY t ORDER BY t
+    """,
+)
+def q74_xml(spark, sf_dir):
+    """Typed XML parsing (`from_xml`, Spark 4) — the fourth leg of the
+    semi-structured family next to q37 (JSON string path), q37c (typed
+    `from_json`) and q37b (VARIANT): a deterministic XML envelope is
+    built from the event fields, parsed ONCE into a real struct with an
+    explicit schema, and the fields aggregate as ordinary columns.
+    DuckDB has no XML parser, so the oracle states the same extraction
+    with anchored regexes over the identical envelope — the green row
+    pins that `from_xml`'s typed extraction is exactly the grammar the
+    envelope encodes (numeric k, tag-delimited t), round-tripped through
+    construction and parse."""
+    t = load_tables(spark, sf_dir)
+    k = F.expr(
+        "try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS BIGINT)"
+    )
+    x = F.concat(
+        F.lit("<e><k>"),
+        k.cast("string"),
+        F.lit("</k><t>"),
+        F.col("event_type"),
+        F.lit("</t></e>"),
+    )
+    parsed = t.events.select(x.alias("x")).select(
+        F.expr("from_xml(x, 'k BIGINT, t STRING')").alias("p")
+    )
+    return (
+        parsed.groupBy(F.col("p.t").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p.k").alias("sum_k"))
+        .orderBy("t")
+    )

@@ -156,6 +156,7 @@ EXPECTED = {
     "q71_try_arithmetic",
     "q72_collation",
     "q73_parameterized_sql",
+    "q74_xml",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
