@@ -754,3 +754,31 @@ def mv_incremental_agg(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "agg_approx_top_k",
+    sql="""
+    SELECT event_type AS item, COUNT(*) AS n
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type ORDER BY item
+    """,
+)
+def agg_approx_top_k(spark, sf_dir):
+    """Spark 4's ``approx_top_k`` heavy-hitter aggregate — the built-in
+    single-expression form of what sketch_count_min_heavy hand-rolls.
+    Registered ORACLED, not gated, by pinning the function's
+    exactness-within-capacity contract: with maxItemsTracked (10) above
+    the event-type domain size, the sketch degenerates to exact counts,
+    so the exploded (item, count) rows must hash-match the plain GROUP
+    BY. (Beyond capacity it is approximate — that regime is
+    sketch_count_min_heavy's, with its error-bound gate.)"""
+    t = load_tables(spark, sf_dir)
+    res = t.events.filter(F.col("event_type").isNotNull()).agg(
+        F.expr("approx_top_k(event_type, 10)").alias("tk")
+    )
+    return (
+        res.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("n"))
+        .orderBy("item")
+    )

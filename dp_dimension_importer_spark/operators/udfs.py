@@ -629,3 +629,47 @@ def q70_observed_metrics(spark, sf_dir):
         [(m["n_rows"], m["sum_cents"], m["n_heavy"])],
         "n_rows bigint, sum_cents bigint, n_heavy bigint",
     )
+
+
+@register(
+    "q75_pandas_api",
+    sql="""
+    SELECT o_custkey, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q75_pandas_api(spark, sf_dir):
+    """The PANDAS API ON SPARK surface (``pyspark.pandas``): the same
+    per-customer rollup q13's DataFrame form computes, written as a
+    pandas groupby/agg — the migration path for pandas codebases, and a
+    real distributed plan underneath (the ps frame wraps the Spark
+    DataFrame; ``pandas_api()`` / ``to_spark()`` cross for free, no
+    collect). Values are quantized to integer cents BEFORE entering the
+    pandas API so the aggregate is engine-exact, and the oracle is plain
+    SQL — the green row pins that the pandas-surface semantics (named
+    aggregation, reset_index) compile to the identical answer.
+
+    Cost note: ps defaults to a distributed-sequence index for frames
+    that need one; this query never materializes an index (groupby keys
+    become the index, reset_index restores a column), so no sequence
+    zips or windows sneak into the plan."""
+    t = load_tables(spark, sf_dir)
+    sdf = t.orders.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    psdf = sdf.pandas_api()
+    agg = (
+        psdf.groupby("o_custkey")
+        .agg(n=("cents", "count"), sum_cents=("cents", "sum"))
+        .reset_index()
+    )
+    return (
+        agg.to_spark()
+        .select("o_custkey", F.col("n").cast("long").alias("n"), "sum_cents")
+        .orderBy("o_custkey")
+    )

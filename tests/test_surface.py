@@ -157,6 +157,8 @@ EXPECTED = {
     "q72_collation",
     "q73_parameterized_sql",
     "q74_xml",
+    "q75_pandas_api",
+    "agg_approx_top_k",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
