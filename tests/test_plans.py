@@ -1060,3 +1060,32 @@ def test_lsh_index_probe_carries_no_signatures(spark):
                 )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_rolling_median_plans_one_data_exchange(spark):
+    """win_rolling_median must cost exactly what the window costs: ONE
+    hash exchange on o_custkey for the frame (collect_list/array_sort are
+    per-row expressions inside it, not extra shuffles) plus the output
+    ORDER BY's range exchange — nothing else."""
+    import re
+
+    plan = plan_of(QUERIES["win_rolling_median"](spark, SF_SMOKE), "formatted")
+    nodes = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(nodes) == 2, f"expected 2 exchanges, plan has {len(nodes)}"
+    assert "hashpartitioning(o_custkey" in plan
+    assert "rangepartitioning" in plan
+
+
+def test_cogroup_co_partitions_both_sides_on_key(spark):
+    """q45c's physical contract: a FlatMapCoGroupsInPandas fed by BOTH
+    children hash-partitioned on user_id — the co-partitioning that makes
+    the per-key pandas pairing possible without any further data
+    movement; the only other exchange is the output ORDER BY."""
+    import re
+
+    plan = plan_of(QUERIES["q45c_cogrouped_asof"](spark, SF_SMOKE), "formatted")
+    assert "FlatMapCoGroupsInPandas" in plan
+    hash_ex = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(hash_ex) >= 2, "both cogroup children must hash on user_id"
+    nodes = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(nodes) == 3, f"expected 3 exchanges (2 cogroup + sort), got {len(nodes)}"
