@@ -508,3 +508,43 @@ def q73_parameterized_sql(spark, sf_dir):
         """,
         args={"seg": Q73_SEGMENT, "min_bal": Q73_MIN_BAL},
     )
+
+
+@register(
+    "q76_null_semantics",
+    sql="""
+    SELECT NULLIF(event_type, 'error') AS g,
+           COUNT(*) AS n,
+           COUNT(value) AS n_vals,
+           CAST(SUM(CASE WHEN value IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT event_type) AS d
+    FROM events GROUP BY 1 ORDER BY g NULLS FIRST
+    """,
+)
+def q76_null_semantics(spark, sf_dir):
+    """NULL-semantics pin — the classic cross-engine divergence family,
+    stated once and hash-matched: NULLIF manufactures a nullable group
+    key and GROUP BY collects every NULL key into ONE group (grouping
+    equality treats NULLs as equal); COUNT(*) vs COUNT(col) splits
+    present-vs-null; the null-safe operator (`<=>` /
+    IS NOT DISTINCT FROM) counts the null rows a plain `= NULL` predicate
+    would silently lose to three-valued logic; COUNT(DISTINCT) ignores
+    NULL inputs on both engines. Every number is a count — nothing
+    rounds, nothing floats."""
+    t = load_tables(spark, sf_dir)
+    null_d = F.lit(None).cast("double")
+    return (
+        t.events.groupBy(
+            F.expr("nullif(event_type, 'error')").alias("g")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("value").alias("n_vals"),
+            F.sum(
+                F.when(F.col("value").eqNullSafe(null_d), 1).otherwise(0)
+            ).alias("n_nulls"),
+            F.count_distinct("event_type").alias("d"),
+        )
+        .orderBy(F.col("g").asc_nulls_first())
+    )

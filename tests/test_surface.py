@@ -159,6 +159,7 @@ EXPECTED = {
     "q74_xml",
     "q75_pandas_api",
     "agg_approx_top_k",
+    "q76_null_semantics",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
