@@ -114,6 +114,11 @@ from dp_dimension_importer_spark.storage import (  # noqa: F401
 from dp_dimension_importer_spark.operators.similarity import (  # noqa: F401
     fit_pca,
 )
+from dp_dimension_importer_spark.planaudit import (  # noqa: F401
+    assert_scales,
+    audit as plan_audit,
+    plan_text,
+)
 from dp_dimension_importer_spark.streaming.stateful import (  # noqa: F401
     session_flush,
 )
@@ -222,4 +227,7 @@ __all__ = [
     "session_flush",
     "minhash_bands",
     "containment_pairs",
+    "plan_audit",
+    "plan_text",
+    "assert_scales",
 ]

@@ -1089,3 +1089,35 @@ def test_cogroup_co_partitions_both_sides_on_key(spark):
     assert len(hash_ex) >= 2, "both cogroup children must hash on user_id"
     nodes = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(nodes) == 3, f"expected 3 exchanges (2 cogroup + sort), got {len(nodes)}"
+
+
+def test_planaudit_utility_reports_known_plans(spark):
+    """The packaged plan auditor (dp_dimension_importer_spark.planaudit)
+    must report the properties this file's audits check, on queries whose
+    plans are already pinned: the pushdown query shows pushed filters and
+    a pruned scan; the broadcast join reports a BroadcastHashJoin and no
+    nested loop; the rolling median passes the 2-exchange scale gate and
+    the cogroup query FAILS a 2-exchange gate (3) but passes at 3 — the
+    gate actually gates."""
+    import pytest as _pytest
+
+    from dp_dimension_importer_spark import planaudit
+
+    a = planaudit.audit(QUERIES["q02_filter_conjunctive"](spark, SF_SMOKE))
+    assert a["pushed_filters"], a
+    assert a["scan_read_cols"] and max(a["scan_read_cols"]) <= 4, a
+    assert not a["python_nodes"]
+
+    j = planaudit.audit(QUERIES["q06_broadcast_join"](spark, SF_SMOKE))
+    assert j["has_broadcast_join"] and not j["has_nested_loop_join"], j
+
+    m = planaudit.assert_scales(
+        QUERIES["win_rolling_median"](spark, SF_SMOKE), max_exchanges=2
+    )
+    assert m["n_exchanges"] == 2
+
+    cg = QUERIES["q45c_cogrouped_asof"](spark, SF_SMOKE)
+    with _pytest.raises(AssertionError):
+        planaudit.assert_scales(cg, max_exchanges=2)
+    c = planaudit.assert_scales(cg, max_exchanges=3)
+    assert "FlatMapCoGroupsInPandas" in c["python_nodes"]

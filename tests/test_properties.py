@@ -452,3 +452,38 @@ def test_quarantine_is_a_partition_for_any_predicate(spark, vals, bound):
             assert irows[i] == want, (i, v)
         else:
             assert i in vrows
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_shortest_paths_matches_python_bfs(spark, edges):
+    """Property: on ANY directed edge list, the frontier-loop
+    shortest_paths returns exactly the Python-BFS distance map from the
+    source (node 0 forced present so the source always exists) — first
+    discovery level IS the minimum distance, across arbitrary cycles,
+    self-loops, and disconnected pieces."""
+    from collections import deque
+
+    from dp_dimension_importer_spark.operators.analytics import shortest_paths
+
+    edges = [(0, 0)] + edges  # source node always present
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want, dq = {0: 0}, deque([0])
+    while dq:
+        u = dq.popleft()
+        for v in sorted(adj.get(u, ())):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.hops for r in shortest_paths(df, 0).collect()}
+    assert got == want
