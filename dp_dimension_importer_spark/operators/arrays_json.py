@@ -329,3 +329,45 @@ def q74_xml(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("p.k").alias("sum_k"))
         .orderBy("t")
     )
+
+
+@register(
+    "q39b_explode_outer",
+    sql="""
+    WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE list_slice(
+                        list_filter(string_split(text, ' '), x -> x <> ''),
+                        1, 3)
+               END AS toks
+        FROM documents
+    )
+    SELECT doc_id, tok FROM (
+        SELECT doc_id, UNNEST(toks) AS tok FROM m WHERE len(toks) > 0
+        UNION ALL
+        SELECT doc_id, NULL FROM m WHERE len(toks) = 0
+    )
+    ORDER BY doc_id, tok NULLS FIRST
+    """,
+)
+def q39b_explode_outer(spark, sf_dir):
+    """OUTER explode — the empty-collection semantics q39's inner explode
+    silently drops: every 7th doc's token array is emptied, and
+    ``explode_outer`` must keep those docs as a single NULL-token row
+    (inner explode erases them from the output entirely — the classic
+    silent-data-loss bug when exploding optional attributes). The oracle
+    states the same contract explicitly as inner-unnest UNION the
+    empty-set rows, so the green row pins exactly which rows the OUTER
+    variant adds and nothing else."""
+    t = load_tables(spark, sf_dir)
+    toks = F.when(
+        F.col("doc_id") % 7 == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.slice(F.filter(F.split("text", " "), lambda x: x != ""), 1, 3)
+    )
+    return (
+        t.documents.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode_outer("toks").alias("tok"))
+        .orderBy("doc_id", F.col("tok").asc_nulls_first())
+    )

@@ -160,6 +160,7 @@ EXPECTED = {
     "q75_pandas_api",
     "agg_approx_top_k",
     "q76_null_semantics",
+    "q39b_explode_outer",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
