@@ -147,11 +147,13 @@ from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
 from dp_dimension_importer_spark.storage import (  # noqa: F401
     build_bloom_index,
     read_bloom_pruned,
+    optimize_snapshot,
     read_snapshot,
     read_snapshot_pruned,
     snapshot_changes,
     write_snapshot,
     write_snapshot_with_stats,
+    zorder_layout,
 )
 
 __all__ = [
@@ -230,4 +232,6 @@ __all__ = [
     "plan_audit",
     "plan_text",
     "assert_scales",
+    "optimize_snapshot",
+    "zorder_layout",
 ]

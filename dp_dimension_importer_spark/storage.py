@@ -191,6 +191,21 @@ def write_clustered(
     boundary values. The code column is dropped before writing — it is a
     routing key, not data. Files are additionally sorted by the code
     within each shard so row-group stats stay tight inside big files."""
+    (
+        zorder_layout(df, cols, n_shards)
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
+def zorder_layout(df: DataFrame, cols: list[str], n_shards: int) -> DataFrame:
+    """The clustering transform behind :func:`write_clustered`, factored
+    so any writer can adopt it (``optimize_snapshot`` feeds it to the
+    snapshot commit): rank-quantize each column, interleave the bucket
+    bits into a Morton code, range-repartition into ``n_shards`` and sort
+    within each — the returned frame's partitions ARE the to-be-written
+    files, each covering a compact region of the joint rank space."""
     from pyspark.sql import functions as F
 
     if not cols or n_shards < 1:
@@ -210,7 +225,7 @@ def write_clustered(
             # column — every row would land in bucket 0 and the promised
             # skipping on this column would silently not exist
             raise ValueError(
-                f"write_clustered: column {c!r} has no castable non-null "
+                f"zorder_layout: column {c!r} has no castable non-null "
                 "values to rank-quantize — clustering on it is a no-op"
             )
         b = F.lit(0)
@@ -218,14 +233,33 @@ def write_clustered(
             b = b + F.when(F.col(c).cast("double") > cut, 1).otherwise(0)
         bucket_exprs.append(b)
     code = _morton_code(bucket_exprs, ZORDER_BITS).alias("__zcode")
-    (
+    return (
         df.withColumn("__zcode", code)
         .repartitionByRange(n_shards, F.col("__zcode"))
         .sortWithinPartitions("__zcode")
         .drop("__zcode")
-        .write.mode(mode)
-        .option("compression", compression)
-        .parquet(path)
+    )
+
+
+def optimize_snapshot(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    n_shards: int = 8,
+) -> int:
+    """Table-format OPTIMIZE: rewrite the CURRENT snapshot version
+    Z-order-clustered on ``cols`` and commit the rewrite as a NEW version
+    with per-file min/max stats for those columns — same rows, better
+    layout, so :func:`read_snapshot_pruned` skips files for predicates on
+    any clustered column. Readers of every prior version are untouched
+    (snapshot isolation — the property an in-place re-layout cannot
+    offer), time travel still reaches the pre-optimize layout, and a
+    crash mid-rewrite leaves the table at the old version; superseded
+    data files are reclaimed by ``vacuum_snapshots``. Returns the new
+    version number."""
+    cur = read_snapshot(spark, path)
+    return write_snapshot(
+        spark, zorder_layout(cur, cols, n_shards), path, stats_cols=cols
     )
 
 

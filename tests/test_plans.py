@@ -1121,3 +1121,73 @@ def test_planaudit_utility_reports_known_plans(spark):
         planaudit.assert_scales(cg, max_exchanges=2)
     c = planaudit.assert_scales(cg, max_exchanges=3)
     assert "FlatMapCoGroupsInPandas" in c["python_nodes"]
+
+
+def test_optimize_snapshot_reclusters_without_breaking_isolation(spark):
+    """OPTIMIZE on the snapshot layer: committing a Z-order rewrite as a
+    new version must (a) preserve the rows exactly, (b) tighten per-file
+    stats so a narrow predicate intersects FEWER files than under the
+    pre-optimize layout, and (c) leave the old version readable — time
+    travel reaches the old layout, snapshot isolation holds."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.catalog import load_tables
+    from dp_dimension_importer_spark.storage import _manifest_dir, _stat_encode
+
+    li = load_tables(spark, SF_SMOKE).lineitem.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="snap_opt_")
+    try:
+        shutil.rmtree(path)
+        v1 = storage.write_snapshot(
+            spark,
+            li.repartition(8, "l_orderkey"),  # layout random wrt partkey/qty
+            path,
+            stats_cols=["l_partkey", "l_quantity"],
+        )
+        v2 = storage.optimize_snapshot(
+            spark, path, ["l_partkey", "l_quantity"], n_shards=8
+        )
+        assert v2 == v1 + 1
+
+        def files_hit(version, col, lo, hi):
+            with open(
+                os.path.join(_manifest_dir(path), f"v{version}.json")
+            ) as f:
+                m = json.load(f)
+            elo, ehi = _stat_encode(lo), _stat_encode(hi)
+            hit = 0
+            for fname in m["files"]:
+                st = m.get("stats", {}).get(fname, {}).get(col)
+                if st is None or not (st[1] < elo or st[0] > ehi):
+                    hit += 1
+            return hit, len(m["files"])
+
+        h1, n1 = files_hit(v1, "l_partkey", 1, 5)
+        h2, n2 = files_hit(v2, "l_partkey", 1, 5)
+        assert h1 == n1, "random layout should prune nothing on partkey"
+        assert h2 < n2, "optimized layout must skip files on partkey"
+        hq1, _ = files_hit(v1, "l_quantity", 1, 3)
+        hq2, _ = files_hit(v2, "l_quantity", 1, 3)
+        assert hq2 < hq1, "second clustered column must also prune"
+
+        # rows identical across the rewrite; old version still readable
+        a = sorted(map(tuple, storage.read_snapshot(spark, path, version=v1)
+                       .collect()))
+        b = sorted(map(tuple, storage.read_snapshot(spark, path).collect()))
+        assert a == b
+        # pruned read agrees with the plain filtered read on BOTH versions
+        for v in (v1, v2):
+            pr = sorted(map(tuple, storage.read_snapshot_pruned(
+                spark, path, "l_partkey", 1, 5, version=v).collect()))
+            pl = sorted(map(tuple, storage.read_snapshot(
+                spark, path, version=v)
+                .filter("l_partkey BETWEEN 1 AND 5").collect()))
+            assert pr == pl
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
