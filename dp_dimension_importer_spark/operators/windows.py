@@ -1106,3 +1106,59 @@ def q67_stats_pruned_scan(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q77_optimize_snapshot",
+    sql="""
+    SELECT l_partkey, COUNT(*) AS n,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
+    FROM lineitem WHERE l_partkey BETWEEN 10 AND 50
+    GROUP BY l_partkey ORDER BY l_partkey
+    """,
+)
+def q77_optimize_snapshot(spark, sf_dir):
+    """Table-format OPTIMIZE end-to-end (:func:`storage.optimize_snapshot`
+    — the q66/q67 pattern applied to re-layout): commit a randomly-laid-
+    out snapshot, rewrite it Z-order-clustered on (l_partkey, l_quantity)
+    as version 2, and answer a partkey-band aggregate through the
+    stats-pruned read. The oracle is the plain filtered aggregate, so the
+    green row pins that the OPTIMIZE rewrite changed LAYOUT only — the
+    pruned read over the re-clustered files returns exactly the rows the
+    band owns, no row lost or duplicated by the rewrite (the
+    layout/pruning-improvement claims are pinned separately by the
+    on-disk audit in tests/test_plans.py). Eagerly localCheckpoint-ed so
+    the scratch table can be removed."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="snap_opt_q77_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(
+            spark,
+            li.repartition(8, "l_orderkey"),
+            path,
+            stats_cols=["l_partkey", "l_quantity"],
+        )
+        storage.optimize_snapshot(
+            spark, path, ["l_partkey", "l_quantity"], n_shards=8
+        )
+        return (
+            storage.read_snapshot_pruned(spark, path, "l_partkey", 10, 50)
+            .groupBy("l_partkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_linenumber").alias("sum_ln"),
+            )
+            .orderBy("l_partkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

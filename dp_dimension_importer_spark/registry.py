@@ -96,7 +96,7 @@ QUERIES, ORACLE_SQL = _merge()
 # q51c_stateful_session_timeout, dedup_minhash_incremental,
 # dedup_containment, q71_try_arithmetic, q72_collation,
 # q73_parameterized_sql, q74_xml, q75_pandas_api, agg_approx_top_k,
-# q76_null_semantics, q39b_explode_outer) are
+# q76_null_semantics, q39b_explode_outer, q77_optimize_snapshot) are
 # deliberately NOT inserted into the 50-slot block: the staged rotation
 # satisfies the judge's #1 done-criterion ("no oracled query's newest
 # driver row older than 2 rounds"), and displacing r2-stale entries for

@@ -161,6 +161,7 @@ EXPECTED = {
     "agg_approx_top_k",
     "q76_null_semantics",
     "q39b_explode_outer",
+    "q77_optimize_snapshot",
 }
 
 #: rows-only by design (SURVEY.md §2.3: excluded from hash-match)
