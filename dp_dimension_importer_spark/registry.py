@@ -59,230 +59,103 @@ def _merge() -> tuple[dict[str, QueryFn], dict[str, str]]:
 QUERIES, ORACLE_SQL = _merge()
 
 # ---------------------------------------------------------------------------
-# Driver-priority ordering.
+# Driver-priority ordering — derived from the on-disk CORRECTNESS_r*.json
+# evidence, never from a hand-maintained list.
 #
 # The driver verifies EXACTLY the first 50 entries of ``queries()`` in dict
-# order (budgeted check; confirmed rounds 1-4 — CORRECTNESS_r04.json is
-# 50/50 green on round 4's priority block). Round-5 policy (the judge's
-# explicit #1 ask: after this rotation, NO oracled query's newest driver
-# row is older than two rounds). Final round-5 budget: 20 ops new this
-# round (14 in-session + 6 pre-session), 5 r4-verified-but-rewritten, the
-# 24 ORACLED r2-stale queries (the two rows-only approx-aggs yield no
-# oracle evidence and are excluded — their tolerance gates run locally
-# every session), and 1 r3 leader. Plan staged before the session:
-#   first  every operator NEW this round (zero driver evidence):
-#          dedup_bloom_sharded, cdc_merge_upsert, q59_udtf,
-#   then   r4-verified ops whose CODE CHANGED this round — the gram
-#          pipeline refactor (_gram_hash_array seam + hash_bits threading)
-#          touches dup_ngram_share/dedup_spans/shingle consumers, and the
-#          WAV fmt-chunk validation touches the audio roundtrip — their
-#          green rows predate the change,
-#   then   the 26 queries whose newest driver row is ROUND 2 (three
-#          rounds stale — the r2 tail that round 4's budget pushed out,
-#          exactly the set VERDICT r4 staged),
-#   then   16 of the r3-verified block (two rounds stale), intricate
-#          plans first (streaming joins, dedup corpus ops, join family),
-#   tail   the remaining r3 entries (they lead round 6's rotation), then
-#          the r4-verified block (freshest evidence), then the
-#          recall/tolerance-gated rows-only ops.
+# order (budgeted check; confirmed rounds 1-5 — every CORRECTNESS_rN.json is
+# the head-50 of that round's ordering). Rounds 1-5 froze the rotation in a
+# hand-curated ``_PRIORITY`` list, which the round-5 verdict flagged as
+# stale-by-construction (VERDICT r5, "What's wrong" #2 and "Next round" #1/#6).
+# This module now reads the CORRECTNESS files the driver itself writes and
+# orders the budget mechanically:
 #
-# LATE-SESSION round-5 additions (dedup_jaccard_prefix, dq_expectations,
-# dq_quarantine, mv_incremental_agg, q67_stats_pruned_scan,
-# q68_bloom_point_lookup, text_bm25_topk, q69_stream_mv_refresh,
-# q70b_stream_observed_metrics, dedup_clusters_star, q64b (writer),
-# q37c_from_json_typed, q70_observed_metrics, q45c_cogrouped_asof,
-# dedup_clusters_incremental, dq_skew_report, graph_shortest_paths,
-# q66b_snapshot_changes, win_rolling_median, sketch_join_size,
-# q51c_stateful_session_timeout, dedup_minhash_incremental,
-# dedup_containment, q71_try_arithmetic, q72_collation,
-# q73_parameterized_sql, q74_xml, q75_pandas_api, agg_approx_top_k,
-# q76_null_semantics, q39b_explode_outer, q77_optimize_snapshot) are
-# deliberately NOT inserted into the 50-slot block: the staged rotation
-# satisfies the judge's #1 done-criterion ("no oracled query's newest
-# driver row older than 2 rounds"), and displacing r2-stale entries for
-# brand-new ops would break it. driver_ordered_queries() places them
-# immediately after the priority block (before every resting-verified
-# query), so they LEAD round 6's budget; until then their evidence is the
-# local oracle-parity suite (sf0.001 + sf0.01) plus this session's full
-# sf0.1 sweep, all green.
+#   tier 0  ``_REPRIORITIZE`` — oracled queries whose implementation changed
+#           materially THIS session after their newest green row (hand list,
+#           normally short or empty; the only remaining judgement call),
+#   tier 1  oracled queries with NO driver row ever (zero evidence beats
+#           stale-but-green), in registration order,
+#   tier 2  oracled queries by ascending newest-green-round (stalest first),
+#   tier 3  rows-only gated queries (no oracle by design — LSH/ANN/sketches;
+#           a budget slot there re-buys no value-hash evidence, and their
+#           recall/tolerance floors run locally in test_recall.py every
+#           session) — never-touched first, then stalest.
+#
+# A query counts "gated" iff it has no ORACLE_SQL entry, so the set can
+# never drift from the actual registration.
 # ---------------------------------------------------------------------------
 
-_VERIFIED_R01 = frozenset({
-    "q01_scan_project", "q02_filter_conjunctive", "q03_in_between",
-    "q04_null_predicate", "q30_case_expr", "q31_string_funcs",
-    "q32_like_regexp", "q33_date_extract", "q34_date_arith",
-    "q35_math_exprs", "q05_inner_equi_join", "q06_broadcast_join",
-    "q07_multiway_join", "q08_left_outer_join", "q09_left_semi_join",
-    "q10_left_anti_join", "q11_theta_range_join", "q12_asof_join",
-    "join_skew_salted", "q54_full_outer_join", "q09b_in_subquery",
-    "q13_groupby_agg", "q14_global_agg", "q15_distinct_agg", "q16_rollup",
-    "q17_having", "q18_collect_list", "q40_pivot", "q41_exact_dedup",
-    "q28_scalar_subquery", "q29_correlated_subquery", "agg_exact_median",
-    "agg_approx_quantiles", "agg_approx_count_distinct", "agg_conditional",
-    "agg_string_concat", "agg_histogram", "q16b_cube", "agg_stats_moments",
-    "agg_bool", "profile_columns", "q56_grouping_sets", "q19_row_number",
-    "q20_rank_dense_rank", "q21_lag_lead", "q22_running_sum", "q23_topk",
-    "q24_per_group_topk", "q25_multikey_sort", "win_latest_per_key",
-})
+import json as _json
+import re as _re
+from pathlib import Path as _Path
 
-_VERIFIED_R02 = frozenset({
-    "q12_asof_join", "q26_union_distinct", "q27_intersect", "q27b_except",
-    "q55_unpivot", "q36_array_fold", "q37_json_extract", "q38_struct_access",
-    "q39_explode", "q42_token_stats", "q44_pandas_udf", "win_range_frame",
-    "win_first_last", "win_distribution", "text_normalize",
-    "text_token_count", "text_pii_redact", "text_fingerprint",
-    "text_quality_score", "text_lang_id", "split_train_test",
-    "sample_per_group", "corpus_mix", "events_funnel", "events_retention",
-    "events_anomaly", "decontaminate", "text_chunk", "text_pack",
-    "ts_gapfill_locf", "q45_grouped_map", "text_top_tokens", "dedup_exact",
-    "embedding_centroid", "multimodal_binary_meta", "q46_tumbling_window",
-    "q47_sliding_window", "q48_session_window", "scd2_intervals",
-    "fuzzy_dedup_names", "dedup_ngram_jaccard", "tfidf_top_terms",
-    "dedup_embedding_cosine", "q43_cosine_top1", "q43b_cosine_topk",
-    "dedup_clusters", "q49_watermark_replay", "q50_stateful_dedup",
-    "q51_stateful_running_agg", "q52_stream_stream_join",
-})
+_REPO_ROOT = _Path(__file__).resolve().parent.parent
 
-_VERIFIED_R03 = frozenset({
-    "q26b_union_all_counts", "q53_stream_static_join",
-    "text_repetition_filter", "text_unigram_logprob", "dedup_keep_corpus",
-    "text_dup_ngram_share", "events_transitions",
-    "q52b_stream_stream_left_join", "q52c_stream_stream_full_join",
-    "q12_asof_join", "q05_inner_equi_join", "q06_broadcast_join",
-    "q07_multiway_join", "q08_left_outer_join", "q09_left_semi_join",
-    "q10_left_anti_join", "q11_theta_range_join", "join_skew_salted",
-    "q54_full_outer_join", "q09b_in_subquery", "q13_groupby_agg",
-    "q14_global_agg", "q15_distinct_agg", "q16_rollup", "q16b_cube",
-    "q56_grouping_sets", "q17_having", "q18_collect_list", "q40_pivot",
-    "q41_exact_dedup", "q28_scalar_subquery", "q29_correlated_subquery",
-    "agg_exact_median", "agg_conditional", "agg_string_concat",
-    "agg_histogram", "agg_stats_moments", "agg_bool", "profile_columns",
-    "q19_row_number", "q20_rank_dense_rank", "q21_lag_lead",
-    "q22_running_sum", "q23_topk", "q24_per_group_topk",
-    "q25_multikey_sort", "win_latest_per_key", "q30_case_expr",
-    "q31_string_funcs", "q32_like_regexp",
-})
-
-_PRIORITY = [
-    # NEW this round — zero driver evidence (session additions first, then
-    # the pre-session round-5 block)
-    "ts_resample_ohlc", "ts_interpolate_linear", "agg_weighted_median",
-    "graph_triangle_count", "events_attribution", "events_anomaly_mad",
-    "text_bigram_logprob", "q61_map_type", "q62_array_hof",
-    "ts_overlap_sweepline", "win_running_distinct",
-    "scd2_asof_snapshot", "q64_python_datasource", "text_entropy",
-    "q65_schema_evolution", "q66_snapshot_time_travel",
-    "dedup_bloom_sharded", "cdc_merge_upsert", "q59_udtf",
-    "q60_stream_upsert_sink", "corpus_temperature_mix",
-    "multimodal_video_meta",
-    # r4-verified but CHANGED this round (gram-pipeline refactor / WAV
-    # fmt validation); their green rows predate the change
-    "text_dup_ngram_share", "text_dedup_spans", "dedup_ngram_jaccard",
-    "decontaminate", "multimodal_audio_meta",
-    # newest driver row is ROUND 2 — three rounds stale, the r2 tail the
-    # r4 budget pushed out (VERDICT r4 staged exactly this set)
-    "q36_array_fold", "q37_json_extract", "q38_struct_access",
-    "q39_explode", "q42_token_stats", "text_normalize", "text_token_count",
-    "text_fingerprint", "text_quality_score", "text_lang_id",
-    "text_pii_redact", "win_range_frame", "win_first_last",
-    "win_distribution", "q26_union_distinct", "q27_intersect",
-    "q27b_except", "q55_unpivot", "split_train_test", "sample_per_group",
-    "corpus_mix", "events_funnel", "events_retention",
-    # (events_anomaly: see position 51 below. The two approx-aggs stay
-    # OUT of the budget: rows-only by design, a slot spent there re-buys
-    # no oracle evidence; their quality gates run locally in
-    # test_recall.py every session)
-    # positions 51-52 (first past the budget, leading round 6):
-    # events_anomaly is the one r2-stale op the 50 slots can no longer
-    # cover (22 new ops outrank it — zero evidence beats stale-but-green;
-    # its code is untouched since its r2 green row and this session's
-    # full sf0.1 sweep re-verified it); q63_stream_ohlc's batch twin
-    # ts_resample_ohlc holds a slot above with the IDENTICAL oracle SQL,
-    # and the replay mechanics hold driver rows via q49/q50/q52
-    "events_anomaly", "q63_stream_ohlc",
-    # --- r3-verified backfill (two rounds stale): intricate plans first —
-    # streaming joins, dedup corpus ops, then the join family
-    "q53_stream_static_join", "q52b_stream_stream_left_join",
-    "q52c_stream_stream_full_join", "dedup_keep_corpus",
-    "events_transitions", "q26b_union_all_counts", "q12_asof_join",
-    "q11_theta_range_join", "q05_inner_equi_join", "q06_broadcast_join",
-    "q07_multiway_join", "q08_left_outer_join", "q09_left_semi_join",
-    # positions 51+ (past the 50-slot budget by design): the rest of the
-    # r3 block — they lead round 6's rotation (q09b/q10/q54 bumped below
-    # the line to make room for q60, corpus_temperature_mix, and
-    # multimodal_video_meta, the new ops with zero driver evidence)
-    "q09b_in_subquery", "q10_left_anti_join", "q54_full_outer_join",
-    "join_skew_salted", "q13_groupby_agg", "q14_global_agg",
-    "q15_distinct_agg", "q16_rollup", "q16b_cube", "q56_grouping_sets",
-    "q17_having", "q18_collect_list", "q40_pivot", "q41_exact_dedup",
-    "q28_scalar_subquery", "q29_correlated_subquery", "agg_exact_median",
-    "agg_conditional", "agg_string_concat", "agg_histogram",
-    "agg_stats_moments", "agg_bool", "profile_columns", "q19_row_number",
-    "q20_rank_dense_rank", "q21_lag_lead", "q22_running_sum", "q23_topk",
-    "q24_per_group_topk", "q25_multikey_sort", "win_latest_per_key",
-    "q30_case_expr", "q31_string_funcs", "q32_like_regexp",
-]
+# Oracled queries rewritten materially this session AFTER their newest green
+# driver row was recorded; they jump the evidence queue so the changed code
+# re-earns its row. Reset at the start of each round.
+_REPRIORITIZE: list[str] = []
 
 
-_VERIFIED_R04 = frozenset({
-    "text_dedup_spans", "dedup_semantic", "events_sessionize",
-    "multimodal_audio_meta", "dedup_bloom_incremental", "graph_pagerank",
-    "q50b_dedup_within_watermark", "text_quality_classifier",
-    "q45b_apply_in_arrow", "agg_mode", "join_interval_bucketed",
-    "q57_recursive_cte", "q37b_variant", "q58_lateral_join",
-    "events_pattern_match", "text_unigram_logprob", "text_dup_ngram_share",
-    "text_repetition_filter", "q01_scan_project", "q02_filter_conjunctive",
-    "q03_in_between", "q04_null_predicate", "q33_date_extract",
-    "q34_date_arith", "q35_math_exprs", "text_chunk", "text_pack",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "dedup_clusters", "fuzzy_dedup_names", "decontaminate",
-    "q43_cosine_top1", "q43b_cosine_topk", "embedding_centroid",
-    "q46_tumbling_window", "q47_sliding_window", "q48_session_window",
-    "q49_watermark_replay", "q50_stateful_dedup", "q51_stateful_running_agg",
-    "q52_stream_stream_join", "ts_gapfill_locf", "scd2_intervals",
-    "q45_grouped_map", "q44_pandas_udf", "multimodal_binary_meta",
-    "tfidf_top_terms", "text_top_tokens",
-})
+def correctness_evidence(root: _Path | str | None = None) -> dict[str, int]:
+    """Newest driver-evidence round per query, parsed from
+    ``CORRECTNESS_r*.json`` files at the repo root.
 
-# Recall-gated rows-only ops: no oracle by design (SURVEY §2.3), so a driver
-# slot spent on them yields only a row-count check. Always last.
-_GATED = frozenset({
-    "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_top1", "ann_ivf_top1",
-    "ann_ivf_topk", "ann_lsh_topk", "dedup_semantic_ivf",
-    "sketch_hll_mergeable", "sketch_theta_set_ops", "sketch_kll_quantiles",
-    "sketch_count_min_heavy", "embedding_pca", "ann_pq_topk",
-    "text_bpe_tokens", "dedup_minhash_keep", "multimodal_image_dedup",
-    "sketch_join_size", "dedup_minhash_incremental",
-})
-
-_VERIFIED = _VERIFIED_R01 | _VERIFIED_R02 | _VERIFIED_R03 | _VERIFIED_R04
+    A row is evidence when it is fully green (rows+schema+hash match, no
+    error) or when it is the driver's by-design rows-only record for a
+    gated query (``err == 'no_oracle'`` with a row count). Failed rows are
+    NOT evidence — a query whose only row is red orders as never-tested.
+    """
+    newest: dict[str, int] = {}
+    base = _Path(root) if root is not None else _REPO_ROOT
+    for path in sorted(base.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = _json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+            )
+            gated_green = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green or gated_green:
+                newest[name] = max(newest.get(name, -1), rnd)
+    return newest
 
 
 def driver_ordered_queries() -> dict[str, QueryFn]:
     """QUERIES reordered so the driver's budgeted check spends its 50 slots
-    where they buy the most evidence: priority block (new/changed ops first,
-    then oldest-evidence re-verification), then any query not yet classified
-    (new this round), then verified tails stalest-first (pre-r3 leftovers,
-    the r3 block, the r4 block), then the gated ops."""
-    prioritized = set(_PRIORITY)
-    order = [n for n in _PRIORITY if n in QUERIES]
-    order += [
-        n for n in QUERIES
-        if n not in prioritized and n not in _VERIFIED and n not in _GATED
-    ]
-    # verified tails, stalest evidence first; minus any verified query
-    # explicitly re-prioritized (e.g. rewritten since its green row)
-    newest = {}
-    for tier, names in enumerate(
-        (_VERIFIED_R01, _VERIFIED_R02, _VERIFIED_R03, _VERIFIED_R04)
-    ):
-        for n in names:
-            newest[n] = tier  # later tiers overwrite: newest evidence wins
-    for tier in range(4):
-        order += [
-            n for n in QUERIES
-            if newest.get(n) == tier and n not in prioritized
-        ]
-    order += [n for n in QUERIES if n in _GATED and n not in prioritized]
+    where they buy the most evidence (tier scheme documented above)."""
+    newest = correctness_evidence()
+    regpos = {n: i for i, n in enumerate(QUERIES)}
+    gated = {n for n in QUERIES if n not in ORACLE_SQL}
+    repri = {n: i for i, n in enumerate(_REPRIORITIZE)}
+
+    def key(n: str) -> tuple[int, int, int]:
+        if n in repri and n not in gated:
+            return (0, repri[n], 0)
+        if n not in gated:
+            if n not in newest:
+                return (1, 0, regpos[n])
+            return (2, newest[n], regpos[n])
+        if n not in newest:
+            return (3, 0, regpos[n])
+        return (4, newest[n], regpos[n])
+
+    order = sorted(QUERIES, key=key)
     assert len(order) == len(QUERIES), "driver ordering dropped a query"
     return {n: QUERIES[n] for n in order}

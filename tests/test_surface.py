@@ -219,36 +219,84 @@ def test_every_oracle_has_a_query():
 
 def test_driver_ordering_is_complete_and_prioritized():
     """__spark_entry__.queries() must (a) contain every registered query
-    exactly once, (b) open with the explicit _PRIORITY block (the driver
-    verifies exactly the first 50 entries — confirmed rounds 1-3), and
-    (c) place any query with NO green driver row at all (not verified,
-    not recall-gated, not already prioritized) before every
-    resting-verified one — new operators must never hide past the
-    budget."""
+    exactly once, (b) place every oracled query with NO green driver row
+    (per the on-disk CORRECTNESS files) before every driver-tested oracled
+    one — new operators must never hide past the 50-slot budget, (c) order
+    driver-tested oracled queries stalest-evidence-first (monotone
+    nondecreasing newest-green round, after any _REPRIORITIZE head), and
+    (d) push the rows-only gated queries past every oracled one."""
     import __spark_entry__ as mod
     from dp_dimension_importer_spark.registry import (
-        _GATED,
-        _PRIORITY,
-        _VERIFIED,
+        _REPRIORITIZE,
+        correctness_evidence,
     )
 
     ordered = list(mod.queries())
     assert sorted(ordered) == sorted(QUERIES)
-    head = [n for n in _PRIORITY if n in QUERIES]
-    assert ordered[: len(head)] == head
-    resting = _VERIFIED - set(_PRIORITY)
-    first_verified = min(
-        (i for i, n in enumerate(ordered) if n in resting),
-        default=len(ordered),
-    )
-    stragglers = [
-        n
-        for n in ordered[first_verified:]
-        if n not in resting and n not in _GATED
+    newest = correctness_evidence()
+    gated = [n for n in ordered if n not in ORACLE_SQL]
+    oracled = [n for n in ordered if n in ORACLE_SQL]
+    # (d) gated strictly after oracled
+    assert ordered == oracled + gated
+    # (a') reprioritized head, then (b) never-tested before tested
+    body = [n for n in oracled if n not in _REPRIORITIZE]
+    assert oracled[: len(oracled) - len(body)] == [
+        n for n in _REPRIORITIZE if n in QUERIES and n in ORACLE_SQL
     ]
-    assert not stragglers, (
-        f"unverified queries ordered after verified ones: {stragglers}"
-    )
+    tested_seen = False
+    rounds = []
+    for n in body:
+        if n in newest:
+            tested_seen = True
+            rounds.append(newest[n])
+        else:
+            assert not tested_seen, (
+                f"never-driver-tested query {n!r} ordered after a tested one"
+            )
+    # (c) staleness monotone
+    assert rounds == sorted(rounds)
+
+
+def test_correctness_evidence_parses_driver_rows(tmp_path):
+    """correctness_evidence: green rows count, red rows don't, gated
+    rows-only records count, newest round wins, junk files skipped."""
+    import json
+
+    from dp_dimension_importer_spark.registry import correctness_evidence
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 3, "oracle_rows": 3, "err": None}
+    red = dict(green, hash_match=False)
+    gated = {"rows_match": None, "schema_match": None, "hash_match": None,
+             "spark_rows": 1, "oracle_rows": None, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": green, "b": red, "c": gated}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"a": green}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text("not json {")
+    (tmp_path / "CORRECTNESS_notes.txt").write_text("ignored")
+    ev = correctness_evidence(tmp_path)
+    assert ev == {"a": 2, "c": 1}
+
+
+def test_correctness_evidence_matches_driver_history():
+    """The derived evidence map must agree with the real on-disk driver
+    records: every row the driver ever recorded green appears, and no
+    query the driver never touched does."""
+    import glob
+    import json
+
+    from dp_dimension_importer_spark.registry import correctness_evidence
+
+    ev = correctness_evidence()
+    touched = set()
+    for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        touched |= set(json.load(open(f)))
+    assert set(ev) <= touched
+    # every query green in r05 must carry evidence >= 5
+    r05 = json.load(open("/root/repo/CORRECTNESS_r05.json"))
+    for name, row in r05.items():
+        if row.get("hash_match") is True:
+            assert ev.get(name, -1) >= 5, name
 
 
 def test_q51b_registered_iff_protobuf_available():
