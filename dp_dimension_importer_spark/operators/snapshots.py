@@ -1,0 +1,448 @@
+"""Snapshot / table-format operators — the transaction-log layer's
+end-to-end queries (SURVEY.md §2.4): CDC MERGE through the filesystem,
+snapshot time travel, the change feed, manifest-stats pruned scans, and
+table OPTIMIZE. Split out of ``operators/windows.py`` in round 6 (VERDICT
+r5 "Next round" #3) — zero behavior change, module name now matches
+content. The layer itself lives in :mod:`dp_dimension_importer_spark.storage`
+(write_snapshot / merge_upsert_snapshot / snapshot_changes /
+write_snapshot_with_stats / optimize_snapshot).
+
+Scale notes: every query here round-trips through parquet on purpose — the
+point is the table-format protocol (optimistic commits, manifest min/max
+skipping, version pinning), not the query shapes. Fixture sizes are
+bounded; at 100 TB the same code paths operate per-partition with stats
+harvested from footers, never data pages.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark.catalog import load_tables
+from dp_dimension_importer_spark.operators.common import make_registry
+
+QUERIES, ORACLE, register = make_registry()
+
+#: AS-OF instant for scd2_asof_snapshot: mid-span of the fixture's
+#: January 2024 event stream (2024-01-16 00:00:00 UTC)
+SCD2_ASOF_EPOCH = 1705363200
+
+
+@register(
+    "cdc_merge_upsert",
+    sql="""
+    WITH b AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 10
+                   AS bucket
+        FROM orders
+    ), existing AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(1 AS BIGINT) AS seq
+        FROM b WHERE bucket < 8
+    ), changes AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice + 1000,
+               CAST(2 AS BIGINT) AS seq
+        FROM b WHERE bucket >= 5
+    ), u AS (
+        SELECT * FROM existing UNION ALL SELECT * FROM changes
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rn
+        FROM u
+    )
+    SELECT o_orderkey, o_orderpriority, o_totalprice AS price, seq
+    FROM r WHERE rn = 1 ORDER BY o_orderkey
+    """,
+)
+def cdc_merge_upsert(spark, sf_dir):
+    """CDC MERGE end-to-end THROUGH THE FILESYSTEM: materialize an
+    "existing" table (train-bucket orders, seq=1) as priority-partitioned
+    parquet, apply a change batch (buckets 5-9: 5-7 are updates with a
+    bumped price, 8-9 inserts; seq=2) via :func:`storage.merge_upsert`'s
+    partition-pruned dynamic-overwrite path, then READ THE TABLE BACK and
+    return it — so the driver's oracle row checks insert/update/untouched
+    semantics, latest-wins resolution, AND the on-disk round-trip in one
+    query (the reference's idempotent node-upsert R9/R10/R12 at table
+    scale). The oracle is the plain window-over-union formulation. The
+    byte-identity of untouched partitions is pinned separately by the
+    layout audit in tests/test_plans.py. The result is eagerly
+    localCheckpoint-ed so the scratch directory can be removed before
+    returning."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    b = t.orders.withColumn("bucket", hash_bucket("o_orderkey", 10))
+    existing = b.filter("bucket < 8").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        F.lit(1).cast("long").alias("seq"),
+    )
+    changes = b.filter("bucket >= 5").select(
+        "o_orderkey", "o_orderpriority",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    path = tempfile.mkdtemp(prefix="cdc_merge_upsert_")
+    try:
+        # align write tasks with partition values (write_bucketed's
+        # small-files rule): one file per priority instead of tasks×5
+        storage.write_partitioned(
+            existing.repartition(5, "o_orderpriority"), path,
+            ["o_orderpriority"],
+        )
+        storage.merge_upsert(
+            spark, path, changes,
+            key_cols=["o_orderkey"], seq_col="seq",
+            partition_col="o_orderpriority", n_shards=5,
+        )
+        return (
+            spark.read.parquet(path)
+            .select(
+                "o_orderkey", "o_orderpriority",
+                F.col("o_totalprice").alias("price"), "seq",
+            )
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+
+
+@register(
+    "scd2_asof_snapshot",
+    sql=f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(value) AS INTEGER) % 3 AS tier
+        FROM events
+        WHERE CAST(FLOOR(epoch(ts)) AS BIGINT) <= {SCD2_ASOF_EPOCH}
+    ), r AS (
+        SELECT user_id, tier,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+    )
+    SELECT user_id, tier AS tier_asof FROM r WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def scd2_asof_snapshot(spark, sf_dir):
+    """Point-in-time (AS OF) dimension snapshot — the query an
+    effective-dated SCD2 table exists to answer: each user's attribute
+    value as of a fixed instant. Spark-side it does NOT touch the
+    interval table at all: the latest change at-or-before T is one
+    ``max_by`` keyed on the (ts, event_id) struct — a single map-side-
+    combinable aggregate over a scan whose ``ts <= T`` predicate pushes
+    down to the parquet reader (row-group pruning kills the future half
+    of the table before it is read; at 100 TB that is the difference
+    between scanning history-to-T and scanning everything). The oracle
+    phrases the same selection as a reverse ROW_NUMBER.
+
+    Pairs with ``scd2_intervals``: build intervals for range queries,
+    answer point queries straight off the change stream."""
+    t = load_tables(spark, sf_dir)
+    asof = t.events.filter(
+        F.col("ts") <= F.timestamp_seconds(F.lit(SCD2_ASOF_EPOCH))
+    ).select(
+        "user_id",
+        (F.floor("value").cast("int") % 3).alias("tier"),
+        F.struct("ts", "event_id").alias("k"),
+    )
+    return (
+        asof.groupBy("user_id")
+        .agg(F.max_by("tier", "k").alias("tier_asof"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q66_snapshot_time_travel",
+    sql="""
+    WITH b AS (
+        SELECT o_orderkey, o_totalprice,
+               (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 10
+                   AS bucket
+        FROM orders
+    ), v1 AS (
+        SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS seq
+        FROM b WHERE bucket < 8
+    ), changes AS (
+        SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice,
+               CAST(2 AS BIGINT) AS seq
+        FROM b WHERE bucket >= 5
+    ), v2 AS (
+        SELECT o_orderkey, o_totalprice, seq FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                         ORDER BY seq DESC) AS rn
+            FROM (SELECT * FROM v1 UNION ALL SELECT * FROM changes)
+        ) WHERE rn = 1
+    ), u AS (
+        SELECT 1 AS version, seq, o_totalprice FROM v1
+        UNION ALL
+        SELECT 2 AS version, seq, o_totalprice FROM v2
+    )
+    SELECT version, seq, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM u GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q66_snapshot_time_travel(spark, sf_dir):
+    """TIME TRAVEL through the snapshot/manifest table layer
+    (:func:`storage.write_snapshot` — the transaction log
+    ``compact_parquet``'s docstring defers to): commit a base table as
+    version 1, apply a CDC batch via
+    :func:`storage.merge_upsert_snapshot` (snapshot-isolated latest-wins
+    → version 2), then read BOTH versions back — v1 via time travel, v2
+    as latest — and aggregate them side by side. The oracle recomputes
+    the two versions logically, so a green row pins that commits are
+    complete, that time travel returns exactly the pre-merge table, and
+    that the merge resolved latest-wins — the full
+    write→merge→read-both-worlds contract in one query. Eagerly
+    localCheckpoint-ed so the scratch table can be removed."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    b = t.orders.withColumn("bucket", hash_bucket("o_orderkey", 10))
+    v1 = b.filter("bucket < 8").select(
+        "o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("seq")
+    )
+    changes = b.filter("bucket >= 5").select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    path = tempfile.mkdtemp(prefix="snapshot_tt_")
+    try:
+        shutil.rmtree(path)  # write_snapshot wants to create data dirs fresh
+        storage.write_snapshot(spark, v1, path)
+        storage.merge_upsert_snapshot(
+            spark, path, changes, key_cols=["o_orderkey"], seq_col="seq"
+        )
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        u = (
+            storage.read_snapshot(spark, path, version=1)
+            .withColumn("version", F.lit(1))
+            .unionByName(
+                storage.read_snapshot(spark, path).withColumn(
+                    "version", F.lit(2)
+                )
+            )
+        )
+        return (
+            u.groupBy("version", "seq")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(cents).alias("sum_cents"),
+            )
+            .orderBy("version", "seq")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q66b_snapshot_changes",
+    sql="""
+    WITH b AS (
+        SELECT o_orderkey, o_totalprice,
+               (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 10
+                   AS bucket
+        FROM orders
+    ), v1 AS (
+        SELECT o_orderkey, o_totalprice FROM b WHERE bucket < 8
+    ), v2 AS (
+        SELECT o_orderkey,
+               o_totalprice + CASE WHEN bucket BETWEEN 5 AND 7
+                                   THEN 1000 ELSE 0 END AS o_totalprice
+        FROM b WHERE bucket >= 2
+    ), d AS (
+        SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+               v1.o_totalprice AS po, v2.o_totalprice AS pn
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+           OR v1.o_totalprice <> v2.o_totalprice
+    )
+    SELECT o_orderkey,
+           CASE WHEN po IS NULL THEN 'insert'
+                WHEN pn IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           CAST(FLOOR(po * 100 + 0.5) AS BIGINT) AS old_cents,
+           CAST(FLOOR(pn * 100 + 0.5) AS BIGINT) AS new_cents
+    FROM d ORDER BY o_orderkey
+    """,
+)
+def q66b_snapshot_changes(spark, sf_dir):
+    """CDC CHANGE FEED between two committed snapshot versions
+    (:func:`storage.snapshot_changes` — q66 reads both worlds, this
+    DIFFS them): commit v1, commit a v2 containing genuine deletes
+    (buckets 0-1 dropped), updates (5-7 repriced) and inserts (8-9 new),
+    then emit the row-level delta — one row per changed key with
+    change_type and old/new values, unchanged keys absent. The oracle
+    reconstructs both versions logically and diffs them in SQL, so a
+    green row pins insert/delete/update classification AND that the
+    unchanged middle (buckets 2-4) produces no feed rows. Eagerly
+    localCheckpoint-ed so the scratch table can be removed."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    b = t.orders.withColumn("bucket", hash_bucket("o_orderkey", 10))
+    v1 = b.filter("bucket < 8").select("o_orderkey", "o_totalprice")
+    v2 = b.filter("bucket >= 2").select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("bucket").between(5, 7), 1000).otherwise(0)
+        ).alias("o_totalprice"),
+    )
+    path = tempfile.mkdtemp(prefix="snapshot_cdf_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, v1, path)
+        storage.write_snapshot(spark, v2, path)
+        feed = storage.snapshot_changes(
+            spark, path, 1, 2, key_cols=["o_orderkey"]
+        )
+        return feed.select(
+            "o_orderkey",
+            "change_type",
+            F.floor(F.col("_old.o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("old_cents"),
+            F.floor(F.col("_new.o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("new_cents"),
+        ).orderBy("o_orderkey").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q67_stats_pruned_scan",
+    sql="""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+                                        AND DATE '1996-12-31'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q67_stats_pruned_scan(spark, sf_dir):
+    """MANIFEST-STATS FILE SKIPPING end-to-end: commit orders as a
+    snapshot whose files are range-clustered on o_orderdate with per-file
+    min/max recorded in the manifest
+    (:func:`storage.write_snapshot_with_stats` — footer stats only, no
+    data pages read at commit), then answer a one-year window via
+    :func:`storage.read_snapshot_pruned`, which drops non-intersecting
+    files BEFORE Spark lists them. The oracle is the plain filtered
+    aggregate over the full table, so a green row pins that file
+    skipping loses no rows; the "actually skipped files" property is
+    pinned by the layout test (tests/test_dq_mv_prefix.py). Eagerly
+    localCheckpoint-ed so the scratch table can be removed."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    src = t.orders.select(
+        F.col("o_orderdate").cast("date").alias("d"), "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="stats_prune_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot_with_stats(
+            spark, src, path, stats_cols=["d"], range_col="d", n_files=8
+        )
+        pruned = storage.read_snapshot_pruned(
+            spark, path, "d",
+            datetime.date(1996, 1, 1), datetime.date(1996, 12, 31),
+        )
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        return (
+            pruned.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("month")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q77_optimize_snapshot",
+    sql="""
+    SELECT l_partkey, COUNT(*) AS n,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
+    FROM lineitem WHERE l_partkey BETWEEN 10 AND 50
+    GROUP BY l_partkey ORDER BY l_partkey
+    """,
+)
+def q77_optimize_snapshot(spark, sf_dir):
+    """Table-format OPTIMIZE end-to-end (:func:`storage.optimize_snapshot`
+    — the q66/q67 pattern applied to re-layout): commit a randomly-laid-
+    out snapshot, rewrite it Z-order-clustered on (l_partkey, l_quantity)
+    as version 2, and answer a partkey-band aggregate through the
+    stats-pruned read. The oracle is the plain filtered aggregate, so the
+    green row pins that the OPTIMIZE rewrite changed LAYOUT only — the
+    pruned read over the re-clustered files returns exactly the rows the
+    band owns, no row lost or duplicated by the rewrite (the
+    layout/pruning-improvement claims are pinned separately by the
+    on-disk audit in tests/test_plans.py). Eagerly localCheckpoint-ed so
+    the scratch table can be removed."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="snap_opt_q77_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(
+            spark,
+            li.repartition(8, "l_orderkey"),
+            path,
+            stats_cols=["l_partkey", "l_quantity"],
+        )
+        storage.optimize_snapshot(
+            spark, path, ["l_partkey", "l_quantity"], n_shards=8
+        )
+        return (
+            storage.read_snapshot_pruned(spark, path, "l_partkey", 10, 50)
+            .groupBy("l_partkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_linenumber").alias("sum_ln"),
+            )
+            .orderBy("l_partkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -37,10 +37,11 @@ from dp_dimension_importer_spark.operators import multimodal  # noqa: E402
 from dp_dimension_importer_spark.operators import sketches  # noqa: E402
 from dp_dimension_importer_spark.operators import streaming_windows  # noqa: E402
 from dp_dimension_importer_spark.operators import dataquality  # noqa: E402
+from dp_dimension_importer_spark.operators import snapshots  # noqa: E402
 
 _MODULES += [
     text, udfs, dedup, similarity, multimodal, streaming_windows, analytics,
-    sketches, dataquality,
+    sketches, dataquality, snapshots,
 ]
 
 
