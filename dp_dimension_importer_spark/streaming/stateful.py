@@ -199,7 +199,16 @@ def session_flush(events: DataFrame, gap_ms: int) -> DataFrame:
     emitted session (its content is fixed by the events; only the flush
     instant moves). State per user is three longs regardless of session
     length — the O(1)-state form of sessionization, vs the built-in
-    window's buffered rows."""
+    window's buffered rows.
+
+    Out-of-order events the watermark admits are batch-equivalent: each
+    event is the interval ``[m, m+gap]`` and sessions are merged overlaps
+    (``start=min``, ``last=max``, gap measured against max-so-far), so a
+    late in-gap arrival extends the open session — possibly backwards —
+    instead of regressing ``last_ms``. The one O(1)-state approximation:
+    an admitted event more than ``gap`` BEFORE the open session's start is
+    a disjoint past session and flushes immediately as a singleton (exact
+    handling would need list-valued state)."""
 
     def update(key, pdfs, state: GroupState):
         closed: list[tuple] = []
@@ -219,6 +228,18 @@ def session_flush(events: DataFrame, gap_ms: int) -> DataFrame:
             else:
                 start = last = None
                 n = 0
+            # Cross-batch out-of-order handling (events are sorted WITHIN a
+            # batch above, but a 1-minute watermark admits late arrivals in
+            # LATER batches): treat each event as the interval [m, m+gap]
+            # and merge overlaps — start=min, last=max, gap measured
+            # against max-so-far — so a late-but-admitted event can extend
+            # the open session backwards without regressing last_ms and
+            # spuriously splitting the next on-time event's session. The
+            # one O(1)-state approximation: an event more than gap BEFORE
+            # the open session's start is a disjoint PAST session; with a
+            # single open session per user it flushes immediately as a
+            # singleton rather than waiting for its own timeout (exact
+            # handling would need list-valued state).
             for m in ms:
                 m = int(m)
                 if start is None:
@@ -226,8 +247,10 @@ def session_flush(events: DataFrame, gap_ms: int) -> DataFrame:
                 elif m - last > gap_ms:
                     closed.append((key[0], int(start), int(last), int(n)))
                     start, last, n = m, m, 1
+                elif start - m > gap_ms:
+                    closed.append((key[0], m, m, 1))
                 else:
-                    last, n = m, n + 1
+                    start, last, n = min(start, m), max(last, m), n + 1
             state.update((int(start), int(last), int(n)))
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(int(last) + gap_ms + 1, wm + 1))

@@ -720,3 +720,114 @@ def test_session_flush_timeout_flushes_global_last_session(spark):
         (1, 1704070800000, 1),
         (2, 1704074400000, 1),  # global-last: closes by timeout alone
     }
+
+
+def _manual_replay_dir(spark, schema, batches):
+    """Write one parquet file per batch (strictly increasing mtimes) plus
+    the two-file sentinel, WITHOUT write_replay_dir's event-time re-sort —
+    the point is delivering late-but-admitted rows in LATER micro-batches."""
+    import time as _time
+
+    from dp_dimension_importer_spark.streaming.replay import (
+        _write_single_file,
+    )
+
+    base = tempfile.mkdtemp(prefix="replay_manual_")
+    t0 = _time.time() - 1000
+    max_ts = max(r[1] for b in batches for r in b)
+    for i, rows in enumerate(batches):
+        part = spark.createDataFrame(rows, schema=schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        _write_single_file(part, os.path.join(base, f"chunk_{i:05d}.parquet"), t0 + i)
+    for j in range(2):
+        sent = spark.createDataFrame(
+            [(-1, max_ts, -1, SENTINEL_TYPE, None, "{}")], schema=schema
+        ).withColumn(
+            "ts",
+            F.col("ts").cast("timestamp")
+            + F.expr(f"INTERVAL 10 DAYS") + F.expr(f"INTERVAL {j} HOURS"),
+        )
+        _write_single_file(
+            sent, os.path.join(base, f"zz_sentinel_{j}.parquet"), t0 + 100 + j
+        )
+    return base
+
+
+_EVENTS_DDL = (
+    "user_id long, ts string, event_id long, event_type string, "
+    "value double, payload string"
+)
+_EVENTS_TS_DDL = _EVENTS_DDL.replace("ts string", "ts timestamp")
+
+
+def test_session_flush_late_event_does_not_regress_last(spark):
+    """ADVICE r5 (stateful.py:230): a late-but-above-watermark in-gap event
+    arriving in a LATER micro-batch must not regress last_ms and split the
+    session the next on-time event extends. Batch-equivalent semantics:
+    events are [m, m+gap] intervals, sessions are merged overlaps —
+    start=min, last=max, gap measured against max-so-far.
+
+    u1: on-time 00:00/00:20, then batch-2 late 00:19:30 (in-span) and
+    on-time 00:50 (exactly gap past the TRUE last 00:20 → in-session; the
+    regressed last 00:19:30 would split). u2: late 00:19:45 extends the
+    session BACKWARDS past its start."""
+    from dp_dimension_importer_spark.streaming.stateful import session_flush
+
+    b1 = [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, "{}"),
+        (1, "2024-01-01 00:20:00", 11, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:20:00", 12, "view", 1.0, "{}"),
+    ]
+    b2 = [  # watermark after b1 = 00:19; all three admitted
+        (1, "2024-01-01 00:19:30", 13, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:19:45", 14, "view", 1.0, "{}"),
+        (1, "2024-01-01 00:50:00", 15, "view", 1.0, "{}"),
+    ]
+    schema = spark.createDataFrame(b1, _EVENTS_DDL).schema
+    replay_dir = _manual_replay_dir(spark, schema, [b1, b2])
+    ts_schema = spark.createDataFrame([], _EVENTS_TS_DDL).schema
+
+    def transform(stream):
+        return session_flush(stream.withWatermark("ts", "1 minute"), 1800000)
+
+    out = (
+        run_replay(spark, replay_dir, ts_schema, transform, "append")
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    )
+    got = {(r.user_id, r.start_ms, r.end_ms, r.n_events) for r in out}
+    assert got == {
+        (1, 1704067200000, 1704070200000, 4),  # ONE session, not split
+        (2, 1704068385000, 1704068400000, 2),  # backward-extended start
+    }
+
+
+def test_session_flush_disjoint_past_event_flushes_as_singleton(spark):
+    """The documented O(1)-state approximation: an admitted event more than
+    gap BEFORE the open session's start is a disjoint PAST session and
+    flushes immediately as a singleton instead of corrupting the open
+    session's span (or raising)."""
+    from dp_dimension_importer_spark.streaming.stateful import session_flush
+
+    b1 = [(1, "2024-01-01 01:00:00", 10, "view", 1.0, "{}")]
+    # watermark after b1 with a 40-minute lag = 00:20; 00:25 is admitted
+    # and sits 35 min (> 30-min gap) before the open session's start
+    b2 = [(1, "2024-01-01 00:25:00", 11, "view", 1.0, "{}")]
+    schema = spark.createDataFrame(b1, _EVENTS_DDL).schema
+    replay_dir = _manual_replay_dir(spark, schema, [b1, b2])
+    ts_schema = spark.createDataFrame([], _EVENTS_TS_DDL).schema
+
+    def transform(stream):
+        return session_flush(stream.withWatermark("ts", "40 minutes"), 1800000)
+
+    out = (
+        run_replay(spark, replay_dir, ts_schema, transform, "append")
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    )
+    got = {(r.user_id, r.start_ms, r.end_ms, r.n_events) for r in out}
+    assert got == {
+        (1, 1704068700000, 1704068700000, 1),  # past singleton, immediate
+        (1, 1704070800000, 1704070800000, 1),  # open session, via timeout
+    }
