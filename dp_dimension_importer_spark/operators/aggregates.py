@@ -768,14 +768,26 @@ def agg_approx_top_k(spark, sf_dir):
     """Spark 4's ``approx_top_k`` heavy-hitter aggregate — the built-in
     single-expression form of what sketch_count_min_heavy hand-rolls.
     Registered ORACLED, not gated, by pinning the function's
-    exactness-within-capacity contract: with maxItemsTracked (10) above
-    the event-type domain size, the sketch degenerates to exact counts,
-    so the exploded (item, count) rows must hash-match the plain GROUP
-    BY. (Beyond capacity it is approximate — that regime is
-    sketch_count_min_heavy's, with its error-bound gate.)"""
+    exactness-within-capacity contract (ADVICE r5 tightened it): both the
+    output cap ``k`` (10) and ``maxItemsTracked`` (10, passed EXPLICITLY —
+    it is the third argument, not the second) sit above the event-type
+    domain size, which the query ASSERTS is < k before trusting the
+    sketch, so it degenerates to exact counts and the exploded
+    (item, count) rows must hash-match the plain GROUP BY. (Beyond
+    capacity it is approximate — that regime is sketch_count_min_heavy's,
+    with its error-bound gate.)"""
     t = load_tables(spark, sf_dir)
-    res = t.events.filter(F.col("event_type").isNotNull()).agg(
-        F.expr("approx_top_k(event_type, 10)").alias("tk")
+    events = t.events.filter(F.col("event_type").isNotNull())
+    n_types = events.select("event_type").distinct().count()
+    if n_types >= 10:
+        raise AssertionError(
+            f"agg_approx_top_k exact-regime contract broken: "
+            f"{n_types} distinct event_type values >= k=10 — the top-k "
+            "cap would truncate the output and the oracle comparison "
+            "would test truncation, not sketch exactness"
+        )
+    res = events.agg(
+        F.expr("approx_top_k(event_type, 10, 10)").alias("tk")
     )
     return (
         res.select(F.explode("tk").alias("e"))

@@ -641,13 +641,28 @@ def dedup_clusters_incremental(spark, sf_dir):
     cut = 0 if lo is None else (int(lo) + int(hi) + 1) // 2
     old = pairs.filter((F.col("da") < cut) & (F.col("db") < cut))
     new = pairs.filter((F.col("da") >= cut) | (F.col("db") >= cut))
-    carried = connected_components(old).select(
+    carried_cc = connected_components(old, unpersist_after=True)
+    carried = carried_cc.select(
         F.col("node").alias("da"), F.col("comp").alias("db")
     )
-    comp = connected_components(carried.unionByName(new))
-    return comp.select(
-        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
-    ).orderBy("doc_id")
+    comp = connected_components(
+        carried.unionByName(new), unpersist_after=True
+    )
+    out = (
+        comp.select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+        )
+        .orderBy("doc_id")
+        # materialize past every cache, then release them all — a
+        # long-lived session must not accumulate edge/label caches
+        # (ADVICE r5); localCheckpoint truncates the lineage so the
+        # unpersists below can't trigger a recompute
+        .localCheckpoint(eager=True)
+    )
+    comp.unpersist()
+    carried_cc.unpersist()
+    pairs.unpersist()
+    return out
 
 
 def connected_components(
@@ -2124,7 +2139,9 @@ def dedup_minhash_incremental(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     docs = t.documents
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    cut = (int(lo) + int(hi) + 1) // 2
+    # None guard (ADVICE r5, mirrors dedup_clusters_incremental): an empty
+    # documents table yields a clean empty result, not a TypeError
+    cut = 0 if lo is None else (int(lo) + int(hi) + 1) // 2
     corpus = docs.filter(F.col("doc_id") < cut)
     batch = docs.filter(F.col("doc_id") >= cut)
 

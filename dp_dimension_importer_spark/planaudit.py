@@ -44,19 +44,60 @@ def plan_text(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def _read_schema_cols(plan: str) -> list[int]:
+    """Per-scan count of TOP-LEVEL columns in each ``ReadSchema: struct<…>``.
+
+    Depth-aware (ADVICE r5): a naive ``[^>]*`` match stops at the first
+    ``>`` of an inner struct/array/map and a flat comma-split counts
+    nested fields as extra top-level columns. This walks the balanced
+    angle brackets and counts commas only at depth 0. Caveat: Spark
+    truncates long metadata strings (``spark.sql.maxMetadataStringLength``,
+    default 100 chars) to ``… N more fields``; the trailer is parsed and
+    added back, but a truncation that eats the trailer itself leaves the
+    count a LOWER bound."""
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<", plan):
+        i, depth, buf = m.end(), 1, []
+        while i < len(plan) and plan[i] != "\n" and depth > 0:
+            ch = plan[i]
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if depth > 0:
+                buf.append(ch)
+            i += 1
+        body = "".join(buf)
+        depth = 0
+        n = 0
+        for ch in body:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                n += 1
+        count = n + 1 if body.strip() else 0
+        trailer = re.search(r"\.\.\.\s*(\d+) more fields", body)
+        if trailer:
+            # the "... N more fields" chunk occupied one comma-slot itself
+            count += int(trailer.group(1)) - 1
+        out.append(count)
+    return out
+
+
 def audit(df: DataFrame) -> dict:
     """Structured physical-plan audit of a DataFrame (formatted-mode
-    parse; see module docstring for what each number means)."""
+    parse; see module docstring for what each number means).
+    ``scan_read_cols`` counts top-level columns per scan; see
+    :func:`_read_schema_cols` for the nested-type and truncation rules."""
     plan = plan_text(df, "formatted")
     nodes = re.findall(r"^\(\d+\) ([A-Za-z][\w ]*?)\s*(?:\[codegen id.*)?$",
                        plan, flags=re.M)
     exchanges = [n for n in nodes if n.startswith("Exchange")]
     scans = plan.count("Scan parquet")
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    read_cols = [
-        len([c for c in m.split(",") if ":" in c])
-        for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    ]
+    read_cols = _read_schema_cols(plan)
     return {
         "n_exchanges": len(exchanges),
         "n_scans": scans,

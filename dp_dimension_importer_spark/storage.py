@@ -657,9 +657,32 @@ def snapshot_changes(
 
     a = read_snapshot(spark, path, version=v_from)
     b = read_snapshot(spark, path, version=v_to)
+    missing = [c for c in key_cols if c not in a.columns or c not in b.columns]
+    if missing:
+        raise ValueError(
+            f"snapshot_changes: key columns {missing} absent from "
+            f"v{v_from} or v{v_to} of {path!r}"
+        )
+    # ADVICE r5: write_snapshot supports additive schema evolution, so the
+    # value-struct must cover the UNION of both versions' columns — a
+    # column added (or dropped) between versions projects as a typed NULL
+    # on the side that lacks it. Deriving val_cols from v_from alone hid
+    # new columns from both the null-safe compare and the feed.
     val_cols = [c for c in a.columns if c not in key_cols]
-    oa = a.select(*key_cols, F.struct(*val_cols).alias("_old"))
-    ob = b.select(*key_cols, F.struct(*val_cols).alias("_new"))
+    val_cols += [c for c in b.columns if c not in key_cols and c not in val_cols]
+    types = {f.name: f.dataType for f in a.schema.fields}
+    types.update({f.name: f.dataType for f in b.schema.fields})
+
+    def _side(df):
+        cols = [
+            F.col(c) if c in df.columns
+            else F.lit(None).cast(types[c]).alias(c)
+            for c in val_cols
+        ]
+        return df.select(*key_cols, F.struct(*cols).alias("_val"))
+
+    oa = _side(a).withColumnRenamed("_val", "_old")
+    ob = _side(b).withColumnRenamed("_val", "_new")
     j = oa.join(ob, key_cols, "full_outer")
     return j.filter(~F.col("_old").eqNullSafe(F.col("_new"))).select(
         *key_cols,

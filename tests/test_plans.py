@@ -1191,3 +1191,81 @@ def test_optimize_snapshot_reclusters_without_breaking_isolation(spark):
             assert pr == pl
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_snapshot_changes_sees_schema_evolution(spark, tmp_path):
+    """ADVICE r5 (storage.py:660): the change feed's value struct must
+    cover the UNION of both versions' columns. A column added in v_to
+    projects as a typed NULL on the _old side, so a row differing ONLY
+    in the new column is an update (not silently 'unchanged') and the
+    new column appears in the feed."""
+    from dp_dimension_importer_spark import storage
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, price double"
+    )
+    storage.write_snapshot(spark, v1, path)
+    # v2 adds a `tier` column; k=2 differs ONLY in tier, k=3 unchanged
+    # (tier NULL), k=4 inserted, k=1 price-updated
+    v2 = spark.createDataFrame(
+        [(1, 11.0, None), (2, 20.0, "gold"), (3, 30.0, None),
+         (4, 40.0, "new")],
+        "k long, price double, tier string",
+    )
+    storage.write_snapshot(spark, v2, path)
+    feed = storage.snapshot_changes(spark, path, 1, 2, key_cols=["k"])
+    rows = {r.k: r for r in feed.collect()}
+    assert set(rows) == {1, 2, 4}, rows  # k=3 unchanged, excluded
+    assert rows[1].change_type == "update" and rows[1]._new.price == 11.0
+    assert rows[2].change_type == "update"
+    assert rows[2]._old.tier is None and rows[2]._new.tier == "gold"
+    assert rows[4].change_type == "insert" and rows[4]._old is None
+    # bad key column fails loud
+    try:
+        storage.snapshot_changes(spark, path, 1, 2, key_cols=["nope"])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "nope" in str(e)
+
+
+def test_read_schema_cols_handles_nested_and_truncated(spark):
+    """ADVICE r5 (planaudit.py:58): the ReadSchema parser must count only
+    TOP-LEVEL fields for nested struct/array/map types and add back
+    Spark's '… N more fields' truncation trailer."""
+    from dp_dimension_importer_spark.planaudit import (
+        _read_schema_cols,
+        audit,
+    )
+
+    flat = "ReadSchema: struct<a:bigint,b:string>\n"
+    nested = (
+        "ReadSchema: struct<a:struct<x:int,y:int>,"
+        "b:array<struct<p:int,q:int>>,c:map<string,int>>\n"
+    )
+    truncated = (
+        "ReadSchema: struct<a:int,b:int,c:int, ... 4 more fields>\n"
+    )
+    empty = "ReadSchema: struct<>\n"
+    assert _read_schema_cols(flat) == [2]
+    assert _read_schema_cols(nested) == [3]
+    assert _read_schema_cols(truncated) == [3 + 4]
+    assert _read_schema_cols(empty) == [0]
+    assert _read_schema_cols(flat + nested) == [2, 3]
+    # end-to-end on a real nested scan: a struct-typed projection on a
+    # parquet table with nested columns must count 2 top-level columns
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="nested_scan_")
+    try:
+        spark.createDataFrame(
+            [(1, {"x": 1, "y": 2}, [1, 2])],
+            "k long, s struct<x:int,y:int>, arr array<int>",
+        ).write.parquet(os.path.join(base, "t"))
+        df = spark.read.parquet(os.path.join(base, "t")).select("k", "s")
+        a = audit(df)
+        assert a["scan_read_cols"] == [2], a
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
