@@ -199,6 +199,58 @@ def merge_sketch_states(df, group_cols: list[str], sk_col: str = "sk",
     return df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
 
 
+@register("sketch_hll_incremental", sql=None)
+def sketch_hll_incremental(spark, sf_dir):
+    """Cross-run sketch persistence END-TO-END through the filesystem —
+    the registered form of what write/read/merge_sketch_states promise
+    (VERDICT r5 "Next round" #4; dedup_minhash_incremental is the same
+    pattern for LSH): day-0 sketches half the orders per priority and
+    PERSISTS the binary HLL states as a run partition, day-1 sketches the
+    rest into its own partition, then the merge reads ONLY the stored
+    kilobyte states — history is never rescanned — and estimates both
+    per-priority and global distinct customers. Gated rows-only like the
+    rest of the family; the ≤5%-of-exact floor (and merged==one-shot
+    within 2%) is pinned in tests/test_recall.py.
+
+    At 100 TB: each day's job touches that day's data once; the stored
+    state table grows by |groups| KB-rows per run and the merge shuffle
+    carries |groups|·|runs| sketches, independent of data size."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    orders = t.orders.withColumn("day", hash_bucket("o_orderkey", 10))
+    path = tempfile.mkdtemp(prefix="hll_state_")
+    try:
+        for run, batch in (
+            ("day0", orders.filter("day < 5")),
+            ("day1", orders.filter("day >= 5")),
+        ):
+            state = batch.groupBy("o_orderpriority").agg(
+                F.hll_sketch_agg("o_custkey", F.lit(HLL_LG_K)).alias("sk")
+            )
+            write_sketch_state(state, path, run)
+        stored = read_sketch_state(spark, path, run_ids=["day0", "day1"])
+        merged = merge_sketch_states(stored, ["o_orderpriority"], kind="hll")
+        groups = merged.select(
+            F.col("o_orderpriority").alias("scope"),
+            F.hll_sketch_estimate("sk").alias("est"),
+        )
+        total = merged.agg(F.hll_union_agg("sk").alias("sk")).select(
+            F.lit("ALL").alias("scope"),
+            F.hll_sketch_estimate("sk").alias("est"),
+        )
+        return (
+            groups.unionByName(total)
+            .orderBy("scope")
+            .localCheckpoint(eager=True)  # evaluate before the tmpdir goes
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 # -- Count-min sketch: distributed build, Python-side decode ---------------
 
 #: CMS geometry: eps 0.01 -> width 200 (est ≤ exact + eps·N), conf 0.95 ->

@@ -520,3 +520,32 @@ def test_minhash_incremental_superset_and_recall(q, spark):
     )
     recall = len(batch_ids - inc_keep) / len(exact_drop)
     assert recall >= 0.9, f"incremental removal recall {recall:.2f} < 0.9"
+
+
+def test_hll_incremental_tolerance_and_equals_oneshot(q, spark):
+    """sketch_hll_incremental (two persisted runs merged from stored
+    states) within 5% of exact per scope, and equal to the intra-query
+    one-shot sketch_hll_mergeable within 2% (union-gadget drift only —
+    the register merge itself is exact algebra)."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.catalog import load_tables
+
+    got = {r.scope: r.est for r in q("sketch_hll_incremental")}
+    t = load_tables(spark, SF)
+    exact = {
+        r.o_orderpriority: r.d
+        for r in t.orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    exact["ALL"] = t.orders.select("o_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for scope, est in got.items():
+        assert abs(est - exact[scope]) <= 0.05 * exact[scope], (
+            scope, est, exact[scope],
+        )
+    oneshot = {r.scope: r.est for r in q("sketch_hll_mergeable")}
+    for scope, est in got.items():
+        ref = oneshot[scope]
+        assert abs(est - ref) <= 0.02 * max(ref, 1.0), (scope, est, ref)

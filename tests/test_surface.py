@@ -186,6 +186,7 @@ NO_ORACLE_OK = {
     "multimodal_image_dedup",  # Python decode: no SQL oracle; floor-tested
     "sketch_join_size",  # CMS inner-product estimate: bounds-gated vs exact
     "dedup_minhash_incremental",  # LSH path: superset+recall-gated
+    "sketch_hll_incremental",  # cross-run HLL merge: 5%/2% floor-gated
 }
 
 
