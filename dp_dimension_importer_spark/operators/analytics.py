@@ -630,6 +630,7 @@ def pagerank(
     iters: int = PR_ITERS,
     unpersist_after: bool = False,
     persist: bool = True,
+    staged: bool = False,
 ):
     """Public core (engine facade): weighted PageRank over an edge-count
     frame (src, dst, n), ranks as INTEGER micro-units — every contribution
@@ -654,8 +655,16 @@ def pagerank(
     contracted graph this facade targets (the docstring's intended input —
     |V| = event-type cardinality); for raw BILLION-edge graphs with huge
     multiplicities, pre-normalize edge weights (divide ``n`` per-src so
-    tot ≤ 1e6) before calling — reordering the division here instead would
-    change the pinned integer semantics the oracle replays.
+    tot ≤ 1e6) before calling, or pass ``staged=True``: the contribution
+    is then computed as ``q·n + (rem·n) div (100·tot)`` with
+    ``q = r·85 div (100·tot)`` and ``rem = r·85 mod (100·tot)`` — an exact
+    integer-division identity (``A·n div D == (A div D)·n + ((A mod D)·n)
+    div D``), so the result is BIT-IDENTICAL to the pinned form (property-
+    tested) while the widest intermediate drops from ``r·85·n`` to
+    ``max(r·85, 100·tot·n)``: rank concentration (huge r) can no longer
+    overflow, only a single edge whose ``tot·n ≳ 9.2e16`` can — a regime
+    that needs pre-normalized weights under EITHER form. Default False
+    because the plain expression is one codegen'd multiply cheaper.
 
     Cache policy: ``persist=True`` (default) caches the edge/node frames
     across iterations; pass ``unpersist_after=True`` to materialize the
@@ -675,15 +684,21 @@ def pagerank(
     if persist:
         nodes = nodes.persist()
     r = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
+    if staged:
+        contrib_expr = (
+            f"(r * {PR_DAMP_NUM} div ({PR_DAMP_DEN} * tot)) * n"
+            f" + ((r * {PR_DAMP_NUM} % ({PR_DAMP_DEN} * tot)) * n)"
+            f" div ({PR_DAMP_DEN} * tot)"
+        )
+    else:
+        contrib_expr = f"r * {PR_DAMP_NUM} * n div ({PR_DAMP_DEN} * tot)"
     for _ in range(iters):
         contribs = (
             edges.join(r, edges.src == r.node)
             .join(out, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.expr(
-                    f"r * {PR_DAMP_NUM} * n div ({PR_DAMP_DEN} * tot)"
-                ).alias("c"),
+                F.expr(contrib_expr).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("c"))

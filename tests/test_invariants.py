@@ -720,3 +720,89 @@ def test_containment_catches_subset_jaccard_misses(spark):
         "toy sizes chosen so Jaccard stays sub-threshold; fix the fixture"
     )
     assert all(3 not in (p[0], p[1]) for p in cont), "unrelated doc flagged"
+
+
+def test_pagerank_staged_division_is_bit_identical_and_overflow_proof(spark):
+    """pagerank(staged=True) is the integer-division identity
+    A·n div D == (A div D)·n + ((A mod D)·n) div D — bit-identical ranks
+    on the fixture graph AND on a randomized weighted graph; and on a
+    rank-concentrating star graph where the pinned form's r·85·n
+    intermediate exceeds int64 (ANSI overflow), the staged form survives
+    with exact mass accounting."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.operators.analytics import (
+        PR_SCALE,
+        pagerank,
+    )
+
+    # 1. fixture graph: the registered query's contracted event graph
+    from dp_dimension_importer_spark.catalog import load_tables
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    seq = t.events.select(
+        "user_id", "event_type", "ts", "event_id"
+    ).withColumn(
+        "prev",
+        F.lag("event_type").over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    edges = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    plain = {r.node: r.r for r in pagerank(edges, persist=False).collect()}
+    staged = {
+        r.node: r.r
+        for r in pagerank(edges, persist=False, staged=True).collect()
+    }
+    assert plain == staged
+
+    # 2. randomized small weighted graph, same identity
+    rng = random.Random(42)
+    pairs = {
+        (rng.randrange(12), rng.randrange(12)): rng.randrange(1, 10**6)
+        for _ in range(40)
+    }
+    redges = spark.createDataFrame(
+        [(a, b, n) for (a, b), n in pairs.items()], "src long, dst long, n long"
+    )
+    p2 = {r.node: r.r for r in pagerank(redges, persist=False).collect()}
+    s2 = {
+        r.node: r.r
+        for r in pagerank(redges, persist=False, staged=True).collect()
+    }
+    assert p2 == s2
+
+    # 3. rank concentration: 20k spokes feed one hub, hub re-emits over a
+    # heavy edge. After iter 1 the hub holds ~0.85*PR_SCALE*20000 micros;
+    # r*85*n with n=2e7 exceeds int64 -> pinned form overflows under ANSI,
+    # staged form (widest term 100*tot*n = 4e16) does not.
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    n_spokes = 20_000
+    spokes = spark.range(1, n_spokes + 1).select(
+        F.col("id").alias("src"), F.lit(0).alias("dst"), F.lit(1).alias("n")
+    )
+    heavy = spark.createDataFrame(
+        [(0, 1, 20_000_000)], "src long, dst long, n long"
+    )
+    star = spokes.unionByName(heavy)
+    try:
+        pagerank(star, iters=2, persist=False).agg(F.sum("r")).collect()
+        raise AssertionError(
+            "expected ANSI overflow from the pinned form on the star graph"
+        )
+    except Exception as e:  # noqa: BLE001 - Py4J wraps the ANSI error
+        assert "ARITHMETIC_OVERFLOW" in str(e) or "overflow" in str(e).lower()
+    ranks = pagerank(star, iters=2, persist=False, staged=True)
+    total = ranks.agg(F.sum("r").alias("s")).first().s
+    # mass is conserved up to truncation + dangling evaporation: positive,
+    # never above the initial PR_SCALE per node
+    assert 0 < total <= PR_SCALE * (n_spokes + 2)
