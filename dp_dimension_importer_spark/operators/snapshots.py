@@ -446,3 +446,70 @@ def q77_optimize_snapshot(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q78_snapshot_delete",
+    sql="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ), v2 AS (
+        SELECT * FROM v1 WHERE NOT (o_orderpriority = '1-URGENT')
+    ), u AS (
+        SELECT 1 AS version, o_totalprice FROM v1
+        UNION ALL
+        SELECT 2 AS version, o_totalprice FROM v2
+    )
+    SELECT version, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def q78_snapshot_delete(spark, sf_dir):
+    """Copy-on-write DELETE through the snapshot layer
+    (:func:`storage.delete_where_snapshot` — the CRUD verb q66/q66b/q77's
+    write/merge/changes/OPTIMIZE family was missing): commit orders
+    clustered by priority as version 1, DELETE the '1-URGENT' rows
+    (only the files that actually hold urgent rows are rewritten; the
+    rest carry into version 2's manifest untouched — file-level
+    copy-on-write, pinned structurally in test_plans.py), then read both
+    versions and aggregate side by side. The oracle recomputes both
+    worlds logically, so a green row pins completeness of the delete,
+    survivor integrity, and time travel to the pre-delete table."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    v1 = t.orders.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).repartition(8, "o_orderpriority")  # explicit N: AQE must not
+    # coalesce the clustering away, or every priority lands in one file
+    # and the delete has nothing to skip
+    path = tempfile.mkdtemp(prefix="snapshot_del_")
+    try:
+        shutil.rmtree(path)  # write_snapshot wants to create data dirs fresh
+        storage.write_snapshot(spark, v1, path)
+        storage.delete_where_snapshot(
+            spark, path, "o_orderpriority = '1-URGENT'"
+        )
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        u = (
+            storage.read_snapshot(spark, path, version=1)
+            .withColumn("version", F.lit(1))
+            .unionByName(
+                storage.read_snapshot(spark, path).withColumn(
+                    "version", F.lit(2)
+                )
+            )
+        )
+        return (
+            u.groupBy("version")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("version")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

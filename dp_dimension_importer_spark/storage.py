@@ -560,6 +560,18 @@ def write_snapshot(
     manifest = {"files": files, "schema": new_schema}
     if stats_cols is not None:
         manifest["stats"] = collect_file_stats(files, path, stats_cols)
+    return _commit_manifest(path, manifest, token)
+
+
+def _commit_manifest(path: str, manifest: dict, token: str) -> int:
+    """Claim the next version number optimistically and publish
+    ``manifest`` under it (hard-link = the atomic commit; EEXIST means
+    another writer won that number and the claim retries with the next).
+    Shared by every snapshot-mutating verb — write, merge, optimize,
+    delete."""
+    import json
+    import os
+
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{token}.json")
@@ -630,6 +642,100 @@ def merge_upsert_snapshot(
         .drop("_rn")
     )
     return write_snapshot(spark, resolved, path)
+
+
+def delete_where_snapshot(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    compression: str = PARQUET_CODEC,
+) -> dict:
+    """Copy-on-write DELETE — the table-format verb the layer was missing
+    (write/merge/optimize/changes/vacuum exist): remove every row where
+    ``predicate`` is TRUE (string or Column; NULL predicate rows are KEPT,
+    SQL DELETE semantics) and commit the result as a new version.
+
+    The scale property is FILE SKIPPING on the write side: one pass scans
+    the current snapshot with the predicate pushed into the parquet scan
+    and aggregates matching rows to their ``_metadata.file_path`` — at
+    most |files| (path, match-count) rows reach the driver. Files with no
+    match are carried into the new manifest UNTOUCHED (no read of their
+    data pages beyond footer-level row-group pruning, no rewrite, no
+    shuffle); only files that actually contain doomed rows are rewritten
+    without them. A delete matching nothing commits nothing. Readers of
+    prior versions are unaffected; superseded files are reclaimed by
+    :func:`vacuum_snapshots`; per-file stats, when the table carries
+    them, follow the files — kept files keep their recorded min/max,
+    rewritten files get fresh footer-harvested stats.
+
+    Returns ``{"version", "rows_deleted", "files_rewritten",
+    "files_kept"}`` (``version`` is the pre-existing latest when the
+    delete was a no-op)."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
+        man = json.load(f)
+    abs_of = {rel: os.path.join(path, rel) for rel in man["files"]}
+    cur = spark.read.parquet(*abs_of.values())
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    hits = (
+        cur.filter(pred)
+        .groupBy(F.col("_metadata.file_path").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # _metadata.file_path is a URI (file:/… locally, s3a://… etc. on a
+    # cluster); urlparse().path strips the scheme for comparison against
+    # the manifest's filesystem paths
+    from urllib.parse import urlparse
+
+    touched_abs = {urlparse(r.fp).path: r.n for r in hits}
+    rows_deleted = sum(touched_abs.values())
+    if not touched_abs:
+        return {
+            "version": versions[-1],
+            "rows_deleted": 0,
+            "files_rewritten": 0,
+            "files_kept": len(man["files"]),
+        }
+    kept = [rel for rel, ap in abs_of.items() if ap not in touched_abs]
+    doomed = [ap for ap in abs_of.values() if ap in touched_abs]
+
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", token)
+    survivors = spark.read.parquet(*doomed).filter(
+        ~F.coalesce(pred, F.lit(False))
+    )
+    (survivors.write.mode("error").option("compression", compression)
+     .parquet(data_dir))
+    new_files = sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+    manifest = {"files": kept + new_files, "schema": man["schema"]}
+    if "stats" in man:
+        stats_cols = sorted(
+            {c for per_file in man["stats"].values() for c in per_file}
+        )
+        stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
+        stats.update(collect_file_stats(new_files, path, stats_cols))
+        manifest["stats"] = stats
+    version = _commit_manifest(path, manifest, token)
+    return {
+        "version": version,
+        "rows_deleted": rows_deleted,
+        "files_rewritten": len(doomed),
+        "files_kept": len(kept),
+    }
 
 
 def snapshot_changes(

@@ -1269,3 +1269,64 @@ def test_read_schema_cols_handles_nested_and_truncated(spark):
         assert a["scan_read_cols"] == [2], a
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_snapshot_delete_copy_on_write_and_stats(spark, tmp_path):
+    """delete_where_snapshot: (a) files with no matching row carry into
+    the new manifest UNTOUCHED — same relpath, byte-identical on disk;
+    (b) only files holding doomed rows are rewritten; (c) rows where the
+    predicate is NULL are KEPT (SQL DELETE semantics); (d) a no-match
+    delete commits nothing; (e) per-file stats follow the files and
+    pruned reads still work after the delete."""
+    import hashlib
+    import json
+    import os
+
+    from dp_dimension_importer_spark import storage
+
+    path = str(tmp_path / "tbl")
+    # three clustered files: k<10 in one, 10<=k<20 in another, nulls apart
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)] + [(100, None), (101, None)],
+        "k long, v double",
+    ).repartitionByRange(3, "k")
+    storage.write_snapshot(spark, df, path, stats_cols=["k"])
+    man1 = json.load(open(os.path.join(path, "_manifests", "v1.json")))
+    pre = {
+        rel: hashlib.md5(
+            open(os.path.join(path, rel), "rb").read()
+        ).hexdigest()
+        for rel in man1["files"]
+    }
+
+    res = storage.delete_where_snapshot(spark, path, "v < 5")
+    assert res["version"] == 2
+    assert res["rows_deleted"] == 5
+    assert res["files_rewritten"] >= 1
+    assert res["files_kept"] >= 1
+    man2 = json.load(open(os.path.join(path, "_manifests", "v2.json")))
+    kept = [rel for rel in man2["files"] if rel in set(man1["files"])]
+    assert len(kept) == res["files_kept"]
+    for rel in kept:  # byte-identical: copy-on-write never touched them
+        got = hashlib.md5(
+            open(os.path.join(path, rel), "rb").read()
+        ).hexdigest()
+        assert got == pre[rel], rel
+    # survivors: k in 5..19 plus the two NULL-predicate rows (kept)
+    rows = {r.k for r in storage.read_snapshot(spark, path).collect()}
+    assert rows == set(range(5, 20)) | {100, 101}
+    # time travel reaches the pre-delete world
+    assert storage.read_snapshot(spark, path, version=1).count() == 22
+    # stats carried/recomputed: every manifest file has k min/max
+    assert set(man2["stats"]) == set(man2["files"])
+    assert all("k" in s for s in man2["stats"].values())
+    # pruned read after the delete still prunes correctly
+    got = storage.read_snapshot_pruned(spark, path, "k", 15, 19).collect()
+    assert {r.k for r in got} == set(range(15, 20))
+    # no-op delete: no new version
+    res2 = storage.delete_where_snapshot(spark, path, "v > 1e9")
+    assert res2 == {
+        "version": 2, "rows_deleted": 0,
+        "files_rewritten": 0, "files_kept": len(man2["files"]),
+    }
+    assert storage.snapshot_versions(path) == [1, 2]
