@@ -801,6 +801,30 @@ def snapshot_changes(
     )
 
 
+def restore_snapshot(path: str, version: int) -> int:
+    """RESTORE: re-commit a retained prior ``version``'s manifest as the
+    table's NEW latest version (Delta's RESTORE / Iceberg's rollback).
+    Pure metadata — zero data movement, the manifest's immutable file list
+    is simply re-published under the next version number — and history is
+    PRESERVED: the rolled-back-over versions remain time-travelable until
+    ``vacuum_snapshots`` expires them, so a bad restore is itself
+    restorable. Raises if ``version`` was never committed or already
+    vacuumed. Returns the new version number."""
+    import json
+    import os
+    import uuid
+
+    versions = snapshot_versions(path)
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not committed (have {versions}) — vacuumed?"
+        )
+    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
+        man = json.load(f)
+    man.pop("version", None)
+    return _commit_manifest(path, man, uuid.uuid4().hex[:12])
+
+
 def vacuum_snapshots(path: str, keep_last: int = 1) -> int:
     """Expire all but the newest ``keep_last`` versions: drop their
     manifests, then delete every data file no retained manifest

@@ -1330,3 +1330,41 @@ def test_snapshot_delete_copy_on_write_and_stats(spark, tmp_path):
         "files_rewritten": 0, "files_kept": len(man2["files"]),
     }
     assert storage.snapshot_versions(path) == [1, 2]
+
+
+def test_snapshot_restore_is_metadata_only_and_history_preserving(
+    spark, tmp_path
+):
+    """restore_snapshot re-publishes an old manifest as the new latest:
+    no data files are written, the restored read equals the old version
+    exactly, intermediate versions stay time-travelable, and restoring a
+    vacuumed/never-committed version fails loud."""
+    import glob
+    import json
+    import os
+
+    from dp_dimension_importer_spark import storage
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.range(10).select(F.col("id").alias("k"))
+    df2 = spark.range(20).select(F.col("id").alias("k"))
+    storage.write_snapshot(spark, df1, path)
+    storage.write_snapshot(spark, df2, path)
+    n_data_files = len(glob.glob(os.path.join(path, "data", "*", "*")))
+    got = storage.restore_snapshot(path, 1)
+    assert got == 3
+    # metadata-only: not a single new data file
+    assert len(glob.glob(os.path.join(path, "data", "*", "*"))) == n_data_files
+    m1 = json.load(open(os.path.join(path, "_manifests", "v1.json")))
+    m3 = json.load(open(os.path.join(path, "_manifests", "v3.json")))
+    assert m3["files"] == m1["files"]
+    assert storage.read_snapshot(spark, path).count() == 10
+    assert storage.read_snapshot(spark, path, version=2).count() == 20
+    # the bad restore is itself restorable
+    assert storage.restore_snapshot(path, 2) == 4
+    assert storage.read_snapshot(spark, path).count() == 20
+    try:
+        storage.restore_snapshot(path, 99)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
