@@ -43,6 +43,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q70b_stream_observed_metrics",
     "q52d_stream_stream_semi_join",
     "q51c_stateful_session_timeout",
+    "q79_stream_snapshot_append",
 }
 
 

@@ -971,3 +971,66 @@ def q51c_stateful_session_timeout(spark, sf_dir):
         "end_ms",
         (F.col("end_ms") - F.col("start_ms")).alias("duration_ms"),
     ).orderBy("user_id", "session_n")
+
+
+@register(
+    "q79_stream_snapshot_append",
+    sql="""
+    SELECT event_id, user_id, event_type,
+           CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS value_milli
+    FROM events ORDER BY event_id
+    """,
+)
+def q79_stream_snapshot_append(spark, sf_dir):
+    """Exactly-once streaming APPEND into the snapshot table layer: the
+    events table replays as a file stream (one file per micro-batch),
+    each batch commits as a NEW snapshot version whose manifest carries
+    the ``txn`` watermark (storage.write_snapshot mode='append' — the
+    idempotence marker and the data commit are one atomic hard-link, so
+    there is no marker-vs-data crash window, unlike the sidecar commit
+    log q60 demonstrates for plain parquet tables). After the drain, a
+    REDELIVERY of the first batch is replayed by hand and must be a
+    no-op; the final read must equal the whole events table — the batch
+    oracle. Per-batch versions also mean time travel reaches any stream
+    prefix.
+
+    Reference parity: consume → idempotent sink → commit-after-sink
+    (`message/consumer.go:24-56`, `store/store.go:16-20`), with the
+    table format's transaction log as the offset store."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.streaming import sink as snap_sink
+
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias(
+            "value_milli"
+        ),
+    )
+    replay_dir = write_replay_dir(
+        events, n_files=4, order_col="event_id", sentinel=False
+    )
+    scratch = tempfile.mkdtemp(prefix="q79_snap_")
+    table_path = scratch + "/table"
+    try:
+        snap_sink.run_stream_snapshot_append(
+            spark, replay_dir, events.schema, table_path,
+            checkpoint=scratch + "/ckpt",
+        )
+        v_before = storage.snapshot_versions(table_path)[-1]
+        # redeliver batch 0 by hand: the txn watermark must skip it
+        first = spark.read.parquet(replay_dir).orderBy("event_id").limit(5)
+        snap_sink.make_snapshot_append_handler(table_path)(first, 0)
+        assert storage.snapshot_versions(table_path)[-1] == v_before, (
+            "redelivered batch 0 must not commit a new version"
+        )
+        return (
+            storage.read_snapshot(spark, table_path)
+            .orderBy("event_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(replay_dir, ignore_errors=True)

@@ -503,6 +503,8 @@ def write_snapshot(
     compression: str = PARQUET_CODEC,
     stats_cols: list[str] | None = None,
     enforce_schema: bool = True,
+    mode: str = "overwrite",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` as the table's next snapshot version; returns the
     version number. Data files land under a fresh ``data/<token>/``
@@ -527,7 +529,20 @@ def write_snapshot(
     the read side, q65's contract). A dropped or retyped column raises
     BEFORE any data is written, because the rejected commit would
     silently break every downstream reader of that column — pass
-    ``enforce_schema=False`` for a deliberate breaking rewrite."""
+    ``enforce_schema=False`` for a deliberate breaking rewrite.
+
+    ``mode='append'``: the new version's file list is the previous
+    version's PLUS this commit's files — streaming micro-batch ingestion's
+    shape (prior files untouched, their recorded stats carried forward).
+
+    ``txn=(app_id, batch_id)``: transactional idempotence for
+    at-least-once writers (Delta's txn action): every manifest carries a
+    cumulative ``{app_id: highest_committed_batch_id}`` watermark map, and
+    a commit whose ``batch_id`` is ≤ its app's watermark is SKIPPED — no
+    data written, the current latest version returned — so a redelivered
+    foreachBatch micro-batch can never land twice. Watermarks never
+    regress: every verb carries the map forward (including RESTORE, which
+    keeps the LATEST map rather than the restored version's stale one)."""
     import glob
     import json
     import os
@@ -535,12 +550,19 @@ def write_snapshot(
 
     new_schema = {f.name: f.dataType.simpleString() for f in df.schema}
     versions = snapshot_versions(path)
-    if enforce_schema and versions:
+    prev: dict = {}
+    if versions:
         with open(
             os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")
         ) as f:
-            old_schema = json.load(f).get("schema")
-        for col_name, col_type in (old_schema or {}).items():
+            prev = json.load(f)
+    prev_txn = prev.get("txn") or {}
+    if txn is not None:
+        app_id, batch_id = txn
+        if batch_id <= prev_txn.get(app_id, -1):
+            return versions[-1]  # already committed: idempotent skip
+    if enforce_schema and prev:
+        for col_name, col_type in (prev.get("schema") or {}).items():
             if new_schema.get(col_name) != col_type:
                 raise ValueError(
                     f"snapshot schema evolution must be additive: column "
@@ -548,18 +570,32 @@ def write_snapshot(
                     f"{new_schema.get(col_name)!r} (pass "
                     f"enforce_schema=False for a breaking rewrite)"
                 )
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown snapshot write mode {mode!r}")
 
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
     (df.write.mode("error").option("compression", compression)
      .parquet(data_dir))
-    files = sorted(
+    new_files = sorted(
         os.path.relpath(p, path)
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
-    manifest = {"files": files, "schema": new_schema}
-    if stats_cols is not None:
-        manifest["stats"] = collect_file_stats(files, path, stats_cols)
+    carried = prev.get("files", []) if mode == "append" else []
+    manifest = {"files": carried + new_files, "schema": new_schema}
+    if stats_cols is not None or (carried and "stats" in prev):
+        stats = {
+            rel: prev["stats"][rel]
+            for rel in carried
+            if rel in prev.get("stats", {})
+        }
+        if stats_cols is not None:
+            stats.update(collect_file_stats(new_files, path, stats_cols))
+        manifest["stats"] = stats
+    if prev_txn or txn is not None:
+        manifest["txn"] = dict(prev_txn)
+        if txn is not None:
+            manifest["txn"][txn[0]] = txn[1]
     return _commit_manifest(path, manifest, token)
 
 
@@ -722,6 +758,8 @@ def delete_where_snapshot(
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
     manifest = {"files": kept + new_files, "schema": man["schema"]}
+    if "txn" in man:
+        manifest["txn"] = man["txn"]  # idempotence watermarks never regress
     if "stats" in man:
         stats_cols = sorted(
             {c for per_file in man["stats"].values() for c in per_file}
@@ -822,6 +860,12 @@ def restore_snapshot(path: str, version: int) -> int:
     with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
         man = json.load(f)
     man.pop("version", None)
+    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
+        latest_txn = json.load(f).get("txn")
+    if latest_txn:
+        # idempotence watermarks never regress: a restore that revived an
+        # old txn map would let an at-least-once writer re-land a batch
+        man["txn"] = latest_txn
     return _commit_manifest(path, man, uuid.uuid4().hex[:12])
 
 

@@ -263,3 +263,65 @@ def run_stream_agg(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     meta = read_agg_state_pointer(state_path)
     return storage.read_snapshot(spark, state_path, meta["version"])
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming APPEND into the snapshot/manifest table layer
+# ---------------------------------------------------------------------------
+
+def make_snapshot_append_handler(table_path: str, app_id: str = "stream"):
+    """foreachBatch handler appending each micro-batch to a SNAPSHOT table
+    (storage.write_snapshot ``mode='append'``) with ``txn=(app_id,
+    batch_id)``. Unlike :func:`make_merge_batch_handler`, there is no
+    sidecar commit log: the manifest's cumulative txn watermark map IS
+    the transaction log, so the idempotence marker and the data commit
+    are the SAME atomic hard-link — no window where the batch landed but
+    the marker didn't. A redelivered batch (same batch_id after restart)
+    is skipped inside write_snapshot before any data is written."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from dp_dimension_importer_spark import storage
+
+        storage.write_snapshot(
+            batch_df.sparkSession, batch_df, table_path,
+            mode="append", txn=(app_id, int(batch_id)),
+        )
+
+    return handle
+
+
+def run_stream_snapshot_append(
+    spark: SparkSession,
+    replay_dir: str,
+    schema,
+    table_path: str,
+    checkpoint: str | None = None,
+    app_id: str = "stream",
+) -> DataFrame:
+    """Drive a file-source stream (1 file per micro-batch) through the
+    snapshot-append sink with availableNow, then read the table's latest
+    version back. Each micro-batch is one table version — time travel
+    reaches any prefix of the stream, and `snapshot_changes` between two
+    versions is exactly the micro-batches in between."""
+    from dp_dimension_importer_spark import storage
+
+    handler = make_snapshot_append_handler(table_path, app_id=app_id)
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_snap_")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return storage.read_snapshot(spark, table_path)

@@ -831,3 +831,52 @@ def test_session_flush_disjoint_past_event_flushes_as_singleton(spark):
         (1, 1704068700000, 1704068700000, 1),  # past singleton, immediate
         (1, 1704070800000, 1704070800000, 1),  # open session, via timeout
     }
+
+
+def test_snapshot_append_sink_restart_and_redelivery(spark, tmp_path):
+    """Exactly-once across RESTART for the snapshot-append sink: drain a
+    2-file replay, add 2 more files, re-run with the SAME checkpoint —
+    only the new batches commit (no duplicates); a hand-redelivered old
+    batch_id is skipped by the manifest txn watermark; and the txn map
+    survives an intervening non-append verb (RESTORE must carry the
+    LATEST watermarks, never regress them)."""
+    import time as _time
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.streaming import sink as snap_sink
+    from dp_dimension_importer_spark.streaming.replay import (
+        _write_single_file,
+    )
+
+    table_path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    rows = [(i, i * 10) for i in range(8)]
+    schema = "k long, v long"
+    t0 = _time.time() - 1000
+    for i in range(2):
+        part = spark.createDataFrame(rows[i * 2 : i * 2 + 2], schema)
+        _write_single_file(part, os.path.join(replay, f"c{i}.parquet"), t0 + i)
+    sch = spark.createDataFrame([], schema).schema
+    out1 = snap_sink.run_stream_snapshot_append(
+        spark, replay, sch, table_path, checkpoint=ckpt
+    )
+    assert {(r.k, r.v) for r in out1.collect()} == set(rows[:4])
+    v2 = storage.snapshot_versions(table_path)[-1]
+    # restart: two more files, same checkpoint — only new batches land
+    for i in range(2, 4):
+        part = spark.createDataFrame(rows[i * 2 : i * 2 + 2], schema)
+        _write_single_file(part, os.path.join(replay, f"c{i}.parquet"), t0 + i)
+    out2 = snap_sink.run_stream_snapshot_append(
+        spark, replay, sch, table_path, checkpoint=ckpt
+    )
+    assert sorted((r.k, r.v) for r in out2.collect()) == rows
+    assert storage.snapshot_versions(table_path)[-1] == v2 + 2
+    # watermarks survive RESTORE: roll back to v2, then redeliver batch 1
+    restored = storage.restore_snapshot(table_path, v2)
+    snap_sink.make_snapshot_append_handler(table_path)(
+        spark.createDataFrame(rows[2:4], schema), 1
+    )
+    assert storage.snapshot_versions(table_path)[-1] == restored
+    assert storage.read_snapshot(spark, table_path).count() == 4
