@@ -407,3 +407,139 @@ def dq_skew_report(spark, sf_dir):
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("key_col")
+
+
+#: PSI drift-alert threshold (the conventional industry cut: <0.1 stable,
+#: 0.1-0.25 moderate shift, >0.25 action) and bin count for the numeric
+#: histogram comparison
+PSI_ALERT = 0.25
+PSI_BINS = 10
+
+
+def drift_psi(
+    base: DataFrame,
+    current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = PSI_BINS,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Public core (engine facade): Population Stability Index of ``col``
+    between a BASE population (e.g. the split the model trained on, or
+    last month's ingest) and a CURRENT one, over ``n_bins`` equal-width
+    bins on the FIXED range [lo, hi) — fixed, not data-derived, so the
+    number is comparable run-over-run and computable in one pass per side
+    with no quantile job. Out-of-range rows clamp into the edge bins
+    (they are exactly the drift a fixed range must not silently drop).
+    Returns one row per bin: counts, smoothed shares (Laplace ``smooth``
+    keeps empty bins finite — the standard PSI fix), and the bin's PSI
+    term ``(p-q)·ln(p/q)``; the total PSI is the sum over bins, and
+    drift fires when it clears :data:`PSI_ALERT`.
+
+    Physical shape: one single-row-per-bin aggregate per side (partial
+    map-side combine, a ≤n_bins-row shuffle each), one n_bins-row join —
+    cost is two scans regardless of table size; at 100 TB the scans
+    dominate and nothing here is driver-side."""
+    width = (hi - lo) / n_bins
+    bin_expr = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(col) - lo) / width).cast("int")
+        ),
+    ).alias("bin")
+
+    def hist(df, name):
+        return df.select(bin_expr).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    bins = F.broadcast(
+        base.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    )
+    h = (
+        bins.join(hist(base, "n_base"), "bin", "left")
+        .join(hist(current, "n_cur"), "bin", "left")
+        .fillna(0, ["n_base", "n_cur"])
+    )
+    tot = h.select(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    out = h.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_base",
+        "n_cur",
+        ((F.col("n_base") + smooth) / (F.col("tb") + smooth * n_bins)).alias(
+            "p_base"
+        ),
+        ((F.col("n_cur") + smooth) / (F.col("tc") + smooth * n_bins)).alias(
+            "p_cur"
+        ),
+    )
+    return out.select(
+        "bin",
+        "n_base",
+        "n_cur",
+        F.round("p_base", 6).alias("p_base"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(
+            (F.col("p_cur") - F.col("p_base"))
+            * F.log(F.col("p_cur") / F.col("p_base")),
+            6,
+        ).alias("psi_term"),
+    ).orderBy("bin")
+
+
+@register(
+    "dq_drift_psi",
+    sql=f"""
+    WITH b AS (
+        SELECT o_totalprice,
+               (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 10
+                   AS bucket
+        FROM orders
+    ), binned AS (
+        SELECT bucket < 8 AS is_base,
+               LEAST({PSI_BINS - 1}, GREATEST(0, CAST(FLOOR(
+                   (o_totalprice - 0) / (600000.0 / {PSI_BINS})
+               ) AS INT))) AS bin
+        FROM b
+    ), bins AS (SELECT CAST(range AS INT) AS bin FROM range({PSI_BINS})),
+    h AS (
+        SELECT bins.bin,
+               COALESCE(SUM(CASE WHEN is_base THEN 1 END), 0) AS n_base,
+               COALESCE(SUM(CASE WHEN NOT is_base THEN 1 END), 0) AS n_cur
+        FROM bins LEFT JOIN binned ON binned.bin = bins.bin
+        GROUP BY bins.bin
+    ), t AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM h)
+    SELECT bin, CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND((n_base + 0.5) / (tb + 0.5 * {PSI_BINS}), 6) AS p_base,
+           ROUND((n_cur + 0.5) / (tc + 0.5 * {PSI_BINS}), 6) AS p_cur,
+           ROUND(((n_cur + 0.5) / (tc + 0.5 * {PSI_BINS})
+                  - (n_base + 0.5) / (tb + 0.5 * {PSI_BINS}))
+                 * LN(((n_cur + 0.5) / (tc + 0.5 * {PSI_BINS}))
+                      / ((n_base + 0.5) / (tb + 0.5 * {PSI_BINS}))), 6)
+               AS psi_term
+    FROM h, t ORDER BY bin
+    """,
+)
+def dq_drift_psi(spark, sf_dir):
+    """Distribution-drift screen between the train and held-out splits of
+    orders (:func:`drift_psi` — the PSI every model-monitoring stack
+    computes): fixed 10-bin histogram of o_totalprice on [0, 600000),
+    Laplace-smoothed shares, per-bin PSI terms. The fixture's md5-bucket
+    split is uniform, so the total PSI is expected ≈0 — the green row
+    pins the MACHINERY (binning, clamping, smoothing, the exact PSI
+    arithmetic) against an independent SQL restatement; a drifted
+    current-split alarms through the same code path
+    (tests/test_dq_mv_prefix.py pins a deliberately-shifted split
+    clearing PSI_ALERT)."""
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    b = t.orders.withColumn("bucket", hash_bucket("o_orderkey", 10))
+    base = b.filter("bucket < 8")
+    cur = b.filter("bucket >= 8")
+    return drift_psi(base, cur, "o_totalprice", 0.0, 600000.0)

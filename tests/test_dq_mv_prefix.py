@@ -640,3 +640,37 @@ class TestImageDedup:
         got = {r.asset_id: r.dhash for r in image_dhash(assets).collect()}
         assert got[1] == got[2] and got[1] is not None
         assert got[3] is None
+
+
+def test_drift_psi_alarms_on_shifted_split_and_is_stable_on_uniform(spark):
+    """drift_psi fires above PSI_ALERT for a deliberately shifted current
+    population (price doubled → mass moves to the top bins) and stays
+    near zero for the uniform md5-bucket split; out-of-range values clamp
+    into the edge bins instead of disappearing."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.catalog import load_tables
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+    from dp_dimension_importer_spark.operators.dataquality import (
+        PSI_ALERT,
+        drift_psi,
+    )
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    b = t.orders.withColumn("bucket", hash_bucket("o_orderkey", 10))
+    base, cur = b.filter("bucket < 8"), b.filter("bucket >= 8")
+
+    uniform = drift_psi(base, cur, "o_totalprice", 0.0, 600000.0)
+    psi0 = uniform.agg(F.sum("psi_term")).first()[0]
+    assert abs(psi0) < 0.1, psi0  # same distribution: stable
+
+    shifted = cur.withColumn("o_totalprice", F.col("o_totalprice") * 2 + 1e5)
+    drifted = drift_psi(base, shifted, "o_totalprice", 0.0, 600000.0)
+    rows = drifted.collect()
+    psi1 = sum(r.psi_term for r in rows)
+    assert psi1 > PSI_ALERT, psi1
+    # clamping: every current row landed in SOME bin (incl. the overflow
+    # mass pushed past hi, which must pile into the top bin, not vanish)
+    assert sum(r.n_cur for r in rows) == cur.count()
+    assert rows[-1].n_cur > 0
