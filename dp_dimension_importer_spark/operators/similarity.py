@@ -824,3 +824,117 @@ def ann_pq_topk(spark, sf_dir):
         )
         .orderBy("vec_id", "rk")
     )
+
+
+#: distributed k-means geometry: cluster count and Lloyd iterations
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def kmeans_fit(embeddings: DataFrame, k: int = KMEANS_K,
+               iters: int = KMEANS_ITERS):
+    """Public core (engine facade): distributed Lloyd's k-means over an
+    ``array<float>`` column — the canonical broadcast-iterate pattern the
+    IVF quantizer's bounded-sample fit deliberately avoids (``_ivf_centroids``
+    fits on ≤4096 sampled rows; this fits on the FULL table when the
+    sample isn't representative enough). Returns ``(centroids, assign)``:
+    the final k×d numpy centroid matrix and a function mapping an
+    embeddings DataFrame to (vec_id, cluster, sqdist).
+
+    Per iteration, exactly one executor-side pass + one tiny shuffle:
+
+    * ASSIGN — an Arrow-batched pandas UDF holding the broadcast k×d
+      matrix computes ``argmin ‖x−c‖²`` as a single matrix multiply per
+      batch (argmax of ``x·cᵀ − ‖c‖²/2``; ties → lowest cluster id, so
+      assignment is deterministic given centroids);
+    * UPDATE — posexplode to (cluster, dim, v), one map-side-combinable
+      sum/count aggregate; k×d partial rows cross the wire, independent
+      of corpus size, and the k×d result is the only driver collect.
+      An emptied cluster keeps its previous centroid (the standard
+      restart-free fallback).
+
+    Init is the first ``k`` vectors by vec_id — deterministic across
+    runs/partitionings, which is what lets the test gate pin numpy
+    parity; callers wanting k-means++ quality seed with
+    ``_ivf_centroids``-style sampled inits instead."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d0 = embeddings.select("vec_id", "embedding")
+    init = d0.orderBy("vec_id").limit(k).collect()
+    cent = np.array([r.embedding for r in init], dtype=np.float64)
+
+    def make_assign(c: np.ndarray):
+        half = (c * c).sum(axis=1) / 2.0
+
+        @F.pandas_udf(T.IntegerType())
+        def assign_udf(col: pd.Series) -> pd.Series:
+            x = np.vstack(col.to_numpy())
+            scores = x @ c.T - half  # argmax == argmin squared distance
+            return pd.Series(scores.argmax(axis=1).astype("int32"))
+
+        return assign_udf
+
+    for _ in range(iters):
+        assigned = d0.select(
+            "vec_id", "embedding",
+            make_assign(cent)("embedding").alias("cluster"),
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("embedding"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cent.copy()  # emptied clusters keep their previous centroid
+        counts = {}
+        for r in sums:
+            new[r.cluster, r.pos] = r.s / r.n
+            counts[r.cluster] = r.n
+        cent = new
+
+    def assign(df: DataFrame) -> DataFrame:
+        c = cent
+        half = (c * c).sum(axis=1) / 2.0
+        norms = (c * c).sum(axis=1)
+
+        @F.pandas_udf("struct<cluster:int,sqdist:double>")
+        def a(col: pd.Series) -> pd.DataFrame:
+            x = np.vstack(col.to_numpy()).astype(np.float64)
+            scores = x @ c.T - half
+            cl = scores.argmax(axis=1)
+            xx = (x * x).sum(axis=1)
+            sq = xx - 2.0 * (scores[np.arange(len(cl)), cl] + half[cl]) + norms[cl]
+            return pd.DataFrame({"cluster": cl.astype("int32"), "sqdist": sq})
+
+        return df.select(
+            "vec_id", a("embedding").alias("r")
+        ).select("vec_id", "r.cluster", "r.sqdist")
+
+    return cent, assign
+
+
+@register("embedding_kmeans")  # rows-only: numpy-parity + inertia gated
+def embedding_kmeans(spark, sf_dir):
+    """Distributed k-means corpus clustering (:func:`kmeans_fit`) — the
+    coarse structure every IVF index, semantic-dedup blocker, and
+    diversity sampler builds on, here as a first-class fitted op over the
+    FULL embeddings table. Output: one row per cluster with its size and
+    total inertia contribution (micro-rounded), the run-over-run
+    monitorable fingerprint of the clustering. Gated rows-only: k-means
+    is float-iterative (no SQL oracle); tests/test_recall.py pins exact
+    agreement with a same-init numpy replay and monotone inertia."""
+    t = load_tables(spark, sf_dir)
+    _, assign = kmeans_fit(t.embeddings)
+    return (
+        assign(t.embeddings)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.sum("sqdist") * 1000 + F.lit(0.5)).cast("long").alias(
+                "inertia_milli"
+            ),
+        )
+        .orderBy("cluster")
+    )

@@ -549,3 +549,51 @@ def test_hll_incremental_tolerance_and_equals_oneshot(q, spark):
     for scope, est in got.items():
         ref = oneshot[scope]
         assert abs(est - ref) <= 0.02 * max(ref, 1.0), (scope, est, ref)
+
+
+def test_kmeans_matches_numpy_replay_and_inertia_monotone(q, spark):
+    """embedding_kmeans: a same-init numpy replay of Lloyd's must produce
+    identical cluster sizes (+ inertia within float tolerance), and the
+    inertia trajectory across iterations must be nonincreasing."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.catalog import load_tables
+    from dp_dimension_importer_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        kmeans_fit,
+    )
+
+    t = load_tables(spark, SF)
+    rows = t.embeddings.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    cent = X[:KMEANS_K].copy()
+    inertias = []
+    for _ in range(KMEANS_ITERS):
+        scores = X @ cent.T - (cent * cent).sum(axis=1) / 2.0
+        cl = scores.argmax(axis=1)
+        inertias.append(
+            float(((X - cent[cl]) ** 2).sum())
+        )
+        for c in range(KMEANS_K):
+            m = cl == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+    scores = X @ cent.T - (cent * cent).sum(axis=1) / 2.0
+    cl = scores.argmax(axis=1)
+    inertias.append(float(((X - cent[cl]) ** 2).sum()))
+    # Lloyd's is monotone: assignment and update each never increase cost
+    assert all(a >= b - 1e-9 for a, b in zip(inertias, inertias[1:])), inertias
+
+    exp_sizes = {c: int((cl == c).sum()) for c in set(cl.tolist())}
+    exp_inertia = {
+        c: float(((X[cl == c] - cent[c]) ** 2).sum())
+        for c in exp_sizes
+    }
+    got = {r.cluster: r for r in q("embedding_kmeans")}
+    assert {c: r.n for c, r in got.items()} == exp_sizes
+    for c, r in got.items():
+        assert abs(r.inertia_milli / 1000.0 - exp_inertia[c]) <= max(
+            1e-3, 1e-9 * exp_inertia[c]
+        ), (c, r.inertia_milli, exp_inertia[c])

@@ -187,6 +187,7 @@ NO_ORACLE_OK = {
     "sketch_join_size",  # CMS inner-product estimate: bounds-gated vs exact
     "dedup_minhash_incremental",  # LSH path: superset+recall-gated
     "sketch_hll_incremental",  # cross-run HLL merge: 5%/2% floor-gated
+    "embedding_kmeans",  # float-iterative: numpy-parity + inertia gated
 }
 
 
