@@ -146,14 +146,26 @@ from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
 )
 from dp_dimension_importer_spark.storage import (  # noqa: F401
     build_bloom_index,
+    delete_where_snapshot,
     read_bloom_pruned,
     optimize_snapshot,
     read_snapshot,
     read_snapshot_pruned,
+    restore_snapshot,
     snapshot_changes,
     write_snapshot,
     write_snapshot_with_stats,
     zorder_layout,
+)
+from dp_dimension_importer_spark.operators.dataquality import (  # noqa: F401
+    drift_psi,
+)
+from dp_dimension_importer_spark.operators.similarity import (  # noqa: F401
+    kmeans_fit,
+)
+from dp_dimension_importer_spark.streaming.sink import (  # noqa: F401
+    make_snapshot_append_handler,
+    run_stream_snapshot_append,
 )
 
 __all__ = [
@@ -234,4 +246,10 @@ __all__ = [
     "assert_scales",
     "optimize_snapshot",
     "zorder_layout",
+    "delete_where_snapshot",
+    "restore_snapshot",
+    "drift_psi",
+    "kmeans_fit",
+    "make_snapshot_append_handler",
+    "run_stream_snapshot_append",
 ]
