@@ -95,7 +95,14 @@ _REPO_ROOT = _Path(__file__).resolve().parent.parent
 # Oracled queries rewritten materially this session AFTER their newest green
 # driver row was recorded; they jump the evidence queue so the changed code
 # re-earns its row. Reset at the start of each round.
-_REPRIORITIZE: list[str] = []
+#
+# Round 6: write_snapshot was restructured (mode='append', txn watermarks,
+# single prev-manifest read) — q66 is the only driver-GREEN query running
+# through it (q66b/q67/q77/q78/q79 are never-tested and lead the head
+# anyway; cdc_merge_upsert uses the unchanged partition-rewrite
+# merge_upsert). Every other query touched this session has no prior
+# green row to stale.
+_REPRIORITIZE: list[str] = ["q66_snapshot_time_travel"]
 
 
 def correctness_evidence(root: _Path | str | None = None) -> dict[str, int]:
