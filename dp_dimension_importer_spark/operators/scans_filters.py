@@ -548,3 +548,59 @@ def q76_null_semantics(spark, sf_dir):
         )
         .orderBy(F.col("g").asc_nulls_first())
     )
+
+
+@register(
+    "q80_sql_scripting",
+    sql="""
+    WITH c AS (
+        SELECT CAST(CEIL(COUNT(*) / 2.0) AS BIGINT) AS half FROM orders
+    ), t AS (
+        SELECT (range + 1) * 50000 AS thr FROM range(100)
+    ), k AS (
+        SELECT thr,
+               (SELECT COUNT(*) FROM orders WHERE o_totalprice < thr)
+                   AS n_below
+        FROM t
+    ), m AS (
+        SELECT MIN(thr) AS threshold FROM k, c WHERE n_below >= half
+    )
+    SELECT CAST(m.threshold AS BIGINT) AS threshold,
+           CAST((SELECT n_below FROM k WHERE thr = m.threshold) AS BIGINT)
+               AS n_below,
+           c.half AS half_count
+    FROM m, c
+    """,
+)
+def q80_sql_scripting(spark, sf_dir):
+    """SQL SCRIPTING (Spark 4 BEGIN…END procedural blocks — the last
+    piece of the Spark-4 language surface after VARIANT/collation/
+    parameterized SQL/UDTF/TRY): DECLARE'd local variables, scalar-
+    subquery SET, and a WHILE loop that walks a 50k price grid until at
+    least half the orders fall below the threshold — a genuine
+    data-dependent control-flow script, not a one-statement wrapper. The
+    oracle recomputes the fixpoint declaratively (min threshold over the
+    grid whose running count clears half), so the green row pins the
+    loop's termination condition, variable semantics, and the returned
+    SELECT. Each loop iteration is one tiny aggregate job; the script
+    driver adds no data movement."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("v_orders_q80")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 0;
+          DECLARE half BIGINT;
+          DECLARE below BIGINT DEFAULT 0;
+          SET half = (SELECT CAST(CEIL(COUNT(*) / 2.0) AS BIGINT)
+                      FROM v_orders_q80);
+          WHILE below < half DO
+            SET thr = thr + 50000;
+            SET below = (SELECT COUNT(*) FROM v_orders_q80
+                         WHERE o_totalprice < thr);
+          END WHILE;
+          SELECT thr AS threshold, below AS n_below, half AS half_count;
+        END
+        """
+    )
