@@ -487,3 +487,80 @@ def test_shortest_paths_matches_python_bfs(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.hops for r in shortest_paths(df, 0).collect()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("overwrite"), st.integers(0, 50)),
+            st.tuples(st.just("append"), st.integers(0, 50)),
+            st.tuples(st.just("delete"), st.integers(0, 60)),
+            st.tuples(st.just("restore"), st.integers(0, 10)),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_snapshot_layer_model_equivalence(spark, ops):
+    """Model-based check of the table-format verb set: apply a random
+    sequence of overwrite / append / delete / restore against BOTH the
+    snapshot layer and an in-memory list-of-versions model; after every
+    step the latest read equals the model, and at the end EVERY retained
+    version time-travels to its model state. This is the armor for verb
+    interactions no single-verb test exercises (delete after append,
+    restore across a delete, append after restore...)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark import storage
+
+    base = tempfile.mkdtemp(prefix="snap_model_")
+    path = base + "/tbl"
+    model: list[list[int]] = []  # model[v-1] = sorted row keys of version v
+
+    def mk(seed, n=8):
+        # deterministic small frames: keys seed..seed+n-1
+        rows = [(seed + i,) for i in range(n)]
+        return spark.createDataFrame(rows, "k long"), [r[0] for r in rows]
+
+    try:
+        for verb, arg in ops:
+            if verb == "overwrite" or (verb != "overwrite" and not model):
+                df, keys = mk(arg)
+                storage.write_snapshot(spark, df, path)
+                model.append(sorted(keys))
+            elif verb == "append":
+                df, keys = mk(arg)
+                storage.write_snapshot(spark, df, path, mode="append")
+                model.append(sorted(model[-1] + keys))
+            elif verb == "delete":
+                res = storage.delete_where_snapshot(
+                    spark, path, F.col("k") < arg
+                )
+                survivors = [k for k in model[-1] if k >= arg]
+                if res["rows_deleted"] == 0:
+                    assert survivors == model[-1]
+                else:
+                    model.append(survivors)
+            elif verb == "restore":
+                v = (arg % len(model)) + 1
+                storage.restore_snapshot(path, v)
+                model.append(model[v - 1])
+            got = sorted(
+                r.k for r in storage.read_snapshot(spark, path).collect()
+            )
+            assert got == model[-1], (verb, arg, got, model[-1])
+        assert storage.snapshot_versions(path) == list(
+            range(1, len(model) + 1)
+        )
+        for v, expect in enumerate(model, start=1):
+            got = sorted(
+                r.k
+                for r in storage.read_snapshot(spark, path, version=v).collect()
+            )
+            assert got == expect, (v, got, expect)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
