@@ -462,19 +462,25 @@ def drift_psi(
         .join(hist(current, "n_cur"), "bin", "left")
         .fillna(0, ["n_base", "n_cur"])
     )
-    tot = h.select(
-        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
-    )
-    out = h.crossJoin(F.broadcast(tot)).select(
+    # totals via a global window over the n_bins-row frame — one single-
+    # partition exchange of ≤n_bins rows, NOT a second pass over the data
+    # (a separate agg + crossJoin would re-evaluate both histograms and
+    # plan a BroadcastNestedLoopJoin)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy()
+    out = h.select(
         "bin",
         "n_base",
         "n_cur",
-        ((F.col("n_base") + smooth) / (F.col("tb") + smooth * n_bins)).alias(
-            "p_base"
-        ),
-        ((F.col("n_cur") + smooth) / (F.col("tc") + smooth * n_bins)).alias(
-            "p_cur"
-        ),
+        (
+            (F.col("n_base") + smooth)
+            / (F.sum("n_base").over(w) + smooth * n_bins)
+        ).alias("p_base"),
+        (
+            (F.col("n_cur") + smooth)
+            / (F.sum("n_cur").over(w) + smooth * n_bins)
+        ).alias("p_cur"),
     )
     return out.select(
         "bin",

@@ -95,7 +95,9 @@ def audit(df: DataFrame) -> dict:
     nodes = re.findall(r"^\(\d+\) ([A-Za-z][\w ]*?)\s*(?:\[codegen id.*)?$",
                        plan, flags=re.M)
     exchanges = [n for n in nodes if n.startswith("Exchange")]
-    scans = plan.count("Scan parquet")
+    # count node HEADERS only — each node prints once in the tree sketch
+    # and once in the detail section, so a raw substring count doubles
+    scans = len([n for n in nodes if n.startswith("Scan parquet")])
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     read_cols = _read_schema_cols(plan)
     return {

@@ -1368,3 +1368,39 @@ def test_snapshot_restore_is_metadata_only_and_history_preserving(
         raise AssertionError("expected FileNotFoundError")
     except FileNotFoundError:
         pass
+
+
+def test_round6_new_query_plans_scale(spark):
+    """Scale gates for round-6 additions: dq_drift_psi's plan carries at
+    most the two per-side histogram exchanges plus tiny broadcast glue
+    (bin frame and totals broadcast — NO sort-merge join of bin-sized
+    frames) and scans only the needed columns; embedding_kmeans'
+    assignment output is a single-scan plan with the Python boundary
+    behind Arrow (no extra exchange before the groupBy)."""
+    from dp_dimension_importer_spark import planaudit
+    from dp_dimension_importer_spark.catalog import load_tables
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+    from dp_dimension_importer_spark.operators.dataquality import drift_psi
+
+    t = load_tables(spark, SF_SMOKE)
+    b = t.orders.withColumn("bucket", hash_bucket("o_orderkey", 10))
+    psi = drift_psi(
+        b.filter("bucket < 8"), b.filter("bucket >= 8"),
+        "o_totalprice", 0.0, 600000.0,
+    )
+    a = planaudit.assert_scales(psi, max_exchanges=4, max_scan_cols=2)
+    assert a["has_broadcast_join"]
+    assert not a["has_sort_merge_join"], a
+    assert not a["python_nodes"]
+
+    from dp_dimension_importer_spark.operators.similarity import kmeans_fit
+
+    _, assign = kmeans_fit(t.embeddings, k=4, iters=1)
+    km = (
+        assign(t.embeddings)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a2 = planaudit.assert_scales(km, max_exchanges=1)
+    assert a2["python_nodes"] == ["ArrowEvalPython"], a2
+    assert a2["n_scans"] == 1
