@@ -183,10 +183,19 @@ def main() -> None:
     else:
         # terminal fallback: an oversized line would be truncated mid-JSON
         # by the driver's 2000-byte tail capture — better a parseable line
-        # with only the slowest N queries than an unparseable full one
+        # with only the slowest N queries than an unparseable full one.
+        # The dropped fast tail is rolled up into rest_n/rest_sec so the
+        # line still accounts for every timed query (full per-query detail
+        # goes to stderr above).
         keep = dict(sorted(short.items(), key=lambda kv: -kv[1]))
-        while len(keep) > 1 and len(_line(keep, 1)) > 1950:
-            keep.pop(next(reversed(keep)))
+        keep["rest_n"] = 0
+        keep["rest_sec"] = 0.0
+        while len(keep) > 3 and len(_line(keep, 1)) > 1950:
+            name = next(
+                k for k in reversed(keep) if k not in ("rest_n", "rest_sec")
+            )
+            keep["rest_n"] += 1
+            keep["rest_sec"] = round(keep["rest_sec"] + keep.pop(name), 1)
         line = _line(keep, 1)
     print(line, flush=True)
 
