@@ -132,6 +132,7 @@ from dp_dimension_importer_spark.operators.aggregates import (  # noqa: F401
     merge_agg_state,
 )
 from dp_dimension_importer_spark.operators.analytics import (  # noqa: F401
+    label_propagation,
     shortest_paths,
 )
 from dp_dimension_importer_spark.operators.dataquality import (  # noqa: F401
@@ -252,4 +253,5 @@ __all__ = [
     "kmeans_fit",
     "make_snapshot_append_handler",
     "run_stream_snapshot_append",
+    "label_propagation",
 ]

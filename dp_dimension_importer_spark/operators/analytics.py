@@ -1488,3 +1488,159 @@ def graph_shortest_paths(spark, sf_dir):
         .select("src", "dst")
     )
     return shortest_paths(edges, "view").orderBy("node")
+
+
+#: synchronous label-propagation rounds for graph_label_propagation
+LPA_ITERS = 3
+
+
+def label_propagation(edges, iters: int = LPA_ITERS):
+    """Public core (engine facade): SYNCHRONOUS label propagation over a
+    weighted undirected graph of INTEGER node ids ``(src, dst, w)`` —
+    community detection's cheapest member, and (unusually for LPA) fully
+    deterministic here: every node starts labeled with its own id, and
+    each round every node simultaneously adopts the label with the
+    highest total incident weight, ties broken toward the SMALLEST label
+    id. Fixed rounds + deterministic tie-break make the result
+    replayable in plain SQL — which is what lets the registered query be
+    ORACLED rather than gated (cf. graph_pagerank's integer-micro trick).
+
+    Scale: each round is one join of the |E|-row edge list to the |V|-row
+    label frame plus a (node, label)-keyed weight sum — map-side
+    combinable, shuffle volume bounded by |E|; the argmax is
+    ``max(struct(weight, -label))``, a hash aggregate, NOT a window. Ids
+    must be integers for the min-label trick — map string node names to
+    dense ids first (the registered query shows the pattern); isolated
+    nodes keep their own label."""
+    und = (
+        edges.select("src", "dst", "w")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        votes = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy(und.src.alias("n"), "label")
+            .agg(F.sum("w").alias("c"))
+        )
+        best = (
+            votes.groupBy("n")
+            .agg(F.max(F.struct("c", (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("n").alias("node"), (-F.col("m.nl")).alias("best"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("best", "label").alias("label"))
+        )
+    return labels
+
+
+@register(
+    "graph_label_propagation",
+    sql=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), e0 AS (
+        SELECT prev_type AS a, event_type AS b, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL AND prev_type <> event_type
+        GROUP BY 1, 2
+    ), ids AS (
+        SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY t) - 1 AS BIGINT) AS id
+        FROM (SELECT DISTINCT a AS t FROM e0
+              UNION SELECT DISTINCT b FROM e0)
+    ), und AS (
+        SELECT src, dst, SUM(n) AS w FROM (
+            SELECT ia.id AS src, ib.id AS dst, n
+            FROM e0 JOIN ids ia ON ia.t = e0.a JOIN ids ib ON ib.t = e0.b
+            UNION ALL
+            SELECT ib.id, ia.id, n
+            FROM e0 JOIN ids ia ON ia.t = e0.a JOIN ids ib ON ib.t = e0.b
+        ) GROUP BY 1, 2
+    ), l0 AS (
+        SELECT DISTINCT src AS node, src AS label FROM und
+    ), l1 AS (
+        SELECT node, label FROM (
+            SELECT u.src AS node, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY u.src
+                       ORDER BY SUM(u.w) DESC, l.label ASC) AS rn
+            FROM und u JOIN l0 l ON l.node = u.dst
+            GROUP BY u.src, l.label
+        ) WHERE rn = 1
+    ), l2 AS (
+        SELECT node, label FROM (
+            SELECT u.src AS node, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY u.src
+                       ORDER BY SUM(u.w) DESC, l.label ASC) AS rn
+            FROM und u JOIN l1 l ON l.node = u.dst
+            GROUP BY u.src, l.label
+        ) WHERE rn = 1
+    ), l3 AS (
+        SELECT node, label FROM (
+            SELECT u.src AS node, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY u.src
+                       ORDER BY SUM(u.w) DESC, l.label ASC) AS rn
+            FROM und u JOIN l2 l ON l.node = u.dst
+            GROUP BY u.src, l.label
+        ) WHERE rn = 1
+    )
+    SELECT na.t AS event_type, nb.t AS community
+    FROM l3 JOIN ids na ON na.id = l3.node JOIN ids nb ON nb.id = l3.label
+    ORDER BY event_type
+    """,  # 3 chained round-CTEs — keep in lockstep with LPA_ITERS
+)
+def graph_label_propagation(spark, sf_dir):
+    """Community detection over the event-transition graph
+    (:func:`label_propagation`): event types become dense integer ids
+    (deterministic name order), transition counts become undirected
+    weights (self-loops dropped — they vote for the status quo and only
+    slow convergence), LPA_ITERS=3 synchronous rounds run, and each
+    type's final community is reported by the NAME of its label. The
+    oracle replays the identical rounds as chained SQL CTEs — possible
+    only because the tie-break is total — so the green row pins the
+    whole fixpoint arithmetic, not just row shape."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e0 = (
+        t.events.select(
+            F.lag("event_type").over(w).alias("a"),
+            F.col("event_type").alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & (F.col("a") != F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    names = (
+        e0.select(F.col("a").alias("t"))
+        .unionByName(e0.select(F.col("b").alias("t")))
+        .distinct()
+    )
+    ids = names.select(
+        "t",
+        (F.row_number().over(W.orderBy("t")) - 1).cast("long").alias("id"),
+    )
+    ia = ids.select(F.col("t").alias("a"), F.col("id").alias("src"))
+    ib = ids.select(F.col("t").alias("b"), F.col("id").alias("dst"))
+    edges = (
+        e0.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .select("src", "dst", F.col("n").alias("w"))
+    )
+    labels = label_propagation(edges, LPA_ITERS)
+    na = ids.select(F.col("id").alias("node"), F.col("t").alias("event_type"))
+    nb = ids.select(F.col("id").alias("label"), F.col("t").alias("community"))
+    return (
+        labels.join(F.broadcast(na), "node")
+        .join(F.broadcast(nb), "label")
+        .select("event_type", "community")
+        .orderBy("event_type")
+    )

@@ -806,3 +806,38 @@ def test_pagerank_staged_division_is_bit_identical_and_overflow_proof(spark):
     # mass is conserved up to truncation + dangling evaporation: positive,
     # never above the initial PR_SCALE per node
     assert 0 < total <= PR_SCALE * (n_spokes + 2)
+
+
+def test_label_propagation_respects_components_and_finds_cliques(spark):
+    """label_propagation invariants: labels never cross connected
+    components (a node's final label is a node FROM ITS OWN component),
+    and on two well-separated cliques joined by one weak edge, each
+    clique converges to a single internal community — the clique's
+    minimum node id."""
+    from dp_dimension_importer_spark.operators.analytics import (
+        label_propagation,
+    )
+
+    # two disconnected triangles
+    tri = [(0, 1, 5), (1, 2, 5), (0, 2, 5), (10, 11, 5), (11, 12, 5),
+           (10, 12, 5)]
+    e = spark.createDataFrame(tri, "src long, dst long, w long")
+    got = {r.node: r.label for r in label_propagation(e, 3).collect()}
+    assert set(got) == {0, 1, 2, 10, 11, 12}
+    assert {got[n] for n in (0, 1, 2)} <= {0, 1, 2}
+    assert {got[n] for n in (10, 11, 12)} <= {10, 11, 12}
+    assert len({got[0], got[1], got[2]}) == 1  # clique agrees
+    assert len({got[10], got[11], got[12]}) == 1
+
+    # two 4-cliques bridged by one weight-1 edge: strong internal weight
+    # dominates the bridge, so communities = cliques, labeled by min id
+    def clique(base):
+        ns = [base + i for i in range(4)]
+        return [(a, b, 10) for a in ns for b in ns if a < b]
+
+    e2 = spark.createDataFrame(
+        clique(0) + clique(100) + [(3, 100, 1)], "src long, dst long, w long"
+    )
+    got2 = {r.node: r.label for r in label_propagation(e2, 3).collect()}
+    assert all(got2[n] == 0 for n in (0, 1, 2, 3)), got2
+    assert all(got2[n] == 100 for n in (100, 101, 102, 103)), got2
