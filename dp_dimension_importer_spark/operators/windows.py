@@ -447,9 +447,10 @@ def ts_gapfill_locf(spark, sf_dir):
     )
 
 
-@register(
-    "scd2_intervals",
-    sql="""
+#: full-rebuild SCD2 SQL — shared verbatim by scd2_intervals (the build)
+#: and scd2_apply_changes (the incremental maintenance: a green row there
+#: pins incremental == full rebuild, the mv_incremental_agg pattern)
+_SCD2_SQL = """
     WITH e AS (
         SELECT user_id, event_id, ts,
                CAST(FLOOR(value) AS INTEGER) % 3 AS tier
@@ -469,32 +470,89 @@ def ts_gapfill_locf(spark, sf_dir):
                                            ORDER BY ts, event_id)))
                 AS BIGINT) AS eff_to
     FROM ch ORDER BY user_id, eff_from, tier
-    """,
-)
-def scd2_intervals(spark, sf_dir):
-    """SCD2 (slowly-changing-dimension type 2) interval build: collapse each
-    user's event stream into effective-dated [eff_from, eff_to) rows, one per
-    change of the tracked attribute (here a derived tier), open interval
-    (NULL eff_to) for the current value — the change-data-capture → warehouse
-    dimension pass.
+    """
 
-    Scale: ONE shuffle on user_id serves both windows (change detection and
-    interval close) since they share partitioning and ordering; rows shrink
-    to change-points before the second window."""
-    t = load_tables(spark, sf_dir)
-    tier = (F.floor("value").cast("int") % 3).alias("tier")
+
+def scd2_build(ev):
+    """Interval build over a (user_id, event_id, ts, tier) frame — the
+    shared core of scd2_intervals and scd2_apply_changes. One shuffle on
+    user_id serves both windows (change detection and interval close);
+    rows shrink to change-points before the second window."""
     wo = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ch = (
-        t.events.select("user_id", "event_id", "ts", tier)
-        .withColumn("prev", F.lag("tier").over(wo))
-        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("tier")))
+    ch = ev.withColumn("prev", F.lag("tier").over(wo)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("tier"))
     )
     return ch.select(
         "user_id",
         "tier",
         F.col("ts").cast("long").alias("eff_from"),
         F.lead(F.col("ts").cast("long")).over(wo).alias("eff_to"),
-    ).orderBy("user_id", "eff_from", "tier")
+    )
+
+
+@register("scd2_intervals", sql=_SCD2_SQL)
+def scd2_intervals(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension type 2) interval build: collapse each
+    user's event stream into effective-dated [eff_from, eff_to) rows, one per
+    change of the tracked attribute (here a derived tier), open interval
+    (NULL eff_to) for the current value — the change-data-capture → warehouse
+    dimension pass. Core: :func:`scd2_build`."""
+    t = load_tables(spark, sf_dir)
+    tier = (F.floor("value").cast("int") % 3).alias("tier")
+    ev = t.events.select("user_id", "event_id", "ts", tier)
+    return scd2_build(ev).orderBy("user_id", "eff_from", "tier")
+
+
+#: daily-feed cutoff for scd2_apply_changes (2024-01-16 00:00:00 UTC —
+#: mid-span of the fixture's January 2024 event stream)
+SCD2_CUT_EPOCH = 1705363200
+
+
+@register("scd2_apply_changes", sql=_SCD2_SQL)
+def scd2_apply_changes(spark, sf_dir):
+    """INCREMENTAL SCD2 maintenance — the daily warehouse-dimension feed:
+    given the dimension built from history (events before SCD2_CUT_EPOCH)
+    and a later change batch, update ONLY the touched users. Untouched
+    users' rows pass through untouched; for touched users the closed
+    intervals pass through and the OPEN row is re-derived against the
+    batch (the open row becomes a synthetic earliest event carrying its
+    eff_from, so extend-same-tier vs close-and-version falls out of the
+    ordinary change-detection window). The oracle is the FULL rebuild
+    over all events VERBATIM — the green row itself pins incremental ==
+    one-shot, exactly mv_incremental_agg's claim for aggregates.
+
+    At 100 TB: day N touches the change batch + |touched users| open
+    rows + their closed rows (a semi-join against the stored dimension);
+    the history EVENT table is never rescanned — the daily-feed contract
+    (batch strictly after the cutoff) is what makes the open row a
+    sufficient statistic."""
+    t = load_tables(spark, sf_dir)
+    tier = (F.floor("value").cast("int") % 3).alias("tier")
+    ev = t.events.select("user_id", "event_id", "ts", tier)
+    cut = F.timestamp_seconds(F.lit(SCD2_CUT_EPOCH))
+    hist = ev.filter(F.col("ts") < cut)
+    batch = ev.filter(F.col("ts") >= cut)
+
+    dim = scd2_build(hist)
+    touched = batch.select("user_id").distinct()
+    untouched_rows = dim.join(touched, "user_id", "left_anti")
+    dim_touched = dim.join(touched, "user_id", "left_semi")
+    closed_rows = dim_touched.filter(F.col("eff_to").isNotNull())
+    # open row → synthetic earliest event: strictly before every batch
+    # event by the cutoff contract, so event_id=-1 can never collide in
+    # the (ts, event_id) ordering
+    synth = dim_touched.filter(F.col("eff_to").isNull()).select(
+        "user_id",
+        F.lit(-1).cast("long").alias("event_id"),
+        F.timestamp_seconds(F.col("eff_from")).alias("ts"),
+        "tier",
+    )
+    rebuilt = scd2_build(synth.unionByName(batch))
+    return (
+        untouched_rows.unionByName(closed_rows)
+        .unionByName(rebuilt)
+        .orderBy("user_id", "eff_from", "tier")
+    )
 
 
 @register(
