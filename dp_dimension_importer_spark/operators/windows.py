@@ -802,3 +802,78 @@ def win_running_distinct(spark, sf_dir):
 
 
 
+
+
+#: EWMA smoothing factor as an integer ratio (alpha = 0.2)
+EWMA_NUM, EWMA_DEN = 20, 100
+
+
+@register(
+    "events_ewma",
+    sql=f"""
+    WITH RECURSIVE e AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS m,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), r(user_id, rn, event_id, ew) AS (
+        SELECT user_id, rn, event_id, m FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.event_id,
+               ({EWMA_NUM} * e.m + {EWMA_DEN - EWMA_NUM} * r.ew
+                + {EWMA_DEN // 2}) // {EWMA_DEN}
+        FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ew AS ewma_micro
+    FROM r ORDER BY user_id, rn
+    """,
+)
+def events_ewma(spark, sf_dir):
+    """Per-user EXPONENTIALLY-WEIGHTED moving average of ``value`` — the
+    smoothing pass monitoring and feature pipelines run before
+    thresholding (events_anomaly's z-score is its windowed sibling; EWMA
+    is the RECURSIVE one a frame window cannot express, because each
+    output feeds the next). Integer-micro arithmetic with per-step
+    half-up rounding makes the recursion bit-deterministic, so it is
+    fully ORACLED: DuckDB replays the identical recurrence as a
+    recursive CTE (the float closed form Σ α(1-α)^k·x would overflow /
+    drift — pinned integer steps cannot).
+
+    Physical shape: one shuffle on user_id into ``applyInPandas``; the
+    recurrence runs as a NumPy loop over each user's (small) history —
+    the irreducibly-sequential inner dependency — while users themselves
+    parallelize freely. State per group is one long; the 100 TB cost is
+    the single user_id exchange, same as any sessionization."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        m = np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5).astype(
+            "int64"
+        )
+        out = np.empty_like(m)
+        acc = 0
+        for i, x in enumerate(m):
+            acc = x if i == 0 else (
+                EWMA_NUM * int(x) + (EWMA_DEN - EWMA_NUM) * acc
+                + EWMA_DEN // 2
+            ) // EWMA_DEN
+            out[i] = acc
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewma_micro": out,
+            }
+        )
+
+    return (
+        t.events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(ewma, "user_id long, event_id long, ewma_micro long")
+        .orderBy("user_id", "ewma_micro", "event_id")
+    )
