@@ -112,3 +112,53 @@ def q55_unpivot(spark, sf_dir):
 def q27b_except(spark, sf_dir):
     c, s = _nationkeys(load_tables(spark, sf_dir))
     return c.subtract(s).orderBy("k")
+
+
+@register(
+    "q27c_intersect_all",
+    sql="""
+    SELECT k, COUNT(*) AS c FROM (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier
+    ) GROUP BY k ORDER BY k
+    """,
+)
+def q27c_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — bag semantics q27's set form erases: each key
+    survives min(multiplicity-left, multiplicity-right) times (SQL
+    standard), which Spark plans as a single count-comparing aggregate
+    (one shuffle), not a join. Checked through per-key counts so the
+    multiplicities themselves are hash-pinned."""
+    c, s = _nationkeys(load_tables(spark, sf_dir))
+    return (
+        c.intersectAll(s)
+        .groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .orderBy("k")
+    )
+
+
+@register(
+    "q27d_except_all",
+    sql="""
+    SELECT k, COUNT(*) AS c FROM (
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier
+    ) GROUP BY k ORDER BY k
+    """,
+)
+def q27d_except_all(spark, sf_dir):
+    """EXCEPT ALL — bag difference: each key survives
+    max(0, multiplicity-left − multiplicity-right) times, the semantics
+    dedup accounting actually needs (q27b's set EXCEPT would drop a key
+    that appears 100× left and once right). Same single-aggregate plan
+    shape as q27c."""
+    c, s = _nationkeys(load_tables(spark, sf_dir))
+    return (
+        c.exceptAll(s)
+        .groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .orderBy("k")
+    )
