@@ -938,3 +938,66 @@ def embedding_kmeans(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "embedding_sq8",
+    sql="""
+    WITH u AS (
+        SELECT vec_id,
+               UNNEST(generate_series(0, len(embedding) - 1)) AS dim,
+               UNNEST(embedding) AS v
+        FROM embeddings
+    ), b AS (
+        SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM u GROUP BY dim
+    )
+    SELECT u.vec_id, u.dim,
+           CAST(CASE WHEN b.hi = b.lo THEN 0 ELSE LEAST(255, GREATEST(0,
+               CAST(FLOOR((CAST(u.v AS DOUBLE) - CAST(b.lo AS DOUBLE))
+                          * 255.0
+                          / (CAST(b.hi AS DOUBLE) - CAST(b.lo AS DOUBLE))
+                          + 0.5) AS INT))) END AS INT) AS code
+    FROM u JOIN b USING (dim)
+    WHERE u.vec_id < 100
+    ORDER BY u.vec_id, u.dim
+    """,
+)
+def embedding_sq8(spark, sf_dir):
+    """SCALAR (int8) quantization of the embedding column — the SQ8
+    compression every production vector store offers beside PQ
+    (ann_pq_topk): per-dimension [min, max] ranges over the corpus, each
+    value snapped to a 0–255 code. 4× memory shrink (float32 → uint8)
+    with a dequantization error bounded by range/510 per dimension —
+    pinned by the tolerance test in tests/test_recall.py; the codes
+    themselves are exact integer arithmetic over corpus min/max, so the
+    op is fully ORACLED (unusual for the compression family).
+
+    Scale: one posexplode pass builds the per-dim ranges (64 rows — a
+    broadcast), a second computes codes map-side with zero additional
+    shuffle; output here is bounded to the first 100 vectors for the
+    hash check, the full-table form returns the same plan."""
+    t = load_tables(spark, sf_dir)
+    u = t.embeddings.select("vec_id", F.posexplode("embedding")).select(
+        "vec_id", F.col("pos").alias("dim"), F.col("col").alias("v")
+    )
+    b = u.groupBy("dim").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("v").cast("double") - F.col("lo").cast("double"))
+                    * 255.0
+                    / (F.col("hi").cast("double") - F.col("lo").cast("double"))
+                    + 0.5
+                ).cast("int"),
+            ),
+        )
+    )
+    return (
+        u.join(F.broadcast(b), "dim")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", "dim", code.cast("int").alias("code"))
+        .orderBy("vec_id", "dim")
+    )

@@ -597,3 +597,26 @@ def test_kmeans_matches_numpy_replay_and_inertia_monotone(q, spark):
         assert abs(r.inertia_milli / 1000.0 - exp_inertia[c]) <= max(
             1e-3, 1e-9 * exp_inertia[c]
         ), (c, r.inertia_milli, exp_inertia[c])
+
+
+def test_sq8_dequantization_error_bound(q, spark):
+    """embedding_sq8: dequantizing code → lo + code·(hi−lo)/255 must land
+    within half a quantization step (range/510) of the original value,
+    for every (vector, dimension) in the checked block."""
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.catalog import load_tables
+
+    t = load_tables(spark, SF)
+    u = t.embeddings.select("vec_id", F.posexplode("embedding")).select(
+        "vec_id", F.col("pos").alias("dim"), F.col("col").alias("v")
+    )
+    b = {r.dim: (r.lo, r.hi) for r in u.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")).collect()}
+    orig = {(r.vec_id, r.dim): r.v
+            for r in u.filter("vec_id < 100").collect()}
+    for r in q("embedding_sq8"):
+        lo, hi = b[r.dim]
+        deq = lo + r.code * (hi - lo) / 255.0
+        tol = (hi - lo) / 510.0 + 1e-9
+        assert abs(deq - orig[(r.vec_id, r.dim)]) <= tol, (r, deq, tol)
