@@ -620,3 +620,21 @@ def test_sq8_dequantization_error_bound(q, spark):
         deq = lo + r.code * (hi - lo) / 255.0
         tol = (hi - lo) / 510.0 + 1e-9
         assert abs(deq - orig[(r.vec_id, r.dim)]) <= tol, (r, deq, tol)
+
+
+def test_ann_sq_topk_recall(q):
+    """SQ8 ANN recall@K vs the exact q43b top-K — the dequantization
+    error bound (range/510 per dim) is tiny relative to the fixture's
+    neighbor gaps, so the floor is set high (0.9)."""
+    exact = {}
+    for r in q("q43b_cosine_topk"):
+        exact.setdefault(r.vec_id, set()).add(r.nn_id)
+    got = {}
+    for r in q("ann_sq_topk"):
+        got.setdefault(r.vec_id, set()).add(r.nn_id)
+    assert set(got) == set(exact)
+    recalls = [
+        len(got[v] & exact[v]) / len(exact[v]) for v in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"ann_sq_topk recall@K {mean_recall:.2f} < 0.9"

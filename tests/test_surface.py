@@ -188,6 +188,7 @@ NO_ORACLE_OK = {
     "dedup_minhash_incremental",  # LSH path: superset+recall-gated
     "sketch_hll_incremental",  # cross-run HLL merge: 5%/2% floor-gated
     "embedding_kmeans",  # float-iterative: numpy-parity + inertia gated
+    "ann_sq_topk",  # approx: recall-gated vs q43b (SURVEY §2.3 exclusion)
 }
 
 
