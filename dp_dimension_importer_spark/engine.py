@@ -161,6 +161,9 @@ from dp_dimension_importer_spark.storage import (  # noqa: F401
 from dp_dimension_importer_spark.operators.dataquality import (  # noqa: F401
     drift_psi,
 )
+from dp_dimension_importer_spark.operators.windows import (  # noqa: F401
+    scd2_build,
+)
 from dp_dimension_importer_spark.operators.similarity import (  # noqa: F401
     kmeans_fit,
 )
@@ -254,4 +257,5 @@ __all__ = [
     "make_snapshot_append_handler",
     "run_stream_snapshot_append",
     "label_propagation",
+    "scd2_build",
 ]
