@@ -1524,7 +1524,12 @@ def label_propagation(edges, iters: int = LPA_ITERS):
     )
     nodes = und.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(iters):
+    for it in range(iters):
+        if it and it % 8 == 0:
+            # deep iteration counts: cut the label lineage every 8 rounds
+            # (|V|-row frame) so the plan doesn't grow unboundedly — the
+            # same discipline pagerank documents for its rank frame
+            labels = labels.localCheckpoint(eager=True)
         votes = (
             und.join(labels, und.dst == labels.node)
             .groupBy(und.src.alias("n"), "label")

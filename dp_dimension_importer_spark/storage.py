@@ -473,6 +473,16 @@ def compact_parquet(
 # reader a half-written table (the isolation ``compact_parquet``'s
 # rename-swap cannot give). On object stores, swap the hard-link claim for
 # the store's if-none-match put; the layout is unchanged.
+#
+# Scale bound: a manifest is one JSON holding every live file path (plus
+# optional per-file stats and the txn watermark map), so commit and read
+# planning are O(live files) driver-side work — fine to ~10^5 files per
+# table. Past that, real table formats split manifests and add a manifest
+# LIST (Iceberg) or checkpointed log segments (Delta); the natural upgrade
+# here is sharding v<N>.json by file-path hash with a tiny index header,
+# which changes no verb's semantics. Appends in particular should be
+# compacted periodically (optimize_snapshot) so the live-file count stays
+# bounded by data size, not commit count.
 # ---------------------------------------------------------------------------
 
 

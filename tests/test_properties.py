@@ -496,6 +496,8 @@ def test_shortest_paths_matches_python_bfs(spark, edges):
             st.tuples(st.just("append"), st.integers(0, 50)),
             st.tuples(st.just("delete"), st.integers(0, 60)),
             st.tuples(st.just("restore"), st.integers(0, 10)),
+            st.tuples(st.just("optimize"), st.integers(0, 0)),
+            st.tuples(st.just("vacuum"), st.integers(1, 3)),
         ),
         min_size=1,
         max_size=6,
@@ -504,8 +506,9 @@ def test_shortest_paths_matches_python_bfs(spark, edges):
 @settings(max_examples=5, deadline=None)
 def test_snapshot_layer_model_equivalence(spark, ops):
     """Model-based check of the table-format verb set: apply a random
-    sequence of overwrite / append / delete / restore against BOTH the
-    snapshot layer and an in-memory list-of-versions model; after every
+    sequence of overwrite / append / delete / restore / optimize /
+    vacuum against BOTH the snapshot layer and an in-memory
+    list-of-versions model; after every
     step the latest read equals the model, and at the end EVERY retained
     version time-travels to its model state. This is the armor for verb
     interactions no single-verb test exercises (delete after append,
@@ -546,17 +549,33 @@ def test_snapshot_layer_model_equivalence(spark, ops):
                 else:
                     model.append(survivors)
             elif verb == "restore":
-                v = (arg % len(model)) + 1
+                versions = storage.snapshot_versions(path)
+                v = versions[arg % len(versions)]
                 storage.restore_snapshot(path, v)
                 model.append(model[v - 1])
+            elif verb == "optimize":
+                storage.optimize_snapshot(spark, path, ["k"], n_shards=2)
+                model.append(model[-1])  # layout-only: same rows
+            elif verb == "vacuum":
+                keep = min(arg, len(model))
+                storage.vacuum_snapshots(path, keep_last=keep)
+                # expired versions are gone; model marks them unreadable
+                for v in range(len(model) - keep):
+                    model[v] = None
             got = sorted(
                 r.k for r in storage.read_snapshot(spark, path).collect()
             )
             assert got == model[-1], (verb, arg, got, model[-1])
-        assert storage.snapshot_versions(path) == list(
-            range(1, len(model) + 1)
-        )
+        assert storage.snapshot_versions(path) == [
+            v for v, m in enumerate(model, start=1) if m is not None
+        ]
         for v, expect in enumerate(model, start=1):
+            if expect is None:  # vacuumed: time travel must fail loud
+                try:
+                    storage.read_snapshot(spark, path, version=v)
+                    raise AssertionError(f"expected v{v} expired")
+                except FileNotFoundError:
+                    continue
             got = sorted(
                 r.k
                 for r in storage.read_snapshot(spark, path, version=v).collect()
