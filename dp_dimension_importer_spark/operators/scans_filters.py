@@ -604,3 +604,81 @@ def q80_sql_scripting(spark, sf_dir):
         END
         """
     )
+
+
+@register(
+    "q81_csv_roundtrip",
+    sql="""
+    SELECT 'ok' AS kind, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_cents,
+           CAST(SUM(LENGTH(c_name || ', ' || c_mktsegment)) AS BIGINT)
+               AS note_len
+    FROM customer
+    UNION ALL
+    SELECT 'dead', 2, NULL, NULL
+    ORDER BY kind
+    """,
+)
+def q81_csv_roundtrip(spark, sf_dir):
+    """CSV SOURCE end-to-end with the strict-decode + dead-letter contract
+    (:func:`pipeline.sources.read_csv_strict` — reference R2's
+    drop-on-bad-record, improved to keep the evidence): the customer
+    table plus a derived comma-embedding ``note`` column round-trips
+    through CSV files (the commas make quoting actually load-bearing —
+    a quoting bug shifts columns and surfaces as dead-letters or a wrong
+    note-length sum), two malformed lines are injected into one file,
+    and the read must route EXACTLY those two to the dead-letter frame
+    while the good frame aggregates identically to the parquet original
+    — which is the oracle. Pins header handling, quoting, decimal
+    parsing, and the PERMISSIVE corrupt-record capture in one driver
+    row."""
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark.pipeline.sources import read_csv_strict
+
+    t = load_tables(spark, sf_dir)
+    src = t.customer.select(
+        "c_custkey", "c_name", "c_acctbal",
+        F.concat_ws(", ", "c_name", "c_mktsegment").alias("note"),
+    )
+    base = tempfile.mkdtemp(prefix="csv_rt_")
+    path = os.path.join(base, "customer_csv")
+    try:
+        (src.coalesce(2)
+         .write.option("header", "true")
+         .csv(path))
+        part = next(
+            f for f in sorted(os.listdir(path)) if f.endswith(".csv")
+        )
+        with open(os.path.join(path, part), "a") as f:
+            f.write("not_a_number,oops,1,x\n")
+            f.write("also,bad,row,with,too,many,columns,entirely\n")
+        # the append invalidates Hadoop's .crc sidecar for that file —
+        # drop the checksums (simulating any out-of-band file edit)
+        for crc in os.listdir(path):
+            if crc.endswith(".crc"):
+                os.remove(os.path.join(path, crc))
+        good, dead = read_csv_strict(spark, path, src.schema)
+        cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+        ok_row = good.agg(
+            F.lit("ok").alias("kind"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("bal_cents"),
+            F.sum(F.length("note")).alias("note_len"),
+        )
+        dead_row = dead.agg(
+            F.lit("dead").alias("kind"),
+            F.count(F.lit(1)).alias("n"),
+            F.lit(None).cast("long").alias("bal_cents"),
+            F.lit(None).cast("long").alias("note_len"),
+        )
+        return (
+            ok_row.unionByName(dead_row)
+            .orderBy("kind")
+            .localCheckpoint(eager=True)  # evaluate before the tmpdir goes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
