@@ -682,3 +682,68 @@ def q81_csv_roundtrip(spark, sf_dir):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q82_jsonl_roundtrip",
+    sql="""
+    SELECT 'ok' AS kind, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM customer
+    UNION ALL
+    SELECT 'dead', 2, NULL
+    ORDER BY kind
+    """,
+)
+def q82_jsonl_roundtrip(spark, sf_dir):
+    """JSON-LINES source end-to-end (:func:`pipeline.sources.
+    read_jsonl_strict` — q81's contract on the other text format, whose
+    parser fails differently: truncated objects and type mismatches
+    rather than column-count drift): customer round-trips through JSONL
+    files, one truncated object and one type-mismatched line are
+    injected, and the read must dead-letter exactly those two while the
+    good frame aggregates identically to the parquet original (the
+    oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark.pipeline.sources import (
+        read_jsonl_strict,
+    )
+
+    t = load_tables(spark, sf_dir)
+    src = t.customer.select("c_custkey", "c_name", "c_acctbal")
+    base = tempfile.mkdtemp(prefix="jsonl_rt_")
+    path = os.path.join(base, "customer_jsonl")
+    try:
+        src.coalesce(2).write.json(path)
+        part = next(
+            f for f in sorted(os.listdir(path)) if f.endswith(".json")
+        )
+        with open(os.path.join(path, part), "a") as f:
+            f.write('{"c_custkey": 1, "c_name": "trunc"\n')  # truncated
+            f.write('{"c_custkey": "NaNkey", "c_name": 3, "c_acctbal": "x"}\n')
+        for crc in os.listdir(path):
+            if crc.endswith(".crc"):
+                os.remove(os.path.join(path, crc))
+        good, dead = read_jsonl_strict(spark, path, src.schema)
+        cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+        ok_row = good.agg(
+            F.lit("ok").alias("kind"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("bal_cents"),
+        )
+        dead_row = dead.agg(
+            F.lit("dead").alias("kind"),
+            F.count(F.lit(1)).alias("n"),
+            F.lit(None).cast("long").alias("bal_cents"),
+        )
+        return (
+            ok_row.unionByName(dead_row)
+            .orderBy("kind")
+            .localCheckpoint(eager=True)  # evaluate before the tmpdir goes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

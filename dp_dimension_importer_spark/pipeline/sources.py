@@ -134,3 +134,32 @@ def read_csv_strict(
         F.lit("malformed csv row").alias("reason"),
     )
     return good, dead
+
+
+def read_jsonl_strict(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines twin of :func:`read_csv_strict` — same strict-decode +
+    dead-letter contract over ``spark.read.json`` (a different parser
+    with different failure modes: type mismatches and truncated objects
+    rather than column-count drift). PERMISSIVE +
+    ``columnNameOfCorruptRecord`` captures each malformed line verbatim;
+    the good frame sees exactly ``schema``."""
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        schema.fields + [T.StructField("_corrupt", T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .cache()  # one pass decides good/bad; uncached, each side re-parses
+    )
+    good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    dead = df.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("payload"),
+        F.lit("malformed json line").alias("reason"),
+    )
+    return good, dead
