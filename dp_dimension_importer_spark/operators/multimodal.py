@@ -1564,3 +1564,75 @@ def multimodal_image_dedup(spark, sf_dir):
     )
     pairs = image_near_dup_pairs(image_dhash(assets), max_hamming=6)
     return pairs.orderBy("da", "db")
+
+
+@register(
+    "q84_binaryfile_source",
+    sql="""
+    SELECT o_orderkey AS asset_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 + o_orderkey % 2 AS INT) AS channels,
+           CAST(100 + o_orderkey % 400 AS BIGINT) AS n_frames,
+           CAST((100 + o_orderkey % 400) * 1000 // 8000 AS BIGINT)
+               AS duration_ms
+    FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 12)
+    ORDER BY asset_id
+    """,
+)
+def q84_binaryfile_source(spark, sf_dir):
+    """``binaryFile`` SOURCE end-to-end — the ingestion path every
+    multimodal corpus starts from (raw media files on a store → opaque
+    binary rows): twelve WAV files with order-derived geometry are
+    materialized on disk, read back through
+    ``spark.read.format("binaryFile")`` with a ``pathGlobFilter`` (the
+    id parsed from the file path — the layout-as-metadata convention),
+    and decoded by the REAL WAV codec via
+    :func:`extract_audio_features`. The oracle recomputes the geometry
+    arithmetically from orders, so the green row pins the whole chain:
+    file listing, glob filter, content column, path parsing, RIFF
+    decode, and frame/duration math. At scale binaryFile partitions by
+    file (maxPartitionBytes applies per file), so a million media files
+    parallelize like any other scan."""
+    import os
+    import shutil
+    import tempfile
+
+    keys = [
+        r.o_orderkey
+        for r in load_tables(spark, sf_dir)
+        .orders.select("o_orderkey").orderBy("o_orderkey").limit(12)
+        .collect()
+    ]
+    base = tempfile.mkdtemp(prefix="binfile_")
+    try:
+        for k in keys:
+            n_frames = 100 + k % 400
+            channels = 1 + k % 2
+            pcm = b"\x00\x00" * (n_frames * channels)  # 16-bit silence
+            with open(os.path.join(base, f"asset_{k}.wav"), "wb") as f:
+                f.write(encode_wav(pcm, sample_rate=8000,
+                                   channels=channels, bits=16))
+            with open(os.path.join(base, f"ignore_{k}.txt"), "w") as f:
+                f.write("glob filter must exclude me")
+        assets = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.wav")
+            .load(base)
+            .select(
+                F.regexp_extract(F.col("path"), r"asset_(\d+)\.wav$", 1)
+                .cast("long")
+                .alias("asset_id"),
+                F.col("content").alias("payload"),
+            )
+        )
+        feats = extract_audio_features(assets)
+        return (
+            feats.select(
+                "asset_id", "sample_rate", "channels", "n_frames",
+                "duration_ms",
+            )
+            .orderBy("asset_id")
+            .localCheckpoint(eager=True)  # evaluate before the tmpdir goes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -747,3 +747,57 @@ def q82_jsonl_roundtrip(spark, sf_dir):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q83_orc_roundtrip",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q83_orc_roundtrip(spark, sf_dir):
+    """ORC source end-to-end — Spark's second built-in columnar format
+    (the Hive-ecosystem interop path parquet shops still meet): orders
+    round-trips through ORC with zstd, and a date-filtered aggregate over
+    the ORC read must match the parquet original (the oracle). The date
+    predicate is asserted PUSHED into the ORC scan (PushedFilters —
+    ORC's reader supports the same filter/prune surface as parquet; a
+    format swap must not silently cost full scans), and the scan reads
+    only the three needed columns."""
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import planaudit
+
+    t = load_tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="orc_rt_")
+    path = os.path.join(base, "orders_orc")
+    try:
+        (t.orders.select("o_orderpriority", "o_totalprice", "o_orderdate")
+         .write.option("compression", "zstd").orc(path))
+        orc = spark.read.orc(path)
+        out = (
+            orc.filter(F.col("o_orderdate") >= F.lit("1995-01-01"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long")
+                ).alias("sum_cents"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        plan = planaudit.plan_text(out)
+        assert "Scan orc" in plan, "expected an ORC scan"
+        assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan, (
+            "date predicate not pushed into the ORC scan"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
