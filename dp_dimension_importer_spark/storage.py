@@ -695,6 +695,7 @@ def delete_where_snapshot(
     path: str,
     predicate,
     compression: str = PARQUET_CODEC,
+    prune: tuple | None = None,
 ) -> dict:
     """Copy-on-write DELETE — the table-format verb the layer was missing
     (write/merge/optimize/changes/vacuum exist): remove every row where
@@ -714,9 +715,18 @@ def delete_where_snapshot(
     them, follow the files — kept files keep their recorded min/max,
     rewritten files get fresh footer-harvested stats.
 
+    ``prune=(col, lo, hi)``: when the table carries manifest stats for
+    ``col`` and the caller guarantees the predicate can only be TRUE for
+    rows with ``col`` in [lo, hi] (the same caller contract as
+    ``read_snapshot_pruned``), files whose recorded [min, max] cannot
+    intersect the range are carried WITHOUT ENTERING THE PROBE SCAN at
+    all — zero footer reads for them, the delete-side twin of read-side
+    file skipping. Files lacking stats for ``col`` are always probed.
+
     Returns ``{"version", "rows_deleted", "files_rewritten",
-    "files_kept"}`` (``version`` is the pre-existing latest when the
-    delete was a no-op)."""
+    "files_kept", "files_probed"}`` (``version`` is the pre-existing
+    latest when the delete was a no-op; ``files_probed`` counts the
+    files the match scan actually read)."""
     import glob
     import json
     import os
@@ -730,7 +740,25 @@ def delete_where_snapshot(
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
     abs_of = {rel: os.path.join(path, rel) for rel in man["files"]}
-    cur = spark.read.parquet(*abs_of.values())
+    probe_rels = list(abs_of)
+    if prune is not None:
+        col, lo, hi = prune
+        stats = man.get("stats", {})
+        elo, ehi = _stat_encode(lo), _stat_encode(hi)
+        probe_rels = [
+            rel for rel in abs_of
+            if (s_ := stats.get(rel, {}).get(col)) is None
+            or not (s_[1] < elo or s_[0] > ehi)
+        ]
+        if not probe_rels:  # stats prove no file can hold a doomed row
+            return {
+                "version": versions[-1],
+                "rows_deleted": 0,
+                "files_rewritten": 0,
+                "files_kept": len(man["files"]),
+                "files_probed": 0,
+            }
+    cur = spark.read.parquet(*(abs_of[rel] for rel in probe_rels))
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
     hits = (
@@ -752,6 +780,7 @@ def delete_where_snapshot(
             "rows_deleted": 0,
             "files_rewritten": 0,
             "files_kept": len(man["files"]),
+            "files_probed": len(probe_rels),
         }
     kept = [rel for rel, ap in abs_of.items() if ap not in touched_abs]
     doomed = [ap for ap in abs_of.values() if ap in touched_abs]
@@ -783,6 +812,7 @@ def delete_where_snapshot(
         "rows_deleted": rows_deleted,
         "files_rewritten": len(doomed),
         "files_kept": len(kept),
+        "files_probed": len(probe_rels),
     }
 
 

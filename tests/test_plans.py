@@ -1328,8 +1328,24 @@ def test_snapshot_delete_copy_on_write_and_stats(spark, tmp_path):
     assert res2 == {
         "version": 2, "rows_deleted": 0,
         "files_rewritten": 0, "files_kept": len(man2["files"]),
+        "files_probed": len(man2["files"]),
     }
     assert storage.snapshot_versions(path) == [1, 2]
+    # stats-pruned delete: predicate only true for k in [15, 16] — files
+    # provably outside never enter the probe scan
+    res3 = storage.delete_where_snapshot(
+        spark, path, "k IN (15, 16)", prune=("k", 15, 16)
+    )
+    assert res3["rows_deleted"] == 2
+    assert res3["files_probed"] < len(man2["files"]), res3
+    rows3 = {r.k for r in storage.read_snapshot(spark, path).collect()}
+    assert rows3 == (set(range(5, 20)) - {15, 16}) | {100, 101}
+    # stats prove emptiness: zero probes, no commit
+    res4 = storage.delete_where_snapshot(
+        spark, path, "k = 1000000", prune=("k", 1000000, 1000000)
+    )
+    assert res4["files_probed"] == 0 and res4["rows_deleted"] == 0
+    assert storage.snapshot_versions(path) == [1, 2, 3]
 
 
 def test_snapshot_restore_is_metadata_only_and_history_preserving(
