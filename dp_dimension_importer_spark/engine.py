@@ -147,6 +147,7 @@ from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
 )
 from dp_dimension_importer_spark.storage import (  # noqa: F401
     build_bloom_index,
+    compact_small_files_snapshot,
     delete_where_snapshot,
     read_bloom_pruned,
     optimize_snapshot,
@@ -258,4 +259,5 @@ __all__ = [
     "run_stream_snapshot_append",
     "label_propagation",
     "scd2_build",
+    "compact_small_files_snapshot",
 ]

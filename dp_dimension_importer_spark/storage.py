@@ -263,6 +263,95 @@ def optimize_snapshot(
     )
 
 
+def compact_small_files_snapshot(
+    spark: SparkSession,
+    path: str,
+    min_file_bytes: int = 8 << 20,
+    compression: str = PARQUET_CODEC,
+    target_file_bytes: int | None = None,
+) -> dict:
+    """Incremental small-file COMPACTION — the other half of OPTIMIZE
+    (:func:`optimize_snapshot` is the full Z-order rewrite; this is the
+    cheap daily pass the snapshot-layer scale note prescribes so the
+    live-file count tracks data size, not commit count): every file
+    smaller than ``min_file_bytes`` is read once and rewritten as a
+    handful of right-sized files; files already at size carry into the
+    new manifest untouched (copy-on-write, byte-identical — the
+    delete verb's discipline). Outputs aim at ``target_file_bytes``
+    (default 4× the threshold — the Delta/Iceberg OPTIMIZE convention of
+    a target well above the small-file cut), so one pass lands files
+    that do NOT re-qualify as small and the daily job converges in a
+    single step instead of asymptotically. Stats, when the table carries them, are
+    recomputed for the new files and carried for the rest; the txn
+    watermark map carries unchanged. Fewer than two small files → no-op,
+    no commit. Returns ``{"version", "files_compacted", "files_kept",
+    "files_written"}``."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
+        man = json.load(f)
+    sizes = {
+        rel: os.path.getsize(os.path.join(path, rel))
+        for rel in man["files"]
+    }
+    small = [rel for rel, n in sizes.items() if n < min_file_bytes]
+    kept = [rel for rel in man["files"] if rel not in set(small)]
+    # size the output fan-out against the TARGET (not the threshold), and
+    # compact only when that actually REDUCES the file count — otherwise
+    # overhead-dominated tiny outputs would re-qualify as "small" and a
+    # daily job would rewrite the same bytes forever
+    target = target_file_bytes or 4 * min_file_bytes
+    # estimate MERGED output bytes, not input-sum: each tiny parquet file
+    # carries ~0.5 KB of header/footer/dictionary overhead that merging
+    # sheds (98 ten-row files measured 52 KB on disk but 12 KB merged) —
+    # sizing the fan-out on the raw sum leaves sub-threshold outputs
+    est = sum(max(256, sizes[rel] - 512) for rel in small)
+    n_out = -(-est // target) or 1
+    if len(small) < 2 or len(small) <= n_out:
+        return {
+            "version": versions[-1],
+            "files_compacted": 0,
+            "files_kept": len(man["files"]),
+            "files_written": 0,
+        }
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", token)
+    # round-robin repartition, not coalesce: coalesce glues INPUT
+    # partitions and leaves the size skew that made the files small in
+    # the first place; the shuffle moves only the small files' bytes
+    (spark.read.parquet(*(os.path.join(path, rel) for rel in small))
+     .repartition(int(n_out))
+     .write.mode("error").option("compression", compression)
+     .parquet(data_dir))
+    new_files = sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+    manifest = {"files": kept + new_files, "schema": man["schema"]}
+    if "txn" in man:
+        manifest["txn"] = man["txn"]
+    if "stats" in man:
+        stats_cols = sorted(
+            {c for per_file in man["stats"].values() for c in per_file}
+        )
+        stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
+        stats.update(collect_file_stats(new_files, path, stats_cols))
+        manifest["stats"] = stats
+    version = _commit_manifest(path, manifest, token)
+    return {
+        "version": version,
+        "files_compacted": len(small),
+        "files_kept": len(kept),
+        "files_written": len(new_files),
+    }
+
+
 def recover_swap(path: str) -> bool:
     """Recover a table whose rename-and-swap (``merge_upsert`` whole-table
     path, :func:`compact_parquet`) crashed BETWEEN the two renames: the

@@ -1420,3 +1420,63 @@ def test_round6_new_query_plans_scale(spark):
     a2 = planaudit.assert_scales(km, max_exchanges=1)
     assert a2["python_nodes"] == ["ArrowEvalPython"], a2
     assert a2["n_scans"] == 1
+
+
+def test_compact_small_files_is_copy_on_write_and_idempotent(spark, tmp_path):
+    """compact_small_files_snapshot: many tiny append commits collapse
+    into a handful of right-sized files; already-large files carry
+    byte-identical; rows and stats survive exactly; txn watermarks
+    carry; a second pass is a no-op (idempotent daily job)."""
+    import hashlib
+    import json
+    import os
+
+    from dp_dimension_importer_spark import storage
+
+    path = str(tmp_path / "tbl")
+    # one "large" base commit + 6 tiny appends (streaming-shaped)
+    storage.write_snapshot(
+        spark,
+        spark.range(0, 5000).select(F.col("id").alias("k")),
+        path, stats_cols=["k"], txn=("app", 0),
+    )
+    for i in range(6):
+        storage.write_snapshot(
+            spark,
+            spark.range(10000 + i * 10, 10000 + i * 10 + 10)
+            .select(F.col("id").alias("k")),
+            path, mode="append", stats_cols=["k"], txn=("app", i + 1),
+        )
+    man = json.load(open(os.path.join(path, "_manifests", "v7.json")))
+    n_before = len(man["files"])
+    pre = {
+        rel: hashlib.md5(open(os.path.join(path, rel), "rb").read()).hexdigest()
+        for rel in man["files"]
+    }
+    before_rows = sorted(
+        r.k for r in storage.read_snapshot(spark, path).collect()
+    )
+
+    res = storage.compact_small_files_snapshot(spark, path, min_file_bytes=4096)
+    assert res["files_compacted"] >= 6
+    assert res["files_written"] < res["files_compacted"]
+    man2 = json.load(open(os.path.join(path, "_manifests", f"v{res['version']}.json")))
+    assert len(man2["files"]) < n_before
+    for rel in man2["files"]:  # carried files byte-identical
+        if rel in pre:
+            got = hashlib.md5(
+                open(os.path.join(path, rel), "rb").read()).hexdigest()
+            assert got == pre[rel]
+    assert sorted(
+        r.k for r in storage.read_snapshot(spark, path).collect()
+    ) == before_rows
+    assert man2.get("txn") == {"app": 6}  # watermarks carried
+    assert set(man2["stats"]) == set(man2["files"])  # stats follow files
+    # pruned read still correct after compaction
+    got = storage.read_snapshot_pruned(spark, path, "k", 10000, 10020)
+    assert got.count() == len([k for k in before_rows if 10000 <= k <= 10020])
+    # one-pass convergence: outputs aim at 4x the threshold, so the
+    # second run finds nothing worth compacting and commits nothing
+    r2 = storage.compact_small_files_snapshot(spark, path, min_file_bytes=4096)
+    assert r2["files_compacted"] == 0
+    assert storage.snapshot_versions(path)[-1] == r2["version"]
