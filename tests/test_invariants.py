@@ -841,3 +841,24 @@ def test_label_propagation_respects_components_and_finds_cliques(spark):
     got2 = {r.node: r.label for r in label_propagation(e2, 3).collect()}
     assert all(got2[n] == 0 for n in (0, 1, 2, 3)), got2
     assert all(got2[n] == 100 for n in (100, 101, 102, 103)), got2
+
+
+def test_pairs_cache_evicts_on_corpus_switch(spark):
+    """The one-slot _PAIRS_CACHE must serve the SAME frame for repeat
+    calls on one corpus (the explicit reuse it exists for), evict and
+    stay CORRECT when the corpus changes, and not leak: after a switch,
+    exactly one pairs frame remains registered in the slot."""
+    from dp_dimension_importer_spark.operators import dedup
+
+    a1 = dedup._jaccard_pairs(spark, "/root/testdata/sf0.001")
+    a2 = dedup._jaccard_pairs(spark, "/root/testdata/sf0.001")
+    assert a1 is a2  # same corpus: same persisted frame
+    n_small = a1.count()
+    b = dedup._jaccard_pairs(spark, "/root/testdata/sf0.01")
+    assert b is not a1
+    assert len(dedup._PAIRS_CACHE) == 1  # old slot evicted, not stacked
+    assert b.count() > 0
+    # switching BACK must also work (fresh build, still correct)
+    c = dedup._jaccard_pairs(spark, "/root/testdata/sf0.001")
+    assert c.count() == n_small
+    assert len(dedup._PAIRS_CACHE) == 1
