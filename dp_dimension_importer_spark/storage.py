@@ -1288,13 +1288,19 @@ def read_bloom_pruned(
                 (words.get(str(p // 64), 0) >> (p % 64)) & 1 for p in r["_ps"]
             ):
                 keep.add(rel)
-    # files on disk but absent from the sidecar are unindexed: always read
+    # files on disk but absent from the sidecar are unindexed: always read.
+    # The reverse skew — sidecar entries whose files were REWRITTEN AWAY
+    # (compaction/merge without an index rebuild) — must not crash the
+    # read: drop them; their rows live in the successor files, which are
+    # unindexed and therefore read. Either skew only costs pruning, never
+    # correctness; rebuild the sidecar after rewrites to get it back.
     import glob
 
     on_disk = {
         os.path.relpath(p, path)
         for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     }
+    keep &= on_disk
     keep |= on_disk - set(all_files)
     if not keep:
         return spark.read.parquet(path).filter(F.lit(False))

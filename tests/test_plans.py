@@ -1480,3 +1480,30 @@ def test_compact_small_files_is_copy_on_write_and_idempotent(spark, tmp_path):
     r2 = storage.compact_small_files_snapshot(spark, path, min_file_bytes=4096)
     assert r2["files_compacted"] == 0
     assert storage.snapshot_versions(path)[-1] == r2["version"]
+
+
+def test_bloom_pruned_read_survives_file_rewrites(spark, tmp_path):
+    """A bloom sidecar built before a file rewrite (compaction/merge
+    without an index rebuild) must degrade to less pruning, never to a
+    crash or a missed row: stale entries are dropped, unindexed
+    successor files are always read."""
+    import os
+
+    from dp_dimension_importer_spark import storage
+
+    path = str(tmp_path / "tbl")
+    spark.range(1000).select(F.col("id").alias("k")).repartition(4) \
+        .write.parquet(path)
+    storage.build_bloom_index(spark, path, "k")
+    # simulate a rewrite: merge everything into one NEW file, drop old
+    df = spark.read.parquet(path)
+    tmp2 = str(tmp_path / "tmp2")
+    df.coalesce(1).write.parquet(tmp2)
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(path, f))
+    for f in os.listdir(tmp2):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(tmp2, f), os.path.join(path, "merged.parquet"))
+    got = storage.read_bloom_pruned(spark, path, "k", [7, 999]).collect()
+    assert sorted(r.k for r in got) == [7, 999]
