@@ -856,7 +856,12 @@ def kmeans_fit(embeddings: DataFrame, k: int = KMEANS_K,
     Init is the first ``k`` vectors by vec_id — deterministic across
     runs/partitionings, which is what lets the test gate pin numpy
     parity; callers wanting k-means++ quality seed with
-    ``_ivf_centroids``-style sampled inits instead."""
+    ``_ivf_centroids``-style sampled inits instead.
+
+    Bound: the centroid matrix rides in the UDF closure, so k·d doubles
+    must fit comfortably in executor memory (64k×4096 ≈ 2 GB is the
+    practical ceiling); past that, shard the centroids and score in
+    chunks (the IVF route), or PQ-compress them."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
