@@ -44,6 +44,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q52d_stream_stream_semi_join",
     "q51c_stateful_session_timeout",
     "q79_stream_snapshot_append",
+    "q51d_stream_ewma",
 }
 
 

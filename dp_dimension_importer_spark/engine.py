@@ -120,6 +120,7 @@ from dp_dimension_importer_spark.planaudit import (  # noqa: F401
     plan_text,
 )
 from dp_dimension_importer_spark.streaming.stateful import (  # noqa: F401
+    ewma_stream,
     session_flush,
 )
 from dp_dimension_importer_spark.streaming.sink import (  # noqa: F401
@@ -260,4 +261,5 @@ __all__ = [
     "label_propagation",
     "scd2_build",
     "compact_small_files_snapshot",
+    "ewma_stream",
 ]

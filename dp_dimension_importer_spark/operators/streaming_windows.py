@@ -1034,3 +1034,36 @@ def q79_stream_snapshot_append(spark, sf_dir):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
         shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+@register("q51d_stream_ewma", sql=_BATCH_ORACLE["events_ewma"])
+def q51d_stream_ewma(spark, sf_dir):
+    """events_ewma as a REAL streaming job
+    (:func:`streaming.stateful.ewma_stream`): the events table replays
+    in event-time order through the file harness and every event emits
+    its exponentially-smoothed value in the micro-batch that carries it
+    — one long of state per user, NoTimeout, append mode. The oracle is
+    the batch query's recursive-CTE SQL verbatim, so the green row pins
+    that the streaming recurrence (state carried ACROSS micro-batches)
+    lands bit-identical to the batch scan — the q63 pattern applied to
+    custom numeric state rather than a declarative window."""
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    replay_dir = write_replay_dir(events, n_files=4, sentinel=False)
+    try:
+        from dp_dimension_importer_spark.streaming.stateful import (
+            ewma_stream,
+        )
+
+        out = run_replay(
+            spark, replay_dir, events.schema, ewma_stream, "append"
+        )
+        return (
+            out.orderBy("user_id", "ewma_micro", "event_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(replay_dir, ignore_errors=True)
