@@ -1655,3 +1655,74 @@ def graph_label_propagation(spark, sf_dir):
         .select("event_type", "community")
         .orderBy("event_type")
     )
+
+
+#: weighted-sample draw count per language
+WSAMPLE_K = 5
+#: modulus of the hash→uniform map (prime, ~2^30: plenty of resolution
+#: for a float key, tiny collision mass)
+WSAMPLE_M = 1_000_000_007
+
+
+def _wsample_key(id_col, weight_col):
+    """Efraimidis–Spirakis A-Res key ``ln(u)/w`` with a DETERMINISTIC
+    hash-derived uniform: 8 md5 hex chars fold into a base-31 integer
+    mod WSAMPLE_M → u = (v+0.5)/M in (0,1). Engine-portable (md5 hex +
+    integer arithmetic agree with DuckDB), so weighted sampling — an op
+    that is randomized in every textbook — becomes ORACLE-CHECKABLE;
+    maximizing ln(u)/w is maximizing u^(1/w), the E-S selection rule."""
+    h = F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
+    v = F.lit(0).cast("long")  # long fold: 31^8·102 ≈ 8.7e13 > int32
+    for i in range(1, 9):
+        v = v * 31 + F.ascii(F.substring(h, i, 1)).cast("long")
+    u = (v % WSAMPLE_M + F.lit(0.5)) / F.lit(float(WSAMPLE_M))
+    return F.log(u) / F.col(weight_col)
+
+
+@register(
+    "sample_weighted",
+    sql=f"""
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               LN(((((((((CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)),1,1)) AS BIGINT)*31 + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)),2,1)) AS BIGINT))*31 + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)),3,1)) AS BIGINT))*31 + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)),4,1)) AS BIGINT))*31 + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)),5,1)) AS BIGINT))*31 + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)),6,1)) AS BIGINT))*31 + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)),7,1)) AS BIGINT))*31 + CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)),8,1)) AS BIGINT)) % 1000000007 + 0.5) / 1000000007.0)
+                   / n_chars AS k
+        FROM documents
+    ), r AS (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY k DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+    FROM r WHERE rk <= {WSAMPLE_K} ORDER BY lang, rk
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """WEIGHTED sampling without replacement, K per language, inclusion
+    probability ∝ n_chars — the corpus-subsampling primitive behind
+    length-weighted eval draws and importance-weighted mixture slices.
+    Efraimidis–Spirakis A-Res (key = u^(1/w), realized as ln(u)/w) with
+    the uniform DERIVED FROM md5, which buys two things a random draw
+    can't: runs/retries/engines agree (the split_train_test property,
+    extended to weighted draws), and the whole op is ORACLED — DuckDB
+    replays the identical keys.
+
+    Scale: A-Res IS the distributed weighted-sampling algorithm — the
+    key is a pure per-row function, so selection is one per-group top-K
+    (a single shuffle; per-partition heaps under TakeOrdered semantics),
+    no global state, mergeable across shards by keeping the global
+    top-K of per-shard top-Ks."""
+    t = load_tables(spark, sf_dir)
+    keyed = t.documents.select(
+        "lang", "doc_id", "n_chars",
+        _wsample_key("doc_id", "n_chars").alias("k"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.col("k").desc(), "doc_id")
+    )
+    return (
+        keyed.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= WSAMPLE_K)
+        .select("lang", "rk", "doc_id", "n_chars")
+        .orderBy("lang", "rk")
+    )
