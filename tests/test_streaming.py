@@ -880,3 +880,65 @@ def test_snapshot_append_sink_restart_and_redelivery(spark, tmp_path):
     )
     assert storage.snapshot_versions(table_path)[-1] == restored
     assert storage.read_snapshot(spark, table_path).count() == 4
+
+
+def test_snapshot_table_full_lifecycle(spark, tmp_path):
+    """The end-to-end user journey over one snapshot table: exactly-once
+    streaming APPEND (4 micro-batches) → copy-on-write DELETE → small-
+    file COMPACTION → RESTORE past the delete → VACUUM — after every
+    verb the latest read is exactly the model set, the txn watermark
+    survives every verb (a replayed batch stays a no-op at the END of
+    the journey), and vacuum leaves only retained versions readable."""
+    import time as _time
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.streaming import sink as snap_sink
+    from dp_dimension_importer_spark.streaming.replay import (
+        _write_single_file,
+    )
+
+    table_path = str(tmp_path / "tbl")
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    rows = [(i, i % 3) for i in range(40)]
+    schema = "k long, g long"
+    t0 = _time.time() - 1000
+    for i in range(4):
+        part = spark.createDataFrame(rows[i * 10 : i * 10 + 10], schema)
+        _write_single_file(part, os.path.join(replay, f"c{i}.parquet"), t0 + i)
+    sch = spark.createDataFrame([], schema).schema
+    snap_sink.run_stream_snapshot_append(
+        spark, replay, sch, table_path, checkpoint=str(tmp_path / "ckpt")
+    )
+    live = set(range(40))
+    assert {r.k for r in storage.read_snapshot(spark, table_path).collect()} == live
+
+    res = storage.delete_where_snapshot(spark, table_path, "g = 1")
+    live -= {k for k in range(40) if k % 3 == 1}
+    assert res["rows_deleted"] == 40 - len(live)
+    assert {r.k for r in storage.read_snapshot(spark, table_path).collect()} == live
+    v_after_delete = res["version"]
+
+    storage.compact_small_files_snapshot(spark, table_path, min_file_bytes=1 << 20)
+    assert {r.k for r in storage.read_snapshot(spark, table_path).collect()} == live
+
+    # restore to the pre-delete world (last append version)
+    restored = storage.restore_snapshot(table_path, v_after_delete - 1)
+    assert {r.k for r in storage.read_snapshot(spark, table_path).collect()} == set(range(40))
+
+    # the replayed batch is STILL a no-op after delete/compact/restore
+    snap_sink.make_snapshot_append_handler(table_path)(
+        spark.createDataFrame(rows[:10], schema), 0
+    )
+    assert storage.snapshot_versions(table_path)[-1] == restored
+
+    # vacuum to the last 2 versions; expired ones fail loud, data intact
+    storage.vacuum_snapshots(table_path, keep_last=2)
+    versions = storage.snapshot_versions(table_path)
+    assert len(versions) == 2
+    assert {r.k for r in storage.read_snapshot(spark, table_path).collect()} == set(range(40))
+    try:
+        storage.read_snapshot(spark, table_path, version=1)
+        raise AssertionError("expected expired version")
+    except FileNotFoundError:
+        pass
