@@ -820,9 +820,17 @@ EWMA_NUM, EWMA_DEN = 20, 100
     ), r(user_id, rn, event_id, ew) AS (
         SELECT user_id, rn, event_id, m FROM e WHERE rn = 1
         UNION ALL
+        -- FLOOR division, spelled exactly: DuckDB's // TRUNCATES
+        -- (-7//2 = -3) where the engine's Python // floors (-4); the
+        -- pmod-adjusted identity (n - ((n % d) + d) % d) / d is floor
+        -- division in pure integer arithmetic, so the recurrence agrees
+        -- on NEGATIVE values too, not just the fixture's positive ones
         SELECT e.user_id, e.rn, e.event_id,
-               ({EWMA_NUM} * e.m + {EWMA_DEN - EWMA_NUM} * r.ew
-                + {EWMA_DEN // 2}) // {EWMA_DEN}
+               (({EWMA_NUM} * e.m + {EWMA_DEN - EWMA_NUM} * r.ew
+                 + {EWMA_DEN // 2})
+                - ((({EWMA_NUM} * e.m + {EWMA_DEN - EWMA_NUM} * r.ew
+                     + {EWMA_DEN // 2}) % {EWMA_DEN}) + {EWMA_DEN})
+                  % {EWMA_DEN}) // {EWMA_DEN}
         FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
     )
     SELECT user_id, event_id, ew AS ewma_micro
@@ -838,7 +846,10 @@ def events_ewma(spark, sf_dir):
     half-up rounding makes the recursion bit-deterministic, so it is
     fully ORACLED: DuckDB replays the identical recurrence as a
     recursive CTE (the float closed form Σ α(1-α)^k·x would overflow /
-    drift — pinned integer steps cannot).
+    drift — pinned integer steps cannot). Division is FLOOR division on
+    both sides — Python's ``//`` natively, DuckDB via the pmod-adjusted
+    identity, because DuckDB's ``//`` truncates and would diverge on
+    negative values (tests pin a negative-value stream).
 
     Physical shape: one user_id repartition + in-partition sort into
     ``mapInPandas`` — NOT applyInPandas, whose per-group invocation paid

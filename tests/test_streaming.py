@@ -942,3 +942,49 @@ def test_snapshot_table_full_lifecycle(spark, tmp_path):
         raise AssertionError("expected expired version")
     except FileNotFoundError:
         pass
+
+
+def test_ewma_stream_floor_semantics_on_negative_values(spark, tmp_path):
+    """The EWMA recurrence uses FLOOR division (Python //) in both the
+    batch scan and the streaming state path; a stream containing
+    negative values must match a pure-Python replay exactly — the case
+    the all-positive fixture (and a truncating SQL //) could never
+    catch."""
+    import time as _time
+
+    from dp_dimension_importer_spark.streaming.replay import (
+        _write_single_file,
+    )
+    from dp_dimension_importer_spark.streaming.stateful import ewma_stream
+    from tests.conftest import SF_SMOKE  # noqa: F401  (fixture parity)
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, -3.517),
+        (1, "2024-01-01 00:01:00", 2, 2.009),
+        (1, "2024-01-01 00:02:00", 3, -0.001),
+        (2, "2024-01-01 00:00:30", 4, -7.77),
+        (2, "2024-01-01 00:03:00", 5, -0.03),
+    ]
+    schema = "user_id long, ts string, event_id long, value double"
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    t0 = _time.time() - 1000
+    for i in range(2):  # split mid-user so state carries across batches
+        part = spark.createDataFrame(
+            rows[i * 3 : i * 3 + 3], schema
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        _write_single_file(part, os.path.join(replay, f"c{i}.parquet"), t0 + i)
+    ts_schema = spark.createDataFrame(
+        [], schema.replace("ts string", "ts timestamp")
+    ).schema
+    out = run_replay(spark, replay, ts_schema, ewma_stream, "append")
+    got = {r.event_id: r.ewma_micro for r in out.collect()}
+
+    import math
+    exp = {}
+    acc = {}
+    for uid, _, eid, v in rows:
+        m = math.floor(v * 1_000_000 + 0.5)
+        acc[uid] = m if uid not in acc else (20 * m + 80 * acc[uid] + 50) // 100
+        exp[eid] = acc[uid]
+    assert got == exp, (got, exp)
