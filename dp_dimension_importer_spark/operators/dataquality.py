@@ -274,12 +274,12 @@ def quarantine(df: DataFrame, expectations: dict[str, "F.Column"]):
                    x -> x IS NOT NULL) AS violated
         FROM ann
     )
-    SELECT violated,
+    SELECT array_to_string(violated, ',') AS violated,
            COUNT(*) AS n,
            CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
                 AS BIGINT) AS sum_cents
     FROM inv WHERE n_violated > 0
-    GROUP BY violated ORDER BY violated
+    GROUP BY 1 ORDER BY 1
     """,
 )
 def dq_quarantine(spark, sf_dir):
@@ -291,7 +291,12 @@ def dq_quarantine(spark, sf_dir):
     so a green row pins the flag/array semantics (multi-violation rows
     carry every name, sorted declaration order) and that valid+invalid
     is a partition of the input (the counts reconcile — also asserted by
-    the dedicated test)."""
+    the dedicated test).
+
+    The registered query emits the signature as a comma-joined STRING,
+    not the raw ``array<string>`` — the driver's pandas canonicalizer
+    cannot hash list cells (the r6 red row); the array form stays on the
+    :func:`quarantine` core API."""
     t = load_tables(spark, sf_dir)
     df = t.lineitem.select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
@@ -306,9 +311,10 @@ def dq_quarantine(spark, sf_dir):
     )
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     return (
-        invalid.groupBy("violated")
+        invalid.withColumn("violated", F.array_join("violated", ","))
+        .groupBy("violated")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_cents"))
-        .orderBy(F.col("violated").cast("string"))
+        .orderBy("violated")
     )
 
 

@@ -96,13 +96,18 @@ _REPO_ROOT = _Path(__file__).resolve().parent.parent
 # driver row was recorded; they jump the evidence queue so the changed code
 # re-earns its row. Reset at the start of each round.
 #
-# Round 6: write_snapshot was restructured (mode='append', txn watermarks,
-# single prev-manifest read) — q66 is the only driver-GREEN query running
-# through it (q66b/q67/q77/q78/q79 are never-tested and lead the head
-# anyway; cdc_merge_upsert uses the unchanged partition-rewrite
-# merge_upsert). Every other query touched this session has no prior
-# green row to stale.
-_REPRIORITIZE: list[str] = ["q66_snapshot_time_travel"]
+# Round 7: pin the three queries the r6 verdict called out to the very
+# head of the budget — q77/q78 have never held a driver row (they sorted
+# past the 50-slot budget in r6 because `snapshots` registers last) and
+# dq_quarantine's only row is red (harness-shape error, fixed this round
+# by emitting the string signature). Tier 1 would cover them anyway, but
+# head-inserting guarantees new round-7 registrations can't push them
+# past the budget again.
+_REPRIORITIZE: list[str] = [
+    "dq_quarantine",
+    "q77_optimize_snapshot",
+    "q78_snapshot_delete",
+]
 
 
 def correctness_evidence(root: _Path | str | None = None) -> dict[str, int]:
