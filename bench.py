@@ -48,7 +48,9 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
 }
 
 
-def run_queries(names: list[str], sf_dir: str, runs: int) -> dict[str, float]:
+def run_queries(
+    names: list[str], sf_dir: str, runs: int
+) -> tuple[dict[str, float], float]:
     """Time each named query in THIS process's Spark session.
 
     BASELINE.md protocol: per query, 1 warm-up run then median of 3 timed
@@ -74,6 +76,20 @@ def run_queries(names: list[str], sf_dir: str, runs: int) -> dict[str, float]:
     QUERIES["q44_pandas_udf"](spark, sf_dir).count()
     QUERIES["q36_array_fold"](spark, sf_dir).count()
 
+    # Contention sentinel (round-6 verdict, "Next round" #3): time a fixed
+    # calibration query (q13, already warm) median-of-3 at the start of
+    # every session/chunk and surface it in the summary. Identical code
+    # scores the same calibration on a quiet machine; a chunk whose
+    # calibration runs 2-5× the others was measured on a contended
+    # sandbox, and its per-query numbers should be normalized (or
+    # re-measured) rather than read as regressions.
+    csamples = []
+    for _ in range(3):
+        c0 = time.perf_counter()
+        QUERIES["q13_groupby_agg"](spark, sf_dir).count()
+        csamples.append(time.perf_counter() - c0)
+    calib = round(sorted(csamples)[1], 3)
+
     timings: dict[str, float] = {}
     for name in names:
         n_samples = runs
@@ -89,7 +105,7 @@ def run_queries(names: list[str], sf_dir: str, runs: int) -> dict[str, float]:
             QUERIES[name](spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
-    return timings
+    return timings, calib
 
 
 def main() -> None:
@@ -101,8 +117,9 @@ def main() -> None:
     if child_names:
         # child mode: time only the assigned chunk in a fresh JVM, emit one
         # JSON line on stdout for the parent to merge.
-        timings = run_queries(child_names.split(","), sf_dir, runs)
-        print(json.dumps({"timings": timings}, separators=(",", ":")),
+        timings, calib = run_queries(child_names.split(","), sf_dir, runs)
+        print(json.dumps({"timings": timings, "calib": calib},
+                         separators=(",", ":")),
               flush=True)
         return
 
@@ -119,8 +136,10 @@ def main() -> None:
     # (or a single-chunk list) keeps the old in-process path for tests.
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "50"))
     timings = {}
+    calib_sec: list[float] = []
     if chunk_size <= 0 or len(names) <= chunk_size:
-        timings = run_queries(names, sf_dir, runs)
+        timings, calib = run_queries(names, sf_dir, runs)
+        calib_sec.append(calib)
     else:
         import subprocess
 
@@ -139,6 +158,7 @@ def main() -> None:
                 )
             payload = json.loads(proc.stdout.strip().splitlines()[-1])
             timings.update(payload["timings"])
+            calib_sec.append(payload.get("calib", -1.0))
 
     total = round(sum(timings.values()), 3)
     # Round-1 lesson (BENCH_r01.json): the driver keeps only the LAST 2000
@@ -152,6 +172,7 @@ def main() -> None:
         "master": f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]",
         "shuffle_partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
         "aqe": "true",
+        "calib_sec": calib_sec,
         "queries": timings,
     }
     print(json.dumps(detail, separators=(",", ":")), file=sys.stderr)
@@ -171,6 +192,7 @@ def main() -> None:
                 "metric": "total_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "calib_sec": calib_sec,
                 "queries": {k: round(v, ndigits) for k, v in qdict.items()},
                 "sf": sf,
             },
