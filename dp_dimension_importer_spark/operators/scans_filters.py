@@ -801,3 +801,75 @@ def q83_orc_roundtrip(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q85_avro_roundtrip",
+    sql="""
+    SELECT 'dead' AS kind, 2 AS n, CAST(NULL AS BIGINT) AS bal_cents
+    UNION ALL
+    SELECT 'ok', COUNT(*),
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM customer
+    ORDER BY kind
+    """,
+)
+def q85_avro_roundtrip(spark, sf_dir):
+    """AVRO container-file source end-to-end — the reference's own wire
+    format (``schema/schema.go:7-47``) as a FILE format, closing the
+    source family q81 (CSV) / q82 (JSONL) / q83 (ORC) / q84 (binary):
+    customer round-trips through Avro Object Container Files written by
+    :func:`pipeline.avro_ocf.write_avro` (one file per partition, from
+    the public Avro 1.11 spec — no spark-avro jar in this sandbox), two
+    corruptions are injected (one whole file of non-Avro garbage → bad
+    magic; trailing garbage appended after one real file's last block →
+    corrupt block), and :func:`read_avro_strict` must dead-letter
+    EXACTLY those two while every good block still decodes — the good
+    frame aggregates identically to the parquet original (the oracle).
+    Pins the OCF header/sync/block framing, zigzag-varint primitives,
+    null-union encoding, and the block-granular dead-letter resync."""
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark.pipeline.avro_ocf import (
+        read_avro_strict,
+        write_avro,
+    )
+
+    t = load_tables(spark, sf_dir)
+    src = t.customer.select("c_custkey", "c_name", "c_acctbal")
+    base = tempfile.mkdtemp(prefix="avro_rt_")
+    path = os.path.join(base, "customer_avro")
+    try:
+        n_written = write_avro(src.repartition(4), path)
+        assert n_written == src.count(), "avro writer lost rows"
+        # corruption 1: a file that is not an Avro container at all
+        with open(os.path.join(path, "zz-not-avro.avro"), "wb") as f:
+            f.write(b"GARBAGE-NOT-AN-AVRO-FILE")
+        # corruption 2: trailing garbage after a real file's last block
+        # (overlong varint — can never parse as a block header)
+        part = next(
+            f for f in sorted(os.listdir(path)) if f.startswith("part-")
+        )
+        with open(os.path.join(path, part), "ab") as f:
+            f.write(b"\xff" * 23)
+        good, dead = read_avro_strict(spark, path, src.schema)
+        cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+        ok_row = good.agg(
+            F.lit("ok").alias("kind"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("bal_cents"),
+        )
+        dead_row = dead.agg(
+            F.lit("dead").alias("kind"),
+            F.count(F.lit(1)).alias("n"),
+            F.lit(None).cast("long").alias("bal_cents"),
+        )
+        return (
+            ok_row.unionByName(dead_row)
+            .orderBy("kind")
+            .localCheckpoint(eager=True)  # evaluate before the tmpdir goes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

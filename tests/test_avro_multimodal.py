@@ -699,3 +699,118 @@ def test_tiff_decode_real(spark):
     )
     out = resize_images_real(assets, width=10, height=6).collect()[0]
     assert (decode_image(bytes(out.payload)) == resize_nearest(rgb, 10, 6)).all()
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container Files (pipeline/avro_ocf.py)
+# ---------------------------------------------------------------------------
+
+def test_ocf_pure_python_roundtrip_all_primitives():
+    from dp_dimension_importer_spark.pipeline.avro_ocf import (
+        decode_container, encode_container, _canon_fields,
+    )
+
+    schema = {
+        "type": "record", "name": "row",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": ["null", "long"]},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": ["null", "double"]},
+            {"name": "s", "type": "string"},
+            {"name": "y", "type": ["null", "bytes"]},
+        ],
+    }
+    rows = [
+        {"b": True, "i": -1, "l": 2**40, "f": 1.5, "d": -0.25,
+         "s": "héllo", "y": b"\x00\xff"},
+        {"b": False, "i": 0, "l": None, "f": -2.0, "d": None,
+         "s": "", "y": None},
+        {"b": True, "i": 2**30, "l": -(2**40), "f": 0.0, "d": 1e300,
+         "s": "x" * 300, "y": b""},
+    ]
+    data = encode_container(rows, schema, b"S" * 16, block_records=2)
+    good, dead = decode_container(data, _canon_fields(schema))
+    assert dead == []
+    assert good == rows
+
+
+def test_ocf_block_corruption_resyncs_not_file_fatal():
+    from dp_dimension_importer_spark.pipeline.avro_ocf import (
+        decode_container, encode_container,
+    )
+
+    schema = {
+        "type": "record", "name": "row",
+        "fields": [{"name": "s", "type": "string"}],
+    }
+    rows = [{"s": f"r{i}"} for i in range(10)]
+    sync = b"\x07" * 16
+    data = bytearray(encode_container(rows, schema, sync, block_records=5))
+    # find the second block (after header sync + first block's sync) and
+    # corrupt one byte inside its body — the reader must dead-letter that
+    # block, resync on the marker, and keep block 1's rows
+    first_sync_end = data.index(sync) + 16
+    second_sync = data.index(sync, first_sync_end)
+    # block 1 spans [first_sync_end, second_sync); block 2 starts after
+    blk2_body = second_sync + 16 + 2  # skip count+size varints (small)
+    data[blk2_body + 3] = 0xFF
+    good, dead = decode_container(bytes(data))
+    assert [r["s"] for r in good] == [f"r{i}" for i in range(5)]
+    assert len(dead) == 1
+    assert dead[0][0] == 1  # second block (index 1) is the dead one
+
+
+def test_ocf_schema_mismatch_and_bad_magic_raise():
+    import pytest
+
+    from dp_dimension_importer_spark.pipeline.avro_ocf import (
+        decode_container, encode_container, _canon_fields,
+    )
+
+    schema = {
+        "type": "record", "name": "row",
+        "fields": [{"name": "s", "type": "string"}],
+    }
+    other = {
+        "type": "record", "name": "row",
+        "fields": [{"name": "s", "type": "long"}],
+    }
+    data = encode_container([{"s": "a"}], schema, b"Z" * 16)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        decode_container(data, _canon_fields(other))
+    with pytest.raises(ValueError, match="magic"):
+        decode_container(b"NOPE" + data[4:])
+
+
+def test_ocf_spark_write_read_dead_letter(spark, tmp_path):
+    import os
+
+    from pyspark.sql import Row
+    from dp_dimension_importer_spark.pipeline.avro_ocf import (
+        read_avro_strict, write_avro,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=i, name=f"n{i}", score=float(i) / 4 if i % 3 else None)
+         for i in range(50)]
+    )
+    path = str(tmp_path / "ocf")
+    n = write_avro(df.repartition(3), path)
+    assert n == 50
+    files = sorted(os.listdir(path))
+    assert len([f for f in files if f.endswith(".avro")]) == 3
+    # inject: one garbage file + trailing garbage on a real one
+    with open(os.path.join(path, "zz-bad.avro"), "wb") as f:
+        f.write(b"not avro at all")
+    with open(os.path.join(path, files[0]), "ab") as f:
+        f.write(b"\xff" * 9)
+    good, dead = read_avro_strict(spark, path, df.schema)
+    got = {(r["k"], r["name"], r["score"]) for r in good.collect()}
+    want = {(r["k"], r["name"], r["score"]) for r in df.collect()}
+    assert got == want
+    reasons = [r["reason"] for r in dead.collect()]
+    assert len(reasons) == 2
+    assert any("magic" in r for r in reasons)
+    assert any("block" in r for r in reasons)
