@@ -513,3 +513,90 @@ def q78_snapshot_delete(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q78b_snapshot_delete_dv",
+    sql="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ), v2 AS (
+        SELECT * FROM v1 WHERE NOT (o_orderpriority = '1-URGENT')
+    ), v3 AS (
+        SELECT * FROM v2 WHERE NOT (o_totalprice > 400000)
+    ), u AS (
+        SELECT 1 AS version, o_totalprice FROM v1
+        UNION ALL SELECT 2, o_totalprice FROM v2
+        UNION ALL SELECT 3, o_totalprice FROM v3
+    )
+    SELECT version, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def q78b_snapshot_delete_dv(spark, sf_dir):
+    """DELETION-VECTOR delete — q78's merge-on-read twin
+    (:func:`storage.delete_where_snapshot` ``mode="dv"``, the Delta
+    DV / Iceberg v2 position-delete move): commit orders as version 1,
+    DV-delete the '1-URGENT' rows (NO data file touched — positions go
+    to per-file sidecar bitmaps; asserted structurally below: zero files
+    rewritten, the data-file list byte-identical across versions), then
+    DV-delete high-price rows ON TOP (the second vector must UNION with
+    the first — the incremental-delete shape a daily GDPR erasure job
+    produces), and read all three versions side by side. The oracle
+    recomputes the three worlds logically, so a green row pins the
+    sidecar encode/decode, the read-path anti-join, vector union across
+    commits, and time travel through DV versions."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    v1 = t.orders.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).repartition(8, "o_orderpriority")
+    path = tempfile.mkdtemp(prefix="snapshot_dv_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, v1, path)
+        r1 = storage.delete_where_snapshot(
+            spark, path, "o_orderpriority = '1-URGENT'", mode="dv"
+        )
+        assert r1["files_rewritten"] == 0, "DV delete rewrote a data file"
+        assert r1["dv_files_written"] > 0, "DV delete wrote no sidecar"
+        r2 = storage.delete_where_snapshot(
+            spark, path, "o_totalprice > 400000", mode="dv"
+        )
+        assert r2["files_rewritten"] == 0
+        # the data-file list must be IDENTICAL across all three versions
+        mdir = os.path.join(path, "_manifests")
+        lists = []
+        for v in (1, r1["version"], r2["version"]):
+            with open(os.path.join(mdir, f"v{v}.json")) as f:
+                lists.append(json.load(f)["files"])
+        assert lists[0] == lists[1] == lists[2], "DV commit changed files"
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        u = (
+            storage.read_snapshot(spark, path, version=1)
+            .withColumn("version", F.lit(1))
+            .unionByName(
+                storage.read_snapshot(spark, path, version=r1["version"])
+                .withColumn("version", F.lit(2))
+            )
+            .unionByName(
+                storage.read_snapshot(spark, path)
+                .withColumn("version", F.lit(3))
+            )
+        )
+        return (
+            u.groupBy("version")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("version")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -300,7 +300,13 @@ def compact_small_files_snapshot(
         rel: os.path.getsize(os.path.join(path, rel))
         for rel in man["files"]
     }
-    small = [rel for rel, n in sizes.items() if n < min_file_bytes]
+    # DV-carrying files stay out of the raw-concat compaction path (their
+    # reads need the anti-join); OPTIMIZE materializes them instead
+    dv_map = man.get("dv") or {}
+    small = [
+        rel for rel, n in sizes.items()
+        if n < min_file_bytes and rel not in dv_map
+    ]
     kept = [rel for rel in man["files"] if rel not in set(small)]
     # size the output fan-out against the TARGET (not the threshold), and
     # compact only when that actually REDUCES the file count — otherwise
@@ -334,6 +340,8 @@ def compact_small_files_snapshot(
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
     manifest = {"files": kept + new_files, "schema": man["schema"]}
+    if dv_map:  # every DV-carrying file is in kept (excluded from small)
+        manifest["dv"] = dv_map
     if "txn" in man:
         manifest["txn"] = man["txn"]
     if "stats" in man:
@@ -682,6 +690,13 @@ def write_snapshot(
     )
     carried = prev.get("files", []) if mode == "append" else []
     manifest = {"files": carried + new_files, "schema": new_schema}
+    carried_dv = {
+        rel: dv
+        for rel, dv in (prev.get("dv") or {}).items()
+        if rel in set(carried)
+    }
+    if carried_dv:  # appended-to tables keep their deletion vectors
+        manifest["dv"] = carried_dv
     if stats_cols is not None or (carried and "stats" in prev):
         stats = {
             rel: prev["stats"][rel]
@@ -747,9 +762,15 @@ def read_snapshot(
         )
     with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
         manifest = json.load(f)
-    return spark.read.parquet(
-        *(os.path.join(path, rel) for rel in manifest["files"])
-    )
+    dv_map = manifest.get("dv") or {}
+    if not dv_map:
+        return spark.read.parquet(
+            *(os.path.join(path, rel) for rel in manifest["files"])
+        )
+    # merge-on-read: anti-join the version's deletion vectors (see
+    # delete_where_snapshot mode="dv"); a version without DVs pays zero
+    data, cols = _scan_with_pos(spark, path, manifest["files"], dv_map)
+    return data.select(*cols)
 
 
 def merge_upsert_snapshot(
@@ -779,12 +800,157 @@ def merge_upsert_snapshot(
     return write_snapshot(spark, resolved, path)
 
 
+# ---------------------------------------------------------------------------
+# Deletion vectors — merge-on-read DELETE (the Delta DV / Iceberg v2
+# position-delete idea on this layer's manifests)
+# ---------------------------------------------------------------------------
+
+DV_MAGIC = b"DVS1"
+
+
+def _register_self_by_value() -> None:
+    """Ship this module by value so DV closures unpickle on executors
+    whose driver runs from a foreign cwd (the avro_codec mechanism)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+def dv_encode(positions) -> bytes:
+    """Serialize row positions as a DV sidecar payload: magic + count +
+    gap-encoded unsigned varints over the sorted positions. Gap encoding
+    gives the size behavior that makes roaring bitmaps the table-format
+    standard without a bitmap library: a deleted contiguous span costs 1
+    byte/row, sparse deletes ~2-5 bytes/row."""
+    out = bytearray(DV_MAGIC)
+
+    def uv(n: int) -> None:
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return
+
+    pos = sorted({int(p) for p in positions})
+    if pos and pos[0] < 0:
+        raise ValueError("negative row position")
+    uv(len(pos))
+    prev = -1
+    for p in pos:
+        uv(p - prev - 1)  # strictly increasing → gaps ≥ 0
+        prev = p
+    return bytes(out)
+
+
+def dv_decode(data: bytes) -> list[int]:
+    """Strict inverse of :func:`dv_encode` (sorted ascending)."""
+    if data[:4] != DV_MAGIC:
+        raise ValueError("bad deletion-vector magic")
+    pos = 4
+
+    def uv() -> int:
+        nonlocal pos
+        shift = acc = 0
+        while True:
+            if pos >= len(data) or shift > 63:
+                raise ValueError("truncated deletion vector")
+            b = data[pos]
+            pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return acc
+            shift += 7
+
+    n = uv()
+    out: list[int] = []
+    prev = -1
+    for _ in range(n):
+        prev = prev + 1 + uv()
+        out.append(prev)
+    if pos != len(data):
+        raise ValueError("trailing bytes in deletion vector")
+    return out
+
+
+def _dv_rows(spark: SparkSession, path: str, dv_rels: list[str]) -> DataFrame:
+    """(_fname, _pos) frame of every deleted position in the given DV
+    sidecars, decoded DISTRIBUTED (binaryFile → mapInPandas — the driver
+    never holds a bitmap). A sidecar is named ``<data basename>.dv``, so
+    the target data file is self-described; basenames are unique across
+    the table because Spark part-file names embed a per-write UUID."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("_fname", T.StringType()),
+            T.StructField("_pos", T.LongType()),
+        ]
+    )
+
+    _register_self_by_value()
+
+    def _expand(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                fname = os.path.basename(r["path"])[: -len(".dv")]
+                pp = dv_decode(bytes(r["content"]))
+                yield pd.DataFrame(
+                    {"_fname": [fname] * len(pp), "_pos": pp}
+                )
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load([os.path.join(path, rel) for rel in dv_rels])
+        .select("path", "content")
+    )
+    return raw.mapInPandas(_expand, schema=schema)
+
+
+def _scan_with_pos(
+    spark: SparkSession, path: str, rels: list[str], dv_map: dict
+) -> tuple[DataFrame, list[str]]:
+    """Scan manifest files with (_fname, _pos) row-identity columns
+    prepended and DV-deleted rows anti-joined out; returns (frame, data
+    columns). The anti-join keys on (file basename, row position) — AQE
+    broadcasts the DV side when it is small (the common case: deletes
+    are a sliver of the table); a huge DV degrades to a shuffled anti
+    join, never to a driver-side bitmap."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*(os.path.join(path, rel) for rel in rels))
+    cols = df.columns
+    data = df.select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        .alias("_fname"),
+        F.col("_metadata.row_index").alias("_pos"),
+        "*",
+    )
+    dv_rels = [dv_map[rel] for rel in rels if rel in dv_map]
+    if dv_rels:
+        data = data.join(
+            _dv_rows(spark, path, dv_rels), ["_fname", "_pos"], "left_anti"
+        )
+    return data, cols
+
+
 def delete_where_snapshot(
     spark: SparkSession,
     path: str,
     predicate,
     compression: str = PARQUET_CODEC,
     prune: tuple | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Copy-on-write DELETE — the table-format verb the layer was missing
     (write/merge/optimize/changes/vacuum exist): remove every row where
@@ -812,30 +978,52 @@ def delete_where_snapshot(
     all — zero footer reads for them, the delete-side twin of read-side
     file skipping. Files lacking stats for ``col`` are always probed.
 
+    ``mode="dv"``: MERGE-ON-READ delete via deletion vectors (Delta DV /
+    Iceberg v2 position deletes): NO data file is touched at all —
+    matched rows' positions are written to per-file ``.dv`` sidecars
+    (gap-varint bitmaps, built DISTRIBUTED: one ``applyInPandas`` task
+    per touched file unions the file's existing vector and writes the
+    new sidecar to the shared filesystem; the driver sees a
+    |touched-files|-row summary) and the new manifest maps data files to
+    their vectors. Every snapshot reader (``read_snapshot``,
+    ``read_snapshot_pruned``, and the verbs built on them) anti-joins
+    the vectors at read time; OPTIMIZE and any copy-on-write rewrite
+    MATERIALIZE the deletes and drop the vectors. The probe scan is
+    DV-aware in both modes, so re-deleting already-deleted rows is a
+    no-op and counts are exact. The trade is the table-format classic:
+    COW pays at delete time and reads clean files; DV deletes in
+    O(matched rows) regardless of file sizes and pays a (usually
+    broadcast) anti-join per read. Manifest stats become upper bounds
+    under DVs — pruning stays conservative-correct.
+
     Returns ``{"version", "rows_deleted", "files_rewritten",
-    "files_kept", "files_probed"}`` (``version`` is the pre-existing
-    latest when the delete was a no-op; ``files_probed`` counts the
-    files the match scan actually read)."""
+    "files_kept", "files_probed", "dv_files_written"}`` (``version`` is
+    the pre-existing latest when the delete was a no-op;
+    ``files_probed`` counts the files the match scan actually read)."""
     import glob
     import json
     import os
     import uuid
 
+    import pandas as pd
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"unknown delete mode {mode!r}")
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
-    abs_of = {rel: os.path.join(path, rel) for rel in man["files"]}
-    probe_rels = list(abs_of)
+    dv_map = man.get("dv") or {}
+    probe_rels = list(man["files"])
     if prune is not None:
         col, lo, hi = prune
         stats = man.get("stats", {})
         elo, ehi = _stat_encode(lo), _stat_encode(hi)
         probe_rels = [
-            rel for rel in abs_of
+            rel for rel in probe_rels
             if (s_ := stats.get(rel, {}).get(col)) is None
             or not (s_[1] < elo or s_[0] > ehi)
         ]
@@ -846,39 +1034,118 @@ def delete_where_snapshot(
                 "files_rewritten": 0,
                 "files_kept": len(man["files"]),
                 "files_probed": 0,
+                "dv_files_written": 0,
             }
-    cur = spark.read.parquet(*(abs_of[rel] for rel in probe_rels))
+    data, _cols = _scan_with_pos(spark, path, probe_rels, dv_map)
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
+    if mode == "dv":
+        _register_self_by_value()
+        token = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(path, "data", token)
+        os.makedirs(data_dir, exist_ok=True)
+        old_dv_abs = {
+            os.path.basename(rel): os.path.join(path, dv_map[rel])
+            for rel in probe_rels
+            if rel in dv_map
+        }
+        out_schema = T.StructType(
+            [
+                T.StructField("fname", T.StringType()),
+                T.StructField("dv_rel", T.StringType()),
+                T.StructField("n_new", T.LongType()),
+            ]
+        )
+
+        def _write_dv(key, pdf):
+            fname = key[0]
+            new_pos = [int(p) for p in pdf["_pos"]]
+            old: list[int] = []
+            oldp = old_dv_abs.get(fname)
+            if oldp is not None:
+                with open(oldp, "rb") as fh:
+                    old = dv_decode(fh.read())
+            rel = os.path.join("data", token, fname + ".dv")
+            with open(os.path.join(path, rel), "wb") as fh:
+                fh.write(dv_encode(old + new_pos))
+            return pd.DataFrame(
+                {"fname": [fname], "dv_rel": [rel], "n_new": [len(new_pos)]}
+            )
+
+        summary = (
+            data.filter(pred)
+            .select("_fname", "_pos")
+            .groupBy("_fname")
+            .applyInPandas(_write_dv, schema=out_schema)
+            .collect()
+        )
+        if not summary:
+            os.rmdir(data_dir)
+            return {
+                "version": versions[-1],
+                "rows_deleted": 0,
+                "files_rewritten": 0,
+                "files_kept": len(man["files"]),
+                "files_probed": len(probe_rels),
+                "dv_files_written": 0,
+            }
+        rel_of_fname = {os.path.basename(rel): rel for rel in man["files"]}
+        new_dv = dict(dv_map)
+        rows_deleted = 0
+        for r in summary:
+            new_dv[rel_of_fname[r["fname"]]] = r["dv_rel"]
+            rows_deleted += r["n_new"]
+        manifest = {
+            "files": man["files"],
+            "schema": man["schema"],
+            "dv": new_dv,
+        }
+        if "txn" in man:
+            manifest["txn"] = man["txn"]
+        if "stats" in man:
+            manifest["stats"] = man["stats"]  # now upper bounds: still
+            # conservative-correct for pruning
+        version = _commit_manifest(path, manifest, token)
+        return {
+            "version": version,
+            "rows_deleted": rows_deleted,
+            "files_rewritten": 0,
+            "files_kept": len(man["files"]),
+            "files_probed": len(probe_rels),
+            "dv_files_written": len(summary),
+        }
+
     hits = (
-        cur.filter(pred)
-        .groupBy(F.col("_metadata.file_path").alias("fp"))
+        data.filter(pred)
+        .groupBy("_fname")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    # _metadata.file_path is a URI (file:/… locally, s3a://… etc. on a
-    # cluster); urlparse().path strips the scheme for comparison against
-    # the manifest's filesystem paths
-    from urllib.parse import urlparse
-
-    touched_abs = {urlparse(r.fp).path: r.n for r in hits}
-    rows_deleted = sum(touched_abs.values())
-    if not touched_abs:
+    touched = {r["_fname"]: r["n"] for r in hits}
+    rows_deleted = sum(touched.values())
+    if not touched:
         return {
             "version": versions[-1],
             "rows_deleted": 0,
             "files_rewritten": 0,
             "files_kept": len(man["files"]),
             "files_probed": len(probe_rels),
+            "dv_files_written": 0,
         }
-    kept = [rel for rel, ap in abs_of.items() if ap not in touched_abs]
-    doomed = [ap for ap in abs_of.values() if ap in touched_abs]
+    kept = [
+        rel for rel in man["files"] if os.path.basename(rel) not in touched
+    ]
+    doomed_rels = [
+        rel for rel in probe_rels if os.path.basename(rel) in touched
+    ]
 
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
-    survivors = spark.read.parquet(*doomed).filter(
-        ~F.coalesce(pred, F.lit(False))
-    )
+    # survivors through the DV-aware scan: a COW rewrite of a DV-carrying
+    # file MATERIALIZES its existing deletes too (the vector dies with
+    # the file it describes)
+    sdata, scols = _scan_with_pos(spark, path, doomed_rels, dv_map)
+    survivors = sdata.filter(~F.coalesce(pred, F.lit(False))).select(*scols)
     (survivors.write.mode("error").option("compression", compression)
      .parquet(data_dir))
     new_files = sorted(
@@ -886,6 +1153,9 @@ def delete_where_snapshot(
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
     manifest = {"files": kept + new_files, "schema": man["schema"]}
+    kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
+    if kept_dv:
+        manifest["dv"] = kept_dv
     if "txn" in man:
         manifest["txn"] = man["txn"]  # idempotence watermarks never regress
     if "stats" in man:
@@ -899,9 +1169,10 @@ def delete_where_snapshot(
     return {
         "version": version,
         "rows_deleted": rows_deleted,
-        "files_rewritten": len(doomed),
+        "files_rewritten": len(doomed_rels),
         "files_kept": len(kept),
         "files_probed": len(probe_rels),
+        "dv_files_written": 0,
     }
 
 
@@ -1016,12 +1287,16 @@ def vacuum_snapshots(path: str, keep_last: int = 1) -> int:
         mpath = os.path.join(_manifest_dir(path), f"v{v}.json")
         if v in keep:
             with open(mpath) as f:
-                referenced.update(json.load(f)["files"])
+                m = json.load(f)
+            referenced.update(m["files"])
+            referenced.update((m.get("dv") or {}).values())
         else:
             os.unlink(mpath)
     removed = 0
     for d in glob.glob(os.path.join(path, "data", "*")):
-        files = glob.glob(os.path.join(d, "*.parquet"))
+        files = glob.glob(os.path.join(d, "*.parquet")) + glob.glob(
+            os.path.join(d, "*.dv")
+        )
         live = [p for p in files if os.path.relpath(p, path) in referenced]
         if not live:
             # nothing in this write survives — drop the whole directory,
@@ -1160,9 +1435,13 @@ def read_snapshot_pruned(
             read_snapshot(spark, path, version)
             .filter(F.lit(False))
         )
-    return (
-        spark.read.parquet(*(os.path.join(path, rel) for rel in keep))
-        .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    # DV-aware over the surviving files (stats of a DV-carrying file are
+    # upper bounds, so the manifest pruning above stays conservative)
+    data, cols = _scan_with_pos(
+        spark, path, keep, manifest.get("dv") or {}
+    )
+    return data.select(*cols).filter(
+        F.col(col).between(F.lit(lo), F.lit(hi))
     )
 
 

@@ -674,3 +674,179 @@ def test_drift_psi_alarms_on_shifted_split_and_is_stable_on_uniform(spark):
     # mass pushed past hi, which must pile into the top bin, not vanish)
     assert sum(r.n_cur for r in rows) == cur.count()
     assert rows[-1].n_cur > 0
+
+
+class TestDeletionVectors:
+    """Merge-on-read DELETE (``delete_where_snapshot(mode="dv")``): the
+    sidecar codec, the untouched-data-files invariant, vector union
+    across stacked deletes, materialization on any copy-on-write
+    rewrite, and vacuum retention of live sidecars. Oracle parity
+    (q78b) pins the numbers; these pin the STRUCTURAL claims — which
+    bytes moved — that no result hash can see."""
+
+    def _table(self, spark, tmp_path, name="dvt", n=1000, files=4):
+        from dp_dimension_importer_spark import storage
+
+        path = str(tmp_path / name)
+        df = spark.range(0, n).select(
+            F.col("id"), (F.col("id") % 7).alias("grp")
+        ).repartition(files)
+        storage.write_snapshot(spark, df, path)
+        return path, storage
+
+    @staticmethod
+    def _data_state(path):
+        """{rel: sha1} of every committed parquet data file."""
+        import glob
+        import hashlib
+        import json
+        import os
+
+        from dp_dimension_importer_spark.storage import _manifest_dir
+
+        vs = sorted(
+            int(p.rsplit("v", 1)[1][:-5])
+            for p in glob.glob(os.path.join(_manifest_dir(path), "v*.json"))
+        )
+        with open(os.path.join(_manifest_dir(path), f"v{vs[-1]}.json")) as f:
+            man = json.load(f)
+        out = {}
+        for rel in man["files"]:
+            with open(os.path.join(path, rel), "rb") as f:
+                out[rel] = hashlib.sha1(f.read()).hexdigest()
+        return out
+
+    def test_codec_roundtrip(self):
+        from dp_dimension_importer_spark.storage import dv_decode, dv_encode
+
+        for pos in (
+            [],
+            [0],
+            [5],
+            list(range(100)),            # contiguous run: 1 byte/row
+            [0, 2, 4, 1 << 40],          # sparse + huge position
+            [7, 3, 3, 9],                # unsorted + dup input
+        ):
+            assert dv_decode(dv_encode(pos)) == sorted(set(pos))
+        # contiguous spans cost ~1 byte/row (the roaring-equivalent claim)
+        assert len(dv_encode(range(10_000))) < 10_100
+
+    def test_codec_rejects_malformed(self):
+        from dp_dimension_importer_spark.storage import dv_decode, dv_encode
+
+        with pytest.raises(ValueError):
+            dv_encode([-1])
+        with pytest.raises(ValueError):
+            dv_decode(b"XXXX\x00")                    # bad magic
+        with pytest.raises(ValueError):
+            dv_decode(dv_encode([1, 2, 3])[:-1])      # truncated
+        with pytest.raises(ValueError):
+            dv_decode(dv_encode([1]) + b"\x00")       # trailing bytes
+
+    def test_dv_delete_touches_no_data_bytes(self, spark, tmp_path):
+        path, storage = self._table(spark, tmp_path)
+        before = self._data_state(path)
+        res = storage.delete_where_snapshot(
+            spark, path, "grp = 3", mode="dv"
+        )
+        assert res["files_rewritten"] == 0
+        assert res["rows_deleted"] == 1000 // 7 + 1
+        assert res["dv_files_written"] > 0
+        # the data files are THE SAME FILES, byte for byte
+        assert self._data_state(path) == before
+        # read path: survivors only, original columns only
+        out = storage.read_snapshot(spark, path)
+        assert out.columns == ["id", "grp"]
+        assert out.filter("grp = 3").count() == 0
+        assert out.count() == 1000 - res["rows_deleted"]
+        # time travel to v1 still sees everything
+        assert storage.read_snapshot(spark, path, version=1).count() == 1000
+
+    def test_stacked_deletes_union_and_idempotence(self, spark, tmp_path):
+        path, storage = self._table(spark, tmp_path)
+        storage.delete_where_snapshot(spark, path, "grp = 3", mode="dv")
+        r2 = storage.delete_where_snapshot(spark, path, "id < 100", mode="dv")
+        # 14 of the first 100 ids are grp 3 — already deleted, so the
+        # DV-aware probe must not re-count them
+        assert r2["rows_deleted"] == 100 - 14
+        out = storage.read_snapshot(spark, path)
+        assert out.filter("grp = 3 OR id < 100").count() == 0
+        # re-issuing a covered predicate is a structural no-op
+        r3 = storage.delete_where_snapshot(spark, path, "id < 50", mode="dv")
+        assert r3["rows_deleted"] == 0 and r3["dv_files_written"] == 0
+        assert r3["version"] == r2["version"]  # no empty commit
+
+    def test_cow_rewrite_materializes_vectors(self, spark, tmp_path):
+        import json
+        import os
+
+        from dp_dimension_importer_spark.storage import _manifest_dir
+
+        path, storage = self._table(spark, tmp_path)
+        storage.delete_where_snapshot(spark, path, "grp = 3", mode="dv")
+        # COW delete hits every file → rewrites them → vectors die with
+        # the files they describe, and the deletes they encoded hold
+        res = storage.delete_where_snapshot(spark, path, "grp = 5")
+        assert res["files_rewritten"] > 0
+        with open(
+            os.path.join(_manifest_dir(path), f"v{res['version']}.json")
+        ) as f:
+            assert "dv" not in json.load(f)
+        out = storage.read_snapshot(spark, path)
+        assert out.filter("grp IN (3, 5)").count() == 0
+        assert out.count() == 1000 - (1000 // 7 + 1) - (1000 // 7 + 1)
+
+    def test_optimize_materializes_and_appends_carry(self, spark, tmp_path):
+        import json
+        import os
+
+        from dp_dimension_importer_spark.storage import _manifest_dir
+
+        path, storage = self._table(spark, tmp_path)
+        storage.delete_where_snapshot(spark, path, "id < 500", mode="dv")
+        # append keeps the existing vectors live for the carried files
+        extra = spark.range(2000, 2100).select(
+            F.col("id"), (F.col("id") % 7).alias("grp")
+        )
+        storage.write_snapshot(spark, extra, path, mode="append")
+        out = storage.read_snapshot(spark, path)
+        assert out.count() == 500 + 100 and out.filter("id < 500").count() == 0
+        # OPTIMIZE folds the vectors into clean files and drops them
+        v = storage.optimize_snapshot(spark, path, ["id"], n_shards=2)
+        with open(os.path.join(_manifest_dir(path), f"v{v}.json")) as f:
+            assert "dv" not in json.load(f)
+        assert storage.read_snapshot(spark, path).count() == 600
+
+    def test_vacuum_keeps_live_sidecars(self, spark, tmp_path):
+        import glob
+        import os
+
+        path, storage = self._table(spark, tmp_path)
+        storage.delete_where_snapshot(spark, path, "grp = 0", mode="dv")
+        survivors = storage.read_snapshot(spark, path).count()
+        storage.vacuum_snapshots(path, keep_last=1)
+        # the DV version is the retained one: its sidecars must survive
+        assert glob.glob(os.path.join(path, "data", "*", "*.dv"))
+        assert storage.read_snapshot(spark, path).count() == survivors
+        # after OPTIMIZE (materialize) + vacuum, the sidecars are garbage
+        storage.optimize_snapshot(spark, path, ["id"], n_shards=2)
+        storage.vacuum_snapshots(path, keep_last=1)
+        assert not glob.glob(os.path.join(path, "data", "*", "*.dv"))
+        assert storage.read_snapshot(spark, path).count() == survivors
+
+    def test_compaction_skips_dv_carrying_files(self, spark, tmp_path):
+        path, storage = self._table(spark, tmp_path, files=6)
+        storage.delete_where_snapshot(spark, path, "id = 17", mode="dv")
+        before = self._data_state(path)
+        res = storage.compact_small_files_snapshot(
+            spark, path, min_file_bytes=1 << 20
+        )
+        # every file is tiny, but the DV-carrying one must not be
+        # raw-concatenated (its read needs the anti-join)
+        assert res["files_kept"] >= 1
+        out = storage.read_snapshot(spark, path)
+        assert out.count() == 999 and out.filter("id = 17").count() == 0
+        # the kept file is byte-identical
+        after = self._data_state(path)
+        carried = set(before) & set(after)
+        assert carried and all(before[r] == after[r] for r in carried)

@@ -495,6 +495,7 @@ def test_shortest_paths_matches_python_bfs(spark, edges):
             st.tuples(st.just("overwrite"), st.integers(0, 50)),
             st.tuples(st.just("append"), st.integers(0, 50)),
             st.tuples(st.just("delete"), st.integers(0, 60)),
+            st.tuples(st.just("delete_dv"), st.integers(0, 60)),
             st.tuples(st.just("restore"), st.integers(0, 10)),
             st.tuples(st.just("optimize"), st.integers(0, 0)),
             st.tuples(st.just("vacuum"), st.integers(1, 3)),
@@ -512,7 +513,8 @@ def test_snapshot_layer_model_equivalence(spark, ops):
     step the latest read equals the model, and at the end EVERY retained
     version time-travels to its model state. This is the armor for verb
     interactions no single-verb test exercises (delete after append,
-    restore across a delete, append after restore...)."""
+    restore across a delete, append after restore, a COW delete
+    materializing an earlier DV delete, optimize folding vectors...)."""
     import shutil
     import tempfile
 
@@ -539,14 +541,19 @@ def test_snapshot_layer_model_equivalence(spark, ops):
                 df, keys = mk(arg)
                 storage.write_snapshot(spark, df, path, mode="append")
                 model.append(sorted(model[-1] + keys))
-            elif verb == "delete":
+            elif verb in ("delete", "delete_dv"):
                 res = storage.delete_where_snapshot(
-                    spark, path, F.col("k") < arg
+                    spark,
+                    path,
+                    F.col("k") < arg,
+                    mode="dv" if verb == "delete_dv" else "cow",
                 )
                 survivors = [k for k in model[-1] if k >= arg]
                 if res["rows_deleted"] == 0:
                     assert survivors == model[-1]
                 else:
+                    if verb == "delete_dv":
+                        assert res["files_rewritten"] == 0
                     model.append(survivors)
             elif verb == "restore":
                 versions = storage.snapshot_versions(path)
