@@ -521,3 +521,139 @@ def q12b_asof_nearest(spark, sf_dir):
         .filter(F.col("o_orderkey").isNotNull())
         .orderBy("event_id")
     )
+
+
+#: AQE skew-join demonstration confs, applied for the duration of one
+#: run and restored after. The two BYTE thresholds (production defaults:
+#: 256MB skew bar, 64MB advisory split target) are absolute, so they are
+#: derived from the fact's size at runtime — see :func:`run_aqe_skew_join`
+#: — keeping the demonstration scale-invariant from sf0.001 to sf0.1
+#: without shattering the bench-scale run into thousands of micro-tasks.
+_AQE_SKEW_CONFS = {
+    # a reduce partition is "skewed" past max(threshold, median*factor)
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    # pin the join to sort-merge: a 5-row dim would otherwise broadcast
+    # (statically or via AQE's runtime demotion) and there would be no
+    # shuffled partition left to split
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    # the per-type rollup downstream reuses the join's hash partitioning,
+    # and OptimizeSkewedJoin refuses a split that would break a reused
+    # partitioning (it would insert a new exchange). This lever accepts
+    # that exchange — the production trade: one extra small shuffle of the
+    # join output vs an hours-long straggler task on the hot key.
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+
+def run_aqe_skew_join(spark, sf_dir):
+    """Execute the skewed fact⋈dim join under AQE skew mitigation and
+    return ``(rows, schema, executed_plan_text)``.
+
+    The engine-native twin of :func:`join_skew_salted`: instead of
+    hand-salting, let Spark's adaptive execution detect the oversized
+    reduce partitions from the map-output statistics and split them into
+    advisory-sized sub-reads, replicating the matching dim partition
+    (``OptimizeSkewedJoin``). ``events.event_type`` carries the fixture's
+    measured key skew (5 values over a 32-partition shuffle leave ~27
+    partitions empty, so every live partition is far past median — the
+    same shape a hot tenant/event key produces at 100 TB, where one
+    reducer would otherwise straggle for hours).
+
+    Two production-relevant mechanics pinned here:
+
+    * skew splits happen at MAP-OUTPUT granularity — a stage with one
+      mapper is unsplittable however skewed, so the fact side is
+      pre-staged through a 16-task exchange (standing in for the
+      thousands of upstream map tasks a real scan stage has);
+    * the confs are set only around the action and restored after —
+      the lowered advisory size would mis-size every other query.
+
+    The merge hint pins the strategy; results are mitigation-independent
+    (split/replicate preserves join semantics), hence the exact oracle.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_id", "event_type", "value")
+    fact = ev.repartition(16, "event_id").drop("event_id")
+    # The dim is materialized (|event types| rows — pinned-size collect)
+    # and re-injected as a local relation. This matters for the rule:
+    # OptimizeSkewedJoin pattern-matches both SMJ children as
+    # sort-over-shuffle-stage; fused into one plan, the dim-side final
+    # HashAggregate sits between (its exchange is reused for the join)
+    # and the rule never fires — an explicit repartition doesn't help,
+    # Catalyst removes it as redundant. Precomputing the dim is also the
+    # production shape: the hot-key join's build side is a stats table,
+    # not a same-query subaggregate.
+    dim_rows = (
+        ev.groupBy("event_type").agg(F.count("*").alias("type_n")).collect()
+    )
+    n_rows = sum(r.type_n for r in dim_rows)
+    dim = spark.createDataFrame(
+        dim_rows, "event_type string, type_n bigint"
+    )
+    out = (
+        fact.join(dim.hint("merge"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("type_n").alias("type_n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+    # Scale the absolute byte bars to the fixture: one live reduce
+    # partition holds ~1/|types| of the fact's shuffle bytes (~30 B/row
+    # unsafe-row estimate). Flag it at half its size, split it ~4 ways —
+    # the same RELATIVE geometry the 256MB/64MB production defaults give
+    # a multi-GB hot partition.
+    n_types = len(dim_rows)
+    per_part = max(1, n_rows * 30 // max(1, n_types))
+    confs = dict(_AQE_SKEW_CONFS)
+    confs["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"] = (
+        str(max(1024, per_part // 2))
+    )
+    confs["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = (
+        str(max(1024, per_part // 4))
+    )
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        rows = out.collect()
+        from dp_dimension_importer_spark.planaudit import plan_text
+
+        plan = plan_text(out, "formatted")
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return rows, out.schema, plan
+
+
+@register(
+    "join_skew_aqe",
+    sql="""
+    WITH d AS (
+        SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*)      AS n,
+           MAX(d.type_n) AS type_n,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events e JOIN d ON e.event_type = d.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def join_skew_aqe(spark, sf_dir):
+    """Planner-native skew mitigation (see :func:`run_aqe_skew_join`):
+    the dq_skew_report → manual-salting → AQE loop closed. The query
+    materializes inside the conf scope (the lowered thresholds must not
+    leak into whatever the caller runs next), so the returned frame is the
+    already-computed local result."""
+    rows, schema, _ = run_aqe_skew_join(spark, sf_dir)
+    return spark.createDataFrame(rows, schema)

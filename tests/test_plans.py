@@ -1328,7 +1328,7 @@ def test_snapshot_delete_copy_on_write_and_stats(spark, tmp_path):
     assert res2 == {
         "version": 2, "rows_deleted": 0,
         "files_rewritten": 0, "files_kept": len(man2["files"]),
-        "files_probed": len(man2["files"]),
+        "files_probed": len(man2["files"]), "dv_files_written": 0,
     }
     assert storage.snapshot_versions(path) == [1, 2]
     # stats-pruned delete: predicate only true for k in [15, 16] — files
@@ -1507,3 +1507,44 @@ def test_bloom_pruned_read_survives_file_rewrites(spark, tmp_path):
             os.rename(os.path.join(tmp2, f), os.path.join(path, "merged.parquet"))
     got = storage.read_bloom_pruned(spark, path, "k", [7, 999]).collect()
     assert sorted(r.k for r in got) == [7, 999]
+
+
+def test_aqe_skew_join_splits_hot_partitions(spark):
+    """The engine-native skew mitigation actually fires: the executed
+    adaptive plan must carry the skew-split markers (``skew=true`` on the
+    sort-merge join, a ``skewed`` AQEShuffleRead on the fact side), the
+    thresholds must be restored afterwards, and the mitigated result must
+    equal the plain unmitigated join."""
+    from dp_dimension_importer_spark.operators.joins import (
+        _AQE_SKEW_CONFS,
+        run_aqe_skew_join,
+    )
+
+    keys = list(_AQE_SKEW_CONFS) + [
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    before = {k: spark.conf.get(k, None) for k in keys}
+    rows, schema, plan = run_aqe_skew_join(spark, SF_SMOKE)
+    assert "SortMergeJoin(skew=true)" in plan
+    assert "skewed" in plan  # the AQEShuffleRead argument on the fact side
+    after = {k: spark.conf.get(k, None) for k in keys}
+    assert before == after, "skew confs leaked out of the run scope"
+    # mitigation-independence: same answer without any AQE skew handling
+    t = load_tables(spark, SF_SMOKE)
+    ev = t.events.select("event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_n"))
+    plain = (
+        ev.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("type_n").alias("type_n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in plain]
