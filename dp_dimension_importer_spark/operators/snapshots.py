@@ -600,3 +600,83 @@ def q78b_snapshot_delete_dv(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q78c_dv_purge",
+    sql="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ), v2 AS (
+        SELECT * FROM v1 WHERE NOT (o_orderpriority = '1-URGENT')
+    ), u AS (
+        SELECT 1 AS version, o_totalprice FROM v1
+        UNION ALL SELECT 2, o_totalprice FROM v2
+        UNION ALL SELECT 3, o_totalprice FROM v2
+        UNION ALL SELECT 4, o_totalprice FROM v2
+                 WHERE NOT (o_totalprice > 400000)
+    )
+    SELECT version, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def q78c_dv_purge(spark, sf_dir):
+    """DV PURGE — the merge-on-read maintenance verb
+    (:func:`storage.purge_deletion_vectors`, Delta's ``REORG … APPLY
+    (PURGE)``): version 1 commits orders, version 2 DV-deletes the
+    '1-URGENT' rows (sidecars only), version 3 PURGES — every vector is
+    materialized into rewritten files and dropped from the manifest
+    (asserted structurally: v3 carries no vectors, and its file list
+    differs), then version 4 DV-deletes high-price rows on the PURGED
+    table, proving the delete→purge→delete cycle composes. Versions 2
+    and 3 must be logically identical — the purge moves bytes, never
+    rows — which is exactly what the oracle's duplicated v2 world pins,
+    alongside the three real worlds."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    v1 = t.orders.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).repartition(8, "o_orderpriority")
+    path = tempfile.mkdtemp(prefix="snapshot_dvpurge_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, v1, path)
+        r1 = storage.delete_where_snapshot(
+            spark, path, "o_orderpriority = '1-URGENT'", mode="dv"
+        )
+        assert r1["dv_files_written"] > 0
+        rp = storage.purge_deletion_vectors(spark, path)  # full REORG
+        assert rp["files_purged"] == r1["dv_files_written"]
+        assert rp["dvs_kept"] == 0
+        mdir = os.path.join(path, "_manifests")
+        with open(os.path.join(mdir, f"v{rp['version']}.json")) as f:
+            m3 = json.load(f)
+        assert "dv" not in m3, "purge left vectors in the manifest"
+        r2 = storage.delete_where_snapshot(
+            spark, path, "o_totalprice > 400000", mode="dv"
+        )
+        assert r2["files_rewritten"] == 0 and r2["dv_files_written"] > 0
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        u = None
+        for i, v in enumerate(
+            (1, r1["version"], rp["version"], r2["version"]), start=1
+        ):
+            part = storage.read_snapshot(spark, path, version=v) \
+                .withColumn("version", F.lit(i))
+            u = part if u is None else u.unionByName(part)
+        return (
+            u.groupBy("version")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("version")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -1176,6 +1176,118 @@ def delete_where_snapshot(
     }
 
 
+def _dv_count(dv_abs: str) -> int:
+    """Deleted-position count of a DV sidecar, from the header alone
+    (magic + one varint) — no full decode, no position list in memory."""
+    with open(dv_abs, "rb") as fh:
+        head = fh.read(14)  # magic + worst-case 10-byte varint
+    if head[:4] != DV_MAGIC:
+        raise ValueError("bad deletion-vector magic")
+    acc = shift = 0
+    for b in head[4:]:
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return acc
+        shift += 7
+    raise ValueError("truncated deletion-vector header")
+
+
+def purge_deletion_vectors(
+    spark: SparkSession,
+    path: str,
+    min_density: float = 0.0,
+    compression: str = PARQUET_CODEC,
+) -> dict:
+    """REORG … APPLY (PURGE): the merge-on-read MAINTENANCE verb.
+
+    DV deletes (``delete_where_snapshot(..., mode="dv")``) are O(matched
+    rows) at write time but tax EVERY subsequent read with the anti-join,
+    and the tax grows with vector density. This verb pays the debt down:
+    every data file whose deletion vector covers **more than**
+    ``min_density`` of its rows is rewritten WITHOUT its deleted rows
+    (one Spark job for all victims together — purge doubles as
+    compaction of the rewritten set) and its sidecar is dropped from the
+    manifest; files below the bar keep their vectors, files without
+    vectors carry forward untouched. ``min_density=0.0`` (default)
+    materializes every vector — the full REORG.
+
+    The decision inputs are metadata-only: vector cardinality from the
+    sidecar HEADER (:func:`_dv_count` — the position list is never
+    decoded on the driver) and row counts from parquet footers, a
+    per-file metadata read on the driver exactly like the layer's other
+    manifest verbs (manifests are driver-scale by design; the row data
+    of victims is read and rewritten distributed).
+
+    Returns ``{"version", "files_purged", "files_kept", "dvs_kept",
+    "rows_materialized"}`` — ``version`` is the pre-existing latest when
+    nothing crossed the bar (no empty commits), ``rows_materialized``
+    counts deleted rows physically dropped. Prior versions stay
+    readable; superseded files and sidecars are reclaimed by
+    :func:`vacuum_snapshots`."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
+        man = json.load(f)
+    dv_map = man.get("dv") or {}
+    victims: list[str] = []
+    rows_materialized = 0
+    for rel, dv_rel in sorted(dv_map.items()):
+        n_del = _dv_count(os.path.join(path, dv_rel))
+        n_rows = pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+        if n_rows == 0 or n_del / n_rows >= min_density:
+            victims.append(rel)
+            rows_materialized += n_del
+    if not victims:
+        return {
+            "version": versions[-1],
+            "files_purged": 0,
+            "files_kept": len(man["files"]),
+            "dvs_kept": len(dv_map),
+            "rows_materialized": 0,
+        }
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", token)
+    sdata, scols = _scan_with_pos(
+        spark, path, victims, {rel: dv_map[rel] for rel in victims}
+    )
+    (sdata.select(*scols).write.mode("error")
+     .option("compression", compression).parquet(data_dir))
+    new_files = sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+    kept = [rel for rel in man["files"] if rel not in set(victims)]
+    manifest = {"files": kept + new_files, "schema": man["schema"]}
+    kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
+    if kept_dv:
+        manifest["dv"] = kept_dv
+    if "txn" in man:
+        manifest["txn"] = man["txn"]
+    if "stats" in man:
+        stats_cols = sorted(
+            {c for per_file in man["stats"].values() for c in per_file}
+        )
+        stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
+        stats.update(collect_file_stats(new_files, path, stats_cols))
+        manifest["stats"] = stats
+    version = _commit_manifest(path, manifest, token)
+    return {
+        "version": version,
+        "files_purged": len(victims),
+        "files_kept": len(kept),
+        "dvs_kept": len(kept_dv),
+        "rows_materialized": rows_materialized,
+    }
+
+
 def snapshot_changes(
     spark: SparkSession,
     path: str,

@@ -850,3 +850,78 @@ class TestDeletionVectors:
         after = self._data_state(path)
         carried = set(before) & set(after)
         assert carried and all(before[r] == after[r] for r in carried)
+
+    def test_purge_density_threshold(self, spark, tmp_path):
+        """REORG APPLY (PURGE): only files whose vector density crosses
+        the bar are rewritten; light-vector files keep their sidecar
+        byte-identically, and the purge never changes what readers see."""
+        import json
+        import os
+
+        from dp_dimension_importer_spark.storage import (
+            _manifest_dir,
+            _scan_with_pos,
+        )
+
+        path, storage = self._table(spark, tmp_path, n=1000, files=4)
+        man = json.load(
+            open(os.path.join(_manifest_dir(path), "v1.json"))
+        )
+        data, _ = _scan_with_pos(spark, path, man["files"], {})
+        per_file = (
+            data.select("_fname", "id").toPandas()
+            .groupby("_fname")["id"].apply(list).to_dict()
+        )
+        fnames = sorted(per_file)
+        heavy, light = fnames[0], fnames[1]
+        # ~90% of the heavy file, exactly 2 rows of the light one
+        doomed = [i for i in per_file[heavy] if i % 10 != 0]
+        doomed += sorted(per_file[light])[:2]
+        storage.delete_where_snapshot(
+            spark, path,
+            f"id IN ({','.join(str(i) for i in doomed)})", mode="dv",
+        )
+        before_rows = {
+            tuple(r) for r in storage.read_snapshot(spark, path).collect()
+        }
+        before_state = self._data_state(path)
+        rp = storage.purge_deletion_vectors(spark, path, min_density=0.5)
+        assert rp["files_purged"] == 1
+        assert rp["dvs_kept"] == 1
+        assert rp["rows_materialized"] == len(
+            [i for i in per_file[heavy] if i % 10 != 0]
+        )
+        man3 = json.load(
+            open(os.path.join(_manifest_dir(path), f"v{rp['version']}.json"))
+        )
+        # the light file carried byte-identically, vector still mapped
+        light_rels = [
+            rel for rel in man3["files"] if os.path.basename(rel) == light
+        ]
+        assert len(light_rels) == 1 and light_rels[0] in man3["dv"]
+        after_state = self._data_state(path)
+        assert after_state[light_rels[0]] == before_state[light_rels[0]]
+        # the heavy file is gone from the manifest, replaced by new files
+        assert all(os.path.basename(r) != heavy for r in man3["files"])
+        # purge moves bytes, never rows
+        after_rows = {
+            tuple(r) for r in storage.read_snapshot(spark, path).collect()
+        }
+        assert after_rows == before_rows
+        # full REORG drops the last vector too; reads still identical
+        rp2 = storage.purge_deletion_vectors(spark, path)
+        man4 = json.load(
+            open(os.path.join(_manifest_dir(path), f"v{rp2['version']}.json"))
+        )
+        assert rp2["dvs_kept"] == 0 and "dv" not in man4
+        assert {
+            tuple(r) for r in storage.read_snapshot(spark, path).collect()
+        } == before_rows
+        # pre-purge DV version still time-travels
+        assert storage.read_snapshot(
+            spark, path, version=2
+        ).count() == len(before_rows)
+        # no vectors left → structural no-op, no empty commit
+        rp3 = storage.purge_deletion_vectors(spark, path)
+        assert rp3["files_purged"] == 0
+        assert rp3["version"] == rp2["version"]
