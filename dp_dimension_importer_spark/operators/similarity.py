@@ -826,6 +826,98 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
+@register("ann_ivfpq_topk")  # rows-only: recall-gated vs q43b_cosine_topk
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ composite ANN — the two scale levers stacked the way the
+    billion-vector indexes (FAISS IVFPQ) stack them: the IVF coarse
+    quantizer PRUNES (a candidate is scored only when its home cell is
+    among the query's IVF_NPROBE probe cells) and PQ/ADC COMPRESSES (the
+    surviving candidates are scored from 8-byte codes, never decoded).
+    ann_ivf_topk demonstrates pruning with exact in-cell scoring;
+    ann_pq_topk demonstrates compression over a full scan; this operator
+    shows they compose — at 100 TB the corpus persists cell-partitioned
+    (storage.write_sharded on the home cell) with only the codes+norm
+    columns read, so a query touches nprobe/IVF_CELLS of the files at
+    1/32nd the bytes, and the in-batch cell mask below becomes partition
+    pruning. Codes quantize the raw vectors (shared codebooks with
+    ann_pq_topk — the residual-encoding refinement would need per-cell
+    fits); the ADC shortlist is exact-reranked, so ranking error comes
+    only from pruning + shortlist truncation. Recall is gated vs q43b
+    in tests/test_recall.py."""
+    t = load_tables(spark, sf_dir)
+    cents = _ivf_centroids(t.embeddings)
+    books = _pq_codebooks(t.embeddings)
+    qids, qunit = _query_block(t.embeddings)
+    sub = DIM // PQ_M
+    lut = np.einsum("qms,mks->qmk", qunit.reshape(len(qids), PQ_M, sub), books)
+    # per-query probe cells, computed once on the driver from the same
+    # centroid matrix corpus rows use (nq × nprobe ints)
+    qcells = np.argsort(-(qunit @ cents.T), axis=1, kind="stable")[
+        :, :IVF_NPROBE
+    ]
+    centsT = cents.T
+    marange = np.arange(PQ_M)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            nrm = np.linalg.norm(m, axis=1)
+            zero = nrm == 0
+            nrm[zero] = 1.0
+            home = ((m / nrm[:, None]) @ centsT).argmax(axis=1)
+            codes = np.empty((len(m), PQ_M), dtype=np.int64)
+            for j in range(PQ_M):
+                x = m[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (x ** 2).sum(1)[:, None]
+                    - 2.0 * (x @ books[j].T)
+                    + (books[j] ** 2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            out_q, out_n = [], []
+            for qi in range(len(qids)):
+                live = np.isin(home, qcells[qi]) & ~zero & (ids != qids[qi])
+                idx = np.nonzero(live)[0]
+                if len(idx) == 0:
+                    continue
+                approx = lut[qi][marange, codes[idx]].sum(1) / nrm[idx]
+                k = min(PQ_SHORTLIST, len(idx))
+                top = idx[np.argpartition(-approx, k - 1)[:k]]
+                out_q.append(np.full(len(top), qids[qi]))
+                out_n.append(ids[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nn_id": np.concatenate(out_n),
+                    }
+                )
+
+    cand = (
+        t.embeddings.select("vec_id", "embedding")
+        .mapInPandas(scan, "qid long, nn_id long")
+        .dropDuplicates(["qid", "nn_id"])
+    )
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cos").desc(), "nn_id")
+    )
+    return (
+        _rerank_cos(t.embeddings, cand)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "rk",
+            "nn_id",
+            F.col("cos").alias("cos_sim"),
+        )
+        .orderBy("vec_id", "rk")
+    )
+
+
 #: distributed k-means geometry: cluster count and Lloyd iterations
 KMEANS_K = 8
 KMEANS_ITERS = 5

@@ -435,6 +435,30 @@ def test_ann_pq_topk_recall(q):
     assert mean_recall >= 0.8, f"ann_pq_topk recall@K {mean_recall:.2f} < 0.8"
 
 
+def test_ann_ivfpq_topk_recall(q):
+    """IVF+PQ composite: cell pruning (only nprobe of IVF_CELLS cells are
+    scored per query) stacked on ADC scoring must still hold most of the
+    exact top-K — the loss budget is pruning ∪ shortlist truncation, both
+    absorbed before the exact rerank (observed 0.89 at sf0.01; the floor
+    leaves sample slack). Every query must be answered: with nprobe=8 of
+    16 cells, an empty candidate set would mean the cell assignment or
+    the probe mask is broken, not that the data is sparse."""
+    exact: dict[int, set[int]] = {}
+    for r in q("q43b_cosine_topk"):
+        exact.setdefault(r.vec_id, set()).add(r.nn_id)
+    approx: dict[int, set[int]] = {}
+    for r in q("ann_ivfpq_topk"):
+        approx.setdefault(r.vec_id, set()).add(r.nn_id)
+    assert set(approx) == set(exact), "some queries got no answer"
+    recalls = [
+        len(exact[v] & approx.get(v, set())) / len(exact[v]) for v in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.75, (
+        f"ann_ivfpq_topk recall@K {mean_recall:.2f} < 0.75"
+    )
+
+
 def test_minhash_keep_superset_of_exact_and_recall(q):
     """dedup_minhash_keep soundness shape: exact-Jaccard verification of
     LSH candidates makes removals SOUND (every removed doc is a true
