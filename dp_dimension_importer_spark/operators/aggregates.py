@@ -794,3 +794,166 @@ def agg_approx_top_k(spark, sf_dir):
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("n"))
         .orderBy("item")
     )
+
+
+#: hierarchical MV cascade: day is the BASE level; week and month BOTH
+#: roll up from day — never month-from-week, because ISO weeks straddle
+#: month boundaries (the classic continuous-aggregate trap: a week's
+#: merged state is not decomposable back into its per-month shares)
+_CASCADE_UNITS = ("week", "month")
+
+
+def _coarse_bucket(col: str, unit: str):
+    """yyyy-MM-dd string of ``col``'s containing ``unit`` start (weeks are
+    ISO/Monday-start in both Spark and DuckDB)."""
+    return F.date_format(
+        F.date_trunc(unit, F.to_timestamp(F.col(col))), "yyyy-MM-dd"
+    )
+
+
+def _event_bucket_partial(df, unit: str):
+    """Mergeable per-(bucket, event_type) state of the events rollup at
+    ``unit`` granularity — column prefixes carry the merge rule
+    (:func:`merge_agg_state`'s contract)."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return df.groupBy(
+        F.date_format(F.date_trunc(unit, "ts"), "yyyy-MM-dd").alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("cnt_rows"),
+        F.sum(cents).alias("sum_cents"),
+        F.max(cents).alias("max_cents"),
+    )
+
+
+def _roll_up_state(day_state, unit: str):
+    """Re-aggregate day-level mergeable state into coarser buckets — the
+    cascade step: the BASE TABLE is never read here, only |days|·|types|
+    state rows."""
+    return day_state.groupBy(
+        _coarse_bucket("bucket", unit).alias("bucket"), "event_type"
+    ).agg(
+        F.sum("cnt_rows").alias("cnt_rows"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.max("max_cents").alias("max_cents"),
+    )
+
+
+def rollup_cascade_refresh(spark, hist, delta, root: str) -> dict:
+    """Public core (engine facade): maintain a day→{week, month} MV
+    CASCADE through the snapshot layer, hypertable
+    continuous-aggregate style.
+
+    Build phase (v1 of each table): day state from ``hist``, week and
+    month states rolled up FROM THE DAY MV — the base is scanned once
+    per version, ever. Refresh phase: the DELTA alone is scanned once at
+    day grain; the day MV merges it (:func:`merge_agg_state`); then each
+    coarse level replaces ONLY its buckets the delta's days fall into —
+    recomputed from the refreshed day MV, spliced in with a broadcast
+    anti-join against the touched-bucket list. At 100 TB the refresh
+    cost is O(delta) + O(|touched days|·|types|) state rows, independent
+    of history length; untouched coarse rows carry VERBATIM (pinned
+    byte-for-byte by tests/test_dq_mv_prefix.py).
+
+    Returns ``{"day": path, "week": path, "month": path}``; every level
+    is a snapshot table, so v1 (pre-refresh) stays time-travelable."""
+    import os
+
+    from dp_dimension_importer_spark import storage
+
+    keys = ["bucket", "event_type"]
+    paths = {u: os.path.join(root, u) for u in ("day",) + _CASCADE_UNITS}
+    storage.write_snapshot(
+        spark, _event_bucket_partial(hist, "day"), paths["day"]
+    )
+    day_mv = storage.read_snapshot(spark, paths["day"])
+    for u in _CASCADE_UNITS:
+        storage.write_snapshot(spark, _roll_up_state(day_mv, u), paths[u])
+    # ---- refresh: one pass over the delta, day grain ----
+    dd = _event_bucket_partial(delta, "day")
+    storage.write_snapshot(
+        spark,
+        merge_agg_state(storage.read_snapshot(spark, paths["day"]), dd, keys),
+        paths["day"],
+    )
+    day_mv = storage.read_snapshot(spark, paths["day"])
+    for u in _CASCADE_UNITS:
+        touched = dd.select(_coarse_bucket("bucket", u).alias("_cb")).distinct()
+        recomputed = _roll_up_state(
+            day_mv.withColumn("_cb", _coarse_bucket("bucket", u))
+            .join(F.broadcast(touched), "_cb")
+            .drop("_cb"),
+            u,
+        )
+        kept = storage.read_snapshot(spark, paths[u]).join(
+            F.broadcast(touched.withColumnRenamed("_cb", "bucket")),
+            "bucket",
+            "left_anti",
+        )
+        storage.write_snapshot(spark, kept.unionByName(recomputed), paths[u])
+    return paths
+
+
+@register(
+    "mv_rollup_cascade",
+    sql="""
+    WITH c AS (
+        SELECT ts, event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ), lv AS (
+        SELECT 1 AS level, strftime(date_trunc('day', ts), '%Y-%m-%d')
+                   AS bucket, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               MAX(cents) AS max_cents
+        FROM c GROUP BY 2, 3
+        UNION ALL
+        SELECT 2, strftime(date_trunc('week', ts), '%Y-%m-%d'), event_type,
+               COUNT(*), CAST(SUM(cents) AS BIGINT), MAX(cents)
+        FROM c GROUP BY 2, 3
+        UNION ALL
+        SELECT 3, strftime(date_trunc('month', ts), '%Y-%m-%d'), event_type,
+               COUNT(*), CAST(SUM(cents) AS BIGINT), MAX(cents)
+        FROM c GROUP BY 2, 3
+    )
+    SELECT * FROM lv ORDER BY level, bucket, event_type
+    """,
+)
+def mv_rollup_cascade(spark, sf_dir):
+    """Hierarchical rollup maintenance (:func:`rollup_cascade_refresh`):
+    day/week/month MVs built from history (ts < 2024-01-22), then
+    refreshed from the remaining delta — the delta is scanned ONCE at day
+    grain, the coarse levels are repaired from the day MV alone, and only
+    the coarse buckets the delta touches are recomputed. The oracle is
+    the one-shot three-level GROUP BY over the full table, so a green row
+    pins incremental == recompute at every level of the cascade."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("ts", "event_type", "value")
+    cut = F.col("ts") >= F.lit("2024-01-22 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="mv_cascade_")
+    try:
+        paths = rollup_cascade_refresh(
+            spark, ev.filter(~cut), ev.filter(cut), root
+        )
+        out = None
+        for lvl, u in ((1, "day"), (2, "week"), (3, "month")):
+            part = storage.read_snapshot(spark, paths[u]).withColumn(
+                "level", F.lit(lvl)
+            )
+            out = part if out is None else out.unionByName(part)
+        return (
+            out.select(
+                "level", "bucket", "event_type",
+                F.col("cnt_rows").alias("n"), "sum_cents", "max_cents",
+            )
+            .orderBy("level", "bucket", "event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -925,3 +925,74 @@ class TestDeletionVectors:
         rp3 = storage.purge_deletion_vectors(spark, path)
         assert rp3["files_purged"] == 0
         assert rp3["version"] == rp2["version"]
+
+
+def test_rollup_cascade_splices_only_touched_buckets(spark, tmp_path):
+    """The cascade refresh's structural claims, which oracle parity can't
+    see: every level is a 2-version snapshot table; untouched coarse
+    buckets carry VERBATIM from v1 (the splice anti-join really kept
+    them); touched buckets equal a from-scratch recompute; and the day MV
+    equals the one-shot day aggregation of the full data."""
+    import datetime as dt
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.operators.aggregates import (
+        _event_bucket_partial,
+        rollup_cascade_refresh,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(dt.datetime(2024, m, d, h), t, float(v))
+             for (m, d, h, t, v) in rows],
+            "ts timestamp, event_type string, value double",
+        )
+
+    # hist: ISO weeks of Jan 1 / Jan 8 / Jan 15, plus one February week
+    hist = mk([
+        (1, 2, 10, "click", 1.0), (1, 3, 11, "view", 2.0),   # wk 01-01
+        (1, 9, 10, "click", 3.0), (1, 10, 9, "view", 4.0),   # wk 01-08
+        (1, 16, 8, "click", 5.0),                             # wk 01-15
+        (2, 6, 12, "view", 6.0), (2, 7, 13, "click", 7.0),   # wk 02-05
+    ])
+    # delta: entirely inside the week of Jan 15 (and month of Jan)
+    delta = mk([(1, 17, 9, "click", 8.0), (1, 18, 10, "view", 9.0)])
+
+    paths = rollup_cascade_refresh(spark, hist, delta, str(tmp_path / "mv"))
+
+    def rows_of(path, version=None):
+        return {
+            (r.bucket, r.event_type): (r.cnt_rows, r.sum_cents, r.max_cents)
+            for r in storage.read_snapshot(spark, path, version).collect()
+        }
+
+    for u in ("day", "week", "month"):
+        assert storage.snapshot_versions(paths[u]) == [1, 2]
+
+    # day MV == one-shot recompute over hist+delta
+    full = hist.unionByName(delta)
+    expect_day = {
+        (r.bucket, r.event_type): (r.cnt_rows, r.sum_cents, r.max_cents)
+        for r in _event_bucket_partial(full, "day").collect()
+    }
+    assert rows_of(paths["day"]) == expect_day
+
+    # week level: untouched buckets verbatim, touched == recompute
+    w1, w2 = rows_of(paths["week"], 1), rows_of(paths["week"])
+    untouched = {k for k in w2 if k[0] != "2024-01-15"}
+    assert untouched and all(w2[k] == w1[k] for k in untouched)
+    expect_week = {
+        (r.bucket, r.event_type): (r.cnt_rows, r.sum_cents, r.max_cents)
+        for r in _event_bucket_partial(full, "week").collect()
+    }
+    assert w2 == expect_week
+    assert w2[("2024-01-15", "click")] != w1[("2024-01-15", "click")]
+
+    # month level: February verbatim, January recomputed
+    m1, m2 = rows_of(paths["month"], 1), rows_of(paths["month"])
+    assert m2[("2024-02-01", "view")] == m1[("2024-02-01", "view")]
+    expect_month = {
+        (r.bucket, r.event_type): (r.cnt_rows, r.sum_cents, r.max_cents)
+        for r in _event_bucket_partial(full, "month").collect()
+    }
+    assert m2 == expect_month
