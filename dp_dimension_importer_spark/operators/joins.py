@@ -657,3 +657,99 @@ def join_skew_aqe(spark, sf_dir):
     already-computed local result."""
     rows, schema, _ = run_aqe_skew_join(spark, sf_dir)
     return spark.createDataFrame(rows, schema)
+
+
+#: runtime bloom-filter injection confs, applied around one run and
+#: restored. Only the APPLICATION-side size gate moves: it defaults to
+#: 10GB — sized for clusters, where filtering a scan that small isn't
+#: worth the build — so at fixture scale nothing would ever qualify. The
+#: creation-side gates (10MB build cap, must-carry-a-selective-filter)
+#: stay at their defaults: the demonstration earns injection the same
+#: way a production query does.
+_BLOOM_RF_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    # keep the join shuffled: under a broadcast join the rule (rightly)
+    # declines — the dim ships whole anyway, there is no shuffle of the
+    # fact side for the filter to shrink
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def run_bloom_runtime_join(spark, sf_dir):
+    """Execute the selective-dim⋈fact join under runtime bloom-filter
+    injection and return ``(rows, schema, executed_plan_text)``.
+
+    Spark's InjectRuntimeFilter is the engine-native form of what
+    q68/read_bloom_pruned hand-build at the storage layer: when one join
+    side carries a selective filter, the optimizer plants a
+    ``bloom_filter_agg`` subquery on it and rewrites the OTHER side's
+    scan with ``might_contain(xxhash64(key))`` — fact rows that cannot
+    match die at the scan, BEFORE the shuffle, which at 100 TB is the
+    difference between shuffling the whole fact table and shuffling the
+    ~20% that can survive. The filter build is itself distributed
+    (partial_bloom_filter_agg per partition, merged once).
+
+    Results are filter-independent (a bloom filter has no false
+    negatives; false positives are re-checked by the join), hence the
+    exact oracle. The plan audit pins ``might_contain`` on the fact scan
+    and the ``bloom_filter_agg`` build — see tests/test_plans.py."""
+    t = load_tables(spark, sf_dir)
+    od = t.orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = t.lineitem.select("l_orderkey", "l_extendedprice")
+    out = (
+        li.join(od.hint("merge"), li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                .cast("long")
+            ).cast("long").alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_RF_CONFS}
+    try:
+        for k, v in _BLOOM_RF_CONFS.items():
+            spark.conf.set(k, v)
+        rows = out.collect()
+        from dp_dimension_importer_spark.planaudit import plan_text
+
+        plan = plan_text(out, "formatted")
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return rows, out.schema, plan
+
+
+@register(
+    "join_bloom_runtime",
+    sql="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_bloom_runtime(spark, sf_dir):
+    """Engine-native runtime bloom-filter join (see
+    :func:`run_bloom_runtime_join`) — the third member of the pre-shuffle
+    row-killing family: q68 prunes FILES via stored sidecars,
+    dedup_bloom_* prune against a PERSISTED corpus filter, and this one
+    lets the OPTIMIZER build a transient filter from the query's own
+    selective side. Materialized inside the conf scope (the zeroed
+    app-side gate must not leak), so the returned frame is the computed
+    local result."""
+    rows, schema, _ = run_bloom_runtime_join(spark, sf_dir)
+    return spark.createDataFrame(rows, schema)

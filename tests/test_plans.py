@@ -1548,3 +1548,40 @@ def test_aqe_skew_join_splits_hot_partitions(spark):
         .collect()
     )
     assert [tuple(r) for r in rows] == [tuple(r) for r in plain]
+
+
+def test_runtime_bloom_filter_join_injects_might_contain(spark):
+    """The optimizer-planted runtime bloom filter actually fires: the
+    executed plan must carry might_contain on the fact scan and the
+    distributed bloom_filter_agg build on the selective dim; confs are
+    restored afterwards and the filtered result equals the plain join
+    (no false negatives by construction)."""
+    from dp_dimension_importer_spark.operators.joins import (
+        _BLOOM_RF_CONFS,
+        run_bloom_runtime_join,
+    )
+
+    before = {k: spark.conf.get(k, None) for k in _BLOOM_RF_CONFS}
+    rows, schema, plan = run_bloom_runtime_join(spark, SF_SMOKE)
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    after = {k: spark.conf.get(k, None) for k in _BLOOM_RF_CONFS}
+    assert before == after, "bloom-filter confs leaked out of the run scope"
+    t = load_tables(spark, SF_SMOKE)
+    plain = (
+        t.lineitem.join(
+            t.orders.filter(F.col("o_totalprice") > 400000),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                .cast("long")
+            ).cast("long").alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in plain]
