@@ -45,6 +45,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q51c_stateful_session_timeout",
     "q79_stream_snapshot_append",
     "q51d_stream_ewma",
+    "q64c_python_datasource_stream",
 }
 
 

@@ -673,3 +673,200 @@ def q75_pandas_api(spark, sf_dir):
         .select("o_custkey", F.col("n").cast("long").alias("n"), "sum_cents")
         .orderBy("o_custkey")
     )
+
+
+def make_range_feed_source():
+    """Factory for the ``range_feed`` STREAMING Python DataSource (Spark
+    4's ``DataSourceStreamReader`` — the connector seam's third leg after
+    q64's batch reader and q64b's writer): a deterministic external feed
+    whose poll cursor lives in a sidecar file (the stand-in for the
+    external system's own position — a queue head, a log LSN), so
+    admission control and restarts behave like a real source:
+
+    * ``latestOffset()`` (driver, once per trigger) advances the cursor
+      by at most ``step`` rows — bounded-batch admission control;
+    * ``partitions(start, end)`` splits the admitted range into
+      independent InputPartitions; ``read()`` runs on EXECUTORS
+      (classes live in this factory so cloudpickle ships them by value);
+    * ``commit(end)`` (driver, after the batch is durable) appends to a
+      commit log the tests inspect;
+    * a RESTART from the checkpoint re-reads the cursor file — already
+      drained means start == latest, no batch, no duplicates.
+
+    Rows are the same hash sequence q64 pins (``id * 2654435761 %
+    1000003``), so everything downstream is DuckDB-recomputable."""
+    import json
+    import os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _Part(InputPartition):
+        def __init__(self, start, end):
+            self.start, self.end = start, end
+
+    class _Reader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.total = int(options.get("total", "10000"))
+            self.step = int(options.get("step", "4000"))
+            self.nparts = int(options.get("parts", "4"))
+            self.state_dir = options["state_dir"]
+
+        def _cursor_path(self):
+            return os.path.join(self.state_dir, "cursor.json")
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def latestOffset(self):
+            cur = 0
+            try:
+                with open(self._cursor_path()) as f:
+                    cur = json.load(f)["pos"]
+            except FileNotFoundError:
+                pass
+            cur = min(cur + self.step, self.total)
+            os.makedirs(self.state_dir, exist_ok=True)
+            with open(self._cursor_path(), "w") as f:
+                json.dump({"pos": cur}, f)
+            return {"pos": cur}
+
+        def partitions(self, start, end):
+            s, e = start["pos"], end["pos"]
+            n = max(1, self.nparts)
+            w = max(1, (e - s + n - 1) // n)
+            return [_Part(a, min(a + w, e)) for a in range(s, e, w)]
+
+        def read(self, part):
+            for i in range(part.start, part.end):
+                yield (i, (i * 2654435761) % 1000003)
+
+        def commit(self, end):
+            with open(os.path.join(self.state_dir, "commits.log"), "a") as f:
+                f.write(json.dumps(end) + "\n")
+
+    class RangeFeed(DataSource):
+        @classmethod
+        def name(cls):
+            return "range_feed"
+
+        def schema(self):
+            return "id long, val long"
+
+        def streamReader(self, schema):
+            return _Reader(self.options)
+
+    return RangeFeed
+
+
+@register(
+    "q64c_python_datasource_stream",
+    sql="""
+    WITH g AS (
+        SELECT UNNEST(generate_series(0, 9999)) AS id
+    ), r AS (
+        SELECT CAST(id // 4000 AS BIGINT) AS batch,
+               (id % 8) AS bucket,
+               (id * 2654435761) % 1000003 AS val
+        FROM g
+    )
+    SELECT batch, bucket, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS sval
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q64c_python_datasource_stream(spark, sf_dir):
+    """The connector surface's STREAMING read path end-to-end
+    (:func:`make_range_feed_source`): drive the custom source with a
+    processing-time trigger until its bounded feed drains (10 000 rows
+    admitted 4 000 per trigger → batches 0/1/2), each micro-batch
+    appended to parquet with its batch id, then RESTART from the same
+    checkpoint and assert the re-run admits nothing (the cursor file +
+    checkpointed offsets make redelivery impossible). The source commit
+    log must read exactly [4000, 8000]: ``commit(N)`` fires when batch
+    N+1 is CONSTRUCTED — the same one-batch lag a Kafka consumer's
+    committed group offsets show — so the final batch's durability line
+    is the checkpoint's own commit file (waited on before stopping; the
+    no-redelivery restart is the proof it held). The oracle recomputes
+    batch membership arithmetically (batch = id // step), so a green row
+    pins admission-control arithmetic, partition planning, executor-side
+    reads, and exactly-once restart in one pass."""
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    root = tempfile.mkdtemp(prefix="pyds_stream_")
+    state_dir = os.path.join(root, "feed_state")
+    out_dir = os.path.join(root, "out")
+    ck = os.path.join(root, "ck")
+    try:
+        spark.dataSource.register(make_range_feed_source())
+    except Exception:
+        pass  # name is stable; already registered in this session
+    try:
+        seen = []
+
+        def sink(bdf, bid):
+            (bdf.withColumn("batch", F.lit(bid))
+             .write.mode("append").parquet(out_dir))
+            seen.append(bdf.count())
+
+        def reader():
+            return (
+                spark.readStream.format("range_feed")
+                .option("total", "10000")
+                .option("step", "4000")
+                .option("parts", "4")
+                .option("state_dir", state_dir)
+                .load()
+            )
+
+        def committed():
+            try:
+                with open(os.path.join(state_dir, "commits.log")) as f:
+                    return [json.loads(l)["pos"] for l in f if l.strip()]
+            except FileNotFoundError:
+                return []
+
+        q = (reader().writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(processingTime="0 seconds").start())
+        # drain-then-stop on the CHECKPOINT's commit file for the final
+        # batch, not the sink counter: stopping between foreachBatch and
+        # the checkpoint commit leaves batch 2 replayable, and the
+        # restart below would then legitimately redeliver it
+        deadline = time.time() + 120
+        last_commit = os.path.join(ck, "commits", "2")
+        while not os.path.exists(last_commit) and time.time() < deadline:
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+        assert sum(seen) == 10000, f"feed did not drain: {seen}"
+        # restart from the checkpoint: drained feed admits NOTHING
+        n_before = len(glob.glob(os.path.join(out_dir, "*.parquet")))
+        q2 = (reader().writeStream.foreachBatch(sink)
+              .option("checkpointLocation", ck)
+              .trigger(availableNow=True).start())
+        q2.awaitTermination(120)
+        assert sum(seen) == 10000, "restart redelivered rows"
+        assert len(glob.glob(os.path.join(out_dir, "*.parquet"))) == n_before
+        # one-batch commit lag (see docstring); the checkpoint commit
+        # file waited on above is batch 2's durability record
+        assert committed() == [4000, 8000], committed()
+        return (
+            spark.read.parquet(out_dir)
+            .groupBy("batch", (F.col("id") % 8).alias("bucket"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("val").cast("long").alias("sval"),
+            )
+            .orderBy("batch", "bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
