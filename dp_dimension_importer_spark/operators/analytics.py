@@ -1726,3 +1726,95 @@ def sample_weighted(spark, sf_dir):
         .select("lang", "rk", "doc_id", "n_chars")
         .orderBy("lang", "rk")
     )
+
+
+#: path analysis keeps at most this many leading events per session — at
+#: 100 TB an uncapped per-session string is a bot-user OOM (one scraper
+#: session = millions of events); 20 steps is where product path reports
+#: stop being readable anyway
+PATH_MAX_EVENTS = 20
+
+
+@register(
+    "events_path_topk",
+    sql=f"""
+    WITH m AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+    ), g AS (
+        SELECT user_id, event_id, event_type, ms,
+               CASE WHEN LAG(ms) OVER w IS NULL
+                         OR ms - LAG(ms) OVER w > {SESSION_GAP_MS}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM m
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ), s AS (
+        SELECT user_id, event_id, event_type, ms,
+               CAST(SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ms, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+        FROM g
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id, session_n
+                   ORDER BY ms, event_id) AS rn
+        FROM s
+    ), p AS (
+        SELECT user_id, session_n,
+               string_agg(event_type, '->' ORDER BY ms, event_id) AS path
+        FROM r WHERE rn <= {PATH_MAX_EVENTS}
+        GROUP BY user_id, session_n
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def events_path_topk(spark, sf_dir):
+    """Top-K session PATHS — the product-analytics path report that sits
+    between :func:`events_transitions` (single hops) and
+    :func:`events_funnel` (one fixed path): sessionize with the standard
+    30-minute gap (the same integer-millisecond boundaries
+    events_sessionize oracles), concatenate each session's first
+    PATH_MAX_EVENTS event types in time order, and count sessions per
+    exact path.
+
+    Scale shape: one user_id exchange for the shared lag/running-sum
+    window pair, per-session ordering via ``array_sort`` over collected
+    (ms, event_id, type) structs — bounded by the slice cap, never by a
+    bot session's true length — then a hash-agg on the path string and a
+    TakeOrdered top-10 (no global sort materializes). Ties at the cut
+    break lexicographically on both engines, so the LIMIT is
+    deterministic and fully oracled."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ms", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ev = t.events.select(
+        "user_id", "event_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+    gap = F.col("ms") - F.lag("ms").over(w)
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_MS), 1).otherwise(0)
+    sess = ev.withColumn("new_s", new_s).select(
+        "user_id", "ms", "event_id", "event_type",
+        F.sum("new_s").over(run).cast("long").alias("session_n"),
+    )
+    paths = sess.groupBy("user_id", "session_n").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ms", "event_id", "event_type"))
+                    ),
+                    1,
+                    PATH_MAX_EVENTS,
+                ),
+                lambda s: s["event_type"],
+            ),
+            "->",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
