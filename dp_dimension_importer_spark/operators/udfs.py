@@ -870,3 +870,110 @@ def q64c_python_datasource_stream(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def make_json_fields_udtf():
+    """Factory for the POLYMORPHIC ``extract_json_fields(js, spec)`` UDTF
+    (Spark 4 ``analyze()`` API — the half of the UDTF surface q59's
+    fixed-schema splitter doesn't touch): the output schema is COMPUTED
+    AT PLAN TIME from the constant ``spec`` literal ('name:type,…'), so
+    one registered function serves any extraction shape and the planner
+    sees real typed columns (prunable, foldable) instead of a generic
+    map. ``analyze`` runs on the driver during analysis — a malformed
+    spec fails the QUERY PLAN, not some task at runtime three hours in.
+
+    Classes live in the factory so cloudpickle ships them by value."""
+    import json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    _TYPES = {
+        "int": T.LongType(),
+        "string": T.StringType(),
+        "double": T.DoubleType(),
+    }
+
+    def _parse_spec(spec: str):
+        out = []
+        for part in spec.split(","):
+            name, _, typ = part.partition(":")
+            name, typ = name.strip(), typ.strip()
+            if not name or typ not in _TYPES:
+                raise ValueError(
+                    f"bad field spec {part!r} (want 'name:int|string|double')"
+                )
+            out.append((name, typ))
+        return out
+
+    class JsonFields:
+        @staticmethod
+        def analyze(js: AnalyzeArgument, spec: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(spec.value, str):
+                raise ValueError(
+                    "extract_json_fields: spec must be a string LITERAL "
+                    "(the output schema is computed from it at plan time)"
+                )
+            return AnalyzeResult(
+                T.StructType(
+                    [T.StructField(n, _TYPES[t]) for n, t in _parse_spec(spec.value)]
+                )
+            )
+
+        def eval(self, js, spec):
+            fields = _parse_spec(spec)
+            try:
+                obj = json.loads(js) if js is not None else {}
+            except ValueError:
+                obj = {}
+            if not isinstance(obj, dict):
+                obj = {}
+            row = []
+            for name, typ in fields:
+                v = obj.get(name)
+                if v is None:
+                    row.append(None)
+                elif typ == "int":
+                    row.append(int(v))
+                elif typ == "double":
+                    row.append(float(v))
+                else:
+                    row.append(str(v))
+            yield tuple(row)
+
+    return udtf(JsonFields)
+
+
+@register(
+    "q59b_udtf_polymorphic",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q59b_udtf_polymorphic(spark, sf_dir):
+    """Polymorphic UDTF end-to-end (:func:`make_json_fields_udtf`):
+    ``extract_json_fields(props, 'k:int')`` LATERAL-joined against
+    events, the plan-time-computed ``k`` column aggregated as an
+    ordinary typed column. The oracle extracts the same field with
+    DuckDB's JSON operators, so a green row pins the analyze-time schema,
+    per-row extraction, and type mapping together. (Per-row Python is
+    the UDTF contract; like q59 this is the API-shape pin — bulk JSON
+    goes through from_json/variant, q37's family.)"""
+    t = load_tables(spark, sf_dir)
+    spark.udtf.register("extract_json_fields", make_json_fields_udtf())
+    t.events.createOrReplaceTempView("v_events_udtf")
+    return spark.sql(
+        """
+        SELECT e.event_type,
+               COUNT(*)  AS n,
+               SUM(j.k)  AS sum_k,
+               MAX(j.k)  AS max_k
+        FROM v_events_udtf e,
+             LATERAL extract_json_fields(e.props, 'k:int') j
+        GROUP BY e.event_type ORDER BY e.event_type
+        """
+    )

@@ -310,3 +310,40 @@ def test_q51b_registered_iff_protobuf_available():
     )
 
     assert ("q51b_transform_with_state" in QUERIES) == _has_protobuf()
+
+
+def test_polymorphic_udtf_schema_from_spec(spark):
+    """The analyze() contract: the OUTPUT SCHEMA follows the spec literal
+    (one registered function, many shapes), and a malformed spec fails at
+    ANALYSIS time — before any task runs."""
+    import pytest
+
+    from dp_dimension_importer_spark.operators.udfs import (
+        make_json_fields_udtf,
+    )
+
+    spark.udtf.register("xjf_test", make_json_fields_udtf())
+    one = spark.sql(
+        """SELECT * FROM xjf_test('{"k": 7}', 'k:int')"""
+    )
+    assert [(f.name, f.dataType.simpleString()) for f in one.schema.fields] \
+        == [("k", "bigint")]
+    assert one.collect()[0].k == 7
+    two = spark.sql(
+        """SELECT * FROM xjf_test(
+               '{"k": 7, "tag": "x", "w": 1.5}', 'tag:string,w:double'
+           )"""
+    )
+    assert [(f.name, f.dataType.simpleString()) for f in two.schema.fields] \
+        == [("tag", "string"), ("w", "double")]
+    assert tuple(two.collect()[0]) == ("x", 1.5)
+    # absent field -> typed NULL; broken JSON -> all-NULL row (not an error)
+    assert spark.sql(
+        """SELECT * FROM xjf_test('{"other": 1}', 'k:int')"""
+    ).collect()[0].k is None
+    assert spark.sql(
+        "SELECT * FROM xjf_test('not json', 'k:int')"
+    ).collect()[0].k is None
+    # malformed spec dies at plan time
+    with pytest.raises(Exception, match="bad field spec|AnalyzeException"):
+        spark.sql("SELECT * FROM xjf_test('{}', 'k:bogus')").collect()
