@@ -680,3 +680,108 @@ def q78c_dv_purge(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q86_upsert_mor",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS tp,
+               0 AS ci, CAST(0 AS BIGINT) AS seq
+        FROM orders
+    ), da AS (
+        SELECT k, pri, tp + 1000, 1, CAST(1 AS BIGINT)
+        FROM base WHERE k % 10 = 3
+    ), db AS (
+        SELECT k, pri, tp + 5000, 2, CAST(2 AS BIGINT)
+        FROM base WHERE k % 20 = 3
+        UNION ALL
+        SELECT k + 10000000, pri, tp, 2, CAST(2 AS BIGINT)
+        FROM base WHERE k % 1000 = 7
+    ), u AS (
+        SELECT * FROM base UNION ALL SELECT * FROM da
+        UNION ALL SELECT * FROM db
+    ), r AS (
+        SELECT k, pri, tp,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY ci DESC, seq DESC) AS rn
+        FROM u
+    ), w AS (
+        SELECT pri, tp FROM r WHERE rn = 1
+    ), ph AS (
+        SELECT 1 AS phase, pri, tp FROM w
+        UNION ALL SELECT 2, pri, tp FROM w
+    )
+    SELECT phase, pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM ph GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q86_upsert_mor(spark, sf_dir):
+    """MERGE-ON-READ upserts end-to-end
+    (:func:`storage.upsert_delta_snapshot` /
+    :func:`storage.compact_mor` — the UPDATE-side twin of q78b's
+    deletion vectors): commit orders as the base, land two delta commits
+    (updates touching ~10% of keys, the second OVERLAPPING the first
+    plus genuine inserts — latest commit must win per key), read the
+    resolved table (phase 1), MAJOR-COMPACT the chain into clean files,
+    and read again (phase 2). Structural asserts inside: the two delta
+    commits touch ZERO base files (file lists byte-identical across
+    v1–v3), compaction drops the chain from the manifest. The oracle
+    replays latest-wins logically and duplicates the world for both
+    phases, so a green row pins delta ordering, overlap resolution,
+    inserts, and compaction's resolve-once equivalence."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    da = base.filter(F.col("k") % 10 == 3).withColumn(
+        "tp", F.col("tp") + 1000
+    ).withColumn("seq", F.lit(1).cast("long"))
+    db = base.filter(F.col("k") % 20 == 3).withColumn(
+        "tp", F.col("tp") + 5000
+    ).withColumn("seq", F.lit(2).cast("long")).unionByName(
+        base.filter(F.col("k") % 1000 == 7)
+        .withColumn("k", F.col("k") + 10000000)
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    path = tempfile.mkdtemp(prefix="snapshot_mor_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, base, path)
+        v2 = storage.upsert_delta_snapshot(spark, path, da, ["k"], "seq")
+        v3 = storage.upsert_delta_snapshot(spark, path, db, ["k"], "seq")
+        mdir = os.path.join(path, "_manifests")
+        lists = []
+        for v in (1, v2, v3):
+            with open(os.path.join(mdir, f"v{v}.json")) as f:
+                lists.append(json.load(f)["files"])
+        assert lists[0] == lists[1] == lists[2], "delta commit touched base"
+        pre = storage.read_snapshot(spark, path)
+        v4 = storage.compact_mor(spark, path)
+        with open(os.path.join(mdir, f"v{v4}.json")) as f:
+            assert "mor" not in json.load(f), "compaction kept the chain"
+        post = storage.read_snapshot(spark, path)
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        u = pre.withColumn("phase", F.lit(1)).unionByName(
+            post.withColumn("phase", F.lit(2))
+        )
+        return (
+            u.groupBy("phase", "pri")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("phase", "pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -342,6 +342,10 @@ def compact_small_files_snapshot(
     manifest = {"files": kept + new_files, "schema": man["schema"]}
     if dv_map:  # every DV-carrying file is in kept (excluded from small)
         manifest["dv"] = dv_map
+    if "mor" in man:
+        # base-file compaction is resolution-neutral (deltas live in the
+        # mor chain, never in "files") — carry the chain verbatim
+        manifest["mor"] = man["mor"]
     if "txn" in man:
         manifest["txn"] = man["txn"]
     if "stats" in man:
@@ -679,6 +683,15 @@ def write_snapshot(
                 )
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown snapshot write mode {mode!r}")
+    if mode == "append" and prev.get("mor"):
+        # a raw append would outrank nothing and dodge resolution — on a
+        # MOR table new rows go through upsert_delta_snapshot (or
+        # compact_mor first); silently dropping the delta chain here
+        # would be data loss
+        raise ValueError(
+            "append into a MOR table: use upsert_delta_snapshot, or "
+            "compact_mor before appending"
+        )
 
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
@@ -762,6 +775,11 @@ def read_snapshot(
         )
     with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
         manifest = json.load(f)
+    if manifest.get("mor"):
+        # merge-on-read upserts: latest-wins resolution of the delta
+        # chain (see upsert_delta_snapshot); versions without deltas
+        # pay nothing
+        return _resolve_mor(spark, path, manifest)
     dv_map = manifest.get("dv") or {}
     if not dv_map:
         return spark.read.parquet(
@@ -1016,6 +1034,14 @@ def delete_where_snapshot(
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
+    if man.get("mor"):
+        # both delete paths probe base FILES; on a MOR table a base row
+        # may already be superseded by a delta (probe finds it) or a
+        # doomed row may live only in a delta (probe misses it) — fold
+        # the chain first so file-level deletes see the true rows
+        raise ValueError(
+            "DELETE on a MOR table: run compact_mor first"
+        )
     dv_map = man.get("dv") or {}
     probe_rels = list(man["files"])
     if prune is not None:
@@ -1288,6 +1314,158 @@ def purge_deletion_vectors(
     }
 
 
+# ---------------------------------------------------------------------------
+# Merge-on-read UPSERTS — delta files + latest-wins resolution (the
+# Hudi-MOR / Paimon-LSM idea on this layer's manifests; the UPDATE-side
+# twin of deletion vectors: DVs make deletes O(matched), these make
+# upserts O(changes))
+# ---------------------------------------------------------------------------
+
+
+def upsert_delta_snapshot(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    compression: str = PARQUET_CODEC,
+) -> int:
+    """MERGE-ON-READ upsert: ``changes`` lands as DELTA FILES — no base
+    file is read, let alone rewritten, so the write costs O(changes)
+    regardless of table size (vs :func:`merge_upsert_snapshot`'s
+    copy-on-write full resolve). The manifest accumulates the delta
+    chain in commit order; every snapshot reader resolves LATEST-WINS
+    per key at read time (newer delta commit beats older beats base;
+    ``seq_col`` breaks ties within one commit — the caller contract is
+    (key, seq) unique per commit, the same contract CDC feeds satisfy).
+    :func:`compact_mor` is the major compaction that folds the chain
+    back into clean base files when the read tax outgrows it.
+
+    Key/seq columns are fixed by the first delta commit; DV tables must
+    purge before switching to MOR (one read-path merge mechanism at a
+    time — stacking them would make every read reason about both).
+    Returns the new version; prior versions stay readable with exactly
+    the delta prefix they committed."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
+        man = json.load(f)
+    if man.get("dv"):
+        raise ValueError(
+            "MOR deltas and deletion vectors cannot mix — "
+            "purge_deletion_vectors first"
+        )
+    new_schema = {f.name: f.dataType.simpleString() for f in changes.schema}
+    if new_schema != man["schema"]:
+        raise ValueError(
+            "delta upsert requires exactly the committed schema "
+            f"(table {sorted(man['schema'])}, changes {sorted(new_schema)})"
+            " — evolve via an overwrite commit first"
+        )
+    mor = man.get("mor") or {
+        "key_cols": list(key_cols),
+        "seq_col": seq_col,
+        "deltas": [],
+    }
+    if mor["key_cols"] != list(key_cols) or mor["seq_col"] != seq_col:
+        raise ValueError(
+            f"MOR key/seq fixed at first upsert: "
+            f"({mor['key_cols']}, {mor['seq_col']!r})"
+        )
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", token)
+    (changes.write.mode("error").option("compression", compression)
+     .parquet(data_dir))
+    new_files = sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+    manifest = {
+        "files": man["files"],
+        "schema": man["schema"],
+        "mor": {**mor, "deltas": mor["deltas"] + [new_files]},
+    }
+    if "txn" in man:
+        manifest["txn"] = man["txn"]
+    if "stats" in man:
+        manifest["stats"] = man["stats"]  # base-file stats stay upper
+        # bounds for pruning-free reads; read_snapshot_pruned falls back
+    return _commit_manifest(path, manifest, token)
+
+
+def _resolve_mor(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
+    """Latest-wins resolution of a MOR manifest: base rows rank commit 0,
+    each delta group its commit index; one key-partitioned window picks
+    (commit DESC, seq DESC) per key. On a layout bucketed by the key the
+    window plans with zero extra Exchange; the delta chain length — not
+    the table size — is what grows the read tax, which is what
+    :func:`compact_mor` resets."""
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    mor = manifest["mor"]
+    cols = list(manifest["schema"])  # manifest dict preserves column order
+    u = (
+        spark.read.parquet(
+            *(os.path.join(path, rel) for rel in manifest["files"])
+        )
+        .select(*cols)
+        .withColumn("_ci", F.lit(0))
+    )
+    for i, grp in enumerate(mor["deltas"], start=1):
+        u = u.unionByName(
+            spark.read.parquet(*(os.path.join(path, rel) for rel in grp))
+            .select(*cols)
+            .withColumn("_ci", F.lit(i))
+        )
+    w = W.partitionBy(*mor["key_cols"]).orderBy(
+        F.col("_ci").desc(), F.col(mor["seq_col"]).desc()
+    )
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_ci")
+    )
+
+
+def compact_mor(spark: SparkSession, path: str,
+                compression: str = PARQUET_CODEC) -> int:
+    """MAJOR COMPACTION of a MOR table: resolve latest-wins ONCE and
+    commit the result as a plain manifest — the delta chain is gone,
+    reads are clean scans again, per-file stats are recomputed when the
+    table carries them. No-op (no new version) on a table without
+    deltas. Prior delta-chain versions stay time-travelable until
+    vacuumed."""
+    import json
+    import os
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
+        man = json.load(f)
+    if "mor" not in man:
+        return versions[-1]
+    stats_cols = None
+    if "stats" in man:
+        stats_cols = sorted(
+            {c for per_file in man["stats"].values() for c in per_file}
+        )
+    resolved = read_snapshot(spark, path)
+    return write_snapshot(
+        spark, resolved, path,
+        compression=compression, stats_cols=stats_cols,
+    )
+
+
 def snapshot_changes(
     spark: SparkSession,
     path: str,
@@ -1402,6 +1580,8 @@ def vacuum_snapshots(path: str, keep_last: int = 1) -> int:
                 m = json.load(f)
             referenced.update(m["files"])
             referenced.update((m.get("dv") or {}).values())
+            for grp in (m.get("mor") or {}).get("deltas", []):
+                referenced.update(grp)  # live delta chains survive vacuum
         else:
             os.unlink(mpath)
     removed = 0
@@ -1535,6 +1715,14 @@ def read_snapshot_pruned(
         )
     with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
         manifest = json.load(f)
+    if manifest.get("mor"):
+        # base-file stats can't prune a MOR read (a skipped file's rows
+        # may be exactly what a delta supersedes, and delta rows have no
+        # stats at all) — fall back to the resolved read + row filter,
+        # which is the contract's definition anyway
+        return read_snapshot(spark, path, version).filter(
+            F.col(col).between(lo, hi)
+        )
     stats = manifest.get("stats", {})
     elo, ehi = _stat_encode(lo), _stat_encode(hi)
     keep = []

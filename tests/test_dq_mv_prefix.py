@@ -996,3 +996,156 @@ def test_rollup_cascade_splices_only_touched_buckets(spark, tmp_path):
         for r in _event_bucket_partial(full, "month").collect()
     }
     assert m2 == expect_month
+
+
+class TestMergeOnReadUpserts:
+    """MOR delta chain (``upsert_delta_snapshot`` / ``compact_mor``):
+    q86 pins the numbers; these pin the STRUCTURAL contract — which
+    bytes move, which verbs refuse, what vacuum keeps."""
+
+    def _base(self, spark, tmp_path):
+        from dp_dimension_importer_spark import storage
+
+        path = str(tmp_path / "mor")
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("grp"),
+            (F.col("id") * 10).alias("v"),
+            F.lit(0).cast("long").alias("seq"),
+        ).repartition(3)
+        storage.write_snapshot(spark, df, path)
+        return path, storage
+
+    def _delta(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, grp long, v long, seq long"
+        )
+
+    def test_delta_commit_touches_no_base_bytes(self, spark, tmp_path):
+        import hashlib
+        import json
+        import os
+
+        from dp_dimension_importer_spark.storage import _manifest_dir
+
+        path, storage = self._base(spark, tmp_path)
+        man1 = json.load(open(os.path.join(_manifest_dir(path), "v1.json")))
+        pre = {
+            rel: hashlib.sha1(
+                open(os.path.join(path, rel), "rb").read()
+            ).hexdigest()
+            for rel in man1["files"]
+        }
+        storage.upsert_delta_snapshot(
+            spark, path, self._delta(spark, [(7, 2, 999, 1)]), ["k"], "seq"
+        )
+        man2 = json.load(open(os.path.join(_manifest_dir(path), "v2.json")))
+        assert man2["files"] == man1["files"]
+        for rel, h in pre.items():
+            got = hashlib.sha1(
+                open(os.path.join(path, rel), "rb").read()
+            ).hexdigest()
+            assert got == h, rel
+        out = {r.k: r.v for r in storage.read_snapshot(spark, path).collect()}
+        assert out[7] == 999 and len(out) == 100
+        # time travel: v1 still sees the original value
+        assert {
+            r.k: r.v
+            for r in storage.read_snapshot(spark, path, version=1).collect()
+        }[7] == 70
+
+    def test_latest_wins_ordering_and_inserts(self, spark, tmp_path):
+        path, storage = self._base(spark, tmp_path)
+        storage.upsert_delta_snapshot(
+            spark, path,
+            self._delta(spark, [(7, 2, 111, 5), (200, 0, 1, 5)]),
+            ["k"], "seq",
+        )
+        # later COMMIT beats earlier even with a SMALLER seq
+        storage.upsert_delta_snapshot(
+            spark, path, self._delta(spark, [(7, 2, 222, 1)]), ["k"], "seq"
+        )
+        out = {r.k: r.v for r in storage.read_snapshot(spark, path).collect()}
+        assert out[7] == 222          # commit order dominates
+        assert out[200] == 1          # insert survived
+        assert len(out) == 101
+
+    def test_guards_and_interop(self, spark, tmp_path):
+        import pytest
+
+        path, storage = self._base(spark, tmp_path)
+        storage.upsert_delta_snapshot(
+            spark, path, self._delta(spark, [(7, 2, 999, 1)]), ["k"], "seq"
+        )
+        extra = self._delta(spark, [(300, 1, 5, 0)])
+        with pytest.raises(ValueError, match="MOR"):
+            storage.write_snapshot(spark, extra, path, mode="append")
+        with pytest.raises(ValueError, match="MOR"):
+            storage.delete_where_snapshot(spark, path, "k = 7")
+        with pytest.raises(ValueError, match="key/seq"):
+            storage.upsert_delta_snapshot(
+                spark, path, self._delta(spark, [(8, 2, 1, 1)]),
+                ["k", "grp"], "seq",
+            )
+        # pruned read falls back to resolved-read + filter, still exact
+        got = storage.read_snapshot_pruned(spark, path, "k", 5, 9).collect()
+        assert {r.k: r.v for r in got} == {
+            5: 50, 6: 60, 7: 999, 8: 80, 9: 90
+        }
+        # DV table refuses MOR and vice versa
+        dvp = str(tmp_path / "dvt2")
+        df = spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("seq")
+        )
+        storage.write_snapshot(spark, df, dvp)
+        storage.delete_where_snapshot(spark, dvp, "k = 3", mode="dv")
+        with pytest.raises(ValueError, match="deletion vectors"):
+            storage.upsert_delta_snapshot(
+                spark, dvp,
+                spark.createDataFrame([(1, 9)], "k long, seq long"),
+                ["k"], "seq",
+            )
+
+    def test_compact_then_vacuum_reclaims_chain(self, spark, tmp_path):
+        import glob
+        import os
+
+        path, storage = self._base(spark, tmp_path)
+        storage.upsert_delta_snapshot(
+            spark, path, self._delta(spark, [(7, 2, 999, 1)]), ["k"], "seq"
+        )
+        want = {
+            tuple(r) for r in storage.read_snapshot(spark, path).collect()
+        }
+        # vacuum BEFORE compaction keeps the live delta chain
+        storage.vacuum_snapshots(path, keep_last=1)
+        assert {
+            tuple(r) for r in storage.read_snapshot(spark, path).collect()
+        } == want
+        v = storage.compact_mor(spark, path)
+        # no-op compaction commits nothing
+        assert storage.compact_mor(spark, path) == v
+        assert {
+            tuple(r) for r in storage.read_snapshot(spark, path).collect()
+        } == want
+        # after compaction the chain is garbage; base file count shrinks
+        # to the rewrite's output and nothing dangles
+        storage.vacuum_snapshots(path, keep_last=1)
+        assert {
+            tuple(r) for r in storage.read_snapshot(spark, path).collect()
+        } == want
+        # appends work again on the compacted table
+        storage.write_snapshot(
+            spark, self._delta(spark, [(500, 0, 1, 0)]), path, mode="append"
+        )
+        assert storage.read_snapshot(spark, path).count() == 101
+        # small-file compaction on a MOR table carries the chain (guard
+        # for the manifest-carry path): rebuild one
+        storage.upsert_delta_snapshot(
+            spark, path, self._delta(spark, [(500, 0, 77, 1)]), ["k"], "seq"
+        )
+        res = storage.compact_small_files_snapshot(
+            spark, path, min_file_bytes=1 << 20
+        )
+        out = {r.k: r.v for r in storage.read_snapshot(spark, path).collect()}
+        assert out[500] == 77, res
