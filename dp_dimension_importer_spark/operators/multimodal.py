@@ -1636,3 +1636,119 @@ def q84_binaryfile_source(spark, sf_dir):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def image_phash(assets: DataFrame, payload_col: str = "payload",
+                id_col: str = "asset_id") -> DataFrame:
+    """Public core (engine facade): 64-bit DCT perceptual hash (pHash) —
+    the frequency-domain companion to :func:`image_dhash`'s gradient
+    hash: decode, grayscale (integer channel mean), nearest-resize to
+    32×32, 2-D DCT-II (one matmul against the orthonormal cosine basis
+    per side — pure float64 numpy, deterministic), keep the top-left 8×8
+    LOW-FREQUENCY block minus DC, one bit per coefficient vs the block's
+    lower median. Low frequencies survive re-encoding, resampling and
+    local noise better than pixel gradients, so pHash holds under
+    transforms that flip dHash bits (the scale-invariance test pins a
+    2× upscale hashing near-identically). Arrow-batched ``mapInPandas``;
+    undecodable payloads yield NULL. Returns (asset_id, phash long) —
+    rename to ``dhash`` to reuse :func:`image_near_dup_pairs`' banding."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    dec, rez = decode_image, resize_nearest
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        N = 32
+        n_idx = np.arange(N)
+        k_idx = np.arange(N)[:, None]
+        C = np.sqrt(2.0 / N) * np.cos(
+            np.pi * (2 * n_idx[None, :] + 1) * k_idx / (2 * N)
+        )
+        C[0] = np.sqrt(1.0 / N)
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                try:
+                    img = dec(bytes(payload))
+                    if img.ndim == 3:
+                        img = img.astype(np.uint16).mean(
+                            axis=2, dtype=np.float64
+                        ).astype(np.uint8)
+                    g = rez(img, N, N).astype(np.float64)
+                    d = C @ g @ C.T
+                    block = d[:8, :8].flatten()[1:]  # drop DC
+                    med = np.partition(block.copy(), 31)[31]  # lower median
+                    h = 0
+                    for v in block:
+                        h = (h << 1) | int(v > med)
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    out.append(h)
+                except (NotImplementedError, ValueError, IndexError):
+                    out.append(None)
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col], "phash": pd.array(out, "Int64")}
+            )
+
+    return assets.mapInPandas(_hash, "asset_id long, phash long")
+
+
+@register("multimodal_image_phash", sql=None)  # decode is Python: rows-only
+def multimodal_image_phash(spark, sf_dir):
+    """Perceptual image dedup via DCT pHash (:func:`image_phash`) on the
+    SAME synthetic corpus as multimodal_image_dedup — the two hash
+    families answer the same question from opposite domains (pixel
+    gradients vs low frequencies), and running both over one fixture is
+    exactly how a production pipeline cross-checks a perceptual-dup
+    sweep. Rows-only (Python decode); recall/precision/scale-invariance
+    floors pinned in tests/test_dq_mv_prefix.py."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    t = load_tables(spark, sf_dir)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id) % 100
+                img = np.random.RandomState(k).randint(
+                    0, 256, (16, 16)
+                ).astype(np.uint8)
+                d = int(doc_id)
+                img[d % 16, (d // 16) % 16] ^= 7
+                img[(d * 7) % 16, (d * 13) % 16] ^= 5
+                payloads.append(b"P5 16 16 255\n" + img.tobytes())
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = t.documents.select("doc_id").mapInPandas(
+        _gen, "asset_id long, payload binary"
+    )
+    hashes = image_phash(assets).withColumnRenamed("phash", "dhash")
+    return image_near_dup_pairs(hashes, max_hamming=6).orderBy("da", "db")
+
+
+def _register_self_by_value() -> None:
+    """Ship this module by value so decode/hash closures unpickle on
+    executors whose driver runs from a foreign cwd (storage.py's DV
+    mechanism): the codecs (`decode_image`, `_decode_tiff`, …) are
+    module-level functions referenced from mapInPandas closures, which
+    cloudpickle would otherwise serialize BY REFERENCE — requiring every
+    Python worker to be able to import the package. Idempotent; called
+    at import so every closure built from this module is covered."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # no Spark at import time (e.g. doc tooling): harmless
+
+
+_register_self_by_value()

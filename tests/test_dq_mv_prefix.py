@@ -1149,3 +1149,59 @@ class TestMergeOnReadUpserts:
         )
         out = {r.k: r.v for r in storage.read_snapshot(spark, path).collect()}
         assert out[500] == 77, res
+
+
+class TestImagePhash:
+    """DCT pHash floors (multimodal_image_phash is rows-only — the decode
+    is Python): same-pattern recall, cross-pattern precision, and the
+    property that earns pHash its seat next to dHash — stability under
+    RESAMPLING (low frequencies survive a 2× upscale; pixel gradients
+    need not)."""
+
+    def test_fixture_recall_and_precision(self, spark):
+        from dp_dimension_importer_spark.registry import QUERIES
+
+        rows = QUERIES["multimodal_image_phash"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows, "no pairs found"
+        same = [r for r in rows if r.da % 100 == r.db % 100]
+        assert len(same) == len(rows), "cross-pattern pair leaked"
+        # every same-pattern pair in the fixture must be recovered
+        n_docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).count()
+        from collections import Counter
+
+        per_group = Counter(i % 100 for i in range(n_docs))
+        want = sum(c * (c - 1) // 2 for c in per_group.values())
+        assert len(rows) == want, (len(rows), want)
+
+    def test_scale_invariance_vs_noise(self, spark):
+        import numpy as np
+
+        from dp_dimension_importer_spark.operators.multimodal import (
+            image_phash,
+        )
+
+        base = np.random.RandomState(3).randint(0, 256, (16, 16)).astype(
+            np.uint8
+        )
+        up = base.repeat(2, axis=0).repeat(2, axis=1)     # 2x upscale
+        other = np.random.RandomState(4).randint(0, 256, (16, 16)).astype(
+            np.uint8
+        )
+
+        def pgm(img):
+            h, w = img.shape
+            return b"P5 %d %d 255\n" % (w, h) + img.tobytes()
+
+        df = spark.createDataFrame(
+            [(1, pgm(base)), (2, pgm(up)), (3, pgm(other))],
+            "asset_id long, payload binary",
+        )
+        h = {r.asset_id: r.phash for r in image_phash(df).collect()}
+        d_scale = bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1")
+        d_other = bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1")
+        assert d_scale <= 6, f"2x upscale moved pHash {d_scale} bits"
+        assert d_other >= 16, f"different pictures only {d_other} bits apart"
