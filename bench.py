@@ -46,6 +46,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q79_stream_snapshot_append",
     "q51d_stream_ewma",
     "q64c_python_datasource_stream",
+    "q87_stream_mor_upsert",
 }
 
 

@@ -1067,3 +1067,79 @@ def q51d_stream_ewma(spark, sf_dir):
         import shutil
 
         shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+@register(
+    "q87_stream_mor_upsert",
+    sql="""
+    SELECT user_id, event_type AS last_type, event_id AS last_event
+    FROM (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ms(ts) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q87_stream_mor_upsert(spark, sf_dir):
+    """Exactly-once STREAMING CDC UPSERT into the merge-on-read layer
+    (:func:`streaming.sink.run_stream_mor_upsert` — q79's append sink
+    with REPLACE semantics, and q86's delta chain fed by a live stream):
+    the events table replays in order (one file per micro-batch), each
+    batch collapses to its latest row per user and lands as ONE delta
+    commit carrying the ``txn`` watermark — O(batch) per trigger, no
+    base file ever rewritten, the manifest hard-link the single commit
+    point. After the drain a REDELIVERY of batch 0 is replayed by hand
+    and must commit nothing. The final resolved read must equal the
+    batch "latest event per user" — exactly the per-key current-state
+    table a CDC consumer maintains. The seq key is integer
+    ``ms·2^20 + event_id`` (event ids stay far below 2^20 at any test
+    sf), so intra-batch ties are total-ordered on both engines; the
+    replay being event-time-ordered makes commit-order-wins coincide
+    with the global latest, which is what the oracle states."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.streaming import sink as mor_sink
+
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        (F.unix_millis("ts") * F.lit(1 << 20) + F.col("event_id"))
+        .alias("seq"),
+    )
+    replay_dir = write_replay_dir(
+        events, n_files=4, order_col="event_id", sentinel=False
+    )
+    scratch = tempfile.mkdtemp(prefix="q87_mor_")
+    table_path = scratch + "/table"
+    try:
+        mor_sink.run_stream_mor_upsert(
+            spark, replay_dir, events.schema, table_path,
+            key_cols=["user_id"], seq_col="seq",
+            checkpoint=scratch + "/ckpt",
+        )
+        v_before = storage.snapshot_versions(table_path)[-1]
+        # redeliver batch 1 by hand: the txn watermark must skip it
+        first = spark.read.parquet(replay_dir).orderBy("event_id").limit(50)
+        mor_sink.make_mor_upsert_handler(
+            table_path, ["user_id"], "seq"
+        )(first, 1)
+        assert storage.snapshot_versions(table_path)[-1] == v_before, (
+            "redelivered batch must not commit a new delta"
+        )
+        return (
+            storage.read_snapshot(spark, table_path)
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_type"),
+                F.col("event_id").alias("last_event"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(replay_dir, ignore_errors=True)

@@ -1329,6 +1329,7 @@ def upsert_delta_snapshot(
     key_cols: list[str],
     seq_col: str,
     compression: str = PARQUET_CODEC,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE-ON-READ upsert: ``changes`` lands as DELTA FILES — no base
     file is read, let alone rewritten, so the write costs O(changes)
@@ -1344,8 +1345,13 @@ def upsert_delta_snapshot(
     Key/seq columns are fixed by the first delta commit; DV tables must
     purge before switching to MOR (one read-path merge mechanism at a
     time — stacking them would make every read reason about both).
-    Returns the new version; prior versions stay readable with exactly
-    the delta prefix they committed."""
+    ``txn=(app_id, batch_id)`` gives at-least-once writers the same
+    idempotence watermark as :func:`write_snapshot` — a redelivered
+    micro-batch's delta is SKIPPED before any file is written, so a
+    streaming CDC upsert sink is exactly-once with the manifest
+    hard-link as the only commit point. Returns the new version; prior
+    versions stay readable with exactly the delta prefix they
+    committed."""
     import glob
     import json
     import os
@@ -1361,6 +1367,9 @@ def upsert_delta_snapshot(
             "MOR deltas and deletion vectors cannot mix — "
             "purge_deletion_vectors first"
         )
+    prev_txn = man.get("txn") or {}
+    if txn is not None and txn[1] <= prev_txn.get(txn[0], -1):
+        return versions[-1]  # redelivered batch: idempotent skip
     new_schema = {f.name: f.dataType.simpleString() for f in changes.schema}
     if new_schema != man["schema"]:
         raise ValueError(
@@ -1391,8 +1400,10 @@ def upsert_delta_snapshot(
         "schema": man["schema"],
         "mor": {**mor, "deltas": mor["deltas"] + [new_files]},
     }
-    if "txn" in man:
-        manifest["txn"] = man["txn"]
+    if prev_txn or txn is not None:
+        manifest["txn"] = dict(prev_txn)
+        if txn is not None:
+            manifest["txn"][txn[0]] = txn[1]
     if "stats" in man:
         manifest["stats"] = man["stats"]  # base-file stats stay upper
         # bounds for pruning-free reads; read_snapshot_pruned falls back

@@ -325,3 +325,90 @@ def run_stream_snapshot_append(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return storage.read_snapshot(spark, table_path)
+
+
+def make_mor_upsert_handler(
+    table_path: str,
+    key_cols: list[str],
+    seq_col: str,
+    app_id: str = "stream",
+):
+    """foreachBatch handler landing each micro-batch as a MERGE-ON-READ
+    delta commit (storage.upsert_delta_snapshot) with ``txn=(app_id,
+    batch_id)`` — the streaming CDC upsert sink: O(batch) per trigger
+    regardless of table size, no base file touched, the manifest
+    hard-link the single commit point (idempotence marker and data in
+    one atomic op, same protocol as :func:`make_snapshot_append_handler`).
+
+    The MOR contract wants ONE row per key per commit, so the handler
+    collapses the batch to its highest-``seq_col`` row per key first —
+    exactly what a CDC feed's per-batch compaction does. The FIRST batch
+    bootstraps the table (write_snapshot, same txn); later batches land
+    as deltas. Reads resolve latest-wins across the whole chain;
+    storage.compact_mor is the maintenance valve."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from dp_dimension_importer_spark import storage
+
+        w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        one_per_key = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        spark = batch_df.sparkSession
+        if not storage.snapshot_versions(table_path):
+            storage.write_snapshot(
+                spark, one_per_key, table_path,
+                txn=(app_id, int(batch_id)),
+            )
+        else:
+            storage.upsert_delta_snapshot(
+                spark, table_path, one_per_key, key_cols, seq_col,
+                txn=(app_id, int(batch_id)),
+            )
+
+    return handle
+
+
+def run_stream_mor_upsert(
+    spark: SparkSession,
+    replay_dir: str,
+    schema,
+    table_path: str,
+    key_cols: list[str],
+    seq_col: str,
+    checkpoint: str | None = None,
+    app_id: str = "stream",
+) -> DataFrame:
+    """Drive a file-source stream (1 file per micro-batch) through the
+    MOR upsert sink with availableNow, then read the resolved table
+    back. Each micro-batch is one delta commit, so time travel reaches
+    the upsert state after any stream prefix."""
+    from dp_dimension_importer_spark import storage
+
+    handler = make_mor_upsert_handler(
+        table_path, key_cols, seq_col, app_id=app_id
+    )
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_mor_")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return storage.read_snapshot(spark, table_path)
