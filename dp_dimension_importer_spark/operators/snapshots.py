@@ -785,3 +785,86 @@ def q86_upsert_mor(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q77b_optimize_incremental",
+    sql="""
+    SELECT l_partkey, COUNT(*) AS n,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
+    FROM lineitem WHERE l_partkey BETWEEN 10 AND 50
+    GROUP BY l_partkey ORDER BY l_partkey
+    """,
+)
+def q77b_optimize_incremental(spark, sf_dir):
+    """INCREMENTAL OPTIMIZE end-to-end
+    (:func:`storage.optimize_snapshot_incremental` — the only OPTIMIZE a
+    100 TB table can afford daily): commit half of lineitem and
+    FULL-optimize it (the clustered baseline), append the other half
+    randomly laid out, then incrementally optimize SINCE the baseline —
+    only the appended files are rewritten; every baseline file carries
+    byte-identically (asserted structurally inside: the kept set equals
+    the baseline manifest verbatim). The final pruned band aggregate
+    equals the whole-table oracle, pinning that batched clustering loses
+    no row and the pruned read composes across independently-clustered
+    batches."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="snap_opt_q77b_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(
+            spark, half_a.repartition(8, "l_orderkey"), path,
+            stats_cols=["l_partkey", "l_quantity"],
+        )
+        base_v = storage.optimize_snapshot(
+            spark, path, ["l_partkey", "l_quantity"], n_shards=4
+        )
+        storage.write_snapshot(
+            spark, half_b.repartition(8, "l_orderkey"), path,
+            stats_cols=["l_partkey", "l_quantity"], mode="append",
+        )
+        res = storage.optimize_snapshot_incremental(
+            spark, path, ["l_partkey", "l_quantity"],
+            since_version=base_v, n_shards=4,
+        )
+        mdir = os.path.join(path, "_manifests")
+        with open(os.path.join(mdir, f"v{base_v}.json")) as f:
+            base_files = json.load(f)["files"]
+        with open(os.path.join(mdir, f"v{res['version']}.json")) as f:
+            final_files = json.load(f)["files"]
+        assert final_files[: len(base_files)] == base_files, (
+            "incremental optimize touched a baseline file"
+        )
+        assert res["files_clustered"] > 0 and res["files_kept"] == len(
+            base_files
+        )
+        # a second incremental pass from the new version is a no-op
+        res2 = storage.optimize_snapshot_incremental(
+            spark, path, ["l_partkey", "l_quantity"],
+            since_version=res["version"],
+        )
+        assert res2["version"] == res["version"]
+        return (
+            storage.read_snapshot_pruned(spark, path, "l_partkey", 10, 50)
+            .groupBy("l_partkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_linenumber").alias("sum_ln"),
+            )
+            .orderBy("l_partkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

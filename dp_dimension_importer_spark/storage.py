@@ -263,6 +263,103 @@ def optimize_snapshot(
     )
 
 
+def optimize_snapshot_incremental(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    since_version: int,
+    n_shards: int = 4,
+    compression: str = PARQUET_CODEC,
+) -> dict:
+    """INCREMENTAL OPTIMIZE — the only OPTIMIZE a 100 TB table can afford
+    daily: Z-order-rewrite ONLY the files added after ``since_version``
+    (typically the last full/incremental optimize), carrying every
+    already-clustered file untouched. Each optimize batch is internally
+    clustered with tight per-file stats, which is what read-side pruning
+    consumes — per-file, never globally — so batched clustering loses
+    nothing pruning can see while rewriting O(new data) instead of
+    O(table). The caller names the baseline version explicitly (the API
+    twin of ``snapshot_changes``' version pair): no hidden marker state,
+    and any prefix can serve as the clustered baseline.
+
+    Returns ``{"version", "files_clustered", "files_kept",
+    "files_written"}``; no new version when nothing was added. Refuses
+    MOR tables (deltas aren't in the file list; compact first) and
+    DV-carrying new files (their reads need the anti-join; purge
+    first)."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    if since_version not in versions:
+        raise FileNotFoundError(
+            f"baseline version {since_version} not committed "
+            f"(have {versions}) — vacuumed?"
+        )
+    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
+        man = json.load(f)
+    if man.get("mor"):
+        raise ValueError(
+            "incremental OPTIMIZE on a MOR table: run compact_mor first"
+        )
+    with open(
+        os.path.join(_manifest_dir(path), f"v{since_version}.json")
+    ) as f:
+        base_files = set(json.load(f)["files"])
+    kept = [rel for rel in man["files"] if rel in base_files]
+    new_rels = [rel for rel in man["files"] if rel not in base_files]
+    if not new_rels:
+        return {
+            "version": versions[-1],
+            "files_clustered": 0,
+            "files_kept": len(kept),
+            "files_written": 0,
+        }
+    dv_map = man.get("dv") or {}
+    if any(rel in dv_map for rel in new_rels):
+        raise ValueError(
+            "incremental OPTIMIZE over DV-carrying files: "
+            "purge_deletion_vectors first"
+        )
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", token)
+    df = spark.read.parquet(*(os.path.join(path, rel) for rel in new_rels))
+    (zorder_layout(df, cols, n_shards).write.mode("error")
+     .option("compression", compression).parquet(data_dir))
+    new_files = sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+    manifest = {"files": kept + new_files, "schema": man["schema"]}
+    kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
+    if kept_dv:
+        manifest["dv"] = kept_dv
+    if "txn" in man:
+        manifest["txn"] = man["txn"]
+    stats_cols = sorted(
+        set(cols)
+        | {c for per_file in man.get("stats", {}).values() for c in per_file}
+    )
+    stats = {
+        rel: man["stats"][rel]
+        for rel in kept
+        if rel in man.get("stats", {})
+    }
+    stats.update(collect_file_stats(new_files, path, stats_cols))
+    manifest["stats"] = stats
+    version = _commit_manifest(path, manifest, token)
+    return {
+        "version": version,
+        "files_clustered": len(new_rels),
+        "files_kept": len(kept),
+        "files_written": len(new_files),
+    }
+
+
 def compact_small_files_snapshot(
     spark: SparkSession,
     path: str,

@@ -1585,3 +1585,70 @@ def test_runtime_bloom_filter_join_injects_might_contain(spark):
         .collect()
     )
     assert [tuple(r) for r in rows] == [tuple(r) for r in plain]
+
+
+def test_incremental_optimize_tightens_only_new_files(spark, tmp_path):
+    """optimize_snapshot_incremental: baseline files carry byte-for-byte,
+    only post-baseline files rewrite, and the rewrite actually tightens
+    pruning — a narrow band over the clustering column must skip more
+    files than the random-layout append allowed."""
+    import hashlib
+    import json
+    import os
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.storage import _manifest_dir
+
+    path = str(tmp_path / "inc_opt")
+    a = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.xxhash64("id") % 1000).alias("v")
+    )
+    storage.write_snapshot(
+        spark, a.repartition(4), path, stats_cols=["v"]
+    )
+    base_v = storage.optimize_snapshot(spark, path, ["v"], n_shards=4)
+    b = spark.range(4000, 8000).select(
+        F.col("id").alias("k"), (F.xxhash64("id") % 1000).alias("v")
+    )
+    storage.write_snapshot(
+        spark, b.repartition(4), path, stats_cols=["v"], mode="append"
+    )
+
+    def pruned_file_count(version):
+        with open(
+            os.path.join(_manifest_dir(path), f"v{version}.json")
+        ) as f:
+            man = json.load(f)
+        n = 0
+        for rel in man["files"]:
+            s = man["stats"].get(rel, {}).get("v")
+            if s is None or not (s[1] < 0 or s[0] > 100):
+                n += 1
+        return n, man
+
+    before_n, man_before = pruned_file_count(
+        storage.snapshot_versions(path)[-1]
+    )
+    with open(os.path.join(_manifest_dir(path), f"v{base_v}.json")) as f:
+        base_files = json.load(f)["files"]
+    pre = {
+        rel: hashlib.sha1(
+            open(os.path.join(path, rel), "rb").read()
+        ).hexdigest()
+        for rel in base_files
+    }
+    res = storage.optimize_snapshot_incremental(
+        spark, path, ["v"], since_version=base_v, n_shards=4
+    )
+    after_n, man_after = pruned_file_count(res["version"])
+    assert after_n < before_n, (before_n, after_n)
+    for rel in base_files:  # baseline untouched, byte for byte
+        assert rel in man_after["files"]
+        got = hashlib.sha1(
+            open(os.path.join(path, rel), "rb").read()
+        ).hexdigest()
+        assert got == pre[rel], rel
+    # no row lost or duplicated by the batched rewrite
+    got_rows = storage.read_snapshot(spark, path)
+    assert got_rows.count() == 8000
+    assert got_rows.select(F.sum("k")).first()[0] == sum(range(8000))
