@@ -96,18 +96,13 @@ _REPO_ROOT = _Path(__file__).resolve().parent.parent
 # driver row was recorded; they jump the evidence queue so the changed code
 # re-earns its row. Reset at the start of each round.
 #
-# Round 7: pin the three queries the r6 verdict called out to the very
-# head of the budget — q77/q78 have never held a driver row (they sorted
-# past the 50-slot budget in r6 because `snapshots` registers last) and
-# dq_quarantine's only row is red (harness-shape error, fixed this round
-# by emitting the string signature). Tier 1 would cover them anyway, but
-# head-inserting guarantees new round-7 registrations can't push them
-# past the budget again.
-_REPRIORITIZE: list[str] = [
-    "dq_quarantine",
-    "q77_optimize_snapshot",
-    "q78_snapshot_delete",
-]
+# Round 8: the round-7 pins all earned green rows, so the list resets to []
+# (round-start ritual per the r6/r7 verdicts). With the head empty, the
+# evidence queue rotates the driver's 50 slots onto the stale cohort —
+# never-tested new registrations first, then the ≤r3/r4 rows
+# (q20-q25, q26b, q52b/c, q53, win_latest_per_key, events_transitions,
+# dedup_keep_corpus, ...) by stalest-evidence-first ordering.
+_REPRIORITIZE: list[str] = []
 
 
 def correctness_evidence(root: _Path | str | None = None) -> dict[str, int]:

@@ -189,6 +189,8 @@ NO_ORACLE_OK = {
     "sketch_hll_incremental",  # cross-run HLL merge: 5%/2% floor-gated
     "embedding_kmeans",  # float-iterative: numpy-parity + inertia gated
     "ann_sq_topk",  # approx: recall-gated vs q43b (SURVEY §2.3 exclusion)
+    "ann_ivfpq_topk",  # approx: recall-gated vs q43b (test_recall.py)
+    "multimodal_image_phash",  # Python decode+DCT: no SQL oracle; floor-tested
 }
 
 
