@@ -180,16 +180,29 @@ def _decode_value(typ: str, data: bytes, pos: int):
 
 
 def _encode_record(fields: list[tuple[str, str, bool]], row: dict) -> bytes:
+    """ADVICE r7 NaN contract: rows arrive as pandas records, where a
+    float64 NaN is the missing marker (pandas widens nullable int/long
+    columns to float64 and cannot distinguish a genuine NaN double from
+    a null — callers needing NaN-exact doubles should carry them as raw
+    ``bytes``). A NULLABLE field therefore maps NaN to the null branch;
+    a NaN reaching a NON-nullable field is a schema violation and raises
+    a descriptive error HERE rather than an ``int(nan)`` TypeError deep
+    inside an executor task."""
     out = bytearray()
     for name, typ, nullable in fields:
         v = row.get(name)
+        is_missing = v is None or v is pd.NA or (
+            isinstance(v, float) and v != v
+        )
         if nullable:
-            if v is None or v is pd.NA or (isinstance(v, float) and v != v):
+            if is_missing:
                 out += _zigzag_encode(0)  # union branch 0 = null
                 continue
             out += _zigzag_encode(1)
-        elif v is None:
-            raise ValueError(f"null in non-nullable field {name!r}")
+        elif is_missing:
+            raise ValueError(
+                f"null/NaN in non-nullable field {name!r} (type {typ})"
+            )
         out += _encode_value(typ, v)
     return bytes(out)
 
@@ -346,6 +359,15 @@ def write_avro(df: DataFrame, path: str, block_records: int = 1000) -> int:
 
     _register_self_by_value()
     os.makedirs(path, exist_ok=True)
+    # ADVICE r7: stale .avro part files from a prior run in the same
+    # directory would silently double-count on read — refuse up front,
+    # the same mode="error" contract Spark's own writers default to.
+    stale = [n for n in os.listdir(path) if n.endswith(".avro")]
+    if stale:
+        raise FileExistsError(
+            f"write_avro target {path!r} already holds {len(stale)} "
+            ".avro file(s); write to a fresh directory or clean it first"
+        )
     schema = df.schema
     avro_schema = avro_schema_for(schema)
     out_schema = T.StructType(
@@ -365,8 +387,16 @@ def write_avro(df: DataFrame, path: str, block_records: int = 1000) -> int:
         fname = os.path.join(path, f"part-{pid:05d}.avro")
         sync = hashlib.md5(f"{path}|{pid}".encode()).digest()
         payload = encode_container(rows, avro_schema, sync, block_records)
-        with open(fname, "wb") as fh:
+        # ADVICE r7 task-commit: speculative/retried twins of this task
+        # must not interleave on the final name. Each attempt writes its
+        # own temp (attempt-unique via os.getpid + TaskContext attempt
+        # number when available) and os.replace()s — last complete
+        # attempt wins atomically, a torn file is impossible.
+        attempt = getattr(TaskContext.get(), "attemptNumber", lambda: 0)()
+        tmp = f"{fname}.{os.getpid()}.{attempt}.tmp"
+        with open(tmp, "wb") as fh:
             fh.write(payload)
+        os.replace(tmp, fname)
         yield pd.DataFrame({"file": [fname], "rows": [len(rows)]})
 
     summary = df.mapInPandas(_write, schema=out_schema).collect()

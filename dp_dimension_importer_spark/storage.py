@@ -1030,6 +1030,21 @@ def _dv_rows(spark: SparkSession, path: str, dv_rels: list[str]) -> DataFrame:
     return raw.mapInPandas(_expand, schema=schema)
 
 
+def _check_reserved(cols, reserved: tuple) -> None:
+    """Refuse tables whose user schema collides with the layer's internal
+    row-identity / resolution columns (ADVICE r7: a user column named
+    ``_pos`` would make DV-aware reads ambiguous or silently drop it).
+    A clear error at the seam beats an AnalysisException deep in a
+    window plan."""
+    clash = sorted(set(cols) & set(reserved))
+    if clash:
+        raise ValueError(
+            f"column name(s) {clash} are reserved by the snapshot layer "
+            f"(internal columns: {sorted(reserved)}); rename them before "
+            "using DV deletes or MOR upserts on this table"
+        )
+
+
 def _scan_with_pos(
     spark: SparkSession, path: str, rels: list[str], dv_map: dict
 ) -> tuple[DataFrame, list[str]]:
@@ -1045,6 +1060,7 @@ def _scan_with_pos(
 
     df = spark.read.parquet(*(os.path.join(path, rel) for rel in rels))
     cols = df.columns
+    _check_reserved(cols, ("_fname", "_pos"))
     data = df.select(
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
         .alias("_fname"),
@@ -1189,8 +1205,16 @@ def delete_where_snapshot(
                 with open(oldp, "rb") as fh:
                     old = dv_decode(fh.read())
             rel = os.path.join("data", token, fname + ".dv")
-            with open(os.path.join(path, rel), "wb") as fh:
+            # ADVICE r7: a speculative/zombie twin of this task writing
+            # the final path directly could interleave with ours and the
+            # committed manifest would reference a torn sidecar. Write an
+            # attempt-unique temp and os.replace() — rename is atomic, so
+            # the referenced path only ever holds a complete encode.
+            final = os.path.join(path, rel)
+            tmp = f"{final}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "wb") as fh:
                 fh.write(dv_encode(old + new_pos))
+            os.replace(tmp, final)
             return pd.DataFrame(
                 {"fname": [fname], "dv_rel": [rel], "n_new": [len(new_pos)]}
             )
@@ -1468,11 +1492,18 @@ def upsert_delta_snapshot(
     if txn is not None and txn[1] <= prev_txn.get(txn[0], -1):
         return versions[-1]  # redelivered batch: idempotent skip
     new_schema = {f.name: f.dataType.simpleString() for f in changes.schema}
-    if new_schema != man["schema"]:
+    _check_reserved(new_schema, ("_ci", "_rn"))
+    old_schema = man["schema"]
+    drift = {
+        c: (old_schema[c], new_schema[c])
+        for c in new_schema
+        if c in old_schema and new_schema[c] != old_schema[c]
+    }
+    if drift:
         raise ValueError(
-            "delta upsert requires exactly the committed schema "
-            f"(table {sorted(man['schema'])}, changes {sorted(new_schema)})"
-            " — evolve via an overwrite commit first"
+            "delta upsert cannot change committed column types "
+            f"({drift}) — non-additive drift evolves via an overwrite "
+            "commit, never a delta"
         )
     mor = man.get("mor") or {
         "key_cols": list(key_cols),
@@ -1484,6 +1515,20 @@ def upsert_delta_snapshot(
             f"MOR key/seq fixed at first upsert: "
             f"({mor['key_cols']}, {mor['seq_col']!r})"
         )
+    required = list(mor["key_cols"]) + [mor["seq_col"]]
+    absent = [c for c in required if c not in new_schema]
+    if absent:
+        raise ValueError(
+            f"delta upsert changes must carry key/seq columns {absent}"
+        )
+    # Additive evolution both ways (the q65 footer-union contract):
+    # columns new in `changes` extend the committed schema in arrival
+    # order; committed columns absent from `changes` resolve as typed
+    # NULLs for this delta's rows (_resolve_mor projects per group).
+    merged_schema = dict(old_schema)
+    for c, t in new_schema.items():
+        if c not in merged_schema:
+            merged_schema[c] = t
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
     (changes.write.mode("error").option("compression", compression)
@@ -1492,9 +1537,24 @@ def upsert_delta_snapshot(
         os.path.relpath(p, path)
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
+    if not new_files:
+        # ADVICE r7: an empty micro-batch must not commit an empty delta
+        # group — _resolve_mor's read of a zero-path group would brick
+        # every later read. No-op the data side; a txn watermark still
+        # advances (idempotence must survive empty batches) via a
+        # manifest commit that adds NO delta group.
+        import shutil
+
+        shutil.rmtree(data_dir, ignore_errors=True)  # _SUCCESS marker only
+        if txn is None:
+            return versions[-1]
+        manifest = {k: man[k] for k in man}
+        manifest["txn"] = dict(prev_txn)
+        manifest["txn"][txn[0]] = txn[1]
+        return _commit_manifest(path, manifest, token)
     manifest = {
         "files": man["files"],
-        "schema": man["schema"],
+        "schema": merged_schema,
         "mor": {**mor, "deltas": mor["deltas"] + [new_files]},
     }
     if prev_txn or txn is not None:
@@ -1520,19 +1580,35 @@ def _resolve_mor(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
     from pyspark.sql import functions as F
 
     mor = manifest["mor"]
-    cols = list(manifest["schema"])  # manifest dict preserves column order
-    u = (
+    schema = manifest["schema"]  # manifest dict preserves column order
+    cols = list(schema)
+    _check_reserved(cols, ("_ci", "_rn"))
+
+    def _proj(df):
+        # Additive schema evolution: a commit written before a column
+        # existed (base or early delta) projects it as a typed NULL, the
+        # same union contract snapshot_changes and q65 pin.
+        have = set(df.columns)
+        return df.select(
+            *(
+                F.col(c) if c in have
+                else F.lit(None).cast(schema[c]).alias(c)
+                for c in cols
+            )
+        )
+
+    u = _proj(
         spark.read.parquet(
             *(os.path.join(path, rel) for rel in manifest["files"])
         )
-        .select(*cols)
-        .withColumn("_ci", F.lit(0))
-    )
+    ).withColumn("_ci", F.lit(0))
     for i, grp in enumerate(mor["deltas"], start=1):
         u = u.unionByName(
-            spark.read.parquet(*(os.path.join(path, rel) for rel in grp))
-            .select(*cols)
-            .withColumn("_ci", F.lit(i))
+            _proj(
+                spark.read.parquet(
+                    *(os.path.join(path, rel) for rel in grp)
+                )
+            ).withColumn("_ci", F.lit(i))
         )
     w = W.partitionBy(*mor["key_cols"]).orderBy(
         F.col("_ci").desc(), F.col(mor["seq_col"]).desc()
