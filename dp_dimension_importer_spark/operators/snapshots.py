@@ -788,6 +788,119 @@ def q86_upsert_mor(spark, sf_dir):
 
 
 @register(
+    "q86b_mor_schema_evolution",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS tp,
+               0 AS ci, CAST(0 AS BIGINT) AS seq,
+               CAST(NULL AS VARCHAR) AS note
+        FROM orders
+    ), d1 AS (
+        SELECT k, pri, tp + 1000, 1, CAST(1 AS BIGINT),
+               'n' || CAST(k AS VARCHAR)
+        FROM base WHERE k % 10 = 3
+    ), d2 AS (
+        SELECT k, CAST(NULL AS VARCHAR), tp + 5000, 2, CAST(2 AS BIGINT),
+               CAST(NULL AS VARCHAR)
+        FROM base WHERE k % 20 = 7
+    ), u AS (
+        SELECT * FROM base UNION ALL SELECT * FROM d1
+        UNION ALL SELECT * FROM d2
+    ), r AS (
+        SELECT k, pri, tp, note,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY ci DESC, seq DESC) AS rn
+        FROM u
+    )
+    SELECT COALESCE(pri, 'none') AS grp, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           COUNT(note) AS notes
+    FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1
+    """,
+)
+def q86b_mor_schema_evolution(spark, sf_dir):
+    """ADDITIVE SCHEMA EVOLUTION through the MOR delta chain
+    (:func:`storage.upsert_delta_snapshot` round-8 semantics, pinned per
+    VERDICT r8 "Next round" #1a): the base commits orders without a
+    ``note`` column; delta 1 ADDS ``note`` (new column extends the
+    committed schema — the q65 footer-union contract on the manifest
+    layer); delta 2 OMITS the committed ``pri`` column entirely (its
+    rows resolve with a typed-NULL ``pri``). The resolved read must
+    project every commit to the merged schema — base and delta-2 rows
+    get NULL ``note``, delta-2 winners get NULL ``pri`` — which is
+    exactly ``_resolve_mor``'s ``_proj`` (storage.py) under test.
+    Structural asserts inside: no delta commit touches a base file, the
+    final manifest's schema carries ``note``, and time travel to v1
+    still reads the PRE-evolution schema. The oracle replays the
+    latest-wins + typed-NULL union logically, so a green row pins both
+    evolution directions end-to-end."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    d1 = (
+        base.filter(F.col("k") % 10 == 3)
+        .withColumn("tp", F.col("tp") + 1000)
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("note", F.concat(F.lit("n"), F.col("k").cast("string")))
+    )
+    d2 = (
+        base.filter(F.col("k") % 20 == 7)
+        .select(
+            "k",
+            (F.col("tp") + 5000).alias("tp"),
+            F.lit(2).cast("long").alias("seq"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="snapshot_morevo_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, base, path)
+        v2 = storage.upsert_delta_snapshot(spark, path, d1, ["k"], "seq")
+        v3 = storage.upsert_delta_snapshot(spark, path, d2, ["k"], "seq")
+        mdir = os.path.join(path, "_manifests")
+        mans = {}
+        for v in (1, v2, v3):
+            with open(os.path.join(mdir, f"v{v}.json")) as f:
+                mans[v] = json.load(f)
+        assert (
+            mans[1]["files"] == mans[v2]["files"] == mans[v3]["files"]
+        ), "delta commit touched base"
+        assert "note" in mans[v3]["schema"], "added column not committed"
+        assert "pri" in mans[v3]["schema"], "omitted column dropped"
+        assert "note" not in storage.read_snapshot(
+            spark, path, version=1
+        ).columns, "time travel leaked a later column"
+        resolved = storage.read_snapshot(spark, path)
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        return (
+            resolved.groupBy(
+                F.coalesce(F.col("pri"), F.lit("none")).alias("grp")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).alias("sum_cents"),
+                F.count("note").alias("notes"),
+            )
+            .orderBy("grp")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q77b_optimize_incremental",
     sql="""
     SELECT l_partkey, COUNT(*) AS n,

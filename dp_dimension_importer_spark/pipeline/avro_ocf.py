@@ -185,24 +185,30 @@ def _encode_record(fields: list[tuple[str, str, bool]], row: dict) -> bytes:
     columns to float64 and cannot distinguish a genuine NaN double from
     a null — callers needing NaN-exact doubles should carry them as raw
     ``bytes``). A NULLABLE field therefore maps NaN to the null branch;
-    a NaN reaching a NON-nullable field is a schema violation and raises
-    a descriptive error HERE rather than an ``int(nan)`` TypeError deep
-    inside an executor task."""
+    The ambiguity is a NULLABLE-field problem only (ADVICE r8): a
+    non-nullable double/float column cannot hold null at all, so a NaN
+    there is unambiguously the IEEE-754 VALUE NaN — a legal Avro double —
+    and is encoded as such. NaN in a non-float non-nullable field (or a
+    true None/pd.NA anywhere non-nullable) is a schema violation and
+    raises a descriptive error HERE rather than an ``int(nan)`` TypeError
+    deep inside an executor task."""
     out = bytearray()
     for name, typ, nullable in fields:
         v = row.get(name)
-        is_missing = v is None or v is pd.NA or (
-            isinstance(v, float) and v != v
-        )
+        is_nan = isinstance(v, float) and v != v
+        is_missing = v is None or v is pd.NA or is_nan
         if nullable:
             if is_missing:
                 out += _zigzag_encode(0)  # union branch 0 = null
                 continue
             out += _zigzag_encode(1)
         elif is_missing:
-            raise ValueError(
-                f"null/NaN in non-nullable field {name!r} (type {typ})"
-            )
+            if is_nan and typ in ("double", "float"):
+                pass  # NaN is a value, not a null, in a non-nullable float
+            else:
+                raise ValueError(
+                    f"null/NaN in non-nullable field {name!r} (type {typ})"
+                )
         out += _encode_value(typ, v)
     return bytes(out)
 
@@ -368,6 +374,15 @@ def write_avro(df: DataFrame, path: str, block_records: int = 1000) -> int:
             f"write_avro target {path!r} already holds {len(stale)} "
             ".avro file(s); write to a fresh directory or clean it first"
         )
+    # ADVICE r8: sweep orphaned temp files from prior crashed attempts —
+    # they are invisible to the *.avro stale check above and to readers,
+    # so nothing else ever reclaims them.
+    for n in os.listdir(path):
+        if n.endswith(".tmp"):
+            try:
+                os.unlink(os.path.join(path, n))
+            except OSError:
+                pass
     schema = df.schema
     avro_schema = avro_schema_for(schema)
     out_schema = T.StructType(
@@ -394,9 +409,19 @@ def write_avro(df: DataFrame, path: str, block_records: int = 1000) -> int:
         # attempt wins atomically, a torn file is impossible.
         attempt = getattr(TaskContext.get(), "attemptNumber", lambda: 0)()
         tmp = f"{fname}.{os.getpid()}.{attempt}.tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(payload)
-        os.replace(tmp, fname)
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, fname)
+        except BaseException:
+            # ADVICE r8: a failed attempt must not orphan its temp file —
+            # reads filter on *.avro so a leftover tmp is invisible but
+            # accumulates forever; unlink before re-raising.
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         yield pd.DataFrame({"file": [fname], "rows": [len(rows)]})
 
     summary = df.mapInPandas(_write, schema=out_schema).collect()

@@ -832,6 +832,12 @@ def _commit_manifest(path: str, manifest: dict, token: str) -> int:
     import json
     import os
 
+    # ADVICE r8: callers that re-publish a LOADED manifest (restore, the
+    # empty-delta txn advance) may pass a dict still carrying the prior
+    # version's "version" key, which would override the freshly claimed
+    # number in the dump below — strip it here so no caller can mislabel
+    # a commit.
+    manifest = {k: v for k, v in manifest.items() if k != "version"}
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{token}.json")
@@ -1212,9 +1218,17 @@ def delete_where_snapshot(
             # the referenced path only ever holds a complete encode.
             final = os.path.join(path, rel)
             tmp = f"{final}.{uuid.uuid4().hex}.tmp"
-            with open(tmp, "wb") as fh:
-                fh.write(dv_encode(old + new_pos))
-            os.replace(tmp, final)
+            try:
+                with open(tmp, "wb") as fh:
+                    fh.write(dv_encode(old + new_pos))
+                os.replace(tmp, final)
+            except BaseException:
+                # ADVICE r8: failed attempts must not orphan temp files
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
             return pd.DataFrame(
                 {"fname": [fname], "dv_rel": [rel], "n_new": [len(new_pos)]}
             )
@@ -1533,9 +1547,19 @@ def upsert_delta_snapshot(
     data_dir = os.path.join(path, "data", token)
     (changes.write.mode("error").option("compression", compression)
      .parquet(data_dir))
+    # ADVICE r8: Spark writes a schema-only parquet file even for an empty
+    # DataFrame, so a bare glob is never empty and the r7 empty-batch guard
+    # below never fired — every empty micro-batch still grew the delta
+    # chain (and the read tax). Decide emptiness from the FOOTER row
+    # counts (one metadata read per new file, no data pages): zero-row
+    # part files are dropped from the commit outright, and a batch with no
+    # surviving file takes the no-op branch for real.
+    import pyarrow.parquet as _pq
+
     new_files = sorted(
         os.path.relpath(p, path)
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+        if _pq.ParquetFile(p).metadata.num_rows > 0
     )
     if not new_files:
         # ADVICE r7: an empty micro-batch must not commit an empty delta
@@ -1545,7 +1569,7 @@ def upsert_delta_snapshot(
         # manifest commit that adds NO delta group.
         import shutil
 
-        shutil.rmtree(data_dir, ignore_errors=True)  # _SUCCESS marker only
+        shutil.rmtree(data_dir, ignore_errors=True)  # schema-only files
         if txn is None:
             return versions[-1]
         manifest = {k: man[k] for k in man}
@@ -1770,8 +1794,12 @@ def vacuum_snapshots(path: str, keep_last: int = 1) -> int:
             os.unlink(mpath)
     removed = 0
     for d in glob.glob(os.path.join(path, "data", "*")):
-        files = glob.glob(os.path.join(d, "*.parquet")) + glob.glob(
-            os.path.join(d, "*.dv")
+        # *.tmp are crashed task attempts — never referenced by any
+        # manifest, always reclaimable (ADVICE r8)
+        files = (
+            glob.glob(os.path.join(d, "*.parquet"))
+            + glob.glob(os.path.join(d, "*.dv"))
+            + glob.glob(os.path.join(d, "*.tmp"))
         )
         live = [p for p in files if os.path.relpath(p, path) in referenced]
         if not live:

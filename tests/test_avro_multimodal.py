@@ -814,3 +814,81 @@ def test_ocf_spark_write_read_dead_letter(spark, tmp_path):
     assert len(reasons) == 2
     assert any("magic" in r for r in reasons)
     assert any("block" in r for r in reasons)
+
+
+class TestEncodeRecordNullContract:
+    """Round-8/9 seams of ``_encode_record`` (ADVICE r8): NaN is the
+    missing marker only where null is REPRESENTABLE (nullable fields);
+    in a non-nullable double/float it is the legal IEEE-754 VALUE NaN
+    and must round-trip as data."""
+
+    def _codec(self):
+        from dp_dimension_importer_spark.pipeline.avro_ocf import (
+            _decode_record, _encode_record,
+        )
+
+        return _encode_record, _decode_record
+
+    def test_nullable_nan_maps_to_null(self):
+        enc, dec = self._codec()
+        fields = [("x", "double", True)]
+        row, _ = dec(fields, enc(fields, {"x": float("nan")}), 0)
+        assert row["x"] is None
+
+    def test_non_nullable_double_nan_is_a_value(self):
+        import math
+
+        enc, dec = self._codec()
+        for typ in ("double", "float"):
+            fields = [("x", typ, False)]
+            row, _ = dec(fields, enc(fields, {"x": float("nan")}), 0)
+            assert math.isnan(row["x"]), typ
+
+    def test_non_nullable_none_still_raises(self):
+        import pytest
+
+        enc, _ = self._codec()
+        with pytest.raises(ValueError, match="non-nullable"):
+            enc([("x", "double", False)], {"x": None})
+
+    def test_non_nullable_nan_in_non_float_raises(self):
+        import pytest
+
+        enc, _ = self._codec()
+        with pytest.raises(ValueError, match="non-nullable"):
+            enc([("x", "long", False)], {"x": float("nan")})
+
+
+class TestWriteAvroDirContract:
+    """write_avro's directory hygiene (round-8 semantics, pinned per
+    VERDICT r8 #1b): a dir already holding .avro part files is refused
+    (stale parts would double-count on read); orphaned crashed-attempt
+    temp files are swept, never accumulated."""
+
+    def test_second_write_to_same_dir_refused(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import Row
+
+        from dp_dimension_importer_spark.pipeline.avro_ocf import write_avro
+
+        df = spark.createDataFrame([Row(k=i) for i in range(5)])
+        path = str(tmp_path / "ocf2")
+        write_avro(df, path)
+        with pytest.raises(FileExistsError, match="already holds"):
+            write_avro(df, path)
+
+    def test_orphan_tmp_swept_on_write(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import Row
+
+        from dp_dimension_importer_spark.pipeline.avro_ocf import write_avro
+
+        path = str(tmp_path / "ocf3")
+        os.makedirs(path)
+        orphan = os.path.join(path, "part-00000.avro.999.0.tmp")
+        with open(orphan, "wb") as f:
+            f.write(b"crashed attempt")
+        df = spark.createDataFrame([Row(k=i) for i in range(5)])
+        assert write_avro(df.repartition(1), path) == 5
+        assert not [n for n in os.listdir(path) if n.endswith(".tmp")]
