@@ -695,19 +695,11 @@ PQ_SHORTLIST = 32
 _PQ_CACHE: list = []
 
 
-def _pq_codebooks(e) -> np.ndarray:
-    """(PQ_M, PQ_KS, DIM/PQ_M) codebooks via per-subspace k-means on the
-    PQ_SAMPLE lowest-xxhash64(vec_id) vectors (orderBy+limit — planned as
-    a distributed TakeOrderedAndProject, driver memory O(sample·DIM)
-    regardless of corpus size). Init = first PQ_KS sample subvectors by
-    vec_id; 8 Lloyd iterations; empty clusters re-seeded deterministically.
-    Pinned arithmetic order ⇒ identical codebooks every run."""
-    if _PQ_CACHE and _PQ_CACHE[0][0] is e:
-        return _PQ_CACHE[0][1]
-    rows = take_deterministic(
-        e, "vec_id", PQ_SAMPLE, cols=["vec_id", "embedding"]
-    )
-    m = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+def _fit_subspace_codebooks(m: np.ndarray) -> np.ndarray:
+    """(PQ_M, PQ_KS, DIM/PQ_M) codebooks via per-subspace k-means over the
+    rows of ``m``. Init = first PQ_KS sample subvectors; 8 Lloyd
+    iterations; empty clusters re-seeded deterministically. Pinned
+    arithmetic order ⇒ identical codebooks every run."""
     sub = DIM // PQ_M
     books = np.zeros((PQ_M, PQ_KS, sub))
     for j in range(PQ_M):
@@ -730,7 +722,52 @@ def _pq_codebooks(e) -> np.ndarray:
                 else:
                     cents[c] = x[c % len(x)]
         books[j] = cents
+    return books
+
+
+def _pq_sample_matrix(e) -> np.ndarray:
+    """PQ_SAMPLE lowest-xxhash64(vec_id) vectors (orderBy+limit — planned
+    as a distributed TakeOrderedAndProject, driver memory O(sample·DIM)
+    regardless of corpus size)."""
+    rows = take_deterministic(
+        e, "vec_id", PQ_SAMPLE, cols=["vec_id", "embedding"]
+    )
+    return np.vstack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    )
+
+
+def _pq_codebooks(e) -> np.ndarray:
+    """Raw-vector PQ codebooks (ann_pq_topk's full-scan compression)."""
+    if _PQ_CACHE and _PQ_CACHE[0][0] is e:
+        return _PQ_CACHE[0][1]
+    books = _fit_subspace_codebooks(_pq_sample_matrix(e))
     _PQ_CACHE[:] = [(e, books)]
+    return books
+
+
+#: single-slot cache for the IVFPQ residual codebooks
+_PQR_CACHE: list = []
+
+
+def _pq_residual_codebooks(e, cents: np.ndarray) -> np.ndarray:
+    """RESIDUAL PQ codebooks for IVFPQ (r9, VERDICT r8 "Next round" #6;
+    FAISS IVFPQ's ``by_residual`` default): fit the subspace k-means on
+    ``u − cents[home(u)]`` over unit-normalized sample vectors instead of
+    the raw vectors. Residuals vs the home-cell centroid have a fraction
+    of the raw vectors' spread, so the same 8-bit budget quantizes far
+    finer — the reconstruction ``cents[home] + r̂`` is strictly closer to
+    ``u`` than the raw codebooks' ``x̂/‖x‖``, which is what lifts ADC
+    ranking (and the recall floor, 0.75 → 0.85 in test_recall.py)."""
+    if _PQR_CACHE and _PQR_CACHE[0][0] is e:
+        return _PQR_CACHE[0][1]
+    m = _pq_sample_matrix(e)
+    nrm = np.linalg.norm(m, axis=1)
+    nrm[nrm == 0] = 1.0
+    u = m / nrm[:, None]
+    home = (u @ cents.T).argmax(axis=1)
+    books = _fit_subspace_codebooks(u - cents[home])
+    _PQR_CACHE[:] = [(e, books)]
     return books
 
 
@@ -839,22 +876,27 @@ def ann_ivfpq_topk(spark, sf_dir):
     (storage.write_sharded on the home cell) with only the codes+norm
     columns read, so a query touches nprobe/IVF_CELLS of the files at
     1/32nd the bytes, and the in-batch cell mask below becomes partition
-    pruning. Codes quantize the raw vectors (shared codebooks with
-    ann_pq_topk — the residual-encoding refinement would need per-cell
-    fits); the ADC shortlist is exact-reranked, so ranking error comes
-    only from pruning + shortlist truncation. Recall is gated vs q43b
-    in tests/test_recall.py."""
+    pruning. Codes are RESIDUAL-encoded against the home-cell centroid
+    (r9; FAISS IVFPQ's ``by_residual``): a unit vector u stores the PQ
+    code of ``u − cents[home]``, and ADC scores
+    ``q·cents[home] + Σ_m lut[q][m][code_m]`` — the centroid term is a
+    driver-side nq×cells matrix, the residual term the usual M lookups.
+    Residuals are small, so the same 8-byte budget quantizes far finer
+    than raw-vector codes (see :func:`_pq_residual_codebooks`); the ADC
+    shortlist is exact-reranked, so ranking error comes only from
+    pruning + shortlist truncation. Recall gated ≥ 0.85 vs q43b in
+    tests/test_recall.py."""
     t = load_tables(spark, sf_dir)
     cents = _ivf_centroids(t.embeddings)
-    books = _pq_codebooks(t.embeddings)
+    books = _pq_residual_codebooks(t.embeddings, cents)
     qids, qunit = _query_block(t.embeddings)
     sub = DIM // PQ_M
     lut = np.einsum("qms,mks->qmk", qunit.reshape(len(qids), PQ_M, sub), books)
-    # per-query probe cells, computed once on the driver from the same
-    # centroid matrix corpus rows use (nq × nprobe ints)
-    qcells = np.argsort(-(qunit @ cents.T), axis=1, kind="stable")[
-        :, :IVF_NPROBE
-    ]
+    # q·centroid matrix, computed once on the driver from the same
+    # centroid matrix corpus rows use: row qi's probe cells are its
+    # nprobe best columns, and column home[c] is the ADC centroid term
+    qc = qunit @ cents.T
+    qcells = np.argsort(-qc, axis=1, kind="stable")[:, :IVF_NPROBE]
     centsT = cents.T
     marange = np.arange(PQ_M)
 
@@ -867,10 +909,12 @@ def ann_ivfpq_topk(spark, sf_dir):
             nrm = np.linalg.norm(m, axis=1)
             zero = nrm == 0
             nrm[zero] = 1.0
-            home = ((m / nrm[:, None]) @ centsT).argmax(axis=1)
+            u = m / nrm[:, None]
+            home = (u @ centsT).argmax(axis=1)
+            resid = u - cents[home]
             codes = np.empty((len(m), PQ_M), dtype=np.int64)
             for j in range(PQ_M):
-                x = m[:, j * sub : (j + 1) * sub]
+                x = resid[:, j * sub : (j + 1) * sub]
                 d2 = (
                     (x ** 2).sum(1)[:, None]
                     - 2.0 * (x @ books[j].T)
@@ -883,7 +927,10 @@ def ann_ivfpq_topk(spark, sf_dir):
                 idx = np.nonzero(live)[0]
                 if len(idx) == 0:
                     continue
-                approx = lut[qi][marange, codes[idx]].sum(1) / nrm[idx]
+                approx = (
+                    qc[qi, home[idx]]
+                    + lut[qi][marange, codes[idx]].sum(1)
+                )
                 k = min(PQ_SHORTLIST, len(idx))
                 top = idx[np.argpartition(-approx, k - 1)[:k]]
                 out_q.append(np.full(len(top), qids[qi]))

@@ -439,10 +439,13 @@ def test_ann_ivfpq_topk_recall(q):
     """IVF+PQ composite: cell pruning (only nprobe of IVF_CELLS cells are
     scored per query) stacked on ADC scoring must still hold most of the
     exact top-K — the loss budget is pruning ∪ shortlist truncation, both
-    absorbed before the exact rerank (observed 0.89 at sf0.01; the floor
-    leaves sample slack). Every query must be answered: with nprobe=8 of
-    16 cells, an empty candidate set would mean the cell assignment or
-    the probe mask is broken, not that the data is sparse."""
+    absorbed before the exact rerank. r9 residual encoding (codes
+    quantize u − cents[home], FAISS by_residual) lifted observed recall
+    to 0.90 at sf0.01 (raw-vector codes: 0.89; the pipeline is fully
+    deterministic, so the 0.85 floor's margin is real, not sampled).
+    Every query must be answered: with nprobe=8 of 16 cells, an empty
+    candidate set would mean the cell assignment or the probe mask is
+    broken, not that the data is sparse."""
     exact: dict[int, set[int]] = {}
     for r in q("q43b_cosine_topk"):
         exact.setdefault(r.vec_id, set()).add(r.nn_id)
@@ -454,8 +457,8 @@ def test_ann_ivfpq_topk_recall(q):
         len(exact[v] & approx.get(v, set())) / len(exact[v]) for v in exact
     ]
     mean_recall = sum(recalls) / len(recalls)
-    assert mean_recall >= 0.75, (
-        f"ann_ivfpq_topk recall@K {mean_recall:.2f} < 0.75"
+    assert mean_recall >= 0.85, (
+        f"ann_ivfpq_topk recall@K {mean_recall:.2f} < 0.85"
     )
 
 
