@@ -901,6 +901,136 @@ def q86b_mor_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "q86c_mor_pruned_read",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS tp,
+               0 AS ci, CAST(0 AS BIGINT) AS seq
+        FROM orders
+    ), d1 AS (
+        SELECT k, tp + 1000, 1, CAST(1 AS BIGINT)
+        FROM base WHERE k % 7 = 0
+    ), d2 AS (
+        SELECT k, tp + 3000, 2, CAST(2 AS BIGINT)
+        FROM base WHERE k % 14 = 0
+    ), d3 AS (
+        SELECT k + 20000000, tp, 3, CAST(3 AS BIGINT)
+        FROM base WHERE k % 500 = 11
+    ), u AS (
+        SELECT * FROM base UNION ALL SELECT * FROM d1
+        UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3
+    ), r AS (
+        SELECT k, tp,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY ci DESC, seq DESC) AS rn
+        FROM u
+    ), w AS (
+        SELECT k, tp FROM r WHERE rn = 1 AND k BETWEEN 100 AND 1200
+    ), ph AS (
+        SELECT 1 AS phase, k, tp FROM w
+        UNION ALL SELECT 2, k, tp FROM w
+    )
+    SELECT phase, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM ph GROUP BY 1 ORDER BY 1
+    """,
+)
+def q86c_mor_pruned_read(spark, sf_dir):
+    """MOR KEY-COLUMN FILE SKIPPING + MINOR COMPACTION end-to-end (the
+    two r9 storage verbs, VERDICT r8 "Next round" #3/#5): commit orders
+    range-clustered WITH per-file stats, land three delta commits (two
+    overlapping update waves + inserts, each range-clustered so their
+    footer stats are tight), then take a windowed read on the MOR key —
+    ``read_snapshot_pruned`` must skip non-intersecting files from base
+    AND chain independently before latest-wins resolution (phase 1).
+    MINOR-compact the chain (base untouched byte-for-byte, chain folds
+    to one group — both asserted structurally) and window-read again
+    (phase 2). The oracle replays latest-wins + the window logically and
+    duplicates the world per phase, so a green row pins pruning
+    soundness on the key column and minor-compaction's fold-equivalence
+    in one hash."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    d1 = (
+        base.filter(F.col("k") % 7 == 0)
+        .withColumn("tp", F.col("tp") + 1000)
+        .withColumn("seq", F.lit(1).cast("long"))
+        .repartitionByRange(4, "k")
+    )
+    d2 = (
+        base.filter(F.col("k") % 14 == 0)
+        .withColumn("tp", F.col("tp") + 3000)
+        .withColumn("seq", F.lit(2).cast("long"))
+        .repartitionByRange(4, "k")
+    )
+    d3 = (
+        base.filter(F.col("k") % 500 == 11)
+        .withColumn("k", F.col("k") + 20000000)
+        .withColumn("seq", F.lit(3).cast("long"))
+        .repartitionByRange(2, "k")
+    )
+    path = tempfile.mkdtemp(prefix="snapshot_morprune_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot_with_stats(
+            spark, base, path, stats_cols=["k"], range_col="k", n_files=8
+        )
+        for d in (d1, d2, d3):
+            v = storage.upsert_delta_snapshot(spark, path, d, ["k"], "seq")
+        mdir = os.path.join(path, "_manifests")
+        with open(os.path.join(mdir, f"v{v}.json")) as f:
+            man = json.load(f)
+        chain = [rel for grp in man["mor"]["deltas"] for rel in grp]
+        assert all(
+            "k" in man["stats"].get(rel, {}) for rel in chain
+        ), "delta commit lost its footer stats"
+        pre = storage.read_snapshot_pruned(spark, path, "k", 100, 1200)
+        # the window must actually skip files on BOTH sides of the chain
+        listed = {os.path.basename(p) for p in pre.inputFiles()}
+        base_names = {os.path.basename(r) for r in man["files"]}
+        chain_names = {os.path.basename(r) for r in chain}
+        assert base_names - listed, "window pruned no base file"
+        assert chain_names - listed, "window pruned no delta file"
+        pre = pre.localCheckpoint(eager=True)
+        v_minor = storage.compact_mor(spark, path, minor=True)
+        with open(os.path.join(mdir, f"v{v_minor}.json")) as f:
+            man2 = json.load(f)
+        assert man2["files"] == man["files"], "minor touched base"
+        assert len(man2["mor"]["deltas"]) == 1, "chain not folded"
+        post = storage.read_snapshot_pruned(
+            spark, path, "k", 100, 1200
+        ).localCheckpoint(eager=True)
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        u = pre.withColumn("phase", F.lit(1)).unionByName(
+            post.withColumn("phase", F.lit(2))
+        )
+        return (
+            u.groupBy("phase")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("k").alias("sum_k"),
+                F.sum(cents).alias("sum_cents"),
+            )
+            .orderBy("phase")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q77b_optimize_incremental",
     sql="""
     SELECT l_partkey, COUNT(*) AS n,

@@ -94,15 +94,40 @@ _REPO_ROOT = _Path(__file__).resolve().parent.parent
 
 # Oracled queries rewritten materially this session AFTER their newest green
 # driver row was recorded; they jump the evidence queue so the changed code
-# re-earns its row. Reset at the start of each round.
+# re-earns its row. Updated at round END (the r8 verdict's fix: r8 changed
+# storage paths but left this empty, so the driver spent its slots on the
+# stale cohort and re-checked none of the changed code).
 #
-# Round 8: the round-7 pins all earned green rows, so the list resets to []
-# (round-start ritual per the r6/r7 verdicts). With the head empty, the
-# evidence queue rotates the driver's 50 slots onto the stale cohort —
-# never-tested new registrations first, then the ≤r3/r4 rows
-# (q20-q25, q26b, q52b/c, q53, win_latest_per_key, events_transitions,
-# dedup_keep_corpus, ...) by stalest-evidence-first ordering.
-_REPRIORITIZE: list[str] = []
+# Round 9 changed: storage.py (_commit_manifest version-strip;
+# upsert_delta_snapshot empty-batch/footer-stats; _resolve_mor empty-group
+# tolerance; compact_mor minor mode; read_snapshot_pruned MOR key pruning;
+# vacuum *.tmp sweep; _write_dv tmp cleanup), pipeline/avro_ocf.py (NaN
+# contract, tmp hygiene), streaming/sink.py (commit-log watermark
+# retention). Every oracled query riding those paths — directly or through
+# write_snapshot/_commit_manifest — is listed; the two r9 registrations
+# (q86b, q86c) lead so they earn their first row immediately. ~20 entries
+# leaves 30 slots for the mechanical stale-first rotation (r4 cohort next).
+_REPRIORITIZE: list[str] = [
+    "q86b_mor_schema_evolution",
+    "q86c_mor_pruned_read",
+    "q86_upsert_mor",
+    "q87_stream_mor_upsert",
+    "q85_avro_roundtrip",
+    "q60_stream_upsert_sink",
+    "q78b_snapshot_delete_dv",
+    "q78c_dv_purge",
+    "q77b_optimize_incremental",
+    "q77_optimize_snapshot",
+    "q78_snapshot_delete",
+    "q67_stats_pruned_scan",
+    "q66_snapshot_time_travel",
+    "q66b_snapshot_changes",
+    "q79_stream_snapshot_append",
+    "q69_stream_mv_refresh",
+    "cdc_merge_upsert",
+    "mv_incremental_agg",
+    "mv_rollup_cascade",
+]
 
 
 def correctness_evidence(root: _Path | str | None = None) -> dict[str, int]:

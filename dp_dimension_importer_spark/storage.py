@@ -256,8 +256,17 @@ def optimize_snapshot(
     offer), time travel still reaches the pre-optimize layout, and a
     crash mid-rewrite leaves the table at the old version; superseded
     data files are reclaimed by ``vacuum_snapshots``. Returns the new
-    version number."""
+    version number.
+
+    An EMPTY current version (a delete-everything is legal) still
+    commits — there is nothing to rank-quantize, so the empty frame is
+    committed directly; ``zorder_layout``'s all-null refusal stays
+    reserved for non-empty tables whose clustering column genuinely
+    cannot rank (found by the r9 hypothesis model: overwrite →
+    delete-all → optimize crashed)."""
     cur = read_snapshot(spark, path)
+    if cur.isEmpty():
+        return write_snapshot(spark, cur, path, stats_cols=cols)
     return write_snapshot(
         spark, zorder_layout(cur, cols, n_shards), path, stats_cols=cols
     )
@@ -325,9 +334,18 @@ def optimize_snapshot_incremental(
             "incremental OPTIMIZE over DV-carrying files: "
             "purge_deletion_vectors first"
         )
+    df = spark.read.parquet(*(os.path.join(path, rel) for rel in new_rels))
+    if df.isEmpty():
+        # the added files hold zero rows (an empty append's schema-only
+        # part files) — nothing to cluster, nothing worth rewriting
+        return {
+            "version": versions[-1],
+            "files_clustered": 0,
+            "files_kept": len(kept),
+            "files_written": 0,
+        }
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
-    df = spark.read.parquet(*(os.path.join(path, rel) for rel in new_rels))
     (zorder_layout(df, cols, n_shards).write.mode("error")
      .option("compression", compression).parquet(data_dir))
     new_files = sorted(
