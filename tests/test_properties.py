@@ -590,3 +590,159 @@ def test_snapshot_layer_model_equivalence(spark, ops):
             assert got == expect, (v, got, expect)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("overwrite"), st.integers(0, 30)),
+            st.tuples(st.just("upsert"), st.integers(0, 30)),
+            st.tuples(st.just("upsert_empty"), st.integers(0, 0)),
+            st.tuples(st.just("minor"), st.integers(0, 0)),
+            st.tuples(st.just("major"), st.integers(0, 0)),
+            st.tuples(st.just("delete"), st.integers(0, 40)),
+            st.tuples(st.just("restore"), st.integers(0, 10)),
+            st.tuples(st.just("vacuum"), st.integers(1, 3)),
+        ),
+        min_size=1,
+        max_size=7,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_mor_layer_model_equivalence(spark, ops):
+    """Model-based check of the MERGE-ON-READ verb set (r9 twin of the
+    snapshot model above, covering the verbs that model skips): random
+    sequences of overwrite / delta-upsert (overlapping keys, latest
+    commit must win) / empty-upsert-with-txn / minor / major compaction /
+    COW delete (must REFUSE on a MOR table) / restore / vacuum, applied
+    to both the storage layer and a per-version {key: value} model that
+    also tracks chain length (predicting exactly when minor/major
+    commit vs no-op). After every step the resolved read AND a
+    stats-pruned key-window read equal the model; at the end every
+    retained version time-travels to its model state — so chain
+    resolution, fold-equivalence, restore-of-a-chain, and vacuum's
+    live-chain retention hold under arbitrary interleavings."""
+    import shutil
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark import storage
+
+    base = tempfile.mkdtemp(prefix="mor_model_")
+    path = base + "/tbl"
+    # model[v-1] = (state {k: v}, n_delta_groups, has_mor) | None (vacuumed)
+    model: list = []
+
+    def mk(seed, opidx, n=8):
+        rows = [
+            (seed + i, (seed + i) * 1000 + opidx, opidx) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k long, v long, seq long")
+        return df, {k: v for k, v, _ in rows}
+
+    try:
+        for opidx, (verb, arg) in enumerate(ops):
+            if verb == "overwrite" or not model:
+                df, st_new = mk(arg, opidx)
+                storage.write_snapshot(
+                    spark, df.repartitionByRange(2, "k"), path,
+                    stats_cols=["k"],
+                )
+                model.append((st_new, 0, False))
+            elif verb == "upsert":
+                df, ch = mk(arg, opidx)
+                state, chain, _ = model[-1]
+                v = storage.upsert_delta_snapshot(
+                    spark, path, df.repartitionByRange(2, "k"),
+                    ["k"], "seq",
+                )
+                assert v == len(model) + 1
+                model.append(({**state, **ch}, chain + 1, True))
+            elif verb == "upsert_empty":
+                empty = spark.createDataFrame([], "k long, v long, seq long")
+                state, chain, mor = model[-1]
+                v = storage.upsert_delta_snapshot(
+                    spark, path, empty, ["k"], "seq", txn=("m", opidx)
+                )
+                # txn watermark advances via a commit that adds NO group
+                assert v == len(model) + 1
+                model.append((dict(state), chain, mor))
+            elif verb == "minor":
+                state, chain, mor = model[-1]
+                v = storage.compact_mor(spark, path, minor=True)
+                if mor and chain > 1:
+                    assert v == len(model) + 1, "minor should have committed"
+                    model.append((dict(state), 1, True))
+                else:
+                    assert v == len(model), "minor should have no-opped"
+            elif verb == "major":
+                state, chain, mor = model[-1]
+                v = storage.compact_mor(spark, path)
+                if mor:
+                    assert v == len(model) + 1, "major should have committed"
+                    model.append((dict(state), 0, False))
+                else:
+                    assert v == len(model), "major should have no-opped"
+            elif verb == "delete":
+                state, chain, mor = model[-1]
+                if mor:
+                    with pytest.raises(ValueError, match="MOR"):
+                        storage.delete_where_snapshot(
+                            spark, path, F.col("k") < arg
+                        )
+                else:
+                    res = storage.delete_where_snapshot(
+                        spark, path, F.col("k") < arg
+                    )
+                    surv = {k: v for k, v in state.items() if k >= arg}
+                    if res["rows_deleted"] > 0:
+                        assert res["version"] == len(model) + 1
+                        model.append((surv, 0, False))
+                    else:
+                        assert surv == state  # no match -> no commit
+            elif verb == "restore":
+                versions = storage.snapshot_versions(path)
+                v = versions[arg % len(versions)]
+                got_v = storage.restore_snapshot(path, v)
+                assert got_v == len(model) + 1
+                state, chain, mor = model[v - 1]
+                model.append((dict(state), chain, mor))
+            elif verb == "vacuum":
+                live = [i for i, m in enumerate(model) if m is not None]
+                keep = min(arg, len(live))
+                storage.vacuum_snapshots(path, keep_last=keep)
+                for i in live[: len(live) - keep]:
+                    model[i] = None
+            state = model[-1][0]
+            rows = storage.read_snapshot(spark, path).collect()
+            assert len(rows) == len(state), (verb, arg)
+            assert {r.k: r.v for r in rows} == state, (verb, arg)
+            # pruning == filtering under EVERY verb interleaving (the MOR
+            # key-column skipping path when a chain exists, the plain
+            # stats path otherwise)
+            lo = arg
+            pr = storage.read_snapshot_pruned(
+                spark, path, "k", lo, lo + 10
+            ).collect()
+            assert {r.k: r.v for r in pr} == {
+                k: v for k, v in state.items() if lo <= k <= lo + 10
+            }, (verb, arg)
+        assert storage.snapshot_versions(path) == [
+            v for v, m in enumerate(model, start=1) if m is not None
+        ]
+        for v, entry in enumerate(model, start=1):
+            if entry is None:
+                with pytest.raises(FileNotFoundError):
+                    storage.read_snapshot(spark, path, version=v)
+                continue
+            got = {
+                r.k: r.v
+                for r in storage.read_snapshot(
+                    spark, path, version=v
+                ).collect()
+            }
+            assert got == entry[0], (v, got, entry[0])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
