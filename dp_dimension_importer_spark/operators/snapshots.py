@@ -1031,6 +1031,119 @@ def q86c_mor_pruned_read(spark, sf_dir):
 
 
 @register(
+    "q88_merge_delete_feed",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS tp,
+               CAST(0 AS BIGINT) AS seq
+        FROM orders
+    ), feed AS (
+        SELECT k, pri, tp + 500 AS tp, CAST(1 AS BIGINT) AS seq, 'U' AS op
+        FROM base WHERE k % 9 = 1
+        UNION ALL
+        SELECT k, pri, CAST(0 AS DOUBLE), CAST(1 AS BIGINT), 'D'
+        FROM base WHERE k % 9 = 4
+        UNION ALL
+        SELECT k, pri, tp + 9000, CAST(2 AS BIGINT), 'I'
+        FROM base WHERE k % 90 = 4
+        UNION ALL
+        SELECT k + 30000000, pri, CAST(0 AS DOUBLE), CAST(1 AS BIGINT), 'D'
+        FROM base WHERE k % 1000 = 13
+    ), latest AS (
+        SELECT k, pri, tp, seq, op,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM feed
+    ), kept AS (
+        SELECT k, pri, tp, seq FROM latest WHERE rn = 1 AND op <> 'D'
+    ), untouched AS (
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM latest t WHERE t.rn = 1 AND t.k = b.k
+        )
+    ), final AS (
+        SELECT * FROM untouched UNION ALL SELECT * FROM kept
+    )
+    SELECT pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM final GROUP BY pri ORDER BY pri
+    """,
+)
+def q88_merge_delete_feed(spark, sf_dir):
+    """FULL MERGE with DELETE markers (:func:`storage.merge_apply_changes`
+    — the CDC verb `merge_upsert_snapshot` cannot express, r9): a feed
+    carrying op ∈ {U, I, D} applies to the orders snapshot in one verb —
+    updates replace, deletes REMOVE the key, a delete for an absent key
+    is a no-op, and an insert arriving after a delete in the SAME feed
+    wins on seq (the k % 90 cohort carries both, pinning intra-feed
+    compaction order). Snapshot isolation: the merge commits a new
+    version (asserted), the pre-merge world stays time-travelable
+    (asserted). The oracle replays compaction + anti-join + union
+    logically, so a green row pins every op path in one hash."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    feed = (
+        base.filter(F.col("k") % 9 == 1)
+        .withColumn("tp", F.col("tp") + 500)
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            base.filter(F.col("k") % 9 == 4)
+            .withColumn("tp", F.lit(0.0))
+            .withColumn("seq", F.lit(1).cast("long"))
+            .withColumn("op", F.lit("D"))
+        )
+        .unionByName(
+            base.filter(F.col("k") % 90 == 4)
+            .withColumn("tp", F.col("tp") + 9000)
+            .withColumn("seq", F.lit(2).cast("long"))
+            .withColumn("op", F.lit("I"))
+        )
+        .unionByName(
+            base.filter(F.col("k") % 1000 == 13)
+            .withColumn("k", F.col("k") + 30000000)
+            .withColumn("tp", F.lit(0.0))
+            .withColumn("seq", F.lit(1).cast("long"))
+            .withColumn("op", F.lit("D"))
+        )
+    )
+    path = tempfile.mkdtemp(prefix="snapshot_mergedel_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, base, path)
+        v = storage.merge_apply_changes(
+            spark, path, feed, ["k"], "seq", op_col="op"
+        )
+        assert v == 2, "merge must commit a new version"
+        assert storage.read_snapshot(spark, path, version=1).count() == (
+            t.orders.count()
+        ), "pre-merge version must stay intact"
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot(spark, path)
+            .groupBy("pri")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).alias("sum_cents"),
+            )
+            .orderBy("pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q77b_optimize_incremental",
     sql="""
     SELECT l_partkey, COUNT(*) AS n,

@@ -939,6 +939,62 @@ def merge_upsert_snapshot(
     return write_snapshot(spark, resolved, path)
 
 
+def merge_apply_changes(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> int:
+    """Full MERGE with DELETE markers — the verb a real CDC feed needs
+    that :func:`merge_upsert_snapshot` (upsert-only) cannot express:
+    ``changes`` rows carry ``op_col`` ∈ {insert/update/…, ``delete_op``},
+    and per key the HIGHEST-``seq_col`` change decides — a delete removes
+    the key, anything else replaces (or inserts) the row. Applied with
+    snapshot isolation: the result commits as a NEW version, prior
+    versions stay readable. Returns the new version.
+
+    Semantics pinned by the oracle: a delete for an absent key is a
+    no-op; an insert arriving after a delete IN THE SAME feed wins if its
+    seq is higher (per-key compaction happens before the merge, so intra-
+    feed ordering is by seq alone); ties within a feed are a caller
+    contract violation, as in every other (key, seq) verb here.
+
+    Scale shape: the feed compacts to one row per touched key (a window
+    over the FEED, never the table), then ONE key-partitioned left-anti
+    join carries every untouched table row and the surviving changes
+    union in. On a layout bucketed by the key the anti-join plans with
+    zero table-side Exchange; AQE broadcasts the compacted feed when it
+    is a sliver of the table — the common nightly-CDC case — so the cost
+    is O(table scan + |feed|), not a table shuffle."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    current = read_snapshot(spark, path)
+    data_cols = [c for c in current.columns]
+    missing = [c for c in data_cols + [op_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"merge_apply_changes: feed lacks column(s) {missing} "
+            f"(needs the table schema plus {op_col!r})"
+        )
+    w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    keep = (
+        latest.filter(F.col(op_col) != delete_op).select(*data_cols)
+    )
+    untouched = current.join(
+        latest.select(*key_cols), key_cols, "left_anti"
+    )
+    return write_snapshot(spark, untouched.unionByName(keep), path)
+
+
 # ---------------------------------------------------------------------------
 # Deletion vectors — merge-on-read DELETE (the Delta DV / Iceberg v2
 # position-delete idea on this layer's manifests)

@@ -1798,3 +1798,40 @@ def test_compact_mor_minor_folds_chain_base_untouched(spark, tmp_path):
     assert "mor" not in man_major
     out2 = {r.k: r.v for r in storage.read_snapshot(spark, path).collect()}
     assert out2 == out
+
+
+def test_merge_apply_changes_guards_and_noop_paths(spark, tmp_path):
+    """merge_apply_changes (r9): feed missing a table column (or the op
+    column) refuses before any write; a feed of ONLY absent-key deletes
+    still commits a version whose rows equal the original (the no-op
+    delete path); a same-key D-then-I feed resolves by seq."""
+    import pytest
+
+    from dp_dimension_importer_spark import storage
+
+    path = str(tmp_path / "md")
+    base = spark.createDataFrame(
+        [(i, i * 10, 0) for i in range(10)], "k long, v long, seq long"
+    )
+    storage.write_snapshot(spark, base, path)
+    with pytest.raises(ValueError, match="lacks column"):
+        storage.merge_apply_changes(
+            spark, path,
+            spark.createDataFrame([(1, 1)], "k long, seq long"),
+            ["k"], "seq",
+        )
+    ghosts = spark.createDataFrame(
+        [(100, 0, 1, "D"), (200, 0, 1, "D")],
+        "k long, v long, seq long, op string",
+    )
+    v = storage.merge_apply_changes(spark, path, ghosts, ["k"], "seq")
+    got = {r.k: r.v for r in storage.read_snapshot(spark, path).collect()}
+    assert got == {i: i * 10 for i in range(10)} and v == 2
+    # delete then re-insert of the same key within one feed: seq decides
+    flip = spark.createDataFrame(
+        [(3, 0, 1, "D"), (3, 999, 2, "I"), (4, 0, 2, "D"), (4, 888, 1, "I")],
+        "k long, v long, seq long, op string",
+    )
+    storage.merge_apply_changes(spark, path, flip, ["k"], "seq")
+    got = {r.k: r.v for r in storage.read_snapshot(spark, path).collect()}
+    assert got[3] == 999 and 4 not in got and len(got) == 9
