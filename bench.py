@@ -47,6 +47,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q51d_stream_ewma",
     "q64c_python_datasource_stream",
     "q87_stream_mor_upsert",
+    "q88b_stream_cdc_apply",
 }
 
 

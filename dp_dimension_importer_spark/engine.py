@@ -148,14 +148,17 @@ from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
 )
 from dp_dimension_importer_spark.storage import (  # noqa: F401
     build_bloom_index,
+    compact_mor,
     compact_small_files_snapshot,
     delete_where_snapshot,
+    merge_apply_changes,
     read_bloom_pruned,
     optimize_snapshot,
     read_snapshot,
     read_snapshot_pruned,
     restore_snapshot,
     snapshot_changes,
+    upsert_delta_snapshot,
     write_snapshot,
     write_snapshot_with_stats,
     zorder_layout,
@@ -170,6 +173,7 @@ from dp_dimension_importer_spark.operators.similarity import (  # noqa: F401
     kmeans_fit,
 )
 from dp_dimension_importer_spark.streaming.sink import (  # noqa: F401
+    compact_commit_log,
     make_snapshot_append_handler,
     run_stream_snapshot_append,
 )
@@ -253,6 +257,10 @@ __all__ = [
     "optimize_snapshot",
     "zorder_layout",
     "delete_where_snapshot",
+    "merge_apply_changes",
+    "upsert_delta_snapshot",
+    "compact_mor",
+    "compact_commit_log",
     "restore_snapshot",
     "drift_psi",
     "kmeans_fit",

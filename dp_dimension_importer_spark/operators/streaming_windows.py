@@ -1143,3 +1143,80 @@ def q87_stream_mor_upsert(spark, sf_dir):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
         shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+@register(
+    "q88b_stream_cdc_apply",
+    sql="""
+    SELECT user_id, event_id AS last_event, event_type AS last_type
+    FROM (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ms(ts) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1 AND event_type <> 'view' ORDER BY user_id
+    """,
+)
+def q88b_stream_cdc_apply(spark, sf_dir):
+    """Exactly-once STREAMING CDC APPLY with DELETE markers
+    (:func:`streaming.sink.run_stream_cdc_apply` → q88's
+    ``merge_apply_changes`` per micro-batch — the delete-capable member
+    of the sink family after q60's upsert merge and q87's MOR deltas):
+    every event becomes a change row whose op is 'D' when the event type
+    is 'view' and 'U' otherwise, so a user's row EXISTS at the end iff
+    their globally-latest event is a non-view — the current-state table
+    a CDC consumer maintains when the feed carries tombstones. The
+    replay is event-time-ordered (seq = ms·2^20 + event_id increases
+    along it), so sequential per-batch application equals the one-shot
+    oracle; the txn watermark in the manifest is the single commit
+    point, and a hand-redelivered batch is asserted to commit
+    nothing."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.streaming import sink as cdc_sink
+
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        (F.unix_millis("ts") * F.lit(1 << 20) + F.col("event_id"))
+        .alias("seq"),
+        F.when(F.col("event_type") == "view", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    replay_dir = write_replay_dir(
+        events, n_files=4, order_col="event_id", sentinel=False
+    )
+    scratch = tempfile.mkdtemp(prefix="q88b_cdc_")
+    table_path = scratch + "/table"
+    try:
+        cdc_sink.run_stream_cdc_apply(
+            spark, replay_dir, events.schema, table_path,
+            key_cols=["user_id"], seq_col="seq",
+            checkpoint=scratch + "/ckpt",
+        )
+        v_before = storage.snapshot_versions(table_path)[-1]
+        # redeliver batch 1 by hand: the txn watermark must skip it
+        first = spark.read.parquet(replay_dir).orderBy("event_id").limit(50)
+        cdc_sink.make_cdc_apply_handler(
+            table_path, ["user_id"], "seq"
+        )(first, 1)
+        assert storage.snapshot_versions(table_path)[-1] == v_before, (
+            "redelivered batch must not commit"
+        )
+        return (
+            storage.read_snapshot(spark, table_path)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event"),
+                F.col("event_type").alias("last_type"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(replay_dir, ignore_errors=True)

@@ -947,6 +947,7 @@ def merge_apply_changes(
     seq_col: str,
     op_col: str = "op",
     delete_op: str = "D",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Full MERGE with DELETE markers — the verb a real CDC feed needs
     that :func:`merge_upsert_snapshot` (upsert-only) cannot express:
@@ -968,10 +969,27 @@ def merge_apply_changes(
     union in. On a layout bucketed by the key the anti-join plans with
     zero table-side Exchange; AQE broadcasts the compacted feed when it
     is a sliver of the table — the common nightly-CDC case — so the cost
-    is O(table scan + |feed|), not a table shuffle."""
+    is O(table scan + |feed|), not a table shuffle.
+
+    ``txn=(app_id, batch_id)``: the same manifest idempotence watermark
+    as :func:`write_snapshot` — a redelivered at-least-once micro-batch
+    is skipped before any file is written, making the streaming CDC
+    apply sink exactly-once."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    if txn is not None:
+        versions = snapshot_versions(path)
+        if versions:
+            import json
+            import os
+
+            with open(
+                os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")
+            ) as f:
+                prev_txn = json.load(f).get("txn") or {}
+            if txn[1] <= prev_txn.get(txn[0], -1):
+                return versions[-1]  # redelivered batch: skip the compute
     current = read_snapshot(spark, path)
     data_cols = [c for c in current.columns]
     missing = [c for c in data_cols + [op_col] if c not in changes.columns]
@@ -992,7 +1010,9 @@ def merge_apply_changes(
     untouched = current.join(
         latest.select(*key_cols), key_cols, "left_anti"
     )
-    return write_snapshot(spark, untouched.unionByName(keep), path)
+    return write_snapshot(
+        spark, untouched.unionByName(keep), path, txn=txn
+    )
 
 
 # ---------------------------------------------------------------------------

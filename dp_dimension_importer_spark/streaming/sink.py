@@ -490,3 +490,91 @@ def run_stream_mor_upsert(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return storage.read_snapshot(spark, table_path)
+
+
+def make_cdc_apply_handler(
+    table_path: str,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    app_id: str = "stream",
+):
+    """foreachBatch handler applying an insert/update/DELETE CDC feed to a
+    snapshot table exactly once (:func:`storage.merge_apply_changes` with
+    ``txn=(app_id, batch_id)`` — the delete-capable member of the sink
+    family: q60 merges latest-wins upserts, q87 lands MOR deltas, this
+    one honors delete markers). The manifest hard-link is the single
+    commit point; a redelivered batch is skipped inside the verb before
+    any compute. The FIRST batch bootstraps the table from its compacted
+    non-delete rows (applying a feed to an empty table), with the same
+    txn watermark."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from dp_dimension_importer_spark import storage
+
+        spark = batch_df.sparkSession
+        if not storage.snapshot_versions(table_path):
+            w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+            boot = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .filter(F.col(op_col) != delete_op)
+                .drop("_rn", op_col)
+            )
+            storage.write_snapshot(
+                spark, boot, table_path, txn=(app_id, int(batch_id))
+            )
+        else:
+            storage.merge_apply_changes(
+                spark, table_path, batch_df, key_cols, seq_col,
+                op_col=op_col, delete_op=delete_op,
+                txn=(app_id, int(batch_id)),
+            )
+
+    return handle
+
+
+def run_stream_cdc_apply(
+    spark: SparkSession,
+    replay_dir: str,
+    schema,
+    table_path: str,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    checkpoint: str | None = None,
+    app_id: str = "stream",
+) -> DataFrame:
+    """Drive a file-source stream (1 file per micro-batch) through the
+    CDC apply sink with availableNow, then read the final table back.
+    With a seq that increases along the replay order, sequential
+    per-batch application equals a one-shot global latest-wins-with-
+    deletes — which is what the q88b oracle states."""
+    from dp_dimension_importer_spark import storage
+
+    handler = make_cdc_apply_handler(
+        table_path, key_cols, seq_col, op_col=op_col, app_id=app_id
+    )
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_cdc_")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return storage.read_snapshot(spark, table_path)
