@@ -147,8 +147,12 @@ from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
     prefix_filter_pairs,
 )
 from dp_dimension_importer_spark.storage import (  # noqa: F401
+    abandon_staged,
     build_bloom_index,
     compact_mor,
+    publish_snapshot,
+    read_staged,
+    stage_snapshot,
     compact_small_files_snapshot,
     delete_where_snapshot,
     merge_apply_changes,
@@ -261,6 +265,10 @@ __all__ = [
     "upsert_delta_snapshot",
     "compact_mor",
     "compact_commit_log",
+    "stage_snapshot",
+    "read_staged",
+    "publish_snapshot",
+    "abandon_staged",
     "restore_snapshot",
     "drift_psi",
     "kmeans_fit",

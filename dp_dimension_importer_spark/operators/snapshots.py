@@ -1144,6 +1144,93 @@ def q88_merge_delete_feed(spark, sf_dir):
 
 
 @register(
+    "q89_write_audit_publish",
+    sql="""
+    SELECT o_orderpriority AS pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR((o_totalprice + 100) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q89_write_audit_publish(spark, sf_dir):
+    """WRITE-AUDIT-PUBLISH (:func:`storage.stage_snapshot` /
+    :func:`read_staged` / :func:`publish_snapshot` /
+    :func:`abandon_staged` — Iceberg's WAP workflow on the manifest
+    commit protocol, r9): commit orders as v1; stage a BAD candidate
+    (prices corrupted negative), audit it while STAGED — readers of the
+    table must still see v1 (asserted) — and abandon it (files gone,
+    asserted); stage a GOOD candidate (prices +100), audit passes,
+    publish. The audit reads the exact bytes publish would commit, and
+    publish is one atomic hard-link, so nothing can drift in between.
+    Structural asserts pin: no phantom version from the failed
+    candidate (versions == [1, 2]), the bad files reclaimed, the staged
+    read invisible to ``read_snapshot``. The returned aggregate is the
+    published world; the oracle states it directly over orders."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    path = tempfile.mkdtemp(prefix="snapshot_wap_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, base, path)
+        n_base = base.count()
+        # candidate 1: corrupted — every 5th price flips negative
+        bad = base.withColumn(
+            "tp",
+            F.when(F.col("k") % 5 == 0, -F.col("tp")).otherwise(F.col("tp")),
+        )
+        staged_bad = storage.stage_snapshot(spark, bad, path)
+        # while staged: the table still reads as v1, full and clean
+        cur = storage.read_snapshot(spark, path)
+        assert cur.filter(F.col("tp") < 0).count() == 0
+        assert cur.count() == n_base
+        # audit the staged bytes -> violations -> abandon
+        violations = (
+            storage.read_staged(spark, path, staged_bad)
+            .filter(F.col("tp") < 0)
+            .count()
+        )
+        assert violations > 0, "fixture must trip the audit"
+        storage.abandon_staged(path, staged_bad)
+        assert not glob.glob(
+            os.path.join(path, "data", staged_bad["token"], "*")
+        ), "abandoned candidate left files behind"
+        # candidate 2: clean — audit passes, publish atomically
+        good = base.withColumn("tp", F.col("tp") + 100)
+        staged_good = storage.stage_snapshot(spark, good, path)
+        audited = storage.read_staged(spark, path, staged_good)
+        assert audited.filter(F.col("tp") < 0).count() == 0
+        assert audited.count() == n_base
+        v = storage.publish_snapshot(path, staged_good)
+        assert storage.snapshot_versions(path) == [1, v], (
+            "failed candidate must not burn a version"
+        )
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot(spark, path)
+            .groupBy("pri")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).alias("sum_cents"),
+            )
+            .orderBy("pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q77b_optimize_incremental",
     sql="""
     SELECT l_partkey, COUNT(*) AS n,

@@ -939,6 +939,102 @@ def merge_upsert_snapshot(
     return write_snapshot(spark, resolved, path)
 
 
+def stage_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    compression: str = PARQUET_CODEC,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """WRITE step of WRITE-AUDIT-PUBLISH (Iceberg's WAP workflow on this
+    layer's commit protocol): write ``df``'s data files under a fresh
+    ``data/<token>/`` directory and return a STAGED handle — the files
+    are INVISIBLE to every reader because no manifest references them
+    (exactly the crash-invisibility property the snapshot tests pin, used
+    deliberately). Audit the candidate with :func:`read_staged`; then
+    either :func:`publish_snapshot` (atomic manifest hard-link, same
+    commit point as every verb) or :func:`abandon_staged` (drop the
+    files; an un-abandoned orphan is reclaimed by ``vacuum_snapshots``
+    like any crashed commit). The audit reads the EXACT bytes that would
+    publish — no re-write between audit and publish, so the check can
+    never drift from the published data."""
+    import glob
+    import os
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", token)
+    (df.write.mode("error").option("compression", compression)
+     .parquet(data_dir))
+    files = sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+    manifest: dict = {
+        "files": files,
+        "schema": {f.name: f.dataType.simpleString() for f in df.schema},
+    }
+    if stats_cols is not None:
+        manifest["stats"] = collect_file_stats(files, path, stats_cols)
+    return {"token": token, "manifest": manifest}
+
+
+def read_staged(spark: SparkSession, path: str, staged: dict) -> DataFrame:
+    """AUDIT-side read of a staged (unpublished) candidate — the same
+    files :func:`publish_snapshot` would commit, by construction."""
+    import os
+
+    return spark.read.parquet(
+        *(os.path.join(path, rel) for rel in staged["manifest"]["files"])
+    )
+
+
+def publish_snapshot(
+    path: str, staged: dict, enforce_schema: bool = True
+) -> int:
+    """PUBLISH step of WAP: commit a staged candidate as the table's next
+    version — pure metadata (the manifest hard-link), zero data movement,
+    so the window between a passed audit and visibility is one atomic
+    filesystem op. Schema/txn rules are checked HERE against the latest
+    committed version (not at stage time): publish is the serialization
+    point, and a table that evolved between stage and publish must be
+    re-validated against what it evolved into."""
+    import json
+    import os
+
+    prev: dict = {}
+    versions = snapshot_versions(path)
+    if versions:
+        with open(
+            os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")
+        ) as f:
+            prev = json.load(f)
+    new_schema = staged["manifest"]["schema"]
+    if enforce_schema and prev:
+        for col_name, col_type in (prev.get("schema") or {}).items():
+            if new_schema.get(col_name) != col_type:
+                raise ValueError(
+                    f"snapshot schema evolution must be additive: column "
+                    f"{col_name!r} was {col_type}, staged candidate has "
+                    f"{new_schema.get(col_name)!r}"
+                )
+    manifest = dict(staged["manifest"])
+    if prev.get("txn"):
+        manifest["txn"] = prev["txn"]  # watermarks never regress
+    return _commit_manifest(path, manifest, staged["token"])
+
+
+def abandon_staged(path: str, staged: dict) -> None:
+    """Drop a staged candidate that failed its audit — its directory and
+    nothing else; committed versions are untouched."""
+    import os
+    import shutil
+
+    shutil.rmtree(
+        os.path.join(path, "data", staged["token"]), ignore_errors=True
+    )
+
+
 def merge_apply_changes(
     spark: SparkSession,
     path: str,

@@ -1835,3 +1835,49 @@ def test_merge_apply_changes_guards_and_noop_paths(spark, tmp_path):
     storage.merge_apply_changes(spark, path, flip, ["k"], "seq")
     got = {r.k: r.v for r in storage.read_snapshot(spark, path).collect()}
     assert got[3] == 999 and 4 not in got and len(got) == 9
+
+
+def test_wap_staging_invisible_vacuumable_and_publish_checks(
+    spark, tmp_path
+):
+    """WAP seams (r9): a staged-but-never-published candidate is invisible
+    to readers AND reclaimed by vacuum like any crashed commit; publish
+    re-validates schema against whatever the table evolved into between
+    stage and publish; a commit landing in that window just shifts the
+    published version number (optimistic claim, no lost update)."""
+    import glob
+    import os
+
+    import pytest
+
+    from dp_dimension_importer_spark import storage
+
+    path = str(tmp_path / "wap")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    storage.write_snapshot(spark, base, path)
+    # orphan: staged, never published, forgotten
+    orphan = storage.stage_snapshot(spark, base, path)
+    assert storage.read_snapshot(spark, path).count() == 10
+    removed = storage.vacuum_snapshots(path, keep_last=1)
+    assert removed >= 1
+    assert not glob.glob(os.path.join(path, "data", orphan["token"], "*"))
+    # schema drift between stage and publish: publish must refuse
+    drifted = spark.createDataFrame(
+        [(1, "no-longer-a-double")], "k long, v string"
+    )
+    staged_bad = storage.stage_snapshot(spark, drifted, path)
+    with pytest.raises(ValueError, match="additive"):
+        storage.publish_snapshot(path, staged_bad)
+    storage.abandon_staged(path, staged_bad)
+    # a commit racing into the stage->publish window: publish still lands,
+    # on the NEXT version number
+    staged = storage.stage_snapshot(
+        spark, base.withColumn("v", F.col("v") + 1), path
+    )
+    storage.write_snapshot(spark, base, path)   # interloper -> v2
+    v = storage.publish_snapshot(path, staged)
+    assert v == 3
+    got = {r.k: r.v for r in storage.read_snapshot(spark, path).collect()}
+    assert got == {i: float(i) + 1 for i in range(10)}
