@@ -150,6 +150,9 @@ from dp_dimension_importer_spark.storage import (  # noqa: F401
     abandon_staged,
     build_bloom_index,
     compact_mor,
+    drop_tag,
+    list_tags,
+    tag_snapshot,
     publish_snapshot,
     read_staged,
     stage_snapshot,
@@ -269,6 +272,9 @@ __all__ = [
     "read_staged",
     "publish_snapshot",
     "abandon_staged",
+    "tag_snapshot",
+    "drop_tag",
+    "list_tags",
     "restore_snapshot",
     "drift_psi",
     "kmeans_fit",

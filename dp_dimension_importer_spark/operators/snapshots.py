@@ -1231,6 +1231,88 @@ def q89_write_audit_publish(spark, sf_dir):
 
 
 @register(
+    "q66c_snapshot_tags",
+    sql="""
+    WITH w AS (
+        SELECT o_orderpriority AS pri, o_totalprice AS tp FROM orders
+    ), ph AS (
+        SELECT 1 AS phase, pri, tp FROM w
+        UNION ALL SELECT 2, pri, tp + 100 FROM w
+    )
+    SELECT phase, pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM ph GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q66c_snapshot_tags(spark, sf_dir):
+    """NAMED TAGS + tag-aware RETENTION (:func:`storage.tag_snapshot` /
+    ``read_snapshot(tag=...)`` / tag-retaining ``vacuum_snapshots``, r9 —
+    Iceberg tags on the manifest layer): commit orders (v1), tag it
+    ``audit`` — the compliance-baseline use case — then land two more
+    overwrites and vacuum with ``keep_last=1``. The tagged v1 must
+    SURVIVE the vacuum (read by name, phase 1) while the untagged v2
+    expires (FileNotFoundError, asserted); phase 2 is the latest world.
+    Immutability is asserted inside: re-pointing the tag without
+    dropping it first refuses. The oracle states both phases directly,
+    so a green row pins that retention honored the tag and the tag still
+    names the ORIGINAL bytes after two overwrites and a vacuum."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    path = tempfile.mkdtemp(prefix="snapshot_tags_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, base, path)
+        storage.tag_snapshot(path, "audit")
+        storage.write_snapshot(
+            spark, base.withColumn("tp", F.col("tp") + 50), path
+        )
+        v3 = storage.write_snapshot(
+            spark, base.withColumn("tp", F.col("tp") + 100), path
+        )
+        try:
+            storage.tag_snapshot(path, "audit", version=v3)
+            raise AssertionError("tag re-point must refuse")
+        except ValueError:
+            pass
+        storage.vacuum_snapshots(path, keep_last=1)
+        assert storage.snapshot_versions(path) == [1, v3], (
+            "vacuum must keep exactly the tagged version + the latest"
+        )
+        try:
+            storage.read_snapshot(spark, path, version=2)
+            raise AssertionError("untagged v2 must be expired")
+        except FileNotFoundError:
+            pass
+        tagged = storage.read_snapshot(spark, path, tag="audit")
+        latest = storage.read_snapshot(spark, path)
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        u = tagged.withColumn("phase", F.lit(1)).unionByName(
+            latest.withColumn("phase", F.lit(2))
+        )
+        return (
+            u.groupBy("phase", "pri")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).alias("sum_cents"),
+            )
+            .orderBy("phase", "pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q77b_optimize_incremental",
     sql="""
     SELECT l_partkey, COUNT(*) AS n,

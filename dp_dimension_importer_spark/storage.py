@@ -875,16 +875,28 @@ def _commit_manifest(path: str, manifest: dict, token: str) -> int:
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
-    """Read a committed snapshot — the latest by default, or any retained
-    ``version`` (time travel). The manifest is resolved once, then only
-    the immutable files it lists are read: concurrent commits are
-    invisible, and a filter/projection on top prunes and pushes down
-    exactly as on a plain parquet read."""
+    """Read a committed snapshot — the latest by default, any retained
+    ``version`` (time travel), or a named ``tag`` (:func:`tag_snapshot`).
+    The manifest is resolved once, then only the immutable files it lists
+    are read: concurrent commits are invisible, and a filter/projection
+    on top prunes and pushes down exactly as on a plain parquet read."""
     import json
     import os
 
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version OR tag, not both")
+        tags = list_tags(path)
+        if tag not in tags:
+            raise FileNotFoundError(
+                f"no tag {tag!r} on {path!r} (have {sorted(tags)})"
+            )
+        version = tags[tag]
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
@@ -2029,12 +2041,84 @@ def restore_snapshot(path: str, version: int) -> int:
     return _commit_manifest(path, man, uuid.uuid4().hex[:12])
 
 
+def _tags_path(path: str) -> str:
+    import os
+
+    return os.path.join(_manifest_dir(path), "tags.json")
+
+
+def list_tags(path: str) -> dict[str, int]:
+    """{tag name: pinned version} for the table (empty if none)."""
+    import json
+    import os
+
+    p = _tags_path(path)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {k: int(v) for k, v in json.load(f).items()}
+
+
+def tag_snapshot(path: str, name: str, version: int | None = None) -> int:
+    """Pin a committed version under a NAME (Iceberg tags): readers reach
+    it with ``read_snapshot(..., tag=name)`` forever, and
+    :func:`vacuum_snapshots` RETAINS tagged versions no matter how old —
+    the compliance-snapshot / eval-baseline use case where "keep the last
+    N versions" is the wrong retention rule. Tags are immutable:
+    re-pointing requires :func:`drop_tag` first (silent repointing would
+    change what an auditor's name means). Defaults to the latest
+    version; returns the pinned version."""
+    import json
+    import os
+    import uuid
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(
+            f"version {v} not committed (have {versions}) — vacuumed?"
+        )
+    tags = list_tags(path)
+    if name in tags and tags[name] != v:
+        raise ValueError(
+            f"tag {name!r} already pins v{tags[name]} — drop_tag first "
+            "(tags are immutable names, not branches)"
+        )
+    tags[name] = v
+    tmp = _tags_path(path) + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(tags, f)
+    os.replace(tmp, _tags_path(path))
+    return v
+
+
+def drop_tag(path: str, name: str) -> None:
+    """Remove a tag; the version it pinned becomes vacuum-expirable again
+    (subject to the normal keep_last rule)."""
+    import json
+    import os
+    import uuid
+
+    tags = list_tags(path)
+    if name not in tags:
+        raise KeyError(f"no tag {name!r} on {path!r} (have {sorted(tags)})")
+    del tags[name]
+    tmp = _tags_path(path) + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(tags, f)
+    os.replace(tmp, _tags_path(path))
+
+
 def vacuum_snapshots(path: str, keep_last: int = 1) -> int:
     """Expire all but the newest ``keep_last`` versions: drop their
     manifests, then delete every data file no retained manifest
     references (including files orphaned by crashed commits). Returns the
     number of files removed. Time travel to an expired version then
-    raises — the read/retention contract every table format shares."""
+    raises — the read/retention contract every table format shares.
+    Versions pinned by a TAG (:func:`tag_snapshot`) are ALWAYS retained,
+    regardless of age."""
     import glob
     import json
     import os
@@ -2042,6 +2126,7 @@ def vacuum_snapshots(path: str, keep_last: int = 1) -> int:
 
     versions = snapshot_versions(path)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    keep |= {v for v in list_tags(path).values() if v in versions}
     referenced: set[str] = set()
     for v in versions:
         mpath = os.path.join(_manifest_dir(path), f"v{v}.json")

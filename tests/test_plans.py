@@ -1881,3 +1881,34 @@ def test_wap_staging_invisible_vacuumable_and_publish_checks(
     assert v == 3
     got = {r.k: r.v for r in storage.read_snapshot(spark, path).collect()}
     assert got == {i: float(i) + 1 for i in range(10)}
+
+
+def test_snapshot_tags_lifecycle(spark, tmp_path):
+    """Tag seams not covered by q66c's oracle: drop_tag makes the version
+    expirable again; tagging a vacuumed/unknown version refuses; tag and
+    version args are mutually exclusive; unknown tag reads fail loud;
+    re-tagging the SAME version under the same name is idempotent."""
+    import pytest
+
+    from dp_dimension_importer_spark import storage
+
+    path = str(tmp_path / "tags")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    storage.write_snapshot(spark, df, path)
+    storage.write_snapshot(spark, df.withColumn("k", F.col("k") + 10), path)
+    assert storage.tag_snapshot(path, "t1", version=1) == 1
+    assert storage.tag_snapshot(path, "t1", version=1) == 1  # idempotent
+    with pytest.raises(ValueError, match="version OR tag"):
+        storage.read_snapshot(spark, path, version=1, tag="t1")
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        storage.read_snapshot(spark, path, tag="ghost")
+    with pytest.raises(KeyError):
+        storage.drop_tag(path, "ghost")
+    storage.vacuum_snapshots(path, keep_last=1)
+    assert {r.k for r in storage.read_snapshot(spark, path, tag="t1").collect()} == set(range(5))
+    storage.drop_tag(path, "t1")
+    storage.vacuum_snapshots(path, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        storage.read_snapshot(spark, path, version=1)
+    with pytest.raises(FileNotFoundError):
+        storage.tag_snapshot(path, "late", version=1)  # already expired
