@@ -153,6 +153,7 @@ from dp_dimension_importer_spark.storage import (  # noqa: F401
     drop_tag,
     list_tags,
     tag_snapshot,
+    version_asof,
     publish_snapshot,
     read_staged,
     stage_snapshot,
@@ -275,6 +276,7 @@ __all__ = [
     "tag_snapshot",
     "drop_tag",
     "list_tags",
+    "version_asof",
     "restore_snapshot",
     "drift_psi",
     "kmeans_fit",

@@ -1313,6 +1313,86 @@ def q66c_snapshot_tags(spark, sf_dir):
 
 
 @register(
+    "q66d_time_travel_asof",
+    sql="""
+    WITH w AS (
+        SELECT o_orderpriority AS pri, o_totalprice AS tp FROM orders
+    ), ph AS (
+        SELECT 1 AS phase, pri, tp FROM w
+        UNION ALL SELECT 2, pri, tp + 200 FROM w
+    )
+    SELECT phase, pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM ph GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q66d_time_travel_asof(spark, sf_dir):
+    """TIMESTAMP time travel — ``AS OF <instant>``
+    (:func:`storage.version_asof` / ``read_snapshot(asof=...)``, r9):
+    every manifest records its commit instant at hard-link time, and an
+    AS OF read resolves to the newest version committed at or before
+    the instant. Commit orders (v1) then an overwrite (+200, v2); the
+    midpoint instant must resolve to v1 (phase 1) and a post-commit
+    instant to v2 (phase 2). Asserted inside: an instant BEFORE retained
+    history fails loud (answering from a later version would silently
+    answer a different question — the vacuum-gap contract), and the two
+    commit instants are strictly ordered. The oracle states both worlds
+    directly."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    path = tempfile.mkdtemp(prefix="snapshot_asof_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, base, path)
+        storage.write_snapshot(
+            spark, base.withColumn("tp", F.col("tp") + 200), path
+        )
+        mdir = os.path.join(path, "_manifests")
+        cts = []
+        for v in (1, 2):
+            with open(os.path.join(mdir, f"v{v}.json")) as f:
+                cts.append(json.load(f)["committed_at"])
+        assert cts[0] < cts[1], "commit instants must be strictly ordered"
+        mid = (cts[0] + cts[1]) / 2
+        assert storage.version_asof(path, mid) == 1
+        assert storage.version_asof(path, cts[1] + 1) == 2
+        try:
+            storage.version_asof(path, cts[0] - 1)
+            raise AssertionError("pre-history instant must fail loud")
+        except FileNotFoundError:
+            pass
+        v1 = storage.read_snapshot(spark, path, asof=mid)
+        v2 = storage.read_snapshot(spark, path, asof=cts[1] + 1)
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        u = v1.withColumn("phase", F.lit(1)).unionByName(
+            v2.withColumn("phase", F.lit(2))
+        )
+        return (
+            u.groupBy("phase", "pri")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).alias("sum_cents"),
+            )
+            .orderBy("phase", "pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q77b_optimize_incremental",
     sql="""
     SELECT l_partkey, COUNT(*) AS n,

@@ -850,19 +850,32 @@ def _commit_manifest(path: str, manifest: dict, token: str) -> int:
     import json
     import os
 
+    import time
+
     # ADVICE r8: callers that re-publish a LOADED manifest (restore, the
     # empty-delta txn advance) may pass a dict still carrying the prior
-    # version's "version" key, which would override the freshly claimed
-    # number in the dump below — strip it here so no caller can mislabel
-    # a commit.
-    manifest = {k: v for k, v in manifest.items() if k != "version"}
+    # version's "version" / "committed_at" keys, which would override the
+    # freshly claimed values in the dump below — strip them here so no
+    # caller can mislabel a commit.
+    manifest = {
+        k: v
+        for k, v in manifest.items()
+        if k not in ("version", "committed_at")
+    }
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{token}.json")
     while True:
         version = (snapshot_versions(path) or [0])[-1] + 1
         with open(tmp, "w") as f:
-            json.dump({"version": version, **manifest}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "committed_at": time.time(),
+                    **manifest,
+                },
+                f,
+            )
         final = os.path.join(mdir, f"v{version}.json")
         try:
             os.link(tmp, final)  # atomic claim: EEXIST = lost the race
@@ -874,29 +887,61 @@ def _commit_manifest(path: str, manifest: dict, token: str) -> int:
         return version
 
 
+def version_asof(path: str, ts: float) -> int:
+    """TIMESTAMP time travel resolution (``AS OF <instant>``): the newest
+    retained version whose commit instant is ≤ ``ts`` (manifests record
+    ``committed_at`` at hard-link time). Raises if every retained version
+    is newer — the instant predates retained history (vacuum may have
+    expired the version that WAS current then; resolving to a later one
+    would silently answer a different question)."""
+    import json
+    import os
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    best = None
+    for v in versions:
+        with open(os.path.join(_manifest_dir(path), f"v{v}.json")) as f:
+            ct = json.load(f).get("committed_at")
+        if ct is not None and ct <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no retained version of {path!r} committed at or before "
+            f"{ts} (earliest retained is v{versions[0]})"
+        )
+    return best
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     tag: str | None = None,
+    asof: float | None = None,
 ) -> DataFrame:
     """Read a committed snapshot — the latest by default, any retained
-    ``version`` (time travel), or a named ``tag`` (:func:`tag_snapshot`).
-    The manifest is resolved once, then only the immutable files it lists
-    are read: concurrent commits are invisible, and a filter/projection
-    on top prunes and pushes down exactly as on a plain parquet read."""
+    ``version`` (time travel), a named ``tag`` (:func:`tag_snapshot`),
+    or the version current AS OF a unix instant (``asof``,
+    :func:`version_asof`). The manifest is resolved once, then only the
+    immutable files it lists are read: concurrent commits are invisible,
+    and a filter/projection on top prunes and pushes down exactly as on
+    a plain parquet read."""
     import json
     import os
 
+    if sum(x is not None for x in (version, tag, asof)) > 1:
+        raise ValueError("pass at most one of version, tag, asof")
     if tag is not None:
-        if version is not None:
-            raise ValueError("pass version OR tag, not both")
         tags = list_tags(path)
         if tag not in tags:
             raise FileNotFoundError(
                 f"no tag {tag!r} on {path!r} (have {sorted(tags)})"
             )
         version = tags[tag]
+    elif asof is not None:
+        version = version_asof(path, asof)
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")

@@ -1898,7 +1898,7 @@ def test_snapshot_tags_lifecycle(spark, tmp_path):
     storage.write_snapshot(spark, df.withColumn("k", F.col("k") + 10), path)
     assert storage.tag_snapshot(path, "t1", version=1) == 1
     assert storage.tag_snapshot(path, "t1", version=1) == 1  # idempotent
-    with pytest.raises(ValueError, match="version OR tag"):
+    with pytest.raises(ValueError, match="at most one"):
         storage.read_snapshot(spark, path, version=1, tag="t1")
     with pytest.raises(FileNotFoundError, match="no tag"):
         storage.read_snapshot(spark, path, tag="ghost")
