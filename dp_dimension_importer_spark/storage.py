@@ -914,6 +914,29 @@ def version_asof(path: str, ts: float) -> int:
     return best
 
 
+def _resolve_selector(
+    path: str,
+    version: int | None,
+    tag: str | None,
+    asof: float | None,
+) -> int | None:
+    """Shared version-selector resolution for the snapshot readers: at
+    most one of ``version`` / ``tag`` / ``asof``; returns the resolved
+    version number (None = latest)."""
+    if sum(x is not None for x in (version, tag, asof)) > 1:
+        raise ValueError("pass at most one of version, tag, asof")
+    if tag is not None:
+        tags = list_tags(path)
+        if tag not in tags:
+            raise FileNotFoundError(
+                f"no tag {tag!r} on {path!r} (have {sorted(tags)})"
+            )
+        return tags[tag]
+    if asof is not None:
+        return version_asof(path, asof)
+    return version
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
@@ -931,17 +954,7 @@ def read_snapshot(
     import json
     import os
 
-    if sum(x is not None for x in (version, tag, asof)) > 1:
-        raise ValueError("pass at most one of version, tag, asof")
-    if tag is not None:
-        tags = list_tags(path)
-        if tag not in tags:
-            raise FileNotFoundError(
-                f"no tag {tag!r} on {path!r} (have {sorted(tags)})"
-            )
-        version = tags[tag]
-    elif asof is not None:
-        version = version_asof(path, asof)
+    version = _resolve_selector(path, version, tag, asof)
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
@@ -2293,6 +2306,8 @@ def read_snapshot_pruned(
     lo,
     hi,
     version: int | None = None,
+    tag: str | None = None,
+    asof: float | None = None,
 ) -> DataFrame:
     """Snapshot read that SKIPS every file whose manifest [min,max] for
     ``col`` cannot intersect [lo, hi] — file skipping decided from the
@@ -2308,12 +2323,16 @@ def read_snapshot_pruned(
     base files and every delta group are pruned INDEPENDENTLY before
     latest-wins resolution — sound because a key column is constant
     across all commits of a key (see the inline soundness note). On a
-    non-key column the read falls back to resolve-then-filter."""
+    non-key column the read falls back to resolve-then-filter.
+
+    ``tag`` / ``asof`` select the version by name or commit instant,
+    same contract as :func:`read_snapshot`."""
     import json
     import os
 
     from pyspark.sql import functions as F
 
+    version = _resolve_selector(path, version, tag, asof)
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")

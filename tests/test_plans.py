@@ -1912,3 +1912,40 @@ def test_snapshot_tags_lifecycle(spark, tmp_path):
         storage.read_snapshot(spark, path, version=1)
     with pytest.raises(FileNotFoundError):
         storage.tag_snapshot(path, "late", version=1)  # already expired
+
+
+def test_pruned_read_accepts_tag_and_asof_selectors(spark, tmp_path):
+    """read_snapshot_pruned honors the same version selectors as
+    read_snapshot: a tag and an AS OF instant reach the pinned world
+    with pruning intact."""
+    import json
+    import os
+
+    from dp_dimension_importer_spark import storage
+
+    path = str(tmp_path / "selp")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k long, v double"
+    ).repartitionByRange(4, "k")
+    storage.write_snapshot(spark, df, path, stats_cols=["k"])
+    storage.tag_snapshot(path, "base")
+    with open(os.path.join(path, "_manifests", "v1.json")) as f:
+        ct1 = json.load(f)["committed_at"]
+    storage.write_snapshot(
+        spark,
+        df.withColumn("v", F.col("v") + 100).repartitionByRange(4, "k"),
+        path, stats_cols=["k"],
+    )
+    by_tag = storage.read_snapshot_pruned(spark, path, "k", 5, 9, tag="base")
+    assert {r.v for r in by_tag.collect()} == {float(i) for i in range(5, 10)}
+    assert len(by_tag.inputFiles()) < 4  # pruning still active
+    by_asof = storage.read_snapshot_pruned(
+        spark, path, "k", 5, 9, asof=ct1
+    )
+    assert {r.v for r in by_asof.collect()} == {
+        float(i) for i in range(5, 10)
+    }
+    latest = storage.read_snapshot_pruned(spark, path, "k", 5, 9)
+    assert {r.v for r in latest.collect()} == {
+        float(i) + 100 for i in range(5, 10)
+    }
