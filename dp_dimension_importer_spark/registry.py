@@ -98,36 +98,12 @@ _REPO_ROOT = _Path(__file__).resolve().parent.parent
 # storage paths but left this empty, so the driver spent its slots on the
 # stale cohort and re-checked none of the changed code).
 #
-# Round 9 changed: storage.py (_commit_manifest version-strip;
-# upsert_delta_snapshot empty-batch/footer-stats; _resolve_mor empty-group
-# tolerance; compact_mor minor mode; read_snapshot_pruned MOR key pruning;
-# vacuum *.tmp sweep; _write_dv tmp cleanup), pipeline/avro_ocf.py (NaN
-# contract, tmp hygiene), streaming/sink.py (commit-log watermark
-# retention). Every oracled query riding those paths — directly or through
-# write_snapshot/_commit_manifest — is listed; the two r9 registrations
-# (q86b, q86c) lead so they earn their first row immediately. ~20 entries
-# leaves 30 slots for the mechanical stale-first rotation (r4 cohort next).
-_REPRIORITIZE: list[str] = [
-    "q86b_mor_schema_evolution",
-    "q86c_mor_pruned_read",
-    "q86_upsert_mor",
-    "q87_stream_mor_upsert",
-    "q85_avro_roundtrip",
-    "q60_stream_upsert_sink",
-    "q78b_snapshot_delete_dv",
-    "q78c_dv_purge",
-    "q77b_optimize_incremental",
-    "q77_optimize_snapshot",
-    "q78_snapshot_delete",
-    "q67_stats_pruned_scan",
-    "q66_snapshot_time_travel",
-    "q66b_snapshot_changes",
-    "q79_stream_snapshot_append",
-    "q69_stream_mv_refresh",
-    "cdc_merge_upsert",
-    "mv_incremental_agg",
-    "mv_rollup_cascade",
-]
+# Round-10 start: reset to [] per the documented ritual (all 19 round-9
+# entries re-earned green driver rows in CORRECTNESS_r09, so leaving them
+# here would burn tier-0 slots re-verifying fresh-green queries instead of
+# rotating the r5 cohort). Repopulated at round END with queries whose code
+# paths round 10 materially changed.
+_REPRIORITIZE: list[str] = []
 
 
 def correctness_evidence(root: _Path | str | None = None) -> dict[str, int]:

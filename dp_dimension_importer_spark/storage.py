@@ -867,11 +867,26 @@ def _commit_manifest(path: str, manifest: dict, token: str) -> int:
     tmp = os.path.join(mdir, f".tmp-{token}.json")
     while True:
         version = (snapshot_versions(path) or [0])[-1] + 1
+        # ADVICE r9: committed_at is wall-clock; a clock step backwards
+        # would make AS-OF resolution ambiguous between adjacent versions.
+        # Clamp to >= the previous version's instant so the sequence is
+        # monotone non-decreasing by construction.
+        committed_at = time.time()
+        if version > 1:
+            try:
+                with open(
+                    os.path.join(mdir, f"v{version - 1}.json")
+                ) as pf:
+                    prev_ct = json.load(pf).get("committed_at")
+                if prev_ct is not None:
+                    committed_at = max(committed_at, float(prev_ct))
+            except (OSError, ValueError):
+                pass  # prev vacuumed / unreadable: wall clock stands
         with open(tmp, "w") as f:
             json.dump(
                 {
                     "version": version,
-                    "committed_at": time.time(),
+                    "committed_at": committed_at,
                     **manifest,
                 },
                 f,
@@ -902,9 +917,17 @@ def version_asof(path: str, ts: float) -> int:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     best = None
     for v in versions:
-        with open(os.path.join(_manifest_dir(path), f"v{v}.json")) as f:
+        mpath = os.path.join(_manifest_dir(path), f"v{v}.json")
+        with open(mpath) as f:
             ct = json.load(f).get("committed_at")
-        if ct is not None and ct <= ts:
+        if ct is None:
+            # ADVICE r9: manifests committed before committed_at existed
+            # must not be skipped (that would resolve an asof instant past
+            # the version that WAS current then). The manifest file's
+            # mtime is the hard-link instant — the same event
+            # committed_at records — so it is the honest fallback.
+            ct = os.path.getmtime(mpath)
+        if ct <= ts:
             best = v
     if best is None:
         raise FileNotFoundError(
@@ -1091,7 +1114,37 @@ def publish_snapshot(
     manifest = dict(staged["manifest"])
     if prev.get("txn"):
         manifest["txn"] = prev["txn"]  # watermarks never regress
-    return _commit_manifest(path, manifest, staged["token"])
+    # ADVICE r9: a staged candidate is deliberately vacuumable (it looks
+    # like any crashed commit), so a routine vacuum running inside the
+    # stage->audit->publish window may have reclaimed its files. Committing
+    # anyway would publish a LATEST version with dangling references and
+    # break every subsequent read — check before the commit, and re-check
+    # after (a vacuum that enumerated manifests BEFORE our hard-link can
+    # still unlink the files just after our pre-check); on the post-commit
+    # race, roll the fresh manifest back so the table head stays readable.
+    def _missing() -> list[str]:
+        return [
+            rel
+            for rel in manifest["files"]
+            if not os.path.exists(os.path.join(path, rel))
+        ]
+
+    gone = _missing()
+    if gone:
+        raise ValueError(
+            f"staged candidate {staged['token']!r} reclaimed by vacuum "
+            f"(missing {gone[:3]}{'...' if len(gone) > 3 else ''}) — "
+            "re-stage and re-audit"
+        )
+    version = _commit_manifest(path, manifest, staged["token"])
+    gone = _missing()
+    if gone:
+        os.unlink(os.path.join(_manifest_dir(path), f"v{version}.json"))
+        raise ValueError(
+            f"staged candidate {staged['token']!r} reclaimed by a vacuum "
+            "racing the publish — commit rolled back; re-stage and re-audit"
+        )
+    return version
 
 
 def abandon_staged(path: str, staged: dict) -> None:
@@ -1114,6 +1167,7 @@ def merge_apply_changes(
     op_col: str = "op",
     delete_op: str = "D",
     txn: tuple[str, int] | None = None,
+    valid_ops: list[str] | None = None,
 ) -> int:
     """Full MERGE with DELETE markers — the verb a real CDC feed needs
     that :func:`merge_upsert_snapshot` (upsert-only) cannot express:
@@ -1163,6 +1217,26 @@ def merge_apply_changes(
         raise ValueError(
             f"merge_apply_changes: feed lacks column(s) {missing} "
             f"(needs the table schema plus {op_col!r})"
+        )
+    # ADVICE r9: a NULL op would make `op != delete_op` evaluate to NULL,
+    # silently DELETING the key (dropped from keep, still anti-joined
+    # away); an unrecognized op string would silently upsert. A malformed
+    # CDC feed must fail loud, not corrupt the table — one O(|feed|)
+    # aggregate over the sliver-sized feed buys the guarantee.
+    bad_pred = F.col(op_col).isNull()
+    if valid_ops is not None:
+        domain = sorted(set(valid_ops) | {delete_op})
+        bad_pred = bad_pred | ~F.col(op_col).isin(domain)
+    n_bad = changes.filter(bad_pred).limit(1).count()
+    if n_bad:
+        sample = [
+            r[op_col] for r in
+            changes.filter(bad_pred).select(op_col).limit(5).collect()
+        ]
+        raise ValueError(
+            f"merge_apply_changes: feed has rows with NULL or "
+            f"unrecognized {op_col!r} (e.g. {sample}); refusing to apply "
+            "— a NULL/unknown op would silently delete or upsert its key"
         )
     w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
     latest = (
@@ -2069,6 +2143,289 @@ def snapshot_changes(
     )
 
 
+def _load_manifest(path: str, version: int) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def classify_transition(path: str, base_version: int, version: int) -> dict:
+    """Classify the commit(s) taking the table from ``base_version`` to
+    ``version`` by MANIFEST SHAPE ALONE (two JSON reads, zero data
+    pages) — the dispatch the incremental change feed runs per version
+    so steady-state transitions cost O(changes), never a two-version
+    scan. Returns ``{"kind": ..., **details}`` with kind one of:
+
+    * ``initial`` — ``base_version == 0``: the whole snapshot is the
+      delta (all inserts); ``new_files`` = every base file.
+    * ``noop`` — same files, DVs and delta chain (a txn-watermark
+      advance / empty-batch commit): the delta is empty.
+    * ``append`` — file list grew, nothing else moved (``mode='append'``
+      commits, the streaming-ingest shape): the delta is exactly the
+      ``new_files``, all inserts (under the layer-wide key-unique
+      contract).
+    * ``mor`` — the MOR delta chain grew by ``new_groups`` (base files,
+      DVs untouched): the delta is exactly those groups' upsert rows.
+    * ``dv`` — deletion vectors grew (files untouched):
+      ``dv_changed`` maps each touched data file to its (old sidecar or
+      None, new sidecar); the delta is the newly-deleted positions.
+    * ``rewrite`` — anything else (COW merge/delete, compaction,
+      overwrite, DV purge, or a multi-commit range mixing kinds): no
+      log-local derivation exists; callers fall back to the generic
+      diff-of-snapshots (:func:`snapshot_changes`).
+
+    ``base_version``/``version`` need not be adjacent — the shape tests
+    (superset / chain-prefix / DV-growth) hold across any retained pair,
+    so a range of same-kind commits (or a vacuumed gap between appends)
+    still classifies fast."""
+    m = _load_manifest(path, version)
+    if base_version == 0:
+        return {"kind": "initial", "new_files": list(m["files"]),
+                "manifest": m}
+    p = _load_manifest(path, base_version)
+    pf, cf = set(p["files"]), set(m["files"])
+    pdv = p.get("dv") or {}
+    cdv = m.get("dv") or {}
+    pmor = p.get("mor") or {}
+    cmor = m.get("mor") or {}
+    pdel = pmor.get("deltas", [])
+    cdel = cmor.get("deltas", [])
+    mor_keys_eq = (not pmor and not cmor) or (
+        pmor.get("key_cols") == cmor.get("key_cols")
+        and pmor.get("seq_col") == cmor.get("seq_col")
+    ) or (not pmor and cmor and not pdel)
+    if pf == cf and pdv == cdv and pdel == cdel and mor_keys_eq:
+        return {"kind": "noop", "manifest": m}
+    if pf < cf and pdv == cdv and pdel == cdel and mor_keys_eq:
+        return {
+            "kind": "append",
+            "new_files": [f for f in m["files"] if f not in pf],
+            "manifest": m,
+        }
+    if (
+        pf == cf
+        and not pdv
+        and not cdv
+        and mor_keys_eq
+        and len(cdel) > len(pdel)
+        and cdel[: len(pdel)] == pdel
+    ):
+        return {
+            "kind": "mor",
+            "new_groups": cdel[len(pdel):],
+            "key_cols": cmor["key_cols"],
+            "seq_col": cmor["seq_col"],
+            "manifest": m,
+        }
+    if (
+        pf == cf
+        and not pdel
+        and not cdel
+        and cdv != pdv
+        and set(pdv) <= set(cdv)  # a vanished DV is a purge → rewrite
+    ):
+        changed = {
+            k: (pdv.get(k), cdv[k]) for k in cdv if pdv.get(k) != cdv[k]
+        }
+        return {"kind": "dv", "dv_changed": changed, "manifest": m}
+    return {"kind": "rewrite", "manifest": m}
+
+
+def _union_val_schema(
+    path: str, base_version: int, version: int, key_cols: list[str]
+) -> list[tuple[str, str]]:
+    """[(col, simpleString type)] union of both versions' non-key
+    columns, base-version order first then additions — the same union
+    contract snapshot_changes pins for additive evolution."""
+    cur = _load_manifest(path, version)["schema"]
+    prev = (
+        _load_manifest(path, base_version)["schema"]
+        if base_version > 0
+        else {}
+    )
+    out: list[tuple[str, str]] = []
+    for src in (prev, cur):
+        for c, t in src.items():
+            if c not in key_cols and all(c != n for n, _ in out):
+                out.append((c, t))
+    return out
+
+
+def version_delta(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    key_cols: list[str],
+    base_version: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL CDC READER (the consumer half of the layer's CDC
+    story — the writers are merge/upsert/delete; cf. Delta
+    ``readChangeFeed`` / Iceberg incremental scan): the row-level change
+    feed that took the table from ``base_version`` (default: the
+    retained predecessor of ``version``; 0 = empty table) to
+    ``version``, with :func:`snapshot_changes`' exact output contract
+    (``key_cols…, change_type, _old, _new``).
+
+    The point is the COST MODEL, dispatched by
+    :func:`classify_transition`:
+
+    * append commits read ONLY the new files — O(new data);
+    * MOR delta commits read ONLY the new delta groups, then resolve
+      pre-images with one semi-join-pruned probe of the base version
+      (the sliver of changed keys broadcasts; the base scans once,
+      shuffles never) — O(changes) + one pruned scan;
+    * DV delete commits read ONLY the newly-deleted positions of the
+      touched files — O(touched files);
+    * everything else (COW rewrites, compaction, vacuumed-gap ranges
+      that mixed kinds) falls back to the generic two-version diff —
+      the documented slow path a retention policy keeps rare.
+
+    Today a downstream MV refresh pays two full version scans per
+    interval via :func:`snapshot_changes`; this verb makes the
+    steady-state refresh O(changes). Reference parity: the importer's
+    patch-back loop (dp-dimension-importer
+    handler/incoming_instance_handler.go:217-280) is exactly an
+    incremental consumer of upstream changes."""
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(path)
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not committed (have {versions}) — vacuumed?"
+        )
+    if base_version is None:
+        idx = versions.index(version)
+        base_version = versions[idx - 1] if idx > 0 else 0
+    elif base_version != 0 and base_version not in versions:
+        raise FileNotFoundError(
+            f"base version {base_version} not committed (have {versions})"
+            " — vacuumed? start the feed from a retained version"
+        )
+    if base_version >= version:
+        raise ValueError("base_version must be < version")
+    tr = classify_transition(path, base_version, version)
+    man = tr["manifest"]
+    missing = [c for c in key_cols if c not in man["schema"]]
+    if missing:
+        raise ValueError(
+            f"version_delta: key columns {missing} absent from "
+            f"v{version} of {path!r}"
+        )
+    val_cols = _union_val_schema(path, base_version, version, key_cols)
+    struct_ddl = "struct<" + ",".join(
+        f"{c}:{t}" for c, t in val_cols
+    ) + ">" if val_cols else "struct<>"
+
+    def _vstruct(df):
+        have = set(df.columns)
+        return F.struct(
+            *(
+                (F.col(c) if c in have else F.lit(None).cast(t)).alias(c)
+                for c, t in val_cols
+            )
+        )
+
+    def _null_struct():
+        return F.lit(None).cast(struct_ddl)
+
+    if tr["kind"] == "noop":
+        key_types = [(c, man["schema"][c]) for c in key_cols]
+        return spark.range(0).select(
+            *(F.lit(None).cast(t).alias(c) for c, t in key_types),
+            F.lit(None).cast("string").alias("change_type"),
+            _null_struct().alias("_old"),
+            _null_struct().alias("_new"),
+        )
+    if tr["kind"] in ("initial", "append"):
+        df = spark.read.parquet(
+            *(os.path.join(path, rel) for rel in tr["new_files"])
+        )
+        return df.select(
+            *key_cols,
+            F.lit("insert").alias("change_type"),
+            _null_struct().alias("_old"),
+            _vstruct(df).alias("_new"),
+        )
+    if tr["kind"] == "mor":
+        seq = tr["seq_col"]
+        files = [f for grp in tr["new_groups"] for f in grp]
+        gi = {  # commit order of the new groups, for latest-wins
+            f: i for i, grp in enumerate(tr["new_groups"]) for f in grp
+        }
+        raw = spark.read.option("mergeSchema", "true").parquet(
+            *(os.path.join(path, rel) for rel in files)
+        )
+        ci_expr = F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -2
+        )  # token dir identifies the group
+        tok = {os.path.basename(os.path.dirname(f)): i for f, i in gi.items()}
+        ci = F.create_map(
+            *(x for t, i in tok.items() for x in (F.lit(t), F.lit(i)))
+        )[ci_expr]
+        w = W.partitionBy(*key_cols).orderBy(
+            ci.desc(), F.col(seq).desc()
+        )
+        latest = (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        old = read_snapshot(spark, path, version=base_version)
+        # prune the base to the changed keys with a broadcast semi-join
+        # (one base scan, no base shuffle), then look up pre-images from
+        # that sliver — the O(changes) exchange shape
+        old_small = old.join(
+            F.broadcast(latest.select(*key_cols).distinct()),
+            key_cols,
+            "left_semi",
+        )
+        d = latest.select(
+            *key_cols, _vstruct(latest).alias("_new")
+        )
+        o = old_small.select(
+            *key_cols, _vstruct(old_small).alias("_old")
+        )
+        j = d.join(F.broadcast(o), key_cols, "left_outer")
+        return j.filter(~F.col("_old").eqNullSafe(F.col("_new"))).select(
+            *key_cols,
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            "_old",
+            "_new",
+        )
+    if tr["kind"] == "dv":
+        old_rels = [o for o, _ in tr["dv_changed"].values() if o]
+        new_rels = [n for _, n in tr["dv_changed"].values()]
+        doomed = _dv_rows(spark, path, new_rels)
+        if old_rels:
+            doomed = doomed.exceptAll(_dv_rows(spark, path, old_rels))
+        touched = list(tr["dv_changed"])
+        df = spark.read.parquet(
+            *(os.path.join(path, rel) for rel in touched)
+        )
+        data = df.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            .alias("_fname"),
+            F.col("_metadata.row_index").alias("_pos"),
+            "*",
+        )
+        hit = data.join(doomed, ["_fname", "_pos"], "left_semi")
+        return hit.select(
+            *key_cols,
+            F.lit("delete").alias("change_type"),
+            _vstruct(hit).alias("_old"),
+            _null_struct().alias("_new"),
+        )
+    # rewrite / mixed range: generic diff-of-snapshots fallback
+    return snapshot_changes(spark, path, base_version, version, key_cols)
+
+
 def restore_snapshot(path: str, version: int) -> int:
     """RESTORE: re-commit a retained prior ``version``'s manifest as the
     table's NEW latest version (Delta's RESTORE / Iceberg's rollback).
@@ -2105,16 +2462,52 @@ def _tags_path(path: str) -> str:
     return os.path.join(_manifest_dir(path), "tags.json")
 
 
+def _tags_dir(path: str) -> str:
+    import os
+
+    return os.path.join(_manifest_dir(path), "tags")
+
+
+_TAG_NAME_RE = None  # compiled lazily
+
+
+def _check_tag_name(name: str) -> None:
+    import re
+
+    global _TAG_NAME_RE
+    if _TAG_NAME_RE is None:
+        _TAG_NAME_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+    if not _TAG_NAME_RE.match(name) or name in (".", ".."):
+        raise ValueError(
+            f"invalid tag name {name!r}: use letters, digits, '.', '_', "
+            "'-' (tag names are filenames in the per-tag store)"
+        )
+
+
 def list_tags(path: str) -> dict[str, int]:
-    """{tag name: pinned version} for the table (empty if none)."""
+    """{tag name: pinned version} for the table (empty if none). Reads
+    the per-tag file store (``tags/<name>.json``, one O_EXCL-created file
+    per tag — ADVICE r9: the shared read-modify-written ``tags.json``
+    lost one of two concurrent taggers' updates) plus any legacy
+    ``tags.json`` written by pre-r10 code."""
+    import glob
     import json
     import os
 
-    p = _tags_path(path)
-    if not os.path.exists(p):
-        return {}
-    with open(p) as f:
-        return {k: int(v) for k, v in json.load(f).items()}
+    out: dict[str, int] = {}
+    legacy = _tags_path(path)
+    if os.path.exists(legacy):
+        with open(legacy) as f:
+            out.update({k: int(v) for k, v in json.load(f).items()})
+    for p in glob.glob(os.path.join(_tags_dir(path), "*.json")):
+        try:
+            with open(p) as f:
+                out[os.path.basename(p)[:-5]] = int(
+                    json.load(f)["version"]
+                )
+        except (OSError, ValueError, KeyError):
+            continue  # half-written by a crashed tagger: not a tag yet
+    return out
 
 
 def tag_snapshot(path: str, name: str, version: int | None = None) -> int:
@@ -2125,11 +2518,16 @@ def tag_snapshot(path: str, name: str, version: int | None = None) -> int:
     N versions" is the wrong retention rule. Tags are immutable:
     re-pointing requires :func:`drop_tag` first (silent repointing would
     change what an auditor's name means). Defaults to the latest
-    version; returns the pinned version."""
+    version; returns the pinned version.
+
+    Each tag is its own ``tags/<name>.json`` created with O_EXCL —
+    creation is atomic (two racing taggers: one wins, the other sees the
+    winner's pin and errors or no-ops), mirroring the manifest hard-link
+    claim."""
     import json
     import os
-    import uuid
 
+    _check_tag_name(name)
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
@@ -2139,16 +2537,33 @@ def tag_snapshot(path: str, name: str, version: int | None = None) -> int:
             f"version {v} not committed (have {versions}) — vacuumed?"
         )
     tags = list_tags(path)
-    if name in tags and tags[name] != v:
-        raise ValueError(
-            f"tag {name!r} already pins v{tags[name]} — drop_tag first "
-            "(tags are immutable names, not branches)"
-        )
-    tags[name] = v
-    tmp = _tags_path(path) + f".tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(tags, f)
-    os.replace(tmp, _tags_path(path))
+    if name in tags:
+        if tags[name] != v:
+            raise ValueError(
+                f"tag {name!r} already pins v{tags[name]} — drop_tag "
+                "first (tags are immutable names, not branches)"
+            )
+        return v  # idempotent re-pin of the same version
+    tdir = _tags_dir(path)
+    os.makedirs(tdir, exist_ok=True)
+    tpath = os.path.join(tdir, f"{name}.json")
+    payload = json.dumps({"version": v}).encode()
+    try:
+        fd = os.open(tpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        # a concurrent tagger claimed the name between list and create
+        existing = list_tags(path).get(name)
+        if existing != v:
+            raise ValueError(
+                f"tag {name!r} already pins v{existing} — drop_tag first "
+                "(tags are immutable names, not branches)"
+            )
+        return v
+    try:
+        os.write(fd, payload)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     return v
 
 
@@ -2159,55 +2574,102 @@ def drop_tag(path: str, name: str) -> None:
     import os
     import uuid
 
-    tags = list_tags(path)
+    tpath = os.path.join(_tags_dir(path), f"{name}.json")
+    if os.path.exists(tpath):
+        os.unlink(tpath)
+        return
+    # legacy tags.json entry (pre-r10 shared file)
+    legacy = _tags_path(path)
+    tags: dict[str, int] = {}
+    if os.path.exists(legacy):
+        with open(legacy) as f:
+            tags = {k: int(v) for k, v in json.load(f).items()}
     if name not in tags:
-        raise KeyError(f"no tag {name!r} on {path!r} (have {sorted(tags)})")
+        raise KeyError(
+            f"no tag {name!r} on {path!r} (have {sorted(list_tags(path))})"
+        )
     del tags[name]
-    tmp = _tags_path(path) + f".tmp.{uuid.uuid4().hex[:8]}"
+    tmp = legacy + f".tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(tags, f)
-    os.replace(tmp, _tags_path(path))
+    os.replace(tmp, legacy)
 
 
-def vacuum_snapshots(path: str, keep_last: int = 1) -> int:
+def vacuum_snapshots(
+    path: str, keep_last: int = 1, tmp_retention_sec: float = 3600.0
+) -> int:
     """Expire all but the newest ``keep_last`` versions: drop their
     manifests, then delete every data file no retained manifest
     references (including files orphaned by crashed commits). Returns the
     number of files removed. Time travel to an expired version then
     raises — the read/retention contract every table format shares.
     Versions pinned by a TAG (:func:`tag_snapshot`) are ALWAYS retained,
-    regardless of age."""
+    regardless of age.
+
+    ``*.tmp`` files (task attempts / in-flight DV sidecars written
+    immediately before their ``os.replace``) are reclaimed only when
+    older than ``tmp_retention_sec`` (ADVICE r9: an un-aged sweep could
+    unlink a CONCURRENT writer's in-flight tmp and fail its commit
+    mid-job; an hour bounds orphan lifetime without racing any live
+    attempt)."""
     import glob
     import json
     import os
     import shutil
+    import time
 
     versions = snapshot_versions(path)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     keep |= {v for v in list_tags(path).values() if v in versions}
     referenced: set[str] = set()
+
+    def _retain(mpath: str) -> None:
+        with open(mpath) as f:
+            m = json.load(f)
+        referenced.update(m["files"])
+        referenced.update((m.get("dv") or {}).values())
+        for grp in (m.get("mor") or {}).get("deltas", []):
+            referenced.update(grp)  # live delta chains survive vacuum
+
+    doomed = []
     for v in versions:
         mpath = os.path.join(_manifest_dir(path), f"v{v}.json")
         if v in keep:
-            with open(mpath) as f:
-                m = json.load(f)
-            referenced.update(m["files"])
-            referenced.update((m.get("dv") or {}).values())
-            for grp in (m.get("mor") or {}).get("deltas", []):
-                referenced.update(grp)  # live delta chains survive vacuum
+            _retain(mpath)
         else:
-            os.unlink(mpath)
+            doomed.append((v, mpath))
+    for v, mpath in doomed:
+        # ADVICE r9: a tag created while this vacuum ran must protect its
+        # version — re-read the (per-file, atomically created) tag store
+        # immediately before each expiry instead of trusting the snapshot
+        # taken at entry.
+        if v in set(list_tags(path).values()):
+            _retain(mpath)
+            continue
+        os.unlink(mpath)
     removed = 0
+    now = time.time()
+
+    def _stale_tmp(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) > tmp_retention_sec
+        except OSError:
+            return False  # already gone: its writer finished or cleaned up
+
     for d in glob.glob(os.path.join(path, "data", "*")):
         # *.tmp are crashed task attempts — never referenced by any
-        # manifest, always reclaimable (ADVICE r8)
+        # manifest — but a YOUNG tmp may be a concurrent writer's
+        # in-flight attempt (ADVICE r9): only stale tmps are reclaimable,
+        # and a fresh one keeps its directory alive.
+        tmps = glob.glob(os.path.join(d, "*.tmp"))
+        fresh_tmps = [p for p in tmps if not _stale_tmp(p)]
         files = (
             glob.glob(os.path.join(d, "*.parquet"))
             + glob.glob(os.path.join(d, "*.dv"))
-            + glob.glob(os.path.join(d, "*.tmp"))
+            + [p for p in tmps if p not in set(fresh_tmps)]
         )
         live = [p for p in files if os.path.relpath(p, path) in referenced]
-        if not live:
+        if not live and not fresh_tmps:
             # nothing in this write survives — drop the whole directory,
             # commit markers (_SUCCESS) included
             removed += len(files)
