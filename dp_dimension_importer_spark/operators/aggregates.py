@@ -262,13 +262,15 @@ def agg_exact_median(spark, sf_dir):
     )
 
 
-@register("agg_approx_quantiles")  # rows-only: sketch output, tolerance-gated
-def agg_approx_quantiles(spark, sf_dir):
-    """Approximate per-group percentiles via ``percentile_approx`` (the
-    KLL/GK-style mergeable sketch). The scale path for quantiles on 100 TB:
+def approx_quantiles_sketch(spark, sf_dir):
+    """Production-regime ``percentile_approx`` (KLL/GK-style mergeable
+    sketch, accuracy 10k). The scale path for quantiles on 100 TB:
     fixed-size sketches merge map-side, so the shuffle carries one sketch
-    per (partition × group) instead of every value. Accuracy is gated by a
-    tolerance test against agg_exact_median, not hash-matched."""
+    per (partition × group) instead of every value. NOT registered —
+    approximate output has no SQL oracle; its 1%-relative tolerance vs
+    agg_exact_median is gated in tests/test_recall.py (the registered
+    :func:`agg_approx_quantiles` pins the same operator's
+    degenerate-parameter EXACT regime with a real oracle)."""
     t = load_tables(spark, sf_dir)
     acc = 10_000  # 1/acc relative-rank error bound
     return (
@@ -285,16 +287,89 @@ def agg_approx_quantiles(spark, sf_dir):
     )
 
 
-@register("agg_approx_count_distinct")  # rows-only: HLL estimate, tolerance-gated
-def agg_approx_count_distinct(spark, sf_dir):
-    """HyperLogLog++ distinct counts (rsd 1%). The 100 TB replacement for
-    Q15's exact COUNT(DISTINCT): HLL registers merge map-side, so the
-    shuffle carries a fixed-size sketch per group instead of every distinct
-    key. Estimates are tolerance-gated against the exact counts in tests."""
+@register(
+    "agg_approx_quantiles",
+    sql="""
+    SELECT l_returnflag,
+           CAST(quantile_disc(l_quantity, 0.13) AS BIGINT) AS q13,
+           CAST(quantile_disc(l_quantity, 0.51) AS BIGINT) AS q51,
+           CAST(quantile_disc(l_quantity, 0.89) AS BIGINT) AS q89
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_approx_quantiles(spark, sf_dir):
+    """``percentile_approx`` pinned in its DEGENERATE-PARAMETER EXACT
+    regime (r10 verdict task: earn the oracle the sketch's approximate
+    regime can't have): accuracy 1e6 exceeds every per-group row count at
+    test scale, so the GK summary's rank error is < 1 rank and the sketch
+    returns the exact discrete percentile. Robustness to the engines'
+    ±1-rank definitional differences comes from the DATA, not luck:
+    ``l_quantity`` is a 50-value integer plateau domain (~2% mass each)
+    and the requested ps (0.13/0.51/0.89) sit at plateau CENTERS, so any
+    rank within ±hundreds of the target selects the same value — Spark's
+    sketch rank and DuckDB's ``quantile_disc`` must agree exactly. The
+    production approximate regime (accuracy 10k, continuous doubles)
+    stays tolerance-gated in tests/test_recall.py via
+    :func:`approx_quantiles_sketch`."""
+    t = load_tables(spark, sf_dir)
+    acc = 1_000_000  # above any test-scale per-group n → exact rank
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            *(
+                F.percentile_approx("l_quantity", p, acc)
+                .cast("long")
+                .alias(f"q{int(p * 100)}")
+                for p in (0.13, 0.51, 0.89)
+            )
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def approx_count_distinct_sketch(spark, sf_dir):
+    """Production-regime HyperLogLog++ distinct counts (rsd 1%) on
+    HIGH-cardinality columns — the 100 TB replacement for Q15's exact
+    COUNT(DISTINCT): HLL registers merge map-side, so the shuffle carries
+    a fixed-size sketch per group instead of every distinct key. NOT
+    registered — estimates have no SQL oracle; the 5% tolerance vs exact
+    counts is gated in tests/test_recall.py (the registered
+    :func:`agg_approx_count_distinct` pins the same operator's
+    exact-regime behavior with a real oracle)."""
     t = load_tables(spark, sf_dir)
     return t.orders.agg(
         F.approx_count_distinct("o_custkey", 0.01).alias("approx_custkeys"),
         F.approx_count_distinct("o_orderdate", 0.01).alias("approx_orderdates"),
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_approx_count_distinct(spark, sf_dir):
+    """``approx_count_distinct`` pinned in its EXACT regime (r10 verdict
+    task): HLL++ at rsd 1% uses linear counting for cardinalities far
+    below the register count, which is exact unless two values' hashes
+    collide into one register — for the 5-value ``o_orderpriority``
+    domain against 2^14+ registers that is a ~0.1% event, and the fixed
+    xxhash64 seed makes the result DETERMINISTIC per dataset (verified
+    exact at sf0.001/0.01/0.1), so the HLL estimates hash-match the
+    plain COUNT(DISTINCT) oracle per group. The production
+    high-cardinality regime stays tolerance-gated in
+    tests/test_recall.py via :func:`approx_count_distinct_sketch`."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_orderpriority", 0.01)
+            .alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
     )
 
 
@@ -754,6 +829,72 @@ def mv_incremental_agg(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "mv_refresh_changefeed",
+    sql="""
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           SUM(l_quantity)                   AS sum_qty,
+           COUNT(*)                          AS cnt_rows,
+           strftime(CAST(MIN(l_shipdate) AS DATE), '%Y-%m-%d') AS min_ship,
+           MAX(l_extendedprice)              AS max_price
+    FROM lineitem GROUP BY 1, 2 ORDER BY flag, status
+    """,
+)
+def mv_refresh_changefeed(spark, sf_dir):
+    """MV refresh fed by the INCREMENTAL CDC READER (r11, the wiring the
+    r10 verdict's plan audit asked for): instead of being handed a
+    hand-sliced delta DataFrame (mv_incremental_agg's shape), the
+    refresh consumes :func:`storage.version_delta` on the SOURCE
+    snapshot table — exactly how a production MV tracks a table it
+    doesn't own. Source commits: v1 = history (hash-bucketed 80% of
+    lineitem), v2 = an append of the rest; the query ASSERTS the v1→v2
+    transition classifies ``append`` (so the feed read only the new
+    files — the O(changes) path, never a two-version diff), rebuilds the
+    delta rows from the feed's ``_new`` structs, merges their partials
+    into the day-0 MV state (:func:`merge_agg_state`), and the oracle —
+    the one-shot GROUP BY over the full table — pins that
+    feed-driven-incremental == recompute exactly."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    keys = ["l_orderkey", "l_linenumber"]
+    li = t.lineitem.withColumn("b", hash_bucket("l_orderkey", 10))
+    hist = li.filter("b < 8").drop("b")
+    delta = li.filter("b >= 8").drop("b")
+    src = tempfile.mkdtemp(prefix="mv_feed_src_")
+    try:
+        shutil.rmtree(src)
+        storage.write_snapshot(spark, hist, src)
+        storage.write_snapshot(spark, delta, src, mode="append")
+        tr = storage.classify_transition(src, 1, 2)
+        assert tr["kind"] == "append", (
+            f"append commit classified {tr['kind']!r} — the feed would "
+            "pay a two-version diff instead of reading the new files"
+        )
+        feed = storage.version_delta(spark, src, 2, key_cols=keys)
+        delta_rows = feed.filter(
+            F.col("change_type") == "insert"
+        ).select(*keys, "_new.*")
+        mv = merge_agg_state(
+            _mv_partial(hist), _mv_partial(delta_rows), ["flag", "status"]
+        )
+        return (
+            mv.select(
+                "flag", "status", "sum_qty", "cnt_rows",
+                F.date_format("min_ship", "yyyy-MM-dd").alias("min_ship"),
+                "max_price",
+            )
+            .orderBy("flag", "status")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
 
 
 @register(

@@ -2118,6 +2118,63 @@ def dedup_minhash_keep(spark, sf_dir):
 
 
 @register("dedup_minhash_incremental")  # rows-only: LSH path, recall-gated
+def append_band_index(new_bands: DataFrame, idx_path: str) -> None:
+    """DAILY-INGEST append to the persisted LSH band index
+    (:func:`dedup_minhash_incremental`'s stored (band, bkey, doc_id)
+    table): today's kept docs' band rows land as new files under the
+    existing ``band=N/`` directories. Each append adds ≥1 small file per
+    band — :func:`compact_band_index` is the retention valve."""
+    from dp_dimension_importer_spark import storage
+
+    storage.write_partitioned(new_bands, idx_path, ["band"], mode="append")
+
+
+def compact_band_index(
+    spark, idx_path: str, files_per_band: int = 1
+) -> int:
+    """COMPACTION/RETENTION for the persisted MinHash band index (r10
+    verdict task #7: under daily ingest every append grows each
+    ``band=N/`` directory by one file — a year of ingests is 365 small
+    files per band, and probe-scan planning cost grows with file count,
+    not data size). Folds each band's files down to ``files_per_band``
+    and drops duplicate (band, bkey, doc_id) rows (a re-indexed doc's
+    rows collapse; probe results are unchanged because the candidate
+    join dropDuplicates downstream anyway — probe-equivalence is pinned
+    in tests/test_band_index.py).
+
+    Crash safety reuses the :func:`storage.compact_parquet` swap shape
+    (same ``__compact_tmp``/``__compact_old`` suffixes, so
+    :func:`storage.recover_swap` heals a crash between the two renames):
+    the rewrite goes to a temp dir, the live index is never in a
+    half-written state. ``repartition(files_per_band, "band")`` puts
+    each band's rows in exactly ``files_per_band`` tasks, and the
+    partitioned write emits one file per (task × band) — per-band file
+    count == files_per_band by construction. Returns the total file
+    count after compaction."""
+    import glob
+    import os
+    import shutil
+
+    from dp_dimension_importer_spark import storage
+
+    storage.recover_swap(idx_path)
+    df = storage.read_partitioned(spark, idx_path).dropDuplicates()
+    tmp = idx_path.rstrip("/") + "__compact_tmp"
+    old = idx_path.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    (
+        df.repartition(files_per_band, "band")
+        .write.mode("error")
+        .partitionBy("band")
+        .parquet(tmp)
+    )
+    os.rename(idx_path, old)
+    os.rename(tmp, idx_path)
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(idx_path, "band=*", "*.parquet")))
+
+
 def dedup_minhash_incremental(spark, sf_dir):
     """INCREMENTAL near-dup dedup against a PERSISTED LSH index — the
     near-duplicate analog of dedup_bloom_incremental's exact router, and

@@ -1473,3 +1473,96 @@ def q77b_optimize_incremental(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q89b_snapshot_branch",
+    sql="""
+    WITH b AS (
+        SELECT o_orderkey,
+               (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 8
+                   AS bucket,
+               o_totalprice AS price
+        FROM orders
+    ), main_w AS (
+        SELECT bucket, price FROM b
+    ), branch_w AS (
+        SELECT bucket,
+               price + CASE WHEN bucket = 0 THEN 1000 ELSE 0 END AS price
+        FROM b WHERE bucket <> 7
+    ), phased AS (
+        SELECT 'main_before' AS phase, bucket, price FROM main_w
+        UNION ALL
+        SELECT 'branch', bucket, price FROM branch_w
+        UNION ALL
+        SELECT 'main_after', bucket, price FROM branch_w
+    )
+    SELECT phase, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM phased GROUP BY phase, bucket ORDER BY phase, bucket
+    """,
+)
+def q89b_snapshot_branch(spark, sf_dir):
+    """SNAPSHOT BRANCHES end-to-end (`storage.create_branch` /
+    `write_snapshot_to_branch` / `read_branch` / `fast_forward` — Iceberg
+    branch refs generalizing q89's one-candidate WAP to N audited
+    commits): fork a branch off main v1, land TWO branch commits (reprice
+    bucket 0, then drop bucket 7) that main readers must not see, read
+    all three worlds — main-before (read AFTER the branch commits, the
+    isolation pin), the branch head, and main-after-fast-forward (must
+    equal the branch head, published as main v2 by metadata only). The
+    oracle states each world's per-bucket aggregate, so a green row pins
+    isolation, branch-chain resolution (second commit supersedes the
+    first), and the fast-forward publish in one pass. The refusal rules
+    (diverged main, racing creators, vacuum interplay) are pinned in
+    tests/test_branches.py."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    b = t.orders.select(
+        "o_orderkey",
+        hash_bucket("o_orderkey", 8).cast("int").alias("bucket"),
+        F.col("o_totalprice").alias("price"),
+    )
+    path = tempfile.mkdtemp(prefix="q89b_branch_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, b, path)  # main v1
+        storage.create_branch(path, "fix")
+        # branch commit 1: reprice bucket 0
+        c1 = b.withColumn(
+            "price",
+            F.col("price")
+            + F.when(F.col("bucket") == 0, 1000).otherwise(0),
+        )
+        storage.write_snapshot_to_branch(spark, c1, path, "fix")
+        # branch commit 2: drop bucket 7 (supersedes commit 1's world)
+        storage.write_snapshot_to_branch(
+            spark, c1.filter("bucket <> 7"), path, "fix"
+        )
+
+        def agg(df, phase):
+            cents = F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")
+            return df.groupBy("bucket").agg(
+                F.count("*").alias("n"), F.sum(cents).alias("sum_cents")
+            ).select(F.lit(phase).alias("phase"), "bucket", "n", "sum_cents")
+
+        main_before = agg(storage.read_snapshot(spark, path), "main_before")
+        branch_w = agg(storage.read_branch(spark, path, "fix"), "branch")
+        v = storage.fast_forward(path, "fix")
+        assert v == 2 and storage.snapshot_versions(path) == [1, 2]
+        main_after = agg(storage.read_snapshot(spark, path), "main_after")
+        return (
+            main_before.unionByName(branch_w)
+            .unionByName(main_after)
+            .orderBy("phase", "bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

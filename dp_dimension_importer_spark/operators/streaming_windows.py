@@ -1220,3 +1220,141 @@ def q88b_stream_cdc_apply(spark, sf_dir):
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
         shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+_Q90_SQL = """
+    WITH b AS (
+        SELECT o_orderkey,
+               CAST((ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                     * 31
+                     + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)))
+                    % 8 AS INTEGER) AS bucket,
+               o_totalprice AS price
+        FROM orders
+    ), feed AS (
+        SELECT o_orderkey, bucket, price, 1 AS seq,
+               'insert' AS change_type, 1 AS version
+        FROM b WHERE bucket < 6
+        UNION ALL
+        SELECT o_orderkey, bucket, price, 1, 'insert', 2
+        FROM b WHERE bucket IN (6, 7)
+        UNION ALL
+        SELECT o_orderkey, bucket, price, 1, 'delete', 3
+        FROM b WHERE bucket = 0
+        UNION ALL
+        SELECT o_orderkey, bucket, price + 1000, 2, 'upsert', 5
+        FROM b WHERE bucket IN (2, 3)
+        UNION ALL
+        SELECT o_orderkey, bucket, price, 1, 'delete', 7
+        FROM b WHERE bucket = 7
+    )
+    SELECT o_orderkey, bucket,
+           CAST(FLOOR(price * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(seq AS BIGINT) AS seq, change_type,
+           CAST(version AS BIGINT) AS version
+    FROM feed ORDER BY version, o_orderkey
+"""
+
+
+@register("q90_changefeed", sql=_Q90_SQL)
+def q90_changefeed(spark, sf_dir):
+    """Incremental CHANGE-FEED source end-to-end
+    (:func:`streaming.changefeed.read_changes_stream` — the CDC *reader*
+    over the snapshot layer, offsets = snapshot versions): build a table
+    whose history exercises EVERY transition kind the feed dispatches on
+    (storage.classify_transition) — v1 initial write, v2 append, v3 DV
+    delete, v4 DV purge (rewrite, empty delta), v5 MOR delta upsert, v6
+    major compaction (rewrite, empty delta), v7 COW delete (rewrite,
+    real deletes) — then replay the whole feed in one availableNow run
+    through a memory sink and return the RAW change log. The oracle
+    reconstructs each version's exact delta in SQL, so a green row pins
+    insert/upsert/delete classification, per-version attribution, the
+    deleted rows' old values, AND that the two pure-rewrite commits
+    (purge, compaction) emit ZERO rows — the no-logical-change property
+    the diff fallback must honor. The fold invariant (feed folded ==
+    final table state) is asserted in-query; restart/vacuum/ordering
+    semantics are pinned in tests/test_changefeed.py. Reference parity:
+    the importer's patch-back loop
+    (dp-dimension-importer handler/incoming_instance_handler.go:217-280)
+    is exactly this incremental consumer."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+    from dp_dimension_importer_spark.streaming import changefeed
+
+    orders = table(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_orderkey",
+        hash_bucket("o_orderkey", 8).cast("int").alias("bucket"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).cast("bigint").alias("seq"),
+    )
+    scratch = tempfile.mkdtemp(prefix="q90_feed_")
+    path = scratch + "/table"
+    name = "q90_feed_" + uuid.uuid4().hex[:8]
+    try:
+        storage.write_snapshot(spark, b.filter("bucket < 6"), path)
+        storage.write_snapshot(
+            spark, b.filter("bucket IN (6, 7)"), path, mode="append"
+        )
+        storage.delete_where_snapshot(spark, path, "bucket = 0", mode="dv")
+        storage.purge_deletion_vectors(spark, path)
+        storage.upsert_delta_snapshot(
+            spark,
+            path,
+            b.filter("bucket IN (2, 3)").withColumn(
+                "price", F.col("price") + 1000
+            ).withColumn("seq", F.lit(2).cast("bigint")),
+            key_cols=["o_orderkey"],
+            seq_col="seq",
+        )
+        storage.compact_mor(spark, path)
+        storage.delete_where_snapshot(spark, path, "bucket = 7", mode="cow")
+        assert storage.snapshot_versions(path) == [1, 2, 3, 4, 5, 6, 7]
+
+        feed = changefeed.read_changes_stream(
+            spark, path, key_cols=["o_orderkey"]
+        )
+        q = (
+            feed.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", scratch + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        log = spark.table(name).localCheckpoint(eager=True)
+
+        # fold invariant: the feed's net effect IS the final table
+        folded = changefeed.changefeed_fold(
+            log, ["o_orderkey"], seq_col="seq"
+        ).select("o_orderkey", "bucket", "price", "seq")
+        final = storage.read_snapshot(spark, path).select(
+            "o_orderkey", "bucket", "price", "seq"
+        )
+        assert folded.exceptAll(final).count() == 0, "fold ⊄ final state"
+        assert final.exceptAll(folded).count() == 0, "final state ⊄ fold"
+
+        return (
+            log.select(
+                "o_orderkey",
+                "bucket",
+                F.floor(F.col("price") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+                F.col("seq").cast("long").alias("seq"),
+                "change_type",
+                F.col("_version").alias("version"),
+            )
+            .orderBy("version", "o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -98,12 +98,28 @@ _REPO_ROOT = _Path(__file__).resolve().parent.parent
 # storage paths but left this empty, so the driver spent its slots on the
 # stale cohort and re-checked none of the changed code).
 #
-# Round-10 start: reset to [] per the documented ritual (all 19 round-9
-# entries re-earned green driver rows in CORRECTNESS_r09, so leaving them
-# here would burn tier-0 slots re-verifying fresh-green queries instead of
-# rotating the r5 cohort). Repopulated at round END with queries whose code
-# paths round 10 materially changed.
-_REPRIORITIZE: list[str] = []
+# Round 11: the r10 verdict flagged that round 10 changed manifest-commit /
+# vacuum / tag / publish / merge paths but left this list empty. Round 11
+# additionally changed publish_snapshot (corrective commit), tag_snapshot
+# (link claim), and registered the change feed — so the riders on those
+# storage paths re-earn their driver rows, plus the new q90.
+_REPRIORITIZE: list[str] = [
+    "q90_changefeed",
+    "q89b_snapshot_branch",
+    "mv_refresh_changefeed",
+    "agg_approx_quantiles",
+    "agg_approx_count_distinct",
+    "q89_write_audit_publish",
+    "q66c_snapshot_tags",
+    "q66d_time_travel_asof",
+    "q88_merge_delete_feed",
+    "q79_stream_snapshot_append",
+    "q86_upsert_mor",
+    "q86b_mor_schema_evolution",
+    "q86c_mor_pruned_read",
+    "cdc_merge_upsert",
+    "q60_stream_upsert_sink",
+]
 
 
 def correctness_evidence(root: _Path | str | None = None) -> dict[str, int]:

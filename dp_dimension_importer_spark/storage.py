@@ -989,6 +989,14 @@ def read_snapshot(
         )
     with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
         manifest = json.load(f)
+    return _manifest_df(spark, path, manifest)
+
+
+def _manifest_df(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
+    """Resolve ONE manifest to its DataFrame — the MOR/DV/plain dispatch
+    shared by :func:`read_snapshot` and :func:`read_branch`."""
+    import os
+
     if manifest.get("mor"):
         # merge-on-read upserts: latest-wins resolution of the delta
         # chain (see upsert_delta_snapshot); versions without deltas
@@ -1082,6 +1090,18 @@ def read_staged(spark: SparkSession, path: str, staged: dict) -> DataFrame:
     )
 
 
+def _missing_files(path: str, manifest: dict) -> list[str]:
+    """Manifest data files that no longer exist on disk (module-level so
+    the publish-race corrective path is unit-testable by patching)."""
+    import os
+
+    return [
+        rel
+        for rel in manifest["files"]
+        if not os.path.exists(os.path.join(path, rel))
+    ]
+
+
 def publish_snapshot(
     path: str, staged: dict, enforce_schema: bool = True
 ) -> int:
@@ -1120,16 +1140,8 @@ def publish_snapshot(
     # anyway would publish a LATEST version with dangling references and
     # break every subsequent read — check before the commit, and re-check
     # after (a vacuum that enumerated manifests BEFORE our hard-link can
-    # still unlink the files just after our pre-check); on the post-commit
-    # race, roll the fresh manifest back so the table head stays readable.
-    def _missing() -> list[str]:
-        return [
-            rel
-            for rel in manifest["files"]
-            if not os.path.exists(os.path.join(path, rel))
-        ]
-
-    gone = _missing()
+    # still unlink the files just after our pre-check).
+    gone = _missing_files(path, manifest)
     if gone:
         raise ValueError(
             f"staged candidate {staged['token']!r} reclaimed by vacuum "
@@ -1137,12 +1149,33 @@ def publish_snapshot(
             "re-stage and re-audit"
         )
     version = _commit_manifest(path, manifest, staged["token"])
-    gone = _missing()
+    gone = _missing_files(path, manifest)
     if gone:
-        os.unlink(os.path.join(_manifest_dir(path), f"v{version}.json"))
+        # ADVICE r10 (medium): NEVER unlink the committed v{version}
+        # manifest — the next _commit_manifest would reuse the number
+        # with different content, so a reader/tagger that observed
+        # v{version} in the window would silently name different data
+        # (and a tag pinned to it would survive the unlink pointing at
+        # reused content). Version numbers are immutable once claimed:
+        # leave the dangling manifest in place and commit a CORRECTIVE
+        # follow-up re-publishing the pre-publish head (the
+        # restore_snapshot shape), so the table head stays readable and
+        # v{version} reads fail loudly on its missing files instead of
+        # succeeding on somebody else's data.
+        corrective = dict(prev) if prev else {
+            "files": [], "schema": dict(new_schema),
+        }
+        corrective.pop("version", None)
+        if manifest.get("txn"):
+            corrective["txn"] = manifest["txn"]  # watermarks never regress
+        import uuid
+
+        _commit_manifest(path, corrective, uuid.uuid4().hex[:12])
         raise ValueError(
             f"staged candidate {staged['token']!r} reclaimed by a vacuum "
-            "racing the publish — commit rolled back; re-stage and re-audit"
+            f"racing the publish — v{version} is dangling and a "
+            "corrective commit restored the prior head; re-stage and "
+            "re-audit"
         )
     return version
 
@@ -2520,12 +2553,18 @@ def tag_snapshot(path: str, name: str, version: int | None = None) -> int:
     change what an auditor's name means). Defaults to the latest
     version; returns the pinned version.
 
-    Each tag is its own ``tags/<name>.json`` created with O_EXCL —
-    creation is atomic (two racing taggers: one wins, the other sees the
-    winner's pin and errors or no-ops), mirroring the manifest hard-link
-    claim."""
+    Each tag is its own ``tags/<name>.json`` claimed by hard-linking a
+    FULLY-WRITTEN attempt-unique tmp file onto the name (ADVICE r10: the
+    r9 O_EXCL-create-then-write left an EMPTY file on a crash mid-write,
+    which ``list_tags`` skips but whose existence wedged the name with a
+    confusing "already pins vNone" until a manual drop_tag). With the
+    link claim — the same atomicity mechanism as ``_commit_manifest`` —
+    a tag file either doesn't exist or is complete; two racing taggers:
+    one wins the link, the other reads the winner's pin and errors or
+    no-ops."""
     import json
     import os
+    import uuid
 
     _check_tag_name(name)
     versions = snapshot_versions(path)
@@ -2547,24 +2586,45 @@ def tag_snapshot(path: str, name: str, version: int | None = None) -> int:
     tdir = _tags_dir(path)
     os.makedirs(tdir, exist_ok=True)
     tpath = os.path.join(tdir, f"{name}.json")
-    payload = json.dumps({"version": v}).encode()
+    tmp = os.path.join(tdir, f".tmp-{uuid.uuid4().hex[:12]}.json")
+    with open(tmp, "w") as f:
+        json.dump({"version": v}, f)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(tpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        # a concurrent tagger claimed the name between list and create
-        existing = list_tags(path).get(name)
-        if existing != v:
-            raise ValueError(
-                f"tag {name!r} already pins v{existing} — drop_tag first "
-                "(tags are immutable names, not branches)"
-            )
-        return v
-    try:
-        os.write(fd, payload)
-        os.fsync(fd)
+        for attempt in (0, 1):
+            try:
+                os.link(tmp, tpath)  # atomic claim of the name
+                return v
+            except FileExistsError:
+                # claimed between list and link — by a live tagger
+                # (valid file: compare pins) or by a crashed pre-link-era
+                # tagger (empty/invalid corpse, invisible to list_tags:
+                # clear it once and retry; a NEW-code file can never be
+                # partial because the link publishes complete bytes)
+                existing = list_tags(path).get(name)
+                if existing == v:
+                    return v
+                if existing is not None:
+                    raise ValueError(
+                        f"tag {name!r} already pins v{existing} — "
+                        "drop_tag first (tags are immutable names, not "
+                        "branches)"
+                    )
+                if attempt == 0:
+                    try:
+                        os.unlink(tpath)
+                    except FileNotFoundError:
+                        pass
+        raise ValueError(
+            f"tag {name!r} is wedged by an unreadable tag file "
+            f"({tpath}) — drop_tag and re-tag"
+        )
     finally:
-        os.close(fd)
-    return v
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def drop_tag(path: str, name: str) -> None:
@@ -2595,6 +2655,276 @@ def drop_tag(path: str, name: str) -> None:
     os.replace(tmp, legacy)
 
 
+# ---------------------------------------------------------------------------
+# Snapshot BRANCHES (Iceberg branch refs on this layer's commit protocol).
+#
+# q89's WRITE-AUDIT-PUBLISH stages exactly ONE unpublished candidate;
+# branches generalize it to N audited commits: a branch is a named
+# manifest chain under _manifests/branches/<name>/ with its own b<K>.json
+# numbering, FORKED from a committed main version (base.json records the
+# fork point). Branch data files land in the shared data/<token>/ pool
+# (immutable, manifest-referenced), so main readers never see them, and
+# vacuum retains them exactly like main's (live branch manifests are
+# retention roots). fast_forward publishes the branch HEAD as main's next
+# version — metadata-only, the restore_snapshot shape — and, like
+# Iceberg's fast-forward, REQUIRES that main has not moved past the fork
+# point (a moved main needs a rebase/cherry-pick, which this layer
+# deliberately doesn't guess at).
+# ---------------------------------------------------------------------------
+
+
+def _branches_dir(path: str) -> str:
+    import os
+
+    return os.path.join(_manifest_dir(path), "branches")
+
+
+def _branch_dir(path: str, name: str) -> str:
+    import os
+
+    _check_tag_name(name)  # same filename-safe charset as tags
+    return os.path.join(_branches_dir(path), name)
+
+
+def list_branches(path: str) -> dict[str, dict]:
+    """{branch name: {"base_version": N, "commits": K}} for every live
+    branch (empty if none)."""
+    import glob
+    import json
+    import os
+
+    out: dict[str, dict] = {}
+    for bdir in glob.glob(os.path.join(_branches_dir(path), "*")):
+        base = os.path.join(bdir, "base.json")
+        if not os.path.isdir(bdir) or not os.path.exists(base):
+            continue
+        try:
+            with open(base) as f:
+                bv = int(json.load(f)["base_version"])
+        except (OSError, ValueError, KeyError):
+            continue  # half-created by a crashed create_branch: not live
+        out[os.path.basename(bdir)] = {
+            "base_version": bv,
+            "commits": len(branch_versions(path, os.path.basename(bdir))),
+        }
+    return out
+
+
+def branch_versions(path: str, name: str) -> list[int]:
+    """Branch-local commit numbers (b1, b2, …) in order; [] for a branch
+    with no commits yet (its head is the fork-point version)."""
+    import glob
+    import os
+
+    out = []
+    for p in glob.glob(os.path.join(_branch_dir(path, name), "b*.json")):
+        try:
+            out.append(int(os.path.basename(p)[1:-5]))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def create_branch(path: str, name: str, version: int | None = None) -> int:
+    """Fork a BRANCH from a committed main ``version`` (default latest).
+    The fork point is recorded atomically (tmp + hard-link claim, the tag
+    protocol): two racing creators — one wins, the other errors unless it
+    asked for the same fork point. The fork-point version becomes a
+    retention root (vacuum keeps it while the branch lives). Returns the
+    base version."""
+    import json
+    import os
+    import uuid
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(
+            f"version {v} not committed (have {versions}) — vacuumed?"
+        )
+    bdir = _branch_dir(path, name)
+    os.makedirs(bdir, exist_ok=True)
+    base = os.path.join(bdir, "base.json")
+    tmp = os.path.join(bdir, f".tmp-{uuid.uuid4().hex[:12]}.json")
+    with open(tmp, "w") as f:
+        json.dump({"base_version": v}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, base)
+    except FileExistsError:
+        with open(base) as f:
+            existing = int(json.load(f)["base_version"])
+        if existing != v:
+            raise ValueError(
+                f"branch {name!r} already exists (forked at v{existing}) "
+                "— drop_branch first"
+            )
+        return v  # idempotent re-create at the same fork point
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+    return v
+
+
+def _branch_head_manifest(path: str, name: str) -> dict:
+    import json
+    import os
+
+    bdir = _branch_dir(path, name)
+    base = os.path.join(bdir, "base.json")
+    if not os.path.exists(base):
+        raise FileNotFoundError(
+            f"no branch {name!r} on {path!r} "
+            f"(have {sorted(list_branches(path))})"
+        )
+    bvs = branch_versions(path, name)
+    if bvs:
+        with open(os.path.join(bdir, f"b{bvs[-1]}.json")) as f:
+            return json.load(f)
+    with open(base) as f:
+        bv = int(json.load(f)["base_version"])
+    if bv not in snapshot_versions(path):
+        raise FileNotFoundError(
+            f"branch {name!r} fork point v{bv} was vacuumed — the branch "
+            "is unreadable (vacuum retains fork points of LIVE branches; "
+            "this one was created against an already-doomed version)"
+        )
+    return _load_manifest(path, bv)
+
+
+def read_branch(
+    spark: SparkSession, path: str, name: str
+) -> DataFrame:
+    """Read a branch's HEAD world: the last branch commit, or the fork
+    point if the branch has no commits yet. Same isolation as
+    :func:`read_snapshot` — one manifest resolve, immutable files."""
+    return _manifest_df(spark, path, _branch_head_manifest(path, name))
+
+
+def write_snapshot_to_branch(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    name: str,
+    mode: str = "overwrite",
+    compression: str = PARQUET_CODEC,
+    enforce_schema: bool = True,
+) -> int:
+    """Commit ``df`` as the branch's next commit (b<K>) — main readers
+    see NOTHING until :func:`fast_forward`. Modes mirror
+    :func:`write_snapshot` (``overwrite`` / ``append`` against the BRANCH
+    head); schema evolution is validated against the branch head under
+    the same additive rule. Data files land in the shared immutable
+    ``data/<token>/`` pool; the branch manifest hard-link is the commit
+    point (b-number claimed optimistically, EEXIST retries — two branch
+    writers serialize exactly like two main writers). Returns the
+    branch-local commit number."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    prev = _branch_head_manifest(path, name)  # also validates the branch
+    if prev.get("mor") or prev.get("dv"):
+        raise ValueError(
+            "branch writes are plain-manifest commits: compact/purge the "
+            "MOR chain or DVs on main before forking a branch from it"
+        )
+    new_schema = {f.name: f.dataType.simpleString() for f in df.schema}
+    if enforce_schema:
+        for col_name, col_type in (prev.get("schema") or {}).items():
+            if new_schema.get(col_name) != col_type:
+                raise ValueError(
+                    f"branch schema evolution must be additive: column "
+                    f"{col_name!r} was {col_type}, new commit has "
+                    f"{new_schema.get(col_name)!r}"
+                )
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown branch write mode {mode!r}")
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", token)
+    (df.write.mode("error").option("compression", compression)
+     .parquet(data_dir))
+    new_files = sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+    carried = prev.get("files", []) if mode == "append" else []
+    manifest = {"files": carried + new_files, "schema": new_schema}
+    bdir = _branch_dir(path, name)
+    tmp = os.path.join(bdir, f".tmp-{token}.json")
+    while True:
+        bv = (branch_versions(path, name) or [0])[-1] + 1
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        final = os.path.join(bdir, f"b{bv}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            continue  # another branch writer claimed this number
+        finally:
+            if os.path.exists(final):
+                os.unlink(tmp)
+        return bv
+
+
+def fast_forward(path: str, name: str, drop: bool = True) -> int:
+    """Publish the branch HEAD as main's next version — pure metadata
+    (the restore_snapshot shape: re-commit a manifest, zero data
+    movement). REFUSES if main moved past the branch's fork point
+    (Iceberg fast-forward semantics: a diverged main needs an explicit
+    rebase, and silently overwriting its commits would be data loss).
+    Main's txn watermark map carries forward (never regresses). Drops
+    the branch afterwards by default. Returns main's new version."""
+    import json
+    import os
+    import uuid
+
+    bdir = _branch_dir(path, name)
+    with open(os.path.join(bdir, "base.json")) as f:
+        base_v = int(json.load(f)["base_version"])
+    head = snapshot_versions(path)[-1]
+    if head != base_v:
+        raise ValueError(
+            f"fast_forward refused: main moved v{base_v} -> v{head} since "
+            f"branch {name!r} forked — rebase the branch (re-fork and "
+            "re-apply) instead of overwriting main's commits"
+        )
+    if not branch_versions(path, name):
+        if drop:
+            drop_branch(path, name)
+        return head  # nothing to publish: ff of an empty branch is a no-op
+    manifest = dict(_branch_head_manifest(path, name))
+    latest_txn = _load_manifest(path, head).get("txn")
+    if latest_txn:
+        manifest["txn"] = latest_txn  # watermarks never regress
+    v = _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
+    if drop:
+        drop_branch(path, name)
+    return v
+
+
+def drop_branch(path: str, name: str) -> None:
+    """Remove a branch: its manifests stop being retention roots, so its
+    unpublished data files become vacuum-reclaimable (exactly like an
+    abandoned WAP stage)."""
+    import os
+    import shutil
+
+    bdir = _branch_dir(path, name)
+    if not os.path.exists(os.path.join(bdir, "base.json")):
+        raise KeyError(
+            f"no branch {name!r} on {path!r} "
+            f"(have {sorted(list_branches(path))})"
+        )
+    shutil.rmtree(bdir, ignore_errors=True)
+
+
 def vacuum_snapshots(
     path: str, keep_last: int = 1, tmp_retention_sec: float = 3600.0
 ) -> int:
@@ -2621,6 +2951,15 @@ def vacuum_snapshots(
     versions = snapshot_versions(path)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     keep |= {v for v in list_tags(path).values() if v in versions}
+    # live BRANCHES are retention roots twice over: their fork-point main
+    # version stays readable (fast_forward's divergence check and an
+    # empty branch's head both need it), and every branch manifest's
+    # files are live exactly like main's
+    branch_info = list_branches(path)
+    keep |= {
+        b["base_version"] for b in branch_info.values()
+        if b["base_version"] in versions
+    }
     referenced: set[str] = set()
 
     def _retain(mpath: str) -> None:
@@ -2631,6 +2970,12 @@ def vacuum_snapshots(
         for grp in (m.get("mor") or {}).get("deltas", []):
             referenced.update(grp)  # live delta chains survive vacuum
 
+    for bname in branch_info:
+        for bv in branch_versions(path, bname):
+            _retain(
+                os.path.join(_branch_dir(path, bname), f"b{bv}.json")
+            )
+
     doomed = []
     for v in versions:
         mpath = os.path.join(_manifest_dir(path), f"v{v}.json")
@@ -2639,11 +2984,14 @@ def vacuum_snapshots(
         else:
             doomed.append((v, mpath))
     for v, mpath in doomed:
-        # ADVICE r9: a tag created while this vacuum ran must protect its
-        # version — re-read the (per-file, atomically created) tag store
-        # immediately before each expiry instead of trusting the snapshot
-        # taken at entry.
-        if v in set(list_tags(path).values()):
+        # ADVICE r9: a tag (or branch fork, r11) created while this
+        # vacuum ran must protect its version — re-read the (per-file,
+        # atomically created) ref stores immediately before each expiry
+        # instead of trusting the snapshot taken at entry.
+        live_refs = set(list_tags(path).values()) | {
+            b["base_version"] for b in list_branches(path).values()
+        }
+        if v in live_refs:
             _retain(mpath)
             continue
         os.unlink(mpath)

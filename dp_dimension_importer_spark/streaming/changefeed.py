@@ -13,38 +13,51 @@ reads, zero data pages:
 
 * ``append`` commits → one input partition per NEW FILE, each read
   executor-side with pyarrow → ``insert`` rows. O(new data),
-  partition-parallel, never through the driver.
+  partition-parallel, never through the driver. Emitted as Arrow
+  RecordBatches when every stream column has a primitive Arrow mapping
+  (the q64 high-throughput connector shape — no per-row Python
+  boxing); row tuples otherwise.
 * ``mor`` delta commits → one partition per new DELTA FILE → the raw
   upsert log rows (``upsert``; latest-wins is the CONSUMER's fold, by
-  (_version, seq) — exactly what a MOR log records; pre-images are not
-  resolved on this path, the same contract as Delta CDF without CDC
-  materialization. The batch verb :func:`storage.version_delta` DOES
-  resolve pre-images when a consumer needs them). O(changes).
+  (_version, _group, seq) — exactly what a MOR log records; pre-images
+  are not resolved on this path, the same contract as Delta CDF without
+  CDC materialization. The batch verb :func:`storage.version_delta`
+  DOES resolve pre-images when a consumer needs them). ``_group``
+  carries the delta group's commit ordinal WITHIN the transition, so a
+  vacuumed gap that collapses several MOR commits into one classified
+  transition still folds in commit order (commit order outranks seq,
+  the :func:`storage._resolve_mor` ranking). O(changes).
 * ``dv`` delete commits → one partition per touched file: decode old
   and new sidecars (gap-varint, :func:`storage.dv_decode`), diff the
   position sets, read ONLY those rows → ``delete`` rows carrying the
   deleted values. O(touched files).
 * ``noop`` commits (txn-watermark advances, empty batches) → nothing.
 * ``rewrite`` / mixed ranges (COW merge/delete, compaction, DV purge,
-  a vacuumed gap whose endpoints don't shape-match) → ONE fallback
-  partition that loads both endpoint versions (DV-filtered,
-  MOR-resolved) and diffs them — the generic diff-of-snapshots
-  (:func:`storage.snapshot_changes`'s semantics) as a single task. The
-  documented slow path: production retention keeps consumer lag inside
-  the retained window so it fires on compactions (where the delta is
-  empty) and rare backfills, not steady state.
+  a vacuumed gap whose endpoints don't shape-match) → the generic
+  diff-of-snapshots split into ``diff_partitions`` KEY-HASH-RANGE
+  tasks: each task streams both endpoint versions batch-by-batch and
+  keeps only the keys whose hash lands in its range, so per-task
+  memory is O(version / K) — a compaction landing mid-stream on a
+  table bigger than one task's memory budget no longer OOMs the single
+  fallback task (read amplification is K×, the price of the documented
+  slow path; production retention keeps it rare).
 
 Output schema is FLAT and fixed at stream start from the latest
 manifest: every table column (additive-union), then ``change_type``
-(``insert`` / ``upsert`` / ``delete``) and ``_version``. A column added
-after stream start is invisible until restart (Delta's contract).
+(``insert`` / ``upsert`` / ``delete``), ``_version`` and ``_group``. A
+column added after stream start is invisible until restart (Delta's
+contract).
 
 Restart safety: offsets live in the CHECKPOINT (no sidecar cursor
 files); ``partitions(start, end)`` validates that the checkpointed
 start version is still retained and RAISES if vacuum expired it —
 silently diffing from an older retained version would replay
 already-consumed changes. Admission control (``max_versions`` per
-trigger) is best-effort in-memory; correctness never depends on it.
+trigger) is best-effort in-memory and NEVER applied before the
+checkpointed position is learned: on restart ``latestOffset`` returns
+the true latest unclamped (ADVICE r10 — clamping against
+``from_version`` could propose an offset BELOW the checkpointed start,
+which Spark would commit and then replay already-consumed versions).
 
 Reference parity: the importer's patch-back loop
 (dp-dimension-importer handler/incoming_instance_handler.go:217-280)
@@ -55,6 +68,15 @@ consumer as a first-class streaming input.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Spark simpleString -> pyarrow factory for the Arrow fast path.
+#: Deliberately primitives-only: temporal-zoned / nested / decimal
+#: columns fall back to row tuples (auto mode) rather than risk a
+#: lossy arrow coercion.
+_ARROW_PRIMITIVES = (
+    "boolean", "tinyint", "smallint", "int", "bigint",
+    "float", "double", "string", "binary", "date",
+)
 
 
 def make_changefeed_source():
@@ -67,6 +89,7 @@ def make_changefeed_source():
     import glob
     import json
     import os
+    import zlib
 
     from pyspark.sql.datasource import (
         DataSource,
@@ -102,13 +125,29 @@ def make_changefeed_source():
         if not vs:
             raise FileNotFoundError(f"no committed snapshots under {path!r}")
         schema = _manifest(path, vs[-1])["schema"]
-        for reserved in ("change_type", "_version"):
+        for reserved in ("change_type", "_version", "_group"):
             if reserved in schema:
                 raise ValueError(
                     f"table column {reserved!r} collides with the change "
                     "feed's metadata columns"
                 )
         return list(schema.items())
+
+    def _arrow_type(simple):
+        import pyarrow as pa
+
+        return {
+            "boolean": pa.bool_(),
+            "tinyint": pa.int8(),
+            "smallint": pa.int16(),
+            "int": pa.int32(),
+            "bigint": pa.int64(),
+            "float": pa.float32(),
+            "double": pa.float64(),
+            "string": pa.string(),
+            "binary": pa.binary(),
+            "date": pa.date32(),
+        }[simple]
 
     def _read_parquet_rows(abs_path, want_cols):
         """pyarrow read of one file projected to the wanted columns
@@ -121,22 +160,67 @@ def make_changefeed_source():
         rows = tbl.to_pylist()
         return rows
 
-    def _emit(rows, want_cols, change_type, version):
+    def _emit(rows, want_cols, change_type, version, group):
         for r in rows:
             yield tuple(r.get(c) for c, _ in want_cols) + (
                 change_type,
                 version,
+                group,
             )
 
-    def _load_version_map(table_path, man, key_cols):
-        """{key tuple: row dict} for one version, pure python: DV
-        positions dropped, MOR chain latest-wins resolved. Single-task
-        fallback only — memory-bound by the version's size."""
+    def _arrow_batches(abs_path, want_cols, change_type, version, group):
+        """Arrow fast path for the hot kinds (append/MOR): stream the
+        file's record batches, project/cast to the declared stream
+        schema (absent columns → typed nulls), append the constant
+        metadata columns — no per-row Python boxing (the q64 arrow
+        connector shape, operators/udfs.py:382)."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        def _file_rows(rel):
-            tbl = pq.read_table(os.path.join(table_path, rel))
-            return tbl.to_pylist()
+        pf = pq.ParquetFile(abs_path)
+        names = set(pf.schema_arrow.names)
+        present = [c for c, _ in want_cols if c in names]
+        for b in pf.iter_batches(columns=present or None):
+            n = b.num_rows
+            if n == 0:
+                continue
+            arrays, fields = [], []
+            for c, t in want_cols:
+                at = _arrow_type(t)
+                if c in names:
+                    col = b.column(b.schema.get_field_index(c))
+                    if col.type != at:
+                        col = col.cast(at)
+                else:
+                    col = pa.nulls(n, at)
+                arrays.append(col)
+                fields.append(pa.field(c, at))
+            arrays += [
+                pa.array([change_type] * n, pa.string()),
+                pa.array([version] * n, pa.int64()),
+                pa.array([group] * n, pa.int64()),
+            ]
+            fields += [
+                pa.field("change_type", pa.string()),
+                pa.field("_version", pa.int64()),
+                pa.field("_group", pa.int64()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
+    def _key_in_range(k, ki, K):
+        if K <= 1:
+            return True
+        h = zlib.crc32(repr(k).encode("utf-8", "backslashreplace"))
+        return h % K == ki
+
+    def _load_version_map(table_path, man, key_cols, ki=0, K=1):
+        """{key tuple: row dict} for the ``ki``-th of ``K`` key-hash
+        ranges of one version, pure python: DV positions dropped, MOR
+        chain latest-wins resolved. Files stream batch-by-batch so peak
+        memory is one batch + the kept 1/K key slice (ADVICE r10: the
+        K=1 whole-version dict OOMs on any large table the first time a
+        compaction lands mid-stream)."""
+        import pyarrow.parquet as pq
 
         dv_map = man.get("dv") or {}
         out = {}
@@ -147,22 +231,31 @@ def make_changefeed_source():
         best = {}
         for ci, grp in enumerate(groups):
             for rel in grp:
-                rows = _file_rows(rel)
                 dropped = set()
                 if ci == 0 and rel in dv_map:
                     with open(
                         os.path.join(table_path, dv_map[rel]), "rb"
                     ) as fh:
                         dropped = set(dv_decode(fh.read()))
-                for pos, r in enumerate(rows):
-                    if pos in dropped:
-                        continue
-                    k = tuple(r.get(c) for c in key_cols)
-                    seq = r.get(seq_col) if seq_col else None
-                    rank = (ci, float("-inf") if seq is None else seq)
-                    if k not in best or rank >= best[k]:
-                        best[k] = rank
-                        out[k] = r
+                pf = pq.ParquetFile(os.path.join(table_path, rel))
+                pos = 0
+                for batch in pf.iter_batches():
+                    for r in batch.to_pylist():
+                        p = pos
+                        pos += 1
+                        if p in dropped:
+                            continue
+                        k = tuple(r.get(c) for c in key_cols)
+                        if not _key_in_range(k, ki, K):
+                            continue
+                        seq = r.get(seq_col) if seq_col else None
+                        rank = (
+                            ci,
+                            float("-inf") if seq is None else seq,
+                        )
+                        if k not in best or rank >= best[k]:
+                            best[k] = rank
+                            out[k] = r
         return out
 
     def _vals_eq(a, b, cols):
@@ -194,7 +287,26 @@ def make_changefeed_source():
                 )
             self.from_version = int(options.get("from_version", "0"))
             self.max_step = int(options.get("max_versions", "0"))
+            self.diff_parts = max(
+                1, int(options.get("diff_partitions", "8"))
+            )
             self.cols = _stream_cols(self.path)
+            arrow_opt = options.get("arrow", "auto").lower()
+            can_arrow = all(
+                t in _ARROW_PRIMITIVES for _, t in self.cols
+            )
+            if arrow_opt == "true" and not can_arrow:
+                bad = [
+                    (c, t) for c, t in self.cols
+                    if t not in _ARROW_PRIMITIVES
+                ]
+                raise ValueError(
+                    f"arrow=true but columns {bad} have no primitive "
+                    "Arrow mapping — use arrow=auto/false"
+                )
+            self.arrow = (
+                can_arrow if arrow_opt == "auto" else arrow_opt == "true"
+            )
             self._last = None
 
         def initialOffset(self):
@@ -203,14 +315,18 @@ def make_changefeed_source():
         def latestOffset(self):
             vs = _versions(self.path)
             latest = vs[-1] if vs else self.from_version
-            base = (
-                self._last
-                if self._last is not None
-                else self.from_version
-            )
+            if self._last is None:
+                # ADVICE r10 (high): before partitions() has taught us
+                # the checkpointed position, clamping against
+                # from_version could return an offset BELOW what Spark
+                # already committed — Spark would commit the regressed
+                # offset and replay consumed versions. First trigger
+                # after (re)start is therefore unclamped catch-up.
+                self._last = latest
+                return {"v": latest}
             if self.max_step > 0:
-                latest = min(latest, base + self.max_step)
-            latest = max(latest, base)
+                latest = min(latest, self._last + self.max_step)
+            latest = max(latest, self._last)
             self._last = latest
             return {"v": latest}
 
@@ -243,11 +359,17 @@ def make_changefeed_source():
                                 v,
                                 os.path.join(self.path, rel),
                                 self.cols,
+                                self.arrow,
                             )
                         )
                         for rel in tr["new_files"]
                     ]
                 elif kind == "mor":
+                    # ADVICE r10 (low): carry the delta group's commit
+                    # ordinal so a vacuumed gap collapsing several MOR
+                    # commits into one transition still folds in commit
+                    # order (commit order outranks seq, as in
+                    # storage._resolve_mor).
                     parts += [
                         _Part(
                             (
@@ -255,9 +377,11 @@ def make_changefeed_source():
                                 v,
                                 os.path.join(self.path, rel),
                                 self.cols,
+                                self.arrow,
+                                gi,
                             )
                         )
-                        for grp in tr["new_groups"]
+                        for gi, grp in enumerate(tr["new_groups"])
                         for rel in grp
                     ]
                 elif kind == "dv":
@@ -280,7 +404,7 @@ def make_changefeed_source():
                         _manifest(self.path, base) if base > 0 else
                         {"files": [], "schema": {}}
                     )
-                    parts.append(
+                    parts += [
                         _Part(
                             (
                                 "diff",
@@ -290,9 +414,12 @@ def make_changefeed_source():
                                 tr["manifest"],
                                 self.keys,
                                 self.cols,
+                                ki,
+                                self.diff_parts,
                             )
                         )
-                    )
+                        for ki in range(self.diff_parts)
+                    ]
                 # noop: nothing
                 base = v
             return parts or [_Part(("noop",))]
@@ -303,16 +430,24 @@ def make_changefeed_source():
             if kind == "noop":
                 return
             if kind == "files":
-                _, v, abs_path, cols = p
-                yield from _emit(
-                    _read_parquet_rows(abs_path, cols), cols, "insert", v
-                )
+                _, v, abs_path, cols, arrow = p
+                if arrow:
+                    yield from _arrow_batches(abs_path, cols, "insert", v, 0)
+                else:
+                    yield from _emit(
+                        _read_parquet_rows(abs_path, cols),
+                        cols, "insert", v, 0,
+                    )
                 return
             if kind == "mor":
-                _, v, abs_path, cols = p
-                yield from _emit(
-                    _read_parquet_rows(abs_path, cols), cols, "upsert", v
-                )
+                _, v, abs_path, cols, arrow, gi = p
+                if arrow:
+                    yield from _arrow_batches(abs_path, cols, "upsert", v, gi)
+                else:
+                    yield from _emit(
+                        _read_parquet_rows(abs_path, cols),
+                        cols, "upsert", v, gi,
+                    )
                 return
             if kind == "dv":
                 _, v, table_path, rel, old_dv, new_dv, cols = p
@@ -329,20 +464,20 @@ def make_changefeed_source():
                 picked = [
                     rows[pos] for pos in sorted(doomed) if pos < len(rows)
                 ]
-                yield from _emit(picked, cols, "delete", v)
+                yield from _emit(picked, cols, "delete", v, 0)
                 return
             if kind == "diff":
-                _, v, table_path, prev_man, cur_man, keys, cols = p
-                old = _load_version_map(table_path, prev_man, keys)
-                new = _load_version_map(table_path, cur_man, keys)
+                _, v, table_path, prev_man, cur_man, keys, cols, ki, K = p
+                old = _load_version_map(table_path, prev_man, keys, ki, K)
+                new = _load_version_map(table_path, cur_man, keys, ki, K)
                 for k, r in new.items():
                     if k not in old:
-                        yield from _emit([r], cols, "insert", v)
+                        yield from _emit([r], cols, "insert", v, 0)
                     elif not _vals_eq(old[k], r, cols):
-                        yield from _emit([r], cols, "upsert", v)
+                        yield from _emit([r], cols, "upsert", v, 0)
                 for k, r in old.items():
                     if k not in new:
-                        yield from _emit([r], cols, "delete", v)
+                        yield from _emit([r], cols, "delete", v, 0)
                 return
             raise ValueError(f"unknown partition kind {kind!r}")
 
@@ -358,7 +493,7 @@ def make_changefeed_source():
             cols = _stream_cols(self.options["path"])
             return ", ".join(
                 [f"{c} {t}" for c, t in cols]
-                + ["change_type string", "_version long"]
+                + ["change_type string", "_version long", "_group long"]
             )
 
         def streamReader(self, schema):
@@ -373,12 +508,17 @@ def read_changes_stream(
     key_cols: list[str],
     from_version: int = 0,
     max_versions: int = 0,
+    arrow: str = "auto",
+    diff_partitions: int = 8,
 ) -> DataFrame:
     """Open the incremental change feed of a snapshot table as a
     streaming DataFrame (see module docstring). ``from_version=N``
     starts AFTER version N (0 = include the initial snapshot as
     inserts); ``max_versions`` caps versions admitted per trigger
-    (0 = unbounded — one batch catches the feed up)."""
+    (0 = unbounded — one batch catches the feed up); ``arrow`` chooses
+    the hot-path emission (``auto`` = Arrow RecordBatches when every
+    column type maps, ``true`` force, ``false`` row tuples);
+    ``diff_partitions`` = key-hash-range tasks per rewrite fallback."""
     try:
         spark.dataSource.register(make_changefeed_source())
     except Exception:
@@ -389,6 +529,8 @@ def read_changes_stream(
         .option("keys", ",".join(key_cols))
         .option("from_version", str(from_version))
         .option("max_versions", str(max_versions))
+        .option("arrow", arrow)
+        .option("diff_partitions", str(diff_partitions))
         .load()
     )
 
@@ -398,14 +540,19 @@ def changefeed_fold(
 ) -> DataFrame:
     """Fold a (batch-read) change-feed log to its NET effect: one row
     per surviving key with the latest values, deletes folded away.
-    Latest-wins per key by (``_version``, ``seq_col`` if the table is
-    MOR-keyed — within one version only one kind of change occurs, and
-    only MOR upserts can repeat a key). The shape every incremental MV
-    refresh applies: one window over the FEED (never the table)."""
+    Latest-wins per key by (``_version``, ``_group`` if present,
+    ``seq_col`` if the table is MOR-keyed) — ``_group`` ranks delta
+    groups of a gap-collapsed transition in commit order, matching
+    :func:`storage._resolve_mor` (commit order outranks seq; within one
+    version+group only one kind of change occurs, and only MOR upserts
+    can repeat a key). The shape every incremental MV refresh applies:
+    one window over the FEED (never the table)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     order = [F.col("_version").desc()]
+    if "_group" in feed.columns:
+        order.append(F.col("_group").desc_nulls_last())
     if seq_col is not None:
         order.append(F.col(seq_col).desc_nulls_last())
     w = W.partitionBy(*key_cols).orderBy(*order)

@@ -1,0 +1,166 @@
+"""Pins for snapshot BRANCHES (storage.create_branch /
+write_snapshot_to_branch / read_branch / fast_forward / drop_branch —
+r10 verdict task #8): isolation, the diverged-main refusal, vacuum
+interplay (fork points and branch files are retention roots while the
+branch lives, reclaimable after drop), and the guard rails."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+
+from dp_dimension_importer_spark import storage
+
+
+def _mkpath():
+    scratch = tempfile.mkdtemp(prefix="br_test_")
+    return scratch, os.path.join(scratch, "t")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, val=v) for k, v in rows], "k bigint, val string"
+    )
+
+
+def _world(spark, df):
+    return sorted((r["k"], r["val"]) for r in df.collect())
+
+
+def test_branch_isolation_and_fast_forward(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, "a"), (2, "b")]), path)
+        assert storage.create_branch(path, "fix") == 1
+        storage.write_snapshot_to_branch(
+            spark, _df(spark, [(1, "a2"), (2, "b")]), path, "fix"
+        )
+        storage.write_snapshot_to_branch(
+            spark, _df(spark, [(3, "c")]), path, "fix", mode="append"
+        )
+        # main untouched by two branch commits
+        assert _world(spark, storage.read_snapshot(spark, path)) == [
+            (1, "a"), (2, "b"),
+        ]
+        # branch head = commit 2's append on top of commit 1's overwrite
+        assert _world(spark, storage.read_branch(spark, path, "fix")) == [
+            (1, "a2"), (2, "b"), (3, "c"),
+        ]
+        assert storage.list_branches(path) == {
+            "fix": {"base_version": 1, "commits": 2}
+        }
+        v = storage.fast_forward(path, "fix")
+        assert v == 2 and storage.snapshot_versions(path) == [1, 2]
+        assert _world(spark, storage.read_snapshot(spark, path)) == [
+            (1, "a2"), (2, "b"), (3, "c"),
+        ]
+        assert storage.list_branches(path) == {}  # dropped by default
+        # v1 still time-travelable
+        assert _world(
+            spark, storage.read_snapshot(spark, path, version=1)
+        ) == [(1, "a"), (2, "b")]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_fast_forward_refuses_diverged_main(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, "a")]), path)
+        storage.create_branch(path, "fix")
+        storage.write_snapshot_to_branch(
+            spark, _df(spark, [(1, "a2")]), path, "fix"
+        )
+        storage.write_snapshot(
+            spark, _df(spark, [(9, "z")]), path, mode="append"
+        )  # main moves to v2
+        with pytest.raises(ValueError, match="moved"):
+            storage.fast_forward(path, "fix")
+        # the branch survives the refusal, still readable
+        assert _world(spark, storage.read_branch(spark, path, "fix")) == [
+            (1, "a2"),
+        ]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_vacuum_retains_live_branch_then_reclaims_after_drop(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, "a")]), path)  # v1
+        storage.create_branch(path, "exp")
+        storage.write_snapshot_to_branch(
+            spark, _df(spark, [(1, "a2"), (2, "b")]), path, "exp"
+        )
+        storage.write_snapshot(spark, _df(spark, [(9, "z")]), path)  # v2
+        storage.write_snapshot(spark, _df(spark, [(9, "z2")]), path)  # v3
+        storage.vacuum_snapshots(path, keep_last=1)
+        # fork point v1 retained (live branch), v2 expired
+        assert storage.snapshot_versions(path) == [1, 3]
+        # branch world fully readable after the vacuum
+        assert _world(spark, storage.read_branch(spark, path, "exp")) == [
+            (1, "a2"), (2, "b"),
+        ]
+        storage.drop_branch(path, "exp")
+        storage.vacuum_snapshots(path, keep_last=1)
+        assert storage.snapshot_versions(path) == [3]
+        with pytest.raises(Exception):
+            storage.read_branch(spark, path, "exp").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_create_branch_guards(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, "a")]), path)  # v1
+        storage.write_snapshot(spark, _df(spark, [(1, "b")]), path)  # v2
+        assert storage.create_branch(path, "b1", version=1) == 1
+        assert storage.create_branch(path, "b1", version=1) == 1  # idempotent
+        with pytest.raises(ValueError, match="already exists"):
+            storage.create_branch(path, "b1", version=2)
+        with pytest.raises(FileNotFoundError):
+            storage.create_branch(path, "b2", version=99)
+        with pytest.raises(ValueError):
+            storage.create_branch(path, "../evil")
+        with pytest.raises(KeyError):
+            storage.drop_branch(path, "nope")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_branch_write_guards(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, "a")]), path)
+        storage.create_branch(path, "g")
+        # retyping a committed column refuses
+        with pytest.raises(ValueError, match="additive"):
+            storage.write_snapshot_to_branch(
+                spark,
+                spark.createDataFrame([Row(k=1, val=2)], "k bigint, val int"),
+                path, "g",
+            )
+        # empty-branch fast_forward is a no-op that still drops
+        assert storage.fast_forward(path, "g") == 1
+        assert storage.list_branches(path) == {}
+        # forking off a MOR head refuses branch writes (plain manifests only)
+        storage.upsert_delta_snapshot(
+            spark,
+            path,
+            spark.createDataFrame(
+                [Row(k=1, val="m", seq=1)], "k bigint, val string, seq bigint"
+            ),
+            key_cols=["k"], seq_col="seq",
+        )
+        storage.create_branch(path, "h")
+        with pytest.raises(ValueError, match="MOR"):
+            storage.write_snapshot_to_branch(
+                spark, _df(spark, [(1, "x")]), path, "h",
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -1,0 +1,421 @@
+"""Pins for the incremental change-feed source
+(streaming/changefeed.py) and its storage verbs
+(storage.classify_transition / storage.version_delta), plus the r10
+ADVICE hardening in storage (publish rollback, tag atomicity).
+
+The fixture tables are tiny and hand-built — every test states its
+exact expected change log, so a wrong classification, a replayed
+version after restart, or a lost commit-order rank fails loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark import storage
+from dp_dimension_importer_spark.streaming import changefeed
+
+
+def _mkpath():
+    scratch = tempfile.mkdtemp(prefix="cf_test_")
+    return scratch, os.path.join(scratch, "t")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, val=v, seq=s) for k, v, s in rows],
+        "k bigint, val string, seq bigint",
+    )
+
+
+def _drain(spark, path, name, **kw):
+    """availableNow replay of the feed into a memory sink; returns the
+    collected change-log rows as a list of dicts."""
+    ckpt = kw.pop("checkpoint", None) or tempfile.mkdtemp(prefix="cf_ck_")
+    feed = changefeed.read_changes_stream(spark, path, ["k"], **kw)
+    q = (
+        feed.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return [r.asDict() for r in spark.table(name).collect()]
+
+
+def _drain_files(spark, path, out, ckpt, **kw):
+    """Checkpoint-recoverable drain: foreachBatch → parquet append (the
+    memory sink can't recover from a checkpoint). Returns ONLY the rows
+    this run appended."""
+    import glob as _glob
+
+    before = set(_glob.glob(os.path.join(out, "*.parquet")))
+    feed = changefeed.read_changes_stream(spark, path, ["k"], **kw)
+    q = (
+        feed.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    new = [
+        p for p in _glob.glob(os.path.join(out, "*.parquet"))
+        if p not in before
+    ]
+    if not new:
+        return []
+    return [r.asDict() for r in spark.read.parquet(*new).collect()]
+
+
+def _history(spark, path):
+    """v1 initial(k=1,2) → v2 append(k=3) → v3 MOR upsert(k=2 val=b2,
+    seq=2) — the common fixture several tests replay."""
+    storage.write_snapshot(
+        spark, _df(spark, [(1, "a", 1), (2, "b", 1)]), path
+    )
+    storage.write_snapshot(
+        spark, _df(spark, [(3, "c", 1)]), path, mode="append"
+    )
+    storage.upsert_delta_snapshot(
+        spark, path, _df(spark, [(2, "b2", 2)]),
+        key_cols=["k"], seq_col="seq",
+    )
+
+
+def test_feed_basic_kinds_and_versions(spark):
+    scratch, path = _mkpath()
+    try:
+        _history(spark, path)
+        name = "cf_basic_" + uuid.uuid4().hex[:8]
+        rows = _drain(spark, path, name)
+        got = sorted(
+            (r["k"], r["val"], r["change_type"], r["_version"], r["_group"])
+            for r in rows
+        )
+        assert got == [
+            (1, "a", "insert", 1, 0),
+            (2, "b", "insert", 1, 0),
+            (2, "b2", "upsert", 3, 0),
+            (3, "c", "insert", 2, 0),
+        ]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_arrow_and_row_paths_agree(spark):
+    scratch, path = _mkpath()
+    try:
+        _history(spark, path)
+        a = _drain(spark, path, "cf_ar_" + uuid.uuid4().hex[:8],
+                   arrow="true")
+        b = _drain(spark, path, "cf_ro_" + uuid.uuid4().hex[:8],
+                   arrow="false")
+        key = lambda r: sorted(map(repr, map(sorted, map(dict.items, r))))
+        assert key(a) == key(b) and len(a) == 4
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_restart_from_checkpoint_no_redelivery(spark):
+    """ADVICE r10 (high): after a restart with max_versions>0,
+    latestOffset must never propose an offset below the checkpointed
+    start — the second run must emit ONLY the post-restart versions,
+    zero replays, even though from_version=0 and max_versions=1."""
+    scratch, path = _mkpath()
+    try:
+        _history(spark, path)
+        ckpt = os.path.join(scratch, "ckpt")
+        out = os.path.join(scratch, "out")
+        first = _drain_files(spark, path, out, ckpt, max_versions=1)
+        assert len(first) == 4  # caught up across 3 versions
+
+        # new commits land while the stream is down (the table is MOR
+        # after _history, so new rows arrive as delta upserts)
+        storage.upsert_delta_snapshot(
+            spark, path, _df(spark, [(4, "d", 1)]),
+            key_cols=["k"], seq_col="seq",
+        )
+        storage.upsert_delta_snapshot(
+            spark, path, _df(spark, [(5, "e", 1)]),
+            key_cols=["k"], seq_col="seq",
+        )
+        # the Python-source availableNow fallback runs ONE trigger per
+        # start, so with max_versions=1 each run advances one version —
+        # what matters is that NOTHING before the checkpoint replays
+        second = _drain_files(spark, path, out, ckpt, max_versions=1)
+        third = _drain_files(spark, path, out, ckpt, max_versions=1)
+        got = sorted((r["k"], r["change_type"], r["_version"])
+                     for r in second + third)
+        assert got == [(4, "upsert", 4), (5, "upsert", 5)], (
+            "restart must resume from the checkpointed version — "
+            f"got {got}"
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_latest_offset_restart_unclamped():
+    """Unit pin of the latestOffset fix: with no learned position the
+    true latest is returned unclamped; after partitions() teaches the
+    checkpointed position, admission clamps forward from IT (never
+    below), and never regresses."""
+    scratch, path = _mkpath()
+    try:
+        os.makedirs(os.path.join(path, "_manifests"))
+        for v in range(1, 8):
+            with open(
+                os.path.join(path, "_manifests", f"v{v}.json"), "w"
+            ) as f:
+                json.dump({"files": [], "schema": {"k": "bigint"}}, f)
+        cls = changefeed.make_changefeed_source()
+        reader = cls(
+            options={
+                "path": path, "keys": "k",
+                "from_version": "0", "max_versions": "2",
+            }
+        ).streamReader(None)
+        # restart shape: first call must NOT clamp against from_version
+        assert reader.latestOffset() == {"v": 7}
+        # checkpoint said v7; a new commit appears
+        with open(
+            os.path.join(path, "_manifests", "v8.json"), "w"
+        ) as f:
+            json.dump({"files": [], "schema": {"k": "bigint"}}, f)
+        reader.partitions({"v": 7}, {"v": 7})
+        off = reader.latestOffset()
+        assert off == {"v": 8}  # clamped to 7+2 but only 8 exists
+        assert off["v"] >= 7, "offset regressed below the checkpoint"
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_vacuumed_gap_raises(spark):
+    scratch, path = _mkpath()
+    try:
+        _history(spark, path)
+        # consume through v3, then vacuum everything but the head
+        ckpt = os.path.join(scratch, "ckpt")
+        out = os.path.join(scratch, "out")
+        _drain_files(spark, path, out, ckpt)
+        storage.write_snapshot(
+            spark, _df(spark, [(9, "z", 1)]), path,
+            enforce_schema=False,
+        )  # v4 overwrite so old versions are vacuumable
+        storage.write_snapshot(
+            spark, _df(spark, [(10, "y", 1)]), path, mode="append"
+        )  # v5
+        storage.vacuum_snapshots(path, keep_last=1)
+        assert storage.snapshot_versions(path) == [5]
+        # checkpointed offset v3 is gone: the feed must refuse loudly
+        with pytest.raises(Exception, match="expired"):
+            _drain_files(spark, path, out, ckpt)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_rewrite_diff_splits_into_hash_ranges(spark):
+    """ADVICE r10: the rewrite fallback plans diff_partitions key-hash
+    range tasks (not ONE whole-version task), and the union of the
+    ranges is exactly the generic diff."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(k, f"v{k}", 1) for k in range(20)]),
+            path,
+        )
+        # COW delete = rewrite transition with real deletes
+        storage.delete_where_snapshot(spark, path, "k % 4 = 0")
+        cls = changefeed.make_changefeed_source()
+        reader = cls(
+            options={
+                "path": path, "keys": "k",
+                "from_version": "1", "diff_partitions": "4",
+            }
+        ).streamReader(None)
+        parts = reader.partitions({"v": 1}, {"v": 2})
+        kinds = [p.payload[0] for p in parts]
+        assert kinds == ["diff"] * 4, kinds
+        rows = [r for p in parts for r in reader.read(p)]
+        ks = sorted(r[0] for r in rows)
+        assert ks == [0, 4, 8, 12, 16]
+        assert {r[-3] for r in rows} == {"delete"}
+        # ranges are disjoint: no key emitted twice
+        assert len(ks) == len(set(ks))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_vacuum_collapsed_mor_commits_fold_in_commit_order(spark):
+    """ADVICE r10 (low): two MOR commits collapsed by vacuum into one
+    classified transition must fold by COMMIT ORDER, not seq — the
+    later commit's row (seq=3) beats the earlier commit's higher seq
+    (seq=5), matching storage._resolve_mor."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(1, "base", 1)]), path
+        )
+        storage.upsert_delta_snapshot(
+            spark, path, _df(spark, [(1, "mid", 5)]),
+            key_cols=["k"], seq_col="seq",
+        )
+        storage.upsert_delta_snapshot(
+            spark, path, _df(spark, [(1, "last", 3)]),
+            key_cols=["k"], seq_col="seq",
+        )
+        storage.tag_snapshot(path, "pin-v1", 1)
+        storage.vacuum_snapshots(path, keep_last=1)
+        assert storage.snapshot_versions(path) == [1, 3]
+
+        name = "cf_gap_" + uuid.uuid4().hex[:8]
+        feed = changefeed.read_changes_stream(spark, path, ["k"])
+        q = (
+            feed.writeStream.format("memory").queryName(name)
+            .option(
+                "checkpointLocation",
+                os.path.join(scratch, "ck"),
+            )
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        log = spark.table(name)
+        ups = {
+            (r["val"], r["_version"], r["_group"])
+            for r in log.filter("change_type = 'upsert'").collect()
+        }
+        assert ups == {("mid", 3, 0), ("last", 3, 1)}, ups
+        folded = changefeed.changefeed_fold(
+            log, ["k"], seq_col="seq"
+        ).collect()
+        assert [(r["k"], r["val"]) for r in folded] == [(1, "last")]
+        # and it matches the table's own resolution
+        res = storage.read_snapshot(spark, path).collect()
+        assert [(r["k"], r["val"]) for r in res] == [(1, "last")]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_reserved_column_collision(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark,
+            spark.createDataFrame(
+                [Row(k=1, change_type="x")],
+                "k bigint, change_type string",
+            ),
+            path,
+        )
+        with pytest.raises(Exception, match="collides"):
+            changefeed.read_changes_stream(spark, path, ["k"])
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_version_delta_dispatch_matches_snapshot_changes(spark):
+    """storage.version_delta's per-kind fast paths (append / mor / dv /
+    rewrite) must each equal the generic diff-of-snapshots on the same
+    version pair — the canonical-form equality the cost model must not
+    change."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(k, f"v{k}", 1) for k in range(8)]), path
+        )  # v1
+        storage.write_snapshot(
+            spark, _df(spark, [(8, "v8", 1)]), path, mode="append"
+        )  # v2 append
+        storage.delete_where_snapshot(
+            spark, path, "k = 0", mode="dv"
+        )  # v3 dv
+        storage.purge_deletion_vectors(spark, path)  # v4 rewrite
+        storage.upsert_delta_snapshot(
+            spark, path, _df(spark, [(1, "upd", 2)]),
+            key_cols=["k"], seq_col="seq",
+        )  # v5 mor
+        for v in (2, 3, 4, 5):
+            fast = storage.version_delta(spark, path, v, ["k"])
+            slow = storage.snapshot_changes(spark, path, v - 1, v, ["k"])
+            canon = lambda df: sorted(
+                (
+                    r["k"], r["change_type"],
+                    None if r["_old"] is None else tuple(r["_old"]),
+                    None if r["_new"] is None else tuple(r["_new"]),
+                )
+                for r in df.collect()
+            )
+            assert canon(fast) == canon(slow), f"v{v - 1}->v{v} mismatch"
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_publish_race_corrective_commit_never_reuses_version(spark, monkeypatch):
+    """ADVICE r10 (medium): when a vacuum races the publish and wins
+    after the manifest commit, the committed version must NOT be
+    unlinked (the next commit would reuse the number with different
+    data) — a corrective follow-up restores the prior head and the
+    dangling version number is burned forever."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, "a", 1)]), path)
+        staged = storage.stage_snapshot(
+            spark, _df(spark, [(1, "a", 1), (2, "b", 1)]), path
+        )
+        calls = {"n": 0}
+        real = storage._missing_files
+
+        def fake(p, m):
+            calls["n"] += 1
+            if calls["n"] == 2:  # the post-commit re-check
+                return [m["files"][0]]
+            return real(p, m)
+
+        monkeypatch.setattr(storage, "_missing_files", fake)
+        with pytest.raises(ValueError, match="corrective"):
+            storage.publish_snapshot(path, staged)
+        monkeypatch.setattr(storage, "_missing_files", real)
+        vs = storage.snapshot_versions(path)
+        # v2 = the dangling publish, v3 = the corrective restore
+        assert vs == [1, 2, 3]
+        head = storage.read_snapshot(spark, path)
+        assert [(r["k"], r["val"]) for r in head.collect()] == [(1, "a")]
+        # the burned number is never reused: the next commit takes v4
+        v = storage.write_snapshot(
+            spark, _df(spark, [(3, "c", 1)]), path, mode="append"
+        )
+        assert v == 4
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_tag_corpse_from_crashed_tagger_is_recovered(spark):
+    """ADVICE r10 (low): an empty tags/<name>.json (a pre-link-era
+    tagger crashed mid-write) must not wedge the name — tag_snapshot
+    clears the corpse and claims the tag with fully-written bytes."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, "a", 1)]), path)
+        tdir = os.path.join(path, "_manifests", "tags")
+        os.makedirs(tdir, exist_ok=True)
+        open(os.path.join(tdir, "rc1.json"), "w").close()  # the corpse
+        assert storage.list_tags(path) == {}
+        assert storage.tag_snapshot(path, "rc1", 1) == 1
+        assert storage.list_tags(path) == {"rc1": 1}
+        # and no stray tmp files remain
+        assert not [
+            f for f in os.listdir(tdir) if f.startswith(".tmp-")
+        ]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -99,10 +99,16 @@ def test_simhash_finds_near_identical_docs(q):
 
 
 def test_approx_count_distinct_tolerance(q, spark):
-    """HLL estimates (rsd 1%) must land within 5% of the exact counts."""
+    """HLL estimates (rsd 1%) on HIGH-cardinality columns must land
+    within 5% of the exact counts (the production regime; the registered
+    agg_approx_count_distinct query pins the exact-regime oracle)."""
     import duckdb
 
-    row = q("agg_approx_count_distinct")[0]
+    from dp_dimension_importer_spark.operators.aggregates import (
+        approx_count_distinct_sketch,
+    )
+
+    row = approx_count_distinct_sketch(spark, SF).collect()[0]
     exact = duckdb.sql(
         f"SELECT COUNT(DISTINCT o_custkey), COUNT(DISTINCT o_orderdate) "
         f"FROM '{SF}/orders.parquet'"
@@ -111,10 +117,19 @@ def test_approx_count_distinct_tolerance(q, spark):
         assert abs(got - want) <= 0.05 * want, f"approx {got} vs exact {want}"
 
 
-def test_approx_quantiles_tolerance(q):
-    """Sketch percentiles must track the exact ones within 1% relative."""
+def test_approx_quantiles_tolerance(q, spark):
+    """Sketch percentiles (accuracy 10k, continuous doubles — the
+    production regime; the registered agg_approx_quantiles query pins the
+    degenerate exact regime) must track the exact ones within 1%."""
+    from dp_dimension_importer_spark.operators.aggregates import (
+        approx_quantiles_sketch,
+    )
+
     exact = {r.o_orderstatus: (r.p50, r.p95) for r in q("agg_exact_median")}
-    approx = {r.o_orderstatus: (r.p50, r.p95) for r in q("agg_approx_quantiles")}
+    approx = {
+        r.o_orderstatus: (r.p50, r.p95)
+        for r in approx_quantiles_sketch(spark, SF).collect()
+    }
     assert set(exact) == set(approx)
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
