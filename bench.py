@@ -49,6 +49,7 @@ EXCLUDE = {  # streaming-replay queries (BASELINE.md: excluded from timing)
     "q87_stream_mor_upsert",
     "q88b_stream_cdc_apply",
     "q90_changefeed",
+    "q90b_changefeed_mv_stream",
 }
 
 # Section subtotals (r10 verdict "Next round" #5): module → coarse family,

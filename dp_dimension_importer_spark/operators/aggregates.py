@@ -834,12 +834,19 @@ def mv_incremental_agg(spark, sf_dir):
 @register(
     "mv_refresh_changefeed",
     sql="""
+    WITH src AS (
+        SELECT *,
+               (ascii(substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(l_orderkey AS VARCHAR)), 2, 1))) % 10
+                   AS bucket
+        FROM lineitem
+    )
     SELECT l_returnflag AS flag, l_linestatus AS status,
            SUM(l_quantity)                   AS sum_qty,
            COUNT(*)                          AS cnt_rows,
            strftime(CAST(MIN(l_shipdate) AS DATE), '%Y-%m-%d') AS min_ship,
            MAX(l_extendedprice)              AS max_price
-    FROM lineitem GROUP BY 1, 2 ORDER BY flag, status
+    FROM src WHERE bucket < 3 GROUP BY 1, 2 ORDER BY flag, status
     """,
 )
 def mv_refresh_changefeed(spark, sf_dir):
@@ -864,9 +871,16 @@ def mv_refresh_changefeed(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     keys = ["l_orderkey", "l_linenumber"]
-    li = t.lineitem.withColumn("b", hash_bucket("l_orderkey", 10))
-    hist = li.filter("b < 8").drop("b")
-    delta = li.filter("b >= 8").drop("b")
+    # a 30% hash slice, MV columns only: the wiring under test is the
+    # feed-driven refresh, not bulk parquet writing — the slim source
+    # table keeps the benched fixture cost at the family's 2-4 s norm
+    li = t.lineitem.select(
+        *keys, "l_returnflag", "l_linestatus", "l_quantity",
+        "l_shipdate", "l_extendedprice",
+        hash_bucket("l_orderkey", 10).alias("b"),
+    ).filter("b < 3")
+    hist = li.filter("b < 2").drop("b")
+    delta = li.filter("b = 2").drop("b")
     src = tempfile.mkdtemp(prefix="mv_feed_src_")
     try:
         shutil.rmtree(src)

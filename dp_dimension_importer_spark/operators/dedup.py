@@ -2117,7 +2117,6 @@ def dedup_minhash_keep(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_incremental")  # rows-only: LSH path, recall-gated
 def append_band_index(new_bands: DataFrame, idx_path: str) -> None:
     """DAILY-INGEST append to the persisted LSH band index
     (:func:`dedup_minhash_incremental`'s stored (band, bkey, doc_id)
@@ -2175,6 +2174,7 @@ def compact_band_index(
     return len(glob.glob(os.path.join(idx_path, "band=*", "*.parquet")))
 
 
+@register("dedup_minhash_incremental")  # rows-only: LSH path, recall-gated
 def dedup_minhash_incremental(spark, sf_dir):
     """INCREMENTAL near-dup dedup against a PERSISTED LSH index — the
     near-duplicate analog of dedup_bloom_incremental's exact router, and
@@ -2201,7 +2201,11 @@ def dedup_minhash_incremental(spark, sf_dir):
     Partitioning note: `band` is the shard axis here (16 dirs, matches
     how an index this shape is bucketed at scale); a single-band probe
     service would partition by pmod(bkey, B) instead to prune the probe
-    to one bucket — same table, different pruning axis."""
+    to one bucket — same table, different pruning axis. Retention: each
+    daily :func:`append_band_index` adds one file per band;
+    :func:`compact_band_index` (r11) folds a band's files back to a
+    bounded count with probe-equivalence pinned in
+    tests/test_band_index.py."""
     import shutil
     import tempfile
 

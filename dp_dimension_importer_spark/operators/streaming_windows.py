@@ -1358,3 +1358,93 @@ def q90_changefeed(spark, sf_dir):
         except Exception:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "q90b_changefeed_mv_stream",
+    sql="""
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT)                          AS sum_micros,
+           COUNT(*)                                 AS cnt_rows,
+           MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))    AS max_ts_epoch
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q90b_changefeed_mv_stream(spark, sf_dir):
+    """The full CDC LOOP: snapshot table → incremental CHANGE FEED →
+    exactly-once streaming MV (q90's source driving q69's sink — the
+    end-to-end shape a production MV uses to track a table it doesn't
+    own, and the streaming twin of mv_refresh_changefeed's batch
+    wiring). Events land in a source snapshot table as FOUR append
+    commits; :func:`streaming.changefeed.read_changes_stream` streams
+    the per-version deltas; a ``foreachBatch`` handler
+    (:func:`streaming.sink.make_agg_state_handler` — MVCC state
+    versions + atomic {batch_id, version} pointer swap) merges each
+    batch's mergeable partials into the MV. A hand-redelivered batch 0
+    must leave the pointer untouched (asserted). The oracle is the
+    one-shot GROUP BY over the full events table: feed-driven streaming
+    MV == batch recompute exactly. Reference parity: the importer's
+    patch-back loop (handler/incoming_instance_handler.go:217-280)
+    consuming its own upstream feed."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+    from dp_dimension_importer_spark.streaming import changefeed
+    from dp_dimension_importer_spark.streaming import sink as agg_sink
+
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    ).withColumn("b", hash_bucket("event_id", 4))
+    scratch = tempfile.mkdtemp(prefix="q90b_mv_")
+    src = scratch + "/src"
+    state_path = scratch + "/state"
+
+    def partial(df):
+        ins = df.filter(F.col("change_type") == "insert")
+        m = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+        return ins.groupBy("event_type").agg(
+            F.sum(m).alias("sum_micros"),
+            F.count(F.lit(1)).alias("cnt_rows"),
+            F.max(F.col("ts").cast("long")).alias("max_ts_epoch"),
+        )
+
+    try:
+        for i in range(4):  # four append commits = four feed versions
+            storage.write_snapshot(
+                spark,
+                events.filter(F.col("b") == i).drop("b"),
+                src,
+                mode="append" if i else "overwrite",
+            )
+        feed = changefeed.read_changes_stream(
+            spark, src, key_cols=["event_id"]
+        )
+        handler = agg_sink.make_agg_state_handler(
+            state_path, ["event_type"], partial
+        )
+        q = (
+            feed.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", scratch + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        meta = agg_sink.read_agg_state_pointer(state_path)
+        # hand-redelivery of an already-applied batch: pointer untouched
+        handler(spark.range(0), 0)
+        assert agg_sink.read_agg_state_pointer(state_path) == meta, (
+            "redelivered batch moved the MV pointer"
+        )
+        out = storage.read_snapshot(spark, state_path, meta["version"])
+        return (
+            out.select(
+                "event_type", "sum_micros", "cnt_rows", "max_ts_epoch"
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

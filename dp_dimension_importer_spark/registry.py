@@ -105,6 +105,7 @@ _REPO_ROOT = _Path(__file__).resolve().parent.parent
 # storage paths re-earn their driver rows, plus the new q90.
 _REPRIORITIZE: list[str] = [
     "q90_changefeed",
+    "q90b_changefeed_mv_stream",
     "q89b_snapshot_branch",
     "mv_refresh_changefeed",
     "agg_approx_quantiles",

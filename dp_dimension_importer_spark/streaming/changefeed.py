@@ -70,12 +70,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 #: Spark simpleString -> pyarrow factory for the Arrow fast path.
-#: Deliberately primitives-only: temporal-zoned / nested / decimal
-#: columns fall back to row tuples (auto mode) rather than risk a
-#: lossy arrow coercion.
+#: Deliberately primitives-only: nested / decimal columns fall back to
+#: row tuples (auto mode) rather than risk a lossy arrow coercion.
+#: Timestamps ARE supported: Spark's parquet writer stores
+#: UTC-absolute instants (INT96 reads back as NAIVE ns in pyarrow), so
+#: the feed casts them to timestamp[us, UTC] — absolute time, correct
+#: under any session timezone; timestamp_ntz stays naive.
 _ARROW_PRIMITIVES = (
     "boolean", "tinyint", "smallint", "int", "bigint",
     "float", "double", "string", "binary", "date",
+    "timestamp", "timestamp_ntz",
 )
 
 
@@ -147,22 +151,63 @@ def make_changefeed_source():
             "string": pa.string(),
             "binary": pa.binary(),
             "date": pa.date32(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+            "timestamp_ntz": pa.timestamp("us"),
         }[simple]
+
+    def _cast_col(col, at):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if col.type == at:
+            return col
+        # safe=False for temporal casts only: ns->us truncation and
+        # naive->UTC attachment (parquet values are UTC-absolute)
+        return pc.cast(col, at, safe=not pa.types.is_timestamp(at))
 
     def _read_parquet_rows(abs_path, want_cols):
         """pyarrow read of one file projected to the wanted columns
-        (absent columns → None) — executor-side, no Spark."""
+        (absent columns → None) — executor-side, no Spark. Naive
+        parquet timestamps (Spark's INT96) are cast to UTC-aware here;
+        without it ``to_pylist`` yields tz-naive pandas Timestamps that
+        Spark's row serializer refuses."""
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(abs_path)
-        present = [c for c, _ in want_cols if c in pf.schema_arrow.names]
+        names = pf.schema_arrow.names
+        present = [c for c, _ in want_cols if c in names]
         tbl = pf.read(columns=present)
-        rows = tbl.to_pylist()
-        return rows
+        for c, t in want_cols:
+            if t in ("timestamp", "timestamp_ntz") and c in present:
+                i = tbl.schema.get_field_index(c)
+                tbl = tbl.set_column(
+                    i, c, _cast_col(tbl.column(i), _arrow_type(t))
+                )
+        return tbl.to_pylist()
+
+    def _ts_fix(v):
+        """Normalize a loose timestamp value (pd.Timestamp / naive
+        datetime from the diff path's unprojected batch reads) to a
+        UTC-aware datetime for the row serializer."""
+        import datetime as _dt
+
+        if v is None or getattr(v, "tzinfo", None) is not None:
+            return (
+                v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
+            )
+        if hasattr(v, "tz_localize"):  # pandas Timestamp
+            return v.tz_localize("UTC").to_pydatetime()
+        if isinstance(v, _dt.datetime):
+            return v.replace(tzinfo=_dt.timezone.utc)
+        return v
 
     def _emit(rows, want_cols, change_type, version, group):
+        ts_cols = {c for c, t in want_cols if t == "timestamp"}
         for r in rows:
-            yield tuple(r.get(c) for c, _ in want_cols) + (
+            yield tuple(
+                _ts_fix(r.get(c)) if c in ts_cols else r.get(c)
+                for c, _ in want_cols
+            ) + (
                 change_type,
                 version,
                 group,
@@ -188,9 +233,7 @@ def make_changefeed_source():
             for c, t in want_cols:
                 at = _arrow_type(t)
                 if c in names:
-                    col = b.column(b.schema.get_field_index(c))
-                    if col.type != at:
-                        col = col.cast(at)
+                    col = _cast_col(b.column(b.schema.get_field_index(c)), at)
                 else:
                     col = pa.nulls(n, at)
                 arrays.append(col)

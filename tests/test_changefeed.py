@@ -307,6 +307,87 @@ def test_vacuum_collapsed_mor_commits_fold_in_commit_order(spark):
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def test_schema_evolution_restart_and_null_fill(spark):
+    """Additive evolution contract: a column added after stream start is
+    invisible until restart (the stream schema is fixed from the latest
+    manifest at start); after restart — or on a fresh feed — files
+    committed BEFORE the column existed project it as typed NULL (the
+    Arrow path's null-fill, exercised here because every column type is
+    primitive)."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, "a", 1)]), path)
+        ckpt = os.path.join(scratch, "ck")
+        out = os.path.join(scratch, "out1")
+        first = _drain_files(spark, path, out, ckpt)
+        assert [sorted(r) for r in map(dict.keys, first)] == [
+            ["_group", "_version", "change_type", "k", "seq", "val"]
+        ]
+        # additive evolution lands while the stream is down
+        ev = spark.createDataFrame(
+            [Row(k=2, val="b", seq=1, extra=42)],
+            "k bigint, val string, seq bigint, extra bigint",
+        )
+        storage.write_snapshot(spark, ev, path, mode="append")
+        second = _drain_files(
+            spark, path, os.path.join(scratch, "out2"), ckpt
+        )
+        assert [(r["k"], r["extra"], r["_version"]) for r in second] == [
+            (2, 42, 2)
+        ]
+        # fresh feed from v0: pre-evolution files null-fill the new column
+        fresh = _drain_files(
+            spark, path, os.path.join(scratch, "out3"),
+            os.path.join(scratch, "ck2"),
+        )
+        got = sorted((r["k"], r["extra"]) for r in fresh)
+        assert got == [(1, None), (2, 42)], got
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_timestamp_columns_roundtrip_both_paths(spark):
+    """TIMESTAMP columns stream correctly (r11): Spark writes parquet
+    instants that pyarrow reads back NAIVE; the feed must cast them to
+    UTC-absolute on both the Arrow path and the row path, and the values
+    must roundtrip exactly. Also covers the diff path (a COW delete's
+    emitted old rows carry the timestamp)."""
+    import datetime as dt
+
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [
+                Row(k=1, ts=dt.datetime(2024, 1, 1, 10, 0, 0)),
+                Row(k=2, ts=dt.datetime(2024, 6, 15, 23, 59, 59)),
+            ],
+            "k bigint, ts timestamp",
+        )
+        storage.write_snapshot(spark, df, path)
+        storage.delete_where_snapshot(spark, path, "k = 2")  # rewrite
+        expected_insert = {
+            (1, dt.datetime(2024, 1, 1, 10, 0, 0)),
+            (2, dt.datetime(2024, 6, 15, 23, 59, 59)),
+        }
+        for mode in ("true", "false"):
+            name = f"cf_ts_{mode}_" + uuid.uuid4().hex[:8]
+            rows = _drain(spark, path, name, arrow=mode)
+            ins = {
+                (r["k"], r["ts"]) for r in rows
+                if r["change_type"] == "insert"
+            }
+            dels = {
+                (r["k"], r["ts"]) for r in rows
+                if r["change_type"] == "delete"
+            }
+            assert ins == expected_insert, (mode, ins)
+            assert dels == {(2, dt.datetime(2024, 6, 15, 23, 59, 59))}, (
+                mode, dels,
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def test_reserved_column_collision(spark):
     scratch, path = _mkpath()
     try:
