@@ -997,6 +997,14 @@ def _manifest_df(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
     shared by :func:`read_snapshot` and :func:`read_branch`."""
     import os
 
+    if not manifest.get("files") and not manifest.get("mor"):
+        # a legitimately EMPTY table (e.g. the corrective commit after a
+        # prev-less publish race): typed empty frame from the recorded
+        # schema, not a zero-path parquet read (which errors)
+        ddl = ", ".join(
+            f"`{c}` {t}" for c, t in (manifest.get("schema") or {}).items()
+        )
+        return spark.createDataFrame([], ddl or "dummy string")
     if manifest.get("mor"):
         # merge-on-read upserts: latest-wins resolution of the delta
         # chain (see upsert_delta_snapshot); versions without deltas

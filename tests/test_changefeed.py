@@ -481,6 +481,34 @@ def test_publish_race_corrective_commit_never_reuses_version(spark, monkeypatch)
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def test_publish_race_corrective_with_no_prior_version(spark, monkeypatch):
+    """The prev-less variant of the publish race: the corrective commit
+    restores an EMPTY head (there was nothing before), which must read
+    back as a typed empty table — not a zero-path parquet error."""
+    scratch, path = _mkpath()
+    try:
+        staged = storage.stage_snapshot(
+            spark, _df(spark, [(1, "a", 1)]), path
+        )
+        calls = {"n": 0}
+        real = storage._missing_files
+
+        def fake(p, m):
+            calls["n"] += 1
+            return [m["files"][0]] if calls["n"] == 2 else real(p, m)
+
+        monkeypatch.setattr(storage, "_missing_files", fake)
+        with pytest.raises(ValueError, match="corrective"):
+            storage.publish_snapshot(path, staged)
+        monkeypatch.setattr(storage, "_missing_files", real)
+        assert storage.snapshot_versions(path) == [1, 2]
+        head = storage.read_snapshot(spark, path)
+        assert head.count() == 0
+        assert head.columns == ["k", "val", "seq"]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def test_tag_corpse_from_crashed_tagger_is_recovered(spark):
     """ADVICE r10 (low): an empty tags/<name>.json (a pre-link-era
     tagger crashed mid-write) must not wedge the name — tag_snapshot
