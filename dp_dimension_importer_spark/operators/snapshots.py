@@ -1566,3 +1566,83 @@ def q89b_snapshot_branch(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q91_update_where",
+    sql="""
+    WITH u AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               o_totalprice + CASE WHEN CAST(o_orderdate AS DATE)
+                        BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+                    THEN 1000 ELSE 0 END AS price
+        FROM orders
+    )
+    SELECT strftime(d, '%Y') AS yr, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def q91_update_where(spark, sf_dir):
+    """Copy-on-write UPDATE with write-side FILE SKIPPING
+    (:func:`storage.update_where_snapshot`, r11 — the last DML verb the
+    layer was missing after append/DELETE/MERGE): commit orders
+    range-clustered on o_orderdate with per-file stats, UPDATE a
+    one-year window (+1000 on the price) with ``prune`` on the date, and
+    read the result back aggregated per year. Structural asserts pin the
+    scale property: the prune must keep files OUT OF THE PROBE entirely
+    (files_probed < total) and untouched files must carry (files_kept >
+    0, byte-identical — their recorded stats survive). The oracle
+    applies the same CASE update over the raw table, so a green row pins
+    that skipped files lost no updates and rewritten files updated
+    exactly the predicate rows. Prior version stays time-travelable
+    (snapshot isolation, asserted)."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    src = t.orders.select(
+        F.col("o_orderdate").cast("date").alias("d"), "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="q91_update_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot_with_stats(
+            spark, src, path, stats_cols=["d"], range_col="d", n_files=8
+        )
+        n_total = len(
+            storage._load_manifest(path, 1)["files"]
+        )
+        res = storage.update_where_snapshot(
+            spark, path,
+            {"o_totalprice": F.col("o_totalprice") + 1000},
+            "d BETWEEN DATE'1996-01-01' AND DATE'1996-12-31'",
+            prune=("d", datetime.date(1996, 1, 1), datetime.date(1996, 12, 31)),
+        )
+        assert res["files_probed"] < n_total, (
+            f"prune skipped nothing: probed {res['files_probed']}/{n_total}"
+        )
+        assert res["files_kept"] > 0 and res["rows_updated"] > 0, res
+        # snapshot isolation: v1 still reads the pre-update prices
+        v1_sum = (
+            storage.read_snapshot(spark, path, version=1)
+            .agg(F.sum("o_totalprice")).first()[0]
+        )
+        v2_sum = (
+            storage.read_snapshot(spark, path)
+            .agg(F.sum("o_totalprice")).first()[0]
+        )
+        assert v2_sum > v1_sum, "update invisible at the new head"
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot(spark, path)
+            .groupBy(F.date_format("d", "yyyy").alias("yr"))
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("yr")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

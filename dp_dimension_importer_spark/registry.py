@@ -106,6 +106,7 @@ _REPO_ROOT = _Path(__file__).resolve().parent.parent
 _REPRIORITIZE: list[str] = [
     "q90_changefeed",
     "q90b_changefeed_mv_stream",
+    "q91_update_where",
     "q89b_snapshot_branch",
     "mv_refresh_changefeed",
     "agg_approx_quantiles",

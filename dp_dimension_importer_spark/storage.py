@@ -1712,6 +1712,143 @@ def delete_where_snapshot(
     }
 
 
+def update_where_snapshot(
+    spark: SparkSession,
+    path: str,
+    assignments: dict,
+    predicate,
+    compression: str = PARQUET_CODEC,
+    prune: tuple | None = None,
+) -> dict:
+    """Copy-on-write UPDATE — the last member of the DML triad
+    (:func:`write_snapshot` append / :func:`delete_where_snapshot` /
+    :func:`merge_apply_changes`): set ``assignments`` (``{col: new-value
+    Column or SQL string}``) on every row where ``predicate`` is TRUE
+    and commit the result as a new version. SQL UPDATE semantics
+    throughout: NULL-predicate rows are untouched, and every
+    right-hand side sees the PRE-update values (all assignments are
+    computed in one projection over the original columns, so
+    ``{"a": "b", "b": "a"}`` swaps).
+
+    Same write-side FILE SKIPPING as the COW delete: one DV-aware probe
+    scan aggregates matching rows to their files (at most |files|
+    summary rows reach the driver); files with no match carry into the
+    new manifest untouched — data pages unread, stats kept — and only
+    matching files rewrite. A rewrite of a DV-carrying file materializes
+    its deletes (the vector dies with the file it describes). An update
+    matching nothing commits nothing. ``prune=(col, lo, hi)`` skips the
+    probe itself for files whose recorded stats can't intersect — the
+    same caller contract as ``read_snapshot_pruned``.
+
+    Guard rails: an assigned column must already exist (UPDATE never
+    adds columns — that's schema evolution via a write), its committed
+    type is preserved by casting the new value to it, and MOR tables
+    refuse (compact first) for the same probe-soundness reason as
+    DELETE. Returns ``{"version", "rows_updated", "files_rewritten",
+    "files_kept", "files_probed"}``."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
+        man = json.load(f)
+    if man.get("mor"):
+        raise ValueError("UPDATE on a MOR table: run compact_mor first")
+    schema = man["schema"]
+    missing = [c for c in assignments if c not in schema]
+    if missing:
+        raise ValueError(
+            f"UPDATE cannot assign non-existent columns {missing} — new "
+            "columns arrive via a write commit (schema evolution), not "
+            "UPDATE"
+        )
+    dv_map = man.get("dv") or {}
+    probe_rels = list(man["files"])
+    if prune is not None:
+        col, lo, hi = prune
+        stats = man.get("stats", {})
+        elo, ehi = _stat_encode(lo), _stat_encode(hi)
+        probe_rels = [
+            rel for rel in probe_rels
+            if (s_ := stats.get(rel, {}).get(col)) is None
+            or not (s_[1] < elo or s_[0] > ehi)
+        ]
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    no_op = {
+        "version": versions[-1],
+        "rows_updated": 0,
+        "files_rewritten": 0,
+        "files_kept": len(man["files"]),
+        "files_probed": len(probe_rels),
+    }
+    if not probe_rels:  # stats prove no file can hold a matching row
+        return no_op
+    data, _cols = _scan_with_pos(spark, path, probe_rels, dv_map)
+    hits = (
+        data.filter(pred)
+        .groupBy("_fname")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    touched = {r["_fname"]: r["n"] for r in hits}
+    if not touched:
+        return no_op
+    rows_updated = sum(touched.values())
+    kept = [
+        rel for rel in man["files"] if os.path.basename(rel) not in touched
+    ]
+    touched_rels = [
+        rel for rel in probe_rels if os.path.basename(rel) in touched
+    ]
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", token)
+    sdata, scols = _scan_with_pos(spark, path, touched_rels, dv_map)
+    hit = F.coalesce(pred, F.lit(False))  # NULL predicate = not updated
+    proj = []
+    for c in scols:
+        if c in assignments:
+            v = assignments[c]
+            v = F.expr(v) if isinstance(v, str) else v
+            proj.append(
+                F.when(hit, v.cast(schema[c])).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            proj.append(F.col(c))
+    (sdata.select(*proj).write.mode("error")
+     .option("compression", compression).parquet(data_dir))
+    new_files = sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+    manifest = {"files": kept + new_files, "schema": schema}
+    kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
+    if kept_dv:
+        manifest["dv"] = kept_dv
+    if "txn" in man:
+        manifest["txn"] = man["txn"]  # idempotence watermarks never regress
+    if "stats" in man:
+        stats_cols = sorted(
+            {c for per_file in man["stats"].values() for c in per_file}
+        )
+        stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
+        stats.update(collect_file_stats(new_files, path, stats_cols))
+        manifest["stats"] = stats
+    version = _commit_manifest(path, manifest, token)
+    return {
+        "version": version,
+        "rows_updated": rows_updated,
+        "files_rewritten": len(touched_rels),
+        "files_kept": len(kept),
+        "files_probed": len(probe_rels),
+    }
+
+
 def _dv_count(dv_abs: str) -> int:
     """Deleted-position count of a DV sidecar, from the header alone
     (magic + one varint) — no full decode, no position list in memory."""

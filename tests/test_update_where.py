@@ -1,0 +1,130 @@
+"""Pins for storage.update_where_snapshot (r11 — the COW UPDATE verb):
+SQL UPDATE semantics (NULL predicate untouched, RHS sees pre-update
+values), guard rails, no-op commits nothing, and DV materialization on
+rewrite."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark import storage
+
+
+def _mkpath():
+    scratch = tempfile.mkdtemp(prefix="upd_test_")
+    return scratch, os.path.join(scratch, "t")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, a=a, b=b) for k, a, b in rows],
+        "k bigint, a bigint, b bigint",
+    )
+
+
+def _rows(spark, path, **kw):
+    return sorted(
+        (r["k"], r["a"], r["b"])
+        for r in storage.read_snapshot(spark, path, **kw).collect()
+    )
+
+
+def test_update_semantics_swap_and_null_predicate(spark):
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [Row(k=1, a=10, b=20, flag=True),
+             Row(k=2, a=30, b=40, flag=False),
+             Row(k=3, a=50, b=60, flag=None)],
+            "k bigint, a bigint, b bigint, flag boolean",
+        )
+        storage.write_snapshot(spark, df, path)
+        res = storage.update_where_snapshot(
+            spark, path, {"a": "b", "b": "a"}, "flag"
+        )
+        assert res["rows_updated"] == 1 and res["version"] == 2
+        got = sorted(
+            (r["k"], r["a"], r["b"])
+            for r in storage.read_snapshot(spark, path).collect()
+        )
+        # k=1 swapped (RHS saw PRE-update values); k=2 false and k=3
+        # NULL predicate untouched
+        assert got == [(1, 20, 10), (2, 30, 40), (3, 50, 60)], got
+        # snapshot isolation
+        v1 = sorted(
+            (r["k"], r["a"])
+            for r in storage.read_snapshot(spark, path, version=1).collect()
+        )
+        assert v1 == [(1, 10), (2, 30), (3, 50)]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_update_guards_and_noop(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, 1, 1)]), path)
+        with pytest.raises(ValueError, match="non-existent"):
+            storage.update_where_snapshot(
+                spark, path, {"nope": F.lit(1)}, "k = 1"
+            )
+        # no match → no new version
+        res = storage.update_where_snapshot(
+            spark, path, {"a": F.lit(9)}, "k = 99"
+        )
+        assert res["version"] == 1 and res["rows_updated"] == 0
+        assert storage.snapshot_versions(path) == [1]
+        # type preserved: assigned value casts to the committed type
+        storage.update_where_snapshot(
+            spark, path, {"a": F.lit(2.9)}, "k = 1"
+        )
+        head = storage.read_snapshot(spark, path)
+        assert dict(head.dtypes)["a"] == "bigint"
+        assert head.first()["a"] == 2  # cast truncation, bigint kept
+        # MOR guard
+        storage.upsert_delta_snapshot(
+            spark, path,
+            spark.createDataFrame(
+                [Row(k=1, a=5, b=5, seq=1)],
+                "k bigint, a bigint, b bigint, seq bigint",
+            ),
+            key_cols=["k"], seq_col="seq",
+        )
+        with pytest.raises(ValueError, match="MOR"):
+            storage.update_where_snapshot(
+                spark, path, {"a": F.lit(1)}, "k = 1"
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_update_materializes_dv_on_rewrite(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(k, k * 10, 0) for k in range(6)]).coalesce(1),
+            path,
+        )
+        storage.delete_where_snapshot(spark, path, "k = 0", mode="dv")
+        res = storage.update_where_snapshot(
+            spark, path, {"b": F.lit(7)}, "k >= 4"
+        )
+        assert res["rows_updated"] == 2
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        # the rewritten file's DV died with it; deleted row stays gone
+        got = _rows(spark, path)
+        assert (0, 0, 0) not in got
+        assert {(4, 40, 7), (5, 50, 7)} <= set(got)
+        assert {(1, 10, 0), (2, 20, 0), (3, 30, 0)} <= set(got)
+        assert not man.get("dv"), man.get("dv")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
