@@ -3071,7 +3071,10 @@ def drop_branch(path: str, name: str) -> None:
 
 
 def vacuum_snapshots(
-    path: str, keep_last: int = 1, tmp_retention_sec: float = 3600.0
+    path: str,
+    keep_last: int = 1,
+    tmp_retention_sec: float = 3600.0,
+    older_than: float | None = None,
 ) -> int:
     """Expire all but the newest ``keep_last`` versions: drop their
     manifests, then delete every data file no retained manifest
@@ -3080,6 +3083,16 @@ def vacuum_snapshots(
     raises — the read/retention contract every table format shares.
     Versions pinned by a TAG (:func:`tag_snapshot`) are ALWAYS retained,
     regardless of age.
+
+    ``older_than`` (unix instant, r11 — Iceberg's
+    ``expire_snapshots(older_than, retain_last)``): ALSO retain every
+    version committed at or after the instant, so retention can be
+    stated in TIME ("keep 7 days") instead of commit count — the policy
+    that actually bounds change-feed consumer lag, since lag is measured
+    in wall-clock, not versions. ``keep_last`` stays the floor: the
+    newest N survive even if older than the instant. Commit instants
+    come from the manifests' ``committed_at`` (file mtime for pre-r9
+    manifests — the same fallback as ``version_asof``).
 
     ``*.tmp`` files (task attempts / in-flight DV sidecars written
     immediately before their ``os.replace``) are reclaimed only when
@@ -3095,6 +3108,18 @@ def vacuum_snapshots(
 
     versions = snapshot_versions(path)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    if older_than is not None:
+        for v in versions:
+            mpath = os.path.join(_manifest_dir(path), f"v{v}.json")
+            try:
+                with open(mpath) as f:
+                    ct = json.load(f).get("committed_at")
+                if ct is None:
+                    ct = os.path.getmtime(mpath)
+            except OSError:
+                continue  # racing vacuum already took it
+            if float(ct) >= older_than:
+                keep.add(v)
     keep |= {v for v in list_tags(path).values() if v in versions}
     # live BRANCHES are retention roots twice over: their fork-point main
     # version stays readable (fast_forward's divergence check and an

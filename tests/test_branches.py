@@ -164,3 +164,36 @@ def test_branch_write_guards(spark):
             )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_vacuum_older_than_time_based_retention(spark):
+    """r11: age-based retention — versions committed at/after the
+    instant survive even beyond keep_last; older untagged ones expire;
+    keep_last remains the floor below the instant."""
+    import json
+
+    scratch, path = _mkpath()
+    try:
+        for i in range(4):  # v1..v4
+            storage.write_snapshot(spark, _df(spark, [(i, "x")]), path)
+
+        def ct(v):
+            with open(
+                os.path.join(path, "_manifests", f"v{v}.json")
+            ) as f:
+                return float(json.load(f)["committed_at"])
+
+        # retain everything committed at/after v2's instant
+        storage.vacuum_snapshots(path, keep_last=1, older_than=ct(2))
+        assert storage.snapshot_versions(path) == [2, 3, 4]
+        # keep_last floor: instant in the future would doom all but
+        # the newest keep_last
+        storage.vacuum_snapshots(
+            path, keep_last=2, older_than=ct(4) + 1e6
+        )
+        assert storage.snapshot_versions(path) == [3, 4]
+        # retained versions still read
+        assert _world(spark, storage.read_snapshot(spark, path, version=3)) \
+            == [(2, "x")]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
