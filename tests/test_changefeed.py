@@ -200,6 +200,55 @@ def test_latest_offset_restart_unclamped():
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def test_max_bytes_admission(spark):
+    """Volume-based admission (r11, the maxBytesPerTrigger shape): with
+    a budget smaller than two commits' files, each trigger admits
+    exactly one version once the checkpointed position is learned — and
+    a single commit larger than the whole budget still admits (the feed
+    can't stall)."""
+    scratch, path = _mkpath()
+    try:
+        for i in range(3):
+            storage.write_snapshot(
+                spark,
+                _df(spark, [(i * 10 + j, f"v{j}", 1) for j in range(50)])
+                .coalesce(1),
+                path,
+                mode="append" if i else "overwrite",
+            )
+        one_file = os.path.getsize(
+            os.path.join(
+                path,
+                storage._load_manifest(path, 1)["files"][0],
+            )
+        )
+        cls = changefeed.make_changefeed_source()
+        reader = cls(
+            options={
+                "path": path, "keys": "k",
+                "from_version": "0",
+                "max_bytes": str(one_file + 16),  # < two files
+            }
+        ).streamReader(None)
+        reader.partitions({"v": 0}, {"v": 0})  # learn position 0
+        assert reader.latestOffset() == {"v": 1}
+        reader.partitions({"v": 0}, {"v": 1})
+        assert reader.latestOffset() == {"v": 2}
+        reader.partitions({"v": 1}, {"v": 2})
+        assert reader.latestOffset() == {"v": 3}
+        # an oversized single commit still admits: budget of 1 byte
+        tiny = cls(
+            options={
+                "path": path, "keys": "k",
+                "from_version": "0", "max_bytes": "1",
+            }
+        ).streamReader(None)
+        tiny.partitions({"v": 0}, {"v": 0})
+        assert tiny.latestOffset() == {"v": 1}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def test_vacuumed_gap_raises(spark):
     scratch, path = _mkpath()
     try:
