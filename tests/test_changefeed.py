@@ -296,6 +296,12 @@ def test_rewrite_diff_splits_into_hash_ranges(spark):
         parts = reader.partitions({"v": 1}, {"v": 2})
         kinds = [p.payload[0] for p in parts]
         assert kinds == ["diff"] * 4, kinds
+        # auto mode: a tiny table plans ONE range (no useless fan-out)
+        auto = cls(
+            options={"path": path, "keys": "k", "from_version": "1"}
+        ).streamReader(None)
+        auto_parts = auto.partitions({"v": 1}, {"v": 2})
+        assert [p.payload[0] for p in auto_parts] == ["diff"], auto_parts
         rows = [r for p in parts for r in reader.read(p)]
         ks = sorted(r[0] for r in rows)
         assert ks == [0, 4, 8, 12, 16]
