@@ -197,3 +197,55 @@ def test_vacuum_older_than_time_based_retention(spark):
             == [(2, "x")]
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_fast_forward_lands_in_change_feed_as_net_delta(spark):
+    """Branches × change feed: a fast-forwarded branch publishes as ONE
+    main commit (a rewrite transition), so a downstream feed consumer
+    sees exactly the branch's NET effect — upserts for changed keys,
+    inserts for new, deletes for dropped — never the intermediate
+    branch commits."""
+    import tempfile
+    import uuid
+
+    from dp_dimension_importer_spark.streaming import changefeed
+
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), path
+        )
+        storage.create_branch(path, "fix")
+        # two branch commits whose NET effect: 1 changed, 3 dropped, 4 new
+        storage.write_snapshot_to_branch(
+            spark, _df(spark, [(1, "a2"), (2, "b"), (3, "c2")]),
+            path, "fix",
+        )
+        storage.write_snapshot_to_branch(
+            spark, _df(spark, [(1, "a2"), (2, "b"), (4, "d")]),
+            path, "fix",
+        )
+        storage.fast_forward(path, "fix")
+
+        name = "cf_ff_" + uuid.uuid4().hex[:8]
+        feed = changefeed.read_changes_stream(spark, path, ["k"])
+        q = (
+            feed.writeStream.format("memory").queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="cf_ff_ck_"),
+            )
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        v2 = sorted(
+            (r["k"], r["val"], r["change_type"])
+            for r in spark.table(name).filter("_version = 2").collect()
+        )
+        assert v2 == [
+            (1, "a2", "upsert"),
+            (3, "c", "delete"),
+            (4, "d", "insert"),
+        ], v2  # key 2 unchanged -> absent; c2 never visible on main
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
