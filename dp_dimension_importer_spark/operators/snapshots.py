@@ -1646,3 +1646,97 @@ def q91_update_where(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q92_merge_into",
+    sql="""
+    WITH b AS (
+        SELECT o_orderkey,
+               (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 8
+                   AS bucket,
+               o_totalprice AS price
+        FROM orders
+    ), final AS (
+        SELECT bucket, price FROM b WHERE bucket IN (1, 4, 5)
+        UNION ALL
+        SELECT bucket, price + 1000 FROM b WHERE bucket IN (2, 3)
+        UNION ALL
+        SELECT bucket, price FROM b WHERE bucket IN (6, 7)
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM final GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q92_merge_into(spark, sf_dir):
+    """SQL-style conditional MERGE INTO (`storage.merge_into_snapshot`,
+    r11 — the clause-driven verb next to q88's op-column feed): target =
+    buckets 0-5, one source carries all three clause populations —
+    repriced rows for buckets 2-3 (WHEN MATCHED UPDATE SET price =
+    src_price), tombstone-flagged rows for bucket 0 (WHEN MATCHED AND
+    src_do_delete THEN DELETE, tested BEFORE update per SQL clause
+    order), and unseen keys for buckets 6-7 (WHEN NOT MATCHED INSERT
+    from same-named source columns). Untouched buckets 1/4/5 carry
+    verbatim; the prior version stays readable (asserted). The oracle
+    states the final world directly, so a green row pins all three
+    clauses and the carry in one hash. Cardinality guard (duplicate
+    source keys raise) and type preservation are pinned in
+    tests/test_update_where.py."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.operators.analytics import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    b = t.orders.select(
+        "o_orderkey",
+        hash_bucket("o_orderkey", 8).cast("int").alias("bucket"),
+        F.col("o_totalprice").alias("price"),
+    )
+    path = tempfile.mkdtemp(prefix="q92_merge_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, b.filter("bucket < 6"), path)
+        source = (
+            b.filter("bucket IN (2, 3)")
+            .withColumn("price", F.col("price") + 1000)
+            .withColumn("do_delete", F.lit(False))
+            .unionByName(
+                b.filter("bucket = 0").withColumn(
+                    "do_delete", F.lit(True)
+                )
+            )
+            .unionByName(
+                b.filter("bucket IN (6, 7)").withColumn(
+                    "do_delete", F.lit(False)
+                )
+            )
+        )
+        v = storage.merge_into_snapshot(
+            spark, path, source, key_cols=["o_orderkey"],
+            update_set={"price": "src_price"},
+            delete_condition="src_do_delete",
+            insert=True,
+        )
+        assert v == 2
+        # snapshot isolation: v1 still has bucket 0 and no bucket 6/7
+        v1_buckets = {
+            r["bucket"]
+            for r in storage.read_snapshot(spark, path, version=1)
+            .select("bucket").distinct().collect()
+        }
+        assert v1_buckets == {0, 1, 2, 3, 4, 5}, v1_buckets
+        cents = F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot(spark, path)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

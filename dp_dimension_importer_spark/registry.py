@@ -107,6 +107,7 @@ _REPRIORITIZE: list[str] = [
     "q90_changefeed",
     "q90b_changefeed_mv_stream",
     "q91_update_where",
+    "q92_merge_into",
     "q89b_snapshot_branch",
     "mv_refresh_changefeed",
     "agg_approx_quantiles",

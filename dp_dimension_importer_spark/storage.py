@@ -1712,6 +1712,124 @@ def delete_where_snapshot(
     }
 
 
+def merge_into_snapshot(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    update_set: dict | None = None,
+    delete_condition=None,
+    insert: bool = True,
+    insert_values: dict | None = None,
+    compression: str = PARQUET_CODEC,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """SQL-style conditional MERGE INTO (Delta/Iceberg's most-used DML
+    verb — the clause-driven twin of :func:`merge_apply_changes`'s
+    op-column feed):
+
+    * WHEN MATCHED [AND ``delete_condition``] THEN DELETE — the
+      condition may reference target columns by name and source columns
+      as ``src_<col>``;
+    * WHEN MATCHED THEN UPDATE SET ``update_set`` (``{target col:
+      expr}``, same name scoping; omitted target columns carry);
+    * WHEN NOT MATCHED THEN INSERT (``insert=True``; values from the
+      source's same-named columns, overridable per column via
+      ``insert_values``, absent columns NULL).
+
+    Clause order matches the SQL standard: a matched row tests DELETE
+    first, then UPDATE. Source rows must be key-unique — duplicate
+    source keys make MERGE ambiguous and raise up front (the classic
+    "multiple source rows matched" error), costing one aggregate over
+    the SOURCE only.
+
+    Scale shape: ONE key-partitioned full-outer join of target ×
+    source; AQE broadcasts the compacted source when it is a sliver of
+    the table (the nightly-CDC case), so cost is O(table scan +
+    |source|). Committed column types are preserved by casting every
+    assignment/insert to the target type; the result lands as a new
+    snapshot version (snapshot isolation, prior versions readable).
+    MOR tables refuse (compact first — same probe-soundness rule as
+    UPDATE/DELETE). ``txn`` gives at-least-once writers the manifest
+    idempotence watermark. Returns the new version."""
+    from pyspark.sql import functions as F
+
+    import json
+    import os
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
+        man = json.load(f)
+    if man.get("mor"):
+        raise ValueError("MERGE INTO a MOR table: run compact_mor first")
+    if update_set is None and delete_condition is None and not insert:
+        raise ValueError("MERGE INTO with no clauses is a no-op — pass "
+                         "update_set, delete_condition, and/or insert")
+    schema = man["schema"]
+    bad = [c for c in (update_set or {}) if c not in schema]
+    if bad:
+        raise ValueError(
+            f"UPDATE SET assigns non-existent target columns {bad}"
+        )
+    missing_keys = [c for c in key_cols if c not in source.columns]
+    if missing_keys:
+        raise ValueError(f"source lacks merge key columns {missing_keys}")
+    dup = (
+        source.groupBy(*key_cols).count().filter(F.col("count") > 1)
+        .limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE INTO source has duplicate keys — multiple source rows "
+            "would match one target row (compact the source per key first)"
+        )
+    tgt = read_snapshot(spark, path)
+    src = source
+    for c in source.columns:
+        if c not in key_cols:
+            src = src.withColumnRenamed(c, f"src_{c}")
+    j = (
+        tgt.withColumn("_t", F.lit(True))
+        .join(src.withColumn("_s", F.lit(True)), key_cols, "full_outer")
+    )
+    matched = F.col("_t").isNotNull() & F.col("_s").isNotNull()
+    s_only = F.col("_t").isNull() & F.col("_s").isNotNull()
+
+    def _expr(v):
+        return F.expr(v) if isinstance(v, str) else v
+
+    if delete_condition is not None:
+        doomed = matched & F.coalesce(
+            _expr(delete_condition), F.lit(False)
+        )
+        j = j.filter(~doomed)
+    if not insert:
+        j = j.filter(~s_only)
+    out_cols = []
+    src_names = set(src.columns)
+    for c, t in schema.items():
+        val = F.col(c)
+        if update_set and c in update_set:
+            val = F.when(matched, _expr(update_set[c]).cast(t)).otherwise(val)
+        if insert:
+            if insert_values and c in insert_values:
+                ins = _expr(insert_values[c]).cast(t)
+            elif c in key_cols:
+                ins = F.col(c)
+            elif f"src_{c}" in src_names:
+                ins = F.col(f"src_{c}").cast(t)
+            else:
+                ins = F.lit(None).cast(t)
+            val = F.when(s_only, ins).otherwise(val)
+        out_cols.append(val.alias(c))
+    return write_snapshot(
+        spark, j.select(*out_cols), path,
+        compression=compression, txn=txn,
+    )
+
+
 def update_where_snapshot(
     spark: SparkSession,
     path: str,

@@ -128,3 +128,88 @@ def test_update_materializes_dv_on_rewrite(spark):
         assert not man.get("dv"), man.get("dv")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_into_guards_and_clause_order(spark):
+    """merge_into_snapshot guard rails: duplicate source keys raise (the
+    SQL 'multiple source rows matched' error), a clause-less merge
+    raises, MOR refuses, and a matched row satisfying BOTH delete and
+    update takes DELETE (SQL clause order)."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(1, 10, 0), (2, 20, 0)]), path
+        )
+        src = spark.createDataFrame(
+            [Row(k=1, a=99, doom=True)],
+            "k bigint, a bigint, doom boolean",
+        )
+        # delete wins over update for the same matched row
+        v = storage.merge_into_snapshot(
+            spark, path, src, ["k"],
+            update_set={"a": "src_a"},
+            delete_condition="src_doom",
+            insert=False,
+        )
+        assert v == 2
+        assert _rows(spark, path) == [(2, 20, 0)]
+        # duplicate source keys refuse up front
+        dup = spark.createDataFrame(
+            [Row(k=2, a=1), Row(k=2, a=2)], "k bigint, a bigint"
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            storage.merge_into_snapshot(
+                spark, path, dup, ["k"], update_set={"a": "src_a"}
+            )
+        # no clauses = caller bug
+        with pytest.raises(ValueError, match="no-op"):
+            storage.merge_into_snapshot(
+                spark, path,
+                spark.createDataFrame([Row(k=2)], "k bigint"),
+                ["k"], insert=False,
+            )
+        # unknown assignment target
+        with pytest.raises(ValueError, match="non-existent"):
+            storage.merge_into_snapshot(
+                spark, path, src, ["k"], update_set={"zzz": "src_a"}
+            )
+        # MOR refuses
+        storage.upsert_delta_snapshot(
+            spark, path,
+            spark.createDataFrame(
+                [Row(k=2, a=5, b=5, seq=1)],
+                "k bigint, a bigint, b bigint, seq bigint",
+            ),
+            key_cols=["k"], seq_col="seq",
+        )
+        with pytest.raises(ValueError, match="MOR"):
+            storage.merge_into_snapshot(
+                spark, path, src, ["k"], update_set={"a": "src_a"}
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_into_insert_defaults_and_types(spark):
+    """NOT-MATCHED inserts take same-named source columns, NULL-fill
+    target columns the source lacks, honor insert_values overrides, and
+    cast everything to the committed types."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, 10, 99)]), path)
+        src = spark.createDataFrame(
+            [Row(k=5, a=7.9)], "k bigint, a double"
+        )
+        storage.merge_into_snapshot(
+            spark, path, src, ["k"],
+            insert=True,
+            insert_values={"b": F.lit(42)},
+        )
+        got = _rows(spark, path)
+        # a cast double->bigint truncates; b from the override
+        assert got == [(1, 10, 99), (5, 7, 42)], got
+        head = storage.read_snapshot(spark, path)
+        assert dict(head.dtypes) == {"k": "bigint", "a": "bigint",
+                                     "b": "bigint"}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
