@@ -1740,3 +1740,83 @@ def q92_merge_into(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q93_partitioned_scan",
+    sql="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-19 23:59:59.999999'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q93_partitioned_scan(spark, sf_dir):
+    """HIDDEN-PARTITIONED snapshot scan (r11 —
+    :func:`storage.write_snapshot_partitioned` /
+    :func:`storage.read_snapshot_partitioned`, the Iceberg
+    partition-spec shape): commit events laid out by
+    ``days(ts) × identity(event_type)`` — readers never see the
+    transform columns — then answer a 10-day, 2-type slice by mapping
+    the SOURCE-column predicates through the spec and pruning whole
+    files from the manifest before Spark lists anything. Structural
+    asserts pin the scale property: survivors must be exactly
+    days×types of the slice (20 of ~150 files), decided from the
+    manifest alone. The oracle runs the same predicate over the raw
+    table, so a green row pins that partition pruning lost no rows and
+    the row-level filter trimmed nothing extra. At 100 TB this gate
+    runs before stats pruning (q67) and bloom lookups (q68) — coarse,
+    exact, zero-IO.
+
+    Reference anchor: the reference scopes every node/edge verb to one
+    instanceID (handler/incoming_instance_handler.go:100-133) —
+    identity partitioning is that scoping done by layout."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="q93_part_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot_partitioned(
+            spark,
+            t.events.select("event_id", "ts", "user_id", "event_type",
+                            "value"),
+            path,
+            [("days", "ts"), ("identity", "event_type")],
+        )
+        where = {
+            "ts": (
+                "between",
+                dt.datetime(2024, 1, 10),
+                dt.datetime(2024, 1, 19, 23, 59, 59, 999999),
+            ),
+            "event_type": ("in", ["click", "purchase"]),
+        }
+        keep, total = storage.partition_pruned_files(path, where, spark=spark)
+        # 30 days x 5 types committed; the slice is 10 days x 2 types
+        assert len(keep) == 20, (len(keep), total)
+        assert total >= 145, total  # ~150 tuples (a day/type can be empty)
+        cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot_partitioned(spark, path, where)
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(cents).alias("sum_cents"),
+                F.countDistinct("user_id").alias("users"),
+            )
+            .orderBy("day")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -3644,3 +3644,467 @@ def read_bloom_pruned(
         spark.read.parquet(*(os.path.join(path, rel) for rel in sorted(keep)))
         .filter(F.col(col).isin(values))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning (Iceberg partition-spec shape) on the snapshot layer
+#
+# A PARTITION SPEC is a list of transforms over source columns —
+# identity / bucket[N] / truncate[W] / years|months|days|hours — and every
+# data file belongs to exactly one partition TUPLE (the transform values).
+# "Hidden" means readers never see or filter on the transform columns:
+# they predicate on the SOURCE columns and the reader maps each predicate
+# through the transform to prune whole files from the manifest, before
+# Spark lists or opens anything. This is the coarse, exact complement to
+# per-file min/max stats (read_snapshot_pruned): partition pruning needs
+# no footer harvest, survives any row order inside the partition, and at
+# 100 TB is the FIRST gate a scan passes (days(ts) alone turns a 30-day
+# retention query over years of data into a 30-partition read).
+#
+# Layout: the transform values are materialized as temporary `_p<i>`
+# columns and written with Spark's hive-style partitionBy, so the data
+# directory self-describes (`data/<token>/_p0=2024-01-03/_p1=4/part-*`),
+# while the SOURCE columns all stay inside the files (identity transforms
+# copy, never move, their column — a file read back alone is complete).
+# The manifest records {"partition": {"spec": [...], "values":
+# {rel_path: [v0, v1, ...]}}} so pruning is one dict scan; a file absent
+# from "values" (e.g. appended by a non-partition-aware verb) maps to
+# None = always read, so pruning degrades, never lies.
+#
+# Transform values are stored so that PYTHON comparison matches the
+# transform's semantic order: integral kinds as ints, temporal kinds as
+# fixed-width ISO strings ('yyyy', 'yyyy-MM', 'yyyy-MM-dd',
+# 'yyyy-MM-dd-HH' — lexicographic == chronological), truncate(str) as the
+# prefix (lexicographic lower bound). bucket[] values carry NO order —
+# they prune equality/IN predicates only.
+#
+# Reference anchor: the reference scopes a whole import to one instance
+# (handler/incoming_instance_handler.go:100-133 — every node/edge verb
+# keys on instanceID); instanceID is exactly an identity partition column
+# at warehouse scale, which is why the spec form, not a fixed column,
+# is the verb's surface.
+# ---------------------------------------------------------------------------
+
+_TEMPORAL_FMT = {
+    "years": "yyyy",
+    "months": "yyyy-MM",
+    "days": "yyyy-MM-dd",
+    "hours": "yyyy-MM-dd-HH",
+}
+_TEMPORAL_PYFMT = {
+    "years": "%Y",
+    "months": "%Y-%m",
+    "days": "%Y-%m-%d",
+    "hours": "%Y-%m-%d-%H",
+}
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _normalize_spec(spec) -> list[dict]:
+    """Validate/normalize a partition spec into the manifest's JSON form.
+
+    Accepted entries: ``("identity", col)``, ``("bucket", col, n)``,
+    ``("truncate", col, w)``, ``("years"|"months"|"days"|"hours", col)``.
+    """
+    out = []
+    if not spec:
+        raise ValueError("partition spec must name at least one transform")
+    for entry in spec:
+        t = entry[0]
+        if t == "identity":
+            (_, col), extra = entry[:2], entry[2:]
+            if extra:
+                raise ValueError(f"identity takes no parameter: {entry!r}")
+            out.append({"transform": "identity", "col": col})
+        elif t == "bucket":
+            _, col, n = entry
+            if int(n) < 2:
+                raise ValueError(f"bucket needs n >= 2: {entry!r}")
+            out.append({"transform": "bucket", "col": col, "n": int(n)})
+        elif t == "truncate":
+            _, col, w = entry
+            if int(w) < 1:
+                raise ValueError(f"truncate needs width >= 1: {entry!r}")
+            out.append({"transform": "truncate", "col": col, "w": int(w)})
+        elif t in _TEMPORAL_FMT:
+            _, col = entry
+            out.append({"transform": t, "col": col})
+        else:
+            raise ValueError(f"unknown partition transform {entry!r}")
+    return out
+
+
+def _transform_expr(t: dict, dtype: str):
+    """The Spark Column computing transform ``t``'s partition VALUE from
+    its source column — pure codegen'd expressions, no UDF. ``dtype`` is
+    the source column's simpleString type."""
+    from pyspark.sql import functions as F
+
+    c = F.col(t["col"])
+    kind = t["transform"]
+    integral = dtype in ("tinyint", "smallint", "int", "bigint")
+    if kind == "identity":
+        if integral:
+            return c.cast("long")
+        if dtype == "string":
+            return c
+        if dtype == "date":
+            return F.date_format(c, "yyyy-MM-dd")
+        if dtype.startswith("timestamp"):
+            return F.date_format(c, "yyyy-MM-dd-HH.mm.ss.SSSSSS")
+        raise ValueError(
+            f"identity partitioning on type {dtype!r} not supported "
+            f"(column {t['col']!r}) — use bucket/truncate/temporal"
+        )
+    if kind == "bucket":
+        # cast integrals to long so the write-side hash and the read-side
+        # literal hash (both xxhash64 over LONG) can never disagree on
+        # physical width
+        if integral:
+            c = c.cast("long")
+        elif dtype != "string":
+            raise ValueError(
+                f"bucket partitioning needs an integral or string column, "
+                f"got {dtype!r} for {t['col']!r}"
+            )
+        return F.pmod(F.xxhash64(c), F.lit(t["n"])).cast("long")
+    if kind == "truncate":
+        if integral:
+            lc = c.cast("long")
+            return (lc - F.pmod(lc, F.lit(t["w"]))).cast("long")
+        if dtype == "string":
+            return F.substring(c, 1, t["w"])
+        raise ValueError(
+            f"truncate partitioning needs an integral or string column, "
+            f"got {dtype!r} for {t['col']!r}"
+        )
+    # temporal
+    if not (dtype == "date" or dtype.startswith("timestamp")):
+        raise ValueError(
+            f"{kind} partitioning needs a date/timestamp column, got "
+            f"{dtype!r} for {t['col']!r}"
+        )
+    return F.date_format(c, _TEMPORAL_FMT[kind])
+
+
+def _transform_literal(t: dict, v, spark=None):
+    """Transform a PREDICATE literal the way :func:`_transform_expr`
+    transforms the column, driver-side, so pruning compares like with
+    like. bucket needs the JVM's xxhash64 — a 1-row local-relation query
+    (metadata planning cost, no scan)."""
+    import datetime
+
+    kind = t["transform"]
+    if v is None:
+        return None
+    if kind == "identity":
+        if isinstance(v, bool):
+            raise ValueError("identity partition predicate on bool")
+        if isinstance(v, int):
+            return int(v)
+        if isinstance(v, str):
+            return v
+        if isinstance(v, datetime.datetime):
+            return v.strftime("%Y-%m-%d-%H.%M.%S.%f")
+        if isinstance(v, datetime.date):
+            return v.strftime("%Y-%m-%d")
+        raise ValueError(f"unsupported identity predicate literal {v!r}")
+    if kind == "bucket":
+        from pyspark.sql import functions as F
+
+        lit = F.lit(int(v)).cast("long") if isinstance(v, int) else F.lit(str(v))
+        return (
+            spark.range(1)
+            .select(F.pmod(F.xxhash64(lit), F.lit(t["n"])).cast("long"))
+            .first()[0]
+        )
+    if kind == "truncate":
+        if isinstance(v, int):
+            return v - (v % t["w"] + t["w"]) % t["w"]
+        return str(v)[: t["w"]]
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.strftime(_TEMPORAL_PYFMT[kind])
+    raise ValueError(f"{kind} predicate literal must be date/datetime: {v!r}")
+
+
+def _spec_value_is_int(t: dict, dtype: str) -> bool:
+    if t["transform"] == "bucket":
+        return True
+    integral = dtype in ("tinyint", "smallint", "int", "bigint")
+    return t["transform"] in ("identity", "truncate") and integral
+
+
+def write_snapshot_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    spec,
+    mode: str = "overwrite",
+    compression: str = PARQUET_CODEC,
+    stats_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Commit ``df`` as the table's next snapshot version, hive-laid-out
+    by the hidden-partition ``spec`` (see the section comment). Same
+    commit protocol as :func:`write_snapshot` — immutable files under a
+    fresh ``data/<token>/``, hard-linked manifest IS the commit — plus a
+    recorded ``partition`` block mapping every file to its transform
+    tuple, which :func:`read_snapshot_partitioned` prunes against.
+
+    Each partition tuple is hash-clustered to one write task
+    (``repartition(*transform_cols)``), so a tuple produces ONE file per
+    commit — the 100 TB deployment picks the spec (days × bucket[N]) so
+    that one partition-commit fits a task; a spec too coarse for that is
+    a spec bug, not a writer knob.
+
+    ``mode='append'`` requires the previous version's spec to match
+    verbatim (Iceberg's spec-evolution is a separate, explicit verb —
+    silently mixing layouts would poison pruning) and carries the prior
+    files' tuples forward untouched. ``txn`` has write_snapshot's
+    idempotent-skip semantics."""
+    import glob
+    import json
+    import os
+    import urllib.parse
+    import uuid
+
+    spec = _normalize_spec(spec)
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema}
+    for t in spec:
+        if t["col"] not in dtypes:
+            raise ValueError(f"partition column {t['col']!r} not in frame")
+    new_schema = dict(dtypes)
+    versions = snapshot_versions(path)
+    prev: dict = {}
+    if versions:
+        prev = _load_manifest(path, versions[-1])
+    prev_txn = prev.get("txn") or {}
+    if txn is not None and txn[1] <= prev_txn.get(txn[0], -1):
+        return versions[-1]
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown snapshot write mode {mode!r}")
+    if prev.get("mor"):
+        raise ValueError("partitioned write into a MOR table unsupported")
+    if mode == "append" and prev:
+        prev_spec = (prev.get("partition") or {}).get("spec")
+        if prev_spec != spec:
+            raise ValueError(
+                f"append spec {spec} != committed spec {prev_spec} — "
+                "partition layout changes need an overwrite commit"
+            )
+        for col_name, col_type in (prev.get("schema") or {}).items():
+            if new_schema.get(col_name) != col_type:
+                raise ValueError(
+                    f"snapshot schema evolution must be additive: column "
+                    f"{col_name!r} was {col_type}, new commit has "
+                    f"{new_schema.get(col_name)!r}"
+                )
+
+    pcols = [f"_p{i}" for i in range(len(spec))]
+    out = df
+    for name, t in zip(pcols, spec):
+        out = out.withColumn(name, _transform_expr(t, dtypes[t["col"]]))
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", token)
+    (
+        out.repartition(*pcols)
+        .write.mode("error")
+        .option("compression", compression)
+        .partitionBy(*pcols)
+        .parquet(data_dir)
+    )
+
+    int_kinds = [_spec_value_is_int(t, dtypes[t["col"]]) for t in spec]
+    values: dict[str, list] = {}
+    new_files = []
+    for p in glob.glob(
+        os.path.join(data_dir, "**", "*.parquet"), recursive=True
+    ):
+        rel = os.path.relpath(p, path)
+        tup: list = [None] * len(spec)
+        for seg in rel.split(os.sep):
+            if "=" not in seg:
+                continue
+            k, _, raw = seg.partition("=")
+            if k in pcols:
+                i = pcols.index(k)
+                if raw == _HIVE_NULL:
+                    tup[i] = None
+                else:
+                    decoded = urllib.parse.unquote(raw)
+                    tup[i] = int(decoded) if int_kinds[i] else decoded
+        new_files.append(rel)
+        values[rel] = tup
+    new_files.sort()
+
+    carried = prev.get("files", []) if (mode == "append" and prev) else []
+    if carried:
+        prev_vals = (prev.get("partition") or {}).get("values") or {}
+        for rel in carried:
+            values[rel] = prev_vals.get(rel)
+    manifest = {
+        "files": carried + new_files,
+        "schema": new_schema,
+        "partition": {"spec": spec, "values": values},
+    }
+    carried_dv = {
+        rel: dv
+        for rel, dv in (prev.get("dv") or {}).items()
+        if rel in set(carried)
+    }
+    if carried_dv:
+        manifest["dv"] = carried_dv
+    if stats_cols is not None or (carried and "stats" in prev):
+        stats = {
+            rel: prev["stats"][rel]
+            for rel in carried
+            if rel in prev.get("stats", {})
+        }
+        if stats_cols is not None:
+            stats.update(collect_file_stats(new_files, path, stats_cols))
+        manifest["stats"] = stats
+    if prev_txn or txn is not None:
+        manifest["txn"] = dict(prev_txn)
+        if txn is not None:
+            manifest["txn"][txn[0]] = txn[1]
+    return _commit_manifest(path, manifest, token)
+
+
+def partition_pruned_files(
+    path: str,
+    where: dict,
+    version: int | None = None,
+    spark: SparkSession | None = None,
+) -> tuple[list[str], int]:
+    """Resolve ``where`` against the manifest's partition tuples and
+    return ``(surviving_files, total_files)`` — the planning half of
+    :func:`read_snapshot_partitioned`, exposed so callers can assert the
+    skip rate. Pure manifest work: no file is listed or opened.
+
+    ``where`` maps SOURCE column -> predicate:
+    ``("=", v)`` | ``("in", [v, ...])`` | ``("between", lo, hi)``.
+    Ordered transforms (identity / truncate / temporal) prune all three;
+    bucket carries no order and prunes only ``=`` / ``in``. A file with
+    no recorded tuple, or a None (null / unknown) transform value,
+    always survives — pruning degrades, never lies."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    v = versions[-1] if version is None else version
+    manifest = _load_manifest(path, v)
+    files = manifest.get("files", [])
+    part = manifest.get("partition")
+    if not part:
+        return list(files), len(files)
+    spec, vals = part["spec"], part.get("values") or {}
+
+    # predicate -> per-spec-slot admission test on the stored value
+    tests = []  # list of (slot index, callable(stored_value) -> bool)
+    for col, pred in where.items():
+        op = pred[0]
+        for i, t in enumerate(spec):
+            if t["col"] != col:
+                continue
+            if op == "=":
+                tv = _transform_literal(t, pred[1], spark)
+                tests.append((i, lambda s, tv=tv: s == tv))
+            elif op == "in":
+                tvs = {_transform_literal(t, x, spark) for x in pred[1]}
+                tests.append((i, lambda s, tvs=tvs: s in tvs))
+            elif op == "between":
+                if t["transform"] == "bucket":
+                    continue  # buckets are orderless: no range pruning
+                lo = _transform_literal(t, pred[1], spark)
+                hi = _transform_literal(t, pred[2], spark)
+                tests.append((i, lambda s, lo=lo, hi=hi: lo <= s <= hi))
+            else:
+                raise ValueError(f"unknown partition predicate {pred!r}")
+
+    keep = []
+    for rel in files:
+        tup = vals.get(rel)
+        if tup is None:
+            keep.append(rel)
+            continue
+        ok = True
+        for i, test in tests:
+            s = tup[i]
+            if s is None:
+                continue  # unknown at write time: cannot prune
+            if not test(s):
+                ok = False
+                break
+        if ok:
+            keep.append(rel)
+    return keep, len(files)
+
+
+def _where_expr(where: dict):
+    """The exact ROW-level filter for a partition ``where`` dict — applied
+    on top of the pruned scan so the result equals
+    ``read_snapshot(...).filter(...)`` regardless of transform
+    granularity (days() keeps whole days; the row filter trims them)."""
+    from pyspark.sql import functions as F
+
+    expr = F.lit(True)
+    for col, pred in where.items():
+        c = F.col(col)
+        if pred[0] == "=":
+            expr = expr & (c == F.lit(pred[1]))
+        elif pred[0] == "in":
+            expr = expr & c.isin(list(pred[1]))
+        elif pred[0] == "between":
+            expr = expr & c.between(F.lit(pred[1]), F.lit(pred[2]))
+        else:
+            raise ValueError(f"unknown partition predicate {pred!r}")
+    return expr
+
+
+def read_snapshot_partitioned(
+    spark: SparkSession,
+    path: str,
+    where: dict | None = None,
+    version: int | None = None,
+    tag: str | None = None,
+    asof: float | None = None,
+) -> DataFrame:
+    """Snapshot read with HIDDEN-PARTITION pruning: map each ``where``
+    predicate (on SOURCE columns) through the committed partition spec,
+    drop every file whose transform tuple cannot satisfy it, then apply
+    the same predicate row-level — semantics are exactly
+    ``read_snapshot(...).filter(where)``, the pruning only removes IO.
+    On a table without a partition block (or with none matching the
+    predicate columns) this degrades to read-then-filter. DV deletes on
+    surviving files are honored (the pruned manifest keeps their
+    vectors); MOR tables refuse partitioned writes upstream, so no MOR
+    dispatch is needed here."""
+    from pyspark.sql import functions as F
+
+    version = _resolve_selector(path, version, tag, asof)
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not committed (have {versions}) — vacuumed?"
+        )
+    if not where:
+        return read_snapshot(spark, path, version)
+    keep, _total = partition_pruned_files(path, where, version, spark)
+    manifest = _load_manifest(path, version)
+    if not keep:
+        return _manifest_df(
+            spark, path, {"files": [], "schema": manifest.get("schema")}
+        ).filter(F.lit(False))
+    pruned = {
+        "files": keep,
+        "schema": manifest.get("schema"),
+        "dv": {
+            rel: dv
+            for rel, dv in (manifest.get("dv") or {}).items()
+            if rel in set(keep)
+        },
+    }
+    return _manifest_df(spark, path, pruned).filter(_where_expr(where))

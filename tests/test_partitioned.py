@@ -1,0 +1,318 @@
+"""Pins for the hidden-partitioning layer (r11):
+write_snapshot_partitioned / partition_pruned_files /
+read_snapshot_partitioned. Contract under test: a partitioned read with
+``where`` equals ``read_snapshot().filter(where)`` exactly — pruning only
+removes IO — and the planner's skip counts are as the spec promises
+(transform-mapped, orderless buckets equality-only, unknown tuples never
+pruned)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark import storage
+
+D = datetime.datetime
+
+
+def _mkpath():
+    scratch = tempfile.mkdtemp(prefix="part_test_")
+    return scratch, os.path.join(scratch, "t")
+
+
+def _events(spark, n=400, days=10, types=("a", "b")):
+    rows = [
+        Row(
+            k=i,
+            ts=D(2024, 3, 1 + (i % days), (i * 7) % 24, i % 60),
+            typ=types[(i // days) % len(types)],
+            v=float(i),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "k bigint, ts timestamp, typ string, v double"
+    )
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_days_identity_roundtrip_and_prune(spark):
+    scratch, path = _mkpath()
+    try:
+        df = _events(spark)
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("days", "ts"), ("identity", "typ")]
+        )
+        where = {
+            "ts": ("between", D(2024, 3, 2), D(2024, 3, 4, 23, 59, 59)),
+            "typ": ("=", "a"),
+        }
+        keep, total = storage.partition_pruned_files(path, where, spark=spark)
+        assert total == 20  # 10 days x 2 types, one file per tuple
+        assert len(keep) == 3  # 3 days x 1 type
+        got = storage.read_snapshot_partitioned(spark, path, where)
+        want = storage.read_snapshot(spark, path).filter(
+            F.col("ts").between(D(2024, 3, 2), D(2024, 3, 4, 23, 59, 59))
+            & (F.col("typ") == "a")
+        )
+        assert _sorted(got) == _sorted(want)
+        assert got.count() > 0
+        # source columns are intact inside the files (identity copies)
+        assert set(got.columns) == {"k", "ts", "typ", "v"}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_bucket_point_lookup_finds_all_rows(spark):
+    scratch, path = _mkpath()
+    try:
+        df = _events(spark, n=300, days=1)
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("bucket", "k", 8)]
+        )
+        keep, total = storage.partition_pruned_files(
+            path, {"k": ("=", 123)}, spark=spark
+        )
+        assert total == 8 and len(keep) == 1
+        got = storage.read_snapshot_partitioned(
+            spark, path, {"k": ("=", 123)}
+        )
+        assert [r["k"] for r in got.collect()] == [123]
+        # a range predicate over an orderless bucket must NOT prune
+        keep2, _ = storage.partition_pruned_files(
+            path, {"k": ("between", 0, 10)}, spark=spark
+        )
+        assert len(keep2) == 8
+        got2 = storage.read_snapshot_partitioned(
+            spark, path, {"k": ("between", 0, 10)}
+        )
+        assert sorted(r["k"] for r in got2.collect()) == list(range(11))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_truncate_int_and_string(spark):
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [Row(k=i, s=f"{chr(97 + i % 4)}x{i}") for i in range(-20, 80)],
+            "k bigint, s string",
+        )
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("truncate", "k", 25), ("truncate", "s", 1)]
+        )
+        # int truncate floors toward -inf: -20 -> -25 bin
+        keep, total = storage.partition_pruned_files(
+            path, {"k": ("between", -20, -1)}, spark=spark
+        )
+        assert all(
+            any(seg.startswith("_p0=-25") or seg.startswith("_p0=0")
+                for seg in rel.split(os.sep))
+            for rel in keep
+        )
+        got = storage.read_snapshot_partitioned(
+            spark, path, {"k": ("between", -20, -1), "s": ("=", "ax3")}
+        )
+        want = storage.read_snapshot(spark, path).filter(
+            F.col("k").between(-20, -1) & (F.col("s") == "ax3")
+        )
+        assert _sorted(got) == _sorted(want)
+        # string prefix pruning: only the 'a' partition survives
+        keep_s, _ = storage.partition_pruned_files(
+            path, {"s": ("=", "ax3")}, spark=spark
+        )
+        assert keep_s and all("_p1=a" in rel for rel in keep_s)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_in_list_and_months_transform(spark):
+    scratch, path = _mkpath()
+    try:
+        rows = [
+            Row(k=i, d=datetime.date(2024, 1 + i % 6, 1 + i % 28))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "k bigint, d date")
+        storage.write_snapshot_partitioned(spark, df, path, [("months", "d")])
+        keep, total = storage.partition_pruned_files(
+            path,
+            {"d": ("in", [datetime.date(2024, 2, 10),
+                          datetime.date(2024, 5, 3)])},
+            spark=spark,
+        )
+        assert total == 6 and len(keep) == 2
+        got = storage.read_snapshot_partitioned(
+            spark, path,
+            {"d": ("in", [datetime.date(2024, 2, 10),
+                          datetime.date(2024, 5, 3)])},
+        )
+        want = storage.read_snapshot(spark, path).filter(
+            F.col("d").isin(
+                [datetime.date(2024, 2, 10), datetime.date(2024, 5, 3)]
+            )
+        )
+        assert _sorted(got) == _sorted(want)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_null_partition_values_always_survive(spark):
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [Row(k=1, s="x"), Row(k=2, s=None), Row(k=3, s="y")],
+            "k bigint, s string",
+        )
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("identity", "s")]
+        )
+        keep, total = storage.partition_pruned_files(
+            path, {"s": ("=", "x")}, spark=spark
+        )
+        assert total == 3
+        # the x file AND the null file survive; y is pruned
+        assert len(keep) == 2
+        got = storage.read_snapshot_partitioned(spark, path, {"s": ("=", "x")})
+        assert _sorted(got) == [(1, "x")]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_append_carries_tuples_and_spec_must_match(spark):
+    scratch, path = _mkpath()
+    try:
+        df = _events(spark, n=100, days=5)
+        spec = [("days", "ts")]
+        storage.write_snapshot_partitioned(spark, df, path, spec)
+        more = _events(spark, n=100, days=5).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 5 DAYS")
+        )
+        storage.write_snapshot_partitioned(
+            spark, more, path, spec, mode="append"
+        )
+        keep, total = storage.partition_pruned_files(
+            path, {"ts": ("between", D(2024, 3, 1), D(2024, 3, 2, 23, 59))},
+            spark=spark,
+        )
+        assert total == 10 and len(keep) == 2  # carried tuples still prune
+        got = storage.read_snapshot_partitioned(
+            spark, path,
+            {"ts": ("between", D(2024, 3, 1), D(2024, 3, 2, 23, 59))},
+        )
+        want = storage.read_snapshot(spark, path).filter(
+            F.col("ts").between(D(2024, 3, 1), D(2024, 3, 2, 23, 59))
+        )
+        assert _sorted(got) == _sorted(want)
+        with pytest.raises(ValueError, match="spec"):
+            storage.write_snapshot_partitioned(
+                spark, more, path, [("months", "ts")], mode="append"
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_unpartitioned_table_degrades_to_filter(spark):
+    scratch, path = _mkpath()
+    try:
+        df = _events(spark, n=50, days=3)
+        storage.write_snapshot(spark, df, path)
+        keep, total = storage.partition_pruned_files(
+            path, {"typ": ("=", "a")}, spark=spark
+        )
+        assert len(keep) == total  # nothing pruned, nothing lied about
+        got = storage.read_snapshot_partitioned(
+            spark, path, {"typ": ("=", "a")}
+        )
+        want = storage.read_snapshot(spark, path).filter("typ = 'a'")
+        assert _sorted(got) == _sorted(want)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_dv_delete_on_partitioned_table_read_honors_vectors(spark):
+    scratch, path = _mkpath()
+    try:
+        df = _events(spark, n=100, days=4)
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("days", "ts")]
+        )
+        storage.delete_where_snapshot(spark, path, "k % 2 = 0", mode="dv")
+        # the DV commit rebuilt the manifest without a partition block:
+        # the read must DEGRADE (no pruning) yet stay exactly right
+        where = {"ts": ("between", D(2024, 3, 2), D(2024, 3, 3, 23, 59))}
+        got = storage.read_snapshot_partitioned(spark, path, where)
+        want = storage.read_snapshot(spark, path).filter(
+            F.col("ts").between(D(2024, 3, 2), D(2024, 3, 3, 23, 59))
+        )
+        assert _sorted(got) == _sorted(want)
+        assert all(r["k"] % 2 == 1 for r in got.collect())
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_empty_survivor_set_returns_typed_empty(spark):
+    scratch, path = _mkpath()
+    try:
+        df = _events(spark, n=40, days=2)
+        storage.write_snapshot_partitioned(spark, df, path, [("days", "ts")])
+        got = storage.read_snapshot_partitioned(
+            spark, path,
+            {"ts": ("between", D(2025, 1, 1), D(2025, 1, 2))},
+        )
+        assert got.count() == 0
+        assert set(got.columns) == {"k", "ts", "typ", "v"}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_guards(spark):
+    scratch, path = _mkpath()
+    try:
+        df = _events(spark, n=10, days=1)
+        with pytest.raises(ValueError, match="transform"):
+            storage.write_snapshot_partitioned(
+                spark, df, path, [("zigzag", "ts")]
+            )
+        with pytest.raises(ValueError):
+            storage.write_snapshot_partitioned(spark, df, path, [])
+        with pytest.raises(ValueError, match="not in frame"):
+            storage.write_snapshot_partitioned(
+                spark, df, path, [("days", "nope")]
+            )
+        with pytest.raises(ValueError, match="date/timestamp"):
+            storage.write_snapshot_partitioned(
+                spark, df, path, [("days", "k")]
+            )
+        with pytest.raises(ValueError, match="integral or string"):
+            storage.write_snapshot_partitioned(
+                spark, df, path, [("bucket", "v", 8)]
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_txn_idempotent_skip(spark):
+    scratch, path = _mkpath()
+    try:
+        df = _events(spark, n=20, days=2)
+        v1 = storage.write_snapshot_partitioned(
+            spark, df, path, [("days", "ts")], txn=("app", 1)
+        )
+        v2 = storage.write_snapshot_partitioned(
+            spark, df, path, [("days", "ts")], mode="append", txn=("app", 1)
+        )
+        assert v1 == v2 == 1  # redelivered batch skipped
+        assert storage.read_snapshot(spark, path).count() == 20
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
