@@ -1439,6 +1439,22 @@ def _scan_with_pos(
 
     from pyspark.sql import functions as F
 
+    # the whole DV stack keys row identity on (file BASENAME, position):
+    # sidecars are named <data basename>.dv and the anti-join matches on
+    # _metadata's basename. A manifest with colliding basenames would
+    # silently cross-apply vectors — raise instead (the partitioned
+    # writer renames its files to keep the invariant; this guard catches
+    # hand-built manifests)
+    seen: dict[str, str] = {}
+    for rel in rels:
+        b = os.path.basename(rel)
+        if b in seen:
+            raise ValueError(
+                f"duplicate data-file basename {b!r} in one manifest "
+                f"({seen[b]!r} vs {rel!r}): DV row identity would be "
+                "ambiguous"
+            )
+        seen[b] = rel
     df = spark.read.parquet(*(os.path.join(path, rel) for rel in rels))
     cols = df.columns
     _check_reserved(cols, ("_fname", "_pos"))
@@ -1636,6 +1652,7 @@ def delete_where_snapshot(
             "schema": man["schema"],
             "dv": new_dv,
         }
+        _carry_partition(man, manifest, new_files=())
         if "txn" in man:
             manifest["txn"] = man["txn"]
         if "stats" in man:
@@ -1689,6 +1706,7 @@ def delete_where_snapshot(
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
     manifest = {"files": kept + new_files, "schema": man["schema"]}
+    _carry_partition(man, manifest, new_files)
     kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
     if kept_dv:
         manifest["dv"] = kept_dv
@@ -1945,6 +1963,7 @@ def update_where_snapshot(
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
     manifest = {"files": kept + new_files, "schema": schema}
+    _carry_partition(man, manifest, new_files)
     kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
     if kept_dv:
         manifest["dv"] = kept_dv
@@ -2057,6 +2076,7 @@ def purge_deletion_vectors(
     )
     kept = [rel for rel in man["files"] if rel not in set(victims)]
     manifest = {"files": kept + new_files, "schema": man["schema"]}
+    _carry_partition(man, manifest, new_files)
     kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
     if kept_dv:
         manifest["dv"] = kept_dv
@@ -3917,9 +3937,23 @@ def write_snapshot_partitioned(
     int_kinds = [_spec_value_is_int(t, dtypes[t["col"]]) for t in spec]
     values: dict[str, list] = {}
     new_files = []
-    for p in glob.glob(
-        os.path.join(data_dir, "**", "*.parquet"), recursive=True
+    for seq, p in enumerate(
+        sorted(
+            glob.glob(
+                os.path.join(data_dir, "**", "*.parquet"), recursive=True
+            )
+        )
     ):
+        # one writer TASK can emit several partition dirs (AQE coalesces
+        # tiny shuffles), giving the SAME part-file basename in each —
+        # but the DV layer keys row identity on basename (sidecars are
+        # <basename>.dv). Re-name to a commit-unique basename before the
+        # manifest commit; files are not yet referenced by anything.
+        uniq = os.path.join(
+            os.path.dirname(p), f"t{seq:05d}-{os.path.basename(p)}"
+        )
+        os.rename(p, uniq)
+        p = uniq
         rel = os.path.relpath(p, path)
         tup: list = [None] * len(spec)
         for seg in rel.split(os.sep):
@@ -4108,3 +4142,137 @@ def read_snapshot_partitioned(
         },
     }
     return _manifest_df(spark, path, pruned).filter(_where_expr(where))
+
+
+# ---------------------------------------------------------------------------
+# Metadata tables — the table format ABOUT itself, as DataFrames
+# (Delta's DESCRIBE HISTORY / Iceberg's <table>.snapshots & .files).
+# Everything is DERIVED from the committed manifests at read time — no
+# recorded "operation" field to drift from the truth; the kind labels are
+# classify_transition's shape tests, the same dispatch the change feed
+# trusts. Driver-side cost is O(retained versions) JSON reads — manifest
+# planning scale, no data pages.
+# ---------------------------------------------------------------------------
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """One row per RETAINED version, ascending — the audit surface ops
+    tooling greps before trusting a table: what kind of commit each
+    version was (``initial`` / ``append`` / ``dv`` / ``mor`` / ``noop``
+    / ``rewrite``, classified against the previous retained version —
+    after a vacuum the label describes the surviving RANGE, and
+    ``base_version`` says what it was classified against), how the live
+    file set moved, and the commit instant. Columns: ``version``,
+    ``committed_at`` (double unix seconds), ``kind``, ``base_version``,
+    ``n_files``, ``n_added``, ``n_removed``, ``n_dv_files``,
+    ``n_mor_groups``, ``n_columns``."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    rows = []
+    prev_files: set[str] = set()
+    base = 0
+    for v in versions:
+        m = _load_manifest(path, v)
+        kind = classify_transition(path, base, v)["kind"]
+        files = set(m.get("files") or [])
+        rows.append(
+            (
+                v,
+                float(m.get("committed_at") or 0.0),
+                kind,
+                base,
+                len(files),
+                len(files - prev_files),
+                len(prev_files - files),
+                len(m.get("dv") or {}),
+                len((m.get("mor") or {}).get("deltas", [])),
+                len(m.get("schema") or {}),
+            )
+        )
+        prev_files, base = files, v
+    return spark.createDataFrame(
+        rows,
+        "version int, committed_at double, kind string, base_version int, "
+        "n_files long, n_added long, n_removed long, n_dv_files long, "
+        "n_mor_groups long, n_columns long",
+    )
+
+
+def table_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """One row per data file of a version (latest by default) — the
+    planning view (Iceberg's ``.files``): where each file sits, its
+    byte size, its partition tuple under the committed spec, how many
+    positions its deletion vector masks, and its recorded min/max stats
+    (JSON, keyed by column — stats are per-column heterogeneous, so a
+    string column keeps the schema flat). MOR delta files appear with
+    their commit-ordinal ``mor_group`` (base files carry NULL), so the
+    row set is the COMPLETE physical footprint of the version. Columns:
+    ``file``, ``bytes``, ``partition`` (array<string>, NULL when
+    unpartitioned), ``n_dv_deletes``, ``mor_group``, ``stats_json``."""
+    import json
+    import os
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(
+            f"version {v} not committed (have {versions}) — vacuumed?"
+        )
+    m = _load_manifest(path, v)
+    dv_map = m.get("dv") or {}
+    stats = m.get("stats") or {}
+    pvals = (m.get("partition") or {}).get("values") or {}
+    listing: list[tuple[str, int | None]] = [
+        (rel, None) for rel in (m.get("files") or [])
+    ]
+    for gi, grp in enumerate((m.get("mor") or {}).get("deltas", [])):
+        listing.extend((rel, gi) for rel in grp)
+    rows = []
+    for rel, gi in listing:
+        tup = pvals.get(rel)
+        dv_rel = dv_map.get(rel)
+        rows.append(
+            (
+                rel,
+                os.path.getsize(os.path.join(path, rel)),
+                None if tup is None else [
+                    None if x is None else str(x) for x in tup
+                ],
+                _dv_count(os.path.join(path, dv_rel)) if dv_rel else 0,
+                gi,
+                json.dumps(stats.get(rel), sort_keys=True)
+                if rel in stats else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file string, bytes long, partition array<string>, "
+        "n_dv_deletes long, mor_group int, stats_json string",
+    )
+
+
+def _carry_partition(man: dict, manifest: dict, new_files) -> None:
+    """Carry a partition block through a DML commit: files that survive
+    keep their recorded tuples; files this commit WROTE map to None
+    (= never pruned), because a rewrite mixes partitions — pruning
+    degrades on the rewritten fraction, never lies. Called by the DV /
+    COW delete, UPDATE and MERGE verbs; full-rewrite verbs (optimize,
+    compaction) drop the block instead, since every tuple would be
+    None."""
+    part = man.get("partition")
+    if not part:
+        return
+    vals = part.get("values") or {}
+    new = set(new_files)
+    manifest["partition"] = {
+        "spec": part["spec"],
+        "values": {
+            rel: (None if rel in new else vals.get(rel))
+            for rel in manifest["files"]
+        },
+    }

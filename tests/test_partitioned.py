@@ -248,9 +248,11 @@ def test_dv_delete_on_partitioned_table_read_honors_vectors(spark):
             spark, df, path, [("days", "ts")]
         )
         storage.delete_where_snapshot(spark, path, "k % 2 = 0", mode="dv")
-        # the DV commit rebuilt the manifest without a partition block:
-        # the read must DEGRADE (no pruning) yet stay exactly right
+        # the DV commit leaves the file set untouched, so the partition
+        # block carries: pruning still works AND vectors are honored
         where = {"ts": ("between", D(2024, 3, 2), D(2024, 3, 3, 23, 59))}
+        keep, total = storage.partition_pruned_files(path, where, spark=spark)
+        assert total == 4 and len(keep) == 2
         got = storage.read_snapshot_partitioned(spark, path, where)
         want = storage.read_snapshot(spark, path).filter(
             F.col("ts").between(D(2024, 3, 2), D(2024, 3, 3, 23, 59))
@@ -314,5 +316,28 @@ def test_txn_idempotent_skip(spark):
         )
         assert v1 == v2 == 1  # redelivered batch skipped
         assert storage.read_snapshot(spark, path).count() == 20
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_cow_delete_carries_partition_with_none_for_rewrites(spark):
+    scratch, path = _mkpath()
+    try:
+        df = _events(spark, n=100, days=4)
+        storage.write_snapshot_partitioned(spark, df, path, [("days", "ts")])
+        # COW delete touches only day 1's file; its rewrite gets a None
+        # tuple (never pruned), the other days still prune exactly
+        storage.delete_where_snapshot(
+            spark, path, "k % 2 = 0 AND day(ts) = 1", mode="cow"
+        )
+        where = {"ts": ("between", D(2024, 3, 3), D(2024, 3, 3, 23, 59))}
+        keep, total = storage.partition_pruned_files(path, where, spark=spark)
+        assert total == 4
+        assert len(keep) == 2  # day 3 + the None-tuple rewrite
+        got = storage.read_snapshot_partitioned(spark, path, where)
+        want = storage.read_snapshot(spark, path).filter(
+            F.col("ts").between(D(2024, 3, 3), D(2024, 3, 3, 23, 59))
+        )
+        assert _sorted(got) == _sorted(want)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
