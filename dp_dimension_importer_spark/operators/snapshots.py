@@ -1820,3 +1820,69 @@ def q93_partitioned_scan(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q94_table_history",
+    sql="""
+    SELECT * FROM (VALUES
+        (1, 'initial', 0, 4, 4, 0, 0),
+        (2, 'append',  1, 6, 2, 0, 0),
+        (3, 'dv',      2, 6, 0, 0, 4),
+        (4, 'rewrite', 3, 2, 2, 6, 0)
+    ) AS t(version, kind, base_version, n_files, n_added, n_removed,
+           n_dv_files)
+    ORDER BY version
+    """,
+)
+def q94_table_history(spark, sf_dir):
+    """METADATA TABLE: the table format about itself (r11 —
+    :func:`storage.table_history`, Delta's DESCRIBE HISTORY / Iceberg's
+    ``.snapshots``): one row per retained version with the commit KIND
+    derived at read time by :func:`storage.classify_transition`'s
+    manifest-shape tests — never a recorded label that could drift from
+    what actually committed. The fixture drives the lifecycle every
+    production table walks: initial COW write (4 files), append (+2),
+    DV delete (files untouched, 4 original files grow vectors — the
+    appended files hold keys ≡3 mod 4, disjoint from the %10 predicate,
+    so exactly 4 of 6 gain DVs), OPTIMIZE (rewrite to 2 clustered
+    files). The oracle states the expected ledger as VALUES, so a green
+    row pins kind classification AND file-motion accounting
+    (n_added/n_removed/n_dv_files) in one hash. committed_at is
+    wall-clock and excluded; monotonicity is pinned in
+    tests/test_metadata_tables.py along with table_files (partition
+    tuples, MOR group ordinals, DV counts, stats JSON)."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="q94_hist_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(
+            spark, base.filter("o_orderkey % 4 < 3").repartition(4), path
+        )
+        storage.write_snapshot(
+            spark,
+            base.filter("o_orderkey % 4 = 3").repartition(2),
+            path,
+            mode="append",
+        )
+        storage.delete_where_snapshot(
+            spark, path, "o_orderkey % 10 = 0", mode="dv"
+        )
+        storage.optimize_snapshot(spark, path, ["o_orderkey"], n_shards=2)
+        return (
+            storage.table_history(spark, path)
+            .select(
+                "version", "kind", "base_version", "n_files", "n_added",
+                "n_removed", "n_dv_files",
+            )
+            .orderBy("version")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
