@@ -1886,3 +1886,86 @@ def q94_table_history(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q95_check_constraint",
+    sql="""
+    WITH final AS (
+        SELECT o_orderkey % 3 AS bucket,
+               CASE WHEN o_orderkey % 3 = 2 THEN -o_totalprice
+                    ELSE o_totalprice END AS price
+        FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM final GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q95_check_constraint(spark, sf_dir):
+    """CHECK CONSTRAINTS on the snapshot layer (r11 —
+    :func:`storage.add_check_constraint`, Delta's ALTER TABLE ADD
+    CONSTRAINT shape): named SQL predicates recorded in the manifest,
+    validated against EXISTING data at add time (one aggregate; a
+    violated add refuses), enforced on every row-writing verb before
+    any file lands, inherited through rewrite commits by
+    ``_commit_manifest``, droppable by a metadata-only commit. The
+    fixture drives the full lifecycle on an orders slice: add
+    ``price_pos`` (passes), append the next slice (valid), attempt an
+    append and an UPDATE that would violate (both REFUSED with the
+    table untouched — asserted on version number AND on the final
+    hash), drop the constraint, then land the previously-refused
+    negative-price slice. The oracle states the final world, so a green
+    row pins that refused writes left zero rows behind and the
+    enforcement map never blocked a valid commit. NULL-passes CHECK
+    semantics, MOR-delta / WAP-stage / branch-write enforcement pinned
+    in tests/test_constraints.py."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    src = t.orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 3).alias("bucket"),
+        F.col("o_totalprice").alias("price"),
+    )
+    path = tempfile.mkdtemp(prefix="q95_cons_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, src.filter("bucket = 0"), path)
+        storage.add_check_constraint(spark, path, "price_pos", "price > 0")
+        storage.write_snapshot(
+            spark, src.filter("bucket = 1"), path, mode="append"
+        )
+        v_before = storage.snapshot_versions(path)[-1]
+        bad = src.filter("bucket = 2").withColumn("price", -F.col("price"))
+        try:
+            storage.write_snapshot(spark, bad, path, mode="append")
+            raise AssertionError("violating append was not refused")
+        except ValueError as e:
+            assert "price_pos" in str(e)
+        try:
+            storage.update_where_snapshot(
+                spark, path, {"price": -F.col("price")}, "bucket = 1"
+            )
+            raise AssertionError("violating update was not refused")
+        except ValueError as e:
+            assert "price_pos" in str(e)
+        assert storage.snapshot_versions(path)[-1] == v_before, (
+            "a refused write committed something"
+        )
+        storage.drop_check_constraint(path, "price_pos")
+        storage.write_snapshot(spark, bad, path, mode="append")
+        cents = F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot(spark, path)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -796,6 +796,8 @@ def write_snapshot(
                     f"{new_schema.get(col_name)!r} (pass "
                     f"enforce_schema=False for a breaking rewrite)"
                 )
+    if prev.get("constraints"):
+        _enforce_constraints(df, prev["constraints"], "write_snapshot")
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown snapshot write mode {mode!r}")
     if mode == "append" and prev.get("mor"):
@@ -872,16 +874,27 @@ def _commit_manifest(path: str, manifest: dict, token: str) -> int:
         # Clamp to >= the previous version's instant so the sequence is
         # monotone non-decreasing by construction.
         committed_at = time.time()
+        prev_man: dict = {}
         if version > 1:
             try:
                 with open(
                     os.path.join(mdir, f"v{version - 1}.json")
                 ) as pf:
-                    prev_ct = json.load(pf).get("committed_at")
+                    prev_man = json.load(pf)
+                prev_ct = prev_man.get("committed_at")
                 if prev_ct is not None:
                     committed_at = max(committed_at, float(prev_ct))
             except (OSError, ValueError):
                 pass  # prev vacuumed / unreadable: wall clock stands
+        # CHECK constraints ride every commit: a verb that rebuilt the
+        # manifest without thinking about them (optimize, compaction,
+        # restore) INHERITS the previous version's map; only an explicit
+        # "constraints" key (add/drop) replaces it. Rows those verbs
+        # write are rearrangements of already-validated data.
+        if "constraints" not in manifest and prev_man.get("constraints"):
+            manifest = {
+                **manifest, "constraints": prev_man["constraints"]
+            }
         with open(tmp, "w") as f:
             json.dump(
                 {
@@ -1071,6 +1084,10 @@ def stage_snapshot(
     import os
     import uuid
 
+    cons = list_check_constraints(path)
+    if cons:  # WAP stages are writes: the audit step must never be the
+        # only thing standing between a violating row and publish
+        _enforce_constraints(df, cons, "stage_snapshot")
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
     (df.write.mode("error").option("compression", compression)
@@ -1956,7 +1973,12 @@ def update_where_snapshot(
             )
         else:
             proj.append(F.col(c))
-    (sdata.select(*proj).write.mode("error")
+    updated = sdata.select(*proj)
+    if man.get("constraints"):
+        _enforce_constraints(
+            updated, man["constraints"], "update_where_snapshot"
+        )
+    (updated.write.mode("error")
      .option("compression", compression).parquet(data_dir))
     new_files = sorted(
         os.path.relpath(p, path)
@@ -2193,6 +2215,10 @@ def upsert_delta_snapshot(
     for c, t in new_schema.items():
         if c not in merged_schema:
             merged_schema[c] = t
+    if man.get("constraints"):
+        _enforce_constraints(
+            changes, man["constraints"], "upsert_delta_snapshot"
+        )
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
     (changes.write.mode("error").option("compression", compression)
@@ -3129,6 +3155,13 @@ def write_snapshot_to_branch(
                 )
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown branch write mode {mode!r}")
+    if prev.get("constraints"):
+        # a branch write that dodged CHECK enforcement would land on main
+        # via fast_forward's metadata-only publish — enforce here, and
+        # carry the map so the published manifest still declares it
+        _enforce_constraints(
+            df, prev["constraints"], "write_snapshot_to_branch"
+        )
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
     (df.write.mode("error").option("compression", compression)
@@ -3139,6 +3172,8 @@ def write_snapshot_to_branch(
     )
     carried = prev.get("files", []) if mode == "append" else []
     manifest = {"files": carried + new_files, "schema": new_schema}
+    if prev.get("constraints"):
+        manifest["constraints"] = prev["constraints"]
     bdir = _branch_dir(path, name)
     tmp = os.path.join(bdir, f".tmp-{token}.json")
     while True:
@@ -3903,6 +3938,10 @@ def write_snapshot_partitioned(
         return versions[-1]
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown snapshot write mode {mode!r}")
+    if prev.get("constraints"):
+        _enforce_constraints(
+            df, prev["constraints"], "write_snapshot_partitioned"
+        )
     if prev.get("mor"):
         raise ValueError("partitioned write into a MOR table unsupported")
     if mode == "append" and prev:
@@ -4276,3 +4315,121 @@ def _carry_partition(man: dict, manifest: dict, new_files) -> None:
             for rel in manifest["files"]
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT shape): named SQL
+# predicates recorded in the manifest and enforced on every verb that
+# writes NEW rows (write/append, partitioned write, MOR delta, UPDATE,
+# MERGE, WAP stage). SQL CHECK semantics: a row VIOLATES only when the
+# expression evaluates to FALSE — NULL passes. The invariant is
+# "all committed data satisfies all committed constraints": adding a
+# constraint validates the existing table first (one aggregate), and
+# rewrite verbs need only check the rows they WRITE (surviving files were
+# valid when committed). _commit_manifest inherits the constraint map, so
+# optimize/compact/restore can never silently shed it.
+# ---------------------------------------------------------------------------
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict, verb: str) -> None:
+    """Raise if any row of ``df`` violates any constraint — ONE aggregate
+    pass counting all constraints at once; the failure path pays a second
+    pass for sample rows. Called with the rows a verb is about to write,
+    before any file lands."""
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        return
+    names = sorted(constraints)
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(constraints[n]), F.lit(True)), 1)
+            .otherwise(0)
+        ).alias(n)
+        for n in names
+    ]
+    try:
+        counts = df.agg(*aggs).first()
+    except Exception as e:  # noqa: BLE001 — surface WHICH constraint broke
+        raise ValueError(
+            f"{verb}: CHECK constraint expression failed to evaluate "
+            f"against the written schema {df.columns} "
+            f"({dict(constraints)}): {e}"
+        ) from e
+    bad = {n: counts[n] for n in names if counts[n]}
+    if bad:
+        worst = min(bad)
+        sample = (
+            df.filter(~F.coalesce(F.expr(constraints[worst]), F.lit(True)))
+            .limit(3)
+            .collect()
+        )
+        raise ValueError(
+            f"{verb}: CHECK constraint violated — "
+            + "; ".join(
+                f"{n!r} ({constraints[n]}): {c} row(s)"
+                for n, c in sorted(bad.items())
+            )
+            + f"; sample for {worst!r}: {[tuple(r) for r in sample]}"
+        )
+
+
+def list_check_constraints(path: str) -> dict[str, str]:
+    """The latest version's ``{name: sql_expr}`` constraint map (empty if
+    the table has none or doesn't exist yet)."""
+    versions = snapshot_versions(path)
+    if not versions:
+        return {}
+    return dict(_load_manifest(path, versions[-1]).get("constraints") or {})
+
+
+def add_check_constraint(
+    spark: SparkSession, path: str, name: str, expr_sql: str
+) -> int:
+    """Record CHECK constraint ``name: expr_sql`` as a metadata-only
+    commit — after validating that the EXISTING table already satisfies
+    it (Delta's contract: ADD CONSTRAINT scans once and refuses
+    otherwise, so the invariant 'committed data is valid' holds from the
+    moment the constraint exists). Every subsequent row-writing verb
+    enforces it on the rows it writes. Returns the new version."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    man = _load_manifest(path, versions[-1])
+    cons = dict(man.get("constraints") or {})
+    if name in cons:
+        raise ValueError(
+            f"constraint {name!r} already exists ({cons[name]!r}) — "
+            "drop_check_constraint first"
+        )
+    _enforce_constraints(
+        _manifest_df(spark, path, man), {name: expr_sql},
+        f"add_check_constraint({name!r}) on existing data",
+    )
+    import uuid
+
+    cons[name] = expr_sql
+    manifest = {k: v for k, v in man.items()}
+    manifest["constraints"] = cons
+    return _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
+
+
+def drop_check_constraint(path: str, name: str) -> int:
+    """Remove constraint ``name`` with a metadata-only commit (the map is
+    passed EXPLICITLY so _commit_manifest's inherit-when-absent carry
+    cannot resurrect it). Returns the new version."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    man = _load_manifest(path, versions[-1])
+    cons = dict(man.get("constraints") or {})
+    if name not in cons:
+        raise ValueError(
+            f"no constraint {name!r} (have {sorted(cons)})"
+        )
+    del cons[name]
+    import uuid
+
+    manifest = {k: v for k, v in man.items()}
+    manifest["constraints"] = cons
+    return _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
