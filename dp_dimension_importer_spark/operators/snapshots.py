@@ -1969,3 +1969,67 @@ def q95_check_constraint(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q93b_spec_evolution",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    WHERE event_type IN ('view', 'error')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q93b_spec_evolution(spark, sf_dir):
+    """PARTITION SPEC EVOLUTION (r11 —
+    :func:`storage.evolve_partition_spec`, Iceberg's metadata-only spec
+    change): the first half of January lands under ``days(ts)``, the
+    spec evolves to ``identity(event_type)`` — no file moves, no tuple
+    recomputed — and the second half lands under the new layout. A
+    type-equality predicate then prunes each file BY THE SPEC IT WAS
+    WRITTEN UNDER: the 2 surviving identity files of ~5, while all
+    daily files stay (their spec can't answer a type predicate — they
+    degrade, never lie); asserted structurally. The oracle aggregates
+    the same predicate over raw events, so a green row pins that
+    mixed-spec pruning lost no rows across the evolution boundary."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_id", "ts", "event_type", "value")
+    cut = dt.datetime(2024, 1, 16)
+    path = tempfile.mkdtemp(prefix="q93b_evo_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot_partitioned(
+            spark, ev.filter(F.col("ts") < cut), path, [("days", "ts")]
+        )
+        n_daily = len(storage._load_manifest(path, 1)["files"])
+        storage.evolve_partition_spec(path, [("identity", "event_type")])
+        storage.write_snapshot_partitioned(
+            spark,
+            ev.filter(F.col("ts") >= cut),
+            path,
+            [("identity", "event_type")],
+            mode="append",
+        )
+        where = {"event_type": ("in", ["view", "error"])}
+        keep, total = storage.partition_pruned_files(path, where, spark=spark)
+        assert total == n_daily + 5, (total, n_daily)
+        assert len(keep) == n_daily + 2, (len(keep), n_daily)
+        cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot_partitioned(spark, path, where)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

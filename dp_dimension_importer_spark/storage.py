@@ -3721,10 +3721,14 @@ def read_bloom_pruned(
 # directory self-describes (`data/<token>/_p0=2024-01-03/_p1=4/part-*`),
 # while the SOURCE columns all stay inside the files (identity transforms
 # copy, never move, their column — a file read back alone is complete).
-# The manifest records {"partition": {"spec": [...], "values":
-# {rel_path: [v0, v1, ...]}}} so pruning is one dict scan; a file absent
-# from "values" (e.g. appended by a non-partition-aware verb) maps to
-# None = always read, so pruning degrades, never lies.
+# The manifest records {"partition": {"specs": [spec0, spec1, ...],
+# "current": <id new writes use>, "values": {rel_path: [spec_id,
+# [v0, v1, ...]]}}} so pruning is one dict scan with each file judged by
+# the spec it was WRITTEN under (Iceberg's per-manifest spec id —
+# evolve_partition_spec changes "current" without touching a file); a
+# file absent from "values" (e.g. appended by a non-partition-aware verb,
+# or rewritten by DML) maps to None = always read, so pruning degrades,
+# never lies.
 #
 # Transform values are stored so that PYTHON comparison matches the
 # transform's semantic order: integral kinds as ints, temporal kinds as
@@ -3944,13 +3948,23 @@ def write_snapshot_partitioned(
         )
     if prev.get("mor"):
         raise ValueError("partitioned write into a MOR table unsupported")
+    specs, cur = [spec], 0
     if mode == "append" and prev:
-        prev_spec = (prev.get("partition") or {}).get("spec")
-        if prev_spec != spec:
-            raise ValueError(
-                f"append spec {spec} != committed spec {prev_spec} — "
-                "partition layout changes need an overwrite commit"
-            )
+        prev_part = prev.get("partition") or {}
+        prev_specs = prev_part.get("specs")
+        if prev_specs is not None:
+            cur = prev_part["current"]
+            if prev_specs[cur] != spec:
+                raise ValueError(
+                    f"append spec {spec} != current committed spec "
+                    f"{prev_specs[cur]} — evolve_partition_spec first "
+                    "(old files keep their old tuples)"
+                )
+            specs = prev_specs
+        elif prev.get("files"):
+            # appending a partitioned layout onto an unpartitioned table:
+            # the existing files simply have no tuples (never pruned)
+            pass
         for col_name, col_type in (prev.get("schema") or {}).items():
             if new_schema.get(col_name) != col_type:
                 raise ValueError(
@@ -4007,7 +4021,7 @@ def write_snapshot_partitioned(
                     decoded = urllib.parse.unquote(raw)
                     tup[i] = int(decoded) if int_kinds[i] else decoded
         new_files.append(rel)
-        values[rel] = tup
+        values[rel] = [cur, tup]
     new_files.sort()
 
     carried = prev.get("files", []) if (mode == "append" and prev) else []
@@ -4018,7 +4032,7 @@ def write_snapshot_partitioned(
     manifest = {
         "files": carried + new_files,
         "schema": new_schema,
-        "partition": {"spec": spec, "values": values},
+        "partition": {"specs": specs, "current": cur, "values": values},
     }
     carried_dv = {
         rel: dv
@@ -4069,38 +4083,50 @@ def partition_pruned_files(
     part = manifest.get("partition")
     if not part:
         return list(files), len(files)
-    spec, vals = part["spec"], part.get("values") or {}
+    specs, vals = part["specs"], part.get("values") or {}
 
-    # predicate -> per-spec-slot admission test on the stored value
-    tests = []  # list of (slot index, callable(stored_value) -> bool)
-    for col, pred in where.items():
-        op = pred[0]
-        for i, t in enumerate(spec):
-            if t["col"] != col:
-                continue
-            if op == "=":
-                tv = _transform_literal(t, pred[1], spark)
-                tests.append((i, lambda s, tv=tv: s == tv))
-            elif op == "in":
-                tvs = {_transform_literal(t, x, spark) for x in pred[1]}
-                tests.append((i, lambda s, tvs=tvs: s in tvs))
-            elif op == "between":
-                if t["transform"] == "bucket":
-                    continue  # buckets are orderless: no range pruning
-                lo = _transform_literal(t, pred[1], spark)
-                hi = _transform_literal(t, pred[2], spark)
-                tests.append((i, lambda s, lo=lo, hi=hi: lo <= s <= hi))
-            else:
-                raise ValueError(f"unknown partition predicate {pred!r}")
+    def _tests_for(spec):
+        # predicate -> per-spec-slot admission test on the stored value
+        out = []  # list of (slot index, callable(stored_value) -> bool)
+        for col, pred in where.items():
+            op = pred[0]
+            for i, t in enumerate(spec):
+                if t["col"] != col:
+                    continue
+                if op == "=":
+                    tv = _transform_literal(t, pred[1], spark)
+                    out.append((i, lambda s, tv=tv: s == tv))
+                elif op == "in":
+                    tvs = {_transform_literal(t, x, spark) for x in pred[1]}
+                    out.append((i, lambda s, tvs=tvs: s in tvs))
+                elif op == "between":
+                    if t["transform"] == "bucket":
+                        continue  # buckets are orderless: no range pruning
+                    lo = _transform_literal(t, pred[1], spark)
+                    hi = _transform_literal(t, pred[2], spark)
+                    out.append((i, lambda s, lo=lo, hi=hi: lo <= s <= hi))
+                else:
+                    raise ValueError(
+                        f"unknown partition predicate {pred!r}"
+                    )
+        return out
 
+    # spec EVOLUTION means different files carry tuples under different
+    # specs — each file is judged by the spec it was WRITTEN under
+    # (Iceberg's per-manifest spec id), so an evolved table prunes old
+    # and new files each as well as their own layout allows
+    tests_by_sid: dict[int, list] = {}
     keep = []
     for rel in files:
-        tup = vals.get(rel)
-        if tup is None:
+        entry = vals.get(rel)
+        if entry is None:
             keep.append(rel)
             continue
+        sid, tup = entry
+        if sid not in tests_by_sid:
+            tests_by_sid[sid] = _tests_for(specs[sid])
         ok = True
-        for i, test in tests:
+        for i, test in tests_by_sid[sid]:
             s = tup[i]
             if s is None:
                 continue  # unknown at write time: cannot prune
@@ -4273,7 +4299,8 @@ def table_files(
         listing.extend((rel, gi) for rel in grp)
     rows = []
     for rel, gi in listing:
-        tup = pvals.get(rel)
+        entry = pvals.get(rel)
+        tup = entry[1] if entry is not None else None
         dv_rel = dv_map.get(rel)
         rows.append(
             (
@@ -4309,7 +4336,7 @@ def _carry_partition(man: dict, manifest: dict, new_files) -> None:
     vals = part.get("values") or {}
     new = set(new_files)
     manifest["partition"] = {
-        "spec": part["spec"],
+        **{k: part[k] for k in part if k != "values"},
         "values": {
             rel: (None if rel in new else vals.get(rel))
             for rel in manifest["files"]
@@ -4432,4 +4459,48 @@ def drop_check_constraint(path: str, name: str) -> int:
 
     manifest = {k: v for k, v in man.items()}
     manifest["constraints"] = cons
+    return _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
+
+
+def evolve_partition_spec(path: str, new_spec) -> int:
+    """Change the partition spec NEW writes use — a metadata-only commit
+    (Iceberg's partition spec evolution): no file moves, no tuple is
+    recomputed. Old files keep the tuples of the spec they were written
+    under and keep pruning by it; files written after this commit carry
+    the new spec's tuples — :func:`partition_pruned_files` judges every
+    file by its own spec id. Re-evolving to a spec the table used before
+    reuses that spec's id. Also legal on an UNPARTITIONED table: existing
+    files get no tuples (never pruned) and appends from then on are
+    partitioned. Returns the new version."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    new_spec = _normalize_spec(new_spec)
+    man = _load_manifest(path, versions[-1])
+    if man.get("mor"):
+        raise ValueError("partition spec on a MOR table unsupported")
+    schema = man.get("schema") or {}
+    for t in new_spec:
+        if t["col"] not in schema:
+            raise ValueError(
+                f"partition column {t['col']!r} not in committed schema "
+                f"{sorted(schema)}"
+            )
+    part = man.get("partition") or {"specs": [], "values": {}}
+    specs = list(part.get("specs") or [])
+    if new_spec in specs:
+        cur = specs.index(new_spec)
+    else:
+        specs.append(new_spec)
+        cur = len(specs) - 1
+    if part.get("current") == cur and part.get("specs"):
+        return versions[-1]  # already current: nothing to commit
+    import uuid
+
+    manifest = {k: v for k, v in man.items()}
+    manifest["partition"] = {
+        "specs": specs,
+        "current": cur,
+        "values": dict(part.get("values") or {}),
+    }
     return _commit_manifest(path, manifest, uuid.uuid4().hex[:12])

@@ -341,3 +341,78 @@ def test_cow_delete_carries_partition_with_none_for_rewrites(spark):
         assert _sorted(got) == _sorted(want)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_spec_evolution_prunes_each_file_by_its_own_spec(spark):
+    scratch, path = _mkpath()
+    try:
+        # epoch 1: daily partitions over March
+        df1 = _events(spark, n=100, days=5)
+        storage.write_snapshot_partitioned(spark, df1, path, [("days", "ts")])
+        # evolve to identity(typ); old files keep their days-tuples
+        storage.evolve_partition_spec(path, [("identity", "typ")])
+        df2 = _events(spark, n=100, days=5, types=("c", "d")).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")
+        )
+        storage.write_snapshot_partitioned(
+            spark, df2, path, [("identity", "typ")], mode="append"
+        )
+        # a ts predicate prunes the OLD (daily) files but keeps every
+        # typ-partitioned file; a typ predicate does the reverse
+        keep_ts, total = storage.partition_pruned_files(
+            path, {"ts": ("between", D(2024, 3, 2), D(2024, 3, 2, 23, 59))},
+            spark=spark,
+        )
+        assert total == 7  # 5 daily + 2 typ files
+        assert len(keep_ts) == 3  # 1 of 5 daily + both typ files
+        keep_typ, _ = storage.partition_pruned_files(
+            path, {"typ": ("=", "c")}, spark=spark
+        )
+        assert len(keep_typ) == 6  # all 5 daily + 1 of 2 typ files
+        # correctness under mixed specs
+        got = storage.read_snapshot_partitioned(
+            spark, path, {"typ": ("=", "c")}
+        )
+        want = storage.read_snapshot(spark, path).filter("typ = 'c'")
+        assert _sorted(got) == _sorted(want)
+        # appending with the superseded spec now errors, naming the verb
+        with pytest.raises(ValueError, match="evolve_partition_spec"):
+            storage.write_snapshot_partitioned(
+                spark, df1, path, [("days", "ts")], mode="append"
+            )
+        # re-evolving BACK reuses the original spec id
+        storage.evolve_partition_spec(path, [("days", "ts")])
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert man["partition"]["current"] == 0
+        assert len(man["partition"]["specs"]) == 2
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_evolve_unpartitioned_table_partitions_future_appends(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _events(spark, n=50, days=2), path)
+        storage.evolve_partition_spec(path, [("identity", "typ")])
+        storage.write_snapshot_partitioned(
+            spark,
+            _events(spark, n=50, days=2, types=("x", "y")),
+            path,
+            [("identity", "typ")],
+            mode="append",
+        )
+        keep, total = storage.partition_pruned_files(
+            path, {"typ": ("=", "x")}, spark=spark
+        )
+        # the pre-evolution file(s) have no tuples (always read); only
+        # one of the two new files survives alongside them
+        assert total - len(keep) == 1
+        got = storage.read_snapshot_partitioned(spark, path, {"typ": ("=", "x")})
+        want = storage.read_snapshot(spark, path).filter("typ = 'x'")
+        assert _sorted(got) == _sorted(want)
+        with pytest.raises(ValueError, match="not in committed schema"):
+            storage.evolve_partition_spec(path, [("identity", "nope")])
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
