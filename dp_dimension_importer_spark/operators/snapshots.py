@@ -2033,3 +2033,69 @@ def q93b_spec_evolution(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q96_rename_column",
+    sql="""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y') AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS amount_cents
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q96_rename_column(spark, sf_dir):
+    """COLUMN MAPPING: rename without rewriting a byte (r11 —
+    :func:`storage.rename_column`, the Delta column-mapping shape
+    reduced to the name layer): half of orders commits as v1, the
+    ``price`` column renames to ``amount`` in a METADATA-ONLY commit
+    (asserted: v2's file list is byte-identical to v1's), the second
+    half appends ARRIVING IN LOGICAL NAMES (translated to the table's
+    physical schema at write, so all files stay uniform), and the read
+    aggregates under the new name. Time travel to v1 still answers in
+    the old name (asserted) — names version like data. The oracle
+    aggregates raw orders, so a green row pins that the rename moved no
+    rows and the mapped append landed whole. Partial-rewrite DML
+    refusal, materialize_column_mapping, stats/partition-spec re-key,
+    and the change-feed guard are pinned in
+    tests/test_column_mapping.py."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    src = t.orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").alias("price"),
+    )
+    path = tempfile.mkdtemp(prefix="q96_rename_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, src.filter("o_orderkey % 2 = 0"), path)
+        files_v1 = sorted(storage._load_manifest(path, 1)["files"])
+        storage.rename_column(path, "price", "amount")
+        assert sorted(storage._load_manifest(path, 2)["files"]) == files_v1, (
+            "rename moved data"
+        )
+        assert storage.read_snapshot(spark, path, version=1).columns[-1] == (
+            "price"
+        ), "time travel lost the old name"
+        late = (
+            src.filter("o_orderkey % 2 = 1")
+            .withColumnRenamed("price", "amount")
+        )
+        storage.write_snapshot(spark, late, path, mode="append")
+        cents = F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot(spark, path)
+            .groupBy(F.date_format("d", "yyyy").alias("yr"))
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("amount_cents"))
+            .orderBy("yr")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -311,6 +311,7 @@ def optimize_snapshot_incremental(
         )
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
+        _check_no_mapping(man, "optimize_snapshot_incremental")
     if man.get("mor"):
         raise ValueError(
             "incremental OPTIMIZE on a MOR table: run compact_mor first"
@@ -411,6 +412,7 @@ def compact_small_files_snapshot(
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
+        _check_no_mapping(man, "compact_small_files_snapshot")
     sizes = {
         rel: os.path.getsize(os.path.join(path, rel))
         for rel in man["files"]
@@ -810,6 +812,15 @@ def write_snapshot(
             "compact_mor before appending"
         )
 
+    mapping = (
+        (prev.get("column_mapping") or {}) if mode == "append" else {}
+    )
+    if mapping:
+        # appended files must share the table's PHYSICAL schema: write
+        # with physical names, keep logical everywhere else (the mapped
+        # read translates back); an overwrite instead MATERIALIZES the
+        # rename — fresh files carry logical names, the map is cleared
+        df = df.withColumnsRenamed(mapping)
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
     (df.write.mode("error").option("compression", compression)
@@ -820,6 +831,8 @@ def write_snapshot(
     )
     carried = prev.get("files", []) if mode == "append" else []
     manifest = {"files": carried + new_files, "schema": new_schema}
+    if mapping:
+        manifest["column_mapping"] = mapping
     carried_dv = {
         rel: dv
         for rel, dv in (prev.get("dv") or {}).items()
@@ -834,7 +847,21 @@ def write_snapshot(
             if rel in prev.get("stats", {})
         }
         if stats_cols is not None:
-            stats.update(collect_file_stats(new_files, path, stats_cols))
+            if mapping:
+                # footers speak physical names; the manifest speaks
+                # logical — harvest physical, store logical
+                inv = {p: l for l, p in mapping.items()}
+                harvested = collect_file_stats(
+                    new_files, path, [mapping.get(c, c) for c in stats_cols]
+                )
+                stats.update({
+                    rel: {inv.get(c, c): v for c, v in per.items()}
+                    for rel, per in harvested.items()
+                })
+            else:
+                stats.update(
+                    collect_file_stats(new_files, path, stats_cols)
+                )
         manifest["stats"] = stats
     if prev_txn or txn is not None:
         manifest["txn"] = dict(prev_txn)
@@ -1023,15 +1050,19 @@ def _manifest_df(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
         # chain (see upsert_delta_snapshot); versions without deltas
         # pay nothing
         return _resolve_mor(spark, path, manifest)
+    mapping = manifest.get("column_mapping")
     dv_map = manifest.get("dv") or {}
     if not dv_map:
-        return spark.read.parquet(
-            *(os.path.join(path, rel) for rel in manifest["files"])
+        return _apply_mapping(
+            spark.read.parquet(
+                *(os.path.join(path, rel) for rel in manifest["files"])
+            ),
+            mapping,
         )
     # merge-on-read: anti-join the version's deletion vectors (see
     # delete_where_snapshot mode="dv"); a version without DVs pays zero
     data, cols = _scan_with_pos(spark, path, manifest["files"], dv_map)
-    return data.select(*cols)
+    return _apply_mapping(data.select(*cols), mapping)
 
 
 def merge_upsert_snapshot(
@@ -1561,6 +1592,7 @@ def delete_where_snapshot(
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
+        _check_no_mapping(man, "delete_where_snapshot")
     if man.get("mor"):
         # both delete paths probe base FILES; on a MOR table a base row
         # may already be superseded by a delta (probe finds it) or a
@@ -1911,6 +1943,7 @@ def update_where_snapshot(
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
+        _check_no_mapping(man, "update_where_snapshot")
     if man.get("mor"):
         raise ValueError("UPDATE on a MOR table: run compact_mor first")
     schema = man["schema"]
@@ -2068,6 +2101,7 @@ def purge_deletion_vectors(
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
+        _check_no_mapping(man, "purge_deletion_vectors")
     dv_map = man.get("dv") or {}
     victims: list[str] = []
     rows_materialized = 0
@@ -2174,6 +2208,7 @@ def upsert_delta_snapshot(
             "MOR deltas and deletion vectors cannot mix — "
             "purge_deletion_vectors first"
         )
+    _check_no_mapping(man, "upsert_delta_snapshot")
     prev_txn = man.get("txn") or {}
     if txn is not None and txn[1] <= prev_txn.get(txn[0], -1):
         return versions[-1]  # redelivered batch: idempotent skip
@@ -2684,8 +2719,11 @@ def version_delta(
             _null_struct().alias("_new"),
         )
     if tr["kind"] in ("initial", "append"):
-        df = spark.read.parquet(
-            *(os.path.join(path, rel) for rel in tr["new_files"])
+        df = _apply_mapping(
+            spark.read.parquet(
+                *(os.path.join(path, rel) for rel in tr["new_files"])
+            ),
+            tr["manifest"].get("column_mapping"),
         )
         return df.select(
             *key_cols,
@@ -2757,7 +2795,11 @@ def version_delta(
             F.col("_metadata.row_index").alias("_pos"),
             "*",
         )
-        hit = data.join(doomed, ["_fname", "_pos"], "left_semi")
+        hit = _apply_mapping(
+            data.join(doomed, ["_fname", "_pos"], "left_semi")
+            .drop("_fname", "_pos"),
+            tr["manifest"].get("column_mapping"),
+        )
         return hit.select(
             *key_cols,
             F.lit("delete").alias("change_type"),
@@ -3552,9 +3594,12 @@ def read_snapshot_pruned(
     data, cols = _scan_with_pos(
         spark, path, keep, manifest.get("dv") or {}
     )
-    return data.select(*cols).filter(
-        F.col(col).between(F.lit(lo), F.lit(hi))
-    )
+    # renamed tables: stats keys are already logical (rename_column
+    # re-keys them), the scanned frame is physical — translate before
+    # the row filter so `col` means the same name end to end
+    return _apply_mapping(
+        data.select(*cols), manifest.get("column_mapping")
+    ).filter(F.col(col).between(F.lit(lo), F.lit(hi)))
 
 
 # ---------------------------------------------------------------------------
@@ -3950,6 +3995,7 @@ def write_snapshot_partitioned(
         raise ValueError("partitioned write into a MOR table unsupported")
     specs, cur = [spec], 0
     if mode == "append" and prev:
+        _check_no_mapping(prev, "write_snapshot_partitioned(append)")
         prev_part = prev.get("partition") or {}
         prev_specs = prev_part.get("specs")
         if prev_specs is not None:
@@ -4200,6 +4246,7 @@ def read_snapshot_partitioned(
     pruned = {
         "files": keep,
         "schema": manifest.get("schema"),
+        "column_mapping": manifest.get("column_mapping"),
         "dv": {
             rel: dv
             for rel, dv in (manifest.get("dv") or {}).items()
@@ -4504,3 +4551,131 @@ def evolve_partition_spec(path: str, new_spec) -> int:
         "values": dict(part.get("values") or {}),
     }
     return _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
+
+
+# ---------------------------------------------------------------------------
+# Column mapping — RENAME COLUMN without rewriting a byte (Delta's
+# column-mapping shape, reduced to the name layer): the manifest carries
+# {"column_mapping": {logical: physical}} where PHYSICAL is the name
+# inside the parquet files and LOGICAL is what every reader sees. A
+# rename is a metadata-only commit that also re-keys the manifest's own
+# references (schema, per-file stats, partition-spec columns), so the
+# whole metadata plane speaks logical names and only the file bytes stay
+# physical. Readers translate physical->logical in _manifest_df (one
+# projection, codegen'd); appends translate logical->physical before
+# writing so all files of a table always share one physical schema.
+# Partial-rewrite verbs (COW delete/update, DV purge, incremental
+# optimize, MOR delta) REFUSE a mapped table loudly — their rewritten
+# files would carry logical names next to physical neighbors; full
+# rewrites (merge/optimize/overwrite/publish) read logical and write
+# logical, which MATERIALIZES the rename and clears the map.
+# ---------------------------------------------------------------------------
+
+
+def _apply_mapping(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """physical -> logical rename on a freshly-scanned frame."""
+    if not mapping:
+        return df
+    return df.withColumnsRenamed(
+        {phys: log for log, phys in mapping.items()}
+    )
+
+
+def _check_no_mapping(man: dict, verb: str) -> None:
+    if man.get("column_mapping"):
+        raise ValueError(
+            f"{verb} on a column-mapped table would mix logical and "
+            f"physical file schemas (mapping "
+            f"{man['column_mapping']}) — materialize_column_mapping "
+            "first"
+        )
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """Rename ``old`` to ``new`` as a METADATA-ONLY commit: no file is
+    read or written. The manifest's schema / stats / partition-spec
+    references re-key to the new logical name and the column_mapping
+    records logical->physical so reads translate on the fly. Refuses:
+    MOR tables (delta groups pin physical key columns), a column
+    referenced by a CHECK constraint (the stored SQL would silently
+    break — Delta refuses the same), and a new name colliding with any
+    live logical or physical name. Returns the new version."""
+    import re as _re
+    import uuid
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    man = _load_manifest(path, versions[-1])
+    if man.get("mor"):
+        raise ValueError("rename_column on a MOR table unsupported — "
+                         "compact_mor first")
+    schema = dict(man.get("schema") or {})
+    if old not in schema:
+        raise ValueError(f"no column {old!r} (have {sorted(schema)})")
+    mapping = dict(man.get("column_mapping") or {})
+    # colliding with another column's logical or physical name is
+    # refused; the renamed column's OWN physical name is fine (that's a
+    # rename-back, which clears its map entry)
+    physicals = {mapping.get(c, c) for c in schema if c != old}
+    if new in schema or new in physicals:
+        raise ValueError(
+            f"column {new!r} collides with a live logical or physical "
+            "name"
+        )
+    _check_reserved([new], ("_fname", "_pos", "_ci", "_rn"))
+    for cname, expr in (man.get("constraints") or {}).items():
+        if _re.search(rf"\b{_re.escape(old)}\b", expr):
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint "
+                f"{cname!r} ({expr}) — drop the constraint first"
+            )
+    # chain-collapse: the physical name is wherever the data actually is
+    mapping[new] = mapping.pop(old, old)
+    if mapping[new] == new:
+        del mapping[new]  # renamed back to its physical name
+    manifest = {k: v for k, v in man.items()}
+    manifest["schema"] = {
+        (new if c == old else c): t for c, t in schema.items()
+    }
+    manifest["column_mapping"] = mapping
+    if man.get("stats"):
+        manifest["stats"] = {
+            rel: {(new if c == old else c): v for c, v in per.items()}
+            for rel, per in man["stats"].items()
+        }
+    if man.get("partition"):
+        part = man["partition"]
+        manifest["partition"] = {
+            **part,
+            "specs": [
+                [
+                    {**t, "col": (new if t["col"] == old else t["col"])}
+                    for t in spec
+                ]
+                for spec in part["specs"]
+            ],
+        }
+    return _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
+
+
+def column_mapping(path: str) -> dict[str, str]:
+    """The latest version's ``{logical: physical}`` map (empty when every
+    column's file name matches its logical name)."""
+    versions = snapshot_versions(path)
+    if not versions:
+        return {}
+    return dict(
+        _load_manifest(path, versions[-1]).get("column_mapping") or {}
+    )
+
+
+def materialize_column_mapping(spark: SparkSession, path: str) -> int:
+    """Rewrite the table once with logical file names and clear the map
+    — the verb that re-admits the partial-rewrite DML suite. Plain
+    read-logical/write-overwrite, so it inherits the commit protocol
+    (and re-validates nothing: the rows are unchanged)."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    return write_snapshot(spark, read_snapshot(spark, path), path)

@@ -133,7 +133,16 @@ def make_changefeed_source():
         vs = _versions(path)
         if not vs:
             raise FileNotFoundError(f"no committed snapshots under {path!r}")
-        schema = _manifest(path, vs[-1])["schema"]
+        latest = _manifest(path, vs[-1])
+        if latest.get("column_mapping"):
+            # the feed's file readers project by name; a renamed column's
+            # physical files would silently yield typed NULLs for it —
+            # refuse instead (batch twin version_delta DOES translate)
+            raise ValueError(
+                "change feed over a column-mapped table unsupported — "
+                "materialize_column_mapping first"
+            )
+        schema = latest["schema"]
         for reserved in ("change_type", "_version", "_group"):
             if reserved in schema:
                 raise ValueError(

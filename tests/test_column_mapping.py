@@ -1,0 +1,224 @@
+"""Pins for column mapping (r11): storage.rename_column /
+column_mapping / materialize_column_mapping — rename without rewriting a
+byte (the Delta column-mapping shape reduced to the name layer). Files
+keep physical names; manifests and every reader speak logical names."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark import storage
+
+
+def _mkpath():
+    scratch = tempfile.mkdtemp(prefix="cmap_test_")
+    return scratch, os.path.join(scratch, "t")
+
+
+def _df(spark, rows, ddl="k bigint, price double"):
+    return spark.createDataFrame([Row(*r) for r in rows], ddl)
+
+
+def test_rename_is_metadata_only_and_reads_logical(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(1, 10.0), (2, 20.0)]), path
+        )
+        files_before = sorted(storage._load_manifest(path, 1)["files"])
+        v = storage.rename_column(path, "price", "amount")
+        assert v == 2
+        man = storage._load_manifest(path, 2)
+        assert sorted(man["files"]) == files_before  # zero data movement
+        assert storage.column_mapping(path) == {"amount": "price"}
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "amount"]
+        assert sorted((r["k"], r["amount"]) for r in got.collect()) == [
+            (1, 10.0), (2, 20.0)
+        ]
+        # time travel to v1 still shows the old name
+        assert storage.read_snapshot(spark, path, version=1).columns == [
+            "k", "price"
+        ]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_append_translates_to_physical_and_chain_collapse(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, 10.0)]), path)
+        storage.rename_column(path, "price", "amount")
+        # append arrives in LOGICAL names; files stay physically uniform
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(2, 20.0)], "k bigint, amount double"),
+            path,
+            mode="append",
+        )
+        got = storage.read_snapshot(spark, path)
+        assert sorted((r["k"], r["amount"]) for r in got.collect()) == [
+            (1, 10.0), (2, 20.0)
+        ]
+        # chain: amount -> cost collapses to one physical hop
+        storage.rename_column(path, "amount", "cost")
+        assert storage.column_mapping(path) == {"cost": "price"}
+        # renaming BACK to the physical name clears the map entry
+        storage.rename_column(path, "cost", "price")
+        assert storage.column_mapping(path) == {}
+        assert storage.read_snapshot(spark, path).columns == ["k", "price"]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_rename_guards(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, 10.0)]), path)
+        with pytest.raises(ValueError, match="no column"):
+            storage.rename_column(path, "nope", "x")
+        with pytest.raises(ValueError, match="collides"):
+            storage.rename_column(path, "price", "k")
+        storage.add_check_constraint(spark, path, "pos", "price > 0")
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            storage.rename_column(path, "price", "amount")
+        storage.drop_check_constraint(path, "pos")
+        storage.rename_column(path, "price", "amount")
+        # physical name is still occupied by the shifted column
+        with pytest.raises(ValueError, match="collides"):
+            storage.rename_column(path, "k", "price")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_partial_rewrite_verbs_refuse_until_materialize(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(i, float(i)) for i in range(1, 9)]), path
+        )
+        storage.rename_column(path, "price", "amount")
+        with pytest.raises(ValueError, match="column-mapped"):
+            storage.delete_where_snapshot(spark, path, "k < 3")
+        with pytest.raises(ValueError, match="column-mapped"):
+            storage.update_where_snapshot(
+                spark, path, {"amount": F.lit(0.0)}, "k = 1"
+            )
+        with pytest.raises(ValueError, match="column-mapped"):
+            storage.upsert_delta_snapshot(
+                spark, path,
+                _df(spark, [(1, 5.0)], "k bigint, amount double")
+                .withColumn("seq", F.lit(1)),
+                key_cols=["k"], seq_col="seq",
+            )
+        # materialize rewrites once with logical names: DML re-admitted
+        storage.materialize_column_mapping(spark, path)
+        assert storage.column_mapping(path) == {}
+        storage.delete_where_snapshot(spark, path, "k < 3")
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "amount"]
+        assert got.count() == 6
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_mapped_stats_pruning_speaks_logical(spark):
+    scratch, path = _mkpath()
+    try:
+        df = _df(spark, [(i, float(i)) for i in range(100)])
+        storage.write_snapshot_with_stats(
+            spark, df, path, stats_cols=["price"], range_col="price",
+            n_files=4,
+        )
+        storage.rename_column(path, "price", "amount")
+        got = storage.read_snapshot_pruned(spark, path, "amount", 10.0, 19.0)
+        assert sorted(r["amount"] for r in got.collect()) == [
+            float(x) for x in range(10, 20)
+        ]
+        assert got.columns == ["k", "amount"]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_mapped_partitioned_read_and_spec_rekey(spark):
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [Row(k=i, g="ab"[i % 2], v=float(i)) for i in range(40)],
+            "k bigint, g string, v double",
+        )
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("identity", "g")]
+        )
+        storage.rename_column(path, "g", "grp")
+        # the spec re-keys: predicates arrive under the LOGICAL name
+        keep, total = storage.partition_pruned_files(
+            path, {"grp": ("=", "a")}, spark=spark
+        )
+        assert total == 2 and len(keep) == 1
+        got = storage.read_snapshot_partitioned(
+            spark, path, {"grp": ("=", "a")}
+        )
+        assert got.columns == ["k", "grp", "v"]
+        assert all(r["grp"] == "a" for r in got.collect())
+        with pytest.raises(ValueError, match="column-mapped"):
+            storage.write_snapshot_partitioned(
+                spark,
+                df.withColumnRenamed("g", "grp"),
+                path, [("identity", "grp")], mode="append",
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_version_delta_translates_and_changefeed_refuses(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, 10.0)]), path)
+        storage.rename_column(path, "price", "amount")
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(2, 20.0)], "k bigint, amount double"),
+            path, mode="append",
+        )
+        d = storage.version_delta(
+            spark, path, 3, key_cols=["k"], base_version=2
+        )
+        rows = d.collect()
+        assert len(rows) == 1 and rows[0]["change_type"] == "insert"
+        assert rows[0]["_new"]["amount"] == 20.0
+        from dp_dimension_importer_spark.streaming.changefeed import (
+            read_changes_stream,
+        )
+        # the data-source machinery wraps the ValueError in an
+        # AnalysisException — match on the message, not the type
+        with pytest.raises(Exception, match="column-mapped"):
+            read_changes_stream(spark, path, key_cols=["k"])
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_rename_refuses_mor(spark):
+    scratch, path = _mkpath()
+    try:
+        base = spark.createDataFrame(
+            [Row(k=1, v=1.0, seq=0)], "k bigint, v double, seq bigint"
+        )
+        storage.write_snapshot(spark, base, path)
+        storage.upsert_delta_snapshot(
+            spark, path,
+            spark.createDataFrame(
+                [Row(k=2, v=2.0, seq=1)], "k bigint, v double, seq bigint"
+            ),
+            key_cols=["k"], seq_col="seq",
+        )
+        with pytest.raises(ValueError, match="MOR"):
+            storage.rename_column(path, "v", "w")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
