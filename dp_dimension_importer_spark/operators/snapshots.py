@@ -2099,3 +2099,77 @@ def q96_rename_column(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q97_optimize_partitions",
+    sql="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q97_optimize_partitions(spark, sf_dir):
+    """PARTITION-SCOPED OPTIMIZE (r11 —
+    :func:`storage.optimize_partitions`, Delta's ``OPTIMIZE t WHERE``):
+    events land as FOUR daily-partitioned append commits (each day
+    accumulates 4 small files — the streaming-ingest pathology), then
+    one call folds ONLY the first week's partitions back to one file per
+    day and leaves the rest untouched (asserted: matched days fold to 1
+    file each, unmatched days keep all 4 commits' files, tuples/stats
+    carried). One distributed job regardless of how many partitions
+    match — the transform columns are recomputed from source columns,
+    which is the payoff of HIDDEN partitioning. The oracle aggregates
+    the optimized slice from raw events, so a green row pins that the
+    fold moved every row exactly once. DV materialization, None-tuple
+    repair, and the no-match no-op are pinned in
+    tests/test_partitioned.py."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_id", "ts", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="q97_optp_")
+    try:
+        shutil.rmtree(path)
+        spec = [("days", "ts")]
+        for q in range(4):  # 4 commits, each a quarter of every day
+            storage.write_snapshot_partitioned(
+                spark, ev.filter(F.col("event_id") % 4 == q), path, spec,
+                mode=("overwrite" if q == 0 else "append"),
+            )
+        man = storage._load_manifest(path, 4)
+        days = {
+            v[1][0] for v in man["partition"]["values"].values()
+        }
+        assert len(man["files"]) == 4 * len(days)
+        res = storage.optimize_partitions(
+            spark, path,
+            {"ts": ("between", dt.datetime(2024, 1, 1),
+                    dt.datetime(2024, 1, 7, 23, 59, 59, 999999))},
+        )
+        assert res["partitions_matched"] == 7, res
+        assert res["files_rewritten"] == 28, res
+        man2 = storage._load_manifest(path, res["version"])
+        assert len(man2["files"]) == 7 + 4 * (len(days) - 7)
+        cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot_partitioned(
+                spark, path,
+                {"ts": ("between", dt.datetime(2024, 1, 1),
+                        dt.datetime(2024, 1, 7, 23, 59, 59, 999999))},
+            )
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("day")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -354,6 +354,7 @@ def optimize_snapshot_incremental(
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
     manifest = {"files": kept + new_files, "schema": man["schema"]}
+    _carry_partition(man, manifest, new_files)
     kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
     if kept_dv:
         manifest["dv"] = kept_dv
@@ -457,6 +458,7 @@ def compact_small_files_snapshot(
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
     manifest = {"files": kept + new_files, "schema": man["schema"]}
+    _carry_partition(man, manifest, new_files)
     if dv_map:  # every DV-carrying file is in kept (excluded from small)
         manifest["dv"] = dv_map
     if "mor" in man:
@@ -4019,56 +4021,9 @@ def write_snapshot_partitioned(
                     f"{new_schema.get(col_name)!r}"
                 )
 
-    pcols = [f"_p{i}" for i in range(len(spec))]
-    out = df
-    for name, t in zip(pcols, spec):
-        out = out.withColumn(name, _transform_expr(t, dtypes[t["col"]]))
-    token = uuid.uuid4().hex[:12]
-    data_dir = os.path.join(path, "data", token)
-    (
-        out.repartition(*pcols)
-        .write.mode("error")
-        .option("compression", compression)
-        .partitionBy(*pcols)
-        .parquet(data_dir)
+    new_files, values = _write_partitioned_files(
+        df, path, spec, cur, dtypes, compression
     )
-
-    int_kinds = [_spec_value_is_int(t, dtypes[t["col"]]) for t in spec]
-    values: dict[str, list] = {}
-    new_files = []
-    for seq, p in enumerate(
-        sorted(
-            glob.glob(
-                os.path.join(data_dir, "**", "*.parquet"), recursive=True
-            )
-        )
-    ):
-        # one writer TASK can emit several partition dirs (AQE coalesces
-        # tiny shuffles), giving the SAME part-file basename in each —
-        # but the DV layer keys row identity on basename (sidecars are
-        # <basename>.dv). Re-name to a commit-unique basename before the
-        # manifest commit; files are not yet referenced by anything.
-        uniq = os.path.join(
-            os.path.dirname(p), f"t{seq:05d}-{os.path.basename(p)}"
-        )
-        os.rename(p, uniq)
-        p = uniq
-        rel = os.path.relpath(p, path)
-        tup: list = [None] * len(spec)
-        for seg in rel.split(os.sep):
-            if "=" not in seg:
-                continue
-            k, _, raw = seg.partition("=")
-            if k in pcols:
-                i = pcols.index(k)
-                if raw == _HIVE_NULL:
-                    tup[i] = None
-                else:
-                    decoded = urllib.parse.unquote(raw)
-                    tup[i] = int(decoded) if int_kinds[i] else decoded
-        new_files.append(rel)
-        values[rel] = [cur, tup]
-    new_files.sort()
 
     carried = prev.get("files", []) if (mode == "append" and prev) else []
     if carried:
@@ -4100,7 +4055,7 @@ def write_snapshot_partitioned(
         manifest["txn"] = dict(prev_txn)
         if txn is not None:
             manifest["txn"][txn[0]] = txn[1]
-    return _commit_manifest(path, manifest, token)
+    return _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
 
 
 def partition_pruned_files(
@@ -4679,3 +4634,178 @@ def materialize_column_mapping(spark: SparkSession, path: str) -> int:
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     return write_snapshot(spark, read_snapshot(spark, path), path)
+
+
+def _write_partitioned_files(
+    df: DataFrame,
+    path: str,
+    spec: list[dict],
+    sid: int,
+    dtypes: dict[str, str],
+    compression: str,
+) -> tuple[list[str], dict[str, list]]:
+    """Write ``df`` hive-laid-out under ``spec`` into a fresh
+    ``data/<token>/`` and return ``(sorted new rel paths, {rel: [sid,
+    tuple]})`` — the shared physical half of
+    :func:`write_snapshot_partitioned` and :func:`optimize_partitions`.
+    Nothing is committed: the caller owns the manifest."""
+    import glob
+    import os
+    import urllib.parse
+    import uuid
+
+    pcols = [f"_p{i}" for i in range(len(spec))]
+    out = df
+    for name, t in zip(pcols, spec):
+        out = out.withColumn(name, _transform_expr(t, dtypes[t["col"]]))
+    token = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", token)
+    (
+        out.repartition(*pcols)
+        .write.mode("error")
+        .option("compression", compression)
+        .partitionBy(*pcols)
+        .parquet(data_dir)
+    )
+    int_kinds = [_spec_value_is_int(t, dtypes[t["col"]]) for t in spec]
+    values: dict[str, list] = {}
+    new_files = []
+    for seq, p in enumerate(
+        sorted(
+            glob.glob(
+                os.path.join(data_dir, "**", "*.parquet"), recursive=True
+            )
+        )
+    ):
+        # one writer TASK can emit several partition dirs (AQE coalesces
+        # tiny shuffles), giving the SAME part-file basename in each —
+        # but the DV layer keys row identity on basename (sidecars are
+        # <basename>.dv). Re-name to a commit-unique basename before the
+        # manifest commit; files are not yet referenced by anything.
+        uniq = os.path.join(
+            os.path.dirname(p), f"t{seq:05d}-{os.path.basename(p)}"
+        )
+        os.rename(p, uniq)
+        rel = os.path.relpath(uniq, path)
+        tup: list = [None] * len(spec)
+        for seg in rel.split(os.sep):
+            if "=" not in seg:
+                continue
+            k, _, raw = seg.partition("=")
+            if k in pcols:
+                i = pcols.index(k)
+                if raw == _HIVE_NULL:
+                    tup[i] = None
+                else:
+                    decoded = urllib.parse.unquote(raw)
+                    tup[i] = int(decoded) if int_kinds[i] else decoded
+        new_files.append(rel)
+        values[rel] = [sid, tup]
+    new_files.sort()
+    return new_files, values
+
+
+def optimize_partitions(
+    spark: SparkSession,
+    path: str,
+    where: dict,
+    compression: str = PARQUET_CODEC,
+) -> dict:
+    """Partition-scoped OPTIMIZE (Delta's ``OPTIMIZE t WHERE ...`` — the
+    maintenance shape that actually runs at 100 TB, where a full-table
+    rewrite is never on the table): rewrite ONLY the files whose
+    partition tuples match ``where`` (same predicate language as
+    :func:`read_snapshot_partitioned`), folding each touched partition's
+    small files into one file per tuple and MATERIALIZING any deletion
+    vectors they carried; every other file carries into the new version
+    untouched, tuples, stats and DVs intact. Files with no recorded
+    tuple (DML rewrites, pre-partitioning appends) are conservatively
+    INCLUDED in the rewrite and come out with real tuples under the
+    current spec — so this verb doubles as the repair that restores full
+    pruning after a COW delete/update degraded part of the table.
+
+    One distributed job regardless of how many partitions match: the
+    transform columns are recomputed from the SOURCE columns (the spec
+    is derivable, that's the point of hidden partitioning) and the
+    rewrite routes through the same hive writer as the partitioned
+    commit. Returns ``{"version", "files_rewritten", "files_kept",
+    "partitions_matched"}``; a no-match call commits nothing."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    man = _load_manifest(path, versions[-1])
+    _check_no_mapping(man, "optimize_partitions")
+    if man.get("mor"):
+        raise ValueError(
+            "optimize_partitions on a MOR table unsupported — compact_mor "
+            "folds the delta chain first"
+        )
+    part = man.get("partition")
+    if not part:
+        raise ValueError(
+            "table has no partition spec — use optimize_snapshot / "
+            "compact_small_files_snapshot for unpartitioned layouts"
+        )
+    spec = part["specs"][part["current"]]
+    matched, total = partition_pruned_files(
+        path, where, versions[-1], spark
+    )
+    if not matched:
+        return {
+            "version": versions[-1],
+            "files_rewritten": 0,
+            "files_kept": total,
+            "partitions_matched": 0,
+        }
+    kept = [rel for rel in man["files"] if rel not in set(matched)]
+    dv_map = man.get("dv") or {}
+    # DV-aware scan of the matched files: existing deletes materialize
+    # with the rewrite (the vector dies with the file it describes)
+    sdata, scols = _scan_with_pos(
+        spark, path, matched, {r: dv_map[r] for r in matched if r in dv_map}
+    )
+    dtypes = {
+        f.name: f.dataType.simpleString()
+        for f in sdata.select(*scols).schema
+    }
+    new_files, new_values = _write_partitioned_files(
+        sdata.select(*scols), path, spec, part["current"], dtypes,
+        compression,
+    )
+    values = {
+        rel: v
+        for rel, v in (part.get("values") or {}).items()
+        if rel in set(kept)
+    }
+    values.update(new_values)
+    manifest = {
+        "files": kept + new_files,
+        "schema": man["schema"],
+        "partition": {**{k: part[k] for k in part if k != "values"},
+                      "values": values},
+    }
+    kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
+    if kept_dv:
+        manifest["dv"] = kept_dv
+    if "txn" in man:
+        manifest["txn"] = man["txn"]
+    if "stats" in man:
+        stats_cols = sorted(
+            {c for per in man["stats"].values() for c in per}
+        )
+        stats = {
+            rel: man["stats"][rel] for rel in kept if rel in man["stats"]
+        }
+        stats.update(collect_file_stats(new_files, path, stats_cols))
+        manifest["stats"] = stats
+    import uuid
+
+    version = _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
+    return {
+        "version": version,
+        "files_rewritten": len(matched),
+        "files_kept": len(kept),
+        "partitions_matched": len(
+            {tuple(v[1]) for v in new_values.values()}
+        ),
+    }

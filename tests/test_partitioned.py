@@ -416,3 +416,114 @@ def test_evolve_unpartitioned_table_partitions_future_appends(spark):
             storage.evolve_partition_spec(path, [("identity", "nope")])
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_optimize_partitions_folds_and_repairs(spark):
+    scratch, path = _mkpath()
+    try:
+        spec = [("days", "ts")]
+        storage.write_snapshot_partitioned(
+            spark, _events(spark, n=80, days=4), path, spec,
+            stats_cols=["k"],
+        )
+        # three more appends: each day accumulates 4 small files
+        for _ in range(3):
+            storage.write_snapshot_partitioned(
+                spark, _events(spark, n=80, days=4), path, spec,
+                mode="append", stats_cols=["k"],
+            )
+        # a COW delete demotes one day's rewrite to a None tuple
+        storage.delete_where_snapshot(
+            spark, path, "k = 0 AND day(ts) = 1", mode="cow"
+        )
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        n_before = len(man["files"])
+        assert n_before == 16  # 4 days x 4 commits (rewrite replaced day-1s)
+        none_tuples = sum(
+            1 for v in man["partition"]["values"].values() if v is None
+        )
+        assert none_tuples >= 1  # the DML rewrite lost its tuple
+        res = storage.optimize_partitions(
+            spark, path,
+            {"ts": ("between", D(2024, 3, 1), D(2024, 3, 2, 23, 59))},
+        )
+        # matched: day 1 + day 2 files PLUS the None-tuple repair file(s)
+        assert res["partitions_matched"] == 2
+        man2 = storage._load_manifest(path, res["version"])
+        # each matched day folded to ONE file; days 3-4 untouched
+        assert len(man2["files"]) == 2 + 8
+        assert all(
+            v is not None for v in man2["partition"]["values"].values()
+        ), "optimize_partitions must repair None tuples"
+        # stats recollected for the new files
+        assert all(rel in man2["stats"] for rel in man2["files"])
+        # correctness: same rows as before, minus nothing
+        got = _sorted(storage.read_snapshot(spark, path))
+        want = _sorted(
+            storage.read_snapshot(spark, path, version=res["version"] - 1)
+        )
+        assert got == want
+        # pruning now tighter than before for day 1
+        keep, total = storage.partition_pruned_files(
+            path, {"ts": ("between", D(2024, 3, 1), D(2024, 3, 1, 23, 59))},
+            spark=spark,
+        )
+        assert len(keep) == 1 and total == 10
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_optimize_partitions_materializes_dvs_and_no_match_noop(spark):
+    scratch, path = _mkpath()
+    try:
+        spec = [("identity", "typ")]
+        storage.write_snapshot_partitioned(
+            spark, _events(spark, n=60, days=3), path, spec
+        )
+        storage.delete_where_snapshot(spark, path, "k % 3 = 0", mode="dv")
+        v_before = storage.snapshot_versions(path)[-1]
+        res = storage.optimize_partitions(spark, path, {"typ": ("=", "a")})
+        man = storage._load_manifest(path, res["version"])
+        # the rewritten partition's DV died with its file; b's DV carries
+        assert all("dv" not in man or rel not in (man.get("dv") or {})
+                   for rel in man["files"]
+                   if man["partition"]["values"][rel][1] == ["a"])
+        got = _sorted(storage.read_snapshot(spark, path))
+        want = _sorted(storage.read_snapshot(spark, path, version=v_before))
+        assert got == want
+        res2 = storage.optimize_partitions(spark, path, {"typ": ("=", "zz")})
+        assert res2["files_rewritten"] == 0
+        assert storage.snapshot_versions(path)[-1] == res["version"]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_compaction_verbs_carry_partition_block(spark):
+    scratch, path = _mkpath()
+    try:
+        spec = [("days", "ts")]
+        storage.write_snapshot_partitioned(
+            spark, _events(spark, n=40, days=2), path, spec
+        )
+        storage.write_snapshot_partitioned(
+            spark, _events(spark, n=40, days=2), path, spec, mode="append"
+        )
+        storage.compact_small_files_snapshot(
+            spark, path, min_file_bytes=1 << 30
+        )
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert "partition" in man  # block survives (new files -> None)
+        got = storage.read_snapshot_partitioned(
+            spark, path,
+            {"ts": ("between", D(2024, 3, 1), D(2024, 3, 1, 23, 59))},
+        )
+        want = storage.read_snapshot(spark, path).filter(
+            F.col("ts").between(D(2024, 3, 1), D(2024, 3, 1, 23, 59))
+        )
+        assert _sorted(got) == _sorted(want)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
