@@ -104,6 +104,17 @@ _REPO_ROOT = _Path(__file__).resolve().parent.parent
 # (link claim), and registered the change feed — so the riders on those
 # storage paths re-earn their driver rows, plus the new q90.
 _REPRIORITIZE: list[str] = [
+    # r11 second half: hidden partitioning / constraints / column mapping
+    # touched the shared storage paths AFTER these riders' newest green
+    # rows — the DV basename guard + partition carry (q78*, q77b), the
+    # pruned-read mapping hook (q67), write-verb constraint enforcement
+    # (q86, q89), and _commit_manifest's constraint inherit (every verb).
+    "q78_snapshot_delete",
+    "q78b_snapshot_delete_dv",
+    "q78c_dv_purge",
+    "q77_optimize_snapshot",
+    "q77b_optimize_incremental",
+    "q67_stats_pruned_scan",
     "q90_changefeed",
     "q90b_changefeed_mv_stream",
     "q91_update_where",
