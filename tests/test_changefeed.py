@@ -583,3 +583,56 @@ def test_tag_corpse_from_crashed_tagger_is_recovered(spark):
         ]
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_feed_over_partitioned_table_appends(spark):
+    """Interplay pin (r11): hive-partitioned commits look exactly like
+    appends to the feed — partition metadata is extra manifest state,
+    classify must still say append, and the Arrow reader must surface
+    the SOURCE columns whole (identity transforms copy, never move,
+    their column into dirs)."""
+    import datetime
+
+    scratch, path = _mkpath()
+    D = datetime.datetime
+    try:
+        def ev(lo, hi):
+            return spark.createDataFrame(
+                [
+                    Row(k=i, ts=D(2024, 3, 1 + i % 3), typ="ab"[i % 2])
+                    for i in range(lo, hi)
+                ],
+                "k bigint, ts timestamp, typ string",
+            )
+
+        spec = [("days", "ts"), ("identity", "typ")]
+        storage.write_snapshot_partitioned(spark, ev(0, 6), path, spec)
+        storage.write_snapshot_partitioned(
+            spark, ev(6, 10), path, spec, mode="append"
+        )
+        tr = storage.classify_transition(path, 1, 2)
+        assert tr["kind"] == "append"
+        feed = changefeed.read_changes_stream(spark, path, ["k"])
+        import tempfile as _tf
+
+        q = (
+            feed.writeStream.format("memory")
+            .queryName("cf_part")
+            .option("checkpointLocation", _tf.mkdtemp(prefix="cf_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM cf_part").collect()
+        assert len(got) == 10
+        assert {r["change_type"] for r in got} == {"insert"}
+        assert {r["_version"] for r in got} == {1, 2}
+        # source columns intact through the hive layout + Arrow path
+        by_k = {r["k"]: r for r in got}
+        assert by_k[7]["typ"] == "b" and by_k[7]["ts"] == D(2024, 3, 2)
+        fold = changefeed.changefeed_fold(
+            spark.sql("SELECT * FROM cf_part"), ["k"]
+        )
+        assert sorted(r["k"] for r in fold.collect()) == list(range(10))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -746,3 +746,114 @@ def test_mor_layer_model_equivalence(spark, ops):
             assert got == entry[0], (v, got, entry[0])
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("pwrite"), st.integers(0, 40)),
+            st.tuples(st.just("pappend"), st.integers(0, 40)),
+            st.tuples(st.just("evolve"), st.integers(0, 0)),
+            st.tuples(st.just("delete"), st.integers(0, 50)),
+            st.tuples(st.just("delete_dv"), st.integers(0, 50)),
+            st.tuples(st.just("optimize"), st.integers(1, 4)),
+            st.tuples(st.just("compact"), st.integers(0, 0)),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_partitioned_layer_model_equivalence(spark, ops):
+    """Model-based check of the r11 hidden-partitioning verb set: a
+    random sequence of partitioned overwrite/append, spec evolution,
+    DV/COW deletes, partition-scoped OPTIMIZE and small-file compaction
+    runs against BOTH the layer and an in-memory key-set model. After
+    every step the latest read equals the model AND a fixed partitioned
+    predicate read equals the model's own filter — so pruning can never
+    drop or duplicate a row no matter which verbs interleaved (the
+    single-verb tests can't see, e.g., optimize after evolve after a
+    COW delete that nulled a tuple)."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark import storage
+
+    D = datetime.datetime
+    SPEC_A = [("days", "ts")]
+    SPEC_B = [("identity", "typ")]
+    base = tempfile.mkdtemp(prefix="part_model_")
+    path = base + "/tbl"
+    model: list[int] = []  # multiset of keys at the latest version
+    cur_spec = SPEC_A
+
+    def day(k):
+        return 1 + k % 4
+
+    def typ(k):
+        return "ab"[k % 2]
+
+    def frame(keys):
+        rows = [(k, D(2024, 3, day(k), k % 24), typ(k)) for k in keys]
+        return spark.createDataFrame(rows, "k long, ts timestamp, typ string")
+
+    def check():
+        got = sorted(r["k"] for r in storage.read_snapshot(spark, path).collect())
+        assert got == sorted(model)
+        where = {
+            "ts": ("between", D(2024, 3, 2), D(2024, 3, 3, 23, 59)),
+            "typ": ("=", "a"),
+        }
+        got_p = sorted(
+            r["k"]
+            for r in storage.read_snapshot_partitioned(
+                spark, path, where
+            ).collect()
+        )
+        want_p = sorted(
+            k for k in model if day(k) in (2, 3) and typ(k) == "a"
+        )
+        assert got_p == want_p, (got_p, want_p)
+
+    try:
+        for verb, arg in ops:
+            if verb == "pwrite" or not model and verb in ("pappend",):
+                keys = list(range(arg, arg + 8))
+                storage.write_snapshot_partitioned(
+                    spark, frame(keys), path, cur_spec
+                )
+                model = sorted(keys)
+            elif verb == "pappend":
+                keys = list(range(arg, arg + 8))
+                storage.write_snapshot_partitioned(
+                    spark, frame(keys), path, cur_spec, mode="append"
+                )
+                model = sorted(model + keys)
+            elif not model and not storage.snapshot_versions(path):
+                continue  # table doesn't exist yet: verbs below need one
+            elif verb == "evolve":
+                cur_spec = SPEC_B if cur_spec == SPEC_A else SPEC_A
+                storage.evolve_partition_spec(path, cur_spec)
+            elif verb in ("delete", "delete_dv"):
+                storage.delete_where_snapshot(
+                    spark, path, F.col("k") < arg,
+                    mode="dv" if verb == "delete_dv" else "cow",
+                )
+                model = [k for k in model if k >= arg]
+            elif verb == "optimize":
+                storage.optimize_partitions(
+                    spark, path,
+                    {"ts": ("between", D(2024, 3, 1),
+                            D(2024, 3, arg, 23, 59))},
+                )
+            elif verb == "compact":
+                storage.compact_small_files_snapshot(
+                    spark, path, min_file_bytes=1 << 30
+                )
+            if storage.snapshot_versions(path):
+                check()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
