@@ -3396,11 +3396,14 @@ def vacuum_snapshots(
         # manifest — but a YOUNG tmp may be a concurrent writer's
         # in-flight attempt (ADVICE r9): only stale tmps are reclaimable,
         # and a fresh one keeps its directory alive.
-        tmps = glob.glob(os.path.join(d, "*.tmp"))
+        # Globs are RECURSIVE (r11): hive-partitioned commits nest their
+        # files under _p<i>=... subdirs — a one-level glob saw such a
+        # token dir as empty and rmtree'd it with live data inside.
+        tmps = glob.glob(os.path.join(d, "**", "*.tmp"), recursive=True)
         fresh_tmps = [p for p in tmps if not _stale_tmp(p)]
         files = (
-            glob.glob(os.path.join(d, "*.parquet"))
-            + glob.glob(os.path.join(d, "*.dv"))
+            glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+            + glob.glob(os.path.join(d, "**", "*.dv"), recursive=True)
             + [p for p in tmps if p not in set(fresh_tmps)]
         )
         live = [p for p in files if os.path.relpath(p, path) in referenced]

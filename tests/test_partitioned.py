@@ -527,3 +527,33 @@ def test_compaction_verbs_carry_partition_block(spark):
         assert _sorted(got) == _sorted(want)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_vacuum_spares_live_partitioned_files(spark):
+    """Regression (r11): vacuum's data-file globs must recurse — a
+    hive-partitioned commit nests its parquet under _p<i>=... subdirs,
+    and the one-level glob saw that token dir as EMPTY and rmtree'd it
+    with live data inside."""
+    scratch, path = _mkpath()
+    try:
+        spec = [("days", "ts")]
+        storage.write_snapshot_partitioned(
+            spark, _events(spark, n=40, days=2), path, spec
+        )
+        storage.write_snapshot_partitioned(
+            spark, _events(spark, n=40, days=2).withColumn(
+                "k", F.col("k") + 100
+            ), path, spec
+        )  # overwrite: v1's files become unreferenced
+        want = _sorted(storage.read_snapshot(spark, path))
+        removed = storage.vacuum_snapshots(path, keep_last=1)
+        assert removed > 0  # v1's nested files WERE reclaimed
+        assert _sorted(storage.read_snapshot(spark, path)) == want
+        # pruning still works after the vacuum
+        got = storage.read_snapshot_partitioned(
+            spark, path,
+            {"ts": ("between", D(2024, 3, 1), D(2024, 3, 1, 23, 59))},
+        )
+        assert got.count() > 0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

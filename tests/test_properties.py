@@ -758,6 +758,7 @@ def test_mor_layer_model_equivalence(spark, ops):
             st.tuples(st.just("delete_dv"), st.integers(0, 50)),
             st.tuples(st.just("optimize"), st.integers(1, 4)),
             st.tuples(st.just("compact"), st.integers(0, 0)),
+            st.tuples(st.just("vacuum"), st.integers(1, 2)),
         ),
         min_size=2,
         max_size=6,
@@ -853,6 +854,8 @@ def test_partitioned_layer_model_equivalence(spark, ops):
                 storage.compact_small_files_snapshot(
                     spark, path, min_file_bytes=1 << 30
                 )
+            elif verb == "vacuum":
+                storage.vacuum_snapshots(path, keep_last=arg)
             if storage.snapshot_versions(path):
                 check()
     finally:
