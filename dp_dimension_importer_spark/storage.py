@@ -3206,6 +3206,13 @@ def write_snapshot_to_branch(
         _enforce_constraints(
             df, prev["constraints"], "write_snapshot_to_branch"
         )
+    mapping = (
+        (prev.get("column_mapping") or {}) if mode == "append" else {}
+    )
+    if mapping:
+        # same discipline as write_snapshot: appended files share the
+        # table's PHYSICAL schema; an overwrite materializes the rename
+        df = df.withColumnsRenamed(mapping)
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
     (df.write.mode("error").option("compression", compression)
@@ -3216,6 +3223,12 @@ def write_snapshot_to_branch(
     )
     carried = prev.get("files", []) if mode == "append" else []
     manifest = {"files": carried + new_files, "schema": new_schema}
+    if mode == "append":
+        # pruning survives the branch detour: carried files keep their
+        # tuples, this commit's flat files map to None (never pruned)
+        _carry_partition(prev, manifest, new_files)
+    if mapping:
+        manifest["column_mapping"] = mapping
     if prev.get("constraints"):
         manifest["constraints"] = prev["constraints"]
     bdir = _branch_dir(path, name)

@@ -249,3 +249,53 @@ def test_fast_forward_lands_in_change_feed_as_net_delta(spark):
         ], v2  # key 2 unchanged -> absent; c2 never visible on main
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_branch_append_carries_partition_and_mapping(spark):
+    """r11 interplay: a branch append on a partitioned (or renamed) main
+    keeps the partition block (carried files prune, the branch's flat
+    files read always) and writes files in the table's PHYSICAL schema,
+    so fast_forward publishes a world whose pruned and mapped reads stay
+    exact."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    D = datetime.datetime
+    scratch = tempfile.mkdtemp(prefix="br_part_")
+    path = os.path.join(scratch, "t")
+    try:
+        rows = [
+            Row(k=i, ts=D(2024, 3, 1 + i % 3), price=float(i))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "k bigint, ts timestamp, price double")
+        storage.write_snapshot_partitioned(spark, df, path, [("days", "ts")])
+        storage.rename_column(path, "price", "amount")
+        storage.create_branch(path, "wip")
+        more = spark.createDataFrame(
+            [Row(k=100, ts=D(2024, 3, 2), amount=7.0)],
+            "k bigint, ts timestamp, amount double",
+        )
+        storage.write_snapshot_to_branch(
+            spark, more.coalesce(1), path, "wip", mode="append"
+        )
+        storage.fast_forward(path, "wip")
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "ts", "amount"]
+        assert got.count() == 31
+        where = {"ts": ("between", D(2024, 3, 2), D(2024, 3, 2, 23, 59))}
+        keep, total = storage.partition_pruned_files(path, where, spark=spark)
+        assert total == 4 and len(keep) == 2  # day-2 file + the flat one
+        got_p = storage.read_snapshot_partitioned(spark, path, where)
+        want_p = got.filter(F.col("ts").between(D(2024, 3, 2), D(2024, 3, 2, 23, 59)))
+        assert sorted(tuple(r) for r in got_p.collect()) == sorted(
+            tuple(r) for r in want_p.collect()
+        )
+        assert 100 in {r["k"] for r in got_p.collect()}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
