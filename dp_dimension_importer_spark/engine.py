@@ -186,6 +186,39 @@ from dp_dimension_importer_spark.streaming.sink import (  # noqa: F401
     run_stream_snapshot_append,
 )
 
+from dp_dimension_importer_spark.storage import (  # noqa: F401
+    add_check_constraint,
+    classify_transition,
+    column_mapping,
+    create_branch,
+    drop_branch,
+    drop_check_constraint,
+    evolve_partition_spec,
+    fast_forward,
+    list_branches,
+    list_check_constraints,
+    materialize_column_mapping,
+    merge_into_snapshot,
+    optimize_partitions,
+    optimize_snapshot_incremental,
+    partition_pruned_files,
+    purge_deletion_vectors,
+    read_branch,
+    read_snapshot_partitioned,
+    rename_column,
+    table_files,
+    table_history,
+    update_where_snapshot,
+    vacuum_snapshots,
+    version_delta,
+    write_snapshot_partitioned,
+    write_snapshot_to_branch,
+)
+from dp_dimension_importer_spark.streaming.changefeed import (  # noqa: F401
+    changefeed_fold,
+    read_changes_stream,
+)
+
 __all__ = [
     "hash_bucket",
     "split_col",
@@ -286,4 +319,32 @@ __all__ = [
     "scd2_build",
     "compact_small_files_snapshot",
     "ewma_stream",
+    "add_check_constraint",
+    "classify_transition",
+    "column_mapping",
+    "create_branch",
+    "drop_branch",
+    "drop_check_constraint",
+    "evolve_partition_spec",
+    "fast_forward",
+    "list_branches",
+    "list_check_constraints",
+    "materialize_column_mapping",
+    "merge_into_snapshot",
+    "optimize_partitions",
+    "optimize_snapshot_incremental",
+    "partition_pruned_files",
+    "purge_deletion_vectors",
+    "read_branch",
+    "read_snapshot_partitioned",
+    "rename_column",
+    "table_files",
+    "table_history",
+    "update_where_snapshot",
+    "vacuum_snapshots",
+    "version_delta",
+    "write_snapshot_partitioned",
+    "write_snapshot_to_branch",
+    "changefeed_fold",
+    "read_changes_stream",
 ]

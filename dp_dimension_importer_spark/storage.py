@@ -2482,6 +2482,21 @@ def snapshot_changes(
     other (the common backfill-diff case)."""
     from pyspark.sql import functions as F
 
+    if v_from > 0:
+        map_a = _load_manifest(path, v_from).get("column_mapping") or {}
+        map_b = _load_manifest(path, v_to).get("column_mapping") or {}
+        if map_a != map_b:
+            # each side reads in ITS OWN era's logical names, so a value
+            # column renamed between the endpoints would look like a
+            # drop+add and every key would emit a spurious update —
+            # refuse instead of lying (a rename commit itself is a data
+            # noop; diff around it, or materialize first)
+            raise ValueError(
+                f"snapshot_changes across a rename boundary "
+                f"(v{v_from} mapping {map_a} != v{v_to} mapping {map_b}) "
+                "— diff within one naming era or "
+                "materialize_column_mapping first"
+            )
     a = read_snapshot(spark, path, version=v_from)
     b = read_snapshot(spark, path, version=v_to)
     missing = [c for c in key_cols if c not in a.columns or c not in b.columns]

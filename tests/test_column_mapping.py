@@ -222,3 +222,21 @@ def test_rename_refuses_mor(spark):
             storage.rename_column(path, "v", "w")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_snapshot_changes_refuses_rename_boundary(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, 10.0)]), path)
+        storage.rename_column(path, "price", "amount")
+        storage.write_snapshot(
+            spark, _df(spark, [(2, 20.0)], "k bigint, amount double"),
+            path, mode="append",
+        )
+        with pytest.raises(ValueError, match="rename boundary"):
+            storage.snapshot_changes(spark, path, 1, 3, key_cols=["k"])
+        # within one naming era the diff is fine (v2 -> v3: same mapping)
+        d = storage.snapshot_changes(spark, path, 2, 3, key_cols=["k"])
+        assert [r["change_type"] for r in d.collect()] == ["insert"]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
