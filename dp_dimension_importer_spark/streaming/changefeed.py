@@ -72,6 +72,8 @@ consumer as a first-class streaming input.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 
 #: Spark simpleString -> pyarrow factory for the Arrow fast path.
@@ -111,6 +113,16 @@ def make_changefeed_source():
     _st._register_self_by_value()
     dv_decode = _st.dv_decode
     classify_transition = _st.classify_transition
+
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    # the partition-admission helper lives at module level (tests use it
+    # directly); ship THIS module by value too so the closure cell
+    # unpickles in the foreign-cwd driver runner
+    _cp.register_pickle_by_value(_sys.modules[_admit_partition_files.__module__])
+    _admit = _admit_partition_files
 
     def _mdir(path):
         return os.path.join(path, "_manifests")
@@ -348,6 +360,8 @@ def make_changefeed_source():
             # 0 = auto: size the rewrite diff's key-hash ranges from the
             # endpoints' on-disk bytes (one range per ~256 MB, capped)
             self.diff_parts = int(options.get("diff_partitions", "0"))
+            pw = options.get("partition_where", "")
+            self.pwhere = json.loads(pw) if pw else None
             self.cols = _stream_cols(self.path)
             arrow_opt = options.get("arrow", "auto").lower()
             can_arrow = all(
@@ -449,6 +463,14 @@ def make_changefeed_source():
                 tr = classify_transition(self.path, base, v)
                 kind = tr["kind"]
                 if kind in ("initial", "append"):
+                    rels = tr["new_files"]
+                    if self.pwhere:
+                        # coarse partition admission: whole matching
+                        # partitions flow, the consumer row-filters.
+                        # Other kinds (dv/rewrite) pass through
+                        # unfiltered — a conservative superset, never a
+                        # missed change.
+                        rels = _admit(tr["manifest"], rels, self.pwhere)
                     parts += [
                         _Part(
                             (
@@ -459,7 +481,7 @@ def make_changefeed_source():
                                 self.arrow,
                             )
                         )
-                        for rel in tr["new_files"]
+                        for rel in rels
                     ]
                 elif kind == "mor":
                     # ADVICE r10 (low): carry the delta group's commit
@@ -625,6 +647,7 @@ def read_changes_stream(
     max_bytes: int = 0,
     arrow: str = "auto",
     diff_partitions: int = 0,
+    partition_where: dict | None = None,
 ) -> DataFrame:
     """Open the incremental change feed of a snapshot table as a
     streaming DataFrame (see module docstring). ``from_version=N``
@@ -639,7 +662,14 @@ def read_changes_stream(
     column type maps, ``true`` force, ``false`` row tuples);
     ``diff_partitions`` = key-hash-range tasks per rewrite fallback
     (0 = auto: one range per ~256 MB of the endpoints' on-disk bytes,
-    capped at 64 — per-task memory stays bounded on any table size)."""
+    capped at 64 — per-task memory stays bounded on any table size);
+    ``partition_where`` = coarse ADMISSION filter on a hidden-partitioned
+    table (the ``read_snapshot_partitioned`` predicate dict): append
+    commits admit only files whose partition tuples can match, so a
+    consumer of one region/day-range reads O(its partitions' changes) —
+    whole matching partitions flow (row-filter downstream), bucket
+    transforms and non-append kinds pass through unfiltered (a
+    conservative superset, never a missed change)."""
     try:
         spark.dataSource.register(make_changefeed_source())
     except Exception:
@@ -653,6 +683,11 @@ def read_changes_stream(
         .option("max_bytes", str(max_bytes))
         .option("arrow", arrow)
         .option("diff_partitions", str(diff_partitions))
+        .option(
+            "partition_where",
+            json.dumps(partition_where, default=str)
+            if partition_where else "",
+        )
         .load()
     )
 
@@ -684,3 +719,81 @@ def changefeed_fold(
         .drop("_rn")
         .filter(F.col("change_type") != "delete")
     )
+
+
+def _admit_partition_files(man: dict, rels: list, pwhere: dict) -> list:
+    """Streaming half of partition pruning: admit only the files of an
+    append/initial transition whose manifest tuples can satisfy
+    ``pwhere`` (the ``read_snapshot_partitioned`` predicate language,
+    JSON-carried: temporal literals as ISO strings). COARSE admission —
+    whole matching partitions flow, the consumer row-filters inside
+    them. bucket[] transforms are skipped (their literal hash lives in
+    the JVM; no pruning, never a wrong answer), as are files with no
+    recorded tuple."""
+    part = man.get("partition")
+    if not part or not pwhere:
+        return rels
+    import datetime
+
+    from dp_dimension_importer_spark.storage import _transform_literal
+
+    def _coerce(t, v):
+        if t["transform"] in ("years", "months", "days", "hours") or (
+            t["transform"] == "identity" and isinstance(v, str)
+            and any(ch in v for ch in "-:")
+        ):
+            try:
+                return datetime.datetime.fromisoformat(v)
+            except (TypeError, ValueError):
+                return v
+        return v
+
+    specs, vals = part["specs"], part.get("values") or {}
+
+    def _tests(spec):
+        out = []
+        for col, pred in pwhere.items():
+            op = pred[0]
+            for i, t in enumerate(spec):
+                if t["col"] != col or t["transform"] == "bucket":
+                    continue
+                if op == "=":
+                    tv = _transform_literal(t, _coerce(t, pred[1]))
+                    out.append((i, lambda s, tv=tv: s == tv))
+                elif op == "in":
+                    tvs = {
+                        _transform_literal(t, _coerce(t, x))
+                        for x in pred[1]
+                    }
+                    out.append((i, lambda s, tvs=tvs: s in tvs))
+                elif op == "between":
+                    lo = _transform_literal(t, _coerce(t, pred[1]))
+                    hi = _transform_literal(t, _coerce(t, pred[2]))
+                    out.append(
+                        (i, lambda s, lo=lo, hi=hi: lo <= s <= hi)
+                    )
+                else:
+                    raise ValueError(
+                        f"unknown partition predicate {pred!r}"
+                    )
+        return out
+
+    tests_by_sid: dict[int, list] = {}
+    keep = []
+    for rel in rels:
+        entry = vals.get(rel)
+        if entry is None:
+            keep.append(rel)
+            continue
+        sid, tup = entry
+        if sid not in tests_by_sid:
+            tests_by_sid[sid] = _tests(specs[sid])
+        ok = True
+        for i, test in tests_by_sid[sid]:
+            s = tup[i]
+            if s is not None and not test(s):
+                ok = False
+                break
+        if ok:
+            keep.append(rel)
+    return keep

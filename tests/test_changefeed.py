@@ -636,3 +636,54 @@ def test_feed_over_partitioned_table_appends(spark):
         assert sorted(r["k"] for r in fold.collect()) == list(range(10))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_feed_partition_where_admits_only_matching_files(spark):
+    """r11: partition_where prunes append commits at ADMISSION — a
+    consumer of one type/day-range receives only its partitions' files
+    (coarse: whole partitions flow, sub-partition rows included)."""
+    import datetime
+
+    scratch, path = _mkpath()
+    D = datetime.datetime
+    try:
+        def ev(lo, hi):
+            return spark.createDataFrame(
+                [
+                    Row(k=i, ts=D(2024, 3, 1 + i % 3), typ="ab"[i % 2])
+                    for i in range(lo, hi)
+                ],
+                "k bigint, ts timestamp, typ string",
+            )
+
+        spec = [("days", "ts"), ("identity", "typ")]
+        storage.write_snapshot_partitioned(spark, ev(0, 12), path, spec)
+        storage.write_snapshot_partitioned(
+            spark, ev(12, 24), path, spec, mode="append"
+        )
+        import tempfile as _tf
+
+        feed = changefeed.read_changes_stream(
+            spark, path, ["k"],
+            partition_where={
+                "typ": ("=", "a"),
+                "ts": ("between", D(2024, 3, 2), D(2024, 3, 3, 23, 59)),
+            },
+        )
+        q = (
+            feed.writeStream.format("memory")
+            .queryName("cf_pw")
+            .option("checkpointLocation", _tf.mkdtemp(prefix="cf_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM cf_pw").collect()
+        # typ='a' means even k; days 2,3 mean k%3 in (1,2): both commits
+        want = [
+            k for k in range(24) if k % 2 == 0 and (1 + k % 3) in (2, 3)
+        ]
+        assert sorted(r["k"] for r in got) == sorted(want)
+        assert {r["typ"] for r in got} == {"a"}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
