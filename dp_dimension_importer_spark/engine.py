@@ -188,15 +188,18 @@ from dp_dimension_importer_spark.streaming.sink import (  # noqa: F401
 
 from dp_dimension_importer_spark.storage import (  # noqa: F401
     add_check_constraint,
+    add_generated_column,
     classify_transition,
     column_mapping,
     create_branch,
     drop_branch,
     drop_check_constraint,
+    drop_generated_column,
     evolve_partition_spec,
     fast_forward,
     list_branches,
     list_check_constraints,
+    list_generated_columns,
     materialize_column_mapping,
     merge_into_snapshot,
     optimize_partitions,
@@ -347,4 +350,7 @@ __all__ = [
     "write_snapshot_to_branch",
     "changefeed_fold",
     "read_changes_stream",
+    "add_generated_column",
+    "drop_generated_column",
+    "list_generated_columns",
 ]

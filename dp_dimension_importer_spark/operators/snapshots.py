@@ -2173,3 +2173,77 @@ def q97_optimize_partitions(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q98_generated_columns",
+    sql="""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y') AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q98_generated_columns(spark, sf_dir):
+    """GENERATED COLUMNS (r11 — :func:`storage.add_generated_column`,
+    Delta's GENERATED ALWAYS AS): declare ``yr = date_format(d,
+    'yyyy')`` on the committed half of orders (add validates the
+    existing data first), then append the second half WITHOUT the
+    column — the write computes it — and attempt an append carrying a
+    WRONG yr, which refuses with nothing committed (asserted on the
+    version number; the oracle hash would also catch a leak). The
+    result aggregates on the generated column, so a green row pins that
+    computed and pre-existing values agree with the declared expression
+    row-for-row. DML/MOR/branch enforcement, rename refusal, and the
+    drop lifecycle are pinned in tests/test_generated_columns.py."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    src = t.orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").alias("price"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy").alias("yr"),
+    )
+    path = tempfile.mkdtemp(prefix="q98_gen_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, src.filter("o_orderkey % 2 = 0"), path)
+        storage.add_generated_column(
+            spark, path, "yr", "date_format(d, 'yyyy')"
+        )
+        storage.write_snapshot(
+            spark,
+            src.filter("o_orderkey % 2 = 1").drop("yr"),
+            path,
+            mode="append",
+        )
+        v_before = storage.snapshot_versions(path)[-1]
+        try:
+            storage.write_snapshot(
+                spark,
+                src.filter("o_orderkey % 2 = 1").withColumn(
+                    "yr", F.lit("1900")
+                ),
+                path,
+                mode="append",
+            )
+            raise AssertionError("wrong generated value was not refused")
+        except ValueError as e:
+            assert "yr" in str(e)
+        assert storage.snapshot_versions(path)[-1] == v_before
+        cents = F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot(spark, path)
+            .groupBy("yr")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("yr")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -791,6 +791,12 @@ def write_snapshot(
         app_id, batch_id = txn
         if batch_id <= prev_txn.get(app_id, -1):
             return versions[-1]  # already committed: idempotent skip
+    if prev.get("generated"):
+        df = _apply_generated(
+            df, prev["generated"], prev.get("schema") or {},
+            "write_snapshot",
+        )
+        new_schema = {f.name: f.dataType.simpleString() for f in df.schema}
     if enforce_schema and prev:
         for col_name, col_type in (prev.get("schema") or {}).items():
             if new_schema.get(col_name) != col_type:
@@ -924,6 +930,8 @@ def _commit_manifest(path: str, manifest: dict, token: str) -> int:
             manifest = {
                 **manifest, "constraints": prev_man["constraints"]
             }
+        if "generated" not in manifest and prev_man.get("generated"):
+            manifest = {**manifest, "generated": prev_man["generated"]}
         with open(tmp, "w") as f:
             json.dump(
                 {
@@ -1117,6 +1125,14 @@ def stage_snapshot(
     import os
     import uuid
 
+    gen = list_generated_columns(path)
+    if gen:
+        vs = snapshot_versions(path)
+        df = _apply_generated(
+            df, gen,
+            _load_manifest(path, vs[-1]).get("schema") or {},
+            "stage_snapshot",
+        )
     cons = list_check_constraints(path)
     if cons:  # WAP stages are writes: the audit step must never be the
         # only thing standing between a violating row and publish
@@ -2009,6 +2025,10 @@ def update_where_snapshot(
         else:
             proj.append(F.col(c))
     updated = sdata.select(*proj)
+    if man.get("generated"):
+        updated = _apply_generated(
+            updated, man["generated"], schema, "update_where_snapshot"
+        )
     if man.get("constraints"):
         _enforce_constraints(
             updated, man["constraints"], "update_where_snapshot"
@@ -2211,6 +2231,11 @@ def upsert_delta_snapshot(
             "purge_deletion_vectors first"
         )
     _check_no_mapping(man, "upsert_delta_snapshot")
+    if man.get("generated"):
+        changes = _apply_generated(
+            changes, man["generated"], man.get("schema") or {},
+            "upsert_delta_snapshot",
+        )
     prev_txn = man.get("txn") or {}
     if txn is not None and txn[1] <= prev_txn.get(txn[0], -1):
         return versions[-1]  # redelivered batch: idempotent skip
@@ -3214,6 +3239,12 @@ def write_snapshot_to_branch(
                 )
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown branch write mode {mode!r}")
+    if prev.get("generated"):
+        df = _apply_generated(
+            df, prev["generated"], prev.get("schema") or {},
+            "write_snapshot_to_branch",
+        )
+        new_schema = {f.name: f.dataType.simpleString() for f in df.schema}
     if prev.get("constraints"):
         # a branch write that dodged CHECK enforcement would land on main
         # via fast_forward's metadata-only publish — enforce here, and
@@ -3246,6 +3277,8 @@ def write_snapshot_to_branch(
         manifest["column_mapping"] = mapping
     if prev.get("constraints"):
         manifest["constraints"] = prev["constraints"]
+    if prev.get("generated"):
+        manifest["generated"] = prev["generated"]
     bdir = _branch_dir(path, name)
     tmp = os.path.join(bdir, f".tmp-{token}.json")
     while True:
@@ -4020,6 +4053,13 @@ def write_snapshot_partitioned(
         return versions[-1]
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown snapshot write mode {mode!r}")
+    if prev.get("generated"):
+        df = _apply_generated(
+            df, prev["generated"], prev.get("schema") or {},
+            "write_snapshot_partitioned",
+        )
+        dtypes = {f.name: f.dataType.simpleString() for f in df.schema}
+        new_schema = dict(dtypes)
     if prev.get("constraints"):
         _enforce_constraints(
             df, prev["constraints"], "write_snapshot_partitioned"
@@ -4616,6 +4656,12 @@ def rename_column(path: str, old: str, new: str) -> int:
                 f"column {old!r} is referenced by CHECK constraint "
                 f"{cname!r} ({expr}) — drop the constraint first"
             )
+    for gcol, expr in (man.get("generated") or {}).items():
+        if gcol == old or _re.search(rf"\b{_re.escape(old)}\b", expr):
+            raise ValueError(
+                f"column {old!r} is part of generated column "
+                f"{gcol!r} ({expr}) — drop_generated_column first"
+            )
     # chain-collapse: the physical name is wherever the data actually is
     mapping[new] = mapping.pop(old, old)
     if mapping[new] == new:
@@ -4840,3 +4886,130 @@ def optimize_partitions(
             {tuple(v[1]) for v in new_values.values()}
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Generated columns (Delta's GENERATED ALWAYS AS shape): a column
+# declared equal to an expression over the row's other columns. Writers
+# may OMIT the column — every row-writing verb computes it — or supply
+# it, in which case the verb validates value-equality (null-safe) in the
+# same single aggregate pass as CHECK constraints and refuses a
+# mismatch. The map rides manifests exactly like constraints
+# (_commit_manifest inherits it through rewrite commits).
+# ---------------------------------------------------------------------------
+
+
+def _apply_generated(df: DataFrame, gen: dict, schema: dict, verb: str):
+    """Compute absent generated columns / validate present ones; returns
+    the (possibly widened) frame. ``schema`` = committed {col: type} for
+    the cast that keeps generated types stable across writers."""
+    from pyspark.sql import functions as F
+
+    if not gen:
+        return df
+    present = set(df.columns)
+    checks = {}
+    for col, expr in sorted(gen.items()):
+        target = schema.get(col)
+        val = F.expr(expr)
+        if target:
+            val = val.cast(target)
+        if col in present:
+            checks[f"generated column {col!r} ({expr})"] = (
+                F.col(col).eqNullSafe(val)
+            )
+        else:
+            df = df.withColumn(col, val)
+    if checks:
+        aggs = [
+            F.sum(F.when(~ok, 1).otherwise(0)).alias(str(i))
+            for i, ok in enumerate(checks.values())
+        ]
+        try:
+            counts = df.agg(*aggs).first()
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(
+                f"{verb}: generated-column expression failed to evaluate "
+                f"against the written schema {df.columns}: {e}"
+            ) from e
+        bad = [
+            name
+            for i, name in enumerate(checks)
+            if counts[str(i)]
+        ]
+        if bad:
+            raise ValueError(
+                f"{verb}: supplied values disagree with "
+                + "; ".join(bad)
+                + " — omit the column to have it computed"
+            )
+    return df
+
+
+def list_generated_columns(path: str) -> dict[str, str]:
+    versions = snapshot_versions(path)
+    if not versions:
+        return {}
+    return dict(_load_manifest(path, versions[-1]).get("generated") or {})
+
+
+def add_generated_column(
+    spark: SparkSession, path: str, col: str, expr_sql: str
+) -> int:
+    """Declare EXISTING column ``col`` as GENERATED ALWAYS AS
+    ``expr_sql`` — metadata-only, after validating that the committed
+    data already satisfies the equality (the add_check_constraint
+    discipline: the invariant holds from the moment it exists). Writers
+    may then omit the column (computed) or supply it (validated).
+    Returns the new version."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    man = _load_manifest(path, versions[-1])
+    schema = man.get("schema") or {}
+    if col not in schema:
+        raise ValueError(
+            f"generated column {col!r} must already exist in the schema "
+            f"(have {sorted(schema)}) — declaring adds the contract, "
+            "not the column"
+        )
+    gen = dict(man.get("generated") or {})
+    if col in gen:
+        raise ValueError(
+            f"column {col!r} is already generated ({gen[col]!r})"
+        )
+    import re as _re
+
+    if _re.search(rf"\b{_re.escape(col)}\b", expr_sql):
+        raise ValueError(
+            f"generated column {col!r} cannot reference itself"
+        )
+    _apply_generated(
+        _manifest_df(spark, path, man), {col: expr_sql}, schema,
+        f"add_generated_column({col!r}) on existing data",
+    )
+    gen[col] = expr_sql
+    import uuid
+
+    manifest = {k: v for k, v in man.items()}
+    manifest["generated"] = gen
+    return _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
+
+
+def drop_generated_column(path: str, col: str) -> int:
+    """Remove the generated contract on ``col`` (the column stays) with
+    a metadata-only commit; passed explicitly so the inherit carry
+    cannot resurrect it."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    man = _load_manifest(path, versions[-1])
+    gen = dict(man.get("generated") or {})
+    if col not in gen:
+        raise ValueError(f"no generated column {col!r} (have {sorted(gen)})")
+    del gen[col]
+    import uuid
+
+    manifest = {k: v for k, v in man.items()}
+    manifest["generated"] = gen
+    return _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
