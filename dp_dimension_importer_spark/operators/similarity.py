@@ -1232,3 +1232,302 @@ def ann_sq_topk(spark, sf_dir):
         )
         .orderBy("vec_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# PERSISTED incremental ANN index (r12 — r11 verdict #4): IVF + SQ8 codes
+# stored as a hive-partitioned table, so daily-ingest embedding search is
+# O(batch) to maintain and O(probed cells) to query — never a corpus
+# refit, never a full scan. The FAISS IVF,SQ8 index shape re-expressed as
+# parquet partitions:
+#
+#   <idx>/_ivf_meta.json        centroids + per-dim SQ8 [lo, step] (~35 KB
+#                               for 16×64 — driver/broadcast scale)
+#   <idx>/cell=N/part-*.parquet (vec_id long, code binary) — each vector's
+#                               64-byte SQ8 code in its HOME cell's dir
+#
+# build_ivf_index fits once (deterministic sample, the _ivf_centroids
+# discipline) and writes every vector's code to its home cell;
+# append_to_index assigns NEW vectors to the EXISTING cells (the
+# append_band_index pattern — no refit, one new file per touched cell);
+# probe_index reads ONLY the probed cells' directories (PartitionFilters
+# — pinned by an inputFiles assertion in the registered query) and
+# reranks the SQ8 shortlist exactly. compact via storage.compact_parquet
+# per cell=N/ dir when daily appends accumulate.
+# ---------------------------------------------------------------------------
+
+IVF_IDX_META = "_ivf_meta.json"
+
+
+def _fit_ivf_cells(embeddings: DataFrame, cells: int) -> np.ndarray:
+    """cells × DIM unit-norm centroids — the :func:`_ivf_centroids` fit
+    (deterministic IVF_SAMPLE, 8 Lloyd rounds, pinned arithmetic order)
+    parameterized by cell count for the persisted index."""
+    rows = take_deterministic(
+        embeddings, "vec_id", IVF_SAMPLE, cols=["vec_id", "embedding"]
+    )
+    m = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    u = m / np.linalg.norm(m, axis=1)[:, None]
+    cents = u[:cells].copy()
+    for _ in range(8):
+        assign = (u @ cents.T).argmax(axis=1)
+        for c in range(cells):
+            mask = assign == c
+            cents[c] = u[mask].mean(axis=0) if mask.any() else u[c % len(u)]
+        cents /= np.linalg.norm(cents, axis=1)[:, None]
+    return cents
+
+
+def _load_ivf_meta(idx_path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(idx_path, IVF_IDX_META)) as f:
+        meta = json.load(f)
+    meta["centroids"] = np.asarray(meta["centroids"], dtype=np.float64)
+    meta["lo"] = np.asarray(meta["lo"], dtype=np.float64)
+    meta["step"] = np.asarray(meta["step"], dtype=np.float64)
+    return meta
+
+
+def _encode_to_cells(embeddings: DataFrame, meta: dict) -> DataFrame:
+    """(vec_id, cell, code) — home-cell assignment + SQ8 encode in ONE
+    Arrow pass (one matmul + one clip per batch, no shuffle before the
+    partitioned write's cell clustering)."""
+    cents_t = meta["centroids"].T
+    lo, step = meta["lo"], meta["step"]
+    inv = np.where(step > 0, 1.0 / np.where(step == 0, 1.0, step), 0.0)
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0
+            cell = ((m / nrm[:, None]) @ cents_t).argmax(axis=1)
+            codes = np.clip(
+                np.floor((m - lo) * inv + 0.5), 0, 255
+            ).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell.astype("int32"),
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        enc, "vec_id long, cell int, code binary"
+    )
+
+
+def build_ivf_index(
+    spark, embeddings: DataFrame, idx_path: str, cells: int = IVF_CELLS
+) -> dict:
+    """Fit + materialize the persisted IVF/SQ8 index: centroids from a
+    deterministic sample (O(sample) driver memory), per-dim SQ8 ranges
+    from one posexplode aggregate (DIM rows), every vector's code written
+    to its home cell's hive partition. The meta sidecar lands via
+    tmp+rename AFTER the data write, so a crashed build leaves no
+    readable (meta-bearing) index. Returns the meta dict."""
+    import json
+    import os
+
+    from dp_dimension_importer_spark import storage
+
+    cents = _fit_ivf_cells(embeddings, cells)
+    b = (
+        embeddings.select(F.posexplode("embedding"))
+        .groupBy("pos")
+        .agg(F.min("col").alias("lo"), F.max("col").alias("hi"))
+        .orderBy("pos")
+        .collect()
+    )
+    lo = np.array([r.lo for r in b], dtype=np.float64)
+    step = np.array(
+        [(r.hi - r.lo) / 255.0 if r.hi > r.lo else 0.0 for r in b]
+    )
+    meta = {"cells": cells, "centroids": cents, "lo": lo, "step": step,
+            "dim": len(lo)}
+    storage.write_partitioned(
+        _encode_to_cells(embeddings, meta), idx_path, ["cell"]
+    )
+    tmp = os.path.join(idx_path, f".{IVF_IDX_META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "cells": cells,
+                "dim": len(lo),
+                "centroids": cents.tolist(),
+                "lo": lo.tolist(),
+                "step": step.tolist(),
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(idx_path, IVF_IDX_META))
+    return meta
+
+
+def append_to_index(spark, new_embeddings: DataFrame, idx_path: str) -> None:
+    """Daily-ingest append: assign the batch to the EXISTING centroids
+    and encode with the STORED ranges (no refit — O(batch), the
+    append_band_index discipline). Out-of-range values clip into the SQ8
+    grid (recall impact bounded by the staleness floor in
+    tests/test_recall.py); re-fit via build_ivf_index when drift
+    accumulates."""
+    from dp_dimension_importer_spark import storage
+
+    meta = _load_ivf_meta(idx_path)
+    storage.write_partitioned(
+        _encode_to_cells(new_embeddings, meta), idx_path, ["cell"],
+        mode="append",
+    )
+
+
+def probe_index(
+    spark,
+    idx_path: str,
+    queries: DataFrame,
+    rerank_src: DataFrame,
+    nprobe: int = IVF_NPROBE,
+    k: int = TOP_K,
+    shortlist: int = SQ_SHORTLIST,
+) -> DataFrame:
+    """Search the persisted index: each query's ``nprobe`` nearest cells
+    are computed driver-side from the meta centroids (queries are a
+    pinned-size block), the code table is read WITH A PARTITION FILTER on
+    exactly those cells (PartitionFilters prune the unprobed directories
+    — no file of an unprobed cell is opened), the SQ8-dequantized scores
+    shortlist per query inside one Arrow pass, and the exact fold-cosine
+    rerank (bit-deterministic, shared with every ANN path) runs on
+    shortlist rows only. Returns (vec_id, rk, nn_id, cos_sim)."""
+    meta = _load_ivf_meta(idx_path)
+    qrows = queries.select("vec_id", "embedding").collect()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in qrows])
+    qm = np.vstack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in qrows]
+    )
+    qunit = qm / np.linalg.norm(qm, axis=1)[:, None]
+    sims = qunit @ meta["centroids"].T                   # nq × cells
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    probed = sorted({int(c) for row in order for c in row})
+    # cell -> allowed-query membership (cells × nq) for the batch mask
+    allow = np.zeros((meta["cells"], len(qids)), dtype=bool)
+    for qi, row in enumerate(order):
+        for c in row:
+            allow[int(c), qi] = True
+    lo, step = meta["lo"], meta["step"]
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["code"]]
+            ).astype(np.float64)
+            deq = lo + codes * step
+            nrm = np.linalg.norm(deq, axis=1)
+            zero = nrm == 0
+            nrm[zero] = 1.0
+            scores = (deq @ qunit.T) / nrm[:, None]      # rows × nq
+            ids = pdf["vec_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            out_q, out_n = [], []
+            for qi in range(len(qids)):
+                approx = scores[:, qi].copy()
+                approx[~allow[cells, qi]] = -np.inf
+                approx[zero] = -np.inf
+                approx[ids == qids[qi]] = -np.inf
+                kk = min(shortlist, len(approx))
+                top = np.argpartition(-approx, kk - 1)[:kk]
+                top = top[np.isfinite(approx[top])]
+                out_q.append(np.full(len(top), qids[qi]))
+                out_n.append(ids[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nn_id": np.concatenate(out_n),
+                    }
+                )
+
+    pruned = spark.read.parquet(idx_path).filter(
+        F.col("cell").isin(probed)
+    )
+    cand = (
+        pruned.select("vec_id", "cell", "code")
+        .mapInPandas(scan, "qid long, nn_id long")
+        .dropDuplicates(["qid", "nn_id"])
+    )
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cos").desc(), "nn_id")
+    )
+    return (
+        _rerank_cos(rerank_src, cand)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "rk",
+            "nn_id",
+            F.col("cos").alias("cos_sim"),
+        )
+        .orderBy("vec_id", "rk")
+    )
+
+
+@register("ann_ivf_persisted_topk")  # rows-only: recall-gated vs q43b
+def ann_ivf_persisted_topk(spark, sf_dir):
+    """Top-K ANN over the PERSISTED IVF/SQ8 index — the daily-ingest
+    lifecycle in one query: build on the even half of the corpus, APPEND
+    the odd half against the frozen centroids (no refit — exactly what a
+    nightly embedding-ingest job does), then probe. Asserted in-query:
+    the probe's scan opens files ONLY under the probed cells' partitions
+    (df.inputFiles() ⊆ cell=probed dirs — the PartitionFilters payoff
+    that makes the query O(probed cells) at 100 TB). Recall vs exact
+    q43b and the append-staleness floor are gated in
+    tests/test_recall.py; build/append/probe unit pins in
+    tests/test_ann_index.py."""
+    import re
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        shutil.rmtree(idx)
+        build_ivf_index(spark, e.filter("vec_id % 2 = 0"), idx)
+        append_to_index(spark, e.filter("vec_id % 2 = 1"), idx)
+        meta = _load_ivf_meta(idx)
+        qdf = e.filter(F.col("vec_id") < N_QUERY)
+        # pin the pruning: the probed reader must touch no unprobed cell
+        sims = (
+            np.vstack(
+                [
+                    np.asarray(r["embedding"], dtype=np.float64)
+                    for r in sorted(
+                        qdf.collect(), key=lambda r: r["vec_id"]
+                    )
+                ]
+            )
+            @ meta["centroids"].T
+        )
+        probed = {
+            int(c)
+            for row in np.argsort(-sims, axis=1)[:, :IVF_NPROBE]
+            for c in row
+        }
+        pruned = spark.read.parquet(idx).filter(
+            F.col("cell").isin(sorted(probed))
+        )
+        for p in pruned.inputFiles():
+            m = re.search(r"cell=(\d+)/", p)
+            assert m and int(m.group(1)) in probed, (
+                f"probe read an unprobed cell's file: {p}"
+            )
+        return probe_index(spark, idx, qdf, e).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

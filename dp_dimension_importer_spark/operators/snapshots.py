@@ -2247,3 +2247,195 @@ def q98_generated_columns(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q96b_mapped_dml",
+    sql="""
+    WITH src AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS d,
+               o_totalprice AS amount
+        FROM orders
+    ), evens AS (
+        SELECT o_orderkey, d,
+               CASE WHEN o_orderkey % 10 = 0 THEN amount + 1
+                    ELSE amount END AS amount
+        FROM src
+        WHERE o_orderkey % 2 = 0 AND NOT (amount < 1000.0)
+    ), odds AS (
+        SELECT o_orderkey, d, amount FROM src WHERE o_orderkey % 2 = 1
+    ), u AS (
+        SELECT * FROM evens UNION ALL SELECT * FROM odds
+    )
+    SELECT strftime(d, '%Y') AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(amount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS amount_cents
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def q96b_mapped_dml(spark, sf_dir):
+    """MAPPED-TABLE DML (r12 — the r11 verdict's top ask): after
+    :func:`storage.rename_column`, the ENTIRE partial-rewrite DML suite
+    runs on the mapped table with NO ``materialize_column_mapping`` —
+    rename stays metadata-only forever (Delta column-mapping parity).
+    Flow: half of orders commits hidden-partitioned by years(d) (v1),
+    ``price`` renames to ``amount`` (v2, metadata-only), then a COW
+    DELETE and an UPDATE run in the LOGICAL vocabulary, the second half
+    APPENDS partitioned (arriving logical, landing physical), and a
+    partition-scoped OPTIMIZE folds one year — all on the mapped table.
+    Asserted in-query: the mapping survives every commit, and every
+    data file of the final version carries the PHYSICAL column name
+    (one physical schema table-wide). The oracle replays delete/update/
+    append arithmetic on raw orders, so a green row pins that logical-
+    name DML touched exactly the right rows. Stats re-keying and the
+    per-verb pins live in tests/test_column_mapping.py."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    src = t.orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").alias("price"),
+    )
+    path = tempfile.mkdtemp(prefix="q96b_mdml_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot_partitioned(
+            spark, src.filter("o_orderkey % 2 = 0"), path,
+            [("years", "d")],
+        )
+        storage.rename_column(path, "price", "amount")
+        storage.delete_where_snapshot(spark, path, "amount < 1000.0")
+        storage.update_where_snapshot(
+            spark, path, {"amount": F.col("amount") + 1},
+            "o_orderkey % 10 = 0",
+        )
+        storage.write_snapshot_partitioned(
+            spark,
+            src.filter("o_orderkey % 2 = 1")
+            .withColumnRenamed("price", "amount"),
+            path, [("years", "d")], mode="append",
+        )
+        storage.optimize_partitions(
+            spark, path, {"d": ("between", datetime.date(1994, 1, 1),
+                                datetime.date(1994, 12, 31))},
+        )
+        assert storage.column_mapping(path) == {"amount": "price"}, (
+            "a DML verb materialized the mapping"
+        )
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        for rel in man["files"]:
+            names = pq.ParquetFile(
+                os.path.join(path, rel)
+            ).schema_arrow.names
+            assert "price" in names and "amount" not in names, (
+                f"file {rel} broke the one-physical-schema invariant"
+            )
+        cents = F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot(spark, path)
+            .groupBy(F.date_format("d", "yyyy").alias("yr"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(cents).alias("amount_cents"))
+            .orderBy("yr")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q65b_type_widening",
+    sql="""
+    WITH evens AS (
+        SELECT CAST(event_id AS BIGINT) AS event_id, event_type, value
+        FROM events WHERE event_id % 2 = 0
+          AND NOT (event_id % 5 = 0)
+    ), odds AS (
+        SELECT CAST(event_id + 1099511627776 AS BIGINT) AS event_id,
+               event_type, value
+        FROM events WHERE event_id % 2 = 1
+    ), u AS (
+        SELECT * FROM evens UNION ALL SELECT * FROM odds
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           MAX(event_id) AS max_id
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def q65b_type_widening(spark, sf_dir):
+    """TYPE WIDENING as a metadata-only commit (r12 —
+    :func:`storage.widen_column_type`, the Iceberg/Delta type-promotion
+    shape): v1 commits events with ``event_id`` as INT, the column
+    widens to BIGINT with ZERO data movement (asserted: v2's file list
+    is byte-identical), and the append lands values ABOVE the int32
+    range (event_id + 2^40) next to the narrow files — the reader
+    upcasts int32 files in the vectorized parquet scan via the forced
+    schema, so one plan reads both eras. A COW delete then rewrites its
+    touched files IN the widened type (evolution materializes as data
+    is naturally touched). Time travel to v1 still answers in INT
+    (asserted) — types version like data and names. The oracle replays
+    the widen+append+delete arithmetic on raw events; a green row pins
+    value fidelity across the width boundary. Narrowing refusals, DV
+    interplay, and the drop-column tombstone live in
+    tests/test_schema_evolution.py."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        F.col("event_id").cast("int").alias("event_id"),
+        "event_type", "value",
+    )
+    path = tempfile.mkdtemp(prefix="q65b_widen_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(
+            spark, ev.filter("event_id % 2 = 0"), path
+        )
+        files_v1 = sorted(storage._load_manifest(path, 1)["files"])
+        storage.widen_column_type(path, "event_id", "bigint")
+        assert sorted(
+            storage._load_manifest(path, 2)["files"]
+        ) == files_v1, "widen moved data"
+        assert dict(
+            storage.read_snapshot(spark, path, version=1).dtypes
+        )["event_id"] == "int", "time travel lost the narrow era type"
+        storage.write_snapshot(
+            spark,
+            ev.filter("event_id % 2 = 1").withColumn(
+                "event_id",
+                (F.col("event_id") + F.lit(1 << 40)).cast("bigint"),
+            ),
+            path, mode="append",
+        )
+        storage.delete_where_snapshot(
+            spark, path, f"event_id % 5 = 0 AND event_id < {1 << 40}"
+        )
+        cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(cents).alias("sum_cents"),
+                 F.max("event_id").alias("max_id"))
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -311,7 +311,7 @@ def optimize_snapshot_incremental(
         )
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
-        _check_no_mapping(man, "optimize_snapshot_incremental")
+    mapping = man.get("column_mapping") or {}  # cluster logical, write physical
     if man.get("mor"):
         raise ValueError(
             "incremental OPTIMIZE on a MOR table: run compact_mor first"
@@ -335,7 +335,12 @@ def optimize_snapshot_incremental(
             "incremental OPTIMIZE over DV-carrying files: "
             "purge_deletion_vectors first"
         )
-    df = spark.read.parquet(*(os.path.join(path, rel) for rel in new_rels))
+    df = _apply_mapping(
+        spark.read.parquet(
+            *(os.path.join(path, rel) for rel in new_rels)
+        ),
+        mapping,
+    )
     if df.isEmpty():
         # the added files hold zero rows (an empty append's schema-only
         # part files) — nothing to cluster, nothing worth rewriting
@@ -347,13 +352,18 @@ def optimize_snapshot_incremental(
         }
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
-    (zorder_layout(df, cols, n_shards).write.mode("error")
+    clustered = zorder_layout(df, cols, n_shards)
+    if mapping:  # optimized files keep the table's ONE physical schema
+        clustered = clustered.withColumnsRenamed(mapping)
+    (clustered.write.mode("error")
      .option("compression", compression).parquet(data_dir))
     new_files = sorted(
         os.path.relpath(p, path)
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
     manifest = {"files": kept + new_files, "schema": man["schema"]}
+    if mapping:
+        manifest["column_mapping"] = mapping
     _carry_partition(man, manifest, new_files)
     kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
     if kept_dv:
@@ -369,7 +379,7 @@ def optimize_snapshot_incremental(
         for rel in kept
         if rel in man.get("stats", {})
     }
-    stats.update(collect_file_stats(new_files, path, stats_cols))
+    stats.update(_stats_logical(new_files, path, stats_cols, mapping))
     manifest["stats"] = stats
     version = _commit_manifest(path, manifest, token)
     return {
@@ -413,7 +423,10 @@ def compact_small_files_snapshot(
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
-        _check_no_mapping(man, "compact_small_files_snapshot")
+    # column-mapped tables compact as-is: the raw concat reads and writes
+    # PHYSICAL names end-to-end, so the one-physical-schema invariant
+    # holds by construction; only the manifest's mapping must carry
+    mapping = man.get("column_mapping") or {}
     sizes = {
         rel: os.path.getsize(os.path.join(path, rel))
         for rel in man["files"]
@@ -458,6 +471,8 @@ def compact_small_files_snapshot(
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
     manifest = {"files": kept + new_files, "schema": man["schema"]}
+    if mapping:
+        manifest["column_mapping"] = mapping
     _carry_partition(man, manifest, new_files)
     if dv_map:  # every DV-carrying file is in kept (excluded from small)
         manifest["dv"] = dv_map
@@ -472,7 +487,7 @@ def compact_small_files_snapshot(
             {c for per_file in man["stats"].values() for c in per_file}
         )
         stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
-        stats.update(collect_file_stats(new_files, path, stats_cols))
+        stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
     version = _commit_manifest(path, manifest, token)
     return {
@@ -742,9 +757,15 @@ def write_snapshot(
     succeeds, so a crash anywhere before that leaves the table exactly at
     the previous version (orphaned data files are reclaimed by
     ``vacuum_snapshots``). Version numbers are claimed optimistically —
-    on EEXIST (another writer won the race) the commit retries with the
-    next number; the data files need no rewrite because manifests, not
-    directory names, define membership.
+    on EEXIST (another writer won the race) the commit REBASES onto the
+    new head and retries with the next number (both racing writers
+    succeed, Iceberg/Delta optimistic concurrency); the data files need
+    no rewrite because manifests, not directory names, define
+    membership. The rebase refuses (:class:`ConcurrentCommitError`) when
+    the race was NOT disjoint — the competing commit changed the
+    schema/constraints/generated/mapping contracts or turned the table
+    MOR — because this commit's rows were never validated against the
+    new contracts.
 
     ``stats_cols``: also record per-file min/max for those columns in
     the manifest (harvested from parquet FOOTERS — no data pages read),
@@ -806,6 +827,18 @@ def write_snapshot(
                     f"{new_schema.get(col_name)!r} (pass "
                     f"enforce_schema=False for a breaking rewrite)"
                 )
+    if mode == "append" and prev.get("dropped"):
+        reborn = sorted(
+            c for c in new_schema
+            if c not in (prev.get("schema") or {}) and c in prev["dropped"]
+        )
+        if reborn:
+            raise ValueError(
+                f"columns {reborn} reuse DROPPED column names whose bytes "
+                "still live in old files — the forced scan would "
+                "resurrect stale values; rewrite the table (overwrite) "
+                "before reusing the name"
+            )
     if prev.get("constraints"):
         _enforce_constraints(df, prev["constraints"], "write_snapshot")
     if mode not in ("overwrite", "append"):
@@ -839,6 +872,19 @@ def write_snapshot(
     )
     carried = prev.get("files", []) if mode == "append" else []
     manifest = {"files": carried + new_files, "schema": new_schema}
+    if mode == "overwrite":
+        # a full rewrite sheds narrow/tombstoned file bytes: clear the
+        # markers explicitly (empty overrides _commit_manifest's inherit)
+        manifest["widened"], manifest["dropped"] = {}, []
+    if mode == "append":
+        # ADVICE r11 (medium): a plain append onto a hidden-partitioned
+        # table must carry the partition block (carried files keep their
+        # tuples and keep pruning; this commit's flat files map to None —
+        # degrade, never lie). Dropping it silently zeroed pruning AND
+        # made the next write_snapshot_partitioned append treat the
+        # table as unpartitioned — the branch twin was fixed in r11, the
+        # main path wasn't.
+        _carry_partition(prev, manifest, new_files)
     if mapping:
         manifest["column_mapping"] = mapping
     carried_dv = {
@@ -875,15 +921,107 @@ def write_snapshot(
         manifest["txn"] = dict(prev_txn)
         if txn is not None:
             manifest["txn"][txn[0]] = txn[1]
-    return _commit_manifest(path, manifest, token)
+
+    def _rebase(head: dict) -> dict:
+        """Racing-writer rebase (r11 verdict #3): this commit's files are
+        already on disk and disjoint from the competing commit's — rebuild
+        the manifest on the new head unless a CONTRACT moved under us."""
+        if head.get("mor"):
+            raise ConcurrentCommitError(
+                "concurrent commit made the table MOR — append would "
+                "dodge delta resolution; use upsert_delta_snapshot"
+            )
+        if (head.get("constraints") or {}) != (prev.get("constraints") or {}):
+            raise ConcurrentCommitError(
+                "CHECK constraints changed concurrently — this commit's "
+                "rows were not validated against them; re-run the write"
+            )
+        if (head.get("generated") or {}) != (prev.get("generated") or {}):
+            raise ConcurrentCommitError(
+                "generated-column contracts changed concurrently — "
+                "re-run the write"
+            )
+        if txn is not None and txn[1] <= (head.get("txn") or {}).get(
+            txn[0], -1
+        ):
+            raise ConcurrentCommitError(
+                f"txn batch {txn} already committed by a concurrent "
+                "writer — re-run the verb for the idempotent skip"
+            )
+        if enforce_schema:
+            for col_name, col_type in (head.get("schema") or {}).items():
+                if new_schema.get(col_name) != col_type:
+                    raise ConcurrentCommitError(
+                        f"concurrent schema evolution: column {col_name!r}"
+                        f" is now {col_type}, this commit has "
+                        f"{new_schema.get(col_name)!r}"
+                    )
+        head_txn = dict(head.get("txn") or {})
+        if txn is not None:
+            head_txn[txn[0]] = txn[1]
+        if mode == "overwrite":
+            # an overwrite replaces WHATEVER is latest — content stands,
+            # only the watermark map re-merges
+            m2 = dict(manifest)
+            if head_txn:
+                m2["txn"] = head_txn
+            return m2
+        if (head.get("column_mapping") or {}) != mapping:
+            raise ConcurrentCommitError(
+                "column mapping changed concurrently — this commit's "
+                "files carry the old physical schema; re-run the write"
+            )
+        m2 = {
+            "files": list(head.get("files") or []) + new_files,
+            "schema": new_schema,
+        }
+        _carry_partition(head, m2, new_files)
+        if mapping:
+            m2["column_mapping"] = mapping
+        if head.get("dv"):
+            m2["dv"] = dict(head["dv"])
+        our_stats = {
+            rel: manifest["stats"][rel]
+            for rel in new_files
+            if rel in manifest.get("stats", {})
+        } if "stats" in manifest else {}
+        if head.get("stats") or our_stats:
+            m2["stats"] = {**(head.get("stats") or {}), **our_stats}
+        if head_txn:
+            m2["txn"] = head_txn
+        return m2
+
+    return _commit_manifest(path, manifest, token, rebase=_rebase)
 
 
-def _commit_manifest(path: str, manifest: dict, token: str) -> int:
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between this verb's read of the table
+    head and its manifest hard-link, and the commit could not be safely
+    rebased onto the new head. The verb's work is NOT committed — re-run
+    it against the new head (read-modify-write verbs must re-read;
+    at-least-once writers with ``txn`` get the idempotent skip)."""
+
+
+def _commit_manifest(path, manifest, token, rebase=None) -> int:
     """Claim the next version number optimistically and publish
-    ``manifest`` under it (hard-link = the atomic commit; EEXIST means
-    another writer won that number and the claim retries with the next).
-    Shared by every snapshot-mutating verb — write, merge, optimize,
-    delete."""
+    ``manifest`` under it (hard-link = the atomic commit). Shared by
+    every snapshot-mutating verb — write, merge, optimize, delete.
+
+    EEXIST on the hard-link means another writer committed first. The
+    pre-r12 behavior — silently retry the SAME manifest under the next
+    number — was a lost update for any commit built against the old head
+    (a racing appender's files vanished from the new latest). Now
+    (r11 verdict #3, the Iceberg/Delta optimistic-concurrency shape):
+
+    * ``rebase=None`` (read-modify-write verbs: DELETE/UPDATE/MERGE,
+      optimize, metadata verbs) → raise :class:`ConcurrentCommitError`;
+      the verb's derivation is stale by definition and must re-run.
+    * ``rebase=callable`` (append-shaped commits, which ARE disjoint
+      from any racing commit unless the table's contracts moved) → the
+      callable receives the competing head manifest, validates
+      no-conflict (schema/constraints/mapping/MOR drift), and returns
+      the manifest rebuilt on the new head; the claim retries with it.
+      It raises ConcurrentCommitError itself on a real conflict."""
     import json
     import os
 
@@ -902,6 +1040,7 @@ def _commit_manifest(path: str, manifest: dict, token: str) -> int:
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{token}.json")
+    pending_rebase = False
     while True:
         version = (snapshot_versions(path) or [0])[-1] + 1
         # ADVICE r9: committed_at is wall-clock; a clock step backwards
@@ -921,6 +1060,21 @@ def _commit_manifest(path: str, manifest: dict, token: str) -> int:
                     committed_at = max(committed_at, float(prev_ct))
             except (OSError, ValueError):
                 pass  # prev vacuumed / unreadable: wall clock stands
+        if pending_rebase:
+            # rebase against the LATEST head (recomputed this iteration —
+            # more commits may have landed since the failed claim, and
+            # rebasing onto only the conflicting version would drop them)
+            if version > 1 and not prev_man:
+                raise ConcurrentCommitError(
+                    f"competing head v{version - 1} of {path!r} is "
+                    "unreadable — cannot validate the race was disjoint"
+                )
+            manifest = {
+                k: v
+                for k, v in rebase(prev_man).items()
+                if k not in ("version", "committed_at")
+            }
+            pending_rebase = False
         # CHECK constraints ride every commit: a verb that rebuilt the
         # manifest without thinking about them (optimize, compaction,
         # restore) INHERITS the previous version's map; only an explicit
@@ -932,6 +1086,13 @@ def _commit_manifest(path: str, manifest: dict, token: str) -> int:
             }
         if "generated" not in manifest and prev_man.get("generated"):
             manifest = {**manifest, "generated": prev_man["generated"]}
+        # widened/dropped describe FILE reality (narrow/extra bytes still
+        # on disk): rewrite commits that didn't think about them must
+        # keep forcing the read schema; overwrite-shaped verbs clear
+        # them EXPLICITLY (empty overrides inherit)
+        for carry in ("widened", "dropped"):
+            if carry not in manifest and prev_man.get(carry):
+                manifest = {**manifest, carry: prev_man[carry]}
         with open(tmp, "w") as f:
             json.dump(
                 {
@@ -945,7 +1106,15 @@ def _commit_manifest(path: str, manifest: dict, token: str) -> int:
         try:
             os.link(tmp, final)  # atomic claim: EEXIST = lost the race
         except FileExistsError:
-            continue  # another writer committed this number; take the next
+            if rebase is None:
+                raise ConcurrentCommitError(
+                    f"lost the commit race for {path!r} v{version}: "
+                    "another writer committed first and this manifest "
+                    "was derived from the old head — re-run the verb "
+                    "against the new head"
+                ) from None
+            pending_rebase = True
+            continue
         finally:
             if os.path.exists(final):
                 os.unlink(tmp)
@@ -1062,16 +1231,22 @@ def _manifest_df(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
         return _resolve_mor(spark, path, manifest)
     mapping = manifest.get("column_mapping")
     dv_map = manifest.get("dv") or {}
+    force = _phys_schema(manifest)
     if not dv_map:
+        reader = spark.read
+        if force:
+            reader = reader.schema(_schema_ddl(force))
         return _apply_mapping(
-            spark.read.parquet(
+            reader.parquet(
                 *(os.path.join(path, rel) for rel in manifest["files"])
             ),
             mapping,
         )
     # merge-on-read: anti-join the version's deletion vectors (see
     # delete_where_snapshot mode="dv"); a version without DVs pays zero
-    data, cols = _scan_with_pos(spark, path, manifest["files"], dv_map)
+    data, cols = _scan_with_pos(
+        spark, path, manifest["files"], dv_map, force_schema=force
+    )
     return _apply_mapping(data.select(*cols), mapping)
 
 
@@ -1148,6 +1323,16 @@ def stage_snapshot(
     manifest: dict = {
         "files": files,
         "schema": {f.name: f.dataType.simpleString() for f in df.schema},
+        # record the maps the stage validated against (empty included) so
+        # publish can detect a table that grew constraints/generated
+        # contracts INSIDE the stage->audit->publish window and
+        # re-validate instead of inheriting unvalidated maps
+        "constraints": cons,
+        "generated": gen,
+        # a published candidate fully replaces the table's files: the
+        # widened/dropped markers must not inherit onto fresh files
+        "widened": {},
+        "dropped": [],
     }
     if stats_cols is not None:
         manifest["stats"] = collect_file_stats(files, path, stats_cols)
@@ -1177,7 +1362,8 @@ def _missing_files(path: str, manifest: dict) -> list[str]:
 
 
 def publish_snapshot(
-    path: str, staged: dict, enforce_schema: bool = True
+    path: str, staged: dict, enforce_schema: bool = True,
+    spark: SparkSession | None = None,
 ) -> int:
     """PUBLISH step of WAP: commit a staged candidate as the table's next
     version — pure metadata (the manifest hard-link), zero data movement,
@@ -1185,7 +1371,12 @@ def publish_snapshot(
     filesystem op. Schema/txn rules are checked HERE against the latest
     committed version (not at stage time): publish is the serialization
     point, and a table that evolved between stage and publish must be
-    re-validated against what it evolved into."""
+    re-validated against what it evolved into. That includes CHECK
+    constraints and generated-column contracts (ADVICE r11 low): when
+    the latest maps differ from the ones in force at stage time, the
+    staged rows were never validated against them — pass ``spark`` and
+    publish re-validates (one aggregate over the staged files); without
+    a session it refuses rather than inherit an unvalidated map."""
     import json
     import os
 
@@ -1206,6 +1397,48 @@ def publish_snapshot(
                     f"{new_schema.get(col_name)!r}"
                 )
     manifest = dict(staged["manifest"])
+    latest_cons = prev.get("constraints") or {}
+    latest_gen = prev.get("generated") or {}
+    staged_cons = manifest.get("constraints") or {}
+    staged_gen = manifest.get("generated") or {}
+    if latest_cons != staged_cons or latest_gen != staged_gen:
+        drifted_cons = {
+            n: e for n, e in latest_cons.items()
+            if staged_cons.get(n) != e
+        }
+        drifted_gen = {
+            c: e for c, e in latest_gen.items()
+            if staged_gen.get(c) != e
+        }
+        if drifted_cons or drifted_gen:
+            if spark is None:
+                raise ValueError(
+                    "table grew constraints/generated contracts between "
+                    f"stage and publish (constraints {drifted_cons}, "
+                    f"generated {drifted_gen}) — pass spark= so publish "
+                    "can re-validate the staged rows against them"
+                )
+            audit_df = spark.read.parquet(
+                *(
+                    os.path.join(path, rel)
+                    for rel in manifest["files"]
+                )
+            ) if manifest["files"] else None
+            if audit_df is not None:
+                if drifted_gen:
+                    _apply_generated(
+                        audit_df, drifted_gen, new_schema,
+                        "publish_snapshot (contract added after stage)",
+                    )
+                if drifted_cons:
+                    _enforce_constraints(
+                        audit_df, drifted_cons,
+                        "publish_snapshot (constraint added after stage)",
+                    )
+        # re-validated (or only drops drifted): publish under the maps
+        # the table evolved into
+        manifest["constraints"] = latest_cons
+        manifest["generated"] = latest_gen
     if prev.get("txn"):
         manifest["txn"] = prev["txn"]  # watermarks never regress
     # ADVICE r9: a staged candidate is deliberately vacuumable (it looks
@@ -1492,15 +1725,57 @@ def _check_reserved(cols, reserved: tuple) -> None:
         )
 
 
+def _stats_logical(
+    new_files: list[str], path: str, logical_cols: list[str],
+    mapping: dict | None,
+) -> dict:
+    """Footer-harvest per-file stats for a possibly column-mapped table:
+    footers speak PHYSICAL names, the manifest speaks LOGICAL — harvest
+    physical, store logical (the write_snapshot append discipline, shared
+    by every mapped rewrite verb)."""
+    if not mapping:
+        return collect_file_stats(new_files, path, logical_cols)
+    inv = {p: l for l, p in mapping.items()}
+    harvested = collect_file_stats(
+        new_files, path, [mapping.get(c, c) for c in logical_cols]
+    )
+    return {
+        rel: {inv.get(c, c): v for c, v in per.items()}
+        for rel, per in harvested.items()
+    }
+
+
+def _phys_schema(man: dict) -> dict | None:
+    """``{physical col: type}`` when reads must FORCE the scan schema —
+    the table has widened column types (old files narrower than the
+    committed type) or dropped columns (old files still carry the bytes;
+    the forced projection omits them). None = infer (the fast path for
+    tables that never widened/dropped; identical plan to before)."""
+    if not (man.get("widened") or man.get("dropped")):
+        return None
+    mapping = man.get("column_mapping") or {}
+    return {
+        mapping.get(c, c): t for c, t in (man.get("schema") or {}).items()
+    }
+
+
+def _schema_ddl(phys_schema: dict) -> str:
+    return ", ".join(f"`{c}` {t}" for c, t in phys_schema.items())
+
+
 def _scan_with_pos(
-    spark: SparkSession, path: str, rels: list[str], dv_map: dict
+    spark: SparkSession, path: str, rels: list[str], dv_map: dict,
+    mapping: dict | None = None, force_schema: dict | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Scan manifest files with (_fname, _pos) row-identity columns
     prepended and DV-deleted rows anti-joined out; returns (frame, data
     columns). The anti-join keys on (file basename, row position) — AQE
     broadcasts the DV side when it is small (the common case: deletes
     are a sliver of the table); a huge DV degrades to a shuffled anti
-    join, never to a driver-side bitmap."""
+    join, never to a driver-side bitmap. ``mapping`` (logical->physical,
+    the manifest's column_mapping) renames the scanned columns to their
+    LOGICAL names so DML predicates/assignments speak the reader's
+    vocabulary; the returned columns are then logical too."""
     import os
 
     from pyspark.sql import functions as F
@@ -1521,7 +1796,13 @@ def _scan_with_pos(
                 "ambiguous"
             )
         seen[b] = rel
-    df = spark.read.parquet(*(os.path.join(path, rel) for rel in rels))
+    reader = spark.read
+    if force_schema:
+        # widened/dropped columns: the committed schema outranks file
+        # footers (Spark's parquet reader upcasts int32->bigint etc. in
+        # the vectorized scan; omitted columns are never read)
+        reader = reader.schema(_schema_ddl(force_schema))
+    df = reader.parquet(*(os.path.join(path, rel) for rel in rels))
     cols = df.columns
     _check_reserved(cols, ("_fname", "_pos"))
     data = df.select(
@@ -1535,6 +1816,11 @@ def _scan_with_pos(
         data = data.join(
             _dv_rows(spark, path, dv_rels), ["_fname", "_pos"], "left_anti"
         )
+    if mapping:
+        data = _apply_mapping(data, mapping)
+        cols = [
+            {p: l for l, p in mapping.items()}.get(c, c) for c in cols
+        ]
     return data, cols
 
 
@@ -1610,7 +1896,10 @@ def delete_where_snapshot(
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
-        _check_no_mapping(man, "delete_where_snapshot")
+    # column-mapped tables: scan logical (predicate speaks logical
+    # names), write physical — rename stays metadata-only through DML
+    # (r11 verdict #1, Delta column-mapping parity)
+    mapping = man.get("column_mapping") or {}
     if man.get("mor"):
         # both delete paths probe base FILES; on a MOR table a base row
         # may already be superseded by a delta (probe finds it) or a
@@ -1639,7 +1928,9 @@ def delete_where_snapshot(
                 "files_probed": 0,
                 "dv_files_written": 0,
             }
-    data, _cols = _scan_with_pos(spark, path, probe_rels, dv_map)
+    data, _cols = _scan_with_pos(
+        spark, path, probe_rels, dv_map, mapping, _phys_schema(man)
+    )
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
     if mode == "dv":
@@ -1719,6 +2010,8 @@ def delete_where_snapshot(
             "schema": man["schema"],
             "dv": new_dv,
         }
+        if mapping:
+            manifest["column_mapping"] = mapping
         _carry_partition(man, manifest, new_files=())
         if "txn" in man:
             manifest["txn"] = man["txn"]
@@ -1764,16 +2057,17 @@ def delete_where_snapshot(
     # survivors through the DV-aware scan: a COW rewrite of a DV-carrying
     # file MATERIALIZES its existing deletes too (the vector dies with
     # the file it describes)
-    sdata, scols = _scan_with_pos(spark, path, doomed_rels, dv_map)
+    sdata, scols = _scan_with_pos(
+        spark, path, doomed_rels, dv_map, mapping, _phys_schema(man)
+    )
     survivors = sdata.filter(~F.coalesce(pred, F.lit(False))).select(*scols)
-    (survivors.write.mode("error").option("compression", compression)
-     .parquet(data_dir))
-    new_files = sorted(
-        os.path.relpath(p, path)
-        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    new_files, new_values = _route_rewrite(
+        survivors, path, man, token, compression, mapping
     )
     manifest = {"files": kept + new_files, "schema": man["schema"]}
-    _carry_partition(man, manifest, new_files)
+    if mapping:
+        manifest["column_mapping"] = mapping
+    _carry_partition(man, manifest, new_files, new_values)
     kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
     if kept_dv:
         manifest["dv"] = kept_dv
@@ -1784,7 +2078,7 @@ def delete_where_snapshot(
             {c for per_file in man["stats"].values() for c in per_file}
         )
         stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
-        stats.update(collect_file_stats(new_files, path, stats_cols))
+        stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
     version = _commit_manifest(path, manifest, token)
     return {
@@ -1961,7 +2255,7 @@ def update_where_snapshot(
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
-        _check_no_mapping(man, "update_where_snapshot")
+    mapping = man.get("column_mapping") or {}  # scan logical, write physical
     if man.get("mor"):
         raise ValueError("UPDATE on a MOR table: run compact_mor first")
     schema = man["schema"]
@@ -1993,7 +2287,9 @@ def update_where_snapshot(
     }
     if not probe_rels:  # stats prove no file can hold a matching row
         return no_op
-    data, _cols = _scan_with_pos(spark, path, probe_rels, dv_map)
+    data, _cols = _scan_with_pos(
+        spark, path, probe_rels, dv_map, mapping, _phys_schema(man)
+    )
     hits = (
         data.filter(pred)
         .groupBy("_fname")
@@ -2011,8 +2307,9 @@ def update_where_snapshot(
         rel for rel in probe_rels if os.path.basename(rel) in touched
     ]
     token = uuid.uuid4().hex[:12]
-    data_dir = os.path.join(path, "data", token)
-    sdata, scols = _scan_with_pos(spark, path, touched_rels, dv_map)
+    sdata, scols = _scan_with_pos(
+        spark, path, touched_rels, dv_map, mapping, _phys_schema(man)
+    )
     hit = F.coalesce(pred, F.lit(False))  # NULL predicate = not updated
     proj = []
     for c in scols:
@@ -2033,14 +2330,13 @@ def update_where_snapshot(
         _enforce_constraints(
             updated, man["constraints"], "update_where_snapshot"
         )
-    (updated.write.mode("error")
-     .option("compression", compression).parquet(data_dir))
-    new_files = sorted(
-        os.path.relpath(p, path)
-        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    new_files, new_values = _route_rewrite(
+        updated, path, man, token, compression, mapping
     )
     manifest = {"files": kept + new_files, "schema": schema}
-    _carry_partition(man, manifest, new_files)
+    if mapping:
+        manifest["column_mapping"] = mapping
+    _carry_partition(man, manifest, new_files, new_values)
     kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
     if kept_dv:
         manifest["dv"] = kept_dv
@@ -2051,7 +2347,7 @@ def update_where_snapshot(
             {c for per_file in man["stats"].values() for c in per_file}
         )
         stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
-        stats.update(collect_file_stats(new_files, path, stats_cols))
+        stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
     version = _commit_manifest(path, manifest, token)
     return {
@@ -2123,7 +2419,7 @@ def purge_deletion_vectors(
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
-        _check_no_mapping(man, "purge_deletion_vectors")
+    mapping = man.get("column_mapping") or {}  # scan logical, write physical
     dv_map = man.get("dv") or {}
     victims: list[str] = []
     rows_materialized = 0
@@ -2142,19 +2438,18 @@ def purge_deletion_vectors(
             "rows_materialized": 0,
         }
     token = uuid.uuid4().hex[:12]
-    data_dir = os.path.join(path, "data", token)
     sdata, scols = _scan_with_pos(
-        spark, path, victims, {rel: dv_map[rel] for rel in victims}
+        spark, path, victims, {rel: dv_map[rel] for rel in victims},
+        mapping, _phys_schema(man),
     )
-    (sdata.select(*scols).write.mode("error")
-     .option("compression", compression).parquet(data_dir))
-    new_files = sorted(
-        os.path.relpath(p, path)
-        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    new_files, new_values = _route_rewrite(
+        sdata.select(*scols), path, man, token, compression, mapping
     )
     kept = [rel for rel in man["files"] if rel not in set(victims)]
     manifest = {"files": kept + new_files, "schema": man["schema"]}
-    _carry_partition(man, manifest, new_files)
+    if mapping:
+        manifest["column_mapping"] = mapping
+    _carry_partition(man, manifest, new_files, new_values)
     kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
     if kept_dv:
         manifest["dv"] = kept_dv
@@ -2165,7 +2460,7 @@ def purge_deletion_vectors(
             {c for per_file in man["stats"].values() for c in per_file}
         )
         stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
-        stats.update(collect_file_stats(new_files, path, stats_cols))
+        stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
     version = _commit_manifest(path, manifest, token)
     return {
@@ -2231,6 +2526,12 @@ def upsert_delta_snapshot(
             "purge_deletion_vectors first"
         )
     _check_no_mapping(man, "upsert_delta_snapshot")
+    if man.get("widened") or man.get("dropped"):
+        raise ValueError(
+            "MOR conversion on a table with widened/dropped columns "
+            "unsupported — delta files must share the base files' read "
+            "schema; rewrite the table (write_snapshot overwrite) first"
+        )
     if man.get("generated"):
         changes = _apply_generated(
             changes, man["generated"], man.get("schema") or {},
@@ -2873,6 +3174,18 @@ def restore_snapshot(path: str, version: int) -> int:
     with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
         man = json.load(f)
     man.pop("version", None)
+    # ADVICE r11 (low): pass the restored manifest's OWN constraint /
+    # generated maps explicitly (empty included) — _commit_manifest's
+    # inherit-when-absent would otherwise attach the NEWEST maps to data
+    # that was never validated against them (restoring a pre-constraint
+    # version must restore the pre-constraint contract too; the
+    # constraint can be re-added, which re-validates).
+    man["constraints"] = man.get("constraints") or {}
+    man["generated"] = man.get("generated") or {}
+    # same for the schema-evolution markers: the restored version's own
+    # reality (its files/schema pairing), never the newest version's
+    man["widened"] = man.get("widened") or {}
+    man["dropped"] = man.get("dropped") or []
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         latest_txn = json.load(f).get("txn")
     if latest_txn:
@@ -3279,6 +3592,13 @@ def write_snapshot_to_branch(
         manifest["constraints"] = prev["constraints"]
     if prev.get("generated"):
         manifest["generated"] = prev["generated"]
+    if mode == "append":
+        # appended-to branches keep forcing the read schema over the
+        # carried narrow/tombstoned files (branch commits bypass
+        # _commit_manifest's inherit, so carry explicitly here)
+        for carry in ("widened", "dropped"):
+            if prev.get(carry):
+                manifest[carry] = prev[carry]
     bdir = _branch_dir(path, name)
     tmp = os.path.join(bdir, f".tmp-{token}.json")
     while True:
@@ -3658,7 +3978,8 @@ def read_snapshot_pruned(
     # DV-aware over the surviving files (stats of a DV-carrying file are
     # upper bounds, so the manifest pruning above stays conservative)
     data, cols = _scan_with_pos(
-        spark, path, keep, manifest.get("dv") or {}
+        spark, path, keep, manifest.get("dv") or {},
+        force_schema=_phys_schema(manifest),
     )
     # renamed tables: stats keys are already logical (rename_column
     # re-keys them), the scanned frame is physical — translate before
@@ -3782,14 +4103,26 @@ def read_bloom_pruned(
         ).alias("_ps")
     ).collect()
     all_files = sorted(meta["files"])
-    keep: set[str] = set()
-    for r in rows:
-        for rel in all_files:
-            words = meta["files"][rel]
-            if all(
-                (words.get(str(p // 64), 0) >> (p % 64)) & 1 for p in r["_ps"]
-            ):
-                keep.add(rel)
+    # r11 verdict #8: vectorize the files × values membership fold — at
+    # 10^6 files × many probe values the per-bit python loop was the
+    # slowest driver loop in the repo. One uint64 matrix per sidecar
+    # (files × words, sparse words densified once), one gather per probe.
+    import numpy as np
+
+    n_words = (m_bits + 63) // 64
+    mat = np.zeros((len(all_files), n_words), dtype=np.uint64)
+    for fi, rel in enumerate(all_files):
+        for w, bits in meta["files"][rel].items():
+            mat[fi, int(w)] = np.uint64(bits & ((1 << 64) - 1))
+    probes = np.array([r["_ps"] for r in rows], dtype=np.int64)  # v × k
+    word_idx = probes // 64                       # v × k
+    bit = np.uint64(1) << (probes % 64).astype(np.uint64)
+    # files × values × k: does every probe bit fire?
+    fired = (mat[:, word_idx] & bit) != 0
+    hit_any = fired.all(axis=2).any(axis=1)       # files: any value all-k
+    keep: set[str] = {
+        rel for fi, rel in enumerate(all_files) if hit_any[fi]
+    }
     # files on disk but absent from the sidecar are unindexed: always read.
     # The reverse skew — sidecar entries whose files were REWRITTEN AWAY
     # (compaction/merge without an index rebuild) — must not crash the
@@ -3957,11 +4290,114 @@ def _transform_expr(t: dict, dtype: str):
     return F.date_format(c, _TEMPORAL_FMT[kind])
 
 
+# XXH64 primes — the published constants of the public xxHash spec
+# (github.com/Cyan4973/xxHash), which Spark's `xxhash64` expression
+# implements JVM-side with seed 42.
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xx_round(acc: int, k: int) -> int:
+    k = (k * _XXP2) & _M64
+    k = _rotl64(k, 31)
+    k = (k * _XXP1) & _M64
+    acc ^= k
+    return (_rotl64(acc, 27) * _XXP1 + _XXP4) & _M64
+
+
+def xxhash64_long(v: int, seed: int = 42) -> int:
+    """Spark's ``xxhash64`` of one LONG value, driver-side (the
+    specialized hashLong path: seed + P5 + 8, one round, fmix). Returns
+    the unsigned 64-bit hash; callers mod it like ``pmod``."""
+    h = (seed + _XXP5 + 8) & _M64
+    h = _xx_round(h, v & _M64)
+    return _xx_fmix(h)
+
+
+def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
+    """Spark's ``xxhash64`` of a string/binary value, driver-side — the
+    standard little-endian XXH64 over the UTF-8 bytes."""
+    import struct
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            a, b, c, d = struct.unpack_from("<QQQQ", data, i)
+            v1 = (_rotl64((v1 + a * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v2 = (_rotl64((v2 + b * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v3 = (_rotl64((v3 + c * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v4 = (_rotl64((v4 + d * _XXP2) & _M64, 31) * _XXP1) & _M64
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12)
+            + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            v = (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = ((h ^ v) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        k = (_rotl64((k * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = (_rotl64(h ^ k, 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = (_rotl64(h ^ (k * _XXP1) & _M64, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ (data[i] * _XXP5) & _M64, 11) * _XXP1) & _M64
+        i += 1
+    return _xx_fmix(h)
+
+
+def _bucket_of(v, n: int) -> int:
+    """Driver-side bucket id of a literal — pmod(xxhash64(v), n) with the
+    exact JVM semantics (longs via the specialized long path, strings via
+    UTF-8 bytes), so write-side hive values and read-side predicate
+    literals can never disagree. Pinned against ``F.xxhash64`` in
+    tests/test_partitioned.py."""
+    if isinstance(v, bool):
+        raise ValueError("bucket partition predicate on bool")
+    h = (
+        xxhash64_long(int(v)) if isinstance(v, int)
+        else xxhash64_bytes(str(v).encode("utf-8"))
+    )
+    if h >= 1 << 63:  # JVM hash is a SIGNED long; pmod of the signed value
+        h -= 1 << 64
+    return h % n
+
+
 def _transform_literal(t: dict, v, spark=None):
     """Transform a PREDICATE literal the way :func:`_transform_expr`
     transforms the column, driver-side, so pruning compares like with
-    like. bucket needs the JVM's xxhash64 — a 1-row local-relation query
-    (metadata planning cost, no scan)."""
+    like. Pure Python throughout — bucket literals hash via the
+    driver-side XXH64 twin of the JVM expression (``spark`` is accepted
+    for API compatibility, unused)."""
     import datetime
 
     kind = t["transform"]
@@ -3980,14 +4416,7 @@ def _transform_literal(t: dict, v, spark=None):
             return v.strftime("%Y-%m-%d")
         raise ValueError(f"unsupported identity predicate literal {v!r}")
     if kind == "bucket":
-        from pyspark.sql import functions as F
-
-        lit = F.lit(int(v)).cast("long") if isinstance(v, int) else F.lit(str(v))
-        return (
-            spark.range(1)
-            .select(F.pmod(F.xxhash64(lit), F.lit(t["n"])).cast("long"))
-            .first()[0]
-        )
+        return _bucket_of(v, t["n"])
     if kind == "truncate":
         if isinstance(v, int):
             return v - (v % t["w"] + t["w"]) % t["w"]
@@ -4067,8 +4496,13 @@ def write_snapshot_partitioned(
     if prev.get("mor"):
         raise ValueError("partitioned write into a MOR table unsupported")
     specs, cur = [spec], 0
+    # append keeps a mapped table's ONE physical schema (write with
+    # physical names, manifest speaks logical); overwrite materializes
+    mapping = (
+        (prev.get("column_mapping") or {})
+        if (mode == "append" and prev) else {}
+    )
     if mode == "append" and prev:
-        _check_no_mapping(prev, "write_snapshot_partitioned(append)")
         prev_part = prev.get("partition") or {}
         prev_specs = prev_part.get("specs")
         if prev_specs is not None:
@@ -4091,9 +4525,20 @@ def write_snapshot_partitioned(
                     f"{col_name!r} was {col_type}, new commit has "
                     f"{new_schema.get(col_name)!r}"
                 )
+        if prev.get("dropped"):
+            reborn = sorted(
+                c for c in new_schema
+                if c not in (prev.get("schema") or {})
+                and c in prev["dropped"]
+            )
+            if reborn:
+                raise ValueError(
+                    f"columns {reborn} reuse DROPPED column names still "
+                    "present in old files — rewrite before reusing"
+                )
 
     new_files, values = _write_partitioned_files(
-        df, path, spec, cur, dtypes, compression
+        df, path, spec, cur, dtypes, compression, mapping
     )
 
     carried = prev.get("files", []) if (mode == "append" and prev) else []
@@ -4106,6 +4551,11 @@ def write_snapshot_partitioned(
         "schema": new_schema,
         "partition": {"specs": specs, "current": cur, "values": values},
     }
+    if mode == "overwrite":
+        # fresh files: shed the widened/dropped markers explicitly
+        manifest["widened"], manifest["dropped"] = {}, []
+    if mapping:
+        manifest["column_mapping"] = mapping
     carried_dv = {
         rel: dv
         for rel, dv in (prev.get("dv") or {}).items()
@@ -4120,13 +4570,104 @@ def write_snapshot_partitioned(
             if rel in prev.get("stats", {})
         }
         if stats_cols is not None:
-            stats.update(collect_file_stats(new_files, path, stats_cols))
+            stats.update(
+                _stats_logical(new_files, path, stats_cols, mapping)
+            )
         manifest["stats"] = stats
     if prev_txn or txn is not None:
         manifest["txn"] = dict(prev_txn)
         if txn is not None:
             manifest["txn"][txn[0]] = txn[1]
-    return _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
+
+    def _rebase(head: dict) -> dict:
+        """Racing-writer rebase, partitioned flavor: additionally refuses
+        a concurrent partition-spec evolution (this commit's tuples were
+        computed under the old current spec)."""
+        if head.get("mor"):
+            raise ConcurrentCommitError(
+                "concurrent commit made the table MOR — partitioned "
+                "write refuses"
+            )
+        if (head.get("column_mapping") or {}) != mapping:
+            raise ConcurrentCommitError(
+                "column mapping changed concurrently — this commit's "
+                "files carry the old physical schema; re-run the write"
+            )
+        if (head.get("constraints") or {}) != (prev.get("constraints") or {}):
+            raise ConcurrentCommitError(
+                "CHECK constraints changed concurrently — re-run the write"
+            )
+        if (head.get("generated") or {}) != (prev.get("generated") or {}):
+            raise ConcurrentCommitError(
+                "generated-column contracts changed concurrently — "
+                "re-run the write"
+            )
+        if txn is not None and txn[1] <= (head.get("txn") or {}).get(
+            txn[0], -1
+        ):
+            raise ConcurrentCommitError(
+                f"txn batch {txn} already committed by a concurrent "
+                "writer — re-run the verb for the idempotent skip"
+            )
+        for col_name, col_type in (head.get("schema") or {}).items():
+            if new_schema.get(col_name) != col_type:
+                raise ConcurrentCommitError(
+                    f"concurrent schema evolution: column {col_name!r} "
+                    f"is now {col_type}, this commit has "
+                    f"{new_schema.get(col_name)!r}"
+                )
+        head_txn = dict(head.get("txn") or {})
+        if txn is not None:
+            head_txn[txn[0]] = txn[1]
+        if mode == "overwrite":
+            m2 = dict(manifest)
+            if head_txn:
+                m2["txn"] = head_txn
+            return m2
+        head_part = head.get("partition") or {}
+        head_specs = head_part.get("specs")
+        r_specs, r_cur = [spec], 0
+        if head_specs is not None:
+            r_cur = head_part["current"]
+            if head_specs[r_cur] != spec:
+                raise ConcurrentCommitError(
+                    "partition spec evolved concurrently — this commit's "
+                    "tuples were computed under the old spec; re-run"
+                )
+            r_specs = head_specs
+        r_values = dict(head_part.get("values") or {})
+        for rel in head.get("files") or []:
+            r_values.setdefault(rel, None)
+        for rel in new_files:
+            r_values[rel] = [r_cur, values[rel][1]]
+        m2 = {
+            "files": list(head.get("files") or []) + new_files,
+            "schema": new_schema,
+            "partition": {
+                "specs": r_specs, "current": r_cur, "values": {
+                    rel: r_values.get(rel)
+                    for rel in (head.get("files") or []) + new_files
+                },
+            },
+        }
+        if mapping:
+            m2["column_mapping"] = mapping
+        if head.get("dv"):
+            m2["dv"] = dict(head["dv"])
+        our_stats = {
+            rel: manifest["stats"][rel]
+            for rel in new_files
+            if rel in manifest.get("stats", {})
+        } if "stats" in manifest else {}
+        if head.get("stats") or our_stats:
+            m2["stats"] = {**(head.get("stats") or {}), **our_stats}
+        if head_txn:
+            m2["txn"] = head_txn
+        return m2
+
+    return _commit_manifest(
+        path, manifest, uuid.uuid4().hex[:12], rebase=_rebase
+    )
 
 
 def partition_pruned_files(
@@ -4273,6 +4814,8 @@ def read_snapshot_partitioned(
         "files": keep,
         "schema": manifest.get("schema"),
         "column_mapping": manifest.get("column_mapping"),
+        "widened": manifest.get("widened"),
+        "dropped": manifest.get("dropped"),
         "dv": {
             rel: dv
             for rel, dv in (manifest.get("dv") or {}).items()
@@ -4395,26 +4938,74 @@ def table_files(
     )
 
 
-def _carry_partition(man: dict, manifest: dict, new_files) -> None:
+def _carry_partition(
+    man: dict, manifest: dict, new_files, new_values: dict | None = None
+) -> None:
     """Carry a partition block through a DML commit: files that survive
-    keep their recorded tuples; files this commit WROTE map to None
-    (= never pruned), because a rewrite mixes partitions — pruning
-    degrades on the rewritten fraction, never lies. Called by the DV /
-    COW delete, UPDATE and MERGE verbs; full-rewrite verbs (optimize,
-    compaction) drop the block instead, since every tuple would be
-    None."""
+    keep their recorded tuples; files this commit WROTE take their tuple
+    from ``new_values`` (``{rel: [sid, tuple]}`` — the DML rewrite
+    routed through the hive writer, r11 verdict #2) or map to None
+    (= never pruned) when the rewrite didn't partition-cluster — pruning
+    degrades on that fraction, never lies. Called by the DV / COW
+    delete, UPDATE and MERGE verbs; full-rewrite verbs (optimize,
+    compaction) on unpartitioned tables drop the block instead."""
     part = man.get("partition")
     if not part:
         return
     vals = part.get("values") or {}
     new = set(new_files)
+    nv = new_values or {}
     manifest["partition"] = {
         **{k: part[k] for k in part if k != "values"},
         "values": {
-            rel: (None if rel in new else vals.get(rel))
+            rel: (nv.get(rel) if rel in new else vals.get(rel))
             for rel in manifest["files"]
         },
     }
+
+
+def _route_rewrite(
+    df_logical: DataFrame,
+    path: str,
+    man: dict,
+    token: str,
+    compression: str,
+    mapping: dict | None = None,
+) -> tuple[list[str], dict | None]:
+    """Land a DML rewrite's surviving rows and return ``(new rel paths,
+    {rel: [sid, tuple]} | None)``. On a hidden-partitioned table the
+    rows route through the hive writer under the CURRENT spec, so the
+    rewritten files come out with REAL partition tuples and pruning
+    holds immediately after DML (r11 verdict #2 — the transforms are
+    derivable from source columns, hidden partitioning's whole point;
+    pre-r12 these files carried None tuples until an
+    optimize_partitions repair pass). Unpartitioned tables take the
+    plain single-directory write. ``df_logical`` speaks logical names;
+    ``mapping`` renames to the table's physical schema at write."""
+    import glob
+    import os
+
+    part = man.get("partition")
+    if part and part.get("specs"):
+        spec = part["specs"][part["current"]]
+        dtypes = {
+            f.name: f.dataType.simpleString() for f in df_logical.schema
+        }
+        return _write_partitioned_files(
+            df_logical, path, spec, part["current"], dtypes, compression,
+            mapping,
+        )
+    out = (
+        df_logical.withColumnsRenamed(mapping) if mapping else df_logical
+    )
+    data_dir = os.path.join(path, "data", token)
+    (out.write.mode("error").option("compression", compression)
+     .parquet(data_dir))
+    new_files = sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+    return new_files, None
 
 
 # ---------------------------------------------------------------------------
@@ -4588,13 +5179,18 @@ def evolve_partition_spec(path: str, new_spec) -> int:
 # references (schema, per-file stats, partition-spec columns), so the
 # whole metadata plane speaks logical names and only the file bytes stay
 # physical. Readers translate physical->logical in _manifest_df (one
-# projection, codegen'd); appends translate logical->physical before
-# writing so all files of a table always share one physical schema.
-# Partial-rewrite verbs (COW delete/update, DV purge, incremental
-# optimize, MOR delta) REFUSE a mapped table loudly — their rewritten
-# files would carry logical names next to physical neighbors; full
-# rewrites (merge/optimize/overwrite/publish) read logical and write
-# logical, which MATERIALIZES the rename and clears the map.
+# projection, codegen'd). EVERY writing verb keeps the table's ONE
+# physical schema (r11 verdict #1 — rename stays metadata-only forever,
+# Delta column-mapping parity): appends and DML rewrites scan logical
+# (predicates/assignments/constraints speak logical names via
+# _scan_with_pos(mapping=...)) and rename logical->physical just before
+# the write; stats harvest physical and store logical (_stats_logical);
+# the mapping rides every commit. Full overwrites (write_snapshot
+# overwrite, merge's full rewrite, materialize_column_mapping) read
+# logical and write logical, which MATERIALIZES the rename and clears
+# the map. Only the mapped-table -> MOR conversion still refuses (MOR
+# delta groups pin key/seq columns by name; rename_column refuses MOR
+# tables for the same reason).
 # ---------------------------------------------------------------------------
 
 
@@ -4608,12 +5204,15 @@ def _apply_mapping(df: DataFrame, mapping: dict | None) -> DataFrame:
 
 
 def _check_no_mapping(man: dict, verb: str) -> None:
+    """Last remaining mapped-table refusal: the MOR conversion (delta
+    groups pin key/seq column names into the chain, so a mapped table
+    must materialize before going MOR). Every other verb operates on
+    mapped tables natively — see the section comment above."""
     if man.get("column_mapping"):
         raise ValueError(
-            f"{verb} on a column-mapped table would mix logical and "
-            f"physical file schemas (mapping "
-            f"{man['column_mapping']}) — materialize_column_mapping "
-            "first"
+            f"{verb} on a column-mapped table is unsupported (mapping "
+            f"{man['column_mapping']}): MOR delta groups pin physical "
+            "key/seq column names — materialize_column_mapping first"
         )
 
 
@@ -4713,6 +5312,143 @@ def materialize_column_mapping(spark: SparkSession, path: str) -> int:
     return write_snapshot(spark, read_snapshot(spark, path), path)
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution beyond additive (r11 verdict #6): TYPE WIDENING and
+# DROP COLUMN as metadata-only commits. The committed schema is the
+# authority; when it diverges from the file footers (wider types, or
+# columns the files still carry but the schema no longer names), every
+# reader FORCES the scan schema (spark.read.schema(...) — the Spark 4
+# vectorized parquet reader upcasts int32->bigint / float->double in the
+# scan, and omitted columns are never read; see _phys_schema). Rewrite
+# verbs then materialize the evolution file-by-file as they touch data,
+# and a full overwrite clears the markers.
+# ---------------------------------------------------------------------------
+
+#: published-safe widenings (the Iceberg/Delta type-promotion lattice
+#: restricted to what parquet's physical types re-read losslessly)
+_WIDENINGS = {
+    "tinyint": ("smallint", "int", "bigint"),
+    "smallint": ("int", "bigint"),
+    "int": ("bigint",),
+    "float": ("double",),
+}
+
+
+def widen_column_type(path: str, col: str, new_type: str) -> int:
+    """Widen ``col``'s committed type (int->long, float->double, ...) as
+    a METADATA-ONLY commit: no file is read or written; readers upcast
+    in the parquet scan from this version on, writers must supply the
+    widened type (the additive-evolution check now speaks it), and any
+    rewrite materializes it. Narrowing and non-numeric changes refuse —
+    they would corrupt values silently. Returns the new version."""
+    import uuid
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    man = _load_manifest(path, versions[-1])
+    if man.get("mor"):
+        raise ValueError(
+            "widen_column_type on a MOR table unsupported — compact_mor "
+            "first (delta files must share the base files' read schema)"
+        )
+    schema = dict(man.get("schema") or {})
+    if col not in schema:
+        raise ValueError(f"no column {col!r} (have {sorted(schema)})")
+    cur = schema[col]
+    if new_type == cur:
+        return versions[-1]  # already that type: nothing to commit
+    if new_type not in _WIDENINGS.get(cur, ()):
+        lattice = ", ".join(
+            "{}->{}".format(k, "/".join(v))
+            for k, v in sorted(_WIDENINGS.items())
+        )
+        raise ValueError(
+            f"cannot change column {col!r} from {cur} to {new_type}: "
+            f"only widenings are metadata-safe ({lattice}); a "
+            "narrowing/retype needs a deliberate rewrite "
+            "(enforce_schema=False)"
+        )
+    mapping = man.get("column_mapping") or {}
+    manifest = {k: v for k, v in man.items()}
+    manifest["schema"] = {
+        c: (new_type if c == col else t) for c, t in schema.items()
+    }
+    widened = dict(man.get("widened") or {})
+    widened[mapping.get(col, col)] = new_type  # keyed PHYSICAL: stable
+    # across renames, which only move the logical layer
+    manifest["widened"] = widened
+    return _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
+
+
+def drop_column(path: str, col: str) -> int:
+    """DROP COLUMN as a METADATA-ONLY commit (the mapping-layer
+    tombstone): the column leaves the logical schema — every reader
+    stops projecting it — while the file bytes stay untouched until
+    rewrites shed them naturally. The PHYSICAL name is recorded as
+    dropped so an append cannot re-introduce a same-named column whose
+    old-file bytes would silently resurrect (Delta needs id-based
+    mapping for safe reuse; here the overwrite that clears the
+    tombstone is the re-admission point). Refuses: the last column, a
+    column in the CURRENT partition spec, one referenced by a CHECK
+    constraint or generated column, and MOR tables. Returns the new
+    version."""
+    import re as _re
+    import uuid
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    man = _load_manifest(path, versions[-1])
+    if man.get("mor"):
+        raise ValueError(
+            "drop_column on a MOR table unsupported — compact_mor first"
+        )
+    schema = dict(man.get("schema") or {})
+    if col not in schema:
+        raise ValueError(f"no column {col!r} (have {sorted(schema)})")
+    if len(schema) == 1:
+        raise ValueError("cannot drop the last column")
+    part = man.get("partition") or {}
+    if part.get("specs"):
+        cur_spec = part["specs"][part["current"]]
+        if any(t["col"] == col for t in cur_spec):
+            raise ValueError(
+                f"column {col!r} is in the current partition spec — "
+                "evolve_partition_spec away from it first"
+            )
+    for cname, expr in (man.get("constraints") or {}).items():
+        if _re.search(rf"\b{_re.escape(col)}\b", expr):
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint "
+                f"{cname!r} ({expr}) — drop the constraint first"
+            )
+    for gcol, expr in (man.get("generated") or {}).items():
+        if gcol == col or _re.search(rf"\b{_re.escape(col)}\b", expr):
+            raise ValueError(
+                f"column {col!r} is part of generated column {gcol!r} "
+                f"({expr}) — drop_generated_column first"
+            )
+    mapping = dict(man.get("column_mapping") or {})
+    phys = mapping.pop(col, col)
+    manifest = {k: v for k, v in man.items()}
+    manifest["schema"] = {c: t for c, t in schema.items() if c != col}
+    manifest["column_mapping"] = mapping
+    dropped = list(man.get("dropped") or [])
+    if phys not in dropped:
+        dropped.append(phys)
+    manifest["dropped"] = dropped
+    widened = dict(man.get("widened") or {})
+    widened.pop(phys, None)
+    manifest["widened"] = widened
+    if man.get("stats"):
+        manifest["stats"] = {
+            rel: {c: v for c, v in per.items() if c != col}
+            for rel, per in man["stats"].items()
+        }
+    return _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
+
+
 def _write_partitioned_files(
     df: DataFrame,
     path: str,
@@ -4720,12 +5456,16 @@ def _write_partitioned_files(
     sid: int,
     dtypes: dict[str, str],
     compression: str,
+    mapping: dict | None = None,
 ) -> tuple[list[str], dict[str, list]]:
     """Write ``df`` hive-laid-out under ``spec`` into a fresh
     ``data/<token>/`` and return ``(sorted new rel paths, {rel: [sid,
     tuple]})`` — the shared physical half of
-    :func:`write_snapshot_partitioned` and :func:`optimize_partitions`.
-    Nothing is committed: the caller owns the manifest."""
+    :func:`write_snapshot_partitioned`, :func:`optimize_partitions` and
+    the DML rewrite router. Nothing is committed: the caller owns the
+    manifest. ``df`` and ``spec`` speak LOGICAL names; ``mapping``
+    (logical->physical) renames the data columns just before the write
+    so a column-mapped table's files keep its one physical schema."""
     import glob
     import os
     import urllib.parse
@@ -4735,6 +5475,8 @@ def _write_partitioned_files(
     out = df
     for name, t in zip(pcols, spec):
         out = out.withColumn(name, _transform_expr(t, dtypes[t["col"]]))
+    if mapping:
+        out = out.withColumnsRenamed(mapping)
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
     (
@@ -4811,7 +5553,7 @@ def optimize_partitions(
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     man = _load_manifest(path, versions[-1])
-    _check_no_mapping(man, "optimize_partitions")
+    mapping = man.get("column_mapping") or {}  # scan logical, write physical
     if man.get("mor"):
         raise ValueError(
             "optimize_partitions on a MOR table unsupported — compact_mor "
@@ -4839,7 +5581,8 @@ def optimize_partitions(
     # DV-aware scan of the matched files: existing deletes materialize
     # with the rewrite (the vector dies with the file it describes)
     sdata, scols = _scan_with_pos(
-        spark, path, matched, {r: dv_map[r] for r in matched if r in dv_map}
+        spark, path, matched, {r: dv_map[r] for r in matched if r in dv_map},
+        mapping, _phys_schema(man),
     )
     dtypes = {
         f.name: f.dataType.simpleString()
@@ -4847,7 +5590,7 @@ def optimize_partitions(
     }
     new_files, new_values = _write_partitioned_files(
         sdata.select(*scols), path, spec, part["current"], dtypes,
-        compression,
+        compression, mapping,
     )
     values = {
         rel: v
@@ -4861,6 +5604,8 @@ def optimize_partitions(
         "partition": {**{k: part[k] for k in part if k != "values"},
                       "values": values},
     }
+    if mapping:
+        manifest["column_mapping"] = mapping
     kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
     if kept_dv:
         manifest["dv"] = kept_dv
@@ -4873,7 +5618,7 @@ def optimize_partitions(
         stats = {
             rel: man["stats"][rel] for rel in kept if rel in man["stats"]
         }
-        stats.update(collect_file_stats(new_files, path, stats_cols))
+        stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
     import uuid
 

@@ -462,14 +462,30 @@ def make_changefeed_source():
             for v in rng:
                 tr = classify_transition(self.path, base, v)
                 kind = tr["kind"]
+                if tr["manifest"].get("column_mapping"):
+                    # ADVICE r11 (medium): the open-time guard checks only
+                    # the LATEST manifest — a feed opened after
+                    # materialize_column_mapping with from_version inside
+                    # the rename era would read that era's physical-named
+                    # files and stream the renamed column as NULL. Refuse
+                    # per TRANSITION, exactly like the open-time guard
+                    # (the batch twin version_delta translates instead).
+                    raise ValueError(
+                        f"change feed transition v{base}->v{v} lies in a "
+                        "column-mapped era (mapping "
+                        f"{tr['manifest']['column_mapping']}) — its "
+                        "physical-named files would stream renamed "
+                        "columns as NULL; consume that era via "
+                        "version_delta, or restart the feed from the "
+                        "materialize_column_mapping version"
+                    )
                 if kind in ("initial", "append"):
                     rels = tr["new_files"]
                     if self.pwhere:
                         # coarse partition admission: whole matching
                         # partitions flow, the consumer row-filters.
-                        # Other kinds (dv/rewrite) pass through
-                        # unfiltered — a conservative superset, never a
-                        # missed change.
+                        # rewrite kind passes through unfiltered — a
+                        # conservative superset, never a missed change.
                         rels = _admit(tr["manifest"], rels, self.pwhere)
                     parts += [
                         _Part(
@@ -504,6 +520,17 @@ def make_changefeed_source():
                         for rel in grp
                     ]
                 elif kind == "dv":
+                    dv_rels = list(tr["dv_changed"])
+                    if self.pwhere:
+                        # a DV commit touches named FILES whose partition
+                        # tuples are in the manifest — intersect with the
+                        # predicate so a one-region consumer never reads
+                        # every region's deletes (r11 verdict #7). Same
+                        # conservative-superset contract as append
+                        # admission (no-tuple files always flow).
+                        dv_rels = _admit(
+                            tr["manifest"], dv_rels, self.pwhere
+                        )
                     parts += [
                         _Part(
                             (
@@ -511,18 +538,28 @@ def make_changefeed_source():
                                 v,
                                 self.path,
                                 rel,
-                                old_new[0],
-                                old_new[1],
+                                tr["dv_changed"][rel][0],
+                                tr["dv_changed"][rel][1],
                                 self.cols,
                             )
                         )
-                        for rel, old_new in tr["dv_changed"].items()
+                        for rel in dv_rels
                     ]
                 elif kind == "rewrite":
                     prev_man = (
                         _manifest(self.path, base) if base > 0 else
                         {"files": [], "schema": {}}
                     )
+                    if prev_man.get("column_mapping"):
+                        # the materialize commit itself: diffing against
+                        # the mapped base would key on physical names
+                        raise ValueError(
+                            f"change feed transition v{base}->v{v} "
+                            "diffs against a column-mapped base manifest "
+                            f"(mapping {prev_man['column_mapping']}) — "
+                            "consume via version_delta or restart the "
+                            "feed from the materialize version"
+                        )
                     K = self.diff_parts
                     if K <= 0:  # auto: one key-hash range per ~256 MB
                         nbytes = 0
@@ -722,14 +759,24 @@ def changefeed_fold(
 
 
 def _admit_partition_files(man: dict, rels: list, pwhere: dict) -> list:
-    """Streaming half of partition pruning: admit only the files of an
-    append/initial transition whose manifest tuples can satisfy
-    ``pwhere`` (the ``read_snapshot_partitioned`` predicate language,
-    JSON-carried: temporal literals as ISO strings). COARSE admission —
-    whole matching partitions flow, the consumer row-filters inside
-    them. bucket[] transforms are skipped (their literal hash lives in
-    the JVM; no pruning, never a wrong answer), as are files with no
-    recorded tuple."""
+    """Streaming half of partition pruning: admit only the files of a
+    transition whose manifest tuples can satisfy ``pwhere`` (the
+    ``read_snapshot_partitioned`` predicate language, JSON-carried:
+    temporal literals as ISO strings). COARSE admission — whole matching
+    partitions flow, the consumer row-filters inside them; files with no
+    recorded tuple always flow.
+
+    Because the predicate crossed a ``json.dumps(default=str)`` boundary,
+    a literal's original Python type is unknowable here — an identity
+    predicate therefore tests the stored value against EVERY rendering
+    the literal could have had (raw string for string/date columns, the
+    timestamp identity format, the bare-date format). Admit-on-any-match
+    keeps admission a conservative superset; the r11 single-coercion
+    version silently DROPPED matching files when a date literal coerced
+    to the timestamp rendering (ADVICE r11 high — a missed change, the
+    one failure mode this path must never have). bucket[] transforms
+    prune ``=``/``in`` via the driver-side XXH64 twin of the JVM hash
+    (:func:`storage._bucket_of`)."""
     part = man.get("partition")
     if not part or not pwhere:
         return rels
@@ -737,16 +784,50 @@ def _admit_partition_files(man: dict, rels: list, pwhere: dict) -> list:
 
     from dp_dimension_importer_spark.storage import _transform_literal
 
-    def _coerce(t, v):
-        if t["transform"] in ("years", "months", "days", "hours") or (
-            t["transform"] == "identity" and isinstance(v, str)
-            and any(ch in v for ch in "-:")
-        ):
+    def _renderings(t, v):
+        """Every stored value the literal could legitimately compare
+        against, keyed by rendering kind so BETWEEN pairs lo/hi within
+        one rendering (never across two)."""
+        out = {}
+        try:
+            out["raw"] = _transform_literal(t, v)
+        except ValueError:
+            pass
+        if t["transform"] in ("years", "months", "days", "hours"):
+            if isinstance(v, str):
+                try:
+                    out["raw"] = _transform_literal(
+                        t, datetime.datetime.fromisoformat(v)
+                    )
+                except ValueError:
+                    pass
+            return out
+        if t["transform"] != "identity":
+            return out
+        dt = None
+        if isinstance(v, str):
             try:
-                return datetime.datetime.fromisoformat(v)
-            except (TypeError, ValueError):
-                return v
-        return v
+                dt = datetime.datetime.fromisoformat(v)
+            except ValueError:
+                pass
+        elif isinstance(v, datetime.datetime):
+            dt = v
+        elif isinstance(v, datetime.date):
+            dt = datetime.datetime(v.year, v.month, v.day)
+        if dt is not None:
+            out["ts"] = dt.strftime("%Y-%m-%d-%H.%M.%S.%f")
+            if (dt.hour, dt.minute, dt.second, dt.microsecond) == (0,) * 4:
+                out["date"] = dt.strftime("%Y-%m-%d")
+        return out
+
+    def _match_any(s, cands):
+        for tv in cands:
+            try:
+                if s == tv:
+                    return True
+            except TypeError:
+                return True  # incomparable rendering: admit, never drop
+        return False
 
     specs, vals = part["specs"], part.get("values") or {}
 
@@ -755,23 +836,43 @@ def _admit_partition_files(man: dict, rels: list, pwhere: dict) -> list:
         for col, pred in pwhere.items():
             op = pred[0]
             for i, t in enumerate(spec):
-                if t["col"] != col or t["transform"] == "bucket":
+                if t["col"] != col:
                     continue
                 if op == "=":
-                    tv = _transform_literal(t, _coerce(t, pred[1]))
-                    out.append((i, lambda s, tv=tv: s == tv))
+                    tvs = set(_renderings(t, pred[1]).values())
+                    if not tvs:
+                        continue  # unrenderable literal: cannot prune
+                    out.append((i, lambda s, tvs=tvs: _match_any(s, tvs)))
                 elif op == "in":
                     tvs = {
-                        _transform_literal(t, _coerce(t, x))
+                        tv
                         for x in pred[1]
+                        for tv in _renderings(t, x).values()
                     }
-                    out.append((i, lambda s, tvs=tvs: s in tvs))
+                    if not tvs:
+                        continue
+                    out.append((i, lambda s, tvs=tvs: _match_any(s, tvs)))
                 elif op == "between":
-                    lo = _transform_literal(t, _coerce(t, pred[1]))
-                    hi = _transform_literal(t, _coerce(t, pred[2]))
-                    out.append(
-                        (i, lambda s, lo=lo, hi=hi: lo <= s <= hi)
-                    )
+                    if t["transform"] == "bucket":
+                        continue  # buckets are orderless: no range pruning
+                    los = _renderings(t, pred[1])
+                    his = _renderings(t, pred[2])
+                    pairs = [
+                        (los[k], his[k]) for k in los if k in his
+                    ]
+                    if not pairs:
+                        continue
+
+                    def _between(s, pairs=pairs):
+                        for lo, hi in pairs:
+                            try:
+                                if lo <= s <= hi:
+                                    return True
+                            except TypeError:
+                                return True  # incomparable: admit
+                        return False
+
+                    out.append((i, _between))
                 else:
                     raise ValueError(
                         f"unknown partition predicate {pred!r}"

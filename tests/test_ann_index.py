@@ -1,0 +1,150 @@
+"""Unit pins for the persisted IVF/SQ8 ANN index (r12 — r11 verdict #4):
+build_ivf_index / append_to_index / probe_index in operators/similarity.
+Recall floors live in tests/test_recall.py; these pin the index
+MECHANICS — layout, append shape, partition pruning, determinism."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark.catalog import load_tables
+from dp_dimension_importer_spark.operators.similarity import (
+    IVF_CELLS,
+    IVF_IDX_META,
+    IVF_NPROBE,
+    _load_ivf_meta,
+    append_to_index,
+    build_ivf_index,
+    probe_index,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _mkidx():
+    p = tempfile.mkdtemp(prefix="annidx_")
+    shutil.rmtree(p)
+    return p
+
+
+def _cell_files(idx):
+    out = {}
+    for p in glob.glob(os.path.join(idx, "cell=*", "*.parquet")):
+        c = int(os.path.basename(os.path.dirname(p)).split("=")[1])
+        out.setdefault(c, []).append(p)
+    return out
+
+
+def test_build_layout_and_meta(spark):
+    t = load_tables(spark, SF)
+    idx = _mkidx()
+    try:
+        meta = build_ivf_index(spark, t.embeddings, idx)
+        assert os.path.exists(os.path.join(idx, IVF_IDX_META))
+        assert meta["centroids"].shape == (IVF_CELLS, meta["dim"])
+        # unit-norm centroids
+        assert np.allclose(
+            np.linalg.norm(meta["centroids"], axis=1), 1.0
+        )
+        by_cell = _cell_files(idx)
+        assert set(by_cell) <= set(range(IVF_CELLS))
+        # every vector has exactly one code row
+        n = spark.read.parquet(idx).count()
+        assert n == t.embeddings.count()
+        # codes are dim-byte blobs
+        row = spark.read.parquet(idx).first()
+        assert len(row["code"]) == meta["dim"]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_append_adds_files_no_refit(spark):
+    t = load_tables(spark, SF)
+    e = t.embeddings
+    idx = _mkidx()
+    try:
+        build_ivf_index(spark, e.filter("vec_id % 2 = 0"), idx)
+        meta_before = _load_ivf_meta(idx)
+        files_before = {
+            c: len(fs) for c, fs in _cell_files(idx).items()
+        }
+        append_to_index(spark, e.filter("vec_id % 2 = 1"), idx)
+        meta_after = _load_ivf_meta(idx)
+        # frozen model: centroids and ranges byte-identical
+        assert np.array_equal(
+            meta_before["centroids"], meta_after["centroids"]
+        )
+        assert np.array_equal(meta_before["lo"], meta_after["lo"])
+        # append only ADDS files (old files untouched)
+        files_after = _cell_files(idx)
+        for c, n in files_before.items():
+            assert len(files_after.get(c, [])) >= n
+        assert sum(len(f) for f in files_after.values()) > sum(
+            files_before.values()
+        )
+        assert spark.read.parquet(idx).count() == e.count()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_probe_reads_only_probed_partitions(spark):
+    t = load_tables(spark, SF)
+    idx = _mkidx()
+    try:
+        meta = build_ivf_index(spark, t.embeddings, idx)
+        q = t.embeddings.filter(F.col("vec_id") < 8)
+        qm = np.vstack(
+            [
+                np.asarray(r["embedding"], dtype=np.float64)
+                for r in sorted(q.collect(), key=lambda r: r["vec_id"])
+            ]
+        )
+        qu = qm / np.linalg.norm(qm, axis=1)[:, None]
+        order = np.argsort(-(qu @ meta["centroids"].T), axis=1)
+        probed = {int(c) for row in order[:, :IVF_NPROBE] for c in row}
+        pruned = spark.read.parquet(idx).filter(
+            F.col("cell").isin(sorted(probed))
+        )
+        cells_touched = {
+            int(p.split("cell=")[1].split("/")[0])
+            for p in pruned.inputFiles()
+        }
+        assert cells_touched <= probed
+        # with 8 queries x 8 probes over 16 cells, SOME cell is unprobed
+        # in most fits; when all 16 are probed the assert is vacuous but
+        # the result check below still runs
+        got = probe_index(spark, idx, q, t.embeddings, k=3).collect()
+        assert {r["vec_id"] for r in got} == set(range(8))
+        assert all(1 <= r["rk"] <= 3 for r in got)
+        assert all(r["nn_id"] != r["vec_id"] for r in got)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_build_is_deterministic(spark):
+    t = load_tables(spark, SF)
+    e = t.embeddings.filter("vec_id < 500")
+    i1, i2 = _mkidx(), _mkidx()
+    try:
+        build_ivf_index(spark, e, i1)
+        build_ivf_index(spark, e, i2)
+        m1, m2 = _load_ivf_meta(i1), _load_ivf_meta(i2)
+        assert np.array_equal(m1["centroids"], m2["centroids"])
+        r1 = {
+            (r["vec_id"], r["cell"], bytes(r["code"]))
+            for r in spark.read.parquet(i1).collect()
+        }
+        r2 = {
+            (r["vec_id"], r["cell"], bytes(r["code"]))
+            for r in spark.read.parquet(i2).collect()
+        }
+        assert r1 == r2
+    finally:
+        shutil.rmtree(i1, ignore_errors=True)
+        shutil.rmtree(i2, ignore_errors=True)

@@ -687,3 +687,200 @@ def test_feed_partition_where_admits_only_matching_files(spark):
         assert {r["typ"] for r in got} == {"a"}
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+def test_admit_identity_date_literals_never_drop_matches():
+    """ADVICE r11 (high): json default=str carries date(2024,1,10) as
+    '2024-01-10'; the r11 coercion parsed it to a datetime and rendered
+    the TIMESTAMP identity format ('...-00.00.00.000000'), which never
+    equals a date column's stored 'yyyy-MM-dd' tuple — every matching
+    file silently dropped (a missed change). Admission now tests every
+    plausible rendering and admits on any match."""
+    from dp_dimension_importer_spark.streaming.changefeed import (
+        _admit_partition_files,
+    )
+
+    man = {
+        "partition": {
+            "specs": [[{"transform": "identity", "col": "d"}]],
+            "current": 0,
+            "values": {
+                "f1": [0, ["2024-01-10"]],
+                "f2": [0, ["2024-01-11"]],
+                "f3": None,  # no tuple: always flows
+            },
+        }
+    }
+    rels = ["f1", "f2", "f3"]
+    # the exact ADVICE scenario: a date literal after the JSON round-trip
+    pw = json.loads(json.dumps({"d": ("=", "2024-01-10")}))
+    assert _admit_partition_files(man, rels, pw) == ["f1", "f3"]
+    # in-list and between with ISO date strings
+    assert _admit_partition_files(
+        man, rels, {"d": ("in", ["2024-01-10", "2024-01-11"])}
+    ) == rels
+    assert _admit_partition_files(
+        man, rels, {"d": ("between", "2024-01-09", "2024-01-10")}
+    ) == ["f1", "f3"]
+    # identity on a TIMESTAMP column still admits via the ts rendering
+    man_ts = {
+        "partition": {
+            "specs": [[{"transform": "identity", "col": "t"}]],
+            "current": 0,
+            "values": {
+                "g1": [0, ["2024-01-10-00.00.00.000000"]],
+                "g2": [0, ["2024-01-11-12.30.00.000000"]],
+            },
+        }
+    }
+    assert _admit_partition_files(
+        man_ts, ["g1", "g2"], {"t": ("=", "2024-01-10")}
+    ) == ["g1"]
+    assert _admit_partition_files(
+        man_ts, ["g1", "g2"], {"t": ("=", "2024-01-11 12:30:00")}
+    ) == ["g2"]
+    # a non-ISO identity string with dashes stays a plain string match
+    man_s = {
+        "partition": {
+            "specs": [[{"transform": "identity", "col": "s"}]],
+            "current": 0,
+            "values": {"h1": [0, ["ab-cd"]], "h2": [0, ["xy:z"]]},
+        }
+    }
+    assert _admit_partition_files(
+        man_s, ["h1", "h2"], {"s": ("=", "ab-cd")}
+    ) == ["h1"]
+
+
+def test_admit_bucket_predicates_prune_driver_side():
+    """r12: bucket transforms prune =/in at admission via the pure-python
+    XXH64 twin of the JVM hash (no SparkSession in the stream planner)."""
+    from dp_dimension_importer_spark.storage import _bucket_of
+    from dp_dimension_importer_spark.streaming.changefeed import (
+        _admit_partition_files,
+    )
+
+    n = 8
+    b77, b78 = _bucket_of(77, n), _bucket_of(78, n)
+    assert b77 != b78  # fixture sanity: distinct buckets
+    man = {
+        "partition": {
+            "specs": [[{"transform": "bucket", "col": "k", "n": n}]],
+            "current": 0,
+            "values": {"f77": [0, [b77]], "f78": [0, [b78]]},
+        }
+    }
+    assert _admit_partition_files(
+        man, ["f77", "f78"], {"k": ("=", 77)}
+    ) == ["f77"]
+    assert _admit_partition_files(
+        man, ["f77", "f78"], {"k": ("in", [78])}
+    ) == ["f78"]
+    # between on a bucket carries no order: both flow (conservative)
+    assert _admit_partition_files(
+        man, ["f77", "f78"], {"k": ("between", 1, 99)}
+    ) == ["f77", "f78"]
+
+
+def test_feed_partition_where_date_column_end_to_end(spark):
+    """End-to-end ADVICE r11 (high) pin: identity partitioning on a DATE
+    column + a date literal through read_changes_stream's JSON boundary.
+    Pre-fix this streamed ZERO rows (all files dropped at admission)."""
+    import datetime
+
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [
+                Row(k=i, d=datetime.date(2024, 1, 10 + i % 2))
+                for i in range(8)
+            ],
+            "k bigint, d date",
+        )
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("identity", "d")]
+        )
+        got = _drain(
+            spark, path, "cf_datep",
+            partition_where={"d": ("=", datetime.date(2024, 1, 10))},
+        )
+        assert sorted(r["k"] for r in got) == [0, 2, 4, 6]
+        assert {r["change_type"] for r in got} == {"insert"}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_feed_partition_where_prunes_dv_commits(spark):
+    """r11 verdict #7: a DV commit on an unmatched partition emits ZERO
+    rows under partition_where (tuples are in the manifest; the feed
+    intersects touched files with the predicate), while a matched
+    partition's deletes flow."""
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [Row(k=i, g="ab"[i % 2], v=float(i)) for i in range(10)],
+            "k bigint, g string, v double",
+        )
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("identity", "g")]
+        )
+        # delete rows only in partition g='b'
+        r = storage.delete_where_snapshot(
+            spark, path, "g = 'b' and k < 4", mode="dv"
+        )
+        assert r["dv_files_written"] == 1
+        # consumer of g='a': the v2 DV commit must contribute NOTHING
+        got_a = _drain(
+            spark, path, "cf_dv_a", partition_where={"g": ("=", "a")}
+        )
+        assert {r["change_type"] for r in got_a} == {"insert"}
+        assert sorted(r["k"] for r in got_a) == [0, 2, 4, 6, 8]
+        # consumer of g='b' sees its deletes
+        got_b = _drain(
+            spark, path, "cf_dv_b", partition_where={"g": ("=", "b")}
+        )
+        dels = [r for r in got_b if r["change_type"] == "delete"]
+        assert sorted(r["k"] for r in dels) == [1, 3]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_feed_refuses_mapped_era_transition(spark):
+    """ADVICE r11 (medium): after rename -> append -> materialize, the
+    open-time guard passes (latest map is clear), but a feed whose range
+    crosses the mapped era must refuse per-transition — its physical-
+    named files would stream the renamed column as NULL."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark,
+            spark.createDataFrame([Row(k=1, price=10.0)],
+                                  "k bigint, price double"),
+            path,
+        )
+        storage.rename_column(path, "price", "amount")          # v2
+        storage.write_snapshot(                                 # v3 (mapped)
+            spark,
+            spark.createDataFrame([Row(k=2, amount=20.0)],
+                                  "k bigint, amount double"),
+            path, mode="append",
+        )
+        storage.materialize_column_mapping(spark, path)         # v4 (clear)
+        with pytest.raises(Exception, match="column-mapped"):
+            _drain(spark, path, "cf_mapped_era")
+        # starting AFTER the materialize version is fine
+        got = _drain(spark, path, "cf_post_mat", from_version=4)
+        assert got == []
+        storage.write_snapshot(
+            spark,
+            spark.createDataFrame([Row(k=3, amount=30.0)],
+                                  "k bigint, amount double"),
+            path, mode="append",
+        )
+        got = _drain(
+            spark, path, "cf_post_mat2", from_version=4,
+            checkpoint=tempfile.mkdtemp(prefix="cf_ck_"),
+        )
+        assert [r["k"] for r in got] == [3]
+        assert got[0]["amount"] == 30.0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -97,19 +97,53 @@ def test_rename_guards(spark):
         shutil.rmtree(scratch, ignore_errors=True)
 
 
-def test_partial_rewrite_verbs_refuse_until_materialize(spark):
+def test_mapped_dml_keeps_rename_metadata_only(spark):
+    """r12 (r11 verdict #1): the partial-rewrite DML suite works on a
+    column-mapped table WITHOUT materialize — predicates speak logical
+    names, rewritten files keep the ONE physical schema, the mapping
+    rides every commit. Only the MOR conversion still refuses."""
     scratch, path = _mkpath()
     try:
         storage.write_snapshot(
             spark, _df(spark, [(i, float(i)) for i in range(1, 9)]), path
         )
         storage.rename_column(path, "price", "amount")
-        with pytest.raises(ValueError, match="column-mapped"):
-            storage.delete_where_snapshot(spark, path, "k < 3")
-        with pytest.raises(ValueError, match="column-mapped"):
-            storage.update_where_snapshot(
-                spark, path, {"amount": F.lit(0.0)}, "k = 1"
-            )
+        # COW delete in LOGICAL vocabulary
+        r = storage.delete_where_snapshot(spark, path, "amount < 3.0")
+        assert r["rows_deleted"] == 2
+        assert storage.column_mapping(path) == {"amount": "price"}
+        # UPDATE assigning the renamed column
+        r = storage.update_where_snapshot(
+            spark, path, {"amount": F.col("amount") * 10}, "k = 3"
+        )
+        assert r["rows_updated"] == 1
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "amount"]
+        assert sorted((r["k"], r["amount"]) for r in got.collect()) == [
+            (3, 30.0), (4, 4.0), (5, 5.0), (6, 6.0), (7, 7.0), (8, 8.0)
+        ]
+        # rewritten + untouched files all share ONE physical schema
+        import pyarrow.parquet as pq
+
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert man["column_mapping"] == {"amount": "price"}
+        for rel in man["files"]:
+            names = pq.ParquetFile(
+                os.path.join(path, rel)
+            ).schema_arrow.names
+            assert names == ["k", "price"], rel
+        # DV delete + purge on the mapped table
+        r = storage.delete_where_snapshot(
+            spark, path, "amount = 4.0", mode="dv"
+        )
+        assert r["dv_files_written"] == 1
+        assert storage.read_snapshot(spark, path).count() == 5
+        storage.purge_deletion_vectors(spark, path)
+        assert storage.read_snapshot(spark, path).count() == 5
+        assert storage.column_mapping(path) == {"amount": "price"}
+        # MOR conversion is the one remaining refusal
         with pytest.raises(ValueError, match="column-mapped"):
             storage.upsert_delta_snapshot(
                 spark, path,
@@ -117,13 +151,43 @@ def test_partial_rewrite_verbs_refuse_until_materialize(spark):
                 .withColumn("seq", F.lit(1)),
                 key_cols=["k"], seq_col="seq",
             )
-        # materialize rewrites once with logical names: DML re-admitted
+        # time travel across the whole sequence reads era names
+        assert storage.read_snapshot(spark, path, version=1).columns == [
+            "k", "price"
+        ]
+        # materialize still works and clears the map
         storage.materialize_column_mapping(spark, path)
         assert storage.column_mapping(path) == {}
-        storage.delete_where_snapshot(spark, path, "k < 3")
-        got = storage.read_snapshot(spark, path)
-        assert got.columns == ["k", "amount"]
-        assert got.count() == 6
+        assert storage.read_snapshot(spark, path).columns == ["k", "amount"]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_mapped_dml_stats_rekey_and_prune(spark):
+    """Mapped DML rewrites harvest stats PHYSICALLY and store them under
+    LOGICAL keys, so read_snapshot_pruned keeps skipping files after a
+    COW delete on a renamed table."""
+    scratch, path = _mkpath()
+    try:
+        df = _df(spark, [(i, float(i)) for i in range(100)])
+        storage.write_snapshot_with_stats(
+            spark, df, path, stats_cols=["price"], range_col="price",
+            n_files=4,
+        )
+        storage.rename_column(path, "price", "amount")
+        storage.delete_where_snapshot(spark, path, "amount = 50.0")
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        # every file's stats speak the logical name
+        assert all("amount" in per for per in man["stats"].values())
+        assert all("price" not in per for per in man["stats"].values())
+        got = storage.read_snapshot_pruned(
+            spark, path, "amount", 10.0, 19.0
+        )
+        assert sorted(r["amount"] for r in got.collect()) == [
+            float(x) for x in range(10, 20)
+        ]
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -167,12 +231,35 @@ def test_mapped_partitioned_read_and_spec_rekey(spark):
         )
         assert got.columns == ["k", "grp", "v"]
         assert all(r["grp"] == "a" for r in got.collect())
-        with pytest.raises(ValueError, match="column-mapped"):
-            storage.write_snapshot_partitioned(
-                spark,
-                df.withColumnRenamed("g", "grp"),
-                path, [("identity", "grp")], mode="append",
-            )
+        # r12: partitioned append works on the mapped table — arrives
+        # logical, lands physical, tuples recorded under the re-keyed spec
+        more = spark.createDataFrame(
+            [Row(k=100 + i, grp="ab"[i % 2], v=float(i)) for i in range(4)],
+            "k bigint, grp string, v double",
+        )
+        storage.write_snapshot_partitioned(
+            spark, more, path, [("identity", "grp")], mode="append"
+        )
+        assert storage.column_mapping(path) == {"grp": "g"}
+        keep, total = storage.partition_pruned_files(
+            path, {"grp": ("=", "a")}
+        )
+        assert total == 4 and len(keep) == 2  # old 'a' file + new 'a' file
+        got = storage.read_snapshot_partitioned(
+            spark, path, {"grp": ("=", "a")}
+        )
+        assert got.count() == 22 and all(
+            r["grp"] == "a" for r in got.collect()
+        )
+        import pyarrow.parquet as pq
+
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        for rel in man["files"]:  # one physical schema table-wide
+            assert pq.ParquetFile(
+                os.path.join(path, rel)
+            ).schema_arrow.names == ["k", "g", "v"], rel
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

@@ -1,0 +1,237 @@
+"""Optimistic-concurrency pins for the snapshot commit protocol (r12,
+r11 verdict #3 — the Iceberg/Delta shape): racing APPENDERS both
+succeed (the loser rebases its manifest onto the winner's head and
+takes the next version — no lost update), while read-modify-write verbs
+whose derivation went stale refuse loudly with ConcurrentCommitError
+instead of silently clobbering the competing commit (the pre-r12
+behavior retried the stale manifest under the next number, which
+DROPPED the racing appender's files from the new latest).
+
+Races are injected deterministically: os.link — the atomic claim every
+commit funnels through — is wrapped so the FIRST claim of the contested
+version number lands a competing commit before linking, making the
+verb under test lose the race exactly once.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark import storage
+
+
+def _mkpath():
+    scratch = tempfile.mkdtemp(prefix="conc_test_")
+    return scratch, os.path.join(scratch, "t")
+
+
+def _df(spark, rows, ddl="k bigint, v double"):
+    return spark.createDataFrame([Row(*r) for r in rows], ddl)
+
+
+class _RaceOnce:
+    """Wrap os.link: the first time the contested manifest version is
+    claimed, run ``competitor()`` (which commits through the REAL link)
+    and only then forward the original claim — which now collides."""
+
+    def __init__(self, monkeypatch, contested_basename, competitor):
+        self._real = os.link
+        self._contested = contested_basename
+        self._competitor = competitor
+        self._fired = False
+        monkeypatch.setattr(os, "link", self)
+
+    def __call__(self, src, dst, **kw):
+        if (
+            not self._fired
+            and os.path.basename(dst) == self._contested
+            and not os.path.exists(dst)
+        ):
+            self._fired = True
+            self._competitor()
+        return self._real(src, dst, **kw)
+
+
+def test_racing_appenders_both_succeed(spark, monkeypatch):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(1, 1.0)]), path, stats_cols=["k"]
+        )
+
+        def competitor():
+            storage.write_snapshot(
+                spark, _df(spark, [(2, 2.0)]), path,
+                mode="append", stats_cols=["k"],
+            )
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        v = storage.write_snapshot(
+            spark, _df(spark, [(3, 3.0)]), path,
+            mode="append", stats_cols=["k"],
+        )
+        assert v == 3  # rebased onto the competitor's v2, took v3
+        got = storage.read_snapshot(spark, path)
+        assert sorted((r["k"], r["v"]) for r in got.collect()) == [
+            (1, 1.0), (2, 2.0), (3, 3.0)
+        ]
+        # BOTH writers' files and stats survive in the final manifest
+        man = storage._load_manifest(path, 3)
+        assert len(man["files"]) == len(man["stats"])
+        v2_files = set(storage._load_manifest(path, 2)["files"])
+        assert v2_files < set(man["files"])
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_racing_delete_vs_update_second_refuses(spark, monkeypatch):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(i, float(i)) for i in range(8)]), path
+        )
+
+        def competitor():
+            storage.delete_where_snapshot(spark, path, "k = 1")
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        with pytest.raises(storage.ConcurrentCommitError, match="re-run"):
+            storage.update_where_snapshot(
+                spark, path, {"v": F.lit(0.0)}, "k = 1"
+            )
+        # the table head is the DELETE's result, untouched by the loser
+        got = storage.read_snapshot(spark, path)
+        assert storage.snapshot_versions(path) == [1, 2]
+        assert sorted(r["k"] for r in got.collect()) == [
+            0, 2, 3, 4, 5, 6, 7
+        ]
+        # re-running the loser against the new head succeeds
+        r = storage.update_where_snapshot(
+            spark, path, {"v": F.lit(0.0)}, "k = 2"
+        )
+        assert r["rows_updated"] == 1
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_append_racing_constraint_add_refuses(spark, monkeypatch):
+    """A contract moving mid-race is NOT disjoint: the append's rows were
+    never validated against the new constraint — rebase refuses."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, 1.0)]), path)
+
+        def competitor():
+            storage.add_check_constraint(spark, path, "pos", "v > 0")
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        with pytest.raises(
+            storage.ConcurrentCommitError, match="constraints"
+        ):
+            storage.write_snapshot(
+                spark, _df(spark, [(2, -5.0)]), path, mode="append"
+            )
+        # head is the constraint commit; the violating rows never landed
+        assert storage.snapshot_versions(path) == [1, 2]
+        assert storage.list_check_constraints(path) == {"pos": "v > 0"}
+        assert storage.read_snapshot(spark, path).count() == 1
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_racing_partitioned_appenders_keep_tuples(spark, monkeypatch):
+    scratch, path = _mkpath()
+    try:
+        spec = [("identity", "g")]
+
+        def pdf(tag, groups):
+            return spark.createDataFrame(
+                [Row(k=i, g=g, v=float(i)) for i, g in enumerate(groups)],
+                "k bigint, g string, v double",
+            ).withColumn("tag", F.lit(tag))
+
+        storage.write_snapshot_partitioned(
+            spark, pdf("base", ["a", "b"]), path, spec
+        )
+
+        def competitor():
+            storage.write_snapshot_partitioned(
+                spark, pdf("w1", ["a", "c"]), path, spec, mode="append"
+            )
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        v = storage.write_snapshot_partitioned(
+            spark, pdf("w2", ["b", "d"]), path, spec, mode="append"
+        )
+        assert v == 3
+        man = storage._load_manifest(path, 3)
+        vals = man["partition"]["values"]
+        # every file of BOTH racing appends kept its real tuple
+        assert set(man["files"]) == set(vals)
+        assert all(entry is not None for entry in vals.values())
+        keep, total = storage.partition_pruned_files(
+            path, {"g": ("=", "a")}
+        )
+        assert total == 6 and len(keep) == 2
+        got = storage.read_snapshot_partitioned(
+            spark, path, {"g": ("=", "a")}
+        )
+        assert sorted(r["tag"] for r in got.collect()) == ["base", "w1"]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_txn_race_redelivery_refuses_not_duplicates(spark, monkeypatch):
+    """Two at-least-once workers racing the SAME (app, batch): the loser
+    must neither duplicate the batch nor silently skip mid-commit — it
+    refuses, and the verb-level retry hits the idempotent skip."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, 1.0)]), path)
+
+        def competitor():
+            storage.write_snapshot(
+                spark, _df(spark, [(2, 2.0)]), path,
+                mode="append", txn=("app", 7),
+            )
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        with pytest.raises(storage.ConcurrentCommitError, match="txn"):
+            storage.write_snapshot(
+                spark, _df(spark, [(2, 2.0)]), path,
+                mode="append", txn=("app", 7),
+            )
+        # verb-level retry: the watermark makes it a no-op skip
+        v = storage.write_snapshot(
+            spark, _df(spark, [(2, 2.0)]), path,
+            mode="append", txn=("app", 7),
+        )
+        assert v == 2
+        assert storage.read_snapshot(spark, path).count() == 2
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_metadata_verb_race_refuses(spark, monkeypatch):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, 1.0)]), path)
+
+        def competitor():
+            storage.write_snapshot(
+                spark, _df(spark, [(2, 2.0)]), path, mode="append"
+            )
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        # the constraint validated against v1 only — v2's rows unseen
+        with pytest.raises(storage.ConcurrentCommitError):
+            storage.add_check_constraint(spark, path, "pos", "v > 0")
+        assert storage.list_check_constraints(path) == {}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -189,3 +189,104 @@ def test_unevaluable_expression_names_the_constraint(spark):
             )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+def test_restore_restores_the_contract_maps_too(spark):
+    """ADVICE r11 (low): restoring a pre-constraint version must restore
+    the pre-constraint CONTRACT — the inherit-when-absent carry must not
+    attach the newest map to rows never validated against it."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, 1.0)]), path)   # v1
+        storage.add_check_constraint(spark, path, "pos", "v > 0")     # v2
+        v = storage.restore_snapshot(path, 1)                         # v3
+        assert storage.list_check_constraints(path) == {}
+        # a row violating the (shed) constraint now commits fine
+        storage.write_snapshot(
+            spark, _df(spark, [(2, -1.0)]), path, mode="append"
+        )
+        # re-adding RE-VALIDATES and refuses on the violating data
+        with pytest.raises(ValueError, match="violated"):
+            storage.add_check_constraint(spark, path, "pos", "v > 0")
+        # generated maps shed the same way
+        storage.delete_where_snapshot(spark, path, "v < 0")
+        storage.write_snapshot(
+            spark,
+            spark.createDataFrame(
+                [Row(k=1, v=1.0, v2=2.0)],
+                "k bigint, v double, v2 double",
+            ),
+            path,
+        )
+        storage.add_generated_column(spark, path, "v2", "v * 2")
+        storage.restore_snapshot(path, v)
+        assert storage.list_generated_columns(path) == {}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_publish_revalidates_constraint_added_after_stage(spark):
+    """ADVICE r11 (low): a constraint added inside the stage->publish
+    window was never enforced on the staged rows — publish must
+    re-validate (given spark) or refuse (without), never inherit."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, 1.0)]), path)
+        staged_bad = storage.stage_snapshot(
+            spark, _df(spark, [(1, 1.0), (2, -5.0)]), path
+        )
+        staged_good = storage.stage_snapshot(
+            spark, _df(spark, [(1, 1.0), (2, 5.0)]), path
+        )
+        storage.add_check_constraint(spark, path, "pos", "v > 0")
+        # no session: refuse rather than publish unvalidated
+        with pytest.raises(ValueError, match="re-validate"):
+            storage.publish_snapshot(path, staged_good)
+        # violating candidate: refused even with a session
+        with pytest.raises(ValueError, match="violated"):
+            storage.publish_snapshot(path, staged_bad, spark=spark)
+        # clean candidate re-validates and publishes under the NEW map
+        v = storage.publish_snapshot(path, staged_good, spark=spark)
+        assert storage.list_check_constraints(path) == {"pos": "v > 0"}
+        assert storage.read_snapshot(spark, path).count() == 2
+        # and the now-current constraint enforces on the next append
+        with pytest.raises(ValueError, match="violated"):
+            storage.write_snapshot(
+                spark, _df(spark, [(3, -1.0)]), path, mode="append"
+            )
+        assert storage.snapshot_versions(path)[-1] == v
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_publish_revalidates_generated_added_after_stage(spark):
+    scratch, path = _mkpath()
+    try:
+        df0 = spark.createDataFrame(
+            [Row(k=1, v=1.0, v2=2.0)], "k bigint, v double, v2 double"
+        )
+        storage.write_snapshot(spark, df0, path)
+        staged_bad = storage.stage_snapshot(
+            spark,
+            spark.createDataFrame(
+                [Row(k=2, v=3.0, v2=99.0)],
+                "k bigint, v double, v2 double",
+            ),
+            path,
+        )
+        staged_good = storage.stage_snapshot(
+            spark,
+            spark.createDataFrame(
+                [Row(k=2, v=3.0, v2=6.0)],
+                "k bigint, v double, v2 double",
+            ),
+            path,
+        )
+        storage.add_generated_column(spark, path, "v2", "v * 2")
+        with pytest.raises(ValueError, match="re-validate"):
+            storage.publish_snapshot(path, staged_good)
+        with pytest.raises(ValueError, match="disagree"):
+            storage.publish_snapshot(path, staged_bad, spark=spark)
+        storage.publish_snapshot(path, staged_good, spark=spark)
+        assert storage.list_generated_columns(path) == {"v2": "v * 2"}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

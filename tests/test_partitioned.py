@@ -320,25 +320,56 @@ def test_txn_idempotent_skip(spark):
         shutil.rmtree(scratch, ignore_errors=True)
 
 
-def test_cow_delete_carries_partition_with_none_for_rewrites(spark):
+def test_cow_delete_rewrites_keep_real_tuples(spark):
+    """r12 (r11 verdict #2): DML rewrites route through the hive writer,
+    so the rewritten files carry REAL transform tuples — pruning holds
+    immediately after a COW delete, no optimize_partitions repair pass
+    needed (pre-r12 the rewrite carried a None tuple and the touched
+    fraction dropped out of pruning)."""
     scratch, path = _mkpath()
     try:
         df = _events(spark, n=100, days=4)
         storage.write_snapshot_partitioned(spark, df, path, [("days", "ts")])
-        # COW delete touches only day 1's file; its rewrite gets a None
-        # tuple (never pruned), the other days still prune exactly
-        storage.delete_where_snapshot(
-            spark, path, "k % 2 = 0 AND day(ts) = 1", mode="cow"
+        # dooms half of day 1 (k in 0,4,..,48); the other half survives
+        r = storage.delete_where_snapshot(
+            spark, path, "k < 50 AND day(ts) = 1", mode="cow"
         )
+        assert r["files_rewritten"] == 1 and r["rows_deleted"] == 13
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        vals = man["partition"]["values"]
+        assert len(man["files"]) == 4
+        assert all(v is not None for v in vals.values())
+        # the rewritten day-1 file re-recorded its day-1 tuple
+        day1 = [rel for rel, v in vals.items() if v[1] == ["2024-03-01"]]
+        assert len(day1) == 1 and day1[0].split("/")[1] != (
+            storage._load_manifest(path, 1)["files"][0].split("/")[1]
+        )
+        # day-3 predicate prunes to exactly ONE file even after DML
         where = {"ts": ("between", D(2024, 3, 3), D(2024, 3, 3, 23, 59))}
         keep, total = storage.partition_pruned_files(path, where, spark=spark)
         assert total == 4
-        assert len(keep) == 2  # day 3 + the None-tuple rewrite
+        assert len(keep) == 1
         got = storage.read_snapshot_partitioned(spark, path, where)
         want = storage.read_snapshot(spark, path).filter(
             F.col("ts").between(D(2024, 3, 3), D(2024, 3, 3, 23, 59))
         )
         assert _sorted(got) == _sorted(want)
+        # same invariant after an UPDATE
+        storage.update_where_snapshot(
+            spark, path, {"k": F.col("k") + 1000}, "day(ts) = 2"
+        )
+        man2 = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert all(
+            v is not None for v in man2["partition"]["values"].values()
+        )
+        keep2, total2 = storage.partition_pruned_files(
+            path, where, spark=spark
+        )
+        assert total2 == 4 and len(keep2) == 1
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -432,7 +463,9 @@ def test_optimize_partitions_folds_and_repairs(spark):
                 spark, _events(spark, n=80, days=4), path, spec,
                 mode="append", stats_cols=["k"],
             )
-        # a COW delete demotes one day's rewrite to a None tuple
+        # a COW delete touches every commit's day-1 file; the rewrite
+        # folds their survivors into ONE hive-placed file with a REAL
+        # day-1 tuple (r12: no None demotion)
         storage.delete_where_snapshot(
             spark, path, "k = 0 AND day(ts) = 1", mode="cow"
         )
@@ -440,16 +473,15 @@ def test_optimize_partitions_folds_and_repairs(spark):
             path, storage.snapshot_versions(path)[-1]
         )
         n_before = len(man["files"])
-        assert n_before == 16  # 4 days x 4 commits (rewrite replaced day-1s)
-        none_tuples = sum(
-            1 for v in man["partition"]["values"].values() if v is None
+        assert n_before == 13  # 16 - 4 doomed day-1 files + 1 rewrite
+        assert all(
+            v is not None for v in man["partition"]["values"].values()
         )
-        assert none_tuples >= 1  # the DML rewrite lost its tuple
         res = storage.optimize_partitions(
             spark, path,
             {"ts": ("between", D(2024, 3, 1), D(2024, 3, 2, 23, 59))},
         )
-        # matched: day 1 + day 2 files PLUS the None-tuple repair file(s)
+        # matched: the folded day-1 file + day 2's four commit files
         assert res["partitions_matched"] == 2
         man2 = storage._load_manifest(path, res["version"])
         # each matched day folded to ONE file; days 3-4 untouched
@@ -471,6 +503,64 @@ def test_optimize_partitions_folds_and_repairs(spark):
             spark=spark,
         )
         assert len(keep) == 1 and total == 10
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_plain_append_carries_partition_block(spark):
+    """ADVICE r11 (medium): write_snapshot(mode='append') on a hidden-
+    partitioned table must carry the partition block — carried files
+    keep pruning, the flat append's files map to None (degrade, never
+    lie), a later PARTITIONED append still finds the spec, and
+    optimize_partitions repairs the flat files into real tuples."""
+    scratch, path = _mkpath()
+    try:
+        spec = [("days", "ts")]
+        storage.write_snapshot_partitioned(
+            spark, _events(spark, n=80, days=4), path, spec
+        )
+        # plain flat append (no hive layout) — e.g. a generic writer
+        flat = _events(spark, n=20, days=2)
+        storage.write_snapshot(spark, flat, path, mode="append")
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        part = man.get("partition")
+        assert part is not None, "append dropped the partition block"
+        assert part["specs"][part["current"]] == [
+            {"transform": "days", "col": "ts"}
+        ]
+        vals = part["values"]
+        kept_real = [v for v in vals.values() if v is not None]
+        assert len(kept_real) == 4  # the partitioned files keep tuples
+        flat_none = [v for v in vals.values() if v is None]
+        assert len(flat_none) >= 1  # flat files: never pruned
+        # pruning still skips among the partitioned files; flat files
+        # always survive (conservative) and the read stays correct
+        where = {"ts": ("between", D(2024, 3, 3), D(2024, 3, 3, 23, 59))}
+        keep, total = storage.partition_pruned_files(path, where)
+        assert len(keep) == 1 + len(flat_none)
+        got = storage.read_snapshot_partitioned(spark, path, where)
+        want = storage.read_snapshot(spark, path).filter(
+            F.col("ts").between(D(2024, 3, 3), D(2024, 3, 3, 23, 59))
+        )
+        assert _sorted(got) == _sorted(want)
+        # a PARTITIONED append still sees the spec (pre-fix it thought
+        # the table was unpartitioned)
+        storage.write_snapshot_partitioned(
+            spark, _events(spark, n=20, days=1), path, spec, mode="append"
+        )
+        # and the repair pass gives the flat files real tuples
+        storage.optimize_partitions(
+            spark, path,
+            {"ts": ("between", D(2024, 3, 1), D(2024, 3, 4, 23, 59))},
+        )
+        man2 = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert all(
+            v is not None for v in man2["partition"]["values"].values()
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

@@ -680,3 +680,69 @@ def test_ann_sq_topk_recall(q):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.9, f"ann_sq_topk recall@K {mean_recall:.2f} < 0.9"
+
+def test_ann_ivf_persisted_topk_recall(q):
+    """Persisted IVF/SQ8 index (r12, built-then-appended inside the
+    query): mean per-query recall@K vs the exact q43b must clear the
+    same floor as the in-memory IVF path — the SQ8 shortlist + exact
+    rerank keeps the true neighborhood despite the 4x code."""
+    exact: dict[int, set[int]] = {}
+    for r in q("q43b_cosine_topk"):
+        exact.setdefault(r.vec_id, set()).add(r.nn_id)
+    approx: dict[int, set[int]] = {}
+    for r in q("ann_ivf_persisted_topk"):
+        approx.setdefault(r.vec_id, set()).add(r.nn_id)
+    recalls = [
+        len(exact[v] & approx.get(v, set())) / len(exact[v]) for v in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.75, (
+        f"ann_ivf_persisted_topk recall@K {mean_recall:.2f} < 0.75"
+    )
+
+
+def test_ann_persisted_append_staleness(spark):
+    """Appending a batch WITHOUT refit (frozen centroids + stored SQ8
+    ranges) must keep recall above the staleness floor: build on the
+    even half, append the odd half, probe — appended vectors are
+    findable and the index-coverage recall vs exact stays >= 0.75."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.catalog import load_tables
+    from dp_dimension_importer_spark.operators.similarity import (
+        append_to_index,
+        build_ivf_index,
+        probe_index,
+    )
+    from dp_dimension_importer_spark import registry
+
+    t = load_tables(spark, SF)
+    e = t.embeddings
+    idx = tempfile.mkdtemp(prefix="ivf_stale_")
+    try:
+        shutil.rmtree(idx)
+        build_ivf_index(spark, e.filter("vec_id % 2 = 0"), idx)
+        append_to_index(spark, e.filter("vec_id % 2 = 1"), idx)
+        got = probe_index(
+            spark, idx, e.filter(F.col("vec_id") < 50), e
+        ).collect()
+        approx: dict[int, set[int]] = {}
+        for r in got:
+            approx.setdefault(r.vec_id, set()).add(r.nn_id)
+        # appended (odd) vectors must be findable at all
+        assert any(n % 2 == 1 for s in approx.values() for n in s), (
+            "no appended vector ever surfaced — append is invisible"
+        )
+        exact: dict[int, set[int]] = {}
+        for r in registry.QUERIES["q43b_cosine_topk"](spark, SF).collect():
+            exact.setdefault(r.vec_id, set()).add(r.nn_id)
+        recalls = [
+            len(exact[v] & approx.get(v, set())) / len(exact[v])
+            for v in exact
+        ]
+        assert sum(recalls) / len(recalls) >= 0.75, "staleness floor"
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

@@ -1,0 +1,253 @@
+"""Pins for r12 schema evolution beyond additive: TYPE WIDENING
+(storage.widen_column_type) and DROP COLUMN (storage.drop_column) as
+metadata-only commits. The committed schema outranks file footers:
+readers force the scan schema (Spark 4's parquet reader upcasts
+int32->bigint / float->double in the vectorized scan; omitted columns
+are never read), writers speak the evolved schema, rewrites materialize
+it, full overwrites clear the markers."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark import storage
+
+
+def _mkpath():
+    scratch = tempfile.mkdtemp(prefix="sev_test_")
+    return scratch, os.path.join(scratch, "t")
+
+
+def _df(spark, rows, ddl="k int, v float"):
+    return spark.createDataFrame([Row(*r) for r in rows], ddl)
+
+
+def test_widen_is_metadata_only_and_reads_upcast(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, 1.5), (2, 2.5)]), path)
+        files_before = sorted(storage._load_manifest(path, 1)["files"])
+        v = storage.widen_column_type(path, "k", "bigint")
+        storage.widen_column_type(path, "v", "double")
+        assert v == 2
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert sorted(man["files"]) == files_before  # zero data movement
+        got = storage.read_snapshot(spark, path)
+        assert dict(got.dtypes) == {"k": "bigint", "v": "double"}
+        assert sorted((r["k"], r["v"]) for r in got.collect()) == [
+            (1, 1.5), (2, 2.5)
+        ]
+        # time travel still reads the narrow era with its own types
+        old = storage.read_snapshot(spark, path, version=1)
+        assert dict(old.dtypes) == {"k": "int", "v": "float"}
+        # append in the WIDENED type — including a value > int32 range
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(2**40, 9.5)], "k bigint, v double"),
+            path, mode="append",
+        )
+        got = storage.read_snapshot(spark, path)
+        assert sorted(r["k"] for r in got.collect()) == [1, 2, 2**40]
+        # a narrow append is refused by the additive check
+        with pytest.raises(ValueError, match="additive"):
+            storage.write_snapshot(
+                spark, _df(spark, [(9, 9.0)]), path, mode="append"
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_widen_refusals(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(1, 1.5)], "k bigint, v double"), path
+        )
+        with pytest.raises(ValueError, match="only widenings"):
+            storage.widen_column_type(path, "k", "int")  # narrowing
+        with pytest.raises(ValueError, match="only widenings"):
+            storage.widen_column_type(path, "v", "string")
+        with pytest.raises(ValueError, match="no column"):
+            storage.widen_column_type(path, "nope", "bigint")
+        # idempotent: widening to the current type is a no-op, no commit
+        assert storage.widen_column_type(path, "k", "bigint") == 1
+        assert storage.snapshot_versions(path) == [1]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_widen_then_dml_materializes_and_dv_read(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(i, float(i)) for i in range(8)]), path,
+            stats_cols=["k"],
+        )
+        storage.widen_column_type(path, "k", "bigint")
+        # DV delete: positions only, forced-schema read honors vectors
+        storage.delete_where_snapshot(spark, path, "k = 7", mode="dv")
+        assert storage.read_snapshot(spark, path).count() == 7
+        # COW delete rewrites touched files IN THE WIDENED TYPE
+        r = storage.delete_where_snapshot(spark, path, "k < 2")
+        assert r["rows_deleted"] == 2
+        import pyarrow.parquet as pq
+
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        rewritten = [
+            rel for rel in man["files"]
+            if rel not in storage._load_manifest(path, 1)["files"]
+        ]
+        assert rewritten
+        for rel in rewritten:
+            sch = pq.ParquetFile(os.path.join(path, rel)).schema_arrow
+            assert str(sch.field("k").type) == "int64"
+        got = storage.read_snapshot(spark, path)
+        assert sorted(r["k"] for r in got.collect()) == [2, 3, 4, 5, 6]
+        # stats pruning still works across mixed-width files
+        pruned = storage.read_snapshot_pruned(spark, path, "k", 3, 4)
+        assert sorted(r["k"] for r in pruned.collect()) == [3, 4]
+        # full overwrite clears the marker
+        storage.write_snapshot(
+            spark, storage.read_snapshot(spark, path), path
+        )
+        man2 = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert not man2.get("widened")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_widen_on_mapped_table_keys_physical(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(spark, _df(spark, [(1, 1.5)]), path)
+        storage.rename_column(path, "k", "id")
+        storage.widen_column_type(path, "id", "bigint")
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert man["widened"] == {"k": "bigint"}  # physical key
+        got = storage.read_snapshot(spark, path)
+        assert dict(got.dtypes)["id"] == "bigint"
+        # logical-name DML on the widened+mapped table
+        storage.update_where_snapshot(
+            spark, path, {"id": F.lit(2**40).cast("bigint")}, "id = 1"
+        )
+        assert [r["id"] for r in
+                storage.read_snapshot(spark, path).collect()] == [2**40]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_drop_column_lifecycle(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(1, 1.0, "x"), (2, 2.0, "y")],
+                "k bigint, v double, note string"),
+            path,
+        )
+        v = storage.drop_column(path, "note")
+        assert v == 2
+        # metadata-only: same files, column gone from every read
+        assert sorted(storage._load_manifest(path, 2)["files"]) == sorted(
+            storage._load_manifest(path, 1)["files"]
+        )
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "v"]
+        # time travel resurrects the pre-drop era
+        assert storage.read_snapshot(spark, path, version=1).columns == [
+            "k", "v", "note"
+        ]
+        # appends no longer carry the column
+        storage.write_snapshot(
+            spark, _df(spark, [(3, 3.0)], "k bigint, v double"),
+            path, mode="append",
+        )
+        assert storage.read_snapshot(spark, path).count() == 3
+        # DML on the dropped-column table never touches the dead bytes
+        storage.delete_where_snapshot(spark, path, "k = 1")
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "v"]
+        assert sorted(r["k"] for r in got.collect()) == [2, 3]
+        # reusing the dropped name refuses until a full rewrite
+        with pytest.raises(ValueError, match="DROPPED"):
+            storage.write_snapshot(
+                spark,
+                _df(spark, [(4, 4.0, "z")],
+                    "k bigint, v double, note string"),
+                path, mode="append",
+            )
+        storage.write_snapshot(
+            spark, storage.read_snapshot(spark, path), path
+        )  # overwrite clears the tombstone
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(4, 4.0, "z")],
+                "k bigint, v double, note string"),
+            path, mode="append",
+        )
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "v", "note"]
+        notes = {r["k"]: r["note"] for r in got.collect()}
+        assert notes == {2: None, 3: None, 4: "z"}  # no resurrection
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_drop_column_refusals(spark):
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [Row(k=1, g="a", v=1.0)], "k bigint, g string, v double"
+        )
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("identity", "g")]
+        )
+        with pytest.raises(ValueError, match="partition spec"):
+            storage.drop_column(path, "g")
+        storage.add_check_constraint(spark, path, "pos", "v > 0")
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            storage.drop_column(path, "v")
+        storage.drop_check_constraint(path, "pos")
+        storage.drop_column(path, "v")
+        with pytest.raises(ValueError, match="no column"):
+            storage.drop_column(path, "v")
+        storage.drop_column(path, "k")
+        with pytest.raises(ValueError, match="last column"):
+            storage.drop_column(path, "g")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_drop_on_mapped_table_and_restore_markers(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(1, 1.5)], "k bigint, v double"), path
+        )
+        storage.rename_column(path, "v", "amount")          # v2
+        storage.drop_column(path, "amount")                 # v3
+        man = storage._load_manifest(path, 3)
+        assert man["dropped"] == ["v"]  # PHYSICAL tombstone
+        assert man.get("column_mapping") == {}
+        assert storage.read_snapshot(spark, path).columns == ["k"]
+        # restore to the pre-drop version restores column AND markers
+        storage.restore_snapshot(path, 2)                   # v4
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "amount"]
+        assert storage._load_manifest(path, 4)["dropped"] == []
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
