@@ -2057,10 +2057,10 @@ def q96_rename_column(spark, sf_dir):
     aggregates under the new name. Time travel to v1 still answers in
     the old name (asserted) — names version like data. The oracle
     aggregates raw orders, so a green row pins that the rename moved no
-    rows and the mapped append landed whole. Partial-rewrite DML
-    refusal, materialize_column_mapping, stats/partition-spec re-key,
-    and the change-feed guard are pinned in
-    tests/test_column_mapping.py."""
+    rows and the mapped append landed whole. The r12 lift of the
+    partial-rewrite refusals (DML runs mapped — see q96b),
+    materialize_column_mapping, stats/partition-spec re-key, and the
+    change-feed guard are pinned in tests/test_column_mapping.py."""
     import shutil
     import tempfile
 

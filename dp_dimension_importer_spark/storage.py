@@ -2122,19 +2122,35 @@ def merge_into_snapshot(
     "multiple source rows matched" error), costing one aggregate over
     the SOURCE only.
 
-    Scale shape: ONE key-partitioned full-outer join of target ×
-    source; AQE broadcasts the compacted source when it is a sliver of
-    the table (the nightly-CDC case), so cost is O(table scan +
-    |source|). Committed column types are preserved by casting every
-    assignment/insert to the target type; the result lands as a new
-    snapshot version (snapshot isolation, prior versions readable).
-    MOR tables refuse (compact first — same probe-soundness rule as
-    UPDATE/DELETE). ``txn`` gives at-least-once writers the manifest
-    idempotence watermark. Returns the new version."""
+    Scale shape (r12 — write-side FILE SKIPPING, the delete/update
+    discipline extended to the flagship DML verb; pre-r12 this was a
+    full-table rewrite per merge): one DV-aware probe scan joins the
+    target's keys against the compacted source and aggregates hits to
+    their files — only files that actually CONTAIN a matched key are
+    rewritten (one key-partitioned full-outer join of the touched
+    files × source; AQE broadcasts the source when it is a sliver —
+    the nightly-CDC case); NOT-MATCHED inserts ride the same output
+    (a source key matching nothing in the whole table matches nothing
+    in the touched files either, by probe construction). Every other
+    file carries into the new version untouched — data pages unread,
+    stats/partition tuples/DVs intact — so cost is O(table key scan +
+    touched data + |source|), never a table rewrite. On a
+    hidden-partitioned table the rewrite routes through the hive
+    writer (real tuples — pruning holds immediately after MERGE); on a
+    column-mapped table clauses speak logical names and files keep the
+    one physical schema. Committed column types are preserved by
+    casting every assignment/insert to the target type; the result
+    lands as a new snapshot version (snapshot isolation, prior
+    versions readable). A merge that matches nothing and inserts
+    nothing commits nothing. MOR tables refuse (compact first — same
+    probe-soundness rule as UPDATE/DELETE). ``txn`` gives
+    at-least-once writers the manifest idempotence watermark. Returns
+    the new version."""
     from pyspark.sql import functions as F
 
     import json
     import os
+    import uuid
 
     versions = snapshot_versions(path)
     if not versions:
@@ -2155,6 +2171,9 @@ def merge_into_snapshot(
     missing_keys = [c for c in key_cols if c not in source.columns]
     if missing_keys:
         raise ValueError(f"source lacks merge key columns {missing_keys}")
+    prev_txn = man.get("txn") or {}
+    if txn is not None and txn[1] <= prev_txn.get(txn[0], -1):
+        return versions[-1]  # redelivered batch: idempotent skip
     dup = (
         source.groupBy(*key_cols).count().filter(F.col("count") > 1)
         .limit(1).count()
@@ -2164,11 +2183,51 @@ def merge_into_snapshot(
             "MERGE INTO source has duplicate keys — multiple source rows "
             "would match one target row (compact the source per key first)"
         )
-    tgt = read_snapshot(spark, path)
+    # pin the (possibly non-deterministic) source: probe and rewrite
+    # must see the SAME rows
+    source = source.localCheckpoint(eager=True)
+    mapping = man.get("column_mapping") or {}
+    dv_map = man.get("dv") or {}
+    force = _phys_schema(man)
+
+    # PROBE: which files contain a source key — at most |files| rows
+    # reach the driver, data pages of key-free files never rewrite
+    data, _cols = _scan_with_pos(
+        spark, path, man["files"], dv_map, mapping, force
+    ) if man["files"] else (None, None)
+    if data is not None:
+        hit_rows = (
+            data.select("_fname", *key_cols)
+            .join(source.select(*key_cols).distinct(), key_cols)
+            .select("_fname")
+            .distinct()
+            .collect()
+        )
+        hit = {r["_fname"] for r in hit_rows}
+    else:
+        hit = set()
+    touched = [
+        rel for rel in man["files"] if os.path.basename(rel) in hit
+    ]
+    kept = [rel for rel in man["files"] if os.path.basename(rel) not in hit]
+    if not touched and not insert:
+        return versions[-1]  # nothing matched, nothing to insert: no-op
+    if not touched and source.isEmpty():
+        return versions[-1]
+
     src = source
     for c in source.columns:
         if c not in key_cols:
             src = src.withColumnRenamed(c, f"src_{c}")
+    if touched:
+        tdata, tcols = _scan_with_pos(
+            spark, path, touched, dv_map, mapping, force
+        )
+        tgt = tdata.select(*tcols)
+    else:
+        tgt = spark.createDataFrame(
+            [], ", ".join(f"`{c}` {t}" for c, t in schema.items())
+        )
     j = (
         tgt.withColumn("_t", F.lit(True))
         .join(src.withColumn("_s", F.lit(True)), key_cols, "full_outer")
@@ -2203,10 +2262,36 @@ def merge_into_snapshot(
                 ins = F.lit(None).cast(t)
             val = F.when(s_only, ins).otherwise(val)
         out_cols.append(val.alias(c))
-    return write_snapshot(
-        spark, j.select(*out_cols), path,
-        compression=compression, txn=txn,
+    out = j.select(*out_cols)
+    if man.get("generated"):
+        out = _apply_generated(
+            out, man["generated"], schema, "merge_into_snapshot"
+        )
+    if man.get("constraints"):
+        _enforce_constraints(out, man["constraints"], "merge_into_snapshot")
+    token = uuid.uuid4().hex[:12]
+    new_files, new_values = _route_rewrite(
+        out, path, man, token, compression, mapping
     )
+    manifest = {"files": kept + new_files, "schema": schema}
+    if mapping:
+        manifest["column_mapping"] = mapping
+    _carry_partition(man, manifest, new_files, new_values)
+    kept_dv = {rel: dv_map[rel] for rel in kept if rel in dv_map}
+    if kept_dv:
+        manifest["dv"] = kept_dv
+    if prev_txn or txn is not None:
+        manifest["txn"] = dict(prev_txn)
+        if txn is not None:
+            manifest["txn"][txn[0]] = txn[1]
+    if "stats" in man:
+        stats_cols = sorted(
+            {c for per_file in man["stats"].values() for c in per_file}
+        )
+        stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
+        stats.update(_stats_logical(new_files, path, stats_cols, mapping))
+        manifest["stats"] = stats
+    return _commit_manifest(path, manifest, token)
 
 
 def update_where_snapshot(
@@ -5185,8 +5270,9 @@ def evolve_partition_spec(path: str, new_spec) -> int:
 # (predicates/assignments/constraints speak logical names via
 # _scan_with_pos(mapping=...)) and rename logical->physical just before
 # the write; stats harvest physical and store logical (_stats_logical);
-# the mapping rides every commit. Full overwrites (write_snapshot
-# overwrite, merge's full rewrite, materialize_column_mapping) read
+# the mapping rides every commit (MERGE included — its r12 file-skipping
+# rewrite goes through the same logical-scan/physical-write path). Full
+# overwrites (write_snapshot overwrite, materialize_column_mapping) read
 # logical and write logical, which MATERIALIZES the rename and clears
 # the map. Only the mapped-table -> MOR conversion still refuses (MOR
 # delta groups pin key/seq columns by name; rename_column refuses MOR

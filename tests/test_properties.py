@@ -759,6 +759,8 @@ def test_mor_layer_model_equivalence(spark, ops):
             st.tuples(st.just("optimize"), st.integers(1, 4)),
             st.tuples(st.just("compact"), st.integers(0, 0)),
             st.tuples(st.just("vacuum"), st.integers(1, 2)),
+            st.tuples(st.just("update"), st.integers(0, 50)),
+            st.tuples(st.just("flat_append"), st.integers(50, 90)),
         ),
         min_size=2,
         max_size=6,
@@ -856,6 +858,29 @@ def test_partitioned_layer_model_equivalence(spark, ops):
                 )
             elif verb == "vacuum":
                 storage.vacuum_snapshots(path, keep_last=arg)
+            elif verb == "update":
+                # r12: COW UPDATE shifts keys — ts/typ stay, so the
+                # rewrite re-derives tuples from the unchanged transform
+                # columns and pruning must stay exact (the tuple-
+                # preserving-DML invariant). +1000 ≡ 0 (mod 4) and
+                # (mod 2), so the model's day(k)/typ(k) reconstruction
+                # stays valid for shifted keys.
+                storage.update_where_snapshot(
+                    spark, path, {"k": F.col("k") + 1000},
+                    F.col("k") < F.lit(arg),
+                )
+                model = [
+                    (k + 1000 if k < arg else k) for k in model
+                ]
+            elif verb == "flat_append":
+                # r12 (ADVICE r11): a PLAIN write_snapshot append onto
+                # the partitioned table — carried files keep tuples, the
+                # flat files get None (never pruned, never wrong)
+                keys = list(range(arg, arg + 4))
+                storage.write_snapshot(
+                    spark, frame(keys), path, mode="append"
+                )
+                model = sorted(model + keys)
             if storage.snapshot_versions(path):
                 check()
     finally:

@@ -213,3 +213,153 @@ def test_merge_into_insert_defaults_and_types(spark):
                                      "b": "bigint"}
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+def test_merge_into_file_skipping(spark):
+    """r12: MERGE rewrites ONLY the files containing a matched key —
+    every other file carries into the new version byte-identical (rel
+    path unchanged, stats kept), inserts land as new files, and a merge
+    that matches nothing with insert=False commits nothing."""
+    scratch, path = _mkpath()
+    try:
+        # four single-file appends with disjoint key ranges
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(k, k, 0) for k in range(0, 4)]).coalesce(1),
+            path, stats_cols=["k"],
+        )
+        for lo in (4, 8, 12):
+            storage.write_snapshot(
+                spark,
+                _df(spark, [(k, k, 0) for k in range(lo, lo + 4)])
+                .coalesce(1),
+                path, mode="append", stats_cols=["k"],
+            )
+        man_before = storage._load_manifest(path, 4)
+        assert len(man_before["files"]) >= 4
+        # source touches keys 5 and 6 (one file) + inserts key 100
+        src = spark.createDataFrame(
+            [Row(k=5, a=50), Row(k=6, a=60), Row(k=100, a=1)],
+            "k bigint, a bigint",
+        )
+        v = storage.merge_into_snapshot(
+            spark, path, src, ["k"], update_set={"a": "src_a"},
+            insert=True,
+        )
+        man_after = storage._load_manifest(path, v)
+        kept = set(man_before["files"]) & set(man_after["files"])
+        rewritten = set(man_before["files"]) - set(man_after["files"])
+        # exactly the file holding keys 4-7 was rewritten
+        assert len(rewritten) == 1
+        assert len(kept) == len(man_before["files"]) - 1
+        # kept files keep their recorded stats verbatim
+        for rel in kept:
+            assert man_after["stats"][rel] == man_before["stats"][rel]
+        got = _rows(spark, path)
+        assert (5, 50, 0) in got and (6, 60, 0) in got
+        assert (100, 1, None) in got
+        assert (4, 4, 0) in got and (7, 7, 0) in got  # same-file carry
+        # no-match, no-insert merge commits nothing
+        v2 = storage.merge_into_snapshot(
+            spark, path,
+            spark.createDataFrame([Row(k=999, a=0)], "k bigint, a bigint"),
+            ["k"], update_set={"a": "src_a"}, insert=False,
+        )
+        assert v2 == v
+        assert storage.snapshot_versions(path)[-1] == v
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_into_partitioned_keeps_tuples(spark):
+    """r12: MERGE on a hidden-partitioned table preserves the partition
+    block — untouched files keep tuples, rewritten/inserted files get
+    REAL tuples via the hive writer, pruning stays exact after MERGE."""
+    import datetime
+
+    D = datetime.datetime
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [
+                Row(k=i, ts=D(2024, 3, 1 + i % 4), v=float(i))
+                for i in range(40)
+            ],
+            "k bigint, ts timestamp, v double",
+        )
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("days", "ts")]
+        )
+        src = spark.createDataFrame(
+            [
+                Row(k=1, nv=111.0),          # day 2 matched
+                Row(k=200, nv=5.0),          # insert (no ts!)
+            ],
+            "k bigint, nv double",
+        )
+        storage.merge_into_snapshot(
+            spark, path, src, ["k"], update_set={"v": "src_nv"},
+            insert=True, insert_values={"v": "src_nv"},
+        )
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        part = man.get("partition")
+        assert part is not None, "MERGE dropped the partition block"
+        vals = part["values"]
+        assert set(man["files"]) == set(vals)
+        assert all(e is not None for e in vals.values())
+        # day-1 predicate still prunes to its file(s) only; the NULL-ts
+        # insert landed in the hive null partition (tuple [None] -> its
+        # file always survives pruning, never lies)
+        where = {"ts": ("between", D(2024, 3, 1), D(2024, 3, 1, 23, 59))}
+        got = storage.read_snapshot_partitioned(spark, path, where)
+        want = storage.read_snapshot(spark, path).filter(
+            F.col("ts").between(D(2024, 3, 1), D(2024, 3, 1, 23, 59))
+        )
+        assert sorted((r["k"], r["v"]) for r in got.collect()) == sorted(
+            (r["k"], r["v"]) for r in want.collect()
+        )
+        rows = {
+            r["k"]: r["v"]
+            for r in storage.read_snapshot(spark, path).collect()
+        }
+        assert rows[1] == 111.0 and rows[200] == 5.0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_into_mapped_table_logical_names(spark):
+    """r12: MERGE on a column-mapped table — clauses in logical names,
+    files stay physical, mapping survives (merge no longer materializes
+    via a full overwrite)."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(1, 10, 0), (2, 20, 0)]), path
+        )
+        storage.rename_column(path, "a", "amount")
+        src = spark.createDataFrame(
+            [Row(k=2, amount=99), Row(k=3, amount=30)],
+            "k bigint, amount bigint",
+        )
+        storage.merge_into_snapshot(
+            spark, path, src, ["k"], update_set={"amount": "src_amount"},
+            insert=True,
+        )
+        assert storage.column_mapping(path) == {"amount": "a"}
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "amount", "b"]
+        assert sorted(
+            (r["k"], r["amount"]) for r in got.collect()
+        ) == [(1, 10), (2, 99), (3, 30)]
+        import pyarrow.parquet as pq
+
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        for rel in man["files"]:
+            assert pq.ParquetFile(
+                os.path.join(path, rel)
+            ).schema_arrow.names == ["k", "a", "b"], rel
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
