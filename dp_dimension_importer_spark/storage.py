@@ -2723,7 +2723,84 @@ def upsert_delta_snapshot(
         stats = dict(man["stats"])
         stats.update(collect_file_stats(new_files, path, stats_cols))
         manifest["stats"] = stats
-    return _commit_manifest(path, manifest, token)
+
+    def _rebase(head: dict) -> dict:
+        """Racing MOR writers (r12): a delta commit is append-shaped —
+        two streaming CDC sinks landing simultaneously are DISJOINT as
+        long as the table's base/keys/contracts didn't move; the loser
+        re-appends its delta group onto the winner's chain and both
+        succeed (at N streaming writers a hard failure per race is a
+        liveness bug, the r11 verdict's exact concern). Latest-wins
+        stays correct: the two groups' commit ordinals reflect link
+        order, and within-key ordering across concurrent batches is the
+        seq column's job — the same contract sequential commits have."""
+        if not head.get("mor"):
+            raise ConcurrentCommitError(
+                "concurrent commit removed the MOR chain (compaction?) — "
+                "re-run the upsert against the new head"
+            )
+        hmor = head["mor"]
+        if (
+            hmor["key_cols"] != mor["key_cols"]
+            or hmor["seq_col"] != mor["seq_col"]
+        ):
+            raise ConcurrentCommitError(
+                "MOR key/seq columns changed concurrently"
+            )
+        if set(head.get("files") or []) != set(man["files"]):
+            raise ConcurrentCommitError(
+                "base files changed concurrently (compaction/DML) — "
+                "re-run the upsert against the new head"
+            )
+        if (head.get("constraints") or {}) != (man.get("constraints") or {}):
+            raise ConcurrentCommitError(
+                "CHECK constraints changed concurrently — re-run"
+            )
+        if (head.get("generated") or {}) != (man.get("generated") or {}):
+            raise ConcurrentCommitError(
+                "generated-column contracts changed concurrently — re-run"
+            )
+        if txn is not None and txn[1] <= (head.get("txn") or {}).get(
+            txn[0], -1
+        ):
+            raise ConcurrentCommitError(
+                f"txn batch {txn} already committed by a concurrent "
+                "writer — re-run the verb for the idempotent skip"
+            )
+        h_schema = dict(head.get("schema") or {})
+        for c, t in h_schema.items():
+            if c in new_schema and new_schema[c] != t:
+                raise ConcurrentCommitError(
+                    f"concurrent schema evolution: column {c!r} is now "
+                    f"{t}, this delta has {new_schema[c]!r}"
+                )
+        m2_schema = dict(h_schema)
+        for c, t in merged_schema.items():
+            if c not in m2_schema:
+                m2_schema[c] = t
+        m2 = {
+            "files": head["files"],
+            "schema": m2_schema,
+            "mor": {**hmor, "deltas": hmor["deltas"] + [new_files]},
+        }
+        head_txn = dict(head.get("txn") or {})
+        if txn is not None:
+            head_txn[txn[0]] = txn[1]
+        if head_txn:
+            m2["txn"] = head_txn
+        our_stats = (
+            {
+                rel: manifest["stats"][rel]
+                for rel in new_files
+                if rel in manifest.get("stats", {})
+            }
+            if "stats" in manifest else {}
+        )
+        if head.get("stats") or our_stats:
+            m2["stats"] = {**(head.get("stats") or {}), **our_stats}
+        return m2
+
+    return _commit_manifest(path, manifest, token, rebase=_rebase)
 
 
 def _resolve_mor(spark: SparkSession, path: str, manifest: dict) -> DataFrame:

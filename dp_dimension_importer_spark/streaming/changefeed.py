@@ -51,7 +51,11 @@ Output schema is FLAT and fixed at stream start from the latest
 manifest: every table column (additive-union), then ``change_type``
 (``insert`` / ``upsert`` / ``delete``), ``_version`` and ``_group``. A
 column added after stream start is invisible until restart (Delta's
-contract).
+contract). Column-mapped tables stream natively (r12 — Delta CDF
+through column mapping): each transition's files are read by their
+PHYSICAL names and emitted under the stream's latest-logical schema
+(:func:`_era_cols`); only a rename boundary inside the consumed range
+refuses, exactly :func:`storage.snapshot_changes`' rule.
 
 Restart safety: offsets live in the CHECKPOINT (no sidecar cursor
 files); ``partitions(start, end)`` validates that the checkpointed
@@ -141,19 +145,15 @@ def make_changefeed_source():
             return json.load(f)
 
     def _stream_cols(path):
-        """Fixed output column list: latest manifest's schema order."""
+        """(fixed output column list in the latest manifest's LOGICAL
+        schema order, latest column_mapping). Column-mapped tables are
+        fully supported (r12 — Delta CDF reads through column mapping):
+        each transition translates its era's physical file names back to
+        the stream's logical names via :func:`_era_cols`."""
         vs = _versions(path)
         if not vs:
             raise FileNotFoundError(f"no committed snapshots under {path!r}")
         latest = _manifest(path, vs[-1])
-        if latest.get("column_mapping"):
-            # the feed's file readers project by name; a renamed column's
-            # physical files would silently yield typed NULLs for it —
-            # refuse instead (batch twin version_delta DOES translate)
-            raise ValueError(
-                "change feed over a column-mapped table unsupported — "
-                "materialize_column_mapping first"
-            )
         schema = latest["schema"]
         for reserved in ("change_type", "_version", "_group"):
             if reserved in schema:
@@ -161,7 +161,11 @@ def make_changefeed_source():
                     f"table column {reserved!r} collides with the change "
                     "feed's metadata columns"
                 )
-        return list(schema.items())
+        return (
+            list(schema.items()),
+            dict(latest.get("column_mapping") or {}),
+            list(latest.get("dropped") or []),
+        )
 
     def _arrow_type(simple):
         import pyarrow as pa
@@ -193,23 +197,33 @@ def make_changefeed_source():
 
     def _read_parquet_rows(abs_path, want_cols):
         """pyarrow read of one file projected to the wanted columns
-        (absent columns → None) — executor-side, no Spark. Naive
-        parquet timestamps (Spark's INT96) are cast to UTC-aware here;
-        without it ``to_pylist`` yields tz-naive pandas Timestamps that
-        Spark's row serializer refuses."""
+        (absent columns → None) — executor-side, no Spark. ``want_cols``
+        is a list of ``(read_name, out_name, type)``: the file is
+        projected by READ (physical) name and the returned row dicts are
+        keyed by OUT (logical) name — the era translation for
+        column-mapped history. Naive parquet timestamps (Spark's INT96)
+        are cast to UTC-aware here; without it ``to_pylist`` yields
+        tz-naive pandas Timestamps that Spark's row serializer
+        refuses."""
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(abs_path)
         names = pf.schema_arrow.names
-        present = [c for c, _ in want_cols if c in names]
+        present = [rn for rn, _, _ in want_cols if rn in names]
         tbl = pf.read(columns=present)
-        for c, t in want_cols:
-            if t in ("timestamp", "timestamp_ntz") and c in present:
-                i = tbl.schema.get_field_index(c)
+        for rn, _, t in want_cols:
+            if t in ("timestamp", "timestamp_ntz") and rn in present:
+                i = tbl.schema.get_field_index(rn)
                 tbl = tbl.set_column(
-                    i, c, _cast_col(tbl.column(i), _arrow_type(t))
+                    i, rn, _cast_col(tbl.column(i), _arrow_type(t))
                 )
-        return tbl.to_pylist()
+        ro = {rn: on for rn, on, _ in want_cols if rn != on}
+        rows = tbl.to_pylist()
+        if ro:
+            rows = [
+                {ro.get(k, k): v for k, v in r.items()} for r in rows
+            ]
+        return rows
 
     def _ts_fix(v):
         """Normalize a loose timestamp value (pd.Timestamp / naive
@@ -228,11 +242,13 @@ def make_changefeed_source():
         return v
 
     def _emit(rows, want_cols, change_type, version, group):
-        ts_cols = {c for c, t in want_cols if t == "timestamp"}
+        """Rows are dicts keyed by OUT (logical) names; ``want_cols`` is
+        the (read, out, type) triple list."""
+        ts_cols = {on for _, on, t in want_cols if t == "timestamp"}
         for r in rows:
             yield tuple(
-                _ts_fix(r.get(c)) if c in ts_cols else r.get(c)
-                for c, _ in want_cols
+                _ts_fix(r.get(on)) if on in ts_cols else r.get(on)
+                for _, on, _t in want_cols
             ) + (
                 change_type,
                 version,
@@ -242,7 +258,8 @@ def make_changefeed_source():
     def _arrow_batches(abs_path, want_cols, change_type, version, group):
         """Arrow fast path for the hot kinds (append/MOR): stream the
         file's record batches, project/cast to the declared stream
-        schema (absent columns → typed nulls), append the constant
+        schema (absent columns → typed nulls; mapped eras read by
+        PHYSICAL name and emit the LOGICAL field), append the constant
         metadata columns — no per-row Python boxing (the q64 arrow
         connector shape, operators/udfs.py:382)."""
         import pyarrow as pa
@@ -250,20 +267,22 @@ def make_changefeed_source():
 
         pf = pq.ParquetFile(abs_path)
         names = set(pf.schema_arrow.names)
-        present = [c for c, _ in want_cols if c in names]
+        present = [rn for rn, _, _ in want_cols if rn in names]
         for b in pf.iter_batches(columns=present or None):
             n = b.num_rows
             if n == 0:
                 continue
             arrays, fields = [], []
-            for c, t in want_cols:
+            for rn, on, t in want_cols:
                 at = _arrow_type(t)
-                if c in names:
-                    col = _cast_col(b.column(b.schema.get_field_index(c)), at)
+                if rn in names:
+                    col = _cast_col(
+                        b.column(b.schema.get_field_index(rn)), at
+                    )
                 else:
                     col = pa.nulls(n, at)
                 arrays.append(col)
-                fields.append(pa.field(c, at))
+                fields.append(pa.field(on, at))
             arrays += [
                 pa.array([change_type] * n, pa.string()),
                 pa.array([version] * n, pa.int64()),
@@ -282,15 +301,19 @@ def make_changefeed_source():
         h = zlib.crc32(repr(k).encode("utf-8", "backslashreplace"))
         return h % K == ki
 
-    def _load_version_map(table_path, man, key_cols, ki=0, K=1):
+    def _load_version_map(table_path, man, key_cols, ki=0, K=1, ro=None):
         """{key tuple: row dict} for the ``ki``-th of ``K`` key-hash
         ranges of one version, pure python: DV positions dropped, MOR
-        chain latest-wins resolved. Files stream batch-by-batch so peak
-        memory is one batch + the kept 1/K key slice (ADVICE r10: the
-        K=1 whole-version dict OOMs on any large table the first time a
-        compaction lands mid-stream)."""
+        chain latest-wins resolved, row dicts normalized to the stream's
+        LOGICAL names via ``ro`` (this manifest's physical->logical
+        rename map) so both diff sides compare in one vocabulary. Files
+        stream batch-by-batch so peak memory is one batch + the kept
+        1/K key slice (ADVICE r10: the K=1 whole-version dict OOMs on
+        any large table the first time a compaction lands
+        mid-stream)."""
         import pyarrow.parquet as pq
 
+        ro = ro or {}
         dv_map = man.get("dv") or {}
         out = {}
         mor = man.get("mor")
@@ -314,6 +337,8 @@ def make_changefeed_source():
                         pos += 1
                         if p in dropped:
                             continue
+                        if ro:
+                            r = {ro.get(c, c): v for c, v in r.items()}
                         k = tuple(r.get(c) for c in key_cols)
                         if not _key_in_range(k, ki, K):
                             continue
@@ -328,7 +353,7 @@ def make_changefeed_source():
         return out
 
     def _vals_eq(a, b, cols):
-        for c, _ in cols:
+        for _, c, _t in cols:
             x, y = a.get(c), b.get(c)
             if x is None and y is None:
                 continue
@@ -362,7 +387,9 @@ def make_changefeed_source():
             self.diff_parts = int(options.get("diff_partitions", "0"))
             pw = options.get("partition_where", "")
             self.pwhere = json.loads(pw) if pw else None
-            self.cols = _stream_cols(self.path)
+            (
+                self.cols, self.latest_map, self.latest_dropped,
+            ) = _stream_cols(self.path)
             arrow_opt = options.get("arrow", "auto").lower()
             can_arrow = all(
                 t in _ARROW_PRIMITIVES for _, t in self.cols
@@ -462,23 +489,18 @@ def make_changefeed_source():
             for v in rng:
                 tr = classify_transition(self.path, base, v)
                 kind = tr["kind"]
-                if tr["manifest"].get("column_mapping"):
-                    # ADVICE r11 (medium): the open-time guard checks only
-                    # the LATEST manifest — a feed opened after
-                    # materialize_column_mapping with from_version inside
-                    # the rename era would read that era's physical-named
-                    # files and stream the renamed column as NULL. Refuse
-                    # per TRANSITION, exactly like the open-time guard
-                    # (the batch twin version_delta translates instead).
-                    raise ValueError(
-                        f"change feed transition v{base}->v{v} lies in a "
-                        "column-mapped era (mapping "
-                        f"{tr['manifest']['column_mapping']}) — its "
-                        "physical-named files would stream renamed "
-                        "columns as NULL; consume that era via "
-                        "version_delta, or restart the feed from the "
-                        "materialize_column_mapping version"
-                    )
+                # ADVICE r11 (medium), upgraded r12: instead of refusing
+                # mapped-era transitions, TRANSLATE them — read each
+                # era's files by their PHYSICAL names and emit the
+                # stream's (latest-logical) schema, the batch twin
+                # version_delta's per-version discipline. _era_cols
+                # raises only on a true RENAME BOUNDARY (a stream column
+                # that existed in the era under a different logical
+                # name), matching snapshot_changes' refusal.
+                tcols = _era_cols(
+                    tr["manifest"], self.cols, self.latest_map,
+                    f"v{base}->v{v}", self.latest_dropped,
+                )
                 if kind in ("initial", "append"):
                     rels = tr["new_files"]
                     if self.pwhere:
@@ -493,7 +515,7 @@ def make_changefeed_source():
                                 "files",
                                 v,
                                 os.path.join(self.path, rel),
-                                self.cols,
+                                tcols,
                                 self.arrow,
                             )
                         )
@@ -511,7 +533,7 @@ def make_changefeed_source():
                                 "mor",
                                 v,
                                 os.path.join(self.path, rel),
-                                self.cols,
+                                tcols,
                                 self.arrow,
                                 gi,
                             )
@@ -540,7 +562,7 @@ def make_changefeed_source():
                                 rel,
                                 tr["dv_changed"][rel][0],
                                 tr["dv_changed"][rel][1],
-                                self.cols,
+                                tcols,
                             )
                         )
                         for rel in dv_rels
@@ -550,15 +572,13 @@ def make_changefeed_source():
                         _manifest(self.path, base) if base > 0 else
                         {"files": [], "schema": {}}
                     )
-                    if prev_man.get("column_mapping"):
-                        # the materialize commit itself: diffing against
-                        # the mapped base would key on physical names
-                        raise ValueError(
-                            f"change feed transition v{base}->v{v} "
-                            "diffs against a column-mapped base manifest "
-                            f"(mapping {prev_man['column_mapping']}) — "
-                            "consume via version_delta or restart the "
-                            "feed from the materialize version"
+                    # each diff side translates by ITS OWN era mapping
+                    # (normalized to the stream's logical names inside
+                    # _load_version_map); a rename boundary raises here
+                    if base > 0:
+                        _era_cols(
+                            prev_man, self.cols, self.latest_map,
+                            f"v{base} (diff base)", self.latest_dropped,
                         )
                     K = self.diff_parts
                     if K <= 0:  # auto: one key-hash range per ~256 MB
@@ -587,6 +607,7 @@ def make_changefeed_source():
                                 tr["manifest"],
                                 self.keys,
                                 self.cols,
+                                self.latest_map,
                                 ki,
                                 K,
                             )
@@ -640,17 +661,41 @@ def make_changefeed_source():
                 yield from _emit(picked, cols, "delete", v, 0)
                 return
             if kind == "diff":
-                _, v, table_path, prev_man, cur_man, keys, cols, ki, K = p
-                old = _load_version_map(table_path, prev_man, keys, ki, K)
-                new = _load_version_map(table_path, cur_man, keys, ki, K)
+                (
+                    _, v, table_path, prev_man, cur_man, keys, cols,
+                    latest_map, ki, K,
+                ) = p
+                # per-side physical->logical normalization (each era's
+                # own mapping), so keys/compares speak ONE vocabulary
+                ro_old = {
+                    rn: on
+                    for rn, on, _t in _era_cols(
+                        prev_man, cols, latest_map, "diff base"
+                    )
+                    if rn != on
+                }
+                ro_new = {
+                    rn: on
+                    for rn, on, _t in _era_cols(
+                        cur_man, cols, latest_map, "diff head"
+                    )
+                    if rn != on
+                }
+                tcols = [(c, c, t) for c, t in cols]
+                old = _load_version_map(
+                    table_path, prev_man, keys, ki, K, ro_old
+                )
+                new = _load_version_map(
+                    table_path, cur_man, keys, ki, K, ro_new
+                )
                 for k, r in new.items():
                     if k not in old:
-                        yield from _emit([r], cols, "insert", v, 0)
-                    elif not _vals_eq(old[k], r, cols):
-                        yield from _emit([r], cols, "upsert", v, 0)
+                        yield from _emit([r], tcols, "insert", v, 0)
+                    elif not _vals_eq(old[k], r, tcols):
+                        yield from _emit([r], tcols, "upsert", v, 0)
                 for k, r in old.items():
                     if k not in new:
-                        yield from _emit([r], cols, "delete", v, 0)
+                        yield from _emit([r], tcols, "delete", v, 0)
                 return
             raise ValueError(f"unknown partition kind {kind!r}")
 
@@ -663,7 +708,7 @@ def make_changefeed_source():
             return "snapshot_changefeed"
 
         def schema(self):
-            cols = _stream_cols(self.options["path"])
+            cols, _, _ = _stream_cols(self.options["path"])
             return ", ".join(
                 [f"{c} {t}" for c, t in cols]
                 + ["change_type string", "_version long", "_group long"]
@@ -756,6 +801,62 @@ def changefeed_fold(
         .drop("_rn")
         .filter(F.col("change_type") != "delete")
     )
+
+
+def _era_cols(
+    era_man: dict, stream_cols: list, latest_map: dict, where: str,
+    latest_dropped=(),
+) -> list:
+    """Per-transition column translation for column-mapped history
+    (r12): returns ``[(read_name, out_name, type)]`` — the PHYSICAL name
+    to project from that era's files and the stream's LOGICAL name to
+    emit. A stream column present in the era's schema reads via the
+    era's own mapping; one absent from it is either a LATER-ADDED column
+    (legit: null-fill, the additive contract) or a column the era knew
+    under a DIFFERENT logical name — a rename boundary. Two detectors,
+    both refusing exactly like ``snapshot_changes``' rename-boundary
+    rule (silently null-filling was the ADVICE r11 medium bug):
+
+    * the latest physical name of a stream column collides with the
+      era's physical set (rename while the table is still mapped);
+    * an era column VANISHED from the stream schema without a
+      ``drop_column`` tombstone — after ``materialize_column_mapping``
+      the physical linkage is gone, and an unexplained vanished column
+      is indistinguishable from a rename, so it refuses conservatively
+      (a tombstoned drop passes: the column genuinely no longer
+      exists)."""
+    em = era_man.get("column_mapping") or {}
+    eschema = era_man.get("schema") or {}
+    ephys = {em.get(logical, logical) for logical in eschema}
+    stream_names = {c for c, _ in stream_cols}
+    out = []
+    for c, t in stream_cols:
+        if c in eschema:
+            out.append((em.get(c, c), c, t))
+            continue
+        p_latest = latest_map.get(c, c)
+        if p_latest in ephys:
+            raise ValueError(
+                f"change feed transition {where} crosses a rename "
+                f"boundary: stream column {c!r} existed in that era "
+                f"under a different logical name (physical {p_latest!r})"
+                " — start the feed inside one naming era, or consume "
+                "the boundary via version_delta"
+            )
+        out.append((c, c, t))  # later-added column: typed null-fill
+    dropped = set(latest_dropped)
+    for logical in eschema:
+        if logical in stream_names:
+            continue
+        if em.get(logical, logical) in dropped:
+            continue  # tombstoned drop: the column truly went away
+        raise ValueError(
+            f"change feed transition {where}: era column {logical!r} "
+            "vanished from the table without a drop tombstone — a "
+            "rename/breaking-rewrite boundary; start the feed after it "
+            "or consume it via version_delta"
+        )
+    return out
 
 
 def _admit_partition_files(man: dict, rels: list, pwhere: dict) -> list:

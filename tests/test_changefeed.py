@@ -844,11 +844,12 @@ def test_feed_partition_where_prunes_dv_commits(spark):
         shutil.rmtree(scratch, ignore_errors=True)
 
 
-def test_feed_refuses_mapped_era_transition(spark):
-    """ADVICE r11 (medium): after rename -> append -> materialize, the
-    open-time guard passes (latest map is clear), but a feed whose range
-    crosses the mapped era must refuse per-transition — its physical-
-    named files would stream the renamed column as NULL."""
+def test_feed_mapped_eras_translate_and_boundaries_refuse(spark):
+    """ADVICE r11 (medium), upgraded r12: the feed TRANSLATES mapped-era
+    transitions (reads physical names, emits logical — values intact,
+    never NULLs) and refuses only a genuine rename boundary, including
+    the post-materialize restart where the latest manifest has no map
+    left to check (the era column vanished without a drop tombstone)."""
     scratch, path = _mkpath()
     try:
         storage.write_snapshot(
@@ -864,10 +865,17 @@ def test_feed_refuses_mapped_era_transition(spark):
                                   "k bigint, amount double"),
             path, mode="append",
         )
+        # inside the mapped era (v2 onward): VALUES stream correctly
+        # under the logical name from the physical-named files
+        got = _drain(spark, path, "cf_mapped_era", from_version=2)
+        assert [(r["k"], r["amount"]) for r in got] == [(2, 20.0)]
         storage.materialize_column_mapping(spark, path)         # v4 (clear)
-        with pytest.raises(Exception, match="column-mapped"):
-            _drain(spark, path, "cf_mapped_era")
-        # starting AFTER the materialize version is fine
+        # crossing the rename boundary refuses — BOTH while mapped and
+        # after materialize (the vanished-column detector; pre-fix the
+        # v1 era's price would silently stream as NULL amount)
+        with pytest.raises(Exception, match="rename|vanished"):
+            _drain(spark, path, "cf_cross_mat")
+        # starting AFTER the boundary is fine, mapped or not
         got = _drain(spark, path, "cf_post_mat", from_version=4)
         assert got == []
         storage.write_snapshot(
@@ -884,3 +892,40 @@ def test_feed_refuses_mapped_era_transition(spark):
         assert got[0]["amount"] == 30.0
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_era_cols_translation_rules():
+    """Unit pins for the per-transition translation table."""
+    from dp_dimension_importer_spark.streaming.changefeed import _era_cols
+
+    cols = [("k", "bigint"), ("amount", "double")]
+    # mapped era: read physical, emit logical
+    era = {
+        "schema": {"k": "bigint", "amount": "double"},
+        "column_mapping": {"amount": "price"},
+    }
+    assert _era_cols(era, cols, {"amount": "price"}, "t") == [
+        ("k", "k", "bigint"), ("price", "amount", "double")
+    ]
+    # pre-rename era + still-mapped latest: boundary detected via the
+    # physical collision
+    era1 = {"schema": {"k": "bigint", "price": "double"}}
+    with pytest.raises(ValueError, match="rename boundary"):
+        _era_cols(era1, cols, {"amount": "price"}, "t")
+    # pre-rename era + MATERIALIZED latest (no map): the vanished-column
+    # detector refuses
+    with pytest.raises(ValueError, match="vanished"):
+        _era_cols(era1, cols, {}, "t")
+    # a genuinely later-added column null-fills
+    era2 = {"schema": {"k": "bigint"}}
+    assert _era_cols(era2, cols, {}, "t") == [
+        ("k", "k", "bigint"), ("amount", "amount", "double")
+    ]
+    # a tombstoned drop passes; an untombstoned vanish refuses
+    era3 = {"schema": {"k": "bigint", "amount": "double",
+                       "note": "string"}}
+    assert _era_cols(era3, cols, {}, "t", latest_dropped=("note",)) == [
+        ("k", "k", "bigint"), ("amount", "amount", "double")
+    ]
+    with pytest.raises(ValueError, match="vanished"):
+        _era_cols(era3, cols, {}, "t")

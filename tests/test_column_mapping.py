@@ -264,7 +264,14 @@ def test_mapped_partitioned_read_and_spec_rekey(spark):
         shutil.rmtree(scratch, ignore_errors=True)
 
 
-def test_version_delta_translates_and_changefeed_refuses(spark):
+def test_version_delta_and_changefeed_translate_mapped_eras(spark):
+    """r12: BOTH incremental readers work through column mapping —
+    version_delta translates per version (r11), and the change feed now
+    translates per transition instead of refusing (Delta CDF through
+    column mapping). A feed whose range CROSSES the rename boundary
+    still refuses, matching snapshot_changes' rule."""
+    import tempfile as _tf
+
     scratch, path = _mkpath()
     try:
         storage.write_snapshot(spark, _df(spark, [(1, 10.0)]), path)
@@ -283,10 +290,30 @@ def test_version_delta_translates_and_changefeed_refuses(spark):
         from dp_dimension_importer_spark.streaming.changefeed import (
             read_changes_stream,
         )
-        # the data-source machinery wraps the ValueError in an
-        # AnalysisException — match on the message, not the type
-        with pytest.raises(Exception, match="column-mapped"):
-            read_changes_stream(spark, path, key_cols=["k"])
+
+        def drain(name, from_version):
+            feed = read_changes_stream(
+                spark, path, key_cols=["k"], from_version=from_version
+            )
+            q = (
+                feed.writeStream.format("memory").queryName(name)
+                .option(
+                    "checkpointLocation",
+                    _tf.mkdtemp(prefix="cmap_ck_"),
+                )
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+            return [r.asDict() for r in spark.table(name).collect()]
+
+        # inside the mapped era: the v2->v3 append streams the renamed
+        # column's VALUES under the logical name (pre-r12: refusal;
+        # pre-ADVICE-fix risk: silent NULLs)
+        got = drain("cmap_feed_era", from_version=2)
+        assert [(r["k"], r["amount"]) for r in got] == [(2, 20.0)]
+        # crossing the rename boundary (v1 era named it 'price') refuses
+        with pytest.raises(Exception, match="rename"):
+            drain("cmap_feed_cross", from_version=0)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

@@ -235,3 +235,76 @@ def test_metadata_verb_race_refuses(spark, monkeypatch):
         assert storage.list_check_constraints(path) == {}
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+def test_racing_mor_delta_writers_both_succeed(spark, monkeypatch):
+    """r12: two streaming CDC sinks landing delta groups simultaneously
+    both succeed — the loser re-appends its group onto the winner's
+    chain (a hard failure per race would be a liveness bug at N
+    writers); latest-wins resolution sees both groups in link order."""
+    scratch, path = _mkpath()
+    try:
+        def mdf(rows):
+            return spark.createDataFrame(
+                [Row(k=k, v=v, seq=s) for k, v, s in rows],
+                "k bigint, v double, seq bigint",
+            )
+
+        storage.write_snapshot(spark, mdf([(1, 1.0, 0), (2, 2.0, 0)]), path)
+
+        def competitor():
+            storage.upsert_delta_snapshot(
+                spark, path, mdf([(2, 22.0, 1)]),
+                key_cols=["k"], seq_col="seq",
+            )
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        v = storage.upsert_delta_snapshot(
+            spark, path, mdf([(3, 3.0, 1)]),
+            key_cols=["k"], seq_col="seq",
+        )
+        assert v == 3
+        man = storage._load_manifest(path, 3)
+        assert len(man["mor"]["deltas"]) == 2  # both groups in the chain
+        got = {
+            r["k"]: r["v"]
+            for r in storage.read_snapshot(spark, path).collect()
+        }
+        assert got == {1: 1.0, 2: 22.0, 3: 3.0}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_mor_delta_racing_compaction_refuses(spark, monkeypatch):
+    scratch, path = _mkpath()
+    try:
+        def mdf(rows):
+            return spark.createDataFrame(
+                [Row(k=k, v=v, seq=s) for k, v, s in rows],
+                "k bigint, v double, seq bigint",
+            )
+
+        storage.write_snapshot(spark, mdf([(1, 1.0, 0)]), path)
+        storage.upsert_delta_snapshot(
+            spark, path, mdf([(2, 2.0, 1)]), key_cols=["k"], seq_col="seq"
+        )
+
+        def competitor():
+            storage.compact_mor(spark, path)
+
+        _RaceOnce(monkeypatch, "v3.json", competitor)
+        with pytest.raises(storage.ConcurrentCommitError):
+            storage.upsert_delta_snapshot(
+                spark, path, mdf([(3, 3.0, 2)]),
+                key_cols=["k"], seq_col="seq",
+            )
+        # retry against the compacted head succeeds
+        storage.upsert_delta_snapshot(
+            spark, path, mdf([(3, 3.0, 2)]), key_cols=["k"], seq_col="seq"
+        )
+        got = {
+            r["k"]: r["v"]
+            for r in storage.read_snapshot(spark, path).collect()
+        }
+        assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

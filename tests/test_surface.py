@@ -190,6 +190,7 @@ NO_ORACLE_OK = {
     "embedding_kmeans",  # float-iterative: numpy-parity + inertia gated
     "ann_sq_topk",  # approx: recall-gated vs q43b (SURVEY §2.3 exclusion)
     "ann_ivfpq_topk",  # approx: recall-gated vs q43b (test_recall.py)
+    "ann_ivf_persisted_topk",  # approx: recall+staleness-gated vs q43b
     "multimodal_image_phash",  # Python decode+DCT: no SQL oracle; floor-tested
 }
 
