@@ -1531,3 +1531,44 @@ def ann_ivf_persisted_topk(spark, sf_dir):
         return probe_index(spark, idx, qdf, e).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def compact_ivf_index(spark, idx_path: str, files_per_cell: int = 1) -> int:
+    """RETENTION for the persisted IVF index (the compact_band_index
+    discipline, dedup.py): daily :func:`append_to_index` calls grow each
+    ``cell=N/`` directory by one file per batch — probe planning cost
+    tracks file count, not data size. Folds every cell back to
+    ``files_per_cell`` files and drops duplicate (vec_id, cell, code)
+    rows (a re-appended vector collapses; probe results are unchanged —
+    the shortlist dropDuplicates downstream). Crash-safe via the
+    storage.compact_parquet swap shape (``__compact_tmp``/
+    ``__compact_old``; :func:`storage.recover_swap` heals a crash
+    between the renames); the meta sidecar is copied into the rewrite
+    BEFORE the swap so the index is never readable without its model.
+    Returns the total data-file count after compaction."""
+    import glob
+    import os
+    import shutil
+
+    from dp_dimension_importer_spark import storage
+
+    storage.recover_swap(idx_path)
+    df = spark.read.parquet(idx_path).dropDuplicates()
+    tmp = idx_path.rstrip("/") + "__compact_tmp"
+    old = idx_path.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    (
+        df.repartition(files_per_cell, "cell")
+        .write.mode("error")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    shutil.copy2(
+        os.path.join(idx_path, IVF_IDX_META),
+        os.path.join(tmp, IVF_IDX_META),
+    )
+    os.rename(idx_path, old)
+    os.rename(tmp, idx_path)
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(idx_path, "cell=*", "*.parquet")))

@@ -148,3 +148,37 @@ def test_build_is_deterministic(spark):
     finally:
         shutil.rmtree(i1, ignore_errors=True)
         shutil.rmtree(i2, ignore_errors=True)
+
+
+def test_compact_bounds_files_and_preserves_probe(spark):
+    t = load_tables(spark, SF)
+    e = t.embeddings
+    idx = _mkidx()
+    try:
+        build_ivf_index(spark, e.filter("vec_id % 3 = 0"), idx)
+        append_to_index(spark, e.filter("vec_id % 3 = 1"), idx)
+        append_to_index(spark, e.filter("vec_id % 3 = 2"), idx)
+        from dp_dimension_importer_spark.operators.similarity import (
+            compact_ivf_index,
+        )
+
+        q = e.filter(F.col("vec_id") < 20)
+        before = {
+            (r["vec_id"], r["rk"], r["nn_id"])
+            for r in probe_index(spark, idx, q, e, k=3).collect()
+        }
+        n_before = sum(len(f) for f in _cell_files(idx).values())
+        n_after = compact_ivf_index(spark, idx, files_per_cell=1)
+        assert n_after < n_before
+        assert all(
+            len(fs) == 1 for fs in _cell_files(idx).values()
+        )
+        # meta survived the swap; probe results identical
+        assert _load_ivf_meta(idx)["centroids"].shape[0] == IVF_CELLS
+        after = {
+            (r["vec_id"], r["rk"], r["nn_id"])
+            for r in probe_index(spark, idx, q, e, k=3).collect()
+        }
+        assert before == after
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
