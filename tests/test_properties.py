@@ -885,3 +885,125 @@ def test_partitioned_layer_model_equivalence(spark, ops):
                 check()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 60)),
+            st.tuples(st.just("rename"), st.integers(0, 0)),
+            st.tuples(st.just("delete"), st.integers(0, 70)),
+            st.tuples(st.just("update"), st.integers(0, 70)),
+            st.tuples(st.just("merge"), st.integers(0, 70)),
+            st.tuples(st.just("optimize"), st.integers(0, 0)),
+            st.tuples(st.just("compact"), st.integers(0, 0)),
+            st.tuples(st.just("materialize"), st.integers(0, 0)),
+        ),
+        min_size=3,
+        max_size=7,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_mapped_dml_model_equivalence(spark, ops):
+    """Model-based check of the r12 mapped-table DML surface: a random
+    interleave of rename / COW delete / UPDATE / MERGE / optimize /
+    compaction / materialize runs against BOTH the layer and an
+    in-memory {key: value} model that tracks the CURRENT logical column
+    name. After every step the latest read equals the model under the
+    current names, and every data file on disk carries the ONE physical
+    schema — the invariant no single-verb test can check across
+    arbitrary interleavings."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark import storage
+
+    base = tempfile.mkdtemp(prefix="mapped_model_")
+    path = base + "/tbl"
+    model: dict[int, float] = {}
+    names = ["val", "amount"]  # toggled by rename
+    cur = 0
+
+    def frame(keys):
+        return spark.createDataFrame(
+            [(k, float(k)) for k in keys], f"k bigint, {names[cur]} double"
+        )
+
+    def check():
+        got = {
+            r["k"]: r[names[cur]]
+            for r in storage.read_snapshot(spark, path).collect()
+        }
+        assert got == model, (got, model)
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        mapping = man.get("column_mapping") or {}
+        phys = mapping.get(names[cur], names[cur])
+        for rel in man["files"]:
+            cols = pq.ParquetFile(
+                os.path.join(path, rel)
+            ).schema_arrow.names
+            assert cols == ["k", phys], (rel, cols, phys)
+
+    try:
+        for verb, arg in ops:
+            exists = bool(storage.snapshot_versions(path))
+            if verb == "append" or not exists:
+                keys = [k for k in range(arg, arg + 6) if k not in model]
+                if not keys:
+                    continue
+                if exists:
+                    storage.write_snapshot(
+                        spark, frame(keys), path, mode="append"
+                    )
+                else:
+                    storage.write_snapshot(spark, frame(keys), path)
+                model.update({k: float(k) for k in keys})
+            elif verb == "rename":
+                storage.rename_column(path, names[cur], names[1 - cur])
+                cur = 1 - cur
+            elif verb == "delete":
+                storage.delete_where_snapshot(
+                    spark, path, f"k >= {arg}"
+                )
+                model = {k: v for k, v in model.items() if k < arg}
+            elif verb == "update":
+                storage.update_where_snapshot(
+                    spark, path,
+                    {names[cur]: F.col(names[cur]) + 1000},
+                    f"k < {arg}",
+                )
+                model = {
+                    k: (v + 1000 if k < arg else v)
+                    for k, v in model.items()
+                }
+            elif verb == "merge":
+                src = spark.createDataFrame(
+                    [(arg, -1.0), (arg + 1, -2.0)],
+                    f"k bigint, {names[cur]} double",
+                )
+                storage.merge_into_snapshot(
+                    spark, path, src, ["k"],
+                    update_set={names[cur]: f"src_{names[cur]}"},
+                    insert=True,
+                )
+                model[arg] = -1.0
+                model[arg + 1] = -2.0
+            elif verb == "optimize":
+                storage.optimize_snapshot_incremental(
+                    spark, path, [names[cur]], since_version=1
+                )
+            elif verb == "compact":
+                storage.compact_small_files_snapshot(
+                    spark, path, min_file_bytes=1 << 30
+                )
+            elif verb == "materialize":
+                storage.materialize_column_mapping(spark, path)
+            check()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
