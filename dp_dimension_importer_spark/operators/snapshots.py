@@ -2439,3 +2439,72 @@ def q65b_type_widening(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q91b_update_dv",
+    sql="""
+    WITH u AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN o_totalprice + 1000 ELSE o_totalprice
+               END AS price,
+               o_orderpriority AS pri
+        FROM orders
+    )
+    SELECT pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM u GROUP BY pri ORDER BY pri
+    """,
+)
+def q91b_update_dv(spark, sf_dir):
+    """DV-BACKED UPDATE (r12 — Delta's deletion-vector update shape, the
+    UPDATE twin of q78b's DV delete): matched rows' positions land in
+    per-file deletion vectors and their UPDATED images APPEND as new
+    files — ZERO existing files rewrite (asserted: ``files_rewritten ==
+    0`` and every v1 file still referenced by v2), so the write costs
+    O(matched rows) no matter how large the touched files are. Readers
+    resolve through the standard DV anti-join; time travel to v1 reads
+    the pre-update world (asserted); OPTIMIZE/purge materialize later.
+    The oracle applies the same CASE arithmetic to raw orders — a green
+    row pins that every urgent row was masked exactly once and its
+    updated image landed exactly once. Partitioned-tuple and purge
+    interplay pinned in tests/test_update_where.py."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    src = t.orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    path = tempfile.mkdtemp(prefix="q91b_udv_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, src, path)
+        files_v1 = set(storage._load_manifest(path, 1)["files"])
+        r = storage.update_where_snapshot(
+            spark, path, {"price": F.col("price") + 1000},
+            "pri = '1-URGENT'", mode="dv",
+        )
+        assert r["files_rewritten"] == 0, r
+        assert r["dv_files_written"] >= 1, r
+        man = storage._load_manifest(path, r["version"])
+        assert files_v1 <= set(man["files"]), "DV update rewrote a file"
+        assert storage.read_snapshot(spark, path, version=1).count() == (
+            storage.read_snapshot(spark, path).count()
+        ), "row count drifted through the DV update"
+        cents = F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot(spark, path)
+            .groupBy("pri")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -1824,6 +1824,72 @@ def _scan_with_pos(
     return data, cols
 
 
+def _write_dv_sidecars(
+    pos_df: DataFrame, path: str, token: str, probe_rels: list,
+    dv_map: dict,
+) -> list:
+    """Distributed deletion-vector sidecar writer shared by the DV
+    DELETE and DV UPDATE: one ``applyInPandas`` task per touched file
+    unions the file's existing vector with the new positions and writes
+    ``data/<token>/<basename>.dv`` atomically (attempt-unique temp +
+    ``os.replace`` — ADVICE r7: a speculative/zombie task twin must
+    never leave a torn sidecar at the referenced path). Returns the
+    collected |touched-files|-row summary (fname, dv_rel, n_new)."""
+    import os
+    import uuid as _uuid
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    _register_self_by_value()
+    data_dir = os.path.join(path, "data", token)
+    os.makedirs(data_dir, exist_ok=True)
+    old_dv_abs = {
+        os.path.basename(rel): os.path.join(path, dv_map[rel])
+        for rel in probe_rels
+        if rel in dv_map
+    }
+    out_schema = T.StructType(
+        [
+            T.StructField("fname", T.StringType()),
+            T.StructField("dv_rel", T.StringType()),
+            T.StructField("n_new", T.LongType()),
+        ]
+    )
+
+    def _write_dv(key, pdf):
+        fname = key[0]
+        new_pos = [int(p) for p in pdf["_pos"]]
+        old: list[int] = []
+        oldp = old_dv_abs.get(fname)
+        if oldp is not None:
+            with open(oldp, "rb") as fh:
+                old = dv_decode(fh.read())
+        rel = os.path.join("data", token, fname + ".dv")
+        final = os.path.join(path, rel)
+        tmp = f"{final}.{_uuid.uuid4().hex}.tmp"
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(dv_encode(old + new_pos))
+            os.replace(tmp, final)
+        except BaseException:
+            # ADVICE r8: failed attempts must not orphan temp files
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        return pd.DataFrame(
+            {"fname": [fname], "dv_rel": [rel], "n_new": [len(new_pos)]}
+        )
+
+    return (
+        pos_df.groupBy("_fname")
+        .applyInPandas(_write_dv, schema=out_schema)
+        .collect()
+    )
+
+
 def delete_where_snapshot(
     spark: SparkSession,
     path: str,
@@ -1934,62 +2000,13 @@ def delete_where_snapshot(
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
     if mode == "dv":
-        _register_self_by_value()
         token = uuid.uuid4().hex[:12]
-        data_dir = os.path.join(path, "data", token)
-        os.makedirs(data_dir, exist_ok=True)
-        old_dv_abs = {
-            os.path.basename(rel): os.path.join(path, dv_map[rel])
-            for rel in probe_rels
-            if rel in dv_map
-        }
-        out_schema = T.StructType(
-            [
-                T.StructField("fname", T.StringType()),
-                T.StructField("dv_rel", T.StringType()),
-                T.StructField("n_new", T.LongType()),
-            ]
-        )
-
-        def _write_dv(key, pdf):
-            fname = key[0]
-            new_pos = [int(p) for p in pdf["_pos"]]
-            old: list[int] = []
-            oldp = old_dv_abs.get(fname)
-            if oldp is not None:
-                with open(oldp, "rb") as fh:
-                    old = dv_decode(fh.read())
-            rel = os.path.join("data", token, fname + ".dv")
-            # ADVICE r7: a speculative/zombie twin of this task writing
-            # the final path directly could interleave with ours and the
-            # committed manifest would reference a torn sidecar. Write an
-            # attempt-unique temp and os.replace() — rename is atomic, so
-            # the referenced path only ever holds a complete encode.
-            final = os.path.join(path, rel)
-            tmp = f"{final}.{uuid.uuid4().hex}.tmp"
-            try:
-                with open(tmp, "wb") as fh:
-                    fh.write(dv_encode(old + new_pos))
-                os.replace(tmp, final)
-            except BaseException:
-                # ADVICE r8: failed attempts must not orphan temp files
-                try:
-                    os.unlink(tmp)
-                except OSError:
-                    pass
-                raise
-            return pd.DataFrame(
-                {"fname": [fname], "dv_rel": [rel], "n_new": [len(new_pos)]}
-            )
-
-        summary = (
-            data.filter(pred)
-            .select("_fname", "_pos")
-            .groupBy("_fname")
-            .applyInPandas(_write_dv, schema=out_schema)
-            .collect()
+        summary = _write_dv_sidecars(
+            data.filter(pred).select("_fname", "_pos"),
+            path, token, probe_rels, dv_map,
         )
         if not summary:
+            data_dir = os.path.join(path, "data", token)
             os.rmdir(data_dir)
             return {
                 "version": versions[-1],
@@ -2190,11 +2207,33 @@ def merge_into_snapshot(
     dv_map = man.get("dv") or {}
     force = _phys_schema(man)
 
+    # stats-prune the PROBE itself (the delete/update `prune` discipline,
+    # derived automatically): a file whose recorded [min, max] on a key
+    # column cannot intersect the source's key range PROVABLY contains no
+    # matched key — skipped before any footer read. On a key-clustered
+    # 100 TB table a narrow CDC batch probes O(its key range's files).
+    probe_rels = list(man["files"])
+    stats = man.get("stats") or {}
+    for kc in key_cols:
+        if not any(kc in per for per in stats.values()):
+            continue
+        bounds = source.agg(
+            F.min(F.col(kc)).alias("lo"), F.max(F.col(kc)).alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            continue
+        elo, ehi = _stat_encode(bounds["lo"]), _stat_encode(bounds["hi"])
+        probe_rels = [
+            rel for rel in probe_rels
+            if (s_ := stats.get(rel, {}).get(kc)) is None
+            or not (s_[1] < elo or s_[0] > ehi)
+        ]
+
     # PROBE: which files contain a source key — at most |files| rows
     # reach the driver, data pages of key-free files never rewrite
     data, _cols = _scan_with_pos(
-        spark, path, man["files"], dv_map, mapping, force
-    ) if man["files"] else (None, None)
+        spark, path, probe_rels, dv_map, mapping, force
+    ) if probe_rels else (None, None)
     if data is not None:
         hit_rows = (
             data.select("_fname", *key_cols)
@@ -2301,6 +2340,7 @@ def update_where_snapshot(
     predicate,
     compression: str = PARQUET_CODEC,
     prune: tuple | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Copy-on-write UPDATE — the last member of the DML triad
     (:func:`write_snapshot` append / :func:`delete_where_snapshot` /
@@ -2322,12 +2362,23 @@ def update_where_snapshot(
     probe itself for files whose recorded stats can't intersect — the
     same caller contract as ``read_snapshot_pruned``.
 
+    ``mode="dv"`` (r12 — Delta's DV-backed UPDATE): matched rows'
+    positions land in per-file deletion vectors and their UPDATED images
+    APPEND as new files — NO existing file rewrites, so the write costs
+    O(matched rows) regardless of how big the touched files are (the
+    UPDATE-side twin of the DV delete; a wide-file table with pinpoint
+    updates pays for the pinpoints, not the files). Readers resolve via
+    the usual DV anti-join; OPTIMIZE / purge materialize. Same
+    trade as DV deletes: cheap writes, a (usually broadcast) anti-join
+    tax per read, stats on DV-carrying files become upper bounds.
+
     Guard rails: an assigned column must already exist (UPDATE never
     adds columns — that's schema evolution via a write), its committed
     type is preserved by casting the new value to it, and MOR tables
     refuse (compact first) for the same probe-soundness reason as
     DELETE. Returns ``{"version", "rows_updated", "files_rewritten",
-    "files_kept", "files_probed"}``."""
+    "files_kept", "files_probed"}`` (plus ``"dv_files_written"`` in DV
+    mode)."""
     import glob
     import json
     import os
@@ -2335,6 +2386,8 @@ def update_where_snapshot(
 
     from pyspark.sql import functions as F
 
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"unknown update mode {mode!r}")
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
@@ -2375,6 +2428,84 @@ def update_where_snapshot(
     data, _cols = _scan_with_pos(
         spark, path, probe_rels, dv_map, mapping, _phys_schema(man)
     )
+
+    if mode == "dv":
+        import shutil as _sh
+
+        token = uuid.uuid4().hex[:12]
+        matched = data.filter(F.coalesce(pred, F.lit(False)))
+        summary = _write_dv_sidecars(
+            matched.select("_fname", "_pos"),
+            path, token, probe_rels, dv_map,
+        )
+        if not summary:
+            _sh.rmtree(os.path.join(path, "data", token),
+                       ignore_errors=True)
+            return {**no_op, "dv_files_written": 0}
+        # the matched rows' UPDATED images append as new files (one
+        # hive-routed write — real tuples on partitioned tables); the
+        # RHS sees pre-update values as in COW mode
+        dcols = [c for c in data.columns if c not in ("_fname", "_pos")]
+        proj_dv = []
+        for c in dcols:
+            if c in assignments:
+                v = assignments[c]
+                v = F.expr(v) if isinstance(v, str) else v
+                proj_dv.append(v.cast(schema[c]).alias(c))
+            else:
+                proj_dv.append(F.col(c))
+        updated_rows = matched.select(*proj_dv)
+        if man.get("generated"):
+            updated_rows = _apply_generated(
+                updated_rows, man["generated"], schema,
+                "update_where_snapshot",
+            )
+        if man.get("constraints"):
+            _enforce_constraints(
+                updated_rows, man["constraints"], "update_where_snapshot"
+            )
+        new_files, new_values = _route_rewrite(
+            updated_rows, path, man, token + "u", compression, mapping
+        )
+        rel_of_fname = {
+            os.path.basename(rel): rel for rel in man["files"]
+        }
+        new_dv = dict(dv_map)
+        rows_updated = 0
+        for r in summary:
+            new_dv[rel_of_fname[r["fname"]]] = r["dv_rel"]
+            rows_updated += r["n_new"]
+        manifest = {
+            "files": man["files"] + new_files,
+            "schema": schema,
+            "dv": new_dv,
+        }
+        if mapping:
+            manifest["column_mapping"] = mapping
+        _carry_partition(man, manifest, new_files, new_values)
+        if "txn" in man:
+            manifest["txn"] = man["txn"]
+        if "stats" in man:
+            stats_cols = sorted(
+                {c for per in man["stats"].values() for c in per}
+            )
+            # old files' stats become upper bounds under their DVs —
+            # still conservative-correct for pruning
+            st = dict(man["stats"])
+            st.update(
+                _stats_logical(new_files, path, stats_cols, mapping)
+            )
+            manifest["stats"] = st
+        version = _commit_manifest(path, manifest, token)
+        return {
+            "version": version,
+            "rows_updated": rows_updated,
+            "files_rewritten": 0,
+            "files_kept": len(man["files"]),
+            "files_probed": len(probe_rels),
+            "dv_files_written": len(summary),
+        }
+
     hits = (
         data.filter(pred)
         .groupBy("_fname")

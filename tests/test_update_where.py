@@ -363,3 +363,133 @@ def test_merge_into_mapped_table_logical_names(spark):
             ).schema_arrow.names == ["k", "a", "b"], rel
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+def test_update_dv_mode_appends_and_masks(spark):
+    """r12 DV-backed UPDATE: no existing file rewrites — matched rows'
+    positions land in deletion vectors and their updated images append;
+    reads resolve via the anti-join; purge materializes."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(k, k, 0) for k in range(8)]).coalesce(2),
+            path,
+        )
+        files_v1 = list(storage._load_manifest(path, 1)["files"])
+        r = storage.update_where_snapshot(
+            spark, path, {"a": F.col("a") + 100}, "k in (1, 5)",
+            mode="dv",
+        )
+        assert r["files_rewritten"] == 0
+        assert r["rows_updated"] == 2
+        assert r["dv_files_written"] >= 1
+        man = storage._load_manifest(path, r["version"])
+        # every original file still referenced, plus appended updates
+        assert set(files_v1) < set(man["files"])
+        assert man.get("dv")
+        got = _rows(spark, path)
+        assert got == sorted(
+            [(k, k, 0) for k in range(8) if k not in (1, 5)]
+            + [(1, 101, 0), (5, 105, 0)]
+        )
+        # time travel: v1 pristine
+        assert _rows(spark, path, version=1) == [
+            (k, k, 0) for k in range(8)
+        ]
+        # RHS sees pre-update values; chained DV update on an appended
+        # row works (the appended file is probed like any other)
+        storage.update_where_snapshot(
+            spark, path, {"a": F.col("a") + 1}, "k = 1", mode="dv"
+        )
+        assert (1, 102, 0) in _rows(spark, path)
+        # purge materializes all vectors; rows unchanged
+        storage.purge_deletion_vectors(spark, path)
+        man2 = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert not man2.get("dv")
+        assert (1, 102, 0) in _rows(spark, path)
+        assert len(_rows(spark, path)) == 8
+        # no-match DV update commits nothing
+        v_before = storage.snapshot_versions(path)[-1]
+        r2 = storage.update_where_snapshot(
+            spark, path, {"a": F.lit(0)}, "k = 999", mode="dv"
+        )
+        assert r2["version"] == v_before
+        assert r2["dv_files_written"] == 0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_update_dv_mode_partitioned_keeps_tuples(spark):
+    import datetime
+
+    D = datetime.datetime
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [
+                Row(k=i, ts=D(2024, 3, 1 + i % 3), v=float(i))
+                for i in range(30)
+            ],
+            "k bigint, ts timestamp, v double",
+        )
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("days", "ts")]
+        )
+        r = storage.update_where_snapshot(
+            spark, path, {"v": F.col("v") * 10}, "k < 3", mode="dv"
+        )
+        assert r["files_rewritten"] == 0
+        man = storage._load_manifest(path, r["version"])
+        vals = man["partition"]["values"]
+        # appended update files carry REAL tuples too
+        assert all(e is not None for e in vals.values())
+        where = {"ts": ("between", D(2024, 3, 2), D(2024, 3, 2, 23, 59))}
+        got = storage.read_snapshot_partitioned(spark, path, where)
+        want = storage.read_snapshot(spark, path).filter(
+            F.col("ts").between(D(2024, 3, 2), D(2024, 3, 2, 23, 59))
+        )
+        assert sorted((r["k"], r["v"]) for r in got.collect()) == sorted(
+            (r["k"], r["v"]) for r in want.collect()
+        )
+        assert {r["v"] for r in
+                storage.read_snapshot(spark, path)
+                .filter("k < 3").collect()} == {0.0, 10.0, 20.0}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_probe_stats_pruning(spark):
+    """r12: the MERGE probe skips files whose recorded key-range cannot
+    intersect the source's — zero footer reads for them, and they carry
+    untouched even without being probed."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(k, k, 0) for k in range(0, 4)]).coalesce(1),
+            path, stats_cols=["k"],
+        )
+        for lo in (100, 200):
+            storage.write_snapshot(
+                spark,
+                _df(spark, [(k, k, 0) for k in range(lo, lo + 4)])
+                .coalesce(1),
+                path, mode="append", stats_cols=["k"],
+            )
+        src = spark.createDataFrame(
+            [Row(k=101, a=7)], "k bigint, a bigint"
+        )
+        v = storage.merge_into_snapshot(
+            spark, path, src, ["k"], update_set={"a": "src_a"},
+            insert=False,
+        )
+        man_b = storage._load_manifest(path, v - 1)
+        man_a = storage._load_manifest(path, v)
+        rewritten = set(man_b["files"]) - set(man_a["files"])
+        assert len(rewritten) == 1  # only the 100-range file
+        got = _rows(spark, path)
+        assert (101, 7, 0) in got and len(got) == 12
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
