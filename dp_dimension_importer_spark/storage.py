@@ -381,7 +381,14 @@ def optimize_snapshot_incremental(
     }
     stats.update(_stats_logical(new_files, path, stats_cols, mapping))
     manifest["stats"] = stats
-    version = _commit_manifest(path, manifest, token)
+    version = _commit_manifest(
+        path, manifest, token,
+        rebase=_make_dml_rebase(
+            man, removed=new_rels, new_files=new_files,
+            new_stats=_new_stats_of(manifest, new_files),
+            mapping=mapping,
+        ),
+    )
     return {
         "version": version,
         "files_clustered": len(new_rels),
@@ -489,7 +496,14 @@ def compact_small_files_snapshot(
         stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
         stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
-    version = _commit_manifest(path, manifest, token)
+    version = _commit_manifest(
+        path, manifest, token,
+        rebase=_make_dml_rebase(
+            man, removed=small, new_files=new_files,
+            new_stats=_new_stats_of(manifest, new_files),
+            mapping=mapping,
+        ),
+    )
     return {
         "version": version,
         "files_compacted": len(small),
@@ -1746,17 +1760,22 @@ def _stats_logical(
 
 
 def _phys_schema(man: dict) -> dict | None:
-    """``{physical col: type}`` when reads must FORCE the scan schema —
-    the table has widened column types (old files narrower than the
-    committed type) or dropped columns (old files still carry the bytes;
-    the forced projection omits them). None = infer (the fast path for
-    tables that never widened/dropped; identical plan to before)."""
-    if not (man.get("widened") or man.get("dropped")):
-        return None
+    """``{physical col: type}`` — the scan schema every read FORCES.
+
+    The committed manifest schema is the table's truth; schema
+    INFERENCE samples one parquet footer, which on any mixed-schema
+    file set (an additive append next to older files, widened types,
+    dropped columns) is nondeterministic in uuid-directory order — a
+    DML rewrite planning against a stale sampled footer would silently
+    DROP the newer column's values from the files it rewrites (latent
+    data-loss bug found by test_drop_column_lifecycle flaking in the
+    r12 full-suite run). Forcing the schema makes every read
+    deterministic: absent columns null-fill, narrow files upcast in the
+    vectorized scan, dropped/tombstoned bytes are never projected."""
     mapping = man.get("column_mapping") or {}
     return {
         mapping.get(c, c): t for c, t in (man.get("schema") or {}).items()
-    }
+    } or None
 
 
 def _schema_ddl(phys_schema: dict) -> str:
@@ -1822,6 +1841,100 @@ def _scan_with_pos(
             {p: l for l, p in mapping.items()}.get(c, c) for c in cols
         ]
     return data, cols
+
+
+
+def _new_stats_of(manifest: dict, new_files) -> dict | None:
+    if "stats" not in manifest:
+        return None
+    return {
+        rel: manifest["stats"][rel]
+        for rel in new_files
+        if rel in manifest["stats"]
+    }
+
+def _make_dml_rebase(
+    base_man: dict,
+    removed=(),
+    dv_set: dict | None = None,
+    new_files=(),
+    new_values: dict | None = None,
+    new_stats: dict | None = None,
+    mapping: dict | None = None,
+):
+    """Optimistic-concurrency rebase for SUBSET-REPLACING commits (r12 —
+    Iceberg's snapshot-isolation validation for row-level DML): a COW
+    delete/update, DV delete/update, purge, compaction or incremental/
+    partition-scoped optimize replaces ``removed`` files (and/or
+    attaches ``dv_set`` sidecars) with ``new_files``. If a racing commit
+    did NOT touch exactly those files — they are still referenced by the
+    new head with unchanged DV state — and no table contract moved, the
+    two commits are disjoint and BOTH succeed: the loser rebuilds its
+    manifest on the head (racing append+delete, or two deletes on
+    different files, no longer hard-fail). A shared file, a DV added by
+    the competitor on a file we rewrote/masked, a schema/constraint/
+    mapping/spec-relevant change, or a vanished file refuses with
+    :class:`ConcurrentCommitError` — the verb re-runs against the new
+    head. MERGE deliberately has NO rebase: its NOT-MATCHED inserts
+    assumed keys absent from the WHOLE table, and a concurrent append
+    could invalidate that (the write-skew serializable-vs-snapshot
+    distinction)."""
+    touched = set(removed) | set(dv_set or {})
+    base_dv = base_man.get("dv") or {}
+
+    def _rebase(head: dict) -> dict:
+        if head.get("mor"):
+            raise ConcurrentCommitError(
+                "table became MOR concurrently — re-run the verb"
+            )
+        for key in ("constraints", "generated", "column_mapping",
+                    "widened", "dropped", "schema"):
+            if (head.get(key) or None) != (base_man.get(key) or None):
+                raise ConcurrentCommitError(
+                    f"table {key} changed concurrently — this commit "
+                    "was derived under the old contract; re-run"
+                )
+        head_files = set(head.get("files") or [])
+        head_dv = head.get("dv") or {}
+        for rel in touched:
+            if rel not in head_files:
+                raise ConcurrentCommitError(
+                    f"file {rel!r} was rewritten/removed by a "
+                    "concurrent commit — re-run the verb"
+                )
+            if head_dv.get(rel) != base_dv.get(rel):
+                raise ConcurrentCommitError(
+                    f"a concurrent commit changed {rel!r}'s deletion "
+                    "vector — masking/rewriting it now would drop those "
+                    "deletes; re-run the verb"
+                )
+        rm = set(removed)
+        files = [f for f in (head.get("files") or []) if f not in rm]
+        files += list(new_files)
+        m2 = {"files": files, "schema": head.get("schema")
+              or base_man.get("schema")}
+        if mapping:
+            m2["column_mapping"] = mapping
+        dv = {
+            rel: d for rel, d in head_dv.items() if rel not in rm
+        }
+        dv.update(dv_set or {})
+        if dv:
+            m2["dv"] = dv
+        _carry_partition(head, m2, list(new_files), new_values)
+        keep = set(files)
+        if head.get("stats") or new_stats:
+            m2["stats"] = {
+                rel: v
+                for rel, v in (head.get("stats") or {}).items()
+                if rel in keep
+            }
+            m2["stats"].update(new_stats or {})
+        if head.get("txn"):
+            m2["txn"] = head["txn"]
+        return m2
+
+    return _rebase
 
 
 def _write_dv_sidecars(
@@ -2035,7 +2148,16 @@ def delete_where_snapshot(
         if "stats" in man:
             manifest["stats"] = man["stats"]  # now upper bounds: still
             # conservative-correct for pruning
-        version = _commit_manifest(path, manifest, token)
+        version = _commit_manifest(
+            path, manifest, token,
+            rebase=_make_dml_rebase(
+                man,
+                dv_set={
+                    rel_of_fname[r["fname"]]: r["dv_rel"] for r in summary
+                },
+                mapping=mapping,
+            ),
+        )
         return {
             "version": version,
             "rows_deleted": rows_deleted,
@@ -2097,7 +2219,14 @@ def delete_where_snapshot(
         stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
         stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
-    version = _commit_manifest(path, manifest, token)
+    version = _commit_manifest(
+        path, manifest, token,
+        rebase=_make_dml_rebase(
+            man, removed=doomed_rels, new_files=new_files,
+            new_values=new_values, new_stats=_new_stats_of(manifest, new_files),
+            mapping=mapping,
+        ),
+    )
     return {
         "version": version,
         "rows_deleted": rows_deleted,
@@ -2496,7 +2625,18 @@ def update_where_snapshot(
                 _stats_logical(new_files, path, stats_cols, mapping)
             )
             manifest["stats"] = st
-        version = _commit_manifest(path, manifest, token)
+        version = _commit_manifest(
+            path, manifest, token,
+            rebase=_make_dml_rebase(
+                man,
+                dv_set={
+                    rel_of_fname[r["fname"]]: r["dv_rel"] for r in summary
+                },
+                new_files=new_files, new_values=new_values,
+                new_stats=_new_stats_of(manifest, new_files),
+                mapping=mapping,
+            ),
+        )
         return {
             "version": version,
             "rows_updated": rows_updated,
@@ -2565,7 +2705,15 @@ def update_where_snapshot(
         stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
         stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
-    version = _commit_manifest(path, manifest, token)
+    version = _commit_manifest(
+        path, manifest, token,
+        rebase=_make_dml_rebase(
+            man, removed=touched_rels, new_files=new_files,
+            new_values=new_values,
+            new_stats=_new_stats_of(manifest, new_files),
+            mapping=mapping,
+        ),
+    )
     return {
         "version": version,
         "rows_updated": rows_updated,
@@ -2678,7 +2826,15 @@ def purge_deletion_vectors(
         stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
         stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
-    version = _commit_manifest(path, manifest, token)
+    version = _commit_manifest(
+        path, manifest, token,
+        rebase=_make_dml_rebase(
+            man, removed=victims, new_files=new_files,
+            new_values=new_values,
+            new_stats=_new_stats_of(manifest, new_files),
+            mapping=mapping,
+        ),
+    )
     return {
         "version": version,
         "files_purged": len(victims),
@@ -5916,7 +6072,15 @@ def optimize_partitions(
         manifest["stats"] = stats
     import uuid
 
-    version = _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
+    version = _commit_manifest(
+        path, manifest, uuid.uuid4().hex[:12],
+        rebase=_make_dml_rebase(
+            man, removed=matched, new_files=new_files,
+            new_values=new_values,
+            new_stats=_new_stats_of(manifest, new_files),
+            mapping=mapping,
+        ),
+    )
     return {
         "version": version,
         "files_rewritten": len(matched),

@@ -308,3 +308,104 @@ def test_mor_delta_racing_compaction_refuses(spark, monkeypatch):
         assert got == {1: 1.0, 2: 2.0, 3: 3.0}
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+def test_disjoint_delete_and_update_both_succeed(spark, monkeypatch):
+    """r12 snapshot-isolation DML: a delete and an update racing on
+    DIFFERENT files both succeed — the loser validates its touched
+    files are untouched in the new head and rebases."""
+    scratch, path = _mkpath()
+    try:
+        # two single-file appends with disjoint key ranges
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(k, float(k)) for k in range(0, 4)]).coalesce(1),
+            path, stats_cols=["k"],
+        )
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(k, float(k)) for k in range(10, 14)])
+            .coalesce(1),
+            path, mode="append", stats_cols=["k"],
+        )
+
+        def competitor():
+            storage.delete_where_snapshot(
+                spark, path, "k = 0", prune=("k", 0, 3)
+            )
+
+        _RaceOnce(monkeypatch, "v3.json", competitor)
+        r = storage.update_where_snapshot(
+            spark, path, {"v": F.lit(99.0)}, "k = 10",
+            prune=("k", 10, 13),
+        )
+        assert r["rows_updated"] == 1
+        assert storage.snapshot_versions(path) == [1, 2, 3, 4]
+        got = {
+            r["k"]: r["v"]
+            for r in storage.read_snapshot(spark, path).collect()
+        }
+        # BOTH effects present: k=0 deleted AND k=10 updated
+        assert 0 not in got
+        assert got[10] == 99.0
+        assert got[1] == 1.0 and got[13] == 13.0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_append_racing_delete_both_succeed(spark, monkeypatch):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(k, float(k)) for k in range(4)]).coalesce(1),
+            path,
+        )
+
+        def competitor():
+            storage.write_snapshot(
+                spark, _df(spark, [(100, 100.0)]), path, mode="append"
+            )
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        r = storage.delete_where_snapshot(spark, path, "k = 1")
+        assert r["rows_deleted"] == 1
+        got = sorted(
+            r["k"] for r in storage.read_snapshot(spark, path).collect()
+        )
+        assert got == [0, 2, 3, 100]  # append survived the delete's rebase
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_dv_deletes_same_file_second_refuses(spark, monkeypatch):
+    """Two DV deletes masking the SAME file conflict — the loser's
+    sidecar was unioned against the pre-race vector, so committing it
+    would drop the winner's deletes. Disjoint-file DV deletes rebase."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(k, float(k)) for k in range(4)]).coalesce(1),
+            path,
+        )
+
+        def competitor():
+            storage.delete_where_snapshot(
+                spark, path, "k = 2", mode="dv"
+            )
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        with pytest.raises(
+            storage.ConcurrentCommitError, match="deletion"
+        ):
+            storage.delete_where_snapshot(spark, path, "k = 1", mode="dv")
+        # winner's delete intact; loser re-runs cleanly
+        assert sorted(
+            r["k"] for r in storage.read_snapshot(spark, path).collect()
+        ) == [0, 1, 3]
+        storage.delete_where_snapshot(spark, path, "k = 1", mode="dv")
+        assert sorted(
+            r["k"] for r in storage.read_snapshot(spark, path).collect()
+        ) == [0, 3]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

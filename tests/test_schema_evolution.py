@@ -251,3 +251,54 @@ def test_drop_on_mapped_table_and_restore_markers(spark):
         assert storage._load_manifest(path, 4)["dropped"] == []
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_additive_evolution_reads_force_manifest_schema(spark):
+    """Latent-bug regression (found when test_drop_column_lifecycle
+    flaked in the r12 full-suite run): on a MIXED-schema file set (an
+    additive append next to older files) schema INFERENCE samples one
+    footer, nondeterministic in uuid-directory order — a read could
+    lose the newer column and a DML rewrite could silently drop its
+    values. Every read now forces the COMMITTED manifest schema."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(1, 1.0), (2, 2.0)], "k bigint, v double")
+            .coalesce(1),
+            path,
+        )
+        # additive append introduces a new column -> mixed file schemas
+        storage.write_snapshot(
+            spark,
+            spark.createDataFrame(
+                [Row(k=3, v=3.0, tag="x"), Row(k=4, v=4.0, tag="y")],
+                "k bigint, v double, tag string",
+            ).coalesce(1),
+            path, mode="append",
+        )
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "v", "tag"]  # never footer-sampled
+        tags = {r["k"]: r["tag"] for r in got.collect()}
+        assert tags == {1: None, 2: None, 3: "x", 4: "y"}
+        # a COW delete touching BOTH generations keeps the new column's
+        # values in its rewrite (pre-fix: lost when inference sampled
+        # the old file's footer)
+        r = storage.delete_where_snapshot(spark, path, "k in (1, 3)")
+        assert r["rows_deleted"] == 2
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "v", "tag"]
+        assert {(r["k"], r["tag"]) for r in got.collect()} == {
+            (2, None), (4, "y")
+        }
+        # UPDATE across the boundary preserves it too
+        storage.update_where_snapshot(
+            spark, path, {"v": F.col("v") + 10}, "k = 4"
+        )
+        rows = {
+            r["k"]: (r["v"], r["tag"])
+            for r in storage.read_snapshot(spark, path).collect()
+        }
+        assert rows == {2: (2.0, None), 4: (14.0, "y")}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
