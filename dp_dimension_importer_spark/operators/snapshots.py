@@ -2508,3 +2508,82 @@ def q91b_update_dv(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q65c_drop_column",
+    sql="""
+    WITH u AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS d,
+               o_totalprice AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 100000000,
+               CAST(o_orderdate AS DATE) AS d,
+               o_totalprice + 1
+        FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT strftime(d, '%Y') AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def q65c_drop_column(spark, sf_dir):
+    """DROP COLUMN as a metadata-only commit (r12 —
+    :func:`storage.drop_column`, the mapping-layer tombstone): orders
+    commits WITH a ``note`` column, the column drops with ZERO data
+    movement (asserted: v2's file list is byte-identical to v1's), a
+    post-drop append arrives WITHOUT it, and every read projects only
+    the live schema — the dead bytes in the old files are never read
+    (the forced-scan projection). Time travel to v1 resurrects the
+    column (asserted) — schemas version like data. The oracle never
+    sees ``note`` at all, so a green row pins that the drop removed the
+    column from the readable surface without disturbing a single row of
+    the survivors. Name-reuse tombstone refusal, re-admission via full
+    rewrite, and the spec/constraint guards live in
+    tests/test_schema_evolution.py."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    src = t.orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").alias("price"),
+        F.concat(F.lit("n-"), F.col("o_orderkey")).alias("note"),
+    )
+    path = tempfile.mkdtemp(prefix="q65c_drop_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, src, path)
+        files_v1 = sorted(storage._load_manifest(path, 1)["files"])
+        storage.drop_column(path, "note")
+        assert sorted(
+            storage._load_manifest(path, 2)["files"]
+        ) == files_v1, "drop moved data"
+        assert "note" in storage.read_snapshot(
+            spark, path, version=1
+        ).columns, "time travel lost the pre-drop era"
+        late = src.filter("o_orderkey % 7 = 0").drop("note").select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "d",
+            (F.col("price") + 1).alias("price"),
+        )
+        storage.write_snapshot(spark, late, path, mode="append")
+        head = storage.read_snapshot(spark, path)
+        assert head.columns == ["o_orderkey", "d", "price"]
+        cents = F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")
+        return (
+            head.groupBy(F.date_format("d", "yyyy").alias("yr"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(cents).alias("sum_cents"))
+            .orderBy("yr")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

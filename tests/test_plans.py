@@ -1949,3 +1949,30 @@ def test_pruned_read_accepts_tag_and_asof_selectors(spark, tmp_path):
     assert {r.v for r in latest.collect()} == {
         float(i) + 100 for i in range(5, 10)
     }
+
+
+def test_forced_schema_scan_keeps_pushdown(spark, tmp_path):
+    """r12: snapshot reads FORCE the committed manifest schema
+    (deterministic on mixed-schema file sets). The explicit schema must
+    not cost the scan its optimizations: predicates still push into the
+    parquet source and the projection still prunes columns."""
+    from pyspark.sql import Row
+
+    from dp_dimension_importer_spark import storage
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(k=i, a=float(i), b="x" * 20) for i in range(100)],
+        "k bigint, a double, b string",
+    )
+    storage.write_snapshot(spark, df, path)
+    got = storage.read_snapshot(spark, path).filter("k = 5").select("a")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "k" in pushed[0], plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    struct = rs.split("ReadSchema: struct<")[1].split(">")[0]
+    fields = {f.split(":")[0] for f in struct.split(",")}
+    # projection pruned to the needed columns — b never read
+    assert fields == {"k", "a"}, rs
+    assert [r["a"] for r in got.collect()] == [5.0]
