@@ -1453,7 +1453,8 @@ def q90b_changefeed_mv_stream(spark, sf_dir):
 _Q90C_SQL = """
     WITH live AS (
         SELECT event_id, ts, event_type, value FROM events
-        WHERE event_type = 'view'
+        WHERE event_id % 3 = 0
+          AND event_type = 'view'
           AND ts >= TIMESTAMP '2024-01-05 00:00:00'
           AND ts < TIMESTAMP '2024-01-10 00:00:00'
           AND NOT (event_id % 10 = 4)
@@ -1490,7 +1491,10 @@ def q90c_changefeed_partitioned(spark, sf_dir):
     from dp_dimension_importer_spark import storage
     from dp_dimension_importer_spark.streaming import changefeed
 
-    ev = table(spark, sf_dir, "events").select(
+    # a third of events keeps the fixture cost bounded (the bench showed
+    # the two hive-layout commits dominating at sf0.1) while every
+    # admission path still exercises — the oracle mirrors the subset
+    ev = table(spark, sf_dir, "events").filter("event_id % 3 = 0").select(
         "event_id", "ts", "event_type", "value"
     )
     spec = [("days", "ts"), ("identity", "event_type")]
