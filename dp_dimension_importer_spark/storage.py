@@ -336,7 +336,9 @@ def optimize_snapshot_incremental(
             "purge_deletion_vectors first"
         )
     df = _apply_mapping(
-        spark.read.parquet(
+        # forced physical schema: the post-baseline files may span an
+        # additive schema boundary (see compact's note)
+        spark.read.schema(_schema_ddl(_phys_schema(man))).parquet(
             *(os.path.join(path, rel) for rel in new_rels)
         ),
         mapping,
@@ -469,7 +471,13 @@ def compact_small_files_snapshot(
     # round-robin repartition, not coalesce: coalesce glues INPUT
     # partitions and leaves the size skew that made the files small in
     # the first place; the shuffle moves only the small files' bytes
-    (spark.read.parquet(*(os.path.join(path, rel) for rel in small))
+    # force the PHYSICAL schema: the small files may span an additive
+    # schema boundary, and footer inference on a mixed set is
+    # nondeterministic — compacting against a stale sampled footer would
+    # silently drop the newer column's values (the same latent bug the
+    # forced _manifest_df read fixed)
+    (spark.read.schema(_schema_ddl(_phys_schema(man)))
+     .parquet(*(os.path.join(path, rel) for rel in small))
      .repartition(int(n_out))
      .write.mode("error").option("compression", compression)
      .parquet(data_dir))

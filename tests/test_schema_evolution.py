@@ -302,3 +302,54 @@ def test_additive_evolution_reads_force_manifest_schema(spark):
         assert rows == {2: (2.0, None), 4: (14.0, "y")}
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_compact_and_incremental_optimize_across_schema_boundary(spark):
+    """Same latent-bug class as the forced read: compaction and
+    incremental OPTIMIZE ingest mixed-generation files directly — they
+    must force the committed schema too, or a stale sampled footer
+    silently drops the newer column from the rewritten files."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(1, 1.0), (2, 2.0)], "k bigint, v double")
+            .coalesce(1),
+            path, stats_cols=["k"],
+        )
+        storage.write_snapshot(
+            spark,
+            spark.createDataFrame(
+                [Row(k=3, v=3.0, tag="x")],
+                "k bigint, v double, tag string",
+            ).coalesce(1),
+            path, mode="append", stats_cols=["k"],
+        )
+        r = storage.compact_small_files_snapshot(
+            spark, path, min_file_bytes=1 << 30
+        )
+        assert r["files_compacted"] == 2
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "v", "tag"]
+        assert {(x["k"], x["tag"]) for x in got.collect()} == {
+            (1, None), (2, None), (3, "x")
+        }
+        # incremental optimize over a mixed tail
+        storage.write_snapshot(
+            spark,
+            spark.createDataFrame(
+                [Row(k=4, v=4.0, tag="y"), Row(k=5, v=5.0, tag="z")],
+                "k bigint, v double, tag string",
+            ).coalesce(1),
+            path, mode="append", stats_cols=["k"],
+        )
+        base_v = storage.snapshot_versions(path)[-2]
+        storage.optimize_snapshot_incremental(
+            spark, path, ["k"], since_version=base_v
+        )
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "v", "tag"]
+        tags = {x["k"]: x["tag"] for x in got.collect()}
+        assert tags == {1: None, 2: None, 3: "x", 4: "y", 5: "z"}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
