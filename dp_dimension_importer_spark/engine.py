@@ -178,7 +178,11 @@ from dp_dimension_importer_spark.operators.windows import (  # noqa: F401
     scd2_build,
 )
 from dp_dimension_importer_spark.operators.similarity import (  # noqa: F401
+    append_to_index,
+    build_ivf_index,
+    compact_ivf_index,
     kmeans_fit,
+    probe_index,
 )
 from dp_dimension_importer_spark.streaming.sink import (  # noqa: F401
     compact_commit_log,
@@ -187,6 +191,7 @@ from dp_dimension_importer_spark.streaming.sink import (  # noqa: F401
 )
 
 from dp_dimension_importer_spark.storage import (  # noqa: F401
+    ConcurrentCommitError,
     add_check_constraint,
     add_generated_column,
     classify_transition,
@@ -211,9 +216,11 @@ from dp_dimension_importer_spark.storage import (  # noqa: F401
     rename_column,
     table_files,
     table_history,
+    drop_column,
     update_where_snapshot,
     vacuum_snapshots,
     version_delta,
+    widen_column_type,
     write_snapshot_partitioned,
     write_snapshot_to_branch,
 )
@@ -333,6 +340,13 @@ __all__ = [
     "list_branches",
     "list_check_constraints",
     "materialize_column_mapping",
+    "widen_column_type",
+    "drop_column",
+    "ConcurrentCommitError",
+    "build_ivf_index",
+    "append_to_index",
+    "probe_index",
+    "compact_ivf_index",
     "merge_into_snapshot",
     "optimize_partitions",
     "optimize_snapshot_incremental",
