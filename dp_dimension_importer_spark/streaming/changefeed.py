@@ -126,7 +126,15 @@ def make_changefeed_source():
     # directly); ship THIS module by value too so the closure cell
     # unpickles in the foreign-cwd driver runner
     _cp.register_pickle_by_value(_sys.modules[_admit_partition_files.__module__])
-    _admit = _admit_partition_files
+    # bind the storage helper THROUGH the by-value closure: the Python
+    # streaming-source runner executes partitions() in its own process
+    # with a foreign sys.path, where _admit_partition_files' fallback
+    # absolute import of storage would raise ModuleNotFoundError (found
+    # by q90c failing ONLY in the foreign-cwd driver sweep)
+    _tl = _st._transform_literal
+
+    def _admit(man, rels, pwhere):
+        return _admit_partition_files(man, rels, pwhere, _tl)
 
     def _mdir(path):
         return os.path.join(path, "_manifests")
@@ -859,7 +867,9 @@ def _era_cols(
     return out
 
 
-def _admit_partition_files(man: dict, rels: list, pwhere: dict) -> list:
+def _admit_partition_files(
+    man: dict, rels: list, pwhere: dict, transform_literal=None
+) -> list:
     """Streaming half of partition pruning: admit only the files of a
     transition whose manifest tuples can satisfy ``pwhere`` (the
     ``read_snapshot_partitioned`` predicate language, JSON-carried:
@@ -883,7 +893,11 @@ def _admit_partition_files(man: dict, rels: list, pwhere: dict) -> list:
         return rels
     import datetime
 
-    from dp_dimension_importer_spark.storage import _transform_literal
+    if transform_literal is None:  # direct (test) callers: import lazily
+        from dp_dimension_importer_spark.storage import (
+            _transform_literal as transform_literal,
+        )
+    _transform_literal = transform_literal
 
     def _renderings(t, v):
         """Every stored value the literal could legitimately compare
