@@ -181,6 +181,7 @@ from dp_dimension_importer_spark.operators.similarity import (  # noqa: F401
     append_to_index,
     build_ivf_index,
     compact_ivf_index,
+    delete_from_index,
     kmeans_fit,
     probe_index,
 )
@@ -347,6 +348,7 @@ __all__ = [
     "append_to_index",
     "probe_index",
     "compact_ivf_index",
+    "delete_from_index",
     "merge_into_snapshot",
     "optimize_partitions",
     "optimize_snapshot_incremental",

@@ -1385,6 +1385,34 @@ def append_to_index(spark, new_embeddings: DataFrame, idx_path: str) -> None:
     )
 
 
+def _read_tombstones(spark, idx_path: str):
+    """The index's deleted-vec_id table (None when no delete ever ran) —
+    tiny by contract; bounded by compaction."""
+    import glob
+    import os
+
+    tdir = os.path.join(idx_path, "_tombstones")
+    if not glob.glob(os.path.join(tdir, "*.parquet")):
+        return None
+    return spark.read.parquet(tdir)
+
+
+def delete_from_index(spark, idx_path: str, ids: DataFrame) -> None:
+    """DELETE vectors from the persisted index — the deletion-vector
+    discipline at index level: the doomed ``vec_id`` rows land in a
+    tiny ``_tombstones/`` parquet table (O(deleted ids), NO cell
+    rewrites), :func:`probe_index` anti-joins them so deleted vectors
+    stop surfacing immediately, and :func:`compact_ivf_index` drops the
+    masked rows physically and clears the tombstones. The daily-ingest
+    twin of ``append_to_index`` for corpus removals (takedowns,
+    dedup-driven doc deletes)."""
+    import os
+
+    ids.select(F.col("vec_id").cast("long")).write.mode("append").parquet(
+        os.path.join(idx_path, "_tombstones")
+    )
+
+
 def probe_index(
     spark,
     idx_path: str,
@@ -1461,6 +1489,15 @@ def probe_index(
         .mapInPandas(scan, "qid long, nn_id long")
         .dropDuplicates(["qid", "nn_id"])
     )
+    tomb = _read_tombstones(spark, idx_path)
+    if tomb is not None:
+        # deleted vectors stop surfacing immediately (the DV discipline
+        # at index level: tombstones are tiny, AQE broadcasts the anti
+        # side; compact_ivf_index drops the rows physically and clears)
+        cand = cand.join(
+            tomb.select(F.col("vec_id").alias("nn_id")),
+            "nn_id", "left_anti",
+        )
     rk = F.row_number().over(
         W.partitionBy("qid").orderBy(F.col("cos").desc(), "nn_id")
     )
@@ -1554,6 +1591,11 @@ def compact_ivf_index(spark, idx_path: str, files_per_cell: int = 1) -> int:
 
     storage.recover_swap(idx_path)
     df = spark.read.parquet(idx_path).dropDuplicates()
+    tomb = _read_tombstones(spark, idx_path)
+    if tomb is not None:
+        # materialize index deletes: tombstoned rows drop physically and
+        # the (cleared) tombstone table does not carry into the rewrite
+        df = df.join(tomb.select("vec_id"), "vec_id", "left_anti")
     tmp = idx_path.rstrip("/") + "__compact_tmp"
     old = idx_path.rstrip("/") + "__compact_old"
     shutil.rmtree(tmp, ignore_errors=True)

@@ -182,3 +182,55 @@ def test_compact_bounds_files_and_preserves_probe(spark):
         assert before == after
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_delete_from_index_masks_then_compaction_materializes(spark):
+    """Index deletes follow the DV discipline: tombstones mask
+    immediately (O(deleted ids), no cell rewrites), compaction drops the
+    rows physically and clears the tombstones."""
+    from pyspark.sql import Row
+
+    from dp_dimension_importer_spark.operators.similarity import (
+        compact_ivf_index,
+        delete_from_index,
+    )
+
+    t = load_tables(spark, SF)
+    e = t.embeddings
+    idx = _mkidx()
+    try:
+        build_ivf_index(spark, e, idx)
+        q = e.filter(F.col("vec_id") < 10)
+        before = probe_index(spark, idx, q, e, k=3).collect()
+        victims = sorted({r["nn_id"] for r in before})[:3]
+        files_before = sum(len(f) for f in _cell_files(idx).values())
+        delete_from_index(
+            spark, idx,
+            spark.createDataFrame([Row(vec_id=v) for v in victims],
+                                  "vec_id long"),
+        )
+        # no cell file was rewritten by the delete
+        assert sum(len(f) for f in _cell_files(idx).values()) == (
+            files_before
+        )
+        after = probe_index(spark, idx, q, e, k=3).collect()
+        surfaced = {r["nn_id"] for r in after}
+        assert not (set(victims) & surfaced), "deleted vector surfaced"
+        # every query still gets k answers (replacements fill in)
+        assert {r["vec_id"] for r in after} == set(range(10))
+        # compaction materializes: rows gone, tombstones cleared
+        compact_ivf_index(spark, idx)
+        left = {
+            r["vec_id"] for r in spark.read.parquet(idx).collect()
+        }
+        assert not (set(victims) & left)
+        import glob as _g
+        import os as _os
+
+        assert not _g.glob(_os.path.join(idx, "_tombstones", "*.parquet"))
+        after2 = probe_index(spark, idx, q, e, k=3).collect()
+        assert {
+            (r["vec_id"], r["rk"], r["nn_id"]) for r in after2
+        } == {(r["vec_id"], r["rk"], r["nn_id"]) for r in after}
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
