@@ -1338,3 +1338,81 @@ def text_index_search(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "text_scrub_pii",
+    sql="""
+    WITH aug AS (
+        SELECT doc_id,
+               substr(text, 1, 40)
+               || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+               || CAST(doc_id % 7 AS VARCHAR) || '.com or https://s'
+               || CAST(doc_id % 5 AS VARCHAR) || '.example/p?x='
+               || CAST(doc_id AS VARCHAR)
+               || ' call 555-123-4567 end' AS body
+        FROM documents WHERE doc_id < 300
+    ), scrubbed AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           body,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       'https?://[^ ]+', '<URL>', 'g'),
+                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS body
+        FROM aug
+    )
+    SELECT doc_id, body,
+           CAST((length(body)
+                 - length(replace(body, '<EMAIL>', '' || ''))) / 7
+                AS BIGINT) AS n_emails
+    FROM scrubbed ORDER BY doc_id
+    """,
+)
+def text_scrub_pii(spark, sf_dir):
+    """PII SCRUBBING — the redaction pass every public-corpus pipeline
+    runs before training (emails / URLs / phone numbers → typed
+    placeholder tokens, the C4/Dolma discipline): three chained
+    ``regexp_replace`` expressions, all JVM-side codegen — no UDF, the
+    scan streams once and the regexes fuse into one projection. The
+    fixture INJECTS deterministic synthetic PII (built identically in
+    both engines from doc_id — the corpus itself is clean synthetic
+    text), so a green row pins the cross-engine regex semantics
+    (character classes, quantifiers, global replace) rather than
+    matching nothing. Scale: per-row regex over a string column is
+    embarrassingly parallel; the patterns are anchored-free and
+    backtrack-safe (no nested quantifiers), so worst-case cost stays
+    linear in text length."""
+    t = load_tables(spark, sf_dir)
+    body = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com or https://s"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example/p?x="), F.col("doc_id").cast("string"),
+        F.lit(" call 555-123-4567 end"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                body,
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ),
+            r"https?://[^ ]+", "<URL>",
+        ),
+        r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>",
+    )
+    n_emails = (
+        (F.length("body") - F.length(F.replace(F.col("body"),
+                                               F.lit("<EMAIL>"))))
+        / 7
+    ).cast("bigint")
+    return (
+        t.documents.filter(F.col("doc_id") < 300)
+        .select("doc_id", scrubbed.alias("body"))
+        .select("doc_id", "body", n_emails.alias("n_emails"))
+        .orderBy("doc_id")
+    )
