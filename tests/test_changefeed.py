@@ -929,3 +929,38 @@ def test_era_cols_translation_rules():
     ]
     with pytest.raises(ValueError, match="vanished"):
         _era_cols(era3, cols, {}, "t")
+
+def test_feed_partition_where_on_renamed_partition_column(spark):
+    """Three-feature interplay (r12): the partition column RENAMES
+    (spec re-keys to the logical name), the feed opens INSIDE the
+    mapped era with partition_where on the NEW name — admission prunes
+    by the re-keyed spec, the era translation emits the logical schema,
+    and the physical-named files' values arrive intact."""
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [Row(k=i, g="ab"[i % 2], v=float(i)) for i in range(12)],
+            "k bigint, g string, v double",
+        )
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("identity", "g")]
+        )                                                      # v1
+        storage.rename_column(path, "g", "grp")                # v2
+        more = spark.createDataFrame(
+            [Row(k=100 + i, grp="ab"[i % 2], v=float(i)) for i in range(6)],
+            "k bigint, grp string, v double",
+        )
+        storage.write_snapshot_partitioned(                    # v3 (mapped)
+            spark, more, path, [("identity", "grp")], mode="append"
+        )
+        got = _drain(
+            spark, path, "cf_map_pw", from_version=2,
+            partition_where={"grp": ("=", "a")},
+        )
+        # only the v3 append's 'a' partition flows, values intact,
+        # logical name in the output schema
+        assert sorted((r["k"], r["grp"], r["v"]) for r in got) == [
+            (100, "a", 0.0), (102, "a", 2.0), (104, "a", 4.0)
+        ]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
