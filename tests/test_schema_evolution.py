@@ -353,3 +353,49 @@ def test_compact_and_incremental_optimize_across_schema_boundary(spark):
         assert tags == {1: None, 2: None, 3: "x", 4: "y", 5: "z"}
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_widen_partition_spec_column_keeps_pruning(spark):
+    """Widening an identity-partitioned INT column: old tuples stay
+    ints, new files' tuples are ints of the wider domain, and pruning
+    stays exact across the width boundary."""
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [Row(k=i, b=i % 3, v=float(i)) for i in range(30)],
+            "k bigint, b int, v double",
+        )
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("identity", "b")]
+        )
+        storage.widen_column_type(path, "b", "bigint")
+        more = spark.createDataFrame(
+            [Row(k=100 + i, b=i % 3, v=float(i)) for i in range(6)],
+            "k bigint, b bigint, v double",
+        )
+        storage.write_snapshot_partitioned(
+            spark, more, path, [("identity", "b")], mode="append"
+        )
+        keep, total = storage.partition_pruned_files(path, {"b": ("=", 1)})
+        assert total == 6 and len(keep) == 2  # one per commit
+        got = storage.read_snapshot_partitioned(spark, path, {"b": ("=", 1)})
+        assert dict(got.dtypes)["b"] == "bigint"
+        want = sorted(
+            r["k"] for r in storage.read_snapshot(spark, path)
+            .filter("b = 1").collect()
+        )
+        assert sorted(r["k"] for r in got.collect()) == want
+        # DML across the boundary keeps tuples and the widened type
+        storage.delete_where_snapshot(spark, path, "b = 1 AND k < 10")
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert all(
+            e is not None for e in man["partition"]["values"].values()
+        )
+        keep2, total2 = storage.partition_pruned_files(
+            path, {"b": ("=", 2)}
+        )
+        assert len(keep2) == 2
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
