@@ -2424,14 +2424,22 @@ def merge_into_snapshot(
     out_cols = []
     src_names = set(src.columns)
     for c, t in schema.items():
-        val = F.col(c)
+        # cast EVERYTHING to the committed type — including key columns:
+        # the full-outer join coerces a key to the WIDER of target/source
+        # types, and writing that uncast would land files whose physical
+        # type contradicts the manifest schema (caught by the mapped-DML
+        # hypothesis model; the pre-r12 merge refused such sources via
+        # write_snapshot's additive check, the file-skipping merge must
+        # coerce instead). A lossy source key is the caller's contract
+        # breach, same as every other cast here.
+        val = F.col(c).cast(t)
         if update_set and c in update_set:
             val = F.when(matched, _expr(update_set[c]).cast(t)).otherwise(val)
         if insert:
             if insert_values and c in insert_values:
                 ins = _expr(insert_values[c]).cast(t)
             elif c in key_cols:
-                ins = F.col(c)
+                ins = F.col(c).cast(t)
             elif f"src_{c}" in src_names:
                 ins = F.col(f"src_{c}").cast(t)
             else:

@@ -898,6 +898,7 @@ def test_partitioned_layer_model_equivalence(spark, ops):
             st.tuples(st.just("optimize"), st.integers(0, 0)),
             st.tuples(st.just("compact"), st.integers(0, 0)),
             st.tuples(st.just("materialize"), st.integers(0, 0)),
+            st.tuples(st.just("widen"), st.integers(0, 0)),
         ),
         min_size=3,
         max_size=7,
@@ -927,10 +928,12 @@ def test_mapped_dml_model_equivalence(spark, ops):
     model: dict[int, float] = {}
     names = ["val", "amount"]  # toggled by rename
     cur = 0
+    ktype = ["int"]  # widened to bigint mid-sequence by the widen verb
 
     def frame(keys):
         return spark.createDataFrame(
-            [(k, float(k)) for k in keys], f"k bigint, {names[cur]} double"
+            [(k, float(k)) for k in keys],
+            f"k {ktype[0]}, {names[cur]} double",
         )
 
     def check():
@@ -1004,6 +1007,14 @@ def test_mapped_dml_model_equivalence(spark, ops):
                 )
             elif verb == "materialize":
                 storage.materialize_column_mapping(spark, path)
+                if ktype[0] == "bigint":
+                    # the overwrite wrote bigint files and cleared the
+                    # widened marker; appends keep speaking bigint
+                    pass
+            elif verb == "widen":
+                if ktype[0] == "int":
+                    storage.widen_column_type(path, "k", "bigint")
+                    ktype[0] = "bigint"
             check()
     finally:
         shutil.rmtree(base, ignore_errors=True)
