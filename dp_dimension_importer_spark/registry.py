@@ -104,45 +104,11 @@ _REPO_ROOT = _Path(__file__).resolve().parent.parent
 # (link claim), and registered the change feed — so the riders on those
 # storage paths re-earn their driver rows, plus the new q90.
 _REPRIORITIZE: list[str] = [
-    # r12 rewired the snapshot layer's shared paths AFTER these riders'
-    # newest green rows: _commit_manifest grew the rebase/refuse race
-    # protocol (EVERY verb commits through it), mapped-table DML lifted
-    # nine refusals (logical scan / physical write / _stats_logical),
-    # DML rewrites route through the hive writer (_route_rewrite — real
-    # partition tuples), MERGE gained write-side file skipping, the
-    # change feed gained per-era column translation, and reads grew the
-    # widened/dropped force-schema hook (_phys_schema in _manifest_df /
-    # _scan_with_pos). Highest-risk first: the verbs whose physical
-    # write path changed, then the readers over them.
-    "q92_merge_into",
-    "q91_update_where",
-    "q78_snapshot_delete",
-    "q78b_snapshot_delete_dv",
-    "q78c_dv_purge",
-    "q93_partitioned_scan",
-    "q93b_spec_evolution",
-    "q97_optimize_partitions",
-    "q90_changefeed",
-    "q90b_changefeed_mv_stream",
-    "mv_refresh_changefeed",
-    "q96_rename_column",
-    "q77_optimize_snapshot",
-    "q77b_optimize_incremental",
-    "q67_stats_pruned_scan",
-    "q89_write_audit_publish",
-    "q89b_snapshot_branch",
-    "q94_table_history",
-    "q95_check_constraint",
-    "q98_generated_columns",
-    "q86_upsert_mor",
-    "q86b_mor_schema_evolution",
-    "q86c_mor_pruned_read",
-    "q88_merge_delete_feed",
-    "q79_stream_snapshot_append",
-    "q60_stream_upsert_sink",
-    "cdc_merge_upsert",
-    "q66c_snapshot_tags",
-    "q66d_time_travel_asof",
+    # Cleared at r13 start (r12 verdict nit #1): CORRECTNESS_r12 was written
+    # AFTER the final r12 commit, so every r12 rider already re-earned its
+    # green row — keeping them would starve the r07/r08 evidence tail.
+    # Repopulate at r13 END with only the queries whose shared storage paths
+    # r13 itself changes after their newest green row.
 ]
 
 
