@@ -993,6 +993,24 @@ def write_snapshot(
                 "column mapping changed concurrently — this commit's "
                 "files carry the old physical schema; re-run the write"
             )
+        if (
+            sorted(head.get("dropped") or [])
+            != sorted(prev.get("dropped") or [])
+            or (head.get("widened") or {}) != (prev.get("widened") or {})
+        ):
+            # ADVICE r12: the schema loop above iterates HEAD's schema,
+            # so a column concurrently removed by drop_column (absent
+            # from head, tombstoned in head['dropped']) slips through —
+            # the rebased manifest would re-add the column next to the
+            # inherited tombstone and the forced scan would resurrect
+            # stale bytes from old files (the reborn-column hazard the
+            # non-race check refuses). Widening likewise moves the
+            # forced-read type contract under this commit's files.
+            raise ConcurrentCommitError(
+                "columns were dropped/widened concurrently — this "
+                "commit's schema predates the evolution; re-run the "
+                "write against the new head"
+            )
         m2 = {
             "files": list(head.get("files") or []) + new_files,
             "schema": new_schema,
@@ -3077,6 +3095,19 @@ def upsert_delta_snapshot(
                     f"concurrent schema evolution: column {c!r} is now "
                     f"{t}, this delta has {new_schema[c]!r}"
                 )
+        if (
+            sorted(head.get("dropped") or [])
+            != sorted(man.get("dropped") or [])
+            or (head.get("widened") or {}) != (man.get("widened") or {})
+        ):
+            # ADVICE r12 asymmetry, MOR flavor: a column concurrently
+            # dropped/widened is invisible to the per-column loop above
+            # (it iterates head's schema), and a rebased delta written
+            # under the old contract would resurrect/narrow it.
+            raise ConcurrentCommitError(
+                "columns were dropped/widened concurrently — this "
+                "delta predates the evolution; re-run the upsert"
+            )
         m2_schema = dict(h_schema)
         for c, t in merged_schema.items():
             if c not in m2_schema:
@@ -5081,6 +5112,20 @@ def write_snapshot_partitioned(
                     f"is now {col_type}, this commit has "
                     f"{new_schema.get(col_name)!r}"
                 )
+        if (
+            sorted(head.get("dropped") or [])
+            != sorted(prev.get("dropped") or [])
+            or (head.get("widened") or {}) != (prev.get("widened") or {})
+        ):
+            # ADVICE r12 (same asymmetry as write_snapshot's rebase): a
+            # concurrent drop_column leaves the column absent from head's
+            # schema but present in ours — rebasing would re-add it next
+            # to the inherited tombstone and resurrect stale bytes.
+            raise ConcurrentCommitError(
+                "columns were dropped/widened concurrently — this "
+                "commit's schema predates the evolution; re-run the "
+                "write against the new head"
+            )
         head_txn = dict(head.get("txn") or {})
         if txn is not None:
             head_txn[txn[0]] = txn[1]

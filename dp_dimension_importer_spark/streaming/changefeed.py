@@ -616,6 +616,12 @@ def make_changefeed_source():
                                 self.keys,
                                 self.cols,
                                 self.latest_map,
+                                # ship the drop tombstones too: without
+                                # them the executor-side _era_cols treats
+                                # a legitimately-dropped era column as
+                                # "vanished without a drop tombstone" and
+                                # crashes the stream (ADVICE r12)
+                                self.latest_dropped,
                                 ki,
                                 K,
                             )
@@ -671,21 +677,23 @@ def make_changefeed_source():
             if kind == "diff":
                 (
                     _, v, table_path, prev_man, cur_man, keys, cols,
-                    latest_map, ki, K,
+                    latest_map, latest_dropped, ki, K,
                 ) = p
                 # per-side physical->logical normalization (each era's
                 # own mapping), so keys/compares speak ONE vocabulary
                 ro_old = {
                     rn: on
                     for rn, on, _t in _era_cols(
-                        prev_man, cols, latest_map, "diff base"
+                        prev_man, cols, latest_map, "diff base",
+                        latest_dropped,
                     )
                     if rn != on
                 }
                 ro_new = {
                     rn: on
                     for rn, on, _t in _era_cols(
-                        cur_man, cols, latest_map, "diff head"
+                        cur_man, cols, latest_map, "diff head",
+                        latest_dropped,
                     )
                     if rn != on
                 }
@@ -972,6 +980,22 @@ def _admit_partition_files(
                         continue  # buckets are orderless: no range pruning
                     los = _renderings(t, pred[1])
                     his = _renderings(t, pred[2])
+                    # A rendering kind present on only ONE side must not
+                    # silently lose its pair (ADVICE r12: a midnight lo
+                    # has a 'date' rendering, a non-midnight hi doesn't —
+                    # the boundary bare-date partition value then fails
+                    # every ts pair and a MATCHING file is dropped).
+                    # Synthesize the missing 'date' side by truncating
+                    # that bound's ts rendering to its date — a
+                    # conservative superset on both ends: d_midnight in
+                    # [lo, hi] implies date(lo) <= d <= date(hi). Any
+                    # other one-sided kind is unsynthesizable, so skip
+                    # pruning on this column entirely (admit).
+                    for a, b in ((los, his), (his, los)):
+                        if "date" in a and "date" not in b and "ts" in b:
+                            b["date"] = b["ts"][:10]
+                    if set(los) != set(his):
+                        continue
                     pairs = [
                         (los[k], his[k]) for k in los if k in his
                     ]

@@ -964,3 +964,92 @@ def test_feed_partition_where_on_renamed_partition_column(spark):
         ]
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_admit_between_one_sided_date_rendering():
+    """ADVICE r12 (medium): BETWEEN with a midnight lower bound and a
+    non-midnight upper bound (both ISO strings after the JSON boundary)
+    produced a 'date' rendering only for lo — no date pair formed, and
+    the boundary bare-date tuple failed both remaining pairs: a
+    MATCHING file silently dropped. The missing 'date' side is now
+    synthesized by truncating that bound's ts rendering (a conservative
+    superset on both ends); an unsynthesizable one-sided kind skips
+    pruning on the column entirely."""
+    import datetime
+
+    from dp_dimension_importer_spark.streaming.changefeed import (
+        _admit_partition_files,
+    )
+
+    man = {
+        "partition": {
+            "specs": [[{"transform": "identity", "col": "d"}]],
+            "current": 0,
+            "values": {
+                "f05": [0, ["2024-01-05"]],
+                "f06": [0, ["2024-01-06"]],
+                "f99": [0, ["2024-03-01"]],
+            },
+        }
+    }
+    rels = ["f05", "f06", "f99"]
+    # the exact ADVICE scenario: datetime bounds through json default=str
+    pw = json.loads(json.dumps(
+        {"d": (
+            "between",
+            datetime.datetime(2024, 1, 5),
+            datetime.datetime(2024, 1, 8, 13, 0),
+        )},
+        default=str,
+    ))
+    assert _admit_partition_files(man, rels, pw) == ["f05", "f06"]
+    # reverse orientation: non-midnight lo, midnight hi — f05 is inside
+    # the truncated-date superset, f99 still prunes
+    pw2 = json.loads(json.dumps(
+        {"d": (
+            "between",
+            datetime.datetime(2024, 1, 4, 11, 30),
+            datetime.datetime(2024, 1, 6),
+        )},
+        default=str,
+    ))
+    assert _admit_partition_files(man, rels, pw2) == ["f05", "f06"]
+    # one side unrenderable as a ts: no synthesis possible — admit all
+    pw3 = {"d": ("between", "notadate", "2024-01-08 13:00:00")}
+    assert _admit_partition_files(man, rels, pw3) == rels
+
+
+def test_feed_diff_over_dropped_column_era(spark):
+    """ADVICE r12 (medium): a rewrite transition whose BASE era schema
+    contains a since-dropped, tombstoned column passed driver-side
+    planning (partitions() ships latest_dropped) but crashed
+    executor-side — read()'s diff branch rebuilt the era translation
+    WITHOUT the tombstones and raised 'vanished without a drop
+    tombstone' on legitimately-dropped-column history. The tombstones
+    now ride the diff payload."""
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [
+                Row(k=1, val="a", note="x", seq=1),
+                Row(k=2, val="b", note="y", seq=1),
+            ],
+            "k bigint, val string, note string, seq bigint",
+        )
+        storage.write_snapshot(spark, df, path)              # v1
+        storage.tag_snapshot(path, "base", 1)                # pin v1
+        storage.drop_column(path, "note")                    # v2 (metadata)
+        storage.delete_where_snapshot(spark, path, "k = 2")  # v3 (rewrite)
+        # expire v2: the feed steps v1 -> v3 directly, a rewrite
+        # transition whose base manifest still carries 'note'
+        storage.vacuum_snapshots(path, keep_last=1)
+        assert storage.snapshot_versions(path) == [1, 3]
+        rows = _drain(spark, path, "cf_dropera_" + uuid.uuid4().hex[:8])
+        got = sorted(
+            (r["k"], r["change_type"], r["_version"]) for r in rows
+        )
+        assert got == [
+            (1, "insert", 1), (2, "delete", 3), (2, "insert", 1)
+        ]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -409,3 +409,72 @@ def test_dv_deletes_same_file_second_refuses(spark, monkeypatch):
         ) == [0, 3]
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_append_racing_drop_column_refuses(spark, monkeypatch):
+    """ADVICE r12 (medium): the append rebase iterated only the HEAD's
+    schema when checking concurrent evolution, so a column concurrently
+    removed by drop_column went undetected — the rebased manifest
+    re-added the column next to the inherited tombstone and the forced
+    scan resurrected stale bytes from old files (the hazard the
+    non-race reborn-column check refuses). The rebase now refuses on
+    any dropped/widened divergence between prev and head."""
+    scratch, path = _mkpath()
+    try:
+        ddl = "k bigint, v double, note string"
+        storage.write_snapshot(
+            spark, _df(spark, [(1, 1.0, "x")], ddl), path
+        )
+
+        def competitor():
+            storage.drop_column(path, "note")
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        with pytest.raises(
+            storage.ConcurrentCommitError, match="dropped/widened"
+        ):
+            storage.write_snapshot(
+                spark, _df(spark, [(2, 2.0, "y")], ddl), path,
+                mode="append",
+            )
+        # the head is the drop's commit; the loser resurrected nothing
+        assert storage.snapshot_versions(path) == [1, 2]
+        got = storage.read_snapshot(spark, path)
+        assert sorted(got.columns) == ["k", "v"]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_partitioned_append_racing_drop_column_refuses(spark, monkeypatch):
+    """Same asymmetry, write_snapshot_partitioned's rebase twin."""
+    scratch, path = _mkpath()
+    try:
+        spec = [("identity", "g")]
+
+        def pdf(groups):
+            return spark.createDataFrame(
+                [
+                    Row(k=i, g=g, v=float(i), note="x")
+                    for i, g in enumerate(groups)
+                ],
+                "k bigint, g string, v double, note string",
+            )
+
+        storage.write_snapshot_partitioned(spark, pdf(["a", "b"]), path, spec)
+
+        def competitor():
+            storage.drop_column(path, "note")
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        with pytest.raises(
+            storage.ConcurrentCommitError, match="dropped/widened"
+        ):
+            storage.write_snapshot_partitioned(
+                spark, pdf(["c"]), path, spec, mode="append"
+            )
+        assert storage.snapshot_versions(path) == [1, 2]
+        assert sorted(
+            storage.read_snapshot(spark, path).columns
+        ) == ["g", "k", "v"]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
