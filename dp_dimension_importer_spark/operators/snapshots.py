@@ -2587,3 +2587,226 @@ def q65c_drop_column(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q86d_mor_delete",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS tp,
+               0 AS ci, CAST(0 AS BIGINT) AS seq
+        FROM orders
+    ), d1 AS (
+        SELECT k, pri, tp + 1000, 1, CAST(1 AS BIGINT)
+        FROM base WHERE k % 10 = 3
+    ), u AS (
+        SELECT * FROM base UNION ALL SELECT * FROM d1
+    ), r AS (
+        SELECT k, pri, tp,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY ci DESC, seq DESC) AS rn
+        FROM u
+    ), w AS (
+        SELECT k, pri, tp FROM r WHERE rn = 1
+    ), fin AS (
+        SELECT * FROM w WHERE NOT (pri = '1-URGENT' AND k % 7 = 0)
+    ), ph AS (
+        SELECT 1 AS phase, pri, tp FROM fin
+        UNION ALL SELECT 2, pri, tp FROM fin
+        UNION ALL SELECT 3, pri, tp FROM fin
+    )
+    SELECT phase, pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM ph GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q86d_mor_delete(spark, sf_dir):
+    """DELETE on a live MOR table (r13, r12 verdict #1 — DML on the
+    streaming-CDC substrate without compacting first): tombstone rows
+    land as ONE delta group (:func:`storage._delete_where_mor` via
+    ``delete_where_snapshot``), zero base files rewritten. The predicate
+    is judged against the RESOLVED view (a key whose latest delta value
+    no longer matches is spared). Phase 1 reads post-delete, phase 2
+    after MINOR compaction (the fold must carry tombstones still
+    masking base rows), phase 3 after MAJOR compaction (tombstones
+    shed). Structural asserts: the delete commit's base file list is
+    byte-identical, minor keeps base untouched, major drops the chain.
+    Reference: the importer's long-lived upsert loop
+    (handler/incoming_instance_handler.go:285-303) must accept deletes."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    d1 = base.filter(F.col("k") % 10 == 3).withColumn(
+        "tp", F.col("tp") + 1000
+    ).withColumn("seq", F.lit(1).cast("long"))
+    path = tempfile.mkdtemp(prefix="snapshot_mor_del_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, base, path)
+        storage.upsert_delta_snapshot(spark, path, d1, ["k"], "seq")
+        mdir = os.path.join(path, "_manifests")
+        with open(os.path.join(mdir, "v2.json")) as f:
+            pre_files = json.load(f)["files"]
+        r = storage.delete_where_snapshot(
+            spark, path, "pri = '1-URGENT' AND k % 7 = 0"
+        )
+        assert r["files_rewritten"] == 0 and r["rows_deleted"] > 0
+        with open(os.path.join(mdir, f"v{r['version']}.json")) as f:
+            man = json.load(f)
+        assert man["files"] == pre_files, "MOR delete touched base files"
+        p1 = storage.read_snapshot(spark, path)
+        v_minor = storage.compact_mor(spark, path, minor=True)
+        with open(os.path.join(mdir, f"v{v_minor}.json")) as f:
+            man = json.load(f)
+        assert man["files"] == pre_files, "minor compaction touched base"
+        assert len(man["mor"]["deltas"]) == 1
+        p2 = storage.read_snapshot(spark, path)
+        v_major = storage.compact_mor(spark, path)
+        with open(os.path.join(mdir, f"v{v_major}.json")) as f:
+            assert "mor" not in json.load(f), "major kept the chain"
+        p3 = storage.read_snapshot(spark, path)
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        u = (
+            p1.withColumn("phase", F.lit(1))
+            .unionByName(p2.withColumn("phase", F.lit(2)))
+            .unionByName(p3.withColumn("phase", F.lit(3)))
+        )
+        return (
+            u.groupBy("phase", "pri")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("phase", "pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q86e_mor_merge",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS tp,
+               0 AS ci, CAST(0 AS BIGINT) AS seq
+        FROM orders
+    ), d1 AS (
+        SELECT k, pri, tp + 1000, 1, CAST(1 AS BIGINT)
+        FROM base WHERE k % 10 = 3
+    ), u AS (
+        SELECT * FROM base UNION ALL SELECT * FROM d1
+    ), r AS (
+        SELECT k, pri, tp,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY ci DESC, seq DESC) AS rn
+        FROM u
+    ), w AS (
+        SELECT k, pri, tp FROM r WHERE rn = 1
+    ), upd AS (
+        SELECT k, tp + 111 AS tp FROM base WHERE k % 20 = 7
+    ), merged AS (
+        SELECT w.k, w.pri, COALESCE(upd.tp, w.tp) AS tp
+        FROM w LEFT JOIN upd ON w.k = upd.k
+        WHERE w.k % 20 <> 3
+        UNION ALL
+        SELECT k + 30000000, pri, tp FROM base WHERE k % 1000 = 13
+    ), ph AS (
+        SELECT 1 AS phase, pri, tp FROM merged
+        UNION ALL SELECT 2, pri, tp FROM merged
+    )
+    SELECT phase, pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM ph GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q86e_mor_merge(spark, sf_dir):
+    """MERGE INTO a live MOR table (r13): one source carrying updates
+    (k%20=7 — tp overwritten from the source), deletes (k%20=3 — a
+    subset of keys whose LATEST row is a delta upsert, so the tombstone
+    must outrank the chain) and inserts (new keys k+30000000), applied
+    as ONE delta group by :func:`storage._merge_into_mor` via
+    ``merge_into_snapshot`` — zero base rewrites, untouched keys never
+    re-materialized. Phase 1 reads post-merge, phase 2 after minor
+    compaction (fold keeps the tombstones masking). Structural asserts:
+    base file list byte-identical, exactly one group added."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    d1 = base.filter(F.col("k") % 10 == 3).withColumn(
+        "tp", F.col("tp") + 1000
+    ).withColumn("seq", F.lit(1).cast("long"))
+    upd = (
+        base.filter(F.col("k") % 20 == 7)
+        .withColumn("tp", F.col("tp") + 111)
+        .withColumn("seq", F.lit(2).cast("long"))
+        .withColumn("del", F.lit(False))
+    )
+    dl = (
+        base.filter(F.col("k") % 20 == 3)
+        .withColumn("seq", F.lit(2).cast("long"))
+        .withColumn("del", F.lit(True))
+    )
+    ins = (
+        base.filter(F.col("k") % 1000 == 13)
+        .withColumn("k", F.col("k") + 30000000)
+        .withColumn("seq", F.lit(2).cast("long"))
+        .withColumn("del", F.lit(False))
+    )
+    src = upd.unionByName(dl).unionByName(ins)
+    path = tempfile.mkdtemp(prefix="snapshot_mor_mrg_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, base, path)
+        storage.upsert_delta_snapshot(spark, path, d1, ["k"], "seq")
+        mdir = os.path.join(path, "_manifests")
+        with open(os.path.join(mdir, "v2.json")) as f:
+            pre = json.load(f)
+        v = storage.merge_into_snapshot(
+            spark, path, src, ["k"],
+            update_set={"tp": "src_tp"},
+            delete_condition="src_del",
+            insert=True,
+        )
+        with open(os.path.join(mdir, f"v{v}.json")) as f:
+            man = json.load(f)
+        assert man["files"] == pre["files"], "MOR merge touched base"
+        assert (
+            len(man["mor"]["deltas"]) == len(pre["mor"]["deltas"]) + 1
+        ), "merge must land exactly ONE delta group"
+        p1 = storage.read_snapshot(spark, path)
+        storage.compact_mor(spark, path, minor=True)
+        p2 = storage.read_snapshot(spark, path)
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        u = p1.withColumn("phase", F.lit(1)).unionByName(
+            p2.withColumn("phase", F.lit(2))
+        )
+        return (
+            u.groupBy("phase", "pri")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("phase", "pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -2106,12 +2106,12 @@ def delete_where_snapshot(
     # (r11 verdict #1, Delta column-mapping parity)
     mapping = man.get("column_mapping") or {}
     if man.get("mor"):
-        # both delete paths probe base FILES; on a MOR table a base row
-        # may already be superseded by a delta (probe finds it) or a
-        # doomed row may live only in a delta (probe misses it) — fold
-        # the chain first so file-level deletes see the true rows
-        raise ValueError(
-            "DELETE on a MOR table: run compact_mor first"
+        # MOR tables take the delta-tombstone path regardless of mode
+        # (r13): file-level COW probes would see superseded base rows,
+        # and DVs can't mix with a delta chain — tombstones are the
+        # merge-on-read-native delete (zero base files touched)
+        return _delete_where_mor(
+            spark, path, man, predicate, compression, prune
         )
     dv_map = man.get("dv") or {}
     probe_rels = list(man["files"])
@@ -2330,7 +2330,12 @@ def merge_into_snapshot(
     with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
         man = json.load(f)
     if man.get("mor"):
-        raise ValueError("MERGE INTO a MOR table: run compact_mor first")
+        # r13: lands as ONE delta group (tombstones + images), zero
+        # base rewrites — see _merge_into_mor
+        return _merge_into_mor(
+            spark, path, man, source, key_cols, update_set,
+            delete_condition, insert, insert_values, compression, txn,
+        )
     if update_set is None and delete_condition is None and not insert:
         raise ValueError("MERGE INTO with no clauses is a no-op — pass "
                          "update_set, delete_condition, and/or insert")
@@ -2886,6 +2891,15 @@ def purge_deletion_vectors(
 # ---------------------------------------------------------------------------
 
 
+# Delete-capable MOR chains (r13): delta rows may carry this physical
+# column; a winning MOR_DELETE_OP row masks its key from the resolved
+# view. Declared per table in the manifest's mor block as "op_col" the
+# first time a MOR DELETE/MERGE lands (upsert groups never carry it and
+# project it as NULL). Hudi's _hoodie delete marker / Delta CDF 'D'.
+MOR_OP_COL = "_mor_op"
+MOR_DELETE_OP = "D"
+
+
 def upsert_delta_snapshot(
     spark: SparkSession,
     path: str,
@@ -2947,7 +2961,7 @@ def upsert_delta_snapshot(
     if txn is not None and txn[1] <= prev_txn.get(txn[0], -1):
         return versions[-1]  # redelivered batch: idempotent skip
     new_schema = {f.name: f.dataType.simpleString() for f in changes.schema}
-    _check_reserved(new_schema, ("_ci", "_rn"))
+    _check_reserved(new_schema, ("_ci", "_rn", MOR_OP_COL))
     old_schema = man["schema"]
     drift = {
         c: (old_schema[c], new_schema[c])
@@ -3137,13 +3151,26 @@ def upsert_delta_snapshot(
     return _commit_manifest(path, manifest, token, rebase=_rebase)
 
 
-def _resolve_mor(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
+def _resolve_mor(
+    spark: SparkSession, path: str, manifest: dict,
+    keep_tombstones: bool = False,
+) -> DataFrame:
     """Latest-wins resolution of a MOR manifest: base rows rank commit 0,
     each delta group its commit index; one key-partitioned window picks
     (commit DESC, seq DESC) per key. On a layout bucketed by the key the
     window plans with zero extra Exchange; the delta chain length — not
     the table size — is what grows the read tax, which is what
-    :func:`compact_mor` resets."""
+    :func:`compact_mor` resets.
+
+    DELETE-capable chains (r13 — Hudi delete-marker / Delta CDF 'D'
+    semantics): when the mor block declares ``op_col``, delta rows may
+    carry that physical column with :data:`MOR_DELETE_OP` tombstones
+    (written by the MOR DELETE/MERGE verbs; upsert groups simply lack
+    the column and project it as NULL). A key whose WINNING row is a
+    tombstone is masked from the resolved view — unless
+    ``keep_tombstones=True`` (the minor-compaction fold, which must
+    keep tombstones masking base rows), where the op column stays in
+    the output."""
     import os
 
     from pyspark.sql import Window as W
@@ -3153,6 +3180,9 @@ def _resolve_mor(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
     schema = manifest["schema"]  # manifest dict preserves column order
     cols = list(schema)
     _check_reserved(cols, ("_ci", "_rn"))
+    op = mor.get("op_col")
+    proj_cols = cols + ([op] if op else [])
+    proj_types = {**schema, **({op: "string"} if op else {})}
 
     def _proj(df):
         # Additive schema evolution: a commit written before a column
@@ -3162,8 +3192,8 @@ def _resolve_mor(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
         return df.select(
             *(
                 F.col(c) if c in have
-                else F.lit(None).cast(schema[c]).alias(c)
-                for c in cols
+                else F.lit(None).cast(proj_types[c]).alias(c)
+                for c in proj_cols
             )
         )
 
@@ -3186,11 +3216,16 @@ def _resolve_mor(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
     w = W.partitionBy(*mor["key_cols"]).orderBy(
         F.col("_ci").desc(), F.col(mor["seq_col"]).desc()
     )
-    return (
+    out = (
         u.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_ci")
     )
+    if op and not keep_tombstones:
+        out = out.filter(
+            F.col(op).isNull() | (F.col(op) != MOR_DELETE_OP)
+        ).drop(op)
+    return out
 
 
 def compact_mor(spark: SparkSession, path: str,
@@ -3239,6 +3274,9 @@ def compact_mor(spark: SparkSession, path: str,
         # of a synthetic manifest and groups 2..n as its deltas — the
         # relative commit order (all that the window uses) is identical,
         # so the fold IS _resolve_mor restricted to the chain.
+        # keep_tombstones: a winning op='D' row must SURVIVE the fold —
+        # it still masks base rows the minor compaction never reads
+        # (dropping it would resurrect the deleted key).
         folded = _resolve_mor(
             spark, path,
             {
@@ -3246,6 +3284,7 @@ def compact_mor(spark: SparkSession, path: str,
                 "schema": man["schema"],
                 "mor": {**man["mor"], "deltas": deltas[1:]},
             },
+            keep_tombstones=bool(man["mor"].get("op_col")),
         )
         token = uuid.uuid4().hex[:12]
         data_dir = os.path.join(path, "data", token)
@@ -3279,6 +3318,348 @@ def compact_mor(spark: SparkSession, path: str,
         spark, resolved, path,
         compression=compression, stats_cols=stats_cols,
     )
+
+
+def _mor_pruned_manifest(man: dict, bounds: dict):
+    """Stats-prune a MOR manifest's base files AND delta groups to the
+    files whose recorded [min, max] can intersect ``bounds`` (``{key
+    col: (lo, hi)}``) — the read-side half of the MOR DML verbs. Sound
+    exactly like :func:`read_snapshot_pruned`'s MOR rule: a key column
+    is constant across every commit of a key, so all rows of an
+    in-range key live in range-intersecting files and the latest-wins
+    winner computed over the survivors is the true winner for those
+    keys. Empty groups stay positionally (commit rank alignment).
+    Returns (pruned manifest, files surviving, files total)."""
+    stats = man.get("stats") or {}
+    mor = man["mor"]
+    all_rels = list(man["files"]) + [
+        rel for grp in mor["deltas"] for rel in grp
+    ]
+    keep = set(all_rels)
+    for kc, (lo, hi) in bounds.items():
+        if lo is None:
+            continue
+        elo, ehi = _stat_encode(lo), _stat_encode(hi)
+        keep = {
+            rel for rel in keep
+            if (s_ := stats.get(rel, {}).get(kc)) is None
+            or not (s_[1] < elo or s_[0] > ehi)
+        }
+    pruned = {
+        "files": [rel for rel in man["files"] if rel in keep],
+        "schema": man["schema"],
+        "mor": {
+            **mor,
+            "deltas": [
+                [rel for rel in grp if rel in keep]
+                for grp in mor["deltas"]
+            ],
+        },
+    }
+    return pruned, len(keep), len(all_rels)
+
+
+def _write_delta_group(
+    df: DataFrame, path: str, token: str, compression: str
+) -> list:
+    """Write one MOR delta group's files and return their relpaths,
+    dropping schema-only zero-row part files by footer count (the
+    upsert path's empty-batch discipline)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    data_dir = os.path.join(path, "data", token)
+    (df.write.mode("error").option("compression", compression)
+     .parquet(data_dir))
+    return sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+        if _pq.ParquetFile(p).metadata.num_rows > 0
+    )
+
+
+def _commit_delta_group(
+    path: str, man: dict, new_files: list, token: str,
+    txn: tuple | None = None,
+) -> int:
+    """Commit ``new_files`` as the next delta group of ``man``'s chain,
+    declaring the op column (the group may carry tombstones). Base file
+    list rides byte-identical; stats harvest footers of the new files
+    only. NO rebase: the group was derived from the resolved view, so
+    any concurrent commit invalidates it (the same read-modify-write
+    rule as COW DELETE/MERGE)."""
+    mor = man["mor"]
+    manifest = {
+        "files": man["files"],
+        "schema": man["schema"],
+        "mor": {
+            **mor,
+            "deltas": mor["deltas"] + [new_files],
+            "op_col": MOR_OP_COL,
+        },
+    }
+    prev_txn = man.get("txn") or {}
+    if prev_txn or txn is not None:
+        manifest["txn"] = dict(prev_txn)
+        if txn is not None:
+            manifest["txn"][txn[0]] = txn[1]
+    if "stats" in man:
+        stats_cols = sorted(
+            {c for per_file in man["stats"].values() for c in per_file}
+        )
+        stats = dict(man["stats"])
+        stats.update(collect_file_stats(new_files, path, stats_cols))
+        manifest["stats"] = stats
+    return _commit_manifest(path, manifest, token)
+
+
+def _delete_where_mor(
+    spark: SparkSession, path: str, man: dict, predicate,
+    compression: str, prune: tuple | None,
+) -> dict:
+    """MOR DELETE as a DELTA-GROUP commit (r12 verdict #1 — the largest
+    interop wall: every DML verb refused on the streaming-CDC substrate,
+    so at 100 TB a delete on a live MOR table meant a full-table
+    compaction first). Tombstone rows (key, seq, op='D') land as one
+    delta group — ZERO base files are rewritten; the resolved read,
+    the change feed and :func:`version_delta` mask/emit them, minor
+    compaction folds them forward still masking, major compaction sheds
+    them. Hudi delete-markers / Delta CDF 'D' semantics; reference: the
+    importer's long-lived upsert loop
+    (handler/incoming_instance_handler.go:285-303) must accept deletes.
+
+    Predicate semantics match the COW delete exactly (NULL = keep);
+    the predicate is evaluated against the RESOLVED view, so a value
+    rewritten by a later delta is judged by its LATEST value.
+    ``prune=(col, lo, hi)`` skips resolving files whose key-column
+    stats can't intersect — sound only when ``col`` is a MOR key column
+    (enforced), the :func:`read_snapshot_pruned` rule. Costs one
+    (pruned) resolve read + O(matched keys) write."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    mor = man["mor"]
+    schema = man["schema"]
+    _check_reserved(schema, (MOR_OP_COL,))
+    key_cols, seq_col = mor["key_cols"], mor["seq_col"]
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    n_all = len(man["files"]) + sum(len(g) for g in mor["deltas"])
+    read_man, n_kept = man, n_all
+    if prune is not None:
+        col, lo, hi = prune
+        if col not in key_cols:
+            raise ValueError(
+                f"MOR delete prune column {col!r} must be a MOR key "
+                f"column {key_cols} — non-key stats can't prune a chain "
+                "soundly (a superseded row would resurrect as winner)"
+            )
+        read_man, n_kept, _ = _mor_pruned_manifest(man, {col: (lo, hi)})
+    if not read_man["files"] and not any(read_man["mor"]["deltas"]):
+        return {
+            "version": snapshot_versions(path)[-1], "rows_deleted": 0,
+            "files_rewritten": 0, "files_kept": len(man["files"]),
+            "files_probed": 0, "delta_files_written": 0,
+        }
+    resolved = _resolve_mor(spark, path, read_man)
+    doomed = resolved.filter(F.coalesce(pred, F.lit(False)))
+    tomb = doomed.select(
+        *key_cols, F.col(seq_col),
+        F.lit(MOR_DELETE_OP).alias(MOR_OP_COL),
+    )
+    token = uuid.uuid4().hex[:12]
+    new_files = _write_delta_group(tomb, path, token, compression)
+    if not new_files:
+        import shutil as _sh
+
+        _sh.rmtree(
+            __import__("os").path.join(path, "data", token),
+            ignore_errors=True,
+        )
+        return {
+            "version": snapshot_versions(path)[-1], "rows_deleted": 0,
+            "files_rewritten": 0, "files_kept": len(man["files"]),
+            "files_probed": n_kept, "delta_files_written": 0,
+        }
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    n_rows = sum(
+        _pq.ParquetFile(_os.path.join(path, rel)).metadata.num_rows
+        for rel in new_files
+    )
+    version = _commit_delta_group(path, man, new_files, token)
+    return {
+        "version": version, "rows_deleted": n_rows,
+        "files_rewritten": 0, "files_kept": len(man["files"]),
+        "files_probed": n_kept, "delta_files_written": len(new_files),
+    }
+
+
+def _merge_into_mor(
+    spark: SparkSession, path: str, man: dict, source: DataFrame,
+    key_cols: list[str], update_set, delete_condition, insert: bool,
+    insert_values, compression: str, txn: tuple | None,
+) -> int:
+    """MERGE INTO a MOR table as ONE delta-group commit (r12 verdict
+    #1): the source compacts against the RESOLVED view and lands a
+    single delta group holding updated images (op NULL), inserted
+    images (op NULL) and delete tombstones (op='D') — zero base files
+    rewritten, untouched keys never re-materialized (they simply keep
+    winning from older commits, the property a COW merge cannot have).
+    Clause semantics, name scoping (target columns by name, source as
+    ``src_<col>``), type preservation and the duplicate-source-key
+    refusal mirror :func:`merge_into_snapshot` exactly.
+
+    Scale shape: the probe side stats-prunes base AND delta files to
+    the source's key range before the one latest-wins window
+    (:func:`_mor_pruned_manifest` — sound on key columns), then a
+    left-semi join shrinks the target side to the matched sliver, so
+    cost is O(key-range files read + |source|) with an O(|delta|)
+    write — the nightly-CDC merge on a 100 TB live table touches its
+    keys' files, never the table."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    mor = man["mor"]
+    schema = man["schema"]
+    _check_reserved(schema, (MOR_OP_COL,))
+    if mor["key_cols"] != list(key_cols):
+        raise ValueError(
+            f"MERGE INTO a MOR table must merge on its MOR key columns "
+            f"{mor['key_cols']} (got {list(key_cols)}) — tombstones and "
+            "images resolve per MOR key"
+        )
+    seq_col = mor["seq_col"]
+    if update_set is None and delete_condition is None and not insert:
+        raise ValueError("MERGE INTO with no clauses is a no-op — pass "
+                         "update_set, delete_condition, and/or insert")
+    bad = [c for c in (update_set or {}) if c not in schema]
+    if bad:
+        raise ValueError(
+            f"UPDATE SET assigns non-existent target columns {bad}"
+        )
+    missing_keys = [c for c in key_cols if c not in source.columns]
+    if missing_keys:
+        raise ValueError(f"source lacks merge key columns {missing_keys}")
+    prev_txn = man.get("txn") or {}
+    versions = snapshot_versions(path)
+    if txn is not None and txn[1] <= prev_txn.get(txn[0], -1):
+        return versions[-1]  # redelivered batch: idempotent skip
+    dup = (
+        source.groupBy(*key_cols).count().filter(F.col("count") > 1)
+        .limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE INTO source has duplicate keys — multiple source rows "
+            "would match one target row (compact the source per key first)"
+        )
+    # pin the (possibly non-deterministic) source: prune, join and
+    # write must see the SAME rows
+    source = source.localCheckpoint(eager=True)
+    stats = man.get("stats") or {}
+    bounds = {}
+    for kc in key_cols:
+        if not any(kc in per for per in stats.values()):
+            continue
+        b = source.agg(
+            F.min(F.col(kc)).alias("lo"), F.max(F.col(kc)).alias("hi")
+        ).first()
+        bounds[kc] = (b["lo"], b["hi"])
+    read_man, _, _ = _mor_pruned_manifest(man, bounds)
+    if read_man["files"] or any(read_man["mor"]["deltas"]):
+        resolved = _resolve_mor(spark, path, read_man)
+    else:  # every file provably key-disjoint from the source
+        resolved = spark.createDataFrame(
+            [], ", ".join(f"`{c}` {t}" for c, t in schema.items())
+        )
+    # only matched keys can contribute delta rows: shrink the target
+    # side to the source's keys before the clause join
+    tgt = resolved.join(
+        source.select(*key_cols).distinct(), key_cols, "left_semi"
+    )
+    src = source
+    for c in source.columns:
+        if c not in key_cols:
+            src = src.withColumnRenamed(c, f"src_{c}")
+    j = (
+        tgt.withColumn("_t", F.lit(True))
+        .join(src.withColumn("_s", F.lit(True)), key_cols, "full_outer")
+    )
+    matched = F.col("_t").isNotNull() & F.col("_s").isNotNull()
+    s_only = F.col("_t").isNull() & F.col("_s").isNotNull()
+
+    def _expr(v):
+        return F.expr(v) if isinstance(v, str) else v
+
+    doomed = F.lit(False)
+    if delete_condition is not None:
+        doomed = matched & F.coalesce(_expr(delete_condition), F.lit(False))
+    # a matched row becomes a delta row only when a clause REWRITES it —
+    # untouched keys ride the older commits for free (the MOR property)
+    emit = doomed | s_only if insert else doomed
+    if update_set:
+        emit = emit | matched
+    j = j.filter(emit)
+    src_names = set(src.columns)
+    out_cols = []
+    for c, t in schema.items():
+        val = F.col(c).cast(t)
+        if update_set and c in update_set:
+            val = F.when(
+                matched & ~doomed, _expr(update_set[c]).cast(t)
+            ).otherwise(val)
+        if insert:
+            if insert_values and c in insert_values:
+                ins = _expr(insert_values[c]).cast(t)
+            elif c in key_cols:
+                ins = F.col(c).cast(t)
+            elif f"src_{c}" in src_names:
+                ins = F.col(f"src_{c}").cast(t)
+            else:
+                ins = F.lit(None).cast(t)
+            val = F.when(s_only, ins).otherwise(val)
+        if c not in key_cols and c != seq_col:
+            # tombstones carry keys + seq only; masked columns NULL
+            val = F.when(doomed, F.lit(None).cast(t)).otherwise(val)
+        out_cols.append(val.alias(c))
+    out = j.select(
+        *out_cols,
+        F.when(doomed, F.lit(MOR_DELETE_OP))
+        .otherwise(F.lit(None).cast("string"))
+        .alias(MOR_OP_COL),
+    )
+    if man.get("generated") or man.get("constraints"):
+        live = out.filter(F.col(MOR_OP_COL).isNull())
+        if man.get("generated"):
+            live = _apply_generated(
+                live.drop(MOR_OP_COL), man["generated"], schema,
+                "merge_into_snapshot",
+            ).withColumn(MOR_OP_COL, F.lit(None).cast("string"))
+        if man.get("constraints"):
+            _enforce_constraints(
+                live, man["constraints"], "merge_into_snapshot"
+            )
+        out = live.unionByName(
+            out.filter(F.col(MOR_OP_COL) == MOR_DELETE_OP)
+        )
+    token = uuid.uuid4().hex[:12]
+    new_files = _write_delta_group(out, path, token, compression)
+    if not new_files:
+        import shutil as _sh
+
+        _sh.rmtree(
+            __import__("os").path.join(path, "data", token),
+            ignore_errors=True,
+        )
+        return versions[-1]  # matched nothing, inserted nothing
+    return _commit_delta_group(path, man, new_files, token, txn=txn)
 
 
 def snapshot_changes(
@@ -3594,12 +3975,30 @@ def version_delta(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        # delete-capable chains (r13): a winning tombstone in the new
+        # groups is a DELETE of its key — pre-image from the base
+        # version, no _new side. Keys absent at base that were inserted
+        # AND tombstoned within the range net to nothing.
+        op = (man.get("mor") or {}).get("op_col")
+        has_op = op is not None and op in latest.columns
+        dead = None
+        if has_op:
+            del_mask = F.coalesce(
+                F.col(op) == F.lit(MOR_DELETE_OP), F.lit(False)
+            )
+            dead = latest.filter(del_mask).drop(op)
+            latest = latest.filter(~del_mask).drop(op)
         old = read_snapshot(spark, path, version=base_version)
         # prune the base to the changed keys with a broadcast semi-join
         # (one base scan, no base shuffle), then look up pre-images from
         # that sliver — the O(changes) exchange shape
+        changed_keys = latest.select(*key_cols)
+        if dead is not None:
+            changed_keys = changed_keys.unionByName(
+                dead.select(*key_cols)
+            )
         old_small = old.join(
-            F.broadcast(latest.select(*key_cols).distinct()),
+            F.broadcast(changed_keys.distinct()),
             key_cols,
             "left_semi",
         )
@@ -3610,7 +4009,7 @@ def version_delta(
             *key_cols, _vstruct(old_small).alias("_old")
         )
         j = d.join(F.broadcast(o), key_cols, "left_outer")
-        return j.filter(~F.col("_old").eqNullSafe(F.col("_new"))).select(
+        ups = j.filter(~F.col("_old").eqNullSafe(F.col("_new"))).select(
             *key_cols,
             F.when(F.col("_old").isNull(), F.lit("insert"))
             .otherwise(F.lit("update"))
@@ -3618,6 +4017,19 @@ def version_delta(
             "_old",
             "_new",
         )
+        if dead is None:
+            return ups
+        dels = (
+            dead.select(*key_cols)
+            .join(F.broadcast(o), key_cols, "inner")
+            .select(
+                *key_cols,
+                F.lit("delete").alias("change_type"),
+                "_old",
+                _null_struct().alias("_new"),
+            )
+        )
+        return ups.unionByName(dels)
     if tr["kind"] == "dv":
         old_rels = [o for o, _ in tr["dv_changed"].values() if o]
         new_rels = [n for _, n in tr["dv_changed"].values()]

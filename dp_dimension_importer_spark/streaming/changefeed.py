@@ -117,6 +117,9 @@ def make_changefeed_source():
     _st._register_self_by_value()
     dv_decode = _st.dv_decode
     classify_transition = _st.classify_transition
+    # bound through the closure (no runtime absolute imports in the
+    # foreign-process streaming runner): the MOR tombstone marker
+    _MOR_DEL = _st.MOR_DELETE_OP
 
     import sys as _sys
 
@@ -358,6 +361,13 @@ def make_changefeed_source():
                         if k not in best or rank >= best[k]:
                             best[k] = rank
                             out[k] = r
+        op = (mor or {}).get("op_col")
+        if op:
+            # delete-capable chain: a key whose WINNER is a tombstone
+            # is absent from this version (same mask as _resolve_mor)
+            out = {
+                k: r for k, r in out.items() if r.get(op) != _MOR_DEL
+            }
         return out
 
     def _vals_eq(a, b, cols):
@@ -535,6 +545,10 @@ def make_changefeed_source():
                     # commits into one transition still folds in commit
                     # order (commit order outranks seq, as in
                     # storage._resolve_mor).
+                    # r13: delete-capable chains declare op_col — a
+                    # delta row marked 'D' is a DELETE of its key, not
+                    # an upsert; the reader splits per file.
+                    mop = (tr["manifest"].get("mor") or {}).get("op_col")
                     parts += [
                         _Part(
                             (
@@ -544,6 +558,7 @@ def make_changefeed_source():
                                 tcols,
                                 self.arrow,
                                 gi,
+                                mop,
                             )
                         )
                         for gi, grp in enumerate(tr["new_groups"])
@@ -648,14 +663,39 @@ def make_changefeed_source():
                     )
                 return
             if kind == "mor":
-                _, v, abs_path, cols, arrow, gi = p
-                if arrow:
-                    yield from _arrow_batches(abs_path, cols, "upsert", v, gi)
-                else:
-                    yield from _emit(
-                        _read_parquet_rows(abs_path, cols),
-                        cols, "upsert", v, gi,
+                _, v, abs_path, cols, arrow, gi, mop = p
+                has_op = False
+                if mop is not None:
+                    import pyarrow.parquet as pq
+
+                    has_op = (
+                        mop in pq.ParquetFile(abs_path).schema_arrow.names
                     )
+                if not has_op:  # plain upsert group: hot path unchanged
+                    if arrow:
+                        yield from _arrow_batches(
+                            abs_path, cols, "upsert", v, gi
+                        )
+                    else:
+                        yield from _emit(
+                            _read_parquet_rows(abs_path, cols),
+                            cols, "upsert", v, gi,
+                        )
+                    return
+                # op-carrying group (MOR DELETE/MERGE commit): split
+                # tombstones from images per row — row path (these
+                # groups are the DML sliver, not the ingest firehose)
+                rows = _read_parquet_rows(
+                    abs_path, cols + [(mop, mop, "string")]
+                )
+                yield from _emit(
+                    [r for r in rows if r.get(mop) != _MOR_DEL],
+                    cols, "upsert", v, gi,
+                )
+                yield from _emit(
+                    [r for r in rows if r.get(mop) == _MOR_DEL],
+                    cols, "delete", v, gi,
+                )
                 return
             if kind == "dv":
                 _, v, table_path, rel, old_dv, new_dv, cols = p

@@ -1053,3 +1053,35 @@ def test_feed_diff_over_dropped_column_era(spark):
         ]
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_feed_mor_delete_tombstones(spark):
+    """r13 MOR DML: a delete-tombstone delta commit classifies 'mor' and
+    the feed must emit its rows as change_type='delete' (key + seq, NULL
+    values — the raw-log contract), never as NULL-valued upserts; plain
+    upsert groups in the same stream keep the arrow hot path."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(1, "a", 0), (2, "b", 0)]), path
+        )
+        storage.upsert_delta_snapshot(
+            spark, path, _df(spark, [(2, "b2", 1), (3, "c", 1)]),
+            key_cols=["k"], seq_col="seq",
+        )
+        r = storage.delete_where_snapshot(spark, path, "k = 2")
+        rows = _drain(spark, path, "cf_mordel_" + uuid.uuid4().hex[:8])
+        got = sorted(
+            ((x["k"], x["val"], x["change_type"], x["_version"])
+             for x in rows),
+            key=repr,
+        )
+        assert got == sorted([
+            (1, "a", "insert", 1),
+            (2, "b", "insert", 1),
+            (2, None, "delete", r["version"]),
+            (2, "b2", "upsert", 2),
+            (3, "c", "upsert", 2),
+        ], key=repr)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

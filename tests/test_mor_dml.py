@@ -1,0 +1,251 @@
+"""DML on MOR tables (r13, r12 verdict #1 — the interop wall): DELETE
+and MERGE INTO land as DELTA-GROUP commits carrying op='D' tombstones
+(Hudi delete-marker / Delta CDF semantics), so the streaming-CDC
+substrate accepts the full verb set with ZERO base-file rewrites.
+
+Every test states its exact expected table contents; the structural
+pins assert the base file list rides byte-identical through each DML
+commit (the MOR property the verbs exist for).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark import storage
+
+
+def _mkpath():
+    scratch = tempfile.mkdtemp(prefix="mor_dml_")
+    return scratch, os.path.join(scratch, "t")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, val=v, seq=s) for k, v, s in rows],
+        "k bigint, val string, seq bigint",
+    )
+
+
+def _man(path, v=None):
+    v = v if v is not None else storage.snapshot_versions(path)[-1]
+    with open(os.path.join(path, "_manifests", f"v{v}.json")) as f:
+        return json.load(f)
+
+
+def _rows(spark, path, **kw):
+    return sorted(
+        (r["k"], r["val"])
+        for r in storage.read_snapshot(spark, path, **kw)
+        .select("k", "val").collect()
+    )
+
+
+def _mor_table(spark, path):
+    """v1 base {1,2,3}, v2 delta upserts k=2 and inserts k=4."""
+    storage.write_snapshot(
+        spark, _df(spark, [(1, "a", 0), (2, "b", 0), (3, "c", 0)]), path
+    )
+    storage.upsert_delta_snapshot(
+        spark, path, _df(spark, [(2, "b2", 1), (4, "d", 1)]),
+        key_cols=["k"], seq_col="seq",
+    )
+
+
+def test_mor_delete_lands_as_tombstone_group(spark):
+    scratch, path = _mkpath()
+    try:
+        _mor_table(spark, path)
+        base_files = _man(path)["files"]
+        r = storage.delete_where_snapshot(spark, path, "k = 2")
+        assert r["rows_deleted"] == 1 and r["files_rewritten"] == 0
+        man = _man(path)
+        # base file list byte-identical; chain grew by ONE group
+        assert man["files"] == base_files
+        assert len(man["mor"]["deltas"]) == 2
+        assert man["mor"]["op_col"] == storage.MOR_OP_COL
+        assert _rows(spark, path) == [(1, "a"), (3, "c"), (4, "d")]
+        # prior versions untouched (snapshot isolation)
+        assert _rows(spark, path, version=2) == [
+            (1, "a"), (2, "b2"), (3, "c"), (4, "d")
+        ]
+        # deleting an already-deleted / absent key is a no-op commit
+        r2 = storage.delete_where_snapshot(spark, path, "k = 2")
+        assert r2["rows_deleted"] == 0
+        assert r2["version"] == r["version"]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_mor_delete_judges_latest_value_and_reinsert_wins(spark):
+    scratch, path = _mkpath()
+    try:
+        _mor_table(spark, path)
+        # k=2's LATEST value is 'b2' — a predicate on the superseded
+        # base value must match nothing
+        r = storage.delete_where_snapshot(spark, path, "val = 'b'")
+        assert r["rows_deleted"] == 0
+        storage.delete_where_snapshot(spark, path, "val = 'b2'")
+        assert _rows(spark, path) == [(1, "a"), (3, "c"), (4, "d")]
+        # a LATER upsert re-inserts the tombstoned key
+        storage.upsert_delta_snapshot(
+            spark, path, _df(spark, [(2, "b3", 9)]),
+            key_cols=["k"], seq_col="seq",
+        )
+        assert _rows(spark, path) == [
+            (1, "a"), (2, "b3"), (3, "c"), (4, "d")
+        ]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_mor_compactions_respect_tombstones(spark):
+    scratch, path = _mkpath()
+    try:
+        _mor_table(spark, path)
+        storage.delete_where_snapshot(spark, path, "k = 2")
+        base_files = _man(path)["files"]
+        # MINOR: folds the chain, base untouched, tombstone still masks
+        storage.compact_mor(spark, path, minor=True)
+        man = _man(path)
+        assert man["files"] == base_files
+        assert len(man["mor"]["deltas"]) == 1
+        assert _rows(spark, path) == [(1, "a"), (3, "c"), (4, "d")]
+        # a key wholly inside the folded chain (k=4) also survives
+        # MAJOR: sheds the chain AND the tombstones
+        storage.compact_mor(spark, path)
+        man = _man(path)
+        assert "mor" not in man
+        assert _rows(spark, path) == [(1, "a"), (3, "c"), (4, "d")]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_mor_merge_into_one_delta_group(spark):
+    scratch, path = _mkpath()
+    try:
+        _mor_table(spark, path)
+        base_files = _man(path)["files"]
+        src = spark.createDataFrame(
+            [
+                Row(k=1, val="A", seq=5),    # matched -> update
+                Row(k=2, val=None, seq=5),   # matched -> delete (val null)
+                Row(k=9, val="i", seq=5),    # not matched -> insert
+            ],
+            "k bigint, val string, seq bigint",
+        )
+        v = storage.merge_into_snapshot(
+            spark, path, src, ["k"],
+            update_set={"val": "upper(src_val)"},
+            delete_condition="src_val IS NULL",
+            insert=True,
+        )
+        man = _man(path, v)
+        assert man["files"] == base_files, "merge touched base files"
+        assert len(man["mor"]["deltas"]) == 2, "merge must land ONE group"
+        assert _rows(spark, path) == [
+            (1, "A"), (3, "c"), (4, "d"), (9, "i")
+        ]
+        # untouched keys (3, 4) were NOT re-materialized: the merge's
+        # delta group holds only the update, the insert, the tombstone
+        grp = man["mor"]["deltas"][-1]
+        import pyarrow.parquet as pq
+
+        n = sum(
+            pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+            for rel in grp
+        )
+        assert n == 3
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_mor_merge_validations(spark):
+    scratch, path = _mkpath()
+    try:
+        _mor_table(spark, path)
+        dup = _df(spark, [(1, "x", 1), (1, "y", 2)])
+        with pytest.raises(ValueError, match="duplicate keys"):
+            storage.merge_into_snapshot(spark, path, dup, ["k"])
+        # merge keys must be the MOR keys (tombstones resolve per key)
+        with pytest.raises(ValueError, match="MOR key columns"):
+            storage.merge_into_snapshot(
+                spark, path, _df(spark, [(1, "x", 1)]), ["val"]
+            )
+        # a merge matching nothing and inserting nothing commits nothing
+        before = storage.snapshot_versions(path)[-1]
+        v = storage.merge_into_snapshot(
+            spark, path, _df(spark, [(99, "z", 1)]), ["k"],
+            update_set={"val": "src_val"}, insert=False,
+        )
+        assert v == before
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_mor_delete_prunes_by_key_stats(spark):
+    scratch, path = _mkpath()
+    try:
+        base = spark.createDataFrame(
+            [Row(k=i, val=f"v{i}", seq=0) for i in range(100)],
+            "k bigint, val string, seq bigint",
+        ).repartitionByRange(4, "k")
+        storage.write_snapshot(spark, base, path, stats_cols=["k"])
+        storage.upsert_delta_snapshot(
+            spark, path,
+            spark.createDataFrame(
+                [Row(k=5, val="x", seq=1)], "k bigint, val string, seq bigint"
+            ),
+            key_cols=["k"], seq_col="seq",
+        )
+        n_total = len(_man(path)["files"]) + 1
+        r = storage.delete_where_snapshot(
+            spark, path, "k BETWEEN 3 AND 7", prune=("k", 3, 7)
+        )
+        assert r["rows_deleted"] == 5
+        assert r["files_probed"] < n_total, "key stats did not prune"
+        got = sorted(
+            x["k"] for x in storage.read_snapshot(spark, path).collect()
+        )
+        assert got == [i for i in range(100) if not 3 <= i <= 7]
+        # non-key prune column refuses (unsound on a chain)
+        with pytest.raises(ValueError, match="key column"):
+            storage.delete_where_snapshot(
+                spark, path, "k = 1", prune=("val", "a", "z")
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_mor_dml_version_delta_and_reserved_name(spark):
+    scratch, path = _mkpath()
+    try:
+        _mor_table(spark, path)
+        r = storage.delete_where_snapshot(spark, path, "k = 2")
+        d = storage.version_delta(
+            spark, path, r["version"], ["k"]
+        ).collect()
+        assert len(d) == 1
+        row = d[0]
+        assert (row["k"], row["change_type"]) == (2, "delete")
+        assert row["_old"]["val"] == "b2" and row["_new"] is None
+        # user schema colliding with the op column refuses at the seam
+        bad = spark.createDataFrame(
+            [Row(k=1, _mor_op="x", seq=0)],
+            "k bigint, _mor_op string, seq bigint",
+        )
+        p2 = os.path.join(scratch, "t2")
+        storage.write_snapshot(spark, bad, p2)
+        with pytest.raises(ValueError, match="reserved"):
+            storage.upsert_delta_snapshot(
+                spark, p2, bad, key_cols=["k"], seq_col="seq"
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
