@@ -2810,3 +2810,106 @@ def q86e_mor_merge(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q96c_mapped_mor",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS tp,
+               0 AS ci, CAST(0 AS BIGINT) AS seq
+        FROM orders
+    ), d1 AS (
+        SELECT k, pri, tp + 1000, 1, CAST(1 AS BIGINT)
+        FROM base WHERE k % 10 = 3
+    ), d2 AS (
+        SELECT k, pri, tp + 111, 2, CAST(2 AS BIGINT)
+        FROM base WHERE k % 20 = 7
+    ), u AS (
+        SELECT * FROM base UNION ALL SELECT * FROM d1
+        UNION ALL SELECT * FROM d2
+    ), r AS (
+        SELECT k, pri, tp,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY ci DESC, seq DESC) AS rn
+        FROM u
+    ), w AS (
+        SELECT pri, tp AS amount FROM r WHERE rn = 1
+    )
+    SELECT pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(amount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+)
+def q96c_mapped_mor(spark, sf_dir):
+    """COLUMN MAPPING through a MOR delta chain (r13, r12 verdict #3 —
+    rename no longer refuses on the streaming-CDC substrate): delta
+    commits land BEFORE and AFTER a ``rename_column``, the post-rename
+    delta arrives under the NEW logical name but its files carry the
+    table's ONE physical schema, and the resolved read emits the
+    latest-logical names WITHOUT compact_mor. Structural asserts: every
+    commit group's files (base, pre- and post-rename deltas) share the
+    physical name, time travel to the pre-rename version answers era
+    names, base file list byte-identical through the rename (it is
+    metadata-only)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    d1 = base.filter(F.col("k") % 10 == 3).withColumn(
+        "tp", F.col("tp") + 1000
+    ).withColumn("seq", F.lit(1).cast("long"))
+    d2 = (
+        base.filter(F.col("k") % 20 == 7)
+        .withColumn("tp", F.col("tp") + 111)
+        .withColumn("seq", F.lit(2).cast("long"))
+        .withColumnRenamed("tp", "amount")  # post-rename LOGICAL name
+    )
+    path = tempfile.mkdtemp(prefix="snapshot_mapped_mor_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, base, path)
+        storage.upsert_delta_snapshot(spark, path, d1, ["k"], "seq")
+        v_ren = storage.rename_column(path, "tp", "amount")
+        storage.upsert_delta_snapshot(spark, path, d2, ["k"], "seq")
+        mdir = os.path.join(path, "_manifests")
+        with open(os.path.join(mdir, "v2.json")) as f:
+            pre = json.load(f)
+        with open(
+            os.path.join(mdir, f"v{v_ren + 1}.json")
+        ) as f:
+            man = json.load(f)
+        assert man["files"] == pre["files"], "rename touched base files"
+        assert man["column_mapping"] == {"amount": "tp"}
+        for grp in [man["files"]] + man["mor"]["deltas"]:
+            for rel in grp:
+                names = pq.ParquetFile(
+                    os.path.join(path, rel)
+                ).schema_arrow.names
+                assert "tp" in names and "amount" not in names, rel
+        # time travel answers ERA names (pre-rename: tp)
+        assert "tp" in storage.read_snapshot(spark, path, version=2).columns
+        head = storage.read_snapshot(spark, path)
+        assert "amount" in head.columns and "tp" not in head.columns
+        cents = F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("long")
+        return (
+            head.groupBy("pri")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

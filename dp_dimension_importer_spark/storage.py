@@ -1034,6 +1034,48 @@ def write_snapshot(
     return _commit_manifest(path, manifest, token, rebase=_rebase)
 
 
+def _require_key_disjoint(rels, stats, key_cols, src_bounds, what, path):
+    """Key-range commit validation (r13, r12 verdict #4 — the Iceberg
+    validation-based MERGE rebase): every concurrently-added file must
+    have, on at least one key column, recorded [min, max] stats provably
+    DISJOINT from the MERGE source's key range — then the racing rows
+    cannot contain any source key, so neither the matched set nor the
+    NOT-MATCHED insert decision is affected and the merge may rebase.
+    A file with no stats gets ONE footer metadata read: zero rows means
+    provably harmless (Spark's writer emits schema-only part files),
+    anything else refuses — conservative by construction. ``src_bounds``:
+    {key col: (encoded lo, encoded hi)}; ``stats`` values are the
+    manifest's encoded [min, max] pairs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    for rel in rels:
+        per = (stats or {}).get(rel) or {}
+        for kc in key_cols:
+            s, b = per.get(kc), src_bounds.get(kc)
+            if s is not None and b is not None and (
+                s[1] < b[0] or s[0] > b[1]
+            ):
+                break  # provably disjoint on this key column
+        else:
+            try:
+                n = pq.ParquetFile(
+                    os.path.join(path, rel)
+                ).metadata.num_rows
+            except OSError:
+                n = -1
+            if n == 0:
+                continue  # empty part file: cannot contain any key
+            raise ConcurrentCommitError(
+                f"{what}: concurrently-added file {rel!r} has no "
+                "key-column stats provably disjoint from the MERGE "
+                "source's key range — its rows may contain source keys "
+                "(a NOT-MATCHED insert would write-skew); re-run the "
+                "merge against the new head"
+            )
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed between this verb's read of the table
     head and its manifest hard-link, and the commit could not be safely
@@ -2374,15 +2416,19 @@ def merge_into_snapshot(
     # 100 TB table a narrow CDC batch probes O(its key range's files).
     probe_rels = list(man["files"])
     stats = man.get("stats") or {}
+    # source key bounds per key column — shared by the probe prune here
+    # and the key-range-validated rebase below (r13), so they are
+    # computed for EVERY key column, not just the stats-carrying ones
+    src_bounds: dict = {}
     for kc in key_cols:
-        if not any(kc in per for per in stats.values()):
-            continue
-        bounds = source.agg(
+        b = source.agg(
             F.min(F.col(kc)).alias("lo"), F.max(F.col(kc)).alias("hi")
         ).first()
-        if bounds["lo"] is None:
+        if b["lo"] is not None:
+            src_bounds[kc] = (_stat_encode(b["lo"]), _stat_encode(b["hi"]))
+    for kc, (elo, ehi) in src_bounds.items():
+        if not any(kc in per for per in stats.values()):
             continue
-        elo, ehi = _stat_encode(bounds["lo"]), _stat_encode(bounds["hi"])
         probe_rels = [
             rel for rel in probe_rels
             if (s_ := stats.get(rel, {}).get(kc)) is None
@@ -2498,7 +2544,71 @@ def merge_into_snapshot(
         stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
         stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
-    return _commit_manifest(path, manifest, token)
+
+    def _rebase(head: dict) -> dict:
+        """Key-range-validated MERGE rebase (r13, r12 verdict #4): a
+        competing APPEND whose added files provably cannot contain any
+        source key leaves the matched set, the touched/kept split and
+        the NOT-MATCHED decisions all intact — carry its files into the
+        merged manifest and both commits succeed. Anything else (files
+        removed/rewritten, DV movement, contract drift, spec evolution,
+        overlapping or stats-less added files) refuses as before."""
+        if head.get("mor"):
+            raise ConcurrentCommitError(
+                "table became MOR concurrently — re-run the merge"
+            )
+        for key in ("constraints", "generated", "column_mapping",
+                    "widened", "dropped", "schema"):
+            if (head.get(key) or None) != (man.get(key) or None):
+                raise ConcurrentCommitError(
+                    f"table {key} changed concurrently — the merge was "
+                    "derived under the old contract; re-run"
+                )
+        hpart = head.get("partition") or {}
+        mpart = man.get("partition") or {}
+        if (
+            hpart.get("specs") != mpart.get("specs")
+            or hpart.get("current") != mpart.get("current")
+        ):
+            raise ConcurrentCommitError(
+                "partition spec evolved concurrently — re-run the merge"
+            )
+        man_files = set(man["files"])
+        head_files = list(head.get("files") or [])
+        if man_files - set(head_files):
+            raise ConcurrentCommitError(
+                "files were rewritten/removed by a concurrent commit — "
+                "the merge's touched/kept split is stale; re-run"
+            )
+        if (head.get("dv") or {}) != (dv_map or {}):
+            raise ConcurrentCommitError(
+                "deletion vectors changed concurrently — re-run the merge"
+            )
+        added = [f for f in head_files if f not in man_files]
+        _require_key_disjoint(
+            added, head.get("stats") or {}, key_cols, src_bounds,
+            "MERGE rebase", path,
+        )
+        m2 = dict(manifest)
+        m2["files"] = list(manifest["files"]) + added
+        if manifest.get("partition"):
+            hvals = hpart.get("values") or {}
+            vals = dict(manifest["partition"]["values"])
+            for rel in added:
+                vals[rel] = hvals.get(rel)
+            m2["partition"] = {**manifest["partition"], "values": vals}
+        hstats = head.get("stats") or {}
+        add_stats = {rel: hstats[rel] for rel in added if rel in hstats}
+        if "stats" in manifest or add_stats:
+            m2["stats"] = {**(manifest.get("stats") or {}), **add_stats}
+        head_txn = dict(head.get("txn") or {})
+        if txn is not None:
+            head_txn[txn[0]] = txn[1]
+        if head_txn:
+            m2["txn"] = head_txn
+        return m2
+
+    return _commit_manifest(path, manifest, token, rebase=_rebase)
 
 
 def update_where_snapshot(
@@ -2563,7 +2673,11 @@ def update_where_snapshot(
         man = json.load(f)
     mapping = man.get("column_mapping") or {}  # scan logical, write physical
     if man.get("mor"):
-        raise ValueError("UPDATE on a MOR table: run compact_mor first")
+        # r13: updated images land as one plain upsert delta group —
+        # zero base rewrites, the merge-on-read-native UPDATE
+        return _update_where_mor(
+            spark, path, man, assignments, predicate, compression, prune
+        )
     schema = man["schema"]
     missing = [c for c in assignments if c not in schema]
     if missing:
@@ -2945,13 +3059,13 @@ def upsert_delta_snapshot(
             "MOR deltas and deletion vectors cannot mix — "
             "purge_deletion_vectors first"
         )
-    _check_no_mapping(man, "upsert_delta_snapshot")
-    if man.get("widened") or man.get("dropped"):
-        raise ValueError(
-            "MOR conversion on a table with widened/dropped columns "
-            "unsupported — delta files must share the base files' read "
-            "schema; rewrite the table (write_snapshot overwrite) first"
-        )
+    # r13 (r12 verdict #3): column-mapped, widened and dropped-column
+    # tables take delta commits natively — changes arrive LOGICAL and
+    # write PHYSICAL (the table's one physical schema spans base and
+    # every group); _resolve_mor projects per group and casts to the
+    # committed (wide) type, so narrow old files and wide new deltas
+    # coexist without forced schemas.
+    mapping = dict(man.get("column_mapping") or {})
     if man.get("generated"):
         changes = _apply_generated(
             changes, man["generated"], man.get("schema") or {},
@@ -2998,13 +3112,27 @@ def upsert_delta_snapshot(
     for c, t in new_schema.items():
         if c not in merged_schema:
             merged_schema[c] = t
+    dropped = set(man.get("dropped") or [])
+    reborn = sorted(
+        c for c in new_schema
+        if c not in old_schema and mapping.get(c, c) in dropped
+    )
+    if reborn:
+        raise ValueError(
+            f"delta columns {reborn} reuse DROPPED column names whose "
+            "bytes still live in old files — rewrite the table "
+            "(compact_mor) before reusing the name"
+        )
     if man.get("constraints"):
         _enforce_constraints(
             changes, man["constraints"], "upsert_delta_snapshot"
         )
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
-    (changes.write.mode("error").option("compression", compression)
+    # mapped tables: the delta's files must share the table's ONE
+    # physical schema — write physical, keep logical everywhere else
+    ((changes.withColumnsRenamed(mapping) if mapping else changes)
+     .write.mode("error").option("compression", compression)
      .parquet(data_dir))
     # ADVICE r8: Spark writes a schema-only parquet file even for an empty
     # DataFrame, so a bare glob is never empty and the r7 empty-batch guard
@@ -3040,6 +3168,8 @@ def upsert_delta_snapshot(
         "schema": merged_schema,
         "mor": {**mor, "deltas": mor["deltas"] + [new_files]},
     }
+    if mapping:
+        manifest["column_mapping"] = mapping
     if prev_txn or txn is not None:
         manifest["txn"] = dict(prev_txn)
         if txn is not None:
@@ -3056,7 +3186,7 @@ def upsert_delta_snapshot(
             {c for per_file in man["stats"].values() for c in per_file}
         )
         stats = dict(man["stats"])
-        stats.update(collect_file_stats(new_files, path, stats_cols))
+        stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
 
     def _rebase(head: dict) -> dict:
@@ -3086,6 +3216,11 @@ def upsert_delta_snapshot(
             raise ConcurrentCommitError(
                 "base files changed concurrently (compaction/DML) — "
                 "re-run the upsert against the new head"
+            )
+        if (head.get("column_mapping") or {}) != mapping:
+            raise ConcurrentCommitError(
+                "column mapping changed concurrently — this delta's "
+                "files carry the old physical schema; re-run the upsert"
             )
         if (head.get("constraints") or {}) != (man.get("constraints") or {}):
             raise ConcurrentCommitError(
@@ -3131,6 +3266,8 @@ def upsert_delta_snapshot(
             "schema": m2_schema,
             "mor": {**hmor, "deltas": hmor["deltas"] + [new_files]},
         }
+        if mapping:
+            m2["column_mapping"] = mapping
         head_txn = dict(head.get("txn") or {})
         if txn is not None:
             head_txn[txn[0]] = txn[1]
@@ -3183,6 +3320,15 @@ def _resolve_mor(
     op = mor.get("op_col")
     proj_cols = cols + ([op] if op else [])
     proj_types = {**schema, **({op: "string"} if op else {})}
+    # mapped tables (r13): every commit group shares the table's ONE
+    # physical schema — read physical, emit logical. The cast makes
+    # widened columns resolve too: narrow old groups upcast to the
+    # committed type, no forced read schema needed (each group's files
+    # come from one commit, so per-group inference is consistent).
+    mapping = manifest.get("column_mapping") or {}
+    phys_of = {c: mapping.get(c, c) for c in cols}
+    if op:
+        phys_of[op] = op  # internal column, never mapped
 
     def _proj(df):
         # Additive schema evolution: a commit written before a column
@@ -3191,7 +3337,8 @@ def _resolve_mor(
         have = set(df.columns)
         return df.select(
             *(
-                F.col(c) if c in have
+                F.col(phys_of[c]).cast(proj_types[c]).alias(c)
+                if phys_of[c] in have
                 else F.lit(None).cast(proj_types[c]).alias(c)
                 for c in proj_cols
             )
@@ -3277,15 +3424,21 @@ def compact_mor(spark: SparkSession, path: str,
         # keep_tombstones: a winning op='D' row must SURVIVE the fold —
         # it still masks base rows the minor compaction never reads
         # (dropping it would resurrect the deleted key).
+        mapping = man.get("column_mapping") or {}
         folded = _resolve_mor(
             spark, path,
             {
                 "files": deltas[0],
                 "schema": man["schema"],
                 "mor": {**man["mor"], "deltas": deltas[1:]},
+                **(
+                    {"column_mapping": mapping} if mapping else {}
+                ),
             },
             keep_tombstones=bool(man["mor"].get("op_col")),
         )
+        if mapping:  # the fold emits LOGICAL; files keep physical names
+            folded = folded.withColumnsRenamed(mapping)
         token = uuid.uuid4().hex[:12]
         data_dir = os.path.join(path, "data", token)
         (folded.write.mode("error").option("compression", compression)
@@ -3302,6 +3455,8 @@ def compact_mor(spark: SparkSession, path: str,
             "schema": man["schema"],
             "mor": {**man["mor"], "deltas": [new_files] if new_files else []},
         }
+        if mapping:
+            manifest["column_mapping"] = mapping
         if "txn" in man:
             manifest["txn"] = man["txn"]
         if "stats" in man:
@@ -3310,7 +3465,9 @@ def compact_mor(spark: SparkSession, path: str,
                 for rel in man["files"]
                 if rel in man["stats"]
             }
-            stats.update(collect_file_stats(new_files, path, stats_cols))
+            stats.update(
+                _stats_logical(new_files, path, stats_cols, mapping)
+            )
             manifest["stats"] = stats
         return _commit_manifest(path, manifest, token)
     resolved = read_snapshot(spark, path)
@@ -3356,6 +3513,11 @@ def _mor_pruned_manifest(man: dict, bounds: dict):
             ],
         },
     }
+    # hand-built sub-manifests must copy the read-contract keys (the
+    # r12 rule): mapping translates, widened/dropped force projection
+    for carry in ("column_mapping", "widened", "dropped"):
+        if man.get(carry):
+            pruned[carry] = man[carry]
     return pruned, len(keep), len(all_rels)
 
 
@@ -3382,7 +3544,7 @@ def _write_delta_group(
 
 def _commit_delta_group(
     path: str, man: dict, new_files: list, token: str,
-    txn: tuple | None = None,
+    txn: tuple | None = None, rebase=None,
 ) -> int:
     """Commit ``new_files`` as the next delta group of ``man``'s chain,
     declaring the op column (the group may carry tombstones). Base file
@@ -3391,6 +3553,7 @@ def _commit_delta_group(
     any concurrent commit invalidates it (the same read-modify-write
     rule as COW DELETE/MERGE)."""
     mor = man["mor"]
+    mapping = man.get("column_mapping") or {}
     manifest = {
         "files": man["files"],
         "schema": man["schema"],
@@ -3400,6 +3563,8 @@ def _commit_delta_group(
             "op_col": MOR_OP_COL,
         },
     }
+    if mapping:
+        manifest["column_mapping"] = mapping
     prev_txn = man.get("txn") or {}
     if prev_txn or txn is not None:
         manifest["txn"] = dict(prev_txn)
@@ -3410,9 +3575,9 @@ def _commit_delta_group(
             {c for per_file in man["stats"].values() for c in per_file}
         )
         stats = dict(man["stats"])
-        stats.update(collect_file_stats(new_files, path, stats_cols))
+        stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
-    return _commit_manifest(path, manifest, token)
+    return _commit_manifest(path, manifest, token, rebase=rebase)
 
 
 def _delete_where_mor(
@@ -3470,6 +3635,9 @@ def _delete_where_mor(
         *key_cols, F.col(seq_col),
         F.lit(MOR_DELETE_OP).alias(MOR_OP_COL),
     )
+    mapping = man.get("column_mapping") or {}
+    if mapping:  # tombstones share the table's one physical schema
+        tomb = tomb.withColumnsRenamed(mapping)
     token = uuid.uuid4().hex[:12]
     new_files = _write_delta_group(tomb, path, token, compression)
     if not new_files:
@@ -3495,6 +3663,99 @@ def _delete_where_mor(
     version = _commit_delta_group(path, man, new_files, token)
     return {
         "version": version, "rows_deleted": n_rows,
+        "files_rewritten": 0, "files_kept": len(man["files"]),
+        "files_probed": n_kept, "delta_files_written": len(new_files),
+    }
+
+
+def _update_where_mor(
+    spark: SparkSession, path: str, man: dict, assignments: dict,
+    predicate, compression: str, prune: tuple | None,
+) -> dict:
+    """MOR UPDATE as a DELTA-GROUP commit (r13, completing the DML triad
+    on the streaming-CDC substrate): matched rows' UPDATED images land
+    as one plain upsert group — they outrank their old rows by commit
+    order, zero base files rewritten. SQL UPDATE semantics match the
+    COW verb (NULL predicate = untouched; every RHS sees PRE-update
+    values). ``prune=(col, lo, hi)`` follows the MOR-delete rule (key
+    columns only). Costs one (pruned) resolve read + O(matched rows)
+    write."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    mor = man["mor"]
+    schema = man["schema"]
+    _check_reserved(schema, (MOR_OP_COL,))
+    key_cols, seq_col = mor["key_cols"], mor["seq_col"]
+    bad = [c for c in assignments if c not in schema]
+    if bad:
+        raise ValueError(
+            f"UPDATE assigns non-existent column(s) {bad} — schema "
+            "evolution happens via a write, never an UPDATE"
+        )
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    n_all = len(man["files"]) + sum(len(g) for g in mor["deltas"])
+    read_man, n_kept = man, n_all
+    if prune is not None:
+        col, lo, hi = prune
+        if col not in key_cols:
+            raise ValueError(
+                f"MOR update prune column {col!r} must be a MOR key "
+                f"column {key_cols} — non-key stats can't prune a chain "
+                "soundly (a superseded row would resurrect as winner)"
+            )
+        read_man, n_kept, _ = _mor_pruned_manifest(man, {col: (lo, hi)})
+    no_op = {
+        "version": snapshot_versions(path)[-1], "rows_updated": 0,
+        "files_rewritten": 0, "files_kept": len(man["files"]),
+        "files_probed": n_kept, "delta_files_written": 0,
+    }
+    if not read_man["files"] and not any(read_man["mor"]["deltas"]):
+        return no_op
+    resolved = _resolve_mor(spark, path, read_man)
+    matched = resolved.filter(F.coalesce(pred, F.lit(False)))
+    proj = []
+    for c, t in schema.items():
+        if c in assignments:
+            v = assignments[c]
+            v = F.expr(v) if isinstance(v, str) else v
+            proj.append(v.cast(t).alias(c))
+        else:
+            proj.append(F.col(c))
+    images = matched.select(*proj)
+    if man.get("generated"):
+        images = _apply_generated(
+            images, man["generated"], schema, "update_where_snapshot"
+        )
+    if man.get("constraints"):
+        _enforce_constraints(
+            images, man["constraints"], "update_where_snapshot"
+        )
+    mapping = man.get("column_mapping") or {}
+    if mapping:
+        images = images.withColumnsRenamed(mapping)
+    token = uuid.uuid4().hex[:12]
+    new_files = _write_delta_group(images, path, token, compression)
+    if not new_files:
+        import shutil as _sh
+
+        _sh.rmtree(
+            __import__("os").path.join(path, "data", token),
+            ignore_errors=True,
+        )
+        return no_op
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    n_rows = sum(
+        _pq.ParquetFile(_os.path.join(path, rel)).metadata.num_rows
+        for rel in new_files
+    )
+    version = _commit_delta_group(path, man, new_files, token)
+    return {
+        "version": version, "rows_updated": n_rows,
         "files_rewritten": 0, "files_kept": len(man["files"]),
         "files_probed": n_kept, "delta_files_written": len(new_files),
     }
@@ -3563,15 +3824,18 @@ def _merge_into_mor(
     # pin the (possibly non-deterministic) source: prune, join and
     # write must see the SAME rows
     source = source.localCheckpoint(eager=True)
-    stats = man.get("stats") or {}
-    bounds = {}
+    # bounds for EVERY key column: the pruner uses the stats-carrying
+    # ones, the key-range rebase below validates with all of them
+    bounds, src_bounds = {}, {}
     for kc in key_cols:
-        if not any(kc in per for per in stats.values()):
-            continue
         b = source.agg(
             F.min(F.col(kc)).alias("lo"), F.max(F.col(kc)).alias("hi")
         ).first()
-        bounds[kc] = (b["lo"], b["hi"])
+        if b["lo"] is not None:
+            bounds[kc] = (b["lo"], b["hi"])
+            src_bounds[kc] = (
+                _stat_encode(b["lo"]), _stat_encode(b["hi"])
+            )
     read_man, _, _ = _mor_pruned_manifest(man, bounds)
     if read_man["files"] or any(read_man["mor"]["deltas"]):
         resolved = _resolve_mor(spark, path, read_man)
@@ -3649,6 +3913,9 @@ def _merge_into_mor(
         out = live.unionByName(
             out.filter(F.col(MOR_OP_COL) == MOR_DELETE_OP)
         )
+    mapping = man.get("column_mapping") or {}
+    if mapping:  # images share the table's one physical schema
+        out = out.withColumnsRenamed(mapping)
     token = uuid.uuid4().hex[:12]
     new_files = _write_delta_group(out, path, token, compression)
     if not new_files:
@@ -3659,7 +3926,92 @@ def _merge_into_mor(
             ignore_errors=True,
         )
         return versions[-1]  # matched nothing, inserted nothing
-    return _commit_delta_group(path, man, new_files, token, txn=txn)
+
+    def _rebase(head: dict) -> dict:
+        """Key-range-validated MOR MERGE rebase (r13): a racing delta
+        UPSERT whose groups' key stats provably cannot contain any
+        source key leaves this merge's matched set and images intact —
+        the merge's group re-appends onto the winner's chain and both
+        succeed (N streaming CDC writers merging into one table no
+        longer serialize by failure/retry). Anything else refuses."""
+        if not head.get("mor"):
+            raise ConcurrentCommitError(
+                "MOR chain removed concurrently (compaction?) — re-run "
+                "the merge"
+            )
+        hmor = head["mor"]
+        if (
+            hmor["key_cols"] != mor["key_cols"]
+            or hmor["seq_col"] != mor["seq_col"]
+        ):
+            raise ConcurrentCommitError(
+                "MOR key/seq columns changed concurrently"
+            )
+        if set(head.get("files") or []) != set(man["files"]):
+            raise ConcurrentCommitError(
+                "base files changed concurrently — re-run the merge"
+            )
+        if head.get("dv"):
+            raise ConcurrentCommitError(
+                "deletion vectors appeared concurrently — re-run"
+            )
+        for key in ("constraints", "generated", "column_mapping",
+                    "widened", "dropped", "schema"):
+            if (head.get(key) or None) != (man.get(key) or None):
+                raise ConcurrentCommitError(
+                    f"table {key} changed concurrently — re-run the merge"
+                )
+        if txn is not None and txn[1] <= (head.get("txn") or {}).get(
+            txn[0], -1
+        ):
+            raise ConcurrentCommitError(
+                f"txn batch {txn} already committed by a concurrent "
+                "writer — re-run the verb for the idempotent skip"
+            )
+        prefix = mor["deltas"]
+        if hmor["deltas"][: len(prefix)] != prefix:
+            raise ConcurrentCommitError(
+                "delta chain was rewritten concurrently (minor "
+                "compaction?) — re-run the merge"
+            )
+        racing = [
+            rel for grp in hmor["deltas"][len(prefix):] for rel in grp
+        ]
+        _require_key_disjoint(
+            racing, head.get("stats") or {}, mor["key_cols"],
+            src_bounds, "MOR MERGE rebase", path,
+        )
+        m2 = {
+            "files": head["files"],
+            "schema": head.get("schema") or man["schema"],
+            "mor": {
+                **hmor,
+                "deltas": hmor["deltas"] + [new_files],
+                "op_col": MOR_OP_COL,
+            },
+        }
+        if mapping:
+            m2["column_mapping"] = mapping
+        head_txn = dict(head.get("txn") or {})
+        if txn is not None:
+            head_txn[txn[0]] = txn[1]
+        if head_txn:
+            m2["txn"] = head_txn
+        hstats = head.get("stats") or {}
+        if hstats or "stats" in man:
+            stats_cols = sorted(
+                {c for per in (man.get("stats") or hstats).values()
+                 for c in per}
+            )
+            m2["stats"] = {
+                **hstats,
+                **_stats_logical(new_files, path, stats_cols, mapping),
+            }
+        return m2
+
+    return _commit_delta_group(
+        path, man, new_files, token, txn=txn, rebase=_rebase
+    )
 
 
 def snapshot_changes(
@@ -3960,8 +4312,14 @@ def version_delta(
         raw = spark.read.option("mergeSchema", "true").parquet(
             *(os.path.join(path, rel) for rel in files)
         )
+        # materialize the path BEFORE the mapping projection (a renamed
+        # frame can lose the scan's _metadata pseudo-column), then
+        # translate physical file names to the logical schema (r13:
+        # mapped MOR tables stream their delta log natively)
+        raw = raw.withColumn("_fp", F.col("_metadata.file_path"))
+        raw = _apply_mapping(raw, man.get("column_mapping"))
         ci_expr = F.element_at(
-            F.split(F.col("_metadata.file_path"), "/"), -2
+            F.split(F.col("_fp"), "/"), -2
         )  # token dir identifies the group
         tok = {os.path.basename(os.path.dirname(f)): i for f, i in gi.items()}
         ci = F.create_map(
@@ -3973,7 +4331,7 @@ def version_delta(
         latest = (
             raw.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            .drop("_rn", "_fp")
         )
         # delete-capable chains (r13): a winning tombstone in the new
         # groups is a DELETE of its key — pre-image from the base
@@ -4870,6 +5228,9 @@ def read_snapshot_pruned(
             # aligned by position
             "mor": {**mor, "deltas": keep_groups},
         }
+        for carry in ("column_mapping", "widened", "dropped"):
+            if manifest.get(carry):
+                pruned[carry] = manifest[carry]
         return _resolve_mor(spark, path, pruned).filter(
             F.col(col).between(F.lit(lo), F.lit(hi))
         )
@@ -6126,28 +6487,17 @@ def _apply_mapping(df: DataFrame, mapping: dict | None) -> DataFrame:
     )
 
 
-def _check_no_mapping(man: dict, verb: str) -> None:
-    """Last remaining mapped-table refusal: the MOR conversion (delta
-    groups pin key/seq column names into the chain, so a mapped table
-    must materialize before going MOR). Every other verb operates on
-    mapped tables natively — see the section comment above."""
-    if man.get("column_mapping"):
-        raise ValueError(
-            f"{verb} on a column-mapped table is unsupported (mapping "
-            f"{man['column_mapping']}): MOR delta groups pin physical "
-            "key/seq column names — materialize_column_mapping first"
-        )
-
-
 def rename_column(path: str, old: str, new: str) -> int:
     """Rename ``old`` to ``new`` as a METADATA-ONLY commit: no file is
     read or written. The manifest's schema / stats / partition-spec
     references re-key to the new logical name and the column_mapping
-    records logical->physical so reads translate on the fly. Refuses:
-    MOR tables (delta groups pin physical key columns), a column
-    referenced by a CHECK constraint (the stored SQL would silently
-    break — Delta refuses the same), and a new name colliding with any
-    live logical or physical name. Returns the new version."""
+    records logical->physical so reads translate on the fly — on MOR
+    tables too (r13): base files and delta groups share the table's one
+    physical schema, the mor block's key/seq references re-key with the
+    schema. Refuses: a column referenced by a CHECK constraint (the
+    stored SQL would silently break — Delta refuses the same), and a
+    new name colliding with any live logical or physical name. Returns
+    the new version."""
     import re as _re
     import uuid
 
@@ -6155,9 +6505,6 @@ def rename_column(path: str, old: str, new: str) -> int:
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     man = _load_manifest(path, versions[-1])
-    if man.get("mor"):
-        raise ValueError("rename_column on a MOR table unsupported — "
-                         "compact_mor first")
     schema = dict(man.get("schema") or {})
     if old not in schema:
         raise ValueError(f"no column {old!r} (have {sorted(schema)})")
@@ -6171,7 +6518,7 @@ def rename_column(path: str, old: str, new: str) -> int:
             f"column {new!r} collides with a live logical or physical "
             "name"
         )
-    _check_reserved([new], ("_fname", "_pos", "_ci", "_rn"))
+    _check_reserved([new], ("_fname", "_pos", "_ci", "_rn", MOR_OP_COL))
     for cname, expr in (man.get("constraints") or {}).items():
         if _re.search(rf"\b{_re.escape(old)}\b", expr):
             raise ValueError(
@@ -6209,6 +6556,20 @@ def rename_column(path: str, old: str, new: str) -> int:
                 ]
                 for spec in part["specs"]
             ],
+        }
+    if man.get("mor"):
+        # r13 (r12 verdict #3): rename stays metadata-only on MOR too —
+        # base files AND delta groups share the table's ONE physical
+        # schema, so the same logical->physical map translates every
+        # commit group; the mor block's key/seq references are LOGICAL
+        # and re-key with the schema (upsert callers speak logical)
+        mor = man["mor"]
+        manifest["mor"] = {
+            **mor,
+            "key_cols": [
+                (new if c == old else c) for c in mor["key_cols"]
+            ],
+            "seq_col": new if mor["seq_col"] == old else mor["seq_col"],
         }
     return _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
 
@@ -6270,11 +6631,6 @@ def widen_column_type(path: str, col: str, new_type: str) -> int:
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     man = _load_manifest(path, versions[-1])
-    if man.get("mor"):
-        raise ValueError(
-            "widen_column_type on a MOR table unsupported — compact_mor "
-            "first (delta files must share the base files' read schema)"
-        )
     schema = dict(man.get("schema") or {})
     if col not in schema:
         raise ValueError(f"no column {col!r} (have {sorted(schema)})")
@@ -6324,9 +6680,12 @@ def drop_column(path: str, col: str) -> int:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
     man = _load_manifest(path, versions[-1])
     if man.get("mor"):
-        raise ValueError(
-            "drop_column on a MOR table unsupported — compact_mor first"
-        )
+        mor = man["mor"]
+        if col in mor["key_cols"] or col == mor["seq_col"]:
+            raise ValueError(
+                f"column {col!r} is the MOR table's key/seq — the delta "
+                "chain resolves by it; compact_mor before dropping"
+            )
     schema = dict(man.get("schema") or {})
     if col not in schema:
         raise ValueError(f"no column {col!r} (have {sorted(schema)})")

@@ -101,7 +101,8 @@ def test_mapped_dml_keeps_rename_metadata_only(spark):
     """r12 (r11 verdict #1): the partial-rewrite DML suite works on a
     column-mapped table WITHOUT materialize — predicates speak logical
     names, rewritten files keep the ONE physical schema, the mapping
-    rides every commit. Only the MOR conversion still refuses."""
+    rides every commit. r13 lifted the last refusal: the MOR conversion
+    writes delta files in the physical schema and resolves logical."""
     scratch, path = _mkpath()
     try:
         storage.write_snapshot(
@@ -143,22 +144,40 @@ def test_mapped_dml_keeps_rename_metadata_only(spark):
         storage.purge_deletion_vectors(spark, path)
         assert storage.read_snapshot(spark, path).count() == 5
         assert storage.column_mapping(path) == {"amount": "price"}
-        # MOR conversion is the one remaining refusal
-        with pytest.raises(ValueError, match="column-mapped"):
-            storage.upsert_delta_snapshot(
-                spark, path,
-                _df(spark, [(1, 5.0)], "k bigint, amount double")
-                .withColumn("seq", F.lit(1)),
-                key_cols=["k"], seq_col="seq",
-            )
+        # r13: MOR conversion on a mapped table works — the delta file
+        # carries the PHYSICAL name, the resolve emits logical
+        storage.upsert_delta_snapshot(
+            spark, path,
+            _df(spark, [(1, 5.0)], "k bigint, amount double")
+            .withColumn("seq", F.lit(1).cast("long")),
+            key_cols=["k"], seq_col="seq",
+        )
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert man["column_mapping"] == {"amount": "price"}
+        grp = man["mor"]["deltas"][-1]
+        for rel in grp:
+            names = pq.ParquetFile(
+                os.path.join(path, rel)
+            ).schema_arrow.names
+            assert "price" in names and "amount" not in names, rel
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["k", "amount", "seq"]
+        assert (1, 5.0) in {
+            (r["k"], r["amount"]) for r in got.collect()
+        }
         # time travel across the whole sequence reads era names
         assert storage.read_snapshot(spark, path, version=1).columns == [
             "k", "price"
         ]
-        # materialize still works and clears the map
+        # materialize still works and clears the map (MOR: via compact)
+        storage.compact_mor(spark, path)
         storage.materialize_column_mapping(spark, path)
         assert storage.column_mapping(path) == {}
-        assert storage.read_snapshot(spark, path).columns == ["k", "amount"]
+        assert storage.read_snapshot(spark, path).columns == [
+            "k", "amount", "seq"
+        ]
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -318,22 +337,78 @@ def test_version_delta_and_changefeed_translate_mapped_eras(spark):
         shutil.rmtree(scratch, ignore_errors=True)
 
 
-def test_rename_refuses_mor(spark):
+def test_rename_on_mor_translates_every_group(spark):
+    """r13 (r12 verdict #3): rename stays metadata-only on a MOR table —
+    pre-rename base + delta files AND post-rename delta files all share
+    the one physical schema; the resolve emits the logical name without
+    compact_mor. Renaming a KEY column re-keys the mor block so later
+    upserts speak the new logical name."""
     scratch, path = _mkpath()
     try:
         base = spark.createDataFrame(
-            [Row(k=1, v=1.0, seq=0)], "k bigint, v double, seq bigint"
+            [Row(k=1, v=1.0, seq=0), Row(k=2, v=2.0, seq=0)],
+            "k bigint, v double, seq bigint",
         )
         storage.write_snapshot(spark, base, path)
         storage.upsert_delta_snapshot(
             spark, path,
             spark.createDataFrame(
-                [Row(k=2, v=2.0, seq=1)], "k bigint, v double, seq bigint"
+                [Row(k=2, v=2.5, seq=1)], "k bigint, v double, seq bigint"
             ),
             key_cols=["k"], seq_col="seq",
         )
-        with pytest.raises(ValueError, match="MOR"):
-            storage.rename_column(path, "v", "w")
+        storage.rename_column(path, "v", "w")           # value column
+        storage.rename_column(path, "k", "kid")         # KEY column
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert man["mor"]["key_cols"] == ["kid"]
+        # post-rename delta commit speaks the NEW logical names
+        storage.upsert_delta_snapshot(
+            spark, path,
+            spark.createDataFrame(
+                [Row(kid=3, w=3.0, seq=2)],
+                "kid bigint, w double, seq bigint",
+            ),
+            key_cols=["kid"], seq_col="seq",
+        )
+        got = storage.read_snapshot(spark, path)
+        assert got.columns == ["kid", "w", "seq"]
+        assert sorted((r["kid"], r["w"]) for r in got.collect()) == [
+            (1, 1.0), (2, 2.5), (3, 3.0)
+        ]
+        # EVERY group's files — pre- and post-rename — carry the one
+        # PHYSICAL schema (k, v)
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        for grp in [man["files"]] + man["mor"]["deltas"]:
+            for rel in grp:
+                names = pq.ParquetFile(
+                    _os.path.join(path, rel)
+                ).schema_arrow.names
+                assert "k" in names and "kid" not in names, rel
+                assert "v" in names and "w" not in names, rel
+        # stale logical key name refuses (the mor block re-keyed)
+        with pytest.raises(ValueError, match="key/seq fixed"):
+            storage.upsert_delta_snapshot(
+                spark, path,
+                spark.createDataFrame(
+                    [Row(kid=4, w=4.0, seq=3)],
+                    "kid bigint, w double, seq bigint",
+                ),
+                key_cols=["k"], seq_col="seq",
+            )
+        # DML on the renamed MOR table speaks logical names end to end
+        r = storage.delete_where_snapshot(spark, path, "w = 1.0")
+        assert r["rows_deleted"] == 1
+        assert sorted(
+            x["kid"] for x in storage.read_snapshot(spark, path).collect()
+        ) == [2, 3]
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

@@ -478,3 +478,153 @@ def test_partitioned_append_racing_drop_column_refuses(spark, monkeypatch):
         ) == ["g", "k", "v"]
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_racing_disjoint_key_append_both_succeed(spark, monkeypatch):
+    """r13 (r12 verdict #4 — Iceberg's validation-based MERGE rebase):
+    a MERGE losing the race to an APPEND whose added files' key-range
+    stats provably cannot contain any source key REBASES instead of
+    refusing — neither the matched set nor the NOT-MATCHED inserts are
+    affected, so both commits land."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(i, float(i)) for i in range(10)]), path,
+            stats_cols=["k"],
+        )
+        src = _df(spark, [(3, 33.0), (42, 42.0)])  # update + insert
+
+        def competitor():  # appends keys 100..104: disjoint from [3, 42]
+            storage.write_snapshot(
+                spark, _df(spark, [(i, 0.0) for i in range(100, 105)]),
+                path, mode="append", stats_cols=["k"],
+            )
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        v = storage.merge_into_snapshot(
+            spark, path, src, ["k"], update_set={"v": "src_v"},
+            insert=True,
+        )
+        assert v == 3  # rebased onto the append's v2
+        got = {
+            r["k"]: r["v"]
+            for r in storage.read_snapshot(spark, path).collect()
+        }
+        assert got[3] == 33.0 and got[42] == 42.0  # merge applied
+        assert all(got[i] == 0.0 for i in range(100, 105))  # append kept
+        assert len(got) == 16
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_racing_overlapping_append_refuses(spark, monkeypatch):
+    """The appended file's key range OVERLAPS the source's — its rows
+    may contain a source key, so a rebased NOT-MATCHED insert would
+    write-skew; the merge must refuse."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(i, float(i)) for i in range(10)]), path,
+            stats_cols=["k"],
+        )
+        src = _df(spark, [(42, 42.0)])  # pure insert
+
+        def competitor():  # appends key 42 — the exact skew hazard
+            storage.write_snapshot(
+                spark, _df(spark, [(42, 0.0)]), path,
+                mode="append", stats_cols=["k"],
+            )
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        with pytest.raises(
+            storage.ConcurrentCommitError, match="source keys"
+        ):
+            storage.merge_into_snapshot(
+                spark, path, src, ["k"], insert=True
+            )
+        # exactly ONE row with k=42 survives (the append's)
+        assert storage.read_snapshot(spark, path).filter(
+            "k = 42"
+        ).count() == 1
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_racing_statless_append_refuses(spark, monkeypatch):
+    """An appended file with NO key stats cannot prove disjointness —
+    conservative refusal."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(1, 1.0)]), path  # no stats at all
+        )
+
+        def competitor():
+            storage.write_snapshot(
+                spark, _df(spark, [(100, 0.0)]), path, mode="append"
+            )
+
+        _RaceOnce(monkeypatch, "v2.json", competitor)
+        with pytest.raises(
+            storage.ConcurrentCommitError, match="source keys"
+        ):
+            storage.merge_into_snapshot(
+                spark, path, _df(spark, [(1, 9.0)]), ["k"],
+                update_set={"v": "src_v"}, insert=False,
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_mor_merge_racing_disjoint_upsert_both_succeed(spark, monkeypatch):
+    """MOR flavor: a MERGE INTO a MOR table racing a key-disjoint delta
+    UPSERT rebases its group onto the winner's chain — N streaming CDC
+    writers merging into one table no longer serialize by retry."""
+    scratch, path = _mkpath()
+    try:
+        ddl = "k bigint, v double, seq bigint"
+
+        def mdf(rows):
+            return spark.createDataFrame([Row(*r) for r in rows], ddl)
+
+        storage.write_snapshot(
+            spark, mdf([(i, float(i), 0) for i in range(10)]), path,
+            stats_cols=["k"],
+        )
+        storage.upsert_delta_snapshot(
+            spark, path, mdf([(5, 55.0, 1)]), ["k"], "seq"
+        )
+        src = mdf([(3, 33.0, 2)])
+
+        def competitor():  # racing upsert of keys 200.. — disjoint
+            storage.upsert_delta_snapshot(
+                spark, path, mdf([(200, 2.0, 1)]), ["k"], "seq"
+            )
+
+        _RaceOnce(monkeypatch, "v3.json", competitor)
+        v = storage.merge_into_snapshot(
+            spark, path, src, ["k"], update_set={"v": "src_v"},
+            insert=False,
+        )
+        assert v == 4
+        got = {
+            r["k"]: r["v"]
+            for r in storage.read_snapshot(spark, path).collect()
+        }
+        assert got[3] == 33.0 and got[200] == 2.0 and got[5] == 55.0
+        # overlapping racing upsert refuses
+        def competitor2():
+            storage.upsert_delta_snapshot(
+                spark, path, mdf([(7, 77.0, 9)]), ["k"], "seq"
+            )
+
+        _RaceOnce(monkeypatch, "v5.json", competitor2)
+        with pytest.raises(
+            storage.ConcurrentCommitError, match="source keys"
+        ):
+            storage.merge_into_snapshot(
+                spark, path, mdf([(7, 1.0, 10)]), ["k"],
+                update_set={"v": "src_v"}, insert=False,
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -1080,8 +1080,16 @@ class TestMergeOnReadUpserts:
         extra = self._delta(spark, [(300, 1, 5, 0)])
         with pytest.raises(ValueError, match="MOR"):
             storage.write_snapshot(spark, extra, path, mode="append")
-        with pytest.raises(ValueError, match="MOR"):
-            storage.delete_where_snapshot(spark, path, "k = 7")
+        # r13: DELETE on MOR is a tombstone delta group, not a refusal
+        r = storage.delete_where_snapshot(spark, path, "k = 7")
+        assert r["rows_deleted"] == 1 and r["files_rewritten"] == 0
+        assert storage.read_snapshot(spark, path).filter(
+            "k = 7"
+        ).count() == 0
+        # re-insert so the assertions below see the original world
+        storage.upsert_delta_snapshot(
+            spark, path, self._delta(spark, [(7, 2, 999, 1)]), ["k"], "seq"
+        )
         with pytest.raises(ValueError, match="key/seq"):
             storage.upsert_delta_snapshot(
                 spark, path, self._delta(spark, [(8, 2, 1, 1)]),

@@ -687,21 +687,21 @@ def test_mor_layer_model_equivalence(spark, ops):
                     assert v == len(model), "major should have no-opped"
             elif verb == "delete":
                 state, chain, mor = model[-1]
-                if mor:
-                    with pytest.raises(ValueError, match="MOR"):
-                        storage.delete_where_snapshot(
-                            spark, path, F.col("k") < arg
-                        )
-                else:
-                    res = storage.delete_where_snapshot(
-                        spark, path, F.col("k") < arg
+                res = storage.delete_where_snapshot(
+                    spark, path, F.col("k") < arg
+                )
+                surv = {k: v for k, v in state.items() if k >= arg}
+                if res["rows_deleted"] > 0:
+                    assert res["version"] == len(model) + 1
+                    assert res["files_rewritten"] == 0 or not mor
+                    # r13: on a MOR table the delete is a tombstone
+                    # delta group — the chain GROWS by one
+                    model.append(
+                        (surv, chain + 1, True) if mor
+                        else (surv, 0, False)
                     )
-                    surv = {k: v for k, v in state.items() if k >= arg}
-                    if res["rows_deleted"] > 0:
-                        assert res["version"] == len(model) + 1
-                        model.append((surv, 0, False))
-                    else:
-                        assert surv == state  # no match -> no commit
+                else:
+                    assert surv == state  # no match -> no commit
             elif verb == "restore":
                 versions = storage.snapshot_versions(path)
                 v = versions[arg % len(versions)]

@@ -87,7 +87,8 @@ def test_update_guards_and_noop(spark):
         head = storage.read_snapshot(spark, path)
         assert dict(head.dtypes)["a"] == "bigint"
         assert head.first()["a"] == 2  # cast truncation, bigint kept
-        # MOR guard
+        # r13: UPDATE on a MOR table lands as a delta group (zero base
+        # rewrites) and sees the LATEST values through the chain
         storage.upsert_delta_snapshot(
             spark, path,
             spark.createDataFrame(
@@ -96,10 +97,18 @@ def test_update_guards_and_noop(spark):
             ),
             key_cols=["k"], seq_col="seq",
         )
-        with pytest.raises(ValueError, match="MOR"):
-            storage.update_where_snapshot(
-                spark, path, {"a": F.lit(1)}, "k = 1"
-            )
+        pre_files = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )["files"]
+        r = storage.update_where_snapshot(
+            spark, path, {"a": F.lit(1)}, "a = 5"
+        )
+        assert r["rows_updated"] == 1 and r["files_rewritten"] == 0
+        man = storage._load_manifest(path, r["version"])
+        assert man["files"] == pre_files, "MOR update touched base"
+        assert storage.read_snapshot(spark, path).filter(
+            "k = 1"
+        ).first()["a"] == 1
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -173,7 +182,7 @@ def test_merge_into_guards_and_clause_order(spark):
             storage.merge_into_snapshot(
                 spark, path, src, ["k"], update_set={"zzz": "src_a"}
             )
-        # MOR refuses
+        # r13: MERGE INTO a MOR table lands as one delta group
         storage.upsert_delta_snapshot(
             spark, path,
             spark.createDataFrame(
@@ -182,10 +191,19 @@ def test_merge_into_guards_and_clause_order(spark):
             ),
             key_cols=["k"], seq_col="seq",
         )
-        with pytest.raises(ValueError, match="MOR"):
-            storage.merge_into_snapshot(
-                spark, path, src, ["k"], update_set={"a": "src_a"}
-            )
+        pre = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        src2 = spark.createDataFrame(
+            [Row(k=2, a=99)], "k bigint, a bigint"
+        )
+        v = storage.merge_into_snapshot(
+            spark, path, src2, ["k"], update_set={"a": "src_a"},
+            insert=False,
+        )
+        man = storage._load_manifest(path, v)
+        assert man["files"] == pre["files"], "MOR merge touched base"
+        assert len(man["mor"]["deltas"]) == len(pre["mor"]["deltas"]) + 1
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
