@@ -1474,9 +1474,11 @@ def q90c_changefeed_partitioned(spark, sf_dir):
     partitioned appends and a DV delete; a consumer subscribed to ONE
     event type and a five-day window opens the feed with
     ``partition_where`` — append commits admit only matching partitions'
-    files and the DV commit intersects its touched files with the same
+    files, the DV commit intersects its touched files with the same
     predicate (r11 verdict #7: a one-type consumer never reads another
-    type's deletes). Because identity/days admission is EXACT on
+    type's deletes), and a COW REWRITE confined to another partition
+    emits nothing (r13: both diff endpoints restrict to admitted files,
+    so compactions/DML in unsubscribed regions cost the consumer zero). Because identity/days admission is EXACT on
     partition-aligned predicates, the folded feed equals the live rows
     of the subscribed slice — which is what the oracle states over raw
     events, so a green row pins admission (no file wrongly dropped: the
@@ -1516,6 +1518,16 @@ def q90c_changefeed_partitioned(spark, sf_dir):
         r = storage.delete_where_snapshot(
             spark, path, "event_type = 'view' AND event_id % 10 = 4",
             mode="dv",
+        )
+        # r13 (r12 verdict #5): a COW rewrite confined to ANOTHER
+        # partition ('click') — rewrite admission is now exact, so the
+        # 'view' subscriber's diff never reads it and the feed emits
+        # NOTHING for this version (pre-r13 the rewrite kind passed
+        # through as a conservative superset: every region's compaction
+        # reached every consumer)
+        storage.update_where_snapshot(
+            spark, path, {"value": F.col("value") + 1000.0},
+            "event_type = 'click' AND event_id % 20 = 2",
         )
         feed = changefeed.read_changes_stream(
             spark, path, key_cols=["event_id"],

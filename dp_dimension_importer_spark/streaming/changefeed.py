@@ -549,6 +549,21 @@ def make_changefeed_source():
                     # delta row marked 'D' is a DELETE of its key, not
                     # an upsert; the reader splits per file.
                     mop = (tr["manifest"].get("mor") or {}).get("op_col")
+                    groups = list(enumerate(tr["new_groups"]))
+                    if self.pwhere:
+                        # r13 (r12 verdict #5): MOR tables carry no
+                        # partition tuples, but their delta groups
+                        # harvest footer stats — admit by stat range
+                        # (conservative superset; stat-less files flow)
+                        groups = [
+                            (
+                                gi,
+                                _admit_stats_files(
+                                    tr["manifest"], list(grp), self.pwhere
+                                ),
+                            )
+                            for gi, grp in groups
+                        ]
                     parts += [
                         _Part(
                             (
@@ -561,7 +576,7 @@ def make_changefeed_source():
                                 mop,
                             )
                         )
-                        for gi, grp in enumerate(tr["new_groups"])
+                        for gi, grp in groups
                         for rel in grp
                     ]
                 elif kind == "dv":
@@ -603,6 +618,36 @@ def make_changefeed_source():
                             prev_man, self.cols, self.latest_map,
                             f"v{base} (diff base)", self.latest_dropped,
                         )
+                    if self.pwhere:
+                        # r13 (r12 verdict #5): EXACT admission for the
+                        # rewrite kind too — restrict BOTH diff endpoints
+                        # to the files whose manifest tuples can satisfy
+                        # partition_where before the key-hash diff runs.
+                        # Sound as a conservative superset: every row of
+                        # a subscribed partition (either side) lives in a
+                        # tuple-matching or no-tuple file, so no change
+                        # inside the subscription is lost; a key moving
+                        # across the subscription boundary emits as the
+                        # insert/delete the subscribed view experiences.
+                        # A one-region consumer stops diffing the other
+                        # regions' files when a compaction lands.
+                        def _restrict(m_):
+                            if not m_.get("partition"):
+                                return m_
+                            keep = set(_admit(
+                                m_, list(m_.get("files") or []),
+                                self.pwhere,
+                            ))
+                            return {
+                                **m_,
+                                "files": [
+                                    f for f in m_.get("files") or []
+                                    if f in keep
+                                ],
+                            }
+
+                        prev_man = _restrict(prev_man)
+                        tr = {**tr, "manifest": _restrict(tr["manifest"])}
                     K = self.diff_parts
                     if K <= 0:  # auto: one key-hash range per ~256 MB
                         nbytes = 0
@@ -913,6 +958,79 @@ def _era_cols(
             "or consume it via version_delta"
         )
     return out
+
+
+def _admit_stats_files(man: dict, rels: list, pwhere: dict) -> list:
+    """STATS half of feed admission (r13, r12 verdict #5): admit only
+    the files whose recorded manifest [min, max] can satisfy ``pwhere``
+    — the MOR-delta-group twin of tuple admission (MOR tables carry no
+    partition block, but their delta groups harvest footer stats). Same
+    conservative-superset contract: a file lacking stats for a predicate
+    column always flows, incomparable or ambiguous literal encodings
+    admit, and only a PROVABLY-disjoint range drops."""
+    import datetime
+
+    stats = man.get("stats") or {}
+    if not stats or not pwhere:
+        return rels
+
+    def _lits(v):
+        """Every encoding the JSON-carried literal could have in the
+        stats space (_stat_encode: numbers raw, temporals isoformat)."""
+        out = [v]
+        if isinstance(v, str):
+            try:
+                dt = datetime.datetime.fromisoformat(v)
+            except ValueError:
+                return out
+            out.append(dt.isoformat())
+            if (dt.hour, dt.minute, dt.second, dt.microsecond) == (0,) * 4:
+                out.append(dt.date().isoformat())
+        return out
+
+    def _point_ok(s, v):
+        for lit in _lits(v):
+            try:
+                if s[0] <= lit <= s[1]:
+                    return True
+            except TypeError:
+                return True  # incomparable encoding: admit
+        return False
+
+    def _range_ok(s, lo, hi):
+        los, his = _lits(lo), _lits(hi)
+        if len(los) != len(his):
+            return True  # one-sided rendering: admit (never drop)
+        for a, b in zip(los, his):
+            try:
+                if not (s[1] < a or s[0] > b):
+                    return True
+            except TypeError:
+                return True
+        return False
+
+    keep = []
+    for rel in rels:
+        per = stats.get(rel) or {}
+        ok = True
+        for col, pred in pwhere.items():
+            s = per.get(col)
+            if s is None:
+                continue  # no stats: cannot prune this column
+            op = pred[0]
+            if op == "=":
+                ok = _point_ok(s, pred[1])
+            elif op == "in":
+                ok = any(_point_ok(s, x) for x in pred[1])
+            elif op == "between":
+                ok = _range_ok(s, pred[1], pred[2])
+            else:
+                raise ValueError(f"unknown partition predicate {pred!r}")
+            if not ok:
+                break
+        if ok:
+            keep.append(rel)
+    return keep
 
 
 def _admit_partition_files(

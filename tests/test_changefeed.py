@@ -1085,3 +1085,118 @@ def test_feed_mor_delete_tombstones(spark):
         ], key=repr)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_feed_rewrite_admission_exact(spark):
+    """r13 (r12 verdict #5): a REWRITE confined to unmatched partitions
+    emits ZERO rows under partition_where — both diff endpoints are
+    restricted to admitted files before the key-hash diff, so a
+    one-region consumer stops diffing the other regions' files when a
+    compaction/DML rewrite lands. A rewrite touching the subscribed
+    partition still emits exactly its changes."""
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [Row(k=i, g="ab"[i % 2], v=float(i)) for i in range(8)],
+            "k bigint, g string, v double",
+        )
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("identity", "g")]
+        )
+        # COW update confined to partition g='b' -> rewrite transition
+        storage.update_where_snapshot(
+            spark, path, {"v": F.col("v") + 100}, "g = 'b'"
+        )
+        rows = _drain(
+            spark, path, "cf_rw_" + uuid.uuid4().hex[:8],
+            partition_where={"g": ("=", "a")},
+        )
+        got = sorted((r["k"], r["change_type"], r["_version"]) for r in rows)
+        # v1 inserts for partition a only; the v2 rewrite of partition b
+        # emits NOTHING to this subscriber
+        assert got == [
+            (0, "insert", 1), (2, "insert", 1),
+            (4, "insert", 1), (6, "insert", 1),
+        ]
+        # the b-subscriber sees exactly the rewrite's upserts at v2
+        rows_b = _drain(
+            spark, path, "cf_rwb_" + uuid.uuid4().hex[:8],
+            partition_where={"g": ("=", "b")},
+        )
+        got_b = sorted(
+            (r["k"], r["change_type"], r["_version"]) for r in rows_b
+        )
+        assert got_b == [
+            (1, "insert", 1), (1, "upsert", 2),
+            (3, "insert", 1), (3, "upsert", 2),
+            (5, "insert", 1), (5, "upsert", 2),
+            (7, "insert", 1), (7, "upsert", 2),
+        ]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_feed_mor_group_stats_admission(spark):
+    """r13 (r12 verdict #5): MOR tables carry no partition tuples, but
+    their delta groups harvest footer stats — a key-range subscriber's
+    feed admits only groups whose stat range can intersect; stat-less
+    tables still flow everything (conservative)."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(1, "a", 0), (2, "b", 0)]), path,
+            stats_cols=["k"],
+        )
+        storage.upsert_delta_snapshot(           # v2: k in [100, 101]
+            spark, path, _df(spark, [(100, "x", 1), (101, "y", 1)]),
+            key_cols=["k"], seq_col="seq",
+        )
+        storage.upsert_delta_snapshot(           # v3: k = 2
+            spark, path, _df(spark, [(2, "b2", 2)]),
+            key_cols=["k"], seq_col="seq",
+        )
+        rows = _drain(
+            spark, path, "cf_ms_" + uuid.uuid4().hex[:8],
+            partition_where={"k": ("between", 0, 9)},
+        )
+        got = sorted((r["k"], r["change_type"], r["_version"]) for r in rows)
+        # the [100, 101] group is provably outside [0, 9]: never read
+        assert got == [
+            (1, "insert", 1), (2, "insert", 1), (2, "upsert", 3)
+        ]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_admit_stats_files_unit():
+    from dp_dimension_importer_spark.streaming.changefeed import (
+        _admit_stats_files,
+    )
+
+    man = {
+        "stats": {
+            "f1": {"k": [0, 9]},
+            "f2": {"k": [100, 199]},
+            "f3": {},            # no stats for k: always flows
+            "t1": {"d": ["2024-01-01T00:00:00", "2024-01-03T00:00:00"]},
+        }
+    }
+    rels = ["f1", "f2", "f3"]
+    assert _admit_stats_files(man, rels, {"k": ("=", 5)}) == ["f1", "f3"]
+    assert _admit_stats_files(
+        man, rels, {"k": ("in", [150, 500])}
+    ) == ["f2", "f3"]
+    assert _admit_stats_files(
+        man, rels, {"k": ("between", 10, 99)}
+    ) == ["f3"]
+    # unknown file / missing stats block: flows
+    assert _admit_stats_files({}, rels, {"k": ("=", 5)}) == rels
+    # temporal literal through the JSON boundary (str(datetime) = space
+    # separator) still intersects the isoformat-encoded stat range
+    assert _admit_stats_files(
+        man, ["t1"], {"d": ("=", "2024-01-02 00:00:00")}
+    ) == ["t1"]
+    assert _admit_stats_files(
+        man, ["t1"], {"d": ("between", "2024-02-01 00:00:00",
+                            "2024-02-02 00:00:00")}
+    ) == []
