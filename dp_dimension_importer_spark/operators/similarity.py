@@ -1322,6 +1322,70 @@ def _encode_to_cells(embeddings: DataFrame, meta: dict) -> DataFrame:
     )
 
 
+#: the persisted index's manifest schema (the code table)
+_IDX_SCHEMA = {"vec_id": "bigint", "cell": "int", "code": "binary"}
+
+
+def _ingest_codes(df: DataFrame, idx_path: str, token: str) -> list:
+    """Land one batch's code files under their ``cell=N/`` directories
+    WITHOUT making them visible — visibility is the manifest hard-link
+    commit (r13, r12 verdict #7: the pre-r13 plain directory append had
+    no commit claim, so a job dying mid-write left a partially-visible
+    batch the next probe half-read). A crash anywhere before the commit
+    leaves only manifest-invisible orphan files. Returns the new files'
+    relpaths."""
+    import glob
+    import os
+    import shutil
+
+    tmp = idx_path.rstrip("/") + f"__ingest_{token}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("error").partitionBy("cell").parquet(tmp)
+    rels = []
+    for p in sorted(glob.glob(os.path.join(tmp, "cell=*", "*.parquet"))):
+        cdir = os.path.basename(os.path.dirname(p))
+        ddir = os.path.join(idx_path, cdir)
+        os.makedirs(ddir, exist_ok=True)
+        dest = os.path.join(ddir, f"{token}-{os.path.basename(p)}")
+        os.rename(p, dest)
+        rels.append(os.path.relpath(dest, idx_path))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rels
+
+
+def _idx_rels(idx_path: str) -> list:
+    """The LIVE code files: the latest index manifest's list (pre-r13
+    indexes without manifests fall back to the directory listing)."""
+    import glob
+    import os
+
+    from dp_dimension_importer_spark import storage
+
+    versions = storage.snapshot_versions(idx_path)
+    if versions:
+        return list(storage._load_manifest(idx_path, versions[-1])["files"])
+    return sorted(
+        os.path.relpath(p, idx_path)
+        for p in glob.glob(os.path.join(idx_path, "cell=*", "*.parquet"))
+    )
+
+
+def _read_idx(spark, idx_path: str, rels: list) -> DataFrame:
+    """Read exactly the manifest-listed files (basePath keeps the hive
+    ``cell`` partition column); an empty list yields a typed empty
+    frame."""
+    import os
+
+    if not rels:
+        return spark.createDataFrame(
+            [], ", ".join(f"`{c}` {t}" for c, t in _IDX_SCHEMA.items())
+        )
+    return (
+        spark.read.option("basePath", idx_path)
+        .parquet(*(os.path.join(idx_path, r) for r in rels))
+    )
+
+
 def build_ivf_index(
     spark, embeddings: DataFrame, idx_path: str, cells: int = IVF_CELLS
 ) -> dict:
@@ -1350,8 +1414,12 @@ def build_ivf_index(
     )
     meta = {"cells": cells, "centroids": cents, "lo": lo, "step": step,
             "dim": len(lo)}
-    storage.write_partitioned(
-        _encode_to_cells(embeddings, meta), idx_path, ["cell"]
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex[:12]
+    rels = _ingest_codes(_encode_to_cells(embeddings, meta), idx_path, token)
+    storage._commit_manifest(
+        idx_path, {"files": rels, "schema": _IDX_SCHEMA}, token
     )
     tmp = os.path.join(idx_path, f".{IVF_IDX_META}.tmp")
     with open(tmp, "w") as f:
@@ -1375,13 +1443,32 @@ def append_to_index(spark, new_embeddings: DataFrame, idx_path: str) -> None:
     append_band_index discipline). Out-of-range values clip into the SQ8
     grid (recall impact bounded by the staleness floor in
     tests/test_recall.py); re-fit via build_ivf_index when drift
-    accumulates."""
+    accumulates.
+
+    r13 (r12 verdict #7): the batch becomes visible ONLY at the manifest
+    hard-link commit — all-or-nothing under crashes, and racing daily
+    appenders both succeed via the append-shaped rebase."""
+    import uuid as _uuid
+
     from dp_dimension_importer_spark import storage
 
     meta = _load_ivf_meta(idx_path)
-    storage.write_partitioned(
-        _encode_to_cells(new_embeddings, meta), idx_path, ["cell"],
-        mode="append",
+    token = _uuid.uuid4().hex[:12]
+    rels = _ingest_codes(
+        _encode_to_cells(new_embeddings, meta), idx_path, token
+    )
+    prev = _idx_rels(idx_path)
+
+    def _rebase(head: dict) -> dict:
+        # racing appenders are disjoint by construction (fresh files)
+        return {
+            "files": list(head.get("files") or []) + rels,
+            "schema": _IDX_SCHEMA,
+        }
+
+    storage._commit_manifest(
+        idx_path, {"files": prev + rels, "schema": _IDX_SCHEMA}, token,
+        rebase=_rebase,
     )
 
 
@@ -1481,7 +1568,17 @@ def probe_index(
                     }
                 )
 
-    pruned = spark.read.parquet(idx_path).filter(
+    # manifest-listed files only (r13: uncommitted/orphan batches are
+    # invisible), pre-filtered to the probed cells by relpath — zero
+    # directory listing, the planner never even sees an unprobed cell
+    import os as _os
+
+    probed_set = set(probed)
+    keep = [
+        r for r in _idx_rels(idx_path)
+        if int(r.split("cell=")[1].split(_os.sep)[0]) in probed_set
+    ]
+    pruned = _read_idx(spark, idx_path, keep).filter(
         F.col("cell").isin(probed)
     )
     cand = (
@@ -1578,39 +1675,39 @@ def compact_ivf_index(spark, idx_path: str, files_per_cell: int = 1) -> int:
     ``files_per_cell`` files and drops duplicate (vec_id, cell, code)
     rows (a re-appended vector collapses; probe results are unchanged —
     the shortlist dropDuplicates downstream). Crash-safe via the
-    storage.compact_parquet swap shape (``__compact_tmp``/
-    ``__compact_old``; :func:`storage.recover_swap` heals a crash
-    between the renames); the meta sidecar is copied into the rewrite
-    BEFORE the swap so the index is never readable without its model.
-    Returns the total data-file count after compaction."""
-    import glob
+    manifest protocol (r13, replacing the r12 directory swap): the fold
+    lands as manifest-invisible files, the hard-link commit atomically
+    replaces the live file list, and only AFTER the commit are the
+    superseded files unlinked and the tombstones cleared — a crash
+    between commit and cleanup leaves harmless orphans / already-masked
+    tombstones. Returns the live data-file count after compaction."""
     import os
     import shutil
+    import uuid as _uuid
 
     from dp_dimension_importer_spark import storage
 
-    storage.recover_swap(idx_path)
-    df = spark.read.parquet(idx_path).dropDuplicates()
+    old_rels = _idx_rels(idx_path)
+    df = _read_idx(spark, idx_path, old_rels).dropDuplicates()
     tomb = _read_tombstones(spark, idx_path)
     if tomb is not None:
         # materialize index deletes: tombstoned rows drop physically and
         # the (cleared) tombstone table does not carry into the rewrite
         df = df.join(tomb.select("vec_id"), "vec_id", "left_anti")
-    tmp = idx_path.rstrip("/") + "__compact_tmp"
-    old = idx_path.rstrip("/") + "__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    (
-        df.repartition(files_per_cell, "cell")
-        .write.mode("error")
-        .partitionBy("cell")
-        .parquet(tmp)
+    token = _uuid.uuid4().hex[:12]
+    new_rels = _ingest_codes(
+        df.repartition(files_per_cell, "cell"), idx_path, token
     )
-    shutil.copy2(
-        os.path.join(idx_path, IVF_IDX_META),
-        os.path.join(tmp, IVF_IDX_META),
+    storage._commit_manifest(
+        idx_path, {"files": new_rels, "schema": _IDX_SCHEMA}, token
     )
-    os.rename(idx_path, old)
-    os.rename(tmp, idx_path)
-    shutil.rmtree(old)
-    return len(glob.glob(os.path.join(idx_path, "cell=*", "*.parquet")))
+    # post-commit cleanup: superseded bytes + applied tombstones
+    for rel in old_rels:
+        try:
+            os.unlink(os.path.join(idx_path, rel))
+        except OSError:
+            pass
+    shutil.rmtree(
+        os.path.join(idx_path, "_tombstones"), ignore_errors=True
+    )
+    return len(new_rels)

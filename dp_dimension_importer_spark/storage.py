@@ -6739,6 +6739,7 @@ def _write_partitioned_files(
     dtypes: dict[str, str],
     compression: str,
     mapping: dict | None = None,
+    max_records_per_file: int | None = None,
 ) -> tuple[list[str], dict[str, list]]:
     """Write ``df`` hive-laid-out under ``spec`` into a fresh
     ``data/<token>/`` and return ``(sorted new rel paths, {rel: [sid,
@@ -6761,13 +6762,17 @@ def _write_partitioned_files(
         out = out.withColumnsRenamed(mapping)
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
-    (
+    w = (
         out.repartition(*pcols)
         .write.mode("error")
         .option("compression", compression)
-        .partitionBy(*pcols)
-        .parquet(data_dir)
     )
+    if max_records_per_file is not None:
+        # write_sharded's monster-file defense, wired into the hive
+        # writer (r13, r12 verdict #6): a hot partition's fold splits
+        # at the row cap instead of producing one unbounded file
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.partitionBy(*pcols).parquet(data_dir)
     int_kinds = [_spec_value_is_int(t, dtypes[t["col"]]) for t in spec]
     values: dict[str, list] = {}
     new_files = []
@@ -6811,6 +6816,7 @@ def optimize_partitions(
     path: str,
     where: dict,
     compression: str = PARQUET_CODEC,
+    target_file_bytes: int | None = 128 << 20,
 ) -> dict:
     """Partition-scoped OPTIMIZE (Delta's ``OPTIMIZE t WHERE ...`` — the
     maintenance shape that actually runs at 100 TB, where a full-table
@@ -6829,7 +6835,12 @@ def optimize_partitions(
     transform columns are recomputed from the SOURCE columns (the spec
     is derivable, that's the point of hidden partitioning) and the
     rewrite routes through the same hive writer as the partitioned
-    commit. Returns ``{"version", "files_rewritten", "files_kept",
+    commit. ``target_file_bytes`` (r13, r12 verdict #6) bounds the fold:
+    the rows-per-file cap is derived from the matched files' observed
+    bytes/row, so a HOT partition splits into ~target-sized files
+    instead of one monster a single reader must chew through at 100x
+    scale (``None`` restores the one-file-per-tuple fold). Returns
+    ``{"version", "files_rewritten", "files_kept",
     "partitions_matched"}``; a no-match call commits nothing."""
     versions = snapshot_versions(path)
     if not versions:
@@ -6870,9 +6881,31 @@ def optimize_partitions(
         f.name: f.dataType.simpleString()
         for f in sdata.select(*scols).schema
     }
+    max_records = None
+    if target_file_bytes is not None:
+        # derive the row cap from the matched files' OWN bytes/row
+        # (footer metadata + stat calls only — these files are being
+        # rewritten anyway, and compressed bytes in approximate
+        # compressed bytes out)
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        tot_bytes = tot_rows = 0
+        for rel in matched:
+            fp = _os.path.join(path, rel)
+            try:
+                tot_bytes += _os.path.getsize(fp)
+                tot_rows += _pq.ParquetFile(fp).metadata.num_rows
+            except OSError:
+                pass
+        if tot_bytes and tot_rows:
+            max_records = max(
+                1, int(target_file_bytes * tot_rows // tot_bytes)
+            )
     new_files, new_values = _write_partitioned_files(
         sdata.select(*scols), path, spec, part["current"], dtypes,
-        compression, mapping,
+        compression, mapping, max_records_per_file=max_records,
     )
     values = {
         rel: v

@@ -11,6 +11,7 @@ import shutil
 import tempfile
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from dp_dimension_importer_spark.catalog import load_tables
@@ -232,5 +233,94 @@ def test_delete_from_index_masks_then_compaction_materializes(spark):
         assert {
             (r["vec_id"], r["rk"], r["nn_id"]) for r in after2
         } == {(r["vec_id"], r["rk"], r["nn_id"]) for r in after}
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_append_crash_is_invisible(spark, monkeypatch):
+    """r13 (r12 verdict #7): the append's visibility point is the
+    manifest hard-link — a job dying BETWEEN the data write and the
+    commit leaves the probe's view byte-identical (all-or-nothing; the
+    pre-r13 plain directory append half-exposed the batch)."""
+    import os as _os
+
+    from dp_dimension_importer_spark.operators.similarity import (
+        _idx_rels,
+    )
+
+    t = load_tables(spark, SF)
+    e = t.embeddings.filter("vec_id < 400")
+    idx = _mkidx()
+    try:
+        build_ivf_index(spark, e.filter("vec_id % 2 = 0"), idx)
+        before = sorted(_idx_rels(idx))
+        q = e.filter(F.col("vec_id") < 4)
+        res_before = sorted(
+            (r["vec_id"], r["rk"], r["nn_id"])
+            for r in probe_index(spark, idx, q, e, k=3).collect()
+        )
+
+        real_link = _os.link
+
+        def dying_link(src, dst, **kw):
+            if "_manifests" in dst:
+                raise OSError("injected crash before visibility")
+            return real_link(src, dst, **kw)
+
+        monkeypatch.setattr(_os, "link", dying_link)
+        with pytest.raises(OSError, match="injected crash"):
+            append_to_index(spark, e.filter("vec_id % 2 = 1"), idx)
+        monkeypatch.undo()
+
+        # the live file list AND the probe's answer are unchanged —
+        # the crashed batch's files are manifest-invisible orphans
+        assert sorted(_idx_rels(idx)) == before
+        res_after = sorted(
+            (r["vec_id"], r["rk"], r["nn_id"])
+            for r in probe_index(spark, idx, q, e, k=3).collect()
+        )
+        assert res_after == res_before
+        # a clean retry lands the batch atomically
+        append_to_index(spark, e.filter("vec_id % 2 = 1"), idx)
+        assert len(_idx_rels(idx)) > len(before)
+        got = probe_index(spark, idx, q, e, k=3)
+        assert got.count() == 12  # 4 queries x top-3
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_compact_swaps_atomically_and_cleans(spark):
+    """Compaction commits the fold through the same manifest protocol:
+    the live list swaps atomically, superseded bytes are unlinked after
+    the commit, tombstoned rows drop physically."""
+    import os as _os
+
+    from dp_dimension_importer_spark.operators.similarity import (
+        _idx_rels,
+        compact_ivf_index,
+        delete_from_index,
+    )
+
+    t = load_tables(spark, SF)
+    e = t.embeddings.filter("vec_id < 400")
+    idx = _mkidx()
+    try:
+        build_ivf_index(spark, e.filter("vec_id % 2 = 0"), idx)
+        append_to_index(spark, e.filter("vec_id % 2 = 1"), idx)
+        delete_from_index(
+            spark, idx, spark.createDataFrame([(7,)], "vec_id long")
+        )
+        old = set(_idx_rels(idx))
+        n = compact_ivf_index(spark, idx, files_per_cell=1)
+        live = set(_idx_rels(idx))
+        assert n == len(live) and not (old & live)
+        for rel in old:  # superseded bytes reclaimed post-commit
+            assert not _os.path.exists(_os.path.join(idx, rel))
+        codes = spark.read.option("basePath", idx).parquet(
+            *(_os.path.join(idx, r) for r in live)
+        )
+        assert codes.filter("vec_id = 7").count() == 0
+        assert codes.count() == 399
+        assert not _os.path.exists(_os.path.join(idx, "_tombstones"))
     finally:
         shutil.rmtree(idx, ignore_errors=True)

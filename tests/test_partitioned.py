@@ -692,3 +692,67 @@ def test_driver_side_xxhash64_matches_jvm(spark):
     ]
     for i, b in zip(ints, jvm_b):
         assert storage._bucket_of(i, 7) == b, i
+
+
+def test_optimize_partitions_target_size_fanout(spark):
+    """r13 (r12 verdict #6): the partition-scoped fold splits by a
+    target byte budget — a hot partition holding >2x the target folds
+    to >=2 files (pre-r13 it always folded each tuple to ONE file, a
+    monster at 100x scale); a partition under the target still folds
+    to one; target_file_bytes=None restores the one-file fold."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    scratch, path = _mkpath()
+    try:
+        # hot partition g='h': ~40k rows of ~100B strings; cold: 10 rows
+        hot = spark.createDataFrame(
+            [Row(k=i, g="h", s="x" * 100) for i in range(40_000)],
+            "k bigint, g string, s string",
+        )
+        cold = spark.createDataFrame(
+            [Row(k=i, g="c", s="y") for i in range(10)],
+            "k bigint, g string, s string",
+        )
+        spec = [("identity", "g")]
+        storage.write_snapshot_partitioned(spark, hot, path, spec)
+        storage.write_snapshot_partitioned(
+            spark, cold, path, spec, mode="append"
+        )
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        hot_bytes = sum(
+            os.path.getsize(os.path.join(path, rel))
+            for rel, ent in man["partition"]["values"].items()
+            if ent and ent[1] == ["h"]
+        )
+        target = hot_bytes // 3  # hot holds >2x the target
+        res = storage.optimize_partitions(
+            spark, path, {"g": ("in", ["h", "c"])},
+            target_file_bytes=target,
+        )
+        man = storage._load_manifest(path, res["version"])
+        by_tuple = {"h": [], "c": []}
+        for rel, ent in man["partition"]["values"].items():
+            by_tuple[ent[1][0]].append(rel)
+        assert len(by_tuple["h"]) >= 2, "hot partition did not split"
+        assert len(by_tuple["c"]) == 1, "cold partition over-split"
+        # rows survive the fan-out exactly
+        n = sum(
+            pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+            for rel in by_tuple["h"]
+        )
+        assert n == 40_000
+        # None restores the one-file-per-tuple fold
+        res = storage.optimize_partitions(
+            spark, path, {"g": ("=", "h")}, target_file_bytes=None
+        )
+        man = storage._load_manifest(path, res["version"])
+        hrels = [
+            rel for rel, ent in man["partition"]["values"].items()
+            if ent and ent[1] == ["h"]
+        ]
+        assert len(hrels) == 1
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
