@@ -104,11 +104,37 @@ _REPO_ROOT = _Path(__file__).resolve().parent.parent
 # (link claim), and registered the change feed — so the riders on those
 # storage paths re-earn their driver rows, plus the new q90.
 _REPRIORITIZE: list[str] = [
-    # Cleared at r13 start (r12 verdict nit #1): CORRECTNESS_r12 was written
-    # AFTER the final r12 commit, so every r12 rider already re-earned its
-    # green row — keeping them would starve the r07/r08 evidence tail.
-    # Repopulate at r13 END with only the queries whose shared storage paths
-    # r13 itself changes after their newest green row.
+    # r13 changed these riders' shared storage paths AFTER their newest
+    # green rows: _resolve_mor (op-column projection + mapping + casts),
+    # upsert_delta_snapshot (mapped/widened/dropped deltas + rebase),
+    # the delete/update/merge MOR dispatch, the key-range MERGE rebase +
+    # src_bounds probe loop, rename/widen/drop on MOR, the change feed's
+    # rewrite/MOR admission + tombstone split, version_delta's mapping
+    # translation, and optimize_partitions' target-size fan-out default.
+    # The three r13-new queries have no evidence yet and order first by
+    # the stalest-first rule regardless; listed for completeness.
+    "q86d_mor_delete",
+    "q86e_mor_merge",
+    "q96c_mapped_mor",
+    "q86_upsert_mor",
+    "q86b_mor_schema_evolution",
+    "q86c_mor_pruned_read",
+    "q87_stream_mor_upsert",
+    "q88_merge_delete_feed",
+    "q88b_stream_cdc_apply",
+    "q90_changefeed",
+    "q90b_changefeed_mv_stream",
+    "q90c_changefeed_partitioned",
+    "q92_merge_into",
+    "q91_update_where",
+    "q78_snapshot_delete",
+    "q97_optimize_partitions",
+    "q96_rename_column",
+    "q96b_mapped_dml",
+    "q65b_type_widening",
+    "q65c_drop_column",
+    "mv_refresh_changefeed",
+    "q79_stream_snapshot_append",
 ]
 
 

@@ -3867,7 +3867,9 @@ def _merge_into_mor(
         doomed = matched & F.coalesce(_expr(delete_condition), F.lit(False))
     # a matched row becomes a delta row only when a clause REWRITES it —
     # untouched keys ride the older commits for free (the MOR property)
-    emit = doomed | s_only if insert else doomed
+    emit = doomed
+    if insert:
+        emit = emit | s_only
     if update_set:
         emit = emit | matched
     j = j.filter(emit)
