@@ -1528,6 +1528,9 @@ def q90c_changefeed_partitioned(spark, sf_dir):
         storage.update_where_snapshot(
             spark, path, {"value": F.col("value") + 1000.0},
             "event_type = 'click' AND event_id % 20 = 2",
+            # r13: partition-tuple probe pruning — the click-confined
+            # predicate probes only click partitions' files
+            partition_where={"event_type": ("=", "click")},
         )
         feed = changefeed.read_changes_stream(
             spark, path, key_cols=["event_id"],

@@ -2078,6 +2078,7 @@ def delete_where_snapshot(
     compression: str = PARQUET_CODEC,
     prune: tuple | None = None,
     mode: str = "cow",
+    partition_where: dict | None = None,
 ) -> dict:
     """Copy-on-write DELETE — the table-format verb the layer was missing
     (write/merge/optimize/changes/vacuum exist): remove every row where
@@ -2104,6 +2105,11 @@ def delete_where_snapshot(
     intersect the range are carried WITHOUT ENTERING THE PROBE SCAN at
     all — zero footer reads for them, the delete-side twin of read-side
     file skipping. Files lacking stats for ``col`` are always probed.
+    ``partition_where`` (r13) is the partition-tuple twin on
+    hidden-partitioned tables: the caller guarantees the predicate is
+    FALSE outside the matching partitions, and only their files enter
+    the probe (no-tuple files always probe) — a one-day delete probes
+    one day's files, not the table.
 
     ``mode="dv"``: MERGE-ON-READ delete via deletion vectors (Delta DV /
     Iceberg v2 position deletes): NO data file is touched at all —
@@ -2157,6 +2163,17 @@ def delete_where_snapshot(
         )
     dv_map = man.get("dv") or {}
     probe_rels = list(man["files"])
+    if partition_where is not None:
+        # r13: partition-tuple probe pruning — on a hidden-partitioned
+        # table a DML whose predicate is confined to some partitions
+        # (caller contract, same as `prune`) probes ONLY their files;
+        # no-tuple files are always probed (conservative). At 100 TB a
+        # one-day delete probes one day, not the table.
+        keep, _ = partition_pruned_files(
+            path, partition_where, versions[-1], spark
+        )
+        ks = set(keep)
+        probe_rels = [rel for rel in probe_rels if rel in ks]
     if prune is not None:
         col, lo, hi = prune
         stats = man.get("stats", {})
@@ -2166,7 +2183,8 @@ def delete_where_snapshot(
             if (s_ := stats.get(rel, {}).get(col)) is None
             or not (s_[1] < elo or s_[0] > ehi)
         ]
-        if not probe_rels:  # stats prove no file can hold a doomed row
+    if prune is not None or partition_where is not None:
+        if not probe_rels:  # pruning proves no file can hold a doomed row
             return {
                 "version": versions[-1],
                 "rows_deleted": 0,
@@ -2619,6 +2637,7 @@ def update_where_snapshot(
     compression: str = PARQUET_CODEC,
     prune: tuple | None = None,
     mode: str = "cow",
+    partition_where: dict | None = None,
 ) -> dict:
     """Copy-on-write UPDATE — the last member of the DML triad
     (:func:`write_snapshot` append / :func:`delete_where_snapshot` /
@@ -2649,6 +2668,10 @@ def update_where_snapshot(
     the usual DV anti-join; OPTIMIZE / purge materialize. Same
     trade as DV deletes: cheap writes, a (usually broadcast) anti-join
     tax per read, stats on DV-carrying files become upper bounds.
+
+    ``partition_where`` (r13): partition-tuple probe pruning, the
+    delete verb's contract — only matching partitions' files enter the
+    probe scan.
 
     Guard rails: an assigned column must already exist (UPDATE never
     adds columns — that's schema evolution via a write), its committed
@@ -2688,6 +2711,15 @@ def update_where_snapshot(
         )
     dv_map = man.get("dv") or {}
     probe_rels = list(man["files"])
+    if partition_where is not None:
+        # r13: partition-tuple probe pruning (see delete's note) — the
+        # caller guarantees the predicate is FALSE outside the matching
+        # partitions; their files carry without entering the probe scan
+        keep, _ = partition_pruned_files(
+            path, partition_where, versions[-1], spark
+        )
+        ks = set(keep)
+        probe_rels = [rel for rel in probe_rels if rel in ks]
     if prune is not None:
         col, lo, hi = prune
         stats = man.get("stats", {})

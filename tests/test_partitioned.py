@@ -756,3 +756,59 @@ def test_optimize_partitions_target_size_fanout(spark):
         assert len(hrels) == 1
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_dml_partition_where_prunes_probe(spark):
+    """r13: DELETE/UPDATE with partition_where probe ONLY the matching
+    partitions' files on a hidden-partitioned table (files_probed
+    shrinks), with results identical to the unrestricted verb; pruning
+    to nothing is a no-op commit; no-tuple files always probe."""
+    from pyspark.sql import Row
+
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [Row(k=i, g="abc"[i % 3], v=float(i)) for i in range(30)],
+            "k bigint, g string, v double",
+        )
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("identity", "g")]
+        )
+        n_files = len(storage._load_manifest(path, 1)["files"])
+        r = storage.delete_where_snapshot(
+            spark, path, "g = 'a' AND k < 10",
+            partition_where={"g": ("=", "a")},
+        )
+        assert r["rows_deleted"] == 4  # k in {0,3,6,9}
+        assert 0 < r["files_probed"] < n_files
+        got = sorted(
+            x["k"] for x in storage.read_snapshot(spark, path).collect()
+        )
+        assert got == [k for k in range(30) if not ("abc"[k % 3] == "a" and k < 10)]
+        # UPDATE twin
+        r = storage.update_where_snapshot(
+            spark, path, {"v": F.lit(0.0)}, "g = 'b'",
+            partition_where={"g": ("=", "b")},
+        )
+        assert r["rows_updated"] == 10
+        assert r["files_probed"] < len(
+            storage._load_manifest(path, 2)["files"]
+        )
+        # pruned-to-nothing: no-op, no commit
+        before = storage.snapshot_versions(path)[-1]
+        r = storage.delete_where_snapshot(
+            spark, path, "g = 'z'", partition_where={"g": ("=", "z")}
+        )
+        assert r["rows_deleted"] == 0 and r["files_probed"] == 0
+        assert storage.snapshot_versions(path)[-1] == before
+        # DV mode prunes the same probe
+        r = storage.delete_where_snapshot(
+            spark, path, "g = 'c' AND k = 2", mode="dv",
+            partition_where={"g": ("=", "c")},
+        )
+        assert r["rows_deleted"] == 1 and r["files_rewritten"] == 0
+        assert storage.read_snapshot(spark, path).filter(
+            "k = 2"
+        ).count() == 0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
