@@ -66,14 +66,24 @@ def _query_block(embeddings) -> tuple[np.ndarray, np.ndarray]:
     return qids, qm / np.linalg.norm(qm, axis=1)[:, None]
 
 
-def _rerank_cos(embeddings, cand):
+def _rerank_cos(embeddings, cand, queries=None):
     """(qid, nn_id, cos) with the bit-deterministic left-to-right DOUBLE
     fold — computed ONLY for candidate rows. The interpreted higher-order
     expressions (transform/zip_with/aggregate get no codegen) live in the
     Project ABOVE the candidate joins, so the corpus-side scan streams raw
     float arrays and never evaluates a lambda; round-1 profiling showed the
-    corpus-wide lambda Project was the dominant cost of the q43 pair."""
-    raw_q = embeddings.filter(F.col("vec_id") < N_QUERY).select(
+    corpus-wide lambda Project was the dominant cost of the q43 pair.
+
+    ``queries`` (vec_id, embedding) supplies the query side explicitly;
+    without it the fixture convention (corpus rows with vec_id <
+    N_QUERY) applies. probe_index MUST pass it — its callers choose
+    arbitrary query ids, and the fixture filter silently dropped every
+    query with vec_id >= N_QUERY (r13 bug, caught by the clustered
+    recall pin)."""
+    raw_q = (
+        queries if queries is not None
+        else embeddings.filter(F.col("vec_id") < N_QUERY)
+    ).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     raw_n = embeddings.select(
@@ -1599,7 +1609,7 @@ def probe_index(
         W.partitionBy("qid").orderBy(F.col("cos").desc(), "nn_id")
     )
     return (
-        _rerank_cos(rerank_src, cand)
+        _rerank_cos(rerank_src, cand, queries=queries)
         .withColumn("rk", rk)
         .filter(F.col("rk") <= k)
         .select(

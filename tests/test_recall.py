@@ -746,3 +746,89 @@ def test_ann_persisted_append_staleness(spark):
         assert sum(recalls) / len(recalls) >= 0.75, "staleness floor"
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_ann_persisted_clustered_recall_085(spark):
+    """r13 (r12 verdict nit #2): the production-shape floor. The shared
+    fixture is near-uniform (IVF's adversarial case), which justifies
+    its 0.75 floor — but real embedding corpora are CLUSTERED, and the
+    persisted index must hold >= 0.85 there. Deterministic clustered
+    fixture: 12 well-separated centers + small noise; build on the even
+    half, append the odd half (frozen centroids), probe 24 queries and
+    compare to exact brute-force cosine."""
+    import math
+    import random
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.operators.similarity import (
+        append_to_index,
+        build_ivf_index,
+        probe_index,
+    )
+
+    rng = random.Random(13)
+    dim, n_centers, per = 16, 12, 100
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    centers = [
+        unit([rng.gauss(0, 1) for _ in range(dim)])
+        for _ in range(n_centers)
+    ]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(per):
+            rows.append(
+                Row(
+                    vec_id=vid,
+                    embedding=[
+                        x + rng.gauss(0, 0.08) for x in c
+                    ],
+                )
+            )
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    e = e.localCheckpoint(eager=True)
+    idx = tempfile.mkdtemp(prefix="ivf_clust_")
+    try:
+        shutil.rmtree(idx)
+        build_ivf_index(spark, e.filter("vec_id % 2 = 0"), idx)
+        append_to_index(spark, e.filter("vec_id % 2 = 1"), idx)
+        q = e.filter(F.col("vec_id") % 50 == 0)  # 24 queries, all centers
+        got = probe_index(spark, idx, q, e, k=5).collect()
+        approx: dict[int, set[int]] = {}
+        for r in got:
+            approx.setdefault(r["vec_id"], set()).add(r["nn_id"])
+        # exact brute force, driver-side (1200 x 24 is tiny)
+        import numpy as np
+
+        m = np.vstack(
+            [np.asarray(r["embedding"]) for r in
+             sorted(e.collect(), key=lambda r: r["vec_id"])]
+        )
+        ids = np.arange(len(m))
+        mu = m / np.linalg.norm(m, axis=1)[:, None]
+        recalls = []
+        for r in sorted(q.collect(), key=lambda r: r["vec_id"]):
+            qv = np.asarray(r["embedding"])
+            qv = qv / np.linalg.norm(qv)
+            cos = mu @ qv
+            cos[r["vec_id"]] = -np.inf
+            top = set(ids[np.argsort(-cos, kind="stable")[:5]].tolist())
+            recalls.append(
+                len(top & approx.get(r["vec_id"], set())) / 5.0
+            )
+        mean = sum(recalls) / len(recalls)
+        assert mean >= 0.85, (
+            f"persisted-index recall@5 on clustered corpus {mean:.2f} "
+            "< 0.85 (the production-shape floor)"
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
