@@ -2334,6 +2334,7 @@ def merge_into_snapshot(
     insert_values: dict | None = None,
     compression: str = PARQUET_CODEC,
     txn: tuple[str, int] | None = None,
+    partition_where: dict | None = None,
 ) -> int:
     """SQL-style conditional MERGE INTO (Delta/Iceberg's most-used DML
     verb — the clause-driven twin of :func:`merge_apply_changes`'s
@@ -2366,7 +2367,12 @@ def merge_into_snapshot(
     in the touched files either, by probe construction). Every other
     file carries into the new version untouched — data pages unread,
     stats/partition tuples/DVs intact — so cost is O(table key scan +
-    touched data + |source|), never a table rewrite. On a
+    touched data + |source|), never a table rewrite.
+    ``partition_where`` (r13) prunes the probe by partition tuples —
+    contract STRONGER than delete/update's: every source KEY must be
+    confined to the matching partitions (else a NOT-MATCHED insert
+    could duplicate a key living in an excluded file); the fit is a
+    partition-aligned merge key (per-region/per-day CDC batches). On a
     hidden-partitioned table the rewrite routes through the hive
     writer (real tuples — pruning holds immediately after MERGE); on a
     column-mapped table clauses speak logical names and files keep the
@@ -2433,6 +2439,18 @@ def merge_into_snapshot(
     # matched key — skipped before any footer read. On a key-clustered
     # 100 TB table a narrow CDC batch probes O(its key range's files).
     probe_rels = list(man["files"])
+    if partition_where is not None:
+        # r13: partition-tuple probe pruning. Caller contract is
+        # STRONGER than delete/update's: every source KEY must be
+        # confined to the matching partitions (a source key living in
+        # an excluded file would re-insert as a duplicate under
+        # NOT-MATCHED) — the natural fit is a partition-aligned merge
+        # key (region/day CDC batches into their own partitions).
+        keep_pw, _ = partition_pruned_files(
+            path, partition_where, versions[-1], spark
+        )
+        ks = set(keep_pw)
+        probe_rels = [rel for rel in probe_rels if rel in ks]
     stats = man.get("stats") or {}
     # source key bounds per key column — shared by the probe prune here
     # and the key-range-validated rebase below (r13), so they are
@@ -4836,10 +4854,14 @@ def write_snapshot_to_branch(
     import uuid
 
     prev = _branch_head_manifest(path, name)  # also validates the branch
-    if prev.get("mor") or prev.get("dv"):
+    if (prev.get("mor") or prev.get("dv")) and mode == "append":
+        # r13: an OVERWRITE branch commit replaces the fork point's
+        # content wholesale, so a MOR/DV fork is fine (same rule as
+        # write_snapshot overwrite on MOR); an APPEND would dodge delta
+        # resolution / DV masking and stays refused
         raise ValueError(
-            "branch writes are plain-manifest commits: compact/purge the "
-            "MOR chain or DVs on main before forking a branch from it"
+            "branch append onto a MOR/DV fork point would dodge delta "
+            "resolution: compact/purge on main first, or overwrite"
         )
     new_schema = {f.name: f.dataType.simpleString() for f in df.schema}
     if enforce_schema:
@@ -4882,6 +4904,11 @@ def write_snapshot_to_branch(
     )
     carried = prev.get("files", []) if mode == "append" else []
     manifest = {"files": carried + new_files, "schema": new_schema}
+    if mode == "overwrite":
+        # fresh files shed narrow/tombstoned bytes — clear the markers
+        # explicitly so fast_forward's publish cannot inherit main's
+        # (the write_snapshot overwrite discipline)
+        manifest["widened"], manifest["dropped"] = {}, []
     if mode == "append":
         # pruning survives the branch detour: carried files keep their
         # tuples, this commit's flat files map to None (never pruned)

@@ -148,7 +148,10 @@ def test_branch_write_guards(spark):
         # empty-branch fast_forward is a no-op that still drops
         assert storage.fast_forward(path, "g") == 1
         assert storage.list_branches(path) == {}
-        # forking off a MOR head refuses branch writes (plain manifests only)
+        # r13: forking off a MOR head refuses APPEND (it would dodge
+        # delta resolution) but takes an OVERWRITE (content replaced
+        # wholesale, the write_snapshot-on-MOR rule) which publishes a
+        # plain manifest via fast_forward
         storage.upsert_delta_snapshot(
             spark,
             path,
@@ -160,8 +163,23 @@ def test_branch_write_guards(spark):
         storage.create_branch(path, "h")
         with pytest.raises(ValueError, match="MOR"):
             storage.write_snapshot_to_branch(
-                spark, _df(spark, [(1, "x")]), path, "h",
+                spark, _df(spark, [(1, "x")]), path, "h", mode="append",
             )
+        storage.write_snapshot_to_branch(
+            spark,
+            spark.createDataFrame(
+                [Row(k=9, val="ow", seq=2)],
+                "k bigint, val string, seq bigint",
+            ),
+            path, "h",
+        )
+        storage.fast_forward(path, "h")
+        got = storage.read_snapshot(spark, path)
+        assert [(r["k"], r["val"]) for r in got.collect()] == [(9, "ow")]
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert "mor" not in man
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

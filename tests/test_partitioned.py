@@ -812,3 +812,45 @@ def test_dml_partition_where_prunes_probe(spark):
         ).count() == 0
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_partition_where_prunes_probe(spark):
+    """r13: MERGE INTO with partition_where probes only the matching
+    partitions' files; clause results identical to the unrestricted
+    merge when the caller contract (source keys confined to matching
+    partitions) holds."""
+    from pyspark.sql import Row
+
+    scratch, path = _mkpath()
+    try:
+        df = spark.createDataFrame(
+            [Row(k=i, g="ab"[i % 2], v=float(i)) for i in range(20)],
+            "k bigint, g string, v double",
+        )
+        storage.write_snapshot_partitioned(
+            spark, df, path, [("identity", "g")]
+        )
+        src = spark.createDataFrame(
+            [Row(k=2, g="a", v=200.0), Row(k=100, g="a", v=100.0)],
+            "k bigint, g string, v double",
+        )
+        v = storage.merge_into_snapshot(
+            spark, path, src, ["k"],
+            update_set={"v": "src_v"}, insert=True,
+            partition_where={"g": ("=", "a")},
+        )
+        man = storage._load_manifest(path, v)
+        got = {
+            r["k"]: r["v"]
+            for r in storage.read_snapshot(spark, path).collect()
+        }
+        assert got[2] == 200.0 and got[100] == 100.0 and len(got) == 21
+        # the excluded partition's file carried byte-identical
+        v1 = storage._load_manifest(path, 1)
+        b_files = {
+            rel for rel, ent in v1["partition"]["values"].items()
+            if ent and ent[1] == ["b"]
+        }
+        assert b_files <= set(man["files"])
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
