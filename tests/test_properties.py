@@ -601,6 +601,8 @@ def test_snapshot_layer_model_equivalence(spark, ops):
             st.tuples(st.just("minor"), st.integers(0, 0)),
             st.tuples(st.just("major"), st.integers(0, 0)),
             st.tuples(st.just("delete"), st.integers(0, 40)),
+            st.tuples(st.just("update"), st.integers(0, 40)),
+            st.tuples(st.just("merge"), st.integers(0, 40)),
             st.tuples(st.just("restore"), st.integers(0, 10)),
             st.tuples(st.just("vacuum"), st.integers(1, 3)),
         ),
@@ -702,6 +704,51 @@ def test_mor_layer_model_equivalence(spark, ops):
                     )
                 else:
                     assert surv == state  # no match -> no commit
+            elif verb == "update":
+                # r13: UPDATE on MOR lands an image delta group (chain
+                # +1 when matched); on a plain table it rewrites files
+                state, chain, mor = model[-1]
+                res = storage.update_where_snapshot(
+                    spark, path, {"v": F.col("v") + 1}, F.col("k") < arg
+                )
+                touched = {k for k in state if k < arg}
+                if touched:
+                    assert res["version"] == len(model) + 1
+                    assert res["rows_updated"] == len(touched)
+                    assert res["files_rewritten"] == 0 or not mor
+                    st2 = {
+                        k: (v + 1 if k < arg else v)
+                        for k, v in state.items()
+                    }
+                    model.append(
+                        (st2, chain + 1, True) if mor
+                        else (st2, 0, False)
+                    )
+                else:
+                    assert res["rows_updated"] == 0
+            elif verb == "merge":
+                # r13: MERGE INTO on MOR lands ONE group (updates the
+                # even keys below arg, inserts one new high key)
+                state, chain, mor = model[-1]
+                srows = [
+                    (k, -1, 900 + opidx) for k in sorted(state)
+                    if k < arg and k % 2 == 0
+                ] + [(7000 + opidx, -2, 900 + opidx)]
+                src = spark.createDataFrame(
+                    srows, "k long, v long, seq long"
+                )
+                v = storage.merge_into_snapshot(
+                    spark, path, src, ["k"],
+                    update_set={"v": "src_v"}, insert=True,
+                )
+                assert v == len(model) + 1
+                st2 = dict(state)
+                for k, nv, _ in srows[:-1]:
+                    st2[k] = nv
+                st2[7000 + opidx] = -2
+                model.append(
+                    (st2, chain + 1, True) if mor else (st2, 0, False)
+                )
             elif verb == "restore":
                 versions = storage.snapshot_versions(path)
                 v = versions[arg % len(versions)]
