@@ -1083,6 +1083,19 @@ def test_feed_mor_delete_tombstones(spark):
             (2, "b2", "upsert", 2),
             (3, "c", "upsert", 2),
         ], key=repr)
+        # the fold over the tombstone-bearing log == the resolved table
+        log = spark.createDataFrame(rows)
+        folded = {
+            (x["k"], x["val"])
+            for x in changefeed.changefeed_fold(
+                log, ["k"], seq_col="seq"
+            ).collect()
+        }
+        live = {
+            (x["k"], x["val"])
+            for x in storage.read_snapshot(spark, path).collect()
+        }
+        assert folded == live == {(1, "a"), (3, "c")}
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
