@@ -5823,8 +5823,15 @@ def write_snapshot_partitioned(
         _enforce_constraints(
             df, prev["constraints"], "write_snapshot_partitioned"
         )
-    if prev.get("mor"):
-        raise ValueError("partitioned write into a MOR table unsupported")
+    if prev.get("mor") and mode == "append":
+        # r13: an OVERWRITE replaces the MOR table's content wholesale
+        # (the write_snapshot-on-MOR rule — the fresh manifest carries
+        # no chain); an append would dodge delta resolution and stays
+        # refused
+        raise ValueError(
+            "partitioned append into a MOR table: use "
+            "upsert_delta_snapshot, or compact_mor before appending"
+        )
     specs, cur = [spec], 0
     # append keeps a mapped table's ONE physical schema (write with
     # physical names, manifest speaks logical); overwrite materializes

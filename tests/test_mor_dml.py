@@ -372,3 +372,34 @@ def test_mor_update_where_delta_group(spark):
         assert (row["a"], row["b"]) == (20, 10)  # swapped LATEST values
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_partitioned_overwrite_takes_over_mor_table(spark):
+    """r13: a partitioned OVERWRITE replaces a MOR table's content
+    wholesale (chain gone, hidden partitioning in) — the plain-overwrite
+    rule; partitioned APPEND stays refused (it would dodge delta
+    resolution)."""
+    scratch, path = _mkpath()
+    try:
+        _mor_table(spark, path)
+        with pytest.raises(ValueError, match="append into a MOR"):
+            storage.write_snapshot_partitioned(
+                spark, _df(spark, [(9, "z", 0)]), path,
+                [("identity", "val")], mode="append",
+            )
+        v = storage.write_snapshot_partitioned(
+            spark, _df(spark, [(9, "z", 0), (10, "y", 0)]), path,
+            [("identity", "val")],
+        )
+        man = _man(path, v)
+        assert "mor" not in man and man.get("partition")
+        got = storage.read_snapshot_partitioned(
+            spark, path, {"val": ("=", "z")}
+        )
+        assert [r["k"] for r in got.collect()] == [9]
+        # time travel still resolves the pre-overwrite chain
+        assert _rows(spark, path, version=2) == [
+            (1, "a"), (2, "b2"), (3, "c"), (4, "d")
+        ]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
