@@ -2380,10 +2380,10 @@ def merge_into_snapshot(
     casting every assignment/insert to the target type; the result
     lands as a new snapshot version (snapshot isolation, prior
     versions readable). A merge that matches nothing and inserts
-    nothing commits nothing. MOR tables refuse (compact first — same
-    probe-soundness rule as UPDATE/DELETE). ``txn`` gives
-    at-least-once writers the manifest idempotence watermark. Returns
-    the new version."""
+    nothing commits nothing. On a MOR table (r13) the merge lands as
+    ONE delta group — tombstones + images, zero base rewrites (see
+    :func:`_merge_into_mor`). ``txn`` gives at-least-once writers the
+    manifest idempotence watermark. Returns the new version."""
     from pyspark.sql import functions as F
 
     import json
@@ -6139,8 +6139,9 @@ def read_snapshot_partitioned(
     On a table without a partition block (or with none matching the
     predicate columns) this degrades to read-then-filter. DV deletes on
     surviving files are honored (the pruned manifest keeps their
-    vectors); MOR tables refuse partitioned writes upstream, so no MOR
-    dispatch is needed here."""
+    vectors). MOR tables only reach here chainless (a partitioned
+    OVERWRITE sheds the chain; partitioned append refuses upstream),
+    so no MOR dispatch is needed."""
     from pyspark.sql import functions as F
 
     version = _resolve_selector(path, version, tag, asof)
@@ -6540,9 +6541,10 @@ def evolve_partition_spec(path: str, new_spec) -> int:
 # rewrite goes through the same logical-scan/physical-write path). Full
 # overwrites (write_snapshot overwrite, materialize_column_mapping) read
 # logical and write logical, which MATERIALIZES the rename and clears
-# the map. Only the mapped-table -> MOR conversion still refuses (MOR
-# delta groups pin key/seq columns by name; rename_column refuses MOR
-# tables for the same reason).
+# the map. r13: MOR tables map natively too — base files and every
+# delta group share the table's ONE physical schema, deltas arrive
+# logical and write physical, _resolve_mor reads physical / emits
+# logical, and rename_column re-keys the mor block's key/seq names.
 # ---------------------------------------------------------------------------
 
 
