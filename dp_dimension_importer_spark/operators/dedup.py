@@ -2427,3 +2427,88 @@ def dedup_jaccard_prefix(spark, sf_dir):
     member the cap-based and MinHash members approximate."""
     t = load_tables(spark, sf_dir)
     return prefix_filter_pairs(t.documents).orderBy("da", "db")
+
+
+def semantic_dedup_incremental(
+    spark,
+    idx_path: str,
+    new_embeddings: DataFrame,
+    corpus: DataFrame,
+    threshold: float = SEM_COS_T,
+) -> DataFrame:
+    """Daily-ingest SemDeDup against the PERSISTED IVF index (r13 — the
+    incremental twin of :func:`semantic_dedup_ivf`, closing the loop
+    with the r12 persisted index the way dedup_minhash_incremental
+    closed it for MinHash): a NEW batch's near-duplicate decisions probe
+    the maintained index — O(probed cells) per query, no refit, no
+    batch×corpus join — and the kept docs append back in O(batch)
+    (frozen centroids). Returns one row per new doc: (vec_id, nn_id,
+    cos_sim, is_dup) — nn_id/cos_sim are the nearest INDEXED neighbor
+    (NULL when the shortlist surfaces none), is_dup = cos ≥ threshold.
+
+    Precision is 1 by construction (the probe's rerank is the exact
+    bit-deterministic fold-cosine, shared with every ANN path); recall
+    vs the exact batch×corpus decision is gated in tests/test_recall.py.
+    The caller appends the kept docs (``append_to_index``) and commits —
+    this function is pure so a crashed pipeline re-runs cleanly."""
+    from dp_dimension_importer_spark.operators.similarity import (
+        probe_index,
+    )
+
+    nn = probe_index(spark, idx_path, new_embeddings, corpus, k=1)
+    top1 = nn.filter(F.col("rk") == 1).select(
+        F.col("vec_id"),
+        "nn_id",
+        "cos_sim",
+        (F.col("cos_sim") >= F.lit(threshold)).alias("is_dup"),
+    )
+    return (
+        new_embeddings.select("vec_id")
+        .join(top1, "vec_id", "left_outer")
+        .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False)))
+    )
+
+
+@register("dedup_semantic_persisted")  # rows-only: recall-gated
+def dedup_semantic_persisted(spark, sf_dir):
+    """The full daily SemDeDup loop on the persisted index: build on the
+    even half of the corpus, decide the odd half INCREMENTALLY
+    (:func:`semantic_dedup_incremental` — probe, never a batch×corpus
+    join), append the kept docs back against the frozen centroids, and
+    assert the index grew by exactly the kept files' commit (manifest
+    visibility — the r13 all-or-nothing append). Gated in
+    tests/test_recall.py: flagged docs are TRUE duplicates (exact
+    rerank), and the flag set recovers the exact decision's floor."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark.operators.similarity import (
+        _idx_rels,
+        append_to_index,
+        build_ivf_index,
+    )
+
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings
+    idx = tempfile.mkdtemp(prefix="semdedup_idx_")
+    try:
+        shutil.rmtree(idx)
+        build_ivf_index(spark, e.filter("vec_id % 2 = 0"), idx)
+        batch = e.filter("vec_id % 2 = 1")
+        dec = semantic_dedup_incremental(
+            spark, idx, batch, e
+        ).localCheckpoint(eager=True)
+        n_before = len(_idx_rels(idx))
+        kept = batch.join(
+            dec.filter(~F.col("is_dup")).select("vec_id"),
+            "vec_id", "left_semi",
+        )
+        append_to_index(spark, kept, idx)
+        assert len(_idx_rels(idx)) > n_before, "kept batch not committed"
+        return (
+            dec.select("vec_id", "is_dup", "nn_id")
+            .orderBy("vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

@@ -832,3 +832,46 @@ def test_ann_persisted_clustered_recall_085(spark):
         )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_dedup_semantic_persisted_gates(q, spark):
+    """r13 incremental SemDeDup on the persisted index: (1) PRECISION 1
+    — every flagged doc has a TRUE cosine>=T indexed neighbor (the
+    probe's rerank is exact, so cos_sim is ground truth); (2) RECALL —
+    the flag set recovers >= 0.7 of the exact batch x corpus decision
+    (ANN probe misses bounded); (3) every batch doc gets exactly one
+    decision row."""
+    import numpy as np
+
+    from dp_dimension_importer_spark.catalog import load_tables
+    from dp_dimension_importer_spark.operators.dedup import SEM_COS_T
+
+    rows = q("dedup_semantic_persisted")
+    got = {r["vec_id"]: (r["is_dup"], r["nn_id"]) for r in rows}
+    t = load_tables(spark, SF)
+    e = sorted(t.embeddings.collect(), key=lambda r: r["vec_id"])
+    m = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in e])
+    ids = np.array([r["vec_id"] for r in e])
+    mu = m / np.linalg.norm(m, axis=1)[:, None]
+    even = ids % 2 == 0
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    # exact decision: for each odd doc, max cos vs the EVEN half
+    exact_dup = set()
+    emat = mu[even]
+    for v in ids[~even]:
+        cos = emat @ mu[idx_of[int(v)]]
+        if cos.max() >= SEM_COS_T:
+            exact_dup.add(int(v))
+    batch_ids = {int(v) for v in ids[~even]}
+    assert set(got) == batch_ids, "one decision per batch doc"
+    flagged = {v for v, (d, _) in got.items() if d}
+    # precision 1: flagged implies a true pair (check via exact matrix)
+    for v in flagged:
+        cos = emat @ mu[idx_of[v]]
+        assert cos.max() >= SEM_COS_T - 1e-9, f"false positive {v}"
+    if exact_dup:
+        recall = len(flagged & exact_dup) / len(exact_dup)
+        assert recall >= 0.7, (
+            f"incremental SemDeDup recall {recall:.2f} < 0.7 "
+            f"({len(exact_dup)} exact dups)"
+        )

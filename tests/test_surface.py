@@ -192,6 +192,8 @@ NO_ORACLE_OK = {
     "ann_ivfpq_topk",  # approx: recall-gated vs q43b (test_recall.py)
     "ann_ivf_persisted_topk",  # approx: recall+staleness-gated vs q43b
     "multimodal_image_phash",  # Python decode+DCT: no SQL oracle; floor-tested
+    "dedup_semantic_persisted",  # ANN-probe decisions: precision-1 +
+    # recall-gated vs the exact batch x corpus decision (test_recall.py)
 }
 
 
