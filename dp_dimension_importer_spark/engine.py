@@ -145,6 +145,8 @@ from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
     containment_pairs,
     minhash_bands,
     prefix_filter_pairs,
+    semantic_dedup_incremental,
+    semantic_dedup_ivf,
 )
 from dp_dimension_importer_spark.storage import (  # noqa: F401
     abandon_staged,
@@ -346,6 +348,8 @@ __all__ = [
     "ConcurrentCommitError",
     "build_ivf_index",
     "append_to_index",
+    "semantic_dedup_incremental",
+    "semantic_dedup_ivf",
     "probe_index",
     "compact_ivf_index",
     "delete_from_index",
