@@ -403,3 +403,56 @@ def test_partitioned_overwrite_takes_over_mor_table(spark):
         ]
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_minor_compact_mapped_chain_with_tombstones(spark):
+    """Interplay pin: rename (column mapping) + MOR delete tombstones +
+    MINOR compaction — the fold reads physical / emits logical / writes
+    physical again, tombstones keep masking through the fold, and the
+    folded group's files carry the table's one physical schema."""
+    import pyarrow.parquet as pq
+
+    scratch, path = _mkpath()
+    try:
+        _mor_table(spark, path)
+        storage.rename_column(path, "val", "label")
+        storage.upsert_delta_snapshot(
+            spark, path,
+            spark.createDataFrame(
+                [Row(k=5, label="e", seq=2)],
+                "k bigint, label string, seq bigint",
+            ),
+            key_cols=["k"], seq_col="seq",
+        )
+        storage.delete_where_snapshot(spark, path, "label = 'b2'")
+        storage.compact_mor(spark, path, minor=True)
+        man = _man(path)
+        assert man["column_mapping"] == {"label": "val"}
+        assert len(man["mor"]["deltas"]) == 1
+        grp = man["mor"]["deltas"][0]
+        for rel in grp:
+            names = pq.ParquetFile(
+                os.path.join(path, rel)
+            ).schema_arrow.names
+            assert "val" in names and "label" not in names, rel
+            assert storage.MOR_OP_COL in names, (
+                "fold must keep the tombstone column"
+            )
+        got = sorted(
+            (r["k"], r["label"])
+            for r in storage.read_snapshot(spark, path)
+            .select("k", "label").collect()
+        )
+        assert got == [(1, "a"), (3, "c"), (4, "d"), (5, "e")]
+        # major compaction sheds chain, tombstones AND materializes
+        storage.compact_mor(spark, path)
+        man = _man(path)
+        assert "mor" not in man
+        got2 = sorted(
+            (r["k"], r["label"])
+            for r in storage.read_snapshot(spark, path)
+            .select("k", "label").collect()
+        )
+        assert got2 == got
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
