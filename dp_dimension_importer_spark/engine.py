@@ -186,6 +186,7 @@ from dp_dimension_importer_spark.operators.similarity import (  # noqa: F401
     delete_from_index,
     kmeans_fit,
     probe_index,
+    probe_index_batch,
 )
 from dp_dimension_importer_spark.streaming.sink import (  # noqa: F401
     compact_commit_log,
@@ -351,6 +352,7 @@ __all__ = [
     "semantic_dedup_incremental",
     "semantic_dedup_ivf",
     "probe_index",
+    "probe_index_batch",
     "compact_ivf_index",
     "delete_from_index",
     "merge_into_snapshot",

@@ -2450,12 +2450,19 @@ def semantic_dedup_incremental(
     bit-deterministic fold-cosine, shared with every ANN path); recall
     vs the exact batch×corpus decision is gated in tests/test_recall.py.
     The caller appends the kept docs (``append_to_index``) and commits —
-    this function is pure so a crashed pipeline re-runs cleanly."""
+    this function is pure so a crashed pipeline re-runs cleanly.
+
+    r14: routes through :func:`probe_index_batch` — the daily batch's
+    query vectors never touch the driver (r13 verdict's one weak
+    component); cells are assigned executor-side and each probed cell
+    cogroup scores only its own queries. The interactive
+    :func:`probe_index` keeps its driver-collect shape for pinned-size
+    query blocks."""
     from dp_dimension_importer_spark.operators.similarity import (
-        probe_index,
+        probe_index_batch,
     )
 
-    nn = probe_index(spark, idx_path, new_embeddings, corpus, k=1)
+    nn = probe_index_batch(spark, idx_path, new_embeddings, corpus, k=1)
     top1 = nn.filter(F.col("rk") == 1).select(
         F.col("vec_id"),
         "nn_id",

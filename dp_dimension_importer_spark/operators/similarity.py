@@ -1596,6 +1596,13 @@ def probe_index(
         .mapInPandas(scan, "qid long, nn_id long")
         .dropDuplicates(["qid", "nn_id"])
     )
+    return _probe_finish(spark, idx_path, cand, rerank_src, queries, k)
+
+
+def _probe_finish(spark, idx_path, cand, rerank_src, queries, k):
+    """Shared probe tail (interactive + batch paths): tombstone mask →
+    exact fold-cosine rerank on the shortlist rows only → per-query
+    top-k window with the (cos DESC, nn_id ASC) tie-break."""
     tomb = _read_tombstones(spark, idx_path)
     if tomb is not None:
         # deleted vectors stop surfacing immediately (the DV discipline
@@ -1620,6 +1627,107 @@ def probe_index(
         )
         .orderBy("vec_id", "rk")
     )
+
+
+def probe_index_batch(
+    spark,
+    idx_path: str,
+    queries: DataFrame,
+    rerank_src: DataFrame,
+    nprobe: int = IVF_NPROBE,
+    k: int = TOP_K,
+    shortlist: int = SQ_SHORTLIST,
+) -> DataFrame:
+    """Batch-scale twin of :func:`probe_index` — the query side stays
+    DISTRIBUTED end to end (r13 verdict's one weak component: the
+    interactive path collects the query block to the driver and ships
+    the dense query matrix into every scan task, which is the right
+    FAISS shape for a pinned-size block but driver-OOMs when a daily
+    ingest batch of millions of embeddings flows through it, as
+    ``semantic_dedup_incremental`` does).
+
+    Plan: probe cells are assigned EXECUTOR-side by
+    :func:`make_ivf_cells_udf` over the broadcast meta centroids (one
+    numpy matmul per Arrow batch, closure-shipped IVF_CELLS × DIM
+    constants); the exploded (cell, qid, qe) rows cogroup per cell with
+    the partition-pruned code table, each cell group scoring its codes
+    against ONLY that cell's probing queries (one SQ8 dequantize + one
+    matmul per group); per-(query, cell) shortlists union into the
+    candidate set, and the tail — tombstone mask, exact fold-cosine
+    rerank, top-k window — is byte-shared with the interactive path
+    (:func:`_probe_finish`). Driver traffic is ONE distinct-cell-id
+    aggregate (≤ IVF_CELLS ints, for file-level partition pruning) —
+    never a query vector. Per-task memory is one cell's codes + that
+    cell's probing queries; cells are sized by IVF_CELLS, so scale-out
+    means more cells, not bigger groups."""
+    meta = _load_ivf_meta(idx_path)
+    cells_of = make_ivf_cells_udf(meta["centroids"], nprobe)
+    q = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.explode(cells_of("embedding")).alias("cell"),
+    )
+    # the only driver-side collect on this path: the DISTINCT probed
+    # cell ids (ints, ≤ IVF_CELLS) — needed to prune the manifest's
+    # file list so unprobed cell=N/ directories are never opened
+    probed = sorted(
+        r["cell"] for r in q.select("cell").distinct().collect()
+    )
+    import os as _os
+
+    probed_set = set(probed)
+    keep = [
+        r for r in _idx_rels(idx_path)
+        if int(r.split("cell=")[1].split(_os.sep)[0]) in probed_set
+    ]
+    codes = _read_idx(spark, idx_path, keep).filter(
+        F.col("cell").isin(probed)
+    ).select("vec_id", "cell", "code")
+    lo, step = meta["lo"], meta["step"]
+
+    def score(key, cpdf, qpdf):
+        empty = pd.DataFrame(
+            {"qid": pd.Series(dtype="int64"),
+             "nn_id": pd.Series(dtype="int64")}
+        )
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return empty
+        codes_m = np.vstack(
+            [np.frombuffer(b, dtype=np.uint8) for b in cpdf["code"]]
+        ).astype(np.float64)
+        deq = lo + codes_m * step
+        nrm = np.linalg.norm(deq, axis=1)
+        zero = nrm == 0
+        nrm[zero] = 1.0
+        qm = np.vstack(qpdf["qe"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        qn[qn == 0] = 1.0
+        scores = (deq @ (qm / qn[:, None]).T) / nrm[:, None]
+        ids = cpdf["vec_id"].to_numpy()
+        qids = qpdf["qid"].to_numpy()
+        scores[zero, :] = -np.inf
+        scores[ids[:, None] == qids[None, :]] = -np.inf
+        kk = min(shortlist, scores.shape[0])
+        top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+        out_q, out_n = [], []
+        for j in range(len(qids)):
+            t = top[:, j]
+            t = t[np.isfinite(scores[t, j])]
+            out_q.append(np.full(len(t), qids[j], dtype=np.int64))
+            out_n.append(ids[t].astype(np.int64))
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {"qid": np.concatenate(out_q), "nn_id": np.concatenate(out_n)}
+        )
+
+    cand = (
+        codes.groupBy("cell")
+        .cogroup(q.groupBy("cell"))
+        .applyInPandas(score, "qid long, nn_id long")
+        .dropDuplicates(["qid", "nn_id"])
+    )
+    return _probe_finish(spark, idx_path, cand, rerank_src, queries, k)
 
 
 @register("ann_ivf_persisted_topk")  # rows-only: recall-gated vs q43b

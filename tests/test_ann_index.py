@@ -324,3 +324,107 @@ def test_compact_swaps_atomically_and_cleans(spark):
         assert not _os.path.exists(_os.path.join(idx, "_tombstones"))
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- r14:
+# probe_index_batch — the distributed-query twin (r13 verdict's weak
+# component: the interactive probe collects the query block driver-side;
+# the batch path must never move a query VECTOR through the driver).
+
+
+def test_probe_batch_matches_interactive(spark):
+    """Exact tuple parity on the fixture: the batch path's per-cell
+    cogroup shortlists cover at least the interactive path's per-scan
+    shortlists here, and the shared exact rerank makes the final top-k
+    identical (deterministic fixture, deterministic tie-break)."""
+    from dp_dimension_importer_spark.operators.similarity import (
+        probe_index_batch,
+    )
+
+    t = load_tables(spark, SF)
+    e = t.embeddings.filter("vec_id < 600")
+    idx = _mkidx()
+    try:
+        build_ivf_index(spark, e.filter("vec_id % 2 = 0"), idx)
+        append_to_index(spark, e.filter("vec_id % 2 = 1"), idx)
+        # query ids straddle N_QUERY on purpose (the r13 fixture-filter
+        # bug class): 30 ids spread over the corpus
+        q = e.filter("vec_id % 20 = 3")
+        a = probe_index(spark, idx, q, e).collect()
+        b = probe_index_batch(spark, idx, q, e).collect()
+        assert {(r.vec_id, r.rk, r.nn_id) for r in a} == {
+            (r.vec_id, r.rk, r.nn_id) for r in b
+        }
+        assert len(b) > 0
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_probe_batch_never_collects_query_vectors(spark, monkeypatch):
+    """Python-boundary pin for the scale claim: during plan build AND
+    execution of probe_index_batch, every DataFrame.collect() that fires
+    must be vector-free (no embedding/array column) — the only allowed
+    driver traffic is the distinct probed-cell-id aggregate. The
+    interactive probe_index would fail this pin by design."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import types as T
+
+    from dp_dimension_importer_spark.operators.similarity import (
+        probe_index_batch,
+    )
+
+    t = load_tables(spark, SF)
+    e = t.embeddings.filter("vec_id < 400")
+    idx = _mkidx()
+    try:
+        build_ivf_index(spark, e, idx)
+        collected_schemas = []
+        orig = DataFrame.collect
+
+        def spy(self):
+            collected_schemas.append(self.schema)
+            return orig(self)
+
+        monkeypatch.setattr(DataFrame, "collect", spy)
+        out = probe_index_batch(
+            spark, idx, e.filter("vec_id % 10 = 1"), e
+        ).collect()
+        assert len(out) > 0
+        for schema in collected_schemas[:-1]:  # last = the result itself
+            for f in schema.fields:
+                assert not isinstance(f.dataType, T.ArrayType), (
+                    f"batch probe collected a vector column: {schema}"
+                )
+        # and the only pre-result collect is the probed-cell-id set
+        assert all(
+            [f.name for f in s.fields] == ["cell"]
+            for s in collected_schemas[:-1]
+        ), [s.simpleString() for s in collected_schemas[:-1]]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_probe_batch_masks_tombstones(spark):
+    """Deleted vec_ids stop surfacing on the batch path too (shared
+    _probe_finish tail)."""
+    from dp_dimension_importer_spark.operators.similarity import (
+        delete_from_index,
+        probe_index_batch,
+    )
+
+    t = load_tables(spark, SF)
+    e = t.embeddings.filter("vec_id < 400")
+    idx = _mkidx()
+    try:
+        build_ivf_index(spark, e, idx)
+        q = e.filter("vec_id % 10 = 1")
+        before = probe_index_batch(spark, idx, q, e).collect()
+        doomed = {r.nn_id for r in before if r.rk == 1}
+        delete_from_index(
+            spark, idx,
+            spark.createDataFrame([(i,) for i in doomed], "vec_id long"),
+        )
+        after = probe_index_batch(spark, idx, q, e).collect()
+        assert doomed and not ({r.nn_id for r in after} & doomed)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
