@@ -2159,7 +2159,8 @@ def delete_where_snapshot(
         # and DVs can't mix with a delta chain — tombstones are the
         # merge-on-read-native delete (zero base files touched)
         return _delete_where_mor(
-            spark, path, man, predicate, compression, prune
+            spark, path, man, predicate, compression, prune,
+            partition_where,
         )
     dv_map = man.get("dv") or {}
     probe_rels = list(man["files"])
@@ -2401,6 +2402,7 @@ def merge_into_snapshot(
         return _merge_into_mor(
             spark, path, man, source, key_cols, update_set,
             delete_condition, insert, insert_values, compression, txn,
+            partition_where,
         )
     if update_set is None and delete_condition is None and not insert:
         raise ValueError("MERGE INTO with no clauses is a no-op — pass "
@@ -2717,7 +2719,8 @@ def update_where_snapshot(
         # r13: updated images land as one plain upsert delta group —
         # zero base rewrites, the merge-on-read-native UPDATE
         return _update_where_mor(
-            spark, path, man, assignments, predicate, compression, prune
+            spark, path, man, assignments, predicate, compression, prune,
+            partition_where,
         )
     schema = man["schema"]
     missing = [c for c in assignments if c not in schema]
@@ -3179,25 +3182,68 @@ def upsert_delta_snapshot(
         )
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
-    # mapped tables: the delta's files must share the table's ONE
-    # physical schema — write physical, keep logical everywhere else
-    ((changes.withColumnsRenamed(mapping) if mapping else changes)
-     .write.mode("error").option("compression", compression)
-     .parquet(data_dir))
-    # ADVICE r8: Spark writes a schema-only parquet file even for an empty
-    # DataFrame, so a bare glob is never empty and the r7 empty-batch guard
-    # below never fired — every empty micro-batch still grew the delta
-    # chain (and the read tax). Decide emptiness from the FOOTER row
-    # counts (one metadata read per new file, no data pages): zero-row
-    # part files are dropped from the commit outright, and a batch with no
-    # surviving file takes the no-op branch for real.
     import pyarrow.parquet as _pq
 
-    new_files = sorted(
-        os.path.relpath(p, path)
-        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
-        if _pq.ParquetFile(p).metadata.num_rows > 0
-    )
+    part = man.get("partition")
+    new_values: dict | None = None
+    if part and part.get("specs"):
+        # r14 (r13 verdict #2 — hidden partitioning on MOR): delta
+        # groups route through the hive writer under the CURRENT spec,
+        # so chain files carry REAL partition tuples — the partitioned
+        # read prunes base AND chain before the latest-wins window, and
+        # the change feed admits MOR groups exactly by tuple.
+        # SOUNDNESS RULE: spec sources must be MOR KEY columns — a
+        # key's partition tuple is then constant across every commit of
+        # that key (the read_snapshot_pruned key-column argument), so
+        # per-partition resolution equals global resolution restricted
+        # to the partition. Hudi's record-key/partition-path contract.
+        spec = part["specs"][part["current"]]
+        bad_spec = sorted(
+            t["col"] for t in spec if t["col"] not in mor["key_cols"]
+        )
+        if bad_spec:
+            raise ValueError(
+                f"MOR delta on a table partitioned by non-key columns "
+                f"{bad_spec} (keys: {mor['key_cols']}) — a non-key "
+                "partition value can change between commits of one key, "
+                "so partition-pruned resolution would resurrect "
+                "superseded rows. evolve_partition_spec to key-column "
+                "transforms, or overwrite (write_snapshot) to shed the "
+                "layout first"
+            )
+        dtypes_w = {
+            f.name: f.dataType.simpleString() for f in changes.schema
+        }
+        routed_files, routed_vals = _write_partitioned_files(
+            changes, path, spec, part["current"], dtypes_w, compression,
+            mapping or None,
+        )
+        new_files = [
+            r for r in routed_files
+            if _pq.ParquetFile(
+                os.path.join(path, r)
+            ).metadata.num_rows > 0
+        ]
+        new_values = {r: routed_vals[r] for r in new_files}
+    else:
+        # mapped tables: the delta's files must share the table's ONE
+        # physical schema — write physical, keep logical everywhere else
+        ((changes.withColumnsRenamed(mapping) if mapping else changes)
+         .write.mode("error").option("compression", compression)
+         .parquet(data_dir))
+        # ADVICE r8: Spark writes a schema-only parquet file even for an
+        # empty DataFrame, so a bare glob is never empty and the r7
+        # empty-batch guard below never fired — every empty micro-batch
+        # still grew the delta chain (and the read tax). Decide emptiness
+        # from the FOOTER row counts (one metadata read per new file, no
+        # data pages): zero-row part files are dropped from the commit
+        # outright, and a batch with no surviving file takes the no-op
+        # branch for real.
+        new_files = sorted(
+            os.path.relpath(p, path)
+            for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+            if _pq.ParquetFile(p).metadata.num_rows > 0
+        )
     if not new_files:
         # ADVICE r7: an empty micro-batch must not commit an empty delta
         # group — _resolve_mor's read of a zero-path group would brick
@@ -3220,6 +3266,7 @@ def upsert_delta_snapshot(
     }
     if mapping:
         manifest["column_mapping"] = mapping
+    _carry_partition_mor(man, manifest, new_files, new_values)
     if prev_txn or txn is not None:
         manifest["txn"] = dict(prev_txn)
         if txn is not None:
@@ -3311,6 +3358,14 @@ def upsert_delta_snapshot(
         for c, t in merged_schema.items():
             if c not in m2_schema:
                 m2_schema[c] = t
+        hpart = head.get("partition")
+        if (hpart or {}).get("specs") != (part or {}).get("specs") or (
+            (hpart or {}).get("current") != (part or {}).get("current")
+        ):
+            raise ConcurrentCommitError(
+                "partition spec evolved concurrently — this delta's "
+                "tuples were computed under the old spec; re-run"
+            )
         m2 = {
             "files": head["files"],
             "schema": m2_schema,
@@ -3318,6 +3373,7 @@ def upsert_delta_snapshot(
         }
         if mapping:
             m2["column_mapping"] = mapping
+        _carry_partition_mor(head, m2, new_files, new_values)
         head_txn = dict(head.get("txn") or {})
         if txn is not None:
             head_txn[txn[0]] = txn[1]
@@ -3487,18 +3543,11 @@ def compact_mor(spark: SparkSession, path: str,
             },
             keep_tombstones=bool(man["mor"].get("op_col")),
         )
-        if mapping:  # the fold emits LOGICAL; files keep physical names
-            folded = folded.withColumnsRenamed(mapping)
         token = uuid.uuid4().hex[:12]
-        data_dir = os.path.join(path, "data", token)
-        (folded.write.mode("error").option("compression", compression)
-         .parquet(data_dir))
-        import pyarrow.parquet as _pq
-
-        new_files = sorted(
-            os.path.relpath(p, path)
-            for p in glob.glob(os.path.join(data_dir, "*.parquet"))
-            if _pq.ParquetFile(p).metadata.num_rows > 0
+        # routed write (r14): on a partitioned MOR table the folded
+        # group keeps real tuples (mapping renamed physically inside)
+        new_files, new_values = _write_delta_group_routed(
+            folded, path, man, token, compression
         )
         manifest = {
             "files": man["files"],  # base untouched, byte for byte
@@ -3507,6 +3556,7 @@ def compact_mor(spark: SparkSession, path: str,
         }
         if mapping:
             manifest["column_mapping"] = mapping
+        _carry_partition_mor(man, manifest, new_files, new_values)
         if "txn" in man:
             manifest["txn"] = man["txn"]
         if "stats" in man:
@@ -3521,10 +3571,60 @@ def compact_mor(spark: SparkSession, path: str,
             manifest["stats"] = stats
         return _commit_manifest(path, manifest, token)
     resolved = read_snapshot(spark, path)
+    part = man.get("partition")
+    if part and part.get("specs"):
+        # r14: a partitioned MOR table's major compaction keeps the
+        # hidden layout — the materialized base goes out through the
+        # partitioned writer (overwrite sheds the chain wholesale, the
+        # write_snapshot-on-MOR rule) with fresh tuples on every file.
+        return write_snapshot_partitioned(
+            spark, resolved, path, part["specs"][part["current"]],
+            mode="overwrite", compression=compression,
+            stats_cols=stats_cols,
+        )
     return write_snapshot(
         spark, resolved, path,
         compression=compression, stats_cols=stats_cols,
     )
+
+
+def _mor_tuple_pruned_manifest(
+    man: dict, partition_where: dict, spark=None
+):
+    """Partition-tuple twin of :func:`_mor_pruned_manifest` (r14):
+    prune a partitioned MOR manifest's base files AND delta groups to
+    the files whose tuples can satisfy ``partition_where``. Sound for
+    the same reason the partitioned MOR read is: spec sources are key
+    columns, so tuple-matched sets are key-closed and the latest-wins
+    winner over the survivors is the true winner for the matching
+    partitions' keys. No-tuple files always survive. Returns (pruned
+    manifest, files surviving, files total); a table without a
+    partition block passes through unpruned."""
+    mor = man["mor"]
+    all_rels = list(man["files"]) + [
+        rel for grp in mor["deltas"] for rel in grp
+    ]
+    part = man.get("partition")
+    if not part or not part.get("specs"):
+        return man, len(all_rels), len(all_rels)
+    keep_base = _partition_keep(
+        part, man["files"], partition_where, spark
+    )
+    keep_groups = [
+        _partition_keep(part, grp, partition_where, spark)
+        for grp in mor["deltas"]
+    ]
+    pruned = {
+        "files": keep_base,
+        "schema": man["schema"],
+        "mor": {**mor, "deltas": keep_groups},
+    }
+    for carry in ("column_mapping", "widened", "dropped", "stats",
+                  "partition"):
+        if man.get(carry):
+            pruned[carry] = man[carry]
+    n_keep = len(keep_base) + sum(len(g) for g in keep_groups)
+    return pruned, n_keep, len(all_rels)
 
 
 def _mor_pruned_manifest(man: dict, bounds: dict):
@@ -3592,9 +3692,82 @@ def _write_delta_group(
     )
 
 
+def _write_delta_group_routed(
+    df_logical: DataFrame, path: str, man: dict, token: str,
+    compression: str,
+) -> tuple[list, dict | None]:
+    """Land one MOR delta group and return ``(relpaths, {rel: [sid,
+    tuple]} | None)`` — the delta-chain twin of :func:`_route_rewrite`
+    (r14): on a hidden-partitioned MOR table the group's rows route
+    through the hive writer under the CURRENT spec, so delta files come
+    out with REAL partition tuples and both the partitioned read's
+    pruning and the change feed's exact tuple admission hold for the
+    chain, not just the base. ``df_logical`` speaks logical names; a
+    mapped table's physical rename happens at write. Tombstone rows
+    carry the MOR key columns, and a MOR table's spec sources are key
+    columns only (enforced at spec attach), so every delta row — image
+    or tombstone — transforms to a real tuple. Defensive fallback: a
+    spec column absent from the frame (a legacy non-key spec) degrades
+    to the plain untupled write — pruning degrades, never lies."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    mapping = man.get("column_mapping") or {}
+    part = man.get("partition")
+    have = set(df_logical.columns)
+    if part and part.get("specs"):
+        spec = part["specs"][part["current"]]
+        if all(t["col"] in have for t in spec):
+            dtypes = {
+                f.name: f.dataType.simpleString()
+                for f in df_logical.schema
+            }
+            files, values = _write_partitioned_files(
+                df_logical, path, spec, part["current"], dtypes,
+                compression, mapping or None,
+            )
+            keep = [
+                r for r in files
+                if _pq.ParquetFile(
+                    os.path.join(path, r)
+                ).metadata.num_rows > 0
+            ]
+            return keep, {r: values[r] for r in keep}
+    out = (
+        df_logical.withColumnsRenamed(mapping) if mapping else df_logical
+    )
+    return _write_delta_group(out, path, token, compression), None
+
+
+def _carry_partition_mor(
+    man: dict, manifest: dict, new_files: list,
+    new_values: dict | None = None,
+) -> None:
+    """Carry a partition block through a DELTA-GROUP commit: every live
+    rel (base files + every chain file) keeps its recorded tuple, the
+    new group's files take theirs from ``new_values`` (hive-routed
+    write) or None (plain write — never pruned)."""
+    part = man.get("partition")
+    if not part:
+        return
+    vals = dict(part.get("values") or {})
+    nv = new_values or {}
+    live = list(manifest.get("files") or [])
+    for grp in (manifest.get("mor") or {}).get("deltas", []):
+        live.extend(grp)
+    manifest["partition"] = {
+        **{k: part[k] for k in part if k != "values"},
+        "values": {
+            rel: (nv.get(rel) if rel in set(new_files) else vals.get(rel))
+            for rel in live
+        },
+    }
+
+
 def _commit_delta_group(
     path: str, man: dict, new_files: list, token: str,
-    txn: tuple | None = None, rebase=None,
+    txn: tuple | None = None, rebase=None, new_values: dict | None = None,
 ) -> int:
     """Commit ``new_files`` as the next delta group of ``man``'s chain,
     declaring the op column (the group may carry tombstones). Base file
@@ -3615,6 +3788,7 @@ def _commit_delta_group(
     }
     if mapping:
         manifest["column_mapping"] = mapping
+    _carry_partition_mor(man, manifest, new_files, new_values)
     prev_txn = man.get("txn") or {}
     if prev_txn or txn is not None:
         manifest["txn"] = dict(prev_txn)
@@ -3633,6 +3807,7 @@ def _commit_delta_group(
 def _delete_where_mor(
     spark: SparkSession, path: str, man: dict, predicate,
     compression: str, prune: tuple | None,
+    partition_where: dict | None = None,
 ) -> dict:
     """MOR DELETE as a DELTA-GROUP commit (r12 verdict #1 — the largest
     interop wall: every DML verb refused on the streaming-CDC substrate,
@@ -3664,6 +3839,13 @@ def _delete_where_mor(
 
     n_all = len(man["files"]) + sum(len(g) for g in mor["deltas"])
     read_man, n_kept = man, n_all
+    if partition_where is not None:
+        # r14: partition-tuple probe pruning on a partitioned MOR table
+        # (caller contract: the predicate is FALSE outside the matching
+        # partitions — the COW partition_where contract)
+        read_man, n_kept, _ = _mor_tuple_pruned_manifest(
+            read_man, partition_where, spark
+        )
     if prune is not None:
         col, lo, hi = prune
         if col not in key_cols:
@@ -3672,7 +3854,9 @@ def _delete_where_mor(
                 f"column {key_cols} — non-key stats can't prune a chain "
                 "soundly (a superseded row would resurrect as winner)"
             )
-        read_man, n_kept, _ = _mor_pruned_manifest(man, {col: (lo, hi)})
+        read_man, n_kept, _ = _mor_pruned_manifest(
+            read_man, {col: (lo, hi)}
+        )
     if not read_man["files"] and not any(read_man["mor"]["deltas"]):
         return {
             "version": snapshot_versions(path)[-1], "rows_deleted": 0,
@@ -3685,11 +3869,12 @@ def _delete_where_mor(
         *key_cols, F.col(seq_col),
         F.lit(MOR_DELETE_OP).alias(MOR_OP_COL),
     )
-    mapping = man.get("column_mapping") or {}
-    if mapping:  # tombstones share the table's one physical schema
-        tomb = tomb.withColumnsRenamed(mapping)
     token = uuid.uuid4().hex[:12]
-    new_files = _write_delta_group(tomb, path, token, compression)
+    # routed write: tombstones get real partition tuples on a hidden-
+    # partitioned MOR table (mapping applied physically inside)
+    new_files, new_values = _write_delta_group_routed(
+        tomb, path, man, token, compression
+    )
     if not new_files:
         import shutil as _sh
 
@@ -3710,7 +3895,9 @@ def _delete_where_mor(
         _pq.ParquetFile(_os.path.join(path, rel)).metadata.num_rows
         for rel in new_files
     )
-    version = _commit_delta_group(path, man, new_files, token)
+    version = _commit_delta_group(
+        path, man, new_files, token, new_values=new_values
+    )
     return {
         "version": version, "rows_deleted": n_rows,
         "files_rewritten": 0, "files_kept": len(man["files"]),
@@ -3721,6 +3908,7 @@ def _delete_where_mor(
 def _update_where_mor(
     spark: SparkSession, path: str, man: dict, assignments: dict,
     predicate, compression: str, prune: tuple | None,
+    partition_where: dict | None = None,
 ) -> dict:
     """MOR UPDATE as a DELTA-GROUP commit (r13, completing the DML triad
     on the streaming-CDC substrate): matched rows' UPDATED images land
@@ -3747,6 +3935,11 @@ def _update_where_mor(
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     n_all = len(man["files"]) + sum(len(g) for g in mor["deltas"])
     read_man, n_kept = man, n_all
+    if partition_where is not None:
+        # r14: partition-tuple probe pruning (see the MOR delete note)
+        read_man, n_kept, _ = _mor_tuple_pruned_manifest(
+            read_man, partition_where, spark
+        )
     if prune is not None:
         col, lo, hi = prune
         if col not in key_cols:
@@ -3755,7 +3948,9 @@ def _update_where_mor(
                 f"column {key_cols} — non-key stats can't prune a chain "
                 "soundly (a superseded row would resurrect as winner)"
             )
-        read_man, n_kept, _ = _mor_pruned_manifest(man, {col: (lo, hi)})
+        read_man, n_kept, _ = _mor_pruned_manifest(
+            read_man, {col: (lo, hi)}
+        )
     no_op = {
         "version": snapshot_versions(path)[-1], "rows_updated": 0,
         "files_rewritten": 0, "files_kept": len(man["files"]),
@@ -3782,11 +3977,10 @@ def _update_where_mor(
         _enforce_constraints(
             images, man["constraints"], "update_where_snapshot"
         )
-    mapping = man.get("column_mapping") or {}
-    if mapping:
-        images = images.withColumnsRenamed(mapping)
     token = uuid.uuid4().hex[:12]
-    new_files = _write_delta_group(images, path, token, compression)
+    new_files, new_values = _write_delta_group_routed(
+        images, path, man, token, compression
+    )
     if not new_files:
         import shutil as _sh
 
@@ -3803,7 +3997,9 @@ def _update_where_mor(
         _pq.ParquetFile(_os.path.join(path, rel)).metadata.num_rows
         for rel in new_files
     )
-    version = _commit_delta_group(path, man, new_files, token)
+    version = _commit_delta_group(
+        path, man, new_files, token, new_values=new_values
+    )
     return {
         "version": version, "rows_updated": n_rows,
         "files_rewritten": 0, "files_kept": len(man["files"]),
@@ -3815,6 +4011,7 @@ def _merge_into_mor(
     spark: SparkSession, path: str, man: dict, source: DataFrame,
     key_cols: list[str], update_set, delete_condition, insert: bool,
     insert_values, compression: str, txn: tuple | None,
+    partition_where: dict | None = None,
 ) -> int:
     """MERGE INTO a MOR table as ONE delta-group commit (r12 verdict
     #1): the source compacts against the RESOLVED view and lands a
@@ -3886,7 +4083,15 @@ def _merge_into_mor(
             src_bounds[kc] = (
                 _stat_encode(b["lo"]), _stat_encode(b["hi"])
             )
-    read_man, _, _ = _mor_pruned_manifest(man, bounds)
+    probe_man = man
+    if partition_where is not None:
+        # r14: partition-tuple probe pruning (caller contract is the
+        # COW merge's STRONGER one — every source key confined to the
+        # matching partitions, else NOT-MATCHED would re-insert)
+        probe_man, _, _ = _mor_tuple_pruned_manifest(
+            probe_man, partition_where, spark
+        )
+    read_man, _, _ = _mor_pruned_manifest(probe_man, bounds)
     if read_man["files"] or any(read_man["mor"]["deltas"]):
         resolved = _resolve_mor(spark, path, read_man)
     else:  # every file provably key-disjoint from the source
@@ -3966,10 +4171,10 @@ def _merge_into_mor(
             out.filter(F.col(MOR_OP_COL) == MOR_DELETE_OP)
         )
     mapping = man.get("column_mapping") or {}
-    if mapping:  # images share the table's one physical schema
-        out = out.withColumnsRenamed(mapping)
     token = uuid.uuid4().hex[:12]
-    new_files = _write_delta_group(out, path, token, compression)
+    new_files, new_values = _write_delta_group_routed(
+        out, path, man, token, compression
+    )
     if not new_files:
         import shutil as _sh
 
@@ -4026,6 +4231,14 @@ def _merge_into_mor(
                 "delta chain was rewritten concurrently (minor "
                 "compaction?) — re-run the merge"
             )
+        hpart, mpart = head.get("partition"), man.get("partition")
+        if (hpart or {}).get("specs") != (mpart or {}).get("specs") or (
+            (hpart or {}).get("current") != (mpart or {}).get("current")
+        ):
+            raise ConcurrentCommitError(
+                "partition spec evolved concurrently — this group's "
+                "tuples were computed under the old spec; re-run"
+            )
         racing = [
             rel for grp in hmor["deltas"][len(prefix):] for rel in grp
         ]
@@ -4044,6 +4257,7 @@ def _merge_into_mor(
         }
         if mapping:
             m2["column_mapping"] = mapping
+        _carry_partition_mor(head, m2, new_files, new_values)
         head_txn = dict(head.get("txn") or {})
         if txn is not None:
             head_txn[txn[0]] = txn[1]
@@ -4062,7 +4276,8 @@ def _merge_into_mor(
         return m2
 
     return _commit_delta_group(
-        path, man, new_files, token, txn=txn, rebase=_rebase
+        path, man, new_files, token, txn=txn, rebase=_rebase,
+        new_values=new_values,
     )
 
 
@@ -5543,6 +5758,18 @@ def _normalize_spec(spec) -> list[dict]:
     if not spec:
         raise ValueError("partition spec must name at least one transform")
     for entry in spec:
+        if isinstance(entry, dict):
+            # already-normalized (manifest JSON form): pass through via
+            # the same validation by re-expressing as the tuple form
+            t = entry["transform"]
+            if t == "identity":
+                entry = (t, entry["col"])
+            elif t == "bucket":
+                entry = (t, entry["col"], entry["n"])
+            elif t == "truncate":
+                entry = (t, entry["col"], entry["w"])
+            else:
+                entry = (t, entry["col"])
         t = entry[0]
         if t == "identity":
             (_, col), extra = entry[:2], entry[2:]
@@ -6047,6 +6274,16 @@ def partition_pruned_files(
     part = manifest.get("partition")
     if not part:
         return list(files), len(files)
+    return _partition_keep(part, files, where, spark), len(files)
+
+
+def _partition_keep(
+    part: dict, rels: list, where: dict,
+    spark: SparkSession | None = None,
+) -> list[str]:
+    """The tuple-admission core of :func:`partition_pruned_files` over
+    an ARBITRARY rel list — shared with the MOR read path, which prunes
+    base files and each delta group independently (r14)."""
     specs, vals = part["specs"], part.get("values") or {}
 
     def _tests_for(spec):
@@ -6081,7 +6318,7 @@ def partition_pruned_files(
     # and new files each as well as their own layout allows
     tests_by_sid: dict[int, list] = {}
     keep = []
-    for rel in files:
+    for rel in rels:
         entry = vals.get(rel)
         if entry is None:
             keep.append(rel)
@@ -6099,7 +6336,7 @@ def partition_pruned_files(
                 break
         if ok:
             keep.append(rel)
-    return keep, len(files)
+    return keep
 
 
 def _where_expr(where: dict):
@@ -6156,8 +6393,52 @@ def read_snapshot_partitioned(
         )
     if not where:
         return read_snapshot(spark, path, version)
-    keep, _total = partition_pruned_files(path, where, version, spark)
     manifest = _load_manifest(path, version)
+    if manifest.get("mor"):
+        # r14 (r13 verdict #2): partitioned MOR — prune base files AND
+        # every delta group by tuple BEFORE the latest-wins window.
+        # Sound because a MOR spec's sources are key columns (enforced
+        # at spec attach/delta write): every row of a predicate-
+        # satisfying key lives in tuple-matching or no-tuple files, so
+        # the winner over the survivors is the true winner; extraneous
+        # surviving keys fall to the row filter. Empty groups stay
+        # positionally (commit rank alignment, the _mor_pruned_manifest
+        # rule).
+        part = manifest.get("partition")
+        mor = manifest["mor"]
+        spec_cols = {
+            t["col"]
+            for s in ((part or {}).get("specs") or [])
+            for t in s
+        }
+        unsound = (spec_cols & set(where)) - set(mor["key_cols"])
+        if not part or not part.get("specs") or unsound:
+            # no layout (or a legacy non-key spec): resolve-then-filter
+            return read_snapshot(spark, path, version).filter(
+                _where_expr(where)
+            )
+        keep_base = _partition_keep(part, manifest["files"], where, spark)
+        keep_groups = [
+            _partition_keep(part, grp, where, spark)
+            for grp in mor["deltas"]
+        ]
+        if not keep_base and not any(keep_groups):
+            return _manifest_df(
+                spark, path,
+                {"files": [], "schema": manifest.get("schema")},
+            ).filter(F.lit(False))
+        pruned = {
+            "files": keep_base,
+            "schema": manifest["schema"],
+            "mor": {**mor, "deltas": keep_groups},
+        }
+        for carry in ("column_mapping", "widened", "dropped"):
+            if manifest.get(carry):
+                pruned[carry] = manifest[carry]
+        return _resolve_mor(spark, path, pruned).filter(
+            _where_expr(where)
+        )
+    keep, _total = partition_pruned_files(path, where, version, spark)
     if not keep:
         return _manifest_df(
             spark, path, {"files": [], "schema": manifest.get("schema")}
@@ -6494,7 +6775,23 @@ def evolve_partition_spec(path: str, new_spec) -> int:
     new_spec = _normalize_spec(new_spec)
     man = _load_manifest(path, versions[-1])
     if man.get("mor"):
-        raise ValueError("partition spec on a MOR table unsupported")
+        # r14 (r13 verdict #2): a MOR table takes a partition spec as
+        # long as every source column is a MOR KEY column — a key's
+        # tuple is then constant across all its commits, which is what
+        # makes partition-pruned latest-wins resolution (and the
+        # partition-scoped chain fold) sound. Existing base and chain
+        # files simply carry no tuples (never pruned) until rewritten.
+        keys = man["mor"]["key_cols"]
+        bad = sorted(
+            t["col"] for t in new_spec if t["col"] not in keys
+        )
+        if bad:
+            raise ValueError(
+                f"partition spec on a MOR table must transform KEY "
+                f"columns only — {bad} are not in {keys} (a non-key "
+                "value can change between commits of one key, making "
+                "partition-pruned resolution unsound)"
+            )
     schema = man.get("schema") or {}
     for t in new_spec:
         if t["col"] not in schema:
@@ -6887,6 +7184,7 @@ def optimize_partitions(
     where: dict,
     compression: str = PARQUET_CODEC,
     target_file_bytes: int | None = 128 << 20,
+    minor: bool = False,
 ) -> dict:
     """Partition-scoped OPTIMIZE (Delta's ``OPTIMIZE t WHERE ...`` — the
     maintenance shape that actually runs at 100 TB, where a full-table
@@ -6918,9 +7216,15 @@ def optimize_partitions(
     man = _load_manifest(path, versions[-1])
     mapping = man.get("column_mapping") or {}  # scan logical, write physical
     if man.get("mor"):
+        # r14 (r13 verdict #4): partition-scoped maintenance on MOR —
+        # fold only the matched partitions' chains
+        return _optimize_partitions_mor(
+            spark, path, man, where, compression, target_file_bytes,
+            minor,
+        )
+    if minor:
         raise ValueError(
-            "optimize_partitions on a MOR table unsupported — compact_mor "
-            "folds the delta chain first"
+            "minor=True folds a MOR delta chain — this table has none"
         )
     part = man.get("partition")
     if not part:
@@ -7022,6 +7326,211 @@ def optimize_partitions(
         "files_kept": len(kept),
         "partitions_matched": len(
             {tuple(v[1]) for v in new_values.values()}
+        ),
+    }
+
+
+def _optimize_partitions_mor(
+    spark: SparkSession,
+    path: str,
+    man: dict,
+    where: dict,
+    compression: str,
+    target_file_bytes: int | None,
+    minor: bool,
+) -> dict:
+    """Partition-scoped OPTIMIZE on a MOR table (r14, r13 verdict #4 —
+    previously the only maintenance verb was a whole-chain
+    :func:`compact_mor`, so folding one hot partition of a 100 TB CDC
+    table meant compacting everything):
+
+    * ``minor=False`` (major, default): MATERIALIZE the matched
+      partitions — resolve latest-wins over exactly their base + chain
+      files, drop tombstones, and write the result as fresh BASE files
+      through the hive writer (target-size fan-out); the matched files
+      leave the manifest, every unmatched partition's base and delta
+      files ride through byte-identical.
+    * ``minor=True``: fold the matched partitions' DELTA files into one
+      group appended at the chain's end (``keep_tombstones`` — they
+      still mask base rows the fold never reads); base files are
+      untouched everywhere.
+
+    SOUNDNESS: the fold's matched file set must be closed under MOR
+    keys — otherwise a loser row left in the chain at its old commit
+    rank would outrank the folded winner (or a folded winner would
+    shadow a newer unmatched row). Two table invariants provide the
+    closure: spec sources are KEY columns (a key's tuple is constant
+    across its commits) and every live file carries a REAL tuple (this
+    verb refuses when any doesn't — hive-routed writes always tuple, so
+    only pre-partitioning history can violate it, and a full
+    :func:`compact_mor` repairs that). A key therefore has ALL of its
+    rows in tuple-equal files: tuple-matched sets are key-closed, and
+    per-partition resolution equals global resolution restricted to the
+    partition."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as _pq
+
+    versions = snapshot_versions(path)
+    mor = man["mor"]
+    part = man.get("partition")
+    if not part or not part.get("specs"):
+        raise ValueError(
+            "MOR table has no partition spec — compact_mor folds the "
+            "whole chain"
+        )
+    spec = part["specs"][part["current"]]
+    bad = sorted(t["col"] for t in spec if t["col"] not in mor["key_cols"])
+    if bad:
+        raise ValueError(
+            f"partition-scoped MOR optimize needs a key-column spec — "
+            f"{bad} are not in {mor['key_cols']} (fold closure fails)"
+        )
+    vals = (part.get("values") or {})
+    live = list(man["files"]) + [
+        rel for grp in mor["deltas"] for rel in grp
+    ]
+    untupled = [rel for rel in live if vals.get(rel) is None]
+    if untupled:
+        raise ValueError(
+            f"partition-scoped MOR optimize needs a partition tuple on "
+            f"every live file — {len(untupled)} file(s) predate the "
+            "layout (the matched set must be key-closed to fold "
+            "soundly); run compact_mor (full) once to repair"
+        )
+    matched_base = set(_partition_keep(part, man["files"], where, spark))
+    matched_groups = [
+        set(_partition_keep(part, grp, where, spark))
+        for grp in mor["deltas"]
+    ]
+    matched = sorted(matched_base | set().union(*matched_groups, set()))
+    n_delta_matched = sum(len(g) for g in matched_groups)
+    no_op = {
+        "version": versions[-1],
+        "files_rewritten": 0,
+        "files_kept": len(live),
+        "partitions_matched": 0,
+    }
+    if minor and n_delta_matched == 0:
+        return no_op
+    if not matched:
+        return no_op
+    max_records = None
+    if target_file_bytes is not None:
+        fold_rels = (
+            [r for g in matched_groups for r in g] if minor else matched
+        )
+        tot_bytes = tot_rows = 0
+        for rel in fold_rels:
+            fp = os.path.join(path, rel)
+            try:
+                tot_bytes += os.path.getsize(fp)
+                tot_rows += _pq.ParquetFile(fp).metadata.num_rows
+            except OSError:
+                pass
+        if tot_bytes and tot_rows:
+            max_records = max(
+                1, int(target_file_bytes * tot_rows // tot_bytes)
+            )
+    mapping = man.get("column_mapping") or {}
+    carry_keys = ("column_mapping", "widened", "dropped")
+    stats_cols = None
+    if "stats" in man:
+        stats_cols = sorted(
+            {c for per in man["stats"].values() for c in per}
+        )
+
+    def _hive_out(df_logical):
+        dtypes = {
+            f.name: f.dataType.simpleString() for f in df_logical.schema
+        }
+        files, values = _write_partitioned_files(
+            df_logical, path, spec, part["current"], dtypes, compression,
+            mapping or None, max_records_per_file=max_records,
+        )
+        keep = [
+            r for r in files
+            if _pq.ParquetFile(
+                os.path.join(path, r)
+            ).metadata.num_rows > 0
+        ]
+        return keep, {r: values[r] for r in keep}
+
+    if minor:
+        # fold matched DELTA files only, tombstones kept (they mask
+        # base rows this fold never reads)
+        groups_m = [sorted(g) for g in matched_groups]
+        synth = {
+            "files": groups_m[0],
+            "schema": man["schema"],
+            "mor": {**mor, "deltas": groups_m[1:]},
+        }
+        for k in carry_keys:
+            if man.get(k):
+                synth[k] = man[k]
+        folded = _resolve_mor(
+            spark, path, synth,
+            keep_tombstones=bool(mor.get("op_col")),
+        )
+        new_files, new_values = _hive_out(folded)
+        new_deltas = [
+            [rel for rel in grp if rel not in mset]
+            for grp, mset in zip(mor["deltas"], matched_groups)
+        ] + ([new_files] if new_files else [])
+        manifest = {
+            "files": man["files"],  # base untouched, byte for byte
+            "schema": man["schema"],
+            "mor": {**mor, "deltas": new_deltas},
+        }
+        n_rewritten = n_delta_matched
+    else:
+        sub = {
+            "files": sorted(matched_base),
+            "schema": man["schema"],
+            "mor": {**mor, "deltas": [sorted(g) for g in matched_groups]},
+        }
+        for k in carry_keys:
+            if man.get(k):
+                sub[k] = man[k]
+        folded = _resolve_mor(spark, path, sub)  # tombstones shed
+        new_files, new_values = _hive_out(folded)
+        new_deltas = [
+            [rel for rel in grp if rel not in mset]
+            for grp, mset in zip(mor["deltas"], matched_groups)
+        ]
+        manifest = {
+            "files": [
+                rel for rel in man["files"] if rel not in matched_base
+            ] + new_files,
+            "schema": man["schema"],
+            "mor": {**mor, "deltas": new_deltas},
+        }
+        n_rewritten = len(matched)
+    if mapping:
+        manifest["column_mapping"] = mapping
+    _carry_partition_mor(man, manifest, new_files, new_values)
+    if "txn" in man:
+        manifest["txn"] = man["txn"]
+    if stats_cols is not None:
+        kept_rels = set(manifest["files"]) | {
+            rel for grp in manifest["mor"]["deltas"] for rel in grp
+        }
+        stats = {
+            rel: man["stats"][rel]
+            for rel in kept_rels - set(new_files)
+            if rel in man["stats"]
+        }
+        stats.update(_stats_logical(new_files, path, stats_cols, mapping))
+        manifest["stats"] = stats
+    # read-modify-write: a concurrent commit invalidates the fold
+    version = _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
+    return {
+        "version": version,
+        "files_rewritten": n_rewritten,
+        "files_kept": len(live) - n_rewritten,
+        "partitions_matched": len(
+            {tuple(vals[rel][1]) for rel in matched}
         ),
     }
 

@@ -551,19 +551,34 @@ def make_changefeed_source():
                     mop = (tr["manifest"].get("mor") or {}).get("op_col")
                     groups = list(enumerate(tr["new_groups"]))
                     if self.pwhere:
-                        # r13 (r12 verdict #5): MOR tables carry no
-                        # partition tuples, but their delta groups
-                        # harvest footer stats — admit by stat range
-                        # (conservative superset; stat-less files flow)
-                        groups = [
-                            (
-                                gi,
-                                _admit_stats_files(
-                                    tr["manifest"], list(grp), self.pwhere
-                                ),
-                            )
-                            for gi, grp in groups
-                        ]
+                        # r14: hidden-partitioned MOR delta groups carry
+                        # REAL tuples (hive-routed writes) — admit
+                        # EXACTLY by tuple, same as appends; untupled
+                        # files flow (conservative superset). Tables
+                        # without a partition block keep the r13 stat-
+                        # range admission (stat-less files flow).
+                        if tr["manifest"].get("partition"):
+                            groups = [
+                                (
+                                    gi,
+                                    _admit(
+                                        tr["manifest"], list(grp),
+                                        self.pwhere,
+                                    ),
+                                )
+                                for gi, grp in groups
+                            ]
+                        else:
+                            groups = [
+                                (
+                                    gi,
+                                    _admit_stats_files(
+                                        tr["manifest"], list(grp),
+                                        self.pwhere,
+                                    ),
+                                )
+                                for gi, grp in groups
+                            ]
                     parts += [
                         _Part(
                             (
