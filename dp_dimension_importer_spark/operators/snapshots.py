@@ -2913,3 +2913,403 @@ def q96c_mapped_mor(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q93c_partitioned_mor",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderkey % 8 AS grp,
+               o_orderpriority AS pri, o_totalprice AS tp,
+               0 AS ci, CAST(0 AS BIGINT) AS seq
+        FROM orders
+    ), d1 AS (
+        SELECT k, grp, pri, tp + 1000, 1, CAST(1 AS BIGINT)
+        FROM base WHERE k % 10 = 3
+    ), d2 AS (
+        SELECT k, grp, pri, tp + 2000, 2, CAST(2 AS BIGINT)
+        FROM base WHERE k % 7 = 2
+    ), u AS (
+        SELECT * FROM base UNION ALL SELECT * FROM d1
+        UNION ALL SELECT * FROM d2
+    ), r AS (
+        SELECT k, grp, pri, tp,
+               ROW_NUMBER() OVER (PARTITION BY grp, k
+                                  ORDER BY ci DESC, seq DESC) AS rn
+        FROM u
+    ), w AS (
+        SELECT k, grp, pri, tp FROM r WHERE rn = 1
+    ), fin AS (
+        SELECT * FROM w WHERE NOT (pri = '1-URGENT' AND k % 5 = 0)
+    ), v AS (
+        SELECT 'full' AS view, pri, tp FROM fin
+        UNION ALL
+        SELECT 'pruned', pri, tp FROM fin WHERE grp IN (2, 5)
+    )
+    SELECT view, pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM v GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q93c_partitioned_mor(spark, sf_dir):
+    """HIDDEN-PARTITIONED MOR table end to end (r14, r13 verdict #2 —
+    the production streaming-CDC layout): a partitioned base takes two
+    delta-group upserts and a MOR DELETE, every chain file lands
+    hive-routed with a REAL partition tuple
+    (:func:`storage._write_delta_group_routed`), and the partitioned
+    read prunes base AND chain by tuple BEFORE the latest-wins window
+    (:func:`storage.read_snapshot_partitioned`'s r14 MOR dispatch).
+    Soundness lives in the spec rule: partition sources are MOR KEY
+    columns, so a key's tuple never changes across its commits and
+    per-partition resolution equals global resolution restricted to the
+    partition. Structural asserts: every live file is tupled; the
+    pruned read opens ONLY the two subscribed partitions' directories.
+    The 'pruned'/'full' twin views hash-pin pruned ≡ filter against the
+    DuckDB replay. Reference: the importer's long-lived per-dataset
+    upsert loop (handler/incoming_instance_handler.go:285-303) is a
+    partitioned table in any real deployment (Hudi partitions MOR
+    natively)."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 8).alias("grp"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    d1 = base.filter(F.col("k") % 10 == 3).withColumn(
+        "tp", F.col("tp") + 1000
+    ).withColumn("seq", F.lit(1).cast("long"))
+    d2 = base.filter(F.col("k") % 7 == 2).withColumn(
+        "tp", F.col("tp") + 2000
+    ).withColumn("seq", F.lit(2).cast("long"))
+    path = tempfile.mkdtemp(prefix="q93c_morpart_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot_partitioned(
+            spark, base, path, [("identity", "grp")],
+            stats_cols=["k", "grp"],
+        )
+        storage.upsert_delta_snapshot(spark, path, d1, ["grp", "k"], "seq")
+        storage.upsert_delta_snapshot(spark, path, d2, ["grp", "k"], "seq")
+        storage.delete_where_snapshot(
+            spark, path, "pri = '1-URGENT' AND k % 5 = 0"
+        )
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        vals = man["partition"]["values"]
+        live = list(man["files"]) + [
+            rel for grp in man["mor"]["deltas"] for rel in grp
+        ]
+        assert len(man["mor"]["deltas"]) == 3  # d1, d2, tombstones
+        assert all(vals.get(rel) is not None for rel in live), (
+            "untupled chain file"
+        )
+        where = {"grp": ("in", [2, 5])}
+        pruned = storage.read_snapshot_partitioned(spark, path, where)
+        for f in pruned.inputFiles():
+            assert "_p0=2/" in f or "_p0=5/" in f, (
+                f"pruned MOR read opened an unsubscribed partition: {f}"
+            )
+        full = storage.read_snapshot(spark, path)
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        u = full.withColumn("view", F.lit("full")).unionByName(
+            pruned.withColumn("view", F.lit("pruned"))
+        )
+        return (
+            u.groupBy("view", "pri")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("view", "pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q86f_mor_update",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS tp,
+               0 AS ci, CAST(0 AS BIGINT) AS seq
+        FROM orders
+    ), d1 AS (
+        SELECT k, pri, tp + 1000, 1, CAST(1 AS BIGINT)
+        FROM base WHERE k % 10 = 3
+    ), u AS (
+        SELECT * FROM base UNION ALL SELECT * FROM d1
+    ), r AS (
+        SELECT k, pri, tp,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY ci DESC, seq DESC) AS rn
+        FROM u
+    ), w AS (
+        SELECT k, pri, tp FROM r WHERE rn = 1
+    ), fin AS (
+        SELECT k, pri,
+               CASE WHEN pri = '2-HIGH' AND k % 3 = 1
+                    THEN tp + 50 ELSE tp END AS tp
+        FROM w
+    ), ph AS (
+        SELECT 1 AS phase, pri, tp FROM fin
+        UNION ALL SELECT 2, pri, tp FROM fin
+        UNION ALL SELECT 3, pri, tp FROM fin
+    )
+    SELECT phase, pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM ph GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q86f_mor_update(spark, sf_dir):
+    """UPDATE on a live MOR table (r14 — oracling the r13
+    :func:`storage._update_where_mor` verb, completing the q86d/q86e
+    DML row set): matched rows' updated images land as ONE plain upsert
+    delta group, zero base files rewritten; the predicate and every RHS
+    are judged against the RESOLVED view (a row whose latest delta
+    value no longer matches is spared; assignments see pre-update
+    values). Phase 1 reads post-update, phase 2 after MINOR compaction,
+    phase 3 after MAJOR. Structural asserts: the update commit's base
+    file list is byte-identical and files_rewritten == 0; PRUNE PARITY —
+    the same update with a key-range ``prune`` on a twin table probes
+    fewer files and resolves to the identical table."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    d1 = base.filter(F.col("k") % 10 == 3).withColumn(
+        "tp", F.col("tp") + 1000
+    ).withColumn("seq", F.lit(1).cast("long"))
+    path = tempfile.mkdtemp(prefix="q86f_mor_upd_")
+    twin = tempfile.mkdtemp(prefix="q86f_mor_upd_twin_")
+    try:
+        shutil.rmtree(path)
+        shutil.rmtree(twin)
+        kmax = base.agg(F.max("k")).first()[0]
+        for p in (path, twin):
+            # range-sharded base: per-file key stats are disjoint, so
+            # the prune-parity assert below can actually skip files
+            storage.write_snapshot(
+                spark, base.repartitionByRange(4, "k"), p,
+                stats_cols=["k"],
+            )
+            storage.upsert_delta_snapshot(spark, p, d1, ["k"], "seq")
+        mdir = os.path.join(path, "_manifests")
+        with open(os.path.join(mdir, "v2.json")) as f:
+            pre_files = json.load(f)["files"]
+        pred = "pri = '2-HIGH' AND k % 3 = 1"
+        r = storage.update_where_snapshot(
+            spark, path, {"tp": "tp + 50"}, pred
+        )
+        assert r["files_rewritten"] == 0 and r["rows_updated"] > 0
+        with open(os.path.join(mdir, f"v{r['version']}.json")) as f:
+            man = json.load(f)
+        assert man["files"] == pre_files, "MOR update touched base files"
+        # prune parity: the same update, key-range-pruned, on the twin
+        r2 = storage.update_where_snapshot(
+            spark, twin, {"tp": "tp + 50"},
+            pred + f" AND k <= {kmax // 2}",
+            prune=("k", 0, kmax // 2),
+        )
+        assert r2["files_probed"] < r["files_probed"], (
+            r2["files_probed"], r["files_probed"]
+        )
+        p1 = storage.read_snapshot(spark, path)
+        v_minor = storage.compact_mor(spark, path, minor=True)
+        with open(os.path.join(mdir, f"v{v_minor}.json")) as f:
+            man = json.load(f)
+        assert man["files"] == pre_files, "minor compaction touched base"
+        assert len(man["mor"]["deltas"]) == 1
+        p2 = storage.read_snapshot(spark, path)
+        v_major = storage.compact_mor(spark, path)
+        with open(os.path.join(mdir, f"v{v_major}.json")) as f:
+            assert "mor" not in json.load(f), "major kept the chain"
+        p3 = storage.read_snapshot(spark, path)
+        # twin parity on the pruned half: pruned-update rows == full
+        # update restricted to the pruned predicate's range
+        twin_rows = storage.read_snapshot(spark, twin).filter(
+            f"k <= {kmax // 2}"
+        )
+        main_rows = p1.filter(f"k <= {kmax // 2}")
+        assert sorted(map(tuple, twin_rows.collect())) == sorted(
+            map(tuple, main_rows.collect())
+        ), "prune parity broken"
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        u = (
+            p1.withColumn("phase", F.lit(1))
+            .unionByName(p2.withColumn("phase", F.lit(2)))
+            .unionByName(p3.withColumn("phase", F.lit(3)))
+        )
+        return (
+            u.groupBy("phase", "pri")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("phase", "pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(twin, ignore_errors=True)
+
+
+@register(
+    "q97b_optimize_partitions_mor",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderkey % 4 AS grp,
+               o_orderpriority AS pri, o_totalprice AS tp,
+               0 AS ci, CAST(0 AS BIGINT) AS seq
+        FROM orders
+    ), d1 AS (
+        SELECT k, grp, pri, tp + 1000, 1, CAST(1 AS BIGINT)
+        FROM base WHERE k % 10 = 3
+    ), d2 AS (
+        SELECT k, grp, pri, tp + 2000, 2, CAST(2 AS BIGINT)
+        FROM base WHERE k % 7 = 2
+    ), u AS (
+        SELECT * FROM base UNION ALL SELECT * FROM d1
+        UNION ALL SELECT * FROM d2
+    ), r AS (
+        SELECT k, grp, pri, tp,
+               ROW_NUMBER() OVER (PARTITION BY grp, k
+                                  ORDER BY ci DESC, seq DESC) AS rn
+        FROM u
+    ), w AS (
+        SELECT k, grp, pri, tp FROM r WHERE rn = 1
+    ), fin AS (
+        SELECT * FROM w WHERE NOT (pri = '1-URGENT' AND k % 5 = 0)
+    ), ph AS (
+        SELECT 1 AS phase, grp, pri, tp FROM fin
+        UNION ALL SELECT 2, grp, pri, tp FROM fin
+    )
+    SELECT phase, grp, pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM ph GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q97b_optimize_partitions_mor(spark, sf_dir):
+    """Partition-scoped OPTIMIZE on a MOR table (r14, r13 verdict #4 —
+    the maintenance verb that runs at 100 TB, where compacting a whole
+    CDC table's chain for one hot partition is never on the table):
+    after two upsert groups and a tombstone group land on a
+    hidden-partitioned MOR table, partition grp=1's chain is folded
+    MINOR (one group at the chain's end, tombstones carried) and
+    partition grp=2 is MATERIALIZED major (its chain gone, resolved
+    rows as fresh base files) — phase 1 reads after the minor fold,
+    phase 2 after the major. Both phases must hash-equal the plain
+    latest-wins replay: the folds are pure physical-layout moves.
+    Structural asserts: unmatched partitions' base AND delta files are
+    byte-identical on disk; grp=2 has no chain files after the major;
+    grp=1's fold landed at the chain's end."""
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 4).alias("grp"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    d1 = base.filter(F.col("k") % 10 == 3).withColumn(
+        "tp", F.col("tp") + 1000
+    ).withColumn("seq", F.lit(1).cast("long"))
+    d2 = base.filter(F.col("k") % 7 == 2).withColumn(
+        "tp", F.col("tp") + 2000
+    ).withColumn("seq", F.lit(2).cast("long"))
+    path = tempfile.mkdtemp(prefix="q97b_moropt_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot_partitioned(
+            spark, base, path, [("identity", "grp")],
+            stats_cols=["k", "grp"],
+        )
+        storage.upsert_delta_snapshot(spark, path, d1, ["grp", "k"], "seq")
+        storage.upsert_delta_snapshot(spark, path, d2, ["grp", "k"], "seq")
+        storage.delete_where_snapshot(
+            spark, path, "pri = '1-URGENT' AND k % 5 = 0"
+        )
+        man0 = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+
+        def _live(man):
+            return list(man["files"]) + [
+                rel for g in man["mor"]["deltas"] for rel in g
+            ]
+
+        def _tup(man, rel):
+            return man["partition"]["values"][rel][1]
+
+        untouched = {
+            rel: os.path.getsize(os.path.join(path, rel))
+            for rel in _live(man0)
+            if _tup(man0, rel) not in (["1"], ["2"], [1], [2])
+        }
+        assert untouched, "fixture must have unmatched partitions"
+        res_minor = storage.optimize_partitions(
+            spark, path, {"grp": ("=", 1)}, minor=True
+        )
+        assert res_minor["partitions_matched"] == 1
+        p1 = storage.read_snapshot(spark, path)
+        man1 = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        fold = [
+            rel for rel in man1["mor"]["deltas"][-1]
+            if _tup(man1, rel) in (["1"], [1])
+        ]
+        assert fold, "minor fold produced no grp=1 group at chain end"
+        res_major = storage.optimize_partitions(
+            spark, path, {"grp": ("=", 2)}
+        )
+        assert res_major["partitions_matched"] == 1
+        man2 = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        g2_chain = [
+            rel
+            for g in man2["mor"]["deltas"]
+            for rel in g
+            if _tup(man2, rel) in (["2"], [2])
+        ]
+        assert g2_chain == [], "major left grp=2 chain files"
+        for rel, sz in untouched.items():
+            assert os.path.getsize(os.path.join(path, rel)) == sz, (
+                f"unmatched file {rel} changed on disk"
+            )
+            assert rel in _live(man2), f"unmatched file {rel} dropped"
+        p2 = storage.read_snapshot(spark, path)
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        u = p1.withColumn("phase", F.lit(1)).unionByName(
+            p2.withColumn("phase", F.lit(2))
+        )
+        return (
+            u.groupBy("phase", "grp", "pri")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+            .orderBy("phase", "grp", "pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

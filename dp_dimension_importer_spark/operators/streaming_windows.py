@@ -1458,12 +1458,24 @@ _Q90C_SQL = """
           AND ts >= TIMESTAMP '2024-01-05 00:00:00'
           AND ts < TIMESTAMP '2024-01-10 00:00:00'
           AND NOT (event_id % 10 = 4)
+    ), m_live AS (
+        SELECT event_id, ts, event_type,
+               CASE WHEN event_id % 2 = 0 THEN value + 500
+                    ELSE value END AS value
+        FROM events
+        WHERE event_id % 9 = 0
+          AND ts < TIMESTAMP '2024-01-13'
+          AND event_type = 'view'
+    ), u AS (
+        SELECT 'appends' AS src, ts, value FROM live
+        UNION ALL
+        SELECT 'mor', ts, value FROM m_live
     )
-    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+    SELECT src, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
            COUNT(*) AS n,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS sum_cents
-    FROM live GROUP BY 1 ORDER BY 1
+    FROM u GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -1484,7 +1496,16 @@ def q90c_changefeed_partitioned(spark, sf_dir):
     events, so a green row pins admission (no file wrongly dropped: the
     ADVICE r11 missed-change bug class), per-kind dispatch under
     partition_where, and the fold. Bucket-transform and conservative-
-    superset cases are pinned in tests/test_changefeed.py."""
+    superset cases are pinned in tests/test_changefeed.py.
+
+    r14 MOR leg (r13 verdict #2 "Done"): a second, hidden-partitioned
+    MOR table (identity(event_type), MOR keys (event_type, event_id))
+    takes a delta-group upsert whose hive-routed files carry REAL
+    partition tuples — the subscriber's feed admits the MOR commit
+    EXACTLY by tuple (the table carries NO stats on purpose, so the
+    r13 stat-range fallback would admit everything: the structural
+    assert that only 'view' rows arrive from the MOR version pins
+    tuple admission specifically)."""
     import datetime as dt
     import shutil
     import tempfile
@@ -1556,20 +1577,73 @@ def q90c_changefeed_partitioned(spark, sf_dir):
             # the subscribed slice's deletes must have flowed
             assert "delete" in kinds
         live = changefeed.changefeed_fold(log, ["event_id"])
+        # ---- r14 MOR leg: partitioned MOR table, exact tuple admission
+        mpath = scratch + "/mor_table"
+        mname = "q90c_mor_" + uuid.uuid4().hex[:8]
+        ev2 = ev.filter("event_id % 9 = 0").withColumn(
+            "seq", F.lit(0).cast("long")
+        )
+        # NO stats_cols: the r13 stat-range fallback would admit every
+        # file — tuple admission is the only thing that can prune here
+        storage.write_snapshot_partitioned(
+            spark, ev2, mpath, [("identity", "event_type")]
+        )
+        delta = ev2.filter("event_id % 2 = 0").withColumn(
+            "value", F.col("value") + 500.0
+        ).withColumn("seq", F.lit(1).cast("long"))
+        v_mor = storage.upsert_delta_snapshot(
+            spark, mpath, delta, ["event_type", "event_id"], "seq"
+        )
+        feed2 = changefeed.read_changes_stream(
+            spark, mpath, key_cols=["event_type", "event_id"],
+            partition_where={"event_type": ("=", "view")},
+        )
+        q2 = (
+            feed2.writeStream.format("memory")
+            .queryName(mname)
+            .option("checkpointLocation", scratch + "/ckpt2")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        log2 = spark.table(mname).localCheckpoint(eager=True)
+        # EXACT MOR admission pin: every row the feed delivered from
+        # the MOR delta version is a subscribed ('view') row — with
+        # stat-range admission (no stats recorded) non-view files
+        # would have flowed
+        mor_rows = log2.filter(F.col("_version") == v_mor)
+        assert mor_rows.count() > 0
+        assert (
+            mor_rows.filter(F.col("event_type") != "view").count() == 0
+        ), "MOR commit admitted a non-subscribed partition's file"
+        live2 = changefeed.changefeed_fold(
+            log2, ["event_type", "event_id"]
+        )
         # admission is exact on partition-aligned predicates: the fold
         # IS the subscribed slice, no residual row-filter needed — but
         # apply it anyway so the pin survives a future coarser transform
         cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        return (
+        u = (
             live.filter(
                 (F.col("event_type") == "view")
                 & (F.col("ts") >= dt.datetime(2024, 1, 5))
                 & (F.col("ts") < dt.datetime(2024, 1, 10))
             )
-            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .select("ts", "value")
+            .withColumn("src", F.lit("appends"))
+            .unionByName(
+                live2.filter(F.col("event_type") == "view")
+                .select("ts", "value")
+                .withColumn("src", F.lit("mor"))
+            )
+        )
+        return (
+            u.groupBy(
+                "src", F.date_format("ts", "yyyy-MM-dd").alias("day")
+            )
             .agg(F.count("*").alias("n"),
                  F.sum(cents).alias("sum_cents"))
-            .orderBy("day")
+            .orderBy("src", "day")
             .localCheckpoint(eager=True)
         )
     finally:
