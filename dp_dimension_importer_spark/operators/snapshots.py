@@ -3313,3 +3313,137 @@ def q97b_optimize_partitions_mor(spark, sf_dir):
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q92b_merge_evolve",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               o_totalprice AS tp
+        FROM orders
+    ), mx AS (SELECT MAX(k) AS m FROM base),
+    src AS (
+        SELECT k, tp + 5 AS tp, CAST(k % 3 AS DOUBLE) / 10 AS disc
+        FROM base WHERE k % 10 = 7 AND k <= (SELECT m FROM mx) // 4
+        UNION ALL
+        SELECT k + (SELECT m FROM mx), 100.0, 0.5
+        FROM base WHERE k % 50 = 1
+    ), matched AS (
+        SELECT b.k, b.pri,
+               CASE WHEN s.k IS NOT NULL THEN s.tp ELSE b.tp END AS tp,
+               s.disc
+        FROM base b LEFT JOIN src s USING (k)
+    ), inserted AS (
+        SELECT s.k, CAST(NULL AS VARCHAR) AS pri, s.tp, s.disc
+        FROM src s WHERE s.k NOT IN (SELECT k FROM base)
+    ), world AS (
+        SELECT * FROM matched UNION ALL SELECT * FROM inserted
+    )
+    SELECT pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(SUM(CAST(FLOOR(disc * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS disc_cents,
+           CAST(SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_disc
+    FROM world GROUP BY 1 ORDER BY 1 NULLS FIRST
+    """,
+)
+def q92b_merge_evolve(spark, sf_dir):
+    """MERGE with SCHEMA EVOLUTION (r14, r13 verdict #7 — Delta's
+    ``WHEN NOT MATCHED ... withSchemaEvolution``): the CDC source grew
+    a column (``disc``) the target never had; with
+    ``schema_evolution=True`` one MERGE commit extends the committed
+    schema additively — matched rows take the new value via UPDATE SET
+    on the source-only column, NOT-MATCHED inserts carry it, and every
+    untouched row resolves as a typed NULL because kept files are read
+    under the FORCED manifest schema (the q65 additive discipline; no
+    file rewrite pays for the evolution). Structural asserts: the
+    schema grew by exactly ``disc``; kept files were not rewritten
+    (byte-identical rel list minus the touched set); a second, plain
+    merge on the evolved table still works. Refusals (reserved name,
+    dropped-name resurrection, all-NULL source column, MOR twin) are
+    pinned in tests/test_schema_evolution.py."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    mx = base.agg(F.max("k")).first()[0]
+    src = (
+        base.filter((F.col("k") % 10 == 7) & (F.col("k") <= mx // 4))
+        .select(
+            "k",
+            (F.col("tp") + 5).alias("tp"),
+            ((F.col("k") % 3).cast("double") / 10).alias("disc"),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 50 == 1).select(
+                (F.col("k") + F.lit(mx)).alias("k"),
+                F.lit(100.0).alias("tp"),
+                F.lit(0.5).alias("disc"),
+            )
+        )
+    )
+    path = tempfile.mkdtemp(prefix="q92b_merge_evo_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(
+            spark, base.repartitionByRange(4, "k"), path,
+            stats_cols=["k"],
+        )
+        mdir = os.path.join(path, "_manifests")
+        with open(os.path.join(mdir, "v1.json")) as f:
+            m1 = json.load(f)
+        assert "disc" not in m1["schema"]
+        v = storage.merge_into_snapshot(
+            spark, path, src, ["k"],
+            update_set={"tp": "src_tp", "disc": "src_disc"},
+            insert=True, schema_evolution=True,
+        )
+        with open(os.path.join(mdir, f"v{v}.json")) as f:
+            m2 = json.load(f)
+        assert set(m2["schema"]) == set(m1["schema"]) | {"disc"}, (
+            "schema must grow by exactly disc"
+        )
+        # evolution rewrote only TOUCHED files: some v1 file survives
+        # byte-identical in v2 (forced-schema reads NULL-fill it)
+        carried = set(m1["files"]) & set(m2["files"])
+        assert carried, "evolution rewrote every file — kept set empty"
+        # a plain merge still works on the evolved table
+        v3 = storage.merge_into_snapshot(
+            spark, path,
+            spark.createDataFrame(
+                [(int(mx) * 3, "5-LOW", 1.0, 0.0)],
+                "k long, pri string, tp double, disc double",
+            ),
+            ["k"], insert=True,
+        )
+        storage.delete_where_snapshot(spark, path, f"k = {int(mx) * 3}")
+        head = storage.read_snapshot(spark, path)
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        dcents = F.floor(F.col("disc") * 100 + F.lit(0.5)).cast("long")
+        return (
+            head.groupBy("pri")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(cents).alias("sum_cents"),
+                F.sum(dcents).alias("disc_cents"),
+                F.sum(
+                    F.when(F.col("disc").isNull(), 1).otherwise(0)
+                ).alias("n_null_disc"),
+            )
+            .orderBy(F.col("pri").asc_nulls_first())
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -2324,6 +2324,50 @@ def delete_where_snapshot(
     }
 
 
+def _merge_evolution_cols(
+    man: dict, source: DataFrame, key_cols: list[str],
+    schema_evolution: bool,
+) -> dict[str, str]:
+    """MERGE schema evolution (r14, r13 verdict #7 — Delta's ``WHEN NOT
+    MATCHED ... withSchemaEvolution``): with ``schema_evolution=True``,
+    source-only columns extend the committed schema ADDITIVELY in the
+    same commit — NOT-MATCHED inserts carry their values, existing rows
+    resolve as typed NULLs (the q65/q86b forced-schema discipline: kept
+    files simply lack the column and the manifest schema outranks
+    footers). Returns {new col: simpleString type}; empty without the
+    opt-in. Refuses: reserved physical names, names whose physical
+    twins are DROP tombstones (stale-byte resurrection), and all-NULL
+    source columns (no inferable type — cast explicitly)."""
+    if not schema_evolution:
+        return {}
+    schema = man.get("schema") or {}
+    mapping = man.get("column_mapping") or {}
+    dropped = set(man.get("dropped") or [])
+    new_cols: dict[str, str] = {}
+    for f in source.schema:
+        c, t = f.name, f.dataType.simpleString()
+        if c in schema or c in key_cols:
+            continue
+        if t == "void":
+            raise ValueError(
+                f"MERGE schema evolution cannot infer a type for "
+                f"all-NULL source column {c!r} — cast it explicitly"
+            )
+        if mapping.get(c, c) in dropped:
+            raise ValueError(
+                f"MERGE schema evolution: column {c!r} reuses a DROPPED "
+                "column name whose bytes still live in old files — "
+                "rewrite the table before reusing the name"
+            )
+        new_cols[c] = t
+    if new_cols:
+        _check_reserved(
+            new_cols, ("_fname", "_pos", "_ci", "_rn", MOR_OP_COL,
+                       "_t", "_s")
+        )
+    return new_cols
+
+
 def merge_into_snapshot(
     spark: SparkSession,
     path: str,
@@ -2336,6 +2380,7 @@ def merge_into_snapshot(
     compression: str = PARQUET_CODEC,
     txn: tuple[str, int] | None = None,
     partition_where: dict | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """SQL-style conditional MERGE INTO (Delta/Iceberg's most-used DML
     verb — the clause-driven twin of :func:`merge_apply_changes`'s
@@ -2402,12 +2447,16 @@ def merge_into_snapshot(
         return _merge_into_mor(
             spark, path, man, source, key_cols, update_set,
             delete_condition, insert, insert_values, compression, txn,
-            partition_where,
+            partition_where, schema_evolution,
         )
     if update_set is None and delete_condition is None and not insert:
         raise ValueError("MERGE INTO with no clauses is a no-op — pass "
                          "update_set, delete_condition, and/or insert")
     schema = man["schema"]
+    new_cols = _merge_evolution_cols(
+        man, source, key_cols, schema_evolution
+    )
+    schema = {**schema, **new_cols}
     bad = [c for c in (update_set or {}) if c not in schema]
     if bad:
         raise ValueError(
@@ -2539,7 +2588,13 @@ def merge_into_snapshot(
         # write_snapshot's additive check, the file-skipping merge must
         # coerce instead). A lossy source key is the caller's contract
         # breach, same as every other cast here.
-        val = F.col(c).cast(t)
+        if c in new_cols:
+            # schema-evolution column: absent from every target row —
+            # typed NULL unless update_set assigns or an insert's
+            # src_<c> supplies it below
+            val = F.lit(None).cast(t)
+        else:
+            val = F.col(c).cast(t)
         if update_set and c in update_set:
             val = F.when(matched, _expr(update_set[c]).cast(t)).otherwise(val)
         if insert:
@@ -2613,14 +2668,55 @@ def merge_into_snapshot(
             )
         man_files = set(man["files"])
         head_files = list(head.get("files") or [])
-        if man_files - set(head_files):
+        head_set = set(head_files)
+        touched_set = set(touched)
+        # r14 (r13 verdict #6 — Iceberg's validation also admits
+        # concurrent DELETES): a competing commit that REMOVED files or
+        # grew DVs rebases when the affected rows provably contain no
+        # source key — N CDC writers mixing merges with deletes stop
+        # serializing by retry. Three gates:
+        removed = [f for f in man["files"] if f not in head_set]
+        if any(f in touched_set for f in removed):
+            # (1) a probed file was removed/rewritten: this merge's
+            # rewrite of it would resurrect the competitor's deleted
+            # rows (or duplicate its rewrite) — never admissible
             raise ConcurrentCommitError(
-                "files were rewritten/removed by a concurrent commit — "
-                "the merge's touched/kept split is stale; re-run"
+                "a concurrent commit removed/rewrote a file this merge "
+                "probed — the matched pre-images are stale; re-run the "
+                "merge against the new head"
             )
-        if (head.get("dv") or {}) != (dv_map or {}):
-            raise ConcurrentCommitError(
-                "deletion vectors changed concurrently — re-run the merge"
+        if removed:
+            # (2) removed KEPT files: harmless iff their key ranges are
+            # provably disjoint from the source (a pruned probe may not
+            # have scanned every kept file, so 'kept' alone does not
+            # prove source-key absence)
+            _require_key_disjoint(
+                removed, man.get("stats") or {}, key_cols, src_bounds,
+                "MERGE rebase (concurrently removed files)", path,
+            )
+        hdv = head.get("dv") or {}
+        mdv = dv_map or {}
+        for rel in sorted(set(hdv) | set(mdv)):
+            if hdv.get(rel) == mdv.get(rel):
+                continue
+            if rel in touched_set:
+                raise ConcurrentCommitError(
+                    "deletion vectors moved on a file this merge probed "
+                    "— the matched pre-images are stale; re-run the "
+                    "merge against the new head"
+                )
+            if rel not in head_set:
+                continue  # file itself removed: judged by gate (2)
+            if rel in mdv and rel not in hdv:
+                raise ConcurrentCommitError(
+                    "a deletion vector vanished concurrently (restore/"
+                    "purge) — re-run the merge against the new head"
+                )
+            # (3) new/grown DV on a kept file: the masked rows live in
+            # that file — admit only when it provably holds no source key
+            _require_key_disjoint(
+                [rel], man.get("stats") or {}, key_cols, src_bounds,
+                "MERGE rebase (concurrent DV growth)", path,
             )
         added = [f for f in head_files if f not in man_files]
         _require_key_disjoint(
@@ -2628,17 +2724,39 @@ def merge_into_snapshot(
             "MERGE rebase", path,
         )
         m2 = dict(manifest)
-        m2["files"] = list(manifest["files"]) + added
+        removed_set = set(removed)
+        m2["files"] = [
+            f for f in manifest["files"] if f not in removed_set
+        ] + added
+        live = set(m2["files"])
+        # kept files take the HEAD's DV state (growth admitted above);
+        # removed files' entries die with them
+        m2_dv = {rel: dv for rel, dv in hdv.items() if rel in live}
+        if m2_dv:
+            m2["dv"] = m2_dv
+        else:
+            m2.pop("dv", None)
         if manifest.get("partition"):
             hvals = hpart.get("values") or {}
             vals = dict(manifest["partition"]["values"])
             for rel in added:
                 vals[rel] = hvals.get(rel)
-            m2["partition"] = {**manifest["partition"], "values": vals}
+            m2["partition"] = {
+                **manifest["partition"],
+                "values": {
+                    rel: v for rel, v in vals.items() if rel in live
+                },
+            }
         hstats = head.get("stats") or {}
         add_stats = {rel: hstats[rel] for rel in added if rel in hstats}
         if "stats" in manifest or add_stats:
-            m2["stats"] = {**(manifest.get("stats") or {}), **add_stats}
+            m2["stats"] = {
+                rel: v
+                for rel, v in {
+                    **(manifest.get("stats") or {}), **add_stats
+                }.items()
+                if rel in live
+            }
         head_txn = dict(head.get("txn") or {})
         if txn is not None:
             head_txn[txn[0]] = txn[1]
@@ -4012,6 +4130,7 @@ def _merge_into_mor(
     key_cols: list[str], update_set, delete_condition, insert: bool,
     insert_values, compression: str, txn: tuple | None,
     partition_where: dict | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """MERGE INTO a MOR table as ONE delta-group commit (r12 verdict
     #1): the source compacts against the RESOLVED view and lands a
@@ -4047,6 +4166,10 @@ def _merge_into_mor(
     if update_set is None and delete_condition is None and not insert:
         raise ValueError("MERGE INTO with no clauses is a no-op — pass "
                          "update_set, delete_condition, and/or insert")
+    new_cols = _merge_evolution_cols(
+        man, source, key_cols, schema_evolution
+    )
+    schema = {**schema, **new_cols}
     bad = [c for c in (update_set or {}) if c not in schema]
     if bad:
         raise ValueError(
@@ -4131,7 +4254,12 @@ def _merge_into_mor(
     src_names = set(src.columns)
     out_cols = []
     for c, t in schema.items():
-        val = F.col(c).cast(t)
+        if c in new_cols:
+            # schema-evolution column: typed NULL unless update_set
+            # assigns or an insert's src_<c> supplies it below
+            val = F.lit(None).cast(t)
+        else:
+            val = F.col(c).cast(t)
         if update_set and c in update_set:
             val = F.when(
                 matched & ~doomed, _expr(update_set[c]).cast(t)
@@ -4248,7 +4376,8 @@ def _merge_into_mor(
         )
         m2 = {
             "files": head["files"],
-            "schema": head.get("schema") or man["schema"],
+            "schema": {**(head.get("schema") or man["schema"]),
+                       **new_cols},
             "mor": {
                 **hmor,
                 "deltas": hmor["deltas"] + [new_files],
@@ -4276,8 +4405,8 @@ def _merge_into_mor(
         return m2
 
     return _commit_delta_group(
-        path, man, new_files, token, txn=txn, rebase=_rebase,
-        new_values=new_values,
+        path, {**man, "schema": schema}, new_files, token, txn=txn,
+        rebase=_rebase, new_values=new_values,
     )
 
 

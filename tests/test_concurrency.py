@@ -628,3 +628,143 @@ def test_mor_merge_racing_disjoint_upsert_both_succeed(spark, monkeypatch):
             )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ------------------------------------------------------------------ r14:
+# the MERGE rebase extended to concurrent DELETES (r13 verdict #6 —
+# Iceberg's validation admits concurrent deletes that provably touch no
+# source key; N CDC writers mixing merges with deletes stop serializing
+# by retry).
+
+
+def _three_file_table(spark, path):
+    """Three single-file commits with disjoint key ranges: A=[0,9]
+    (probed by a src key 3), B=[100,109], C=[200,209]."""
+    storage.write_snapshot(
+        spark, _df(spark, [(i, float(i)) for i in range(10)]).coalesce(1),
+        path, stats_cols=["k"],
+    )
+    for lo in (100, 200):
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(i, float(i)) for i in range(lo, lo + 10)])
+            .coalesce(1),
+            path, mode="append", stats_cols=["k"],
+        )
+
+
+def test_merge_racing_disjoint_key_cow_delete_both_succeed(
+    spark, monkeypatch
+):
+    """A COW delete confined to keys provably outside the merge
+    source's range removes only KEPT files — the merge rebases: its
+    rewrite carries, the delete's removal and rewritten survivors
+    carry, both commits land."""
+    scratch, path = _mkpath()
+    try:
+        _three_file_table(spark, path)
+        src = _df(spark, [(3, 33.0), (42, 42.0)])  # bounds [3, 42]
+
+        def competitor():  # removes B, survivors 105..109 re-land
+            storage.delete_where_snapshot(
+                spark, path, "k >= 100 AND k <= 104"
+            )
+
+        _RaceOnce(monkeypatch, "v4.json", competitor)
+        v = storage.merge_into_snapshot(
+            spark, path, src, ["k"], update_set={"v": "src_v"},
+            insert=True,
+        )
+        assert v == 5  # rebased onto the delete's v4
+        got = {
+            r["k"]: r["v"]
+            for r in storage.read_snapshot(spark, path).collect()
+        }
+        assert got[3] == 33.0 and got[42] == 42.0   # merge applied
+        assert all(k not in got for k in range(100, 105))  # delete kept
+        assert all(got[k] == float(k) for k in range(105, 110))
+        assert len(got) == 26  # 10 + insert + 5 survivors + 10 C-rows
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_racing_overlapping_delete_refuses(spark, monkeypatch):
+    """The competitor removed a KEPT file whose key range overlaps the
+    source's — its rows may have contained a source key (a pruned probe
+    cannot rule it out), so the rebase refuses."""
+    scratch, path = _mkpath()
+    try:
+        _three_file_table(spark, path)
+        # src spans [3, 150]: A touched (key 3), B kept but IN RANGE
+        src = _df(spark, [(3, 33.0), (150, 150.0)])
+
+        def competitor():  # removes B entirely — stats [100,109] ⊂ range
+            storage.delete_where_snapshot(
+                spark, path, "k >= 100 AND k <= 109"
+            )
+
+        _RaceOnce(monkeypatch, "v4.json", competitor)
+        with pytest.raises(
+            storage.ConcurrentCommitError, match="source keys"
+        ):
+            storage.merge_into_snapshot(
+                spark, path, src, ["k"], update_set={"v": "src_v"},
+                insert=True,
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_racing_dv_on_probed_file_refuses(spark, monkeypatch):
+    """A DV grew on a file the merge PROBED — the matched pre-images
+    are stale; always refuses regardless of key ranges."""
+    scratch, path = _mkpath()
+    try:
+        _three_file_table(spark, path)
+        src = _df(spark, [(3, 33.0)])
+
+        def competitor():  # DV-delete on A — the probed file
+            storage.delete_where_snapshot(spark, path, "k = 7", mode="dv")
+
+        _RaceOnce(monkeypatch, "v4.json", competitor)
+        with pytest.raises(
+            storage.ConcurrentCommitError, match="probed"
+        ):
+            storage.merge_into_snapshot(
+                spark, path, src, ["k"], update_set={"v": "src_v"},
+                insert=False,
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_racing_dv_on_disjoint_kept_file_both_succeed(
+    spark, monkeypatch
+):
+    """DV growth on a KEPT file provably disjoint from the source's key
+    range rebases: the merge carries the head's DV state."""
+    scratch, path = _mkpath()
+    try:
+        _three_file_table(spark, path)
+        src = _df(spark, [(3, 33.0), (42, 42.0)])
+
+        def competitor():  # DV-delete in C — kept, stats [200,209]
+            storage.delete_where_snapshot(
+                spark, path, "k = 205", mode="dv"
+            )
+
+        _RaceOnce(monkeypatch, "v4.json", competitor)
+        v = storage.merge_into_snapshot(
+            spark, path, src, ["k"], update_set={"v": "src_v"},
+            insert=True,
+        )
+        assert v == 5
+        got = {
+            r["k"]: r["v"]
+            for r in storage.read_snapshot(spark, path).collect()
+        }
+        assert got[3] == 33.0 and got[42] == 42.0
+        assert 205 not in got  # the competitor's DV survived the rebase
+        assert len(got) == 30  # 10 + insert + 10 - dv + 10
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -399,3 +399,114 @@ def test_widen_partition_spec_column_keeps_pruning(spark):
         assert len(keep2) == 2
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ------------------------------------------------------------------ r14:
+# MERGE schema evolution (storage._merge_evolution_cols via
+# merge_into_snapshot(schema_evolution=True)) — Delta's WHEN NOT
+# MATCHED ... withSchemaEvolution. The oracled end-to-end is
+# q92b_merge_evolve; these pin the refusal matrix and the MOR twin.
+
+
+def _kv(spark, rows, ddl="k bigint, v double"):
+    return spark.createDataFrame([Row(*r) for r in rows], ddl)
+
+
+def test_merge_evolution_opt_in_only(spark):
+    """Without the opt-in, a source-only column is IGNORED (pre-r14
+    behavior preserved) — referencing it in update_set refuses."""
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _kv(spark, [(1, 1.0), (2, 2.0)]), path
+        )
+        src = _kv(spark, [(1, 10.0, "x")], "k bigint, v double, tag string")
+        with pytest.raises(ValueError, match="non-existent"):
+            storage.merge_into_snapshot(
+                spark, path, src, ["k"], update_set={"tag": "src_tag"}
+            )
+        storage.merge_into_snapshot(
+            spark, path, src, ["k"], update_set={"v": "src_v"}
+        )
+        assert "tag" not in storage.read_snapshot(spark, path).columns
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_evolution_refusals(spark):
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _kv(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]), path
+        )
+        # reserved physical name
+        with pytest.raises(ValueError, match="reserved"):
+            storage.merge_into_snapshot(
+                spark, path,
+                _kv(spark, [(9, 9.0, "D")],
+                    "k bigint, v double, _mor_op string"),
+                ["k"], insert=True, schema_evolution=True,
+            )
+        # all-NULL source column: no inferable type
+        with pytest.raises(ValueError, match="all-NULL"):
+            storage.merge_into_snapshot(
+                spark, path,
+                spark.sql("SELECT CAST(9 AS BIGINT) k, "
+                          "CAST(9.0 AS DOUBLE) v, NULL AS ghost"),
+                ["k"], insert=True, schema_evolution=True,
+            )
+        # dropped-name resurrection
+        storage.write_snapshot(
+            spark,
+            _kv(spark, [(1, 1.0, "a")], "k bigint, v double, old string"),
+            path, mode="overwrite",
+        )
+        storage.drop_column(path, "old")
+        with pytest.raises(ValueError, match="DROPPED"):
+            storage.merge_into_snapshot(
+                spark, path,
+                _kv(spark, [(9, 9.0, "z")],
+                    "k bigint, v double, old string"),
+                ["k"], insert=True, schema_evolution=True,
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_merge_evolution_on_mor_table(spark):
+    """The MOR twin: one delta-group commit both extends the schema and
+    lands images carrying the new column; older groups and base resolve
+    it as typed NULL (the q86b per-group projection)."""
+    scratch, path = _mkpath()
+    try:
+        ddl = "k bigint, v double, seq bigint"
+        storage.write_snapshot(
+            spark, _kv(spark, [(1, 1.0, 0), (2, 2.0, 0)], ddl), path
+        )
+        storage.upsert_delta_snapshot(
+            spark, path, _kv(spark, [(2, 22.0, 1)], ddl), ["k"], "seq"
+        )
+        src = _kv(
+            spark, [(2, 222.0, 2, "t2"), (5, 5.0, 2, "t5")],
+            "k bigint, v double, seq bigint, tag string",
+        )
+        v = storage.merge_into_snapshot(
+            spark, path, src, ["k"],
+            update_set={"v": "src_v", "seq": "src_seq",
+                        "tag": "src_tag"},
+            insert=True, schema_evolution=True,
+        )
+        man = storage._load_manifest(path, v)
+        assert man["schema"].get("tag") == "string"
+        got = {
+            r["k"]: (r["v"], r["tag"])
+            for r in storage.read_snapshot(spark, path).collect()
+        }
+        assert got == {
+            1: (1.0, None), 2: (222.0, "t2"), 5: (5.0, "t5")
+        }
+        # post-evolution compaction keeps the column
+        storage.compact_mor(spark, path)
+        assert "tag" in storage.read_snapshot(spark, path).columns
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
