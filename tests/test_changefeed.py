@@ -1213,3 +1213,113 @@ def test_admit_stats_files_unit():
         man, ["t1"], {"d": ("between", "2024-02-01 00:00:00",
                             "2024-02-02 00:00:00")}
     ) == []
+
+
+# ------------------------------------------------------------------ r14:
+# property pin for the admission bug class (ADVICE r11 high / acb6a53):
+# over every (transform kind, bound type, partition value) combination,
+# admission must be a CONSERVATIVE SUPERSET of the exact row-level
+# match — a file whose source value satisfies the predicate may NEVER
+# be dropped, no matter how the literal rendered through the JSON
+# boundary. (Over-admission is allowed by contract; under-admission is
+# a missed change, the one failure mode this path must never have.)
+
+import datetime as _dt
+
+from hypothesis import given, settings, strategies as hst
+
+
+_DTPOOL = [
+    _dt.datetime(2024, 1, 1),
+    _dt.datetime(2024, 1, 10),
+    _dt.datetime(2024, 1, 10, 12, 30, 5),
+    _dt.datetime(2024, 2, 29, 23, 59, 59, 999999),
+    _dt.datetime(2025, 6, 15, 6, 0),
+    _dt.datetime(2023, 12, 31),
+]
+_DPOOL = [
+    _dt.date(2024, 1, 1), _dt.date(2024, 1, 10), _dt.date(2024, 2, 29),
+    _dt.date(2025, 6, 15), _dt.date(2023, 12, 31),
+]
+_IPOOL = [-1000, -17, -1, 0, 1, 9, 10, 99, 100, 1024, 123456]
+_SPOOL = ["", "a", "ab", "ab-cd", "abcdef", "xy:z", "2024-01-10", "zzz"]
+
+_KINDS = [
+    ({"transform": "identity", "col": "c"}, "dt"),
+    ({"transform": "identity", "col": "c"}, "d"),
+    ({"transform": "identity", "col": "c"}, "i"),
+    ({"transform": "identity", "col": "c"}, "s"),
+    ({"transform": "days", "col": "c"}, "dt"),
+    ({"transform": "days", "col": "c"}, "d"),
+    ({"transform": "months", "col": "c"}, "dt"),
+    ({"transform": "years", "col": "c"}, "dt"),
+    ({"transform": "hours", "col": "c"}, "dt"),
+    ({"transform": "truncate", "col": "c", "w": 10}, "i"),
+    ({"transform": "truncate", "col": "c", "w": 3}, "s"),
+    ({"transform": "bucket", "col": "c", "n": 4}, "i"),
+    ({"transform": "bucket", "col": "c", "n": 4}, "s"),
+]
+_POOLS = {"dt": _DTPOOL, "d": _DPOOL, "i": _IPOOL, "s": _SPOOL}
+
+
+@settings(max_examples=250, deadline=None)
+@given(data=hst.data())
+def test_admission_is_conservative_superset_property(data):
+    """admitted ⊇ {files whose source value satisfies the predicate},
+    across transform kinds × literal types × ops × the JSON boundary."""
+    import json as _json
+
+    from dp_dimension_importer_spark.storage import _transform_literal
+    from dp_dimension_importer_spark.streaming.changefeed import (
+        _admit_partition_files,
+    )
+
+    spec_t, kind = data.draw(hst.sampled_from(_KINDS))
+    pool = _POOLS[kind]
+    n_files = data.draw(hst.integers(1, 6))
+    vals = [data.draw(hst.sampled_from(pool)) for _ in range(n_files)]
+    op = data.draw(hst.sampled_from(["=", "in", "between"]))
+    if op == "=":
+        pred = ("=", data.draw(hst.sampled_from(pool)))
+
+        def row_ok(v):
+            return v == pred[1]
+    elif op == "in":
+        lits = data.draw(
+            hst.lists(hst.sampled_from(pool), min_size=1, max_size=3)
+        )
+        pred = ("in", lits)
+
+        def row_ok(v):
+            return v in lits
+    else:
+        a = data.draw(hst.sampled_from(pool))
+        b = data.draw(hst.sampled_from(pool))
+        lo, hi = (a, b) if a <= b else (b, a)
+        pred = ("between", lo, hi)
+
+        def row_ok(v):
+            return lo <= v <= hi
+
+    man = {
+        "partition": {
+            "specs": [[spec_t]],
+            "current": 0,
+            "values": {
+                f"f{i}": [0, [_transform_literal(spec_t, v)]]
+                for i, v in enumerate(vals)
+            },
+        }
+    }
+    rels = [f"f{i}" for i in range(n_files)]
+    # the JSON boundary the streaming options cross (default=str is
+    # exactly what read_changes_stream uses — space-separated datetime
+    # renderings included)
+    pw = _json.loads(_json.dumps({"c": pred}, default=str))
+    admitted = set(_admit_partition_files(man, rels, pw))
+    for i, v in enumerate(vals):
+        if row_ok(v):
+            assert f"f{i}" in admitted, (
+                f"missed change: {spec_t} value {v!r} satisfies "
+                f"{pred!r} but file was dropped (admitted {admitted})"
+            )
