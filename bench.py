@@ -229,6 +229,18 @@ def main() -> None:
         "aqe": "true",
         "calib_sec": calib_sec,
         "reran_chunks": reran,
+        "notes": {
+            # r14 (r12 task #8 closure): mv_refresh_changefeed's
+            # r11->r13 calibrated drift attributed by phase profiling —
+            # write_snapshot protocol overhead over a bare parquet
+            # write measured ~0 s (3 trials); the cost was the fixture
+            # source-table writes (~2.1 s of 3.4 s, the Spark write-job
+            # floor) plus re-deriving the day-0 state through the
+            # lineitem hash filter. r14 reads day-0 from the committed
+            # v1 snapshot instead (one slim scan).
+            "mv_refresh_changefeed": "fixture-write-bound; day0 now "
+            "reads v1 snapshot (r14)",
+        },
         "sections": _sections(timings),
         "queries": timings,
     }
