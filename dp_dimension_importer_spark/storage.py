@@ -314,7 +314,11 @@ def optimize_snapshot_incremental(
     mapping = man.get("column_mapping") or {}  # cluster logical, write physical
     if man.get("mor"):
         raise ValueError(
-            "incremental OPTIMIZE on a MOR table: run compact_mor first"
+            "incremental OPTIMIZE on a MOR table: a live chain's base "
+            "file list only moves via compaction, so there is nothing "
+            "incremental to cluster — compact_mor folds the whole "
+            "chain; optimize_partitions(where, minor=True|False) is "
+            "the partition-scoped maintenance verb (r14)"
         )
     with open(
         os.path.join(_manifest_dir(path), f"v{since_version}.json")

@@ -653,13 +653,29 @@ def make_changefeed_source():
                                 m_, list(m_.get("files") or []),
                                 self.pwhere,
                             ))
-                            return {
+                            out = {
                                 **m_,
                                 "files": [
                                     f for f in m_.get("files") or []
                                     if f in keep
                                 ],
                             }
+                            if m_.get("mor"):
+                                # r14: partitioned-MOR chains carry
+                                # tuples too — restrict each delta
+                                # group (empty groups stay positional,
+                                # the _resolve_mor rank rule); untupled
+                                # files flow (conservative superset)
+                                out["mor"] = {
+                                    **m_["mor"],
+                                    "deltas": [
+                                        _admit(m_, list(grp), self.pwhere)
+                                        for grp in m_["mor"].get(
+                                            "deltas", []
+                                        )
+                                    ],
+                                }
+                            return out
 
                         prev_man = _restrict(prev_man)
                         tr = {**tr, "manifest": _restrict(tr["manifest"])}
