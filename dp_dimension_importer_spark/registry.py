@@ -104,37 +104,40 @@ _REPO_ROOT = _Path(__file__).resolve().parent.parent
 # (link claim), and registered the change feed — so the riders on those
 # storage paths re-earn their driver rows, plus the new q90.
 _REPRIORITIZE: list[str] = [
-    # r13 changed these riders' shared storage paths AFTER their newest
-    # green rows: _resolve_mor (op-column projection + mapping + casts),
-    # upsert_delta_snapshot (mapped/widened/dropped deltas + rebase),
-    # the delete/update/merge MOR dispatch, the key-range MERGE rebase +
-    # src_bounds probe loop, rename/widen/drop on MOR, the change feed's
-    # rewrite/MOR admission + tombstone split, version_delta's mapping
-    # translation, and optimize_partitions' target-size fan-out default.
-    # The three r13-new queries have no evidence yet and order first by
-    # the stalest-first rule regardless; listed for completeness.
-    "q86d_mor_delete",
-    "q86e_mor_merge",
-    "q96c_mapped_mor",
+    # r14 changed these riders' shared storage paths AFTER their newest
+    # green rows: upsert_delta_snapshot + the MOR DML verbs route delta
+    # groups through the hive writer (partition tuples on chains),
+    # _commit_delta_group carries partition blocks, delete/update/merge
+    # gained MOR partition_where dispatch, merge_into_snapshot gained
+    # schema evolution + the delete-admitting rebase, compact_mor routes
+    # partitioned folds, optimize_partitions dispatches to the MOR path,
+    # partition_pruned_files was refactored through _partition_keep,
+    # read_snapshot_partitioned gained the MOR dispatch, the change feed
+    # admits MOR groups by tuple and restricts rewrite-diff chains, and
+    # mv_refresh_changefeed reads day-0 from the v1 snapshot. The four
+    # r14-new queries (q93c/q86f/q97b/q92b) have no evidence and order
+    # first by the no-row rule regardless.
     "q86_upsert_mor",
     "q86b_mor_schema_evolution",
     "q86c_mor_pruned_read",
+    "q86d_mor_delete",
+    "q86e_mor_merge",
+    "q96c_mapped_mor",
     "q87_stream_mor_upsert",
     "q88_merge_delete_feed",
     "q88b_stream_cdc_apply",
     "q90_changefeed",
     "q90b_changefeed_mv_stream",
     "q90c_changefeed_partitioned",
-    "q92_merge_into",
     "q91_update_where",
+    "q91b_update_dv",
+    "q92_merge_into",
     "q78_snapshot_delete",
+    "q78b_snapshot_delete_dv",
+    "q93_partitioned_scan",
+    "q93b_spec_evolution",
     "q97_optimize_partitions",
-    "q96_rename_column",
-    "q96b_mapped_dml",
-    "q65b_type_widening",
-    "q65c_drop_column",
     "mv_refresh_changefeed",
-    "q79_stream_snapshot_append",
 ]
 
 
