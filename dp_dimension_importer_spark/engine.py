@@ -151,6 +151,8 @@ from dp_dimension_importer_spark.operators.dedup import (  # noqa: F401
 from dp_dimension_importer_spark.storage import (  # noqa: F401
     abandon_staged,
     build_bloom_index,
+    index_bloom_snapshot,
+    read_snapshot_point,
     compact_mor,
     drop_tag,
     list_tags,
@@ -283,6 +285,8 @@ __all__ = [
     "prefix_filter_pairs",
     "build_bloom_index",
     "read_bloom_pruned",
+    "index_bloom_snapshot",
+    "read_snapshot_point",
     "read_snapshot",
     "read_snapshot_pruned",
     "write_snapshot",

@@ -361,6 +361,72 @@ def q68_bloom_point_lookup(spark, sf_dir):
 
 
 @register(
+    "q68b_bloom_snapshot_point",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey IN (777, 7777, 41999)
+    ORDER BY l_orderkey, l_linenumber, l_quantity
+    """,
+)
+def q68b_bloom_snapshot_point(spark, sf_dir):
+    """The bloom sidecar as a SNAPSHOT-table citizen (r14,
+    :func:`storage.index_bloom_snapshot`): build a hash-sharded
+    snapshot in two commits (base + append), index after the base and
+    INCREMENTALLY refresh after the append (only the append's files are
+    scanned), bloom-point-prune a DELETE of key 7 (``point=`` probes
+    only sidecar-admitted files), then fetch four keys through
+    :func:`storage.read_snapshot_point` — which opens only admitted
+    files and honors the full snapshot read contract. The oracle is the
+    plain ``IN`` scan minus the deleted key, so a green row pins that
+    sidecar admission loses no rows THROUGH append + refresh + DML; the
+    "actually skips files" property is pinned structurally in
+    tests/test_bloom_snapshot.py. Hash layout on l_orderkey = the
+    min/max-stats worst case: every file spans the whole key range, so
+    only the bloom can prune."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="bloom_snap_q68b_")
+    try:
+        shutil.rmtree(path)
+        li = t.lineitem.select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        )
+        storage.write_snapshot(
+            spark,
+            li.filter(F.col("l_orderkey") % 2 == 0)
+            .repartition(6, "l_orderkey"),
+            path,
+        )
+        storage.index_bloom_snapshot(spark, path, "l_orderkey")
+        storage.write_snapshot(
+            spark,
+            li.filter(F.col("l_orderkey") % 2 == 1)
+            .repartition(6, "l_orderkey"),
+            path,
+            mode="append",
+        )
+        storage.index_bloom_snapshot(spark, path, "l_orderkey")
+        storage.delete_where_snapshot(
+            spark, path, F.col("l_orderkey") == 7,
+            point=("l_orderkey", [7]),
+        )
+        return (
+            storage.read_snapshot_point(
+                spark, path, "l_orderkey", [7, 777, 7777, 41999]
+            )
+            .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q71_try_arithmetic",
     sql=r"""
     WITH e AS (

@@ -1088,6 +1088,75 @@ class ConcurrentCommitError(RuntimeError):
     at-least-once writers with ``txn`` get the idempotent skip)."""
 
 
+def _dml_head(path: str, branch: str | None):
+    """Head loader for the DML verbs (r14 — DML on branches, the WAP
+    gap: audits could only stage blind writes, never the delete/merge
+    they actually wanted to validate before publishing): returns
+    ``(manifest, head id, expected next branch commit)``. On main the
+    head id is the latest version and the third slot None; on a branch
+    it is the branch-local head number (0 = the fork point) and the
+    commit number the DML must claim. Branch DML is SINGLE-CLAIM
+    optimistic: a racing branch writer surfaces as
+    :class:`ConcurrentCommitError`, never a silent lost update."""
+    if branch is None:
+        versions = snapshot_versions(path)
+        if not versions:
+            raise FileNotFoundError(
+                f"no committed snapshots under {path!r}"
+            )
+        return _load_manifest(path, versions[-1]), versions[-1], None
+    man = _branch_head_manifest(path, branch)
+    bvs = branch_versions(path, branch)
+    head = bvs[-1] if bvs else 0
+    return man, head, head + 1
+
+
+def _commit_branch_manifest(
+    path: str, name: str, manifest: dict, token: str, bv: int
+) -> int:
+    """Claim branch commit ``bv`` EXACTLY (tmp + hard-link, the
+    write_snapshot_to_branch protocol minus its renumber-retry): a DML
+    manifest is a read-modify-write derivation of the branch head, so
+    losing the claim means the head moved and the derivation is stale —
+    refuse, never renumber."""
+    import json
+    import os
+
+    bdir = _branch_dir(path, name)
+    tmp = os.path.join(bdir, f".tmp-{token}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    final = os.path.join(bdir, f"b{bv}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"branch {name!r} advanced concurrently (b{bv} already "
+            "claimed) — re-run the DML against the new branch head"
+        )
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+    return bv
+
+
+def _commit_dml_manifest(
+    path, manifest, token, branch, expect_bv, rebase=None
+) -> int:
+    """Commit sink shared by the DML verbs: main commits go through
+    :func:`_commit_manifest` (optimistic rebase and all); branch
+    commits claim their pre-computed number via
+    :func:`_commit_branch_manifest` (no rebase — branch audit sessions
+    are single-writer by design, racing ones refuse loudly)."""
+    if branch is None:
+        return _commit_manifest(path, manifest, token, rebase=rebase)
+    return _commit_branch_manifest(path, branch, manifest, token, expect_bv)
+
+
 def _commit_manifest(path, manifest, token, rebase=None) -> int:
     """Claim the next version number optimistically and publish
     ``manifest`` under it (hard-link = the atomic commit). Shared by
@@ -2083,6 +2152,8 @@ def delete_where_snapshot(
     prune: tuple | None = None,
     mode: str = "cow",
     partition_where: dict | None = None,
+    point: tuple | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Copy-on-write DELETE — the table-format verb the layer was missing
     (write/merge/optimize/changes/vacuum exist): remove every row where
@@ -2133,6 +2204,13 @@ def delete_where_snapshot(
     broadcast) anti-join per read. Manifest stats become upper bounds
     under DVs — pruning stays conservative-correct.
 
+    ``branch`` (r14 — DML-complete write-audit-publish): run the SAME
+    delete against a branch head instead of main; the result lands as
+    the next branch commit (``version`` is then the branch-local
+    number), main is untouched until :func:`fast_forward`, and a racing
+    branch writer refuses (single-claim). MOR tables refuse on a
+    branch (delta-chain commits are main-only).
+
     Returns ``{"version", "rows_deleted", "files_rewritten",
     "files_kept", "files_probed", "dv_files_written"}`` (``version`` is
     the pre-existing latest when the delete was a no-op;
@@ -2148,23 +2226,25 @@ def delete_where_snapshot(
 
     if mode not in ("cow", "dv"):
         raise ValueError(f"unknown delete mode {mode!r}")
-    versions = snapshot_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no committed snapshots under {path!r}")
-    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
-        man = json.load(f)
+    man, head_id, expect_bv = _dml_head(path, branch)
     # column-mapped tables: scan logical (predicate speaks logical
     # names), write physical — rename stays metadata-only through DML
     # (r11 verdict #1, Delta column-mapping parity)
     mapping = man.get("column_mapping") or {}
     if man.get("mor"):
+        if branch is not None:
+            raise ValueError(
+                "MOR DML on a branch is not supported — the delta-chain "
+                "commit protocol is main-only; fast_forward or "
+                "compact_mor first"
+            )
         # MOR tables take the delta-tombstone path regardless of mode
         # (r13): file-level COW probes would see superseded base rows,
         # and DVs can't mix with a delta chain — tombstones are the
         # merge-on-read-native delete (zero base files touched)
         return _delete_where_mor(
             spark, path, man, predicate, compression, prune,
-            partition_where,
+            partition_where, point,
         )
     dv_map = man.get("dv") or {}
     probe_rels = list(man["files"])
@@ -2174,8 +2254,11 @@ def delete_where_snapshot(
         # (caller contract, same as `prune`) probes ONLY their files;
         # no-tuple files are always probed (conservative). At 100 TB a
         # one-day delete probes one day, not the table.
-        keep, _ = partition_pruned_files(
-            path, partition_where, versions[-1], spark
+        keep = (
+            _partition_keep(
+                man["partition"], man["files"], partition_where, spark
+            )
+            if man.get("partition") else list(man["files"])
         )
         ks = set(keep)
         probe_rels = [rel for rel in probe_rels if rel in ks]
@@ -2188,10 +2271,24 @@ def delete_where_snapshot(
             if (s_ := stats.get(rel, {}).get(col)) is None
             or not (s_[1] < elo or s_[0] > ehi)
         ]
-    if prune is not None or partition_where is not None:
+    if point is not None:
+        # r14: bloom point prune — `prune`'s membership twin for keys
+        # where range stats prune nothing (hash-ordered ids). Caller
+        # contract mirrors `prune`: the predicate can only be TRUE for
+        # rows with ``col IN values``; indexed files whose filter
+        # rejects every value carry without entering the probe scan,
+        # unindexed files always probe (index_bloom_snapshot refreshes).
+        probe_rels = _bloom_point_keep(
+            spark, path, man, point[0], list(point[1]), probe_rels
+        )
+    if (
+        prune is not None
+        or partition_where is not None
+        or point is not None
+    ):
         if not probe_rels:  # pruning proves no file can hold a doomed row
             return {
-                "version": versions[-1],
+                "version": head_id,
                 "rows_deleted": 0,
                 "files_rewritten": 0,
                 "files_kept": len(man["files"]),
@@ -2213,7 +2310,7 @@ def delete_where_snapshot(
             data_dir = os.path.join(path, "data", token)
             os.rmdir(data_dir)
             return {
-                "version": versions[-1],
+                "version": head_id,
                 "rows_deleted": 0,
                 "files_rewritten": 0,
                 "files_kept": len(man["files"]),
@@ -2239,8 +2336,8 @@ def delete_where_snapshot(
         if "stats" in man:
             manifest["stats"] = man["stats"]  # now upper bounds: still
             # conservative-correct for pruning
-        version = _commit_manifest(
-            path, manifest, token,
+        version = _commit_dml_manifest(
+            path, manifest, token, branch, expect_bv,
             rebase=_make_dml_rebase(
                 man,
                 dv_set={
@@ -2268,7 +2365,7 @@ def delete_where_snapshot(
     rows_deleted = sum(touched.values())
     if not touched:
         return {
-            "version": versions[-1],
+            "version": head_id,
             "rows_deleted": 0,
             "files_rewritten": 0,
             "files_kept": len(man["files"]),
@@ -2310,8 +2407,8 @@ def delete_where_snapshot(
         stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
         stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
-    version = _commit_manifest(
-        path, manifest, token,
+    version = _commit_dml_manifest(
+        path, manifest, token, branch, expect_bv,
         rebase=_make_dml_rebase(
             man, removed=doomed_rels, new_files=new_files,
             new_values=new_values, new_stats=_new_stats_of(manifest, new_files),
@@ -2385,6 +2482,7 @@ def merge_into_snapshot(
     txn: tuple[str, int] | None = None,
     partition_where: dict | None = None,
     schema_evolution: bool = False,
+    branch: str | None = None,
 ) -> int:
     """SQL-style conditional MERGE INTO (Delta/Iceberg's most-used DML
     verb — the clause-driven twin of :func:`merge_apply_changes`'s
@@ -2433,19 +2531,25 @@ def merge_into_snapshot(
     nothing commits nothing. On a MOR table (r13) the merge lands as
     ONE delta group — tombstones + images, zero base rewrites (see
     :func:`_merge_into_mor`). ``txn`` gives at-least-once writers the
-    manifest idempotence watermark. Returns the new version."""
+    manifest idempotence watermark. ``branch`` (r14) stages the merge
+    as the next commit of a branch instead of main — the
+    write-audit-publish flow for the flagship CDC verb; returns the
+    branch-local commit number, racing branch writers refuse, MOR
+    refuses. Returns the new version."""
     from pyspark.sql import functions as F
 
     import json
     import os
     import uuid
 
-    versions = snapshot_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no committed snapshots under {path!r}")
-    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
-        man = json.load(f)
+    man, head_id, expect_bv = _dml_head(path, branch)
     if man.get("mor"):
+        if branch is not None:
+            raise ValueError(
+                "MOR DML on a branch is not supported — the delta-chain "
+                "commit protocol is main-only; fast_forward or "
+                "compact_mor first"
+            )
         # r13: lands as ONE delta group (tombstones + images), zero
         # base rewrites — see _merge_into_mor
         return _merge_into_mor(
@@ -2471,7 +2575,7 @@ def merge_into_snapshot(
         raise ValueError(f"source lacks merge key columns {missing_keys}")
     prev_txn = man.get("txn") or {}
     if txn is not None and txn[1] <= prev_txn.get(txn[0], -1):
-        return versions[-1]  # redelivered batch: idempotent skip
+        return head_id  # redelivered batch: idempotent skip
     dup = (
         source.groupBy(*key_cols).count().filter(F.col("count") > 1)
         .limit(1).count()
@@ -2501,8 +2605,11 @@ def merge_into_snapshot(
         # an excluded file would re-insert as a duplicate under
         # NOT-MATCHED) — the natural fit is a partition-aligned merge
         # key (region/day CDC batches into their own partitions).
-        keep_pw, _ = partition_pruned_files(
-            path, partition_where, versions[-1], spark
+        keep_pw = (
+            _partition_keep(
+                man["partition"], man["files"], partition_where, spark
+            )
+            if man.get("partition") else list(man["files"])
         )
         ks = set(keep_pw)
         probe_rels = [rel for rel in probe_rels if rel in ks]
@@ -2524,6 +2631,32 @@ def merge_into_snapshot(
             rel for rel in probe_rels
             if (s_ := stats.get(rel, {}).get(kc)) is None
             or not (s_[1] < elo or s_[0] > ehi)
+        ]
+    # r14: BLOOM-probe pruning — the high-cardinality complement of the
+    # range prune above. On a hash-ordered key (UUIDs) every file spans
+    # the whole key range and stats prune NOTHING; a per-file bloom
+    # sidecar (index_bloom_snapshot) instead proves "contains no source
+    # key" file by file, fully distributed (_bloom_admitted_files —
+    # source keys never reach the driver). Indexed files the filter
+    # rejects for EVERY source key skip the probe scan outright — no
+    # false negatives, so they provably carry unchanged; unindexed
+    # files (appends since the last refresh) always probe. NULL source
+    # keys match no target row (equi-join semantics) and probe nothing.
+    for kc in key_cols:
+        if not probe_rels:
+            break
+        bmeta = _snap_bloom_meta(path, kc, man)
+        if bmeta is None:
+            continue
+        keys = (
+            source.select(F.col(kc).cast(bmeta["type"]).alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .distinct()
+        )
+        adm = _bloom_admitted_files(spark, bmeta, keys)
+        probe_rels = [
+            rel for rel in probe_rels
+            if rel not in bmeta["files"] or rel in adm
         ]
 
     # PROBE: which files contain a source key — at most |files| rows
@@ -2547,9 +2680,9 @@ def merge_into_snapshot(
     ]
     kept = [rel for rel in man["files"] if os.path.basename(rel) not in hit]
     if not touched and not insert:
-        return versions[-1]  # nothing matched, nothing to insert: no-op
+        return head_id  # nothing matched, nothing to insert: no-op
     if not touched and source.isEmpty():
-        return versions[-1]
+        return head_id
 
     src = source
     for c in source.columns:
@@ -2768,7 +2901,9 @@ def merge_into_snapshot(
             m2["txn"] = head_txn
         return m2
 
-    return _commit_manifest(path, manifest, token, rebase=_rebase)
+    return _commit_dml_manifest(
+        path, manifest, token, branch, expect_bv, rebase=_rebase
+    )
 
 
 def update_where_snapshot(
@@ -2780,6 +2915,8 @@ def update_where_snapshot(
     prune: tuple | None = None,
     mode: str = "cow",
     partition_where: dict | None = None,
+    point: tuple | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Copy-on-write UPDATE — the last member of the DML triad
     (:func:`write_snapshot` append / :func:`delete_where_snapshot` /
@@ -2819,7 +2956,10 @@ def update_where_snapshot(
     adds columns — that's schema evolution via a write), its committed
     type is preserved by casting the new value to it, and MOR tables
     refuse (compact first) for the same probe-soundness reason as
-    DELETE. Returns ``{"version", "rows_updated", "files_rewritten",
+    DELETE. ``branch`` (r14): stage the update on a branch head (the
+    delete verb's write-audit-publish contract — branch-local commit
+    number returned, main untouched until fast_forward). Returns
+    ``{"version", "rows_updated", "files_rewritten",
     "files_kept", "files_probed"}`` (plus ``"dv_files_written"`` in DV
     mode)."""
     import glob
@@ -2831,18 +2971,20 @@ def update_where_snapshot(
 
     if mode not in ("cow", "dv"):
         raise ValueError(f"unknown update mode {mode!r}")
-    versions = snapshot_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no committed snapshots under {path!r}")
-    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
-        man = json.load(f)
+    man, head_id, expect_bv = _dml_head(path, branch)
     mapping = man.get("column_mapping") or {}  # scan logical, write physical
     if man.get("mor"):
+        if branch is not None:
+            raise ValueError(
+                "MOR DML on a branch is not supported — the delta-chain "
+                "commit protocol is main-only; fast_forward or "
+                "compact_mor first"
+            )
         # r13: updated images land as one plain upsert delta group —
         # zero base rewrites, the merge-on-read-native UPDATE
         return _update_where_mor(
             spark, path, man, assignments, predicate, compression, prune,
-            partition_where,
+            partition_where, point,
         )
     schema = man["schema"]
     missing = [c for c in assignments if c not in schema]
@@ -2858,8 +3000,11 @@ def update_where_snapshot(
         # r13: partition-tuple probe pruning (see delete's note) — the
         # caller guarantees the predicate is FALSE outside the matching
         # partitions; their files carry without entering the probe scan
-        keep, _ = partition_pruned_files(
-            path, partition_where, versions[-1], spark
+        keep = (
+            _partition_keep(
+                man["partition"], man["files"], partition_where, spark
+            )
+            if man.get("partition") else list(man["files"])
         )
         ks = set(keep)
         probe_rels = [rel for rel in probe_rels if rel in ks]
@@ -2872,9 +3017,15 @@ def update_where_snapshot(
             if (s_ := stats.get(rel, {}).get(col)) is None
             or not (s_[1] < elo or s_[0] > ehi)
         ]
+    if point is not None:
+        # r14: bloom point prune (see delete's note — same caller
+        # contract: the predicate is FALSE outside ``col IN values``)
+        probe_rels = _bloom_point_keep(
+            spark, path, man, point[0], list(point[1]), probe_rels
+        )
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     no_op = {
-        "version": versions[-1],
+        "version": head_id,
         "rows_updated": 0,
         "files_rewritten": 0,
         "files_kept": len(man["files"]),
@@ -2953,8 +3104,8 @@ def update_where_snapshot(
                 _stats_logical(new_files, path, stats_cols, mapping)
             )
             manifest["stats"] = st
-        version = _commit_manifest(
-            path, manifest, token,
+        version = _commit_dml_manifest(
+            path, manifest, token, branch, expect_bv,
             rebase=_make_dml_rebase(
                 man,
                 dv_set={
@@ -3033,8 +3184,8 @@ def update_where_snapshot(
         stats = {rel: man["stats"][rel] for rel in kept if rel in man["stats"]}
         stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
-    version = _commit_manifest(
-        path, manifest, token,
+    version = _commit_dml_manifest(
+        path, manifest, token, branch, expect_bv,
         rebase=_make_dml_rebase(
             man, removed=touched_rels, new_files=new_files,
             new_values=new_values,
@@ -3930,6 +4081,7 @@ def _delete_where_mor(
     spark: SparkSession, path: str, man: dict, predicate,
     compression: str, prune: tuple | None,
     partition_where: dict | None = None,
+    point: tuple | None = None,
 ) -> dict:
     """MOR DELETE as a DELTA-GROUP commit (r12 verdict #1 — the largest
     interop wall: every DML verb refused on the streaming-CDC substrate,
@@ -3978,6 +4130,13 @@ def _delete_where_mor(
             )
         read_man, n_kept, _ = _mor_pruned_manifest(
             read_man, {col: (lo, hi)}
+        )
+    if point is not None:
+        # r14: bloom point prune on the chain — key-column-only (the
+        # _bloom_live_rels soundness rule); same caller contract as
+        # the COW point prune (predicate FALSE outside col IN values)
+        read_man, n_kept, _ = _mor_bloom_point_pruned(
+            spark, path, read_man, point[0], list(point[1])
         )
     if not read_man["files"] and not any(read_man["mor"]["deltas"]):
         return {
@@ -4031,6 +4190,7 @@ def _update_where_mor(
     spark: SparkSession, path: str, man: dict, assignments: dict,
     predicate, compression: str, prune: tuple | None,
     partition_where: dict | None = None,
+    point: tuple | None = None,
 ) -> dict:
     """MOR UPDATE as a DELTA-GROUP commit (r13, completing the DML triad
     on the streaming-CDC substrate): matched rows' UPDATED images land
@@ -4072,6 +4232,12 @@ def _update_where_mor(
             )
         read_man, n_kept, _ = _mor_pruned_manifest(
             read_man, {col: (lo, hi)}
+        )
+    if point is not None:
+        # r14: bloom point prune on the chain (key-column-only; see the
+        # MOR delete note)
+        read_man, n_kept, _ = _mor_bloom_point_pruned(
+            spark, path, read_man, point[0], list(point[1])
         )
     no_op = {
         "version": snapshot_versions(path)[-1], "rows_updated": 0,
@@ -4219,6 +4385,36 @@ def _merge_into_mor(
             probe_man, partition_where, spark
         )
     read_man, _, _ = _mor_pruned_manifest(probe_man, bounds)
+    # r14: bloom-probe pruning, the COW merge's high-cardinality
+    # complement on the chain — sound without any caller contract
+    # (key columns only, exact per construction: a rejected file
+    # contains NO source key, so it can't change any matched key's
+    # winner; the left-semi below already restricts to source keys)
+    for kc in key_cols:
+        bmeta = _snap_bloom_meta(path, kc, man)
+        if bmeta is None:
+            continue
+        keys = (
+            source.select(F.col(kc).cast(bmeta["type"]).alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .distinct()
+        )
+        adm = _bloom_admitted_files(spark, bmeta, keys)
+        adm |= {
+            rel for rel in _bloom_live_rels(read_man, kc)
+            if rel not in bmeta["files"]
+        }
+        read_man = {
+            **read_man,
+            "files": [r for r in read_man["files"] if r in adm],
+            "mor": {
+                **read_man["mor"],
+                "deltas": [
+                    [r for r in grp if r in adm]
+                    for grp in read_man["mor"]["deltas"]
+                ],
+            },
+        }
     if read_man["files"] or any(read_man["mor"]["deltas"]):
         resolved = _resolve_mor(spark, path, read_man)
     else:  # every file provably key-disjoint from the source
@@ -5821,6 +6017,387 @@ def read_bloom_pruned(
         spark.read.parquet(*(os.path.join(path, rel) for rel in sorted(keep)))
         .filter(F.col(col).isin(values))
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-NATIVE bloom index: the q68 sidecar grown into a table-format
+# citizen. Per-file blooms keyed by MANIFEST rel paths, refreshed
+# incrementally (only live files missing from the sidecar are scanned),
+# and consulted by the DML probe planners — the high-cardinality
+# complement of min/max stats: on a hash-ordered key (UUIDs) every file
+# spans the whole key range and range stats prune NOTHING, while a bloom
+# proves "this file contains none of these keys" per file.
+#
+# Deliberately NOT manifest-committed (unlike the ANN index, whose probe
+# view must be all-or-nothing): bloom admission is a conservative
+# SUPERSET by construction — files absent from the sidecar are always
+# read, entries for files rewritten away are ignored — so sidecar
+# visibility needs no transaction. A crashed refresh leaves the previous
+# sidecar intact (tmp + os.replace); a stale sidecar only costs pruning,
+# never correctness. The one hard invariant is HASH IDENTITY between
+# build and probe: both hash values CAST TO THE COMMITTED LOGICAL TYPE
+# with the same JVM xxhash64 expressions, and the sidecar records that
+# type — a type-widened table invalidates the sidecar wholesale (Spark
+# hashes int and bigint differently) until the next refresh rebuilds it.
+# ---------------------------------------------------------------------------
+
+
+def _snap_bloom_path(path: str, col: str) -> str:
+    import os
+
+    return os.path.join(path, "bloom", f"{col}.json")
+
+
+def _file_uri_to_path(uri: str) -> str:
+    """``file:/a``, ``file://host/a`` and ``file:///a`` all → ``/a``
+    (``_metadata.file_path`` uses one slash, ``input_file_name`` three)."""
+    if uri.startswith("file:"):
+        uri = uri[5:]
+        while uri.startswith("//"):
+            uri = uri[1:]
+    return uri
+
+
+def _snap_bloom_meta(path: str, col: str, man: dict) -> dict | None:
+    """Load the snapshot bloom sidecar for ``col`` if it is USABLE under
+    ``man``: present, parseable, and built under the manifest's current
+    committed type for the column. Anything else returns None — the
+    caller plans as if no sidecar existed (conservative)."""
+    import json
+    import os
+
+    p = _snap_bloom_path(path, col)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if meta.get("type") != (man.get("schema") or {}).get(col):
+        return None  # widened/retyped since the build: hashes diverge
+    return meta
+
+
+def _bloom_live_rels(man: dict, col: str) -> list[str]:
+    """The manifest's live data rel paths a bloom over ``col`` must
+    cover: base files, plus the whole delta chain on MOR — where ``col``
+    must be a MOR KEY column (the read_snapshot_pruned key-closure rule:
+    a key's rows, tombstones included, live only in files whose bloom
+    fires for it, so dropping non-firing files cannot change that key's
+    latest-wins winner; a non-key column's value can move between
+    commits of one key and would resurrect superseded rows)."""
+    mor = man.get("mor")
+    rels = list(man["files"])
+    if mor:
+        if col not in mor["key_cols"]:
+            raise ValueError(
+                f"bloom over {col!r} on a MOR table: only key columns "
+                f"{mor['key_cols']} can bloom-prune a delta chain "
+                "soundly (non-key values move between commits of a key)"
+            )
+        rels += [rel for grp in mor["deltas"] for rel in grp]
+    return rels
+
+
+def index_bloom_snapshot(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_bits: int = BLOOM_IDX_M,
+    k: int = BLOOM_IDX_K,
+) -> dict:
+    """Build or INCREMENTALLY refresh the file-level bloom sidecar for a
+    SNAPSHOT table column (:func:`build_bloom_index`'s raw-parquet shape,
+    manifest-aware): index the LATEST manifest's live files — base and,
+    for a key column, the MOR delta chain — scanning ONLY the live files
+    missing from the existing sidecar; entries whose files left the
+    manifest (compaction, COW rewrites, vacuumed versions) are dropped.
+    A daily refresh after the nightly append therefore costs O(new
+    files), never a table rescan. Values are read under the FORCED
+    committed physical schema (narrow old files upcast in the vectorized
+    scan, column-mapped tables harvested by physical name) and hashed at
+    the committed logical type — the sidecar records that type and
+    :func:`_snap_bloom_meta` refuses to use it after a widening until
+    this verb rebuilds. Returns ``{"indexed", "carried", "dropped",
+    "files", "version"}``."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    with open(
+        os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")
+    ) as f:
+        man = json.load(f)
+    schema = man.get("schema") or {}
+    if col not in schema:
+        raise ValueError(
+            f"column {col!r} not in committed schema {sorted(schema)}"
+        )
+    ctype = schema[col]
+    mapping = man.get("column_mapping") or {}
+    phys = mapping.get(col, col)
+    live = _bloom_live_rels(man, col)
+
+    old = _snap_bloom_meta(path, col, man)
+    if old is not None and (old["m_bits"] != m_bits or old["k"] != k):
+        old = None  # parameter change: full rebuild under the new shape
+    old_files = (old or {}).get("files") or {}
+    carried = {rel: old_files[rel] for rel in live if rel in old_files}
+    missing = [rel for rel in live if rel not in carried]
+
+    fresh: dict[str, dict[str, int]] = {rel: {} for rel in missing}
+    if missing:
+        force = _phys_schema(man)
+        reader = spark.read
+        if force:
+            reader = reader.schema(_schema_ddl(force))
+        df = (
+            reader.parquet(*(os.path.join(path, rel) for rel in missing))
+            .select(
+                F.col("_metadata.file_path").alias("_file"),
+                F.col(phys).cast(ctype).alias("_v"),
+            )
+            # NULLs can't be point-looked-up (IN/join semantics) — a
+            # file of only NULLs keeps an EMPTY bloom that rejects
+            # every key, which is exactly right
+            .filter(F.col("_v").isNotNull())
+        )
+        h1, h2 = F.xxhash64("_v"), F.xxhash64(F.lit(1), F.col("_v"))
+        r1 = F.pmod(h1, F.lit(m_bits))
+        r2 = F.pmod(h2, F.lit(m_bits))
+        pos = F.explode(
+            F.array(
+                *[
+                    F.pmod(r1 + F.lit(i) * r2, F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("_p")
+        words = (
+            df.select("_file", pos)
+            .select(
+                "_file",
+                (F.col("_p") / 64).cast("long").alias("_w"),
+                F.expr(
+                    "shiftleft(1L, CAST(pmod(_p, 64) AS INT))"
+                ).alias("_b"),
+            )
+            .groupBy("_file", "_w")
+            .agg(F.bit_or("_b").alias("_word"))
+            .collect()
+        )
+        for r in words:
+            rel = os.path.relpath(_file_uri_to_path(r["_file"]), path)
+            fresh[rel][str(r["_w"])] = r["_word"]
+    meta = {
+        "col": col,
+        "type": ctype,
+        "m_bits": m_bits,
+        "k": k,
+        "version": versions[-1],
+        "files": {**carried, **fresh},
+    }
+    os.makedirs(os.path.dirname(_snap_bloom_path(path, col)), exist_ok=True)
+    tmp = _snap_bloom_path(path, col) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _snap_bloom_path(path, col))
+    return {
+        "indexed": len(missing),
+        "carried": len(carried),
+        "dropped": len(old_files) - len(carried),
+        "files": len(live),
+        "version": versions[-1],
+    }
+
+
+def _bloom_admitted_files(spark, meta: dict, keys_df) -> set:
+    """DISTRIBUTED bloom membership: which of ``meta``'s indexed files
+    admit at least one key in ``keys_df`` (single ``_v`` column, already
+    cast to the sidecar's type). No key ever reaches the driver — keys
+    reduce to their two xxhash64 words, explode to k probe positions,
+    fold per (key, word) into needed-bit masks, and equi-join the
+    sidecar's sparse (file, word) rows; a (key, file) pair is admitted
+    when every probed word has all its needed bits ((word & mask) =
+    mask, with absent sparse words = 0 rejecting). Only the admitted
+    rel list — bounded by |files|, not |keys| — is collected. The probe
+    side of a CDC merge therefore scales to millions of source keys:
+    masks are |keys| × ≤k rows, the join shuffles on the word index."""
+    from pyspark.sql import functions as F
+
+    m_bits, k = meta["m_bits"], meta["k"]
+    idx_rows = [
+        (rel, int(w), int(word))
+        for rel, words in meta["files"].items()
+        for w, word in words.items()
+    ]
+    if not idx_rows:
+        return set()
+    idx = spark.createDataFrame(idx_rows, "rel string, w long, word long")
+    base = (
+        keys_df.filter(F.col("_v").isNotNull())
+        .select(
+            F.xxhash64("_v").alias("_h1"),
+            F.xxhash64(F.lit(1), F.col("_v")).alias("_h2"),
+        )
+        .distinct()
+    )
+    r1 = F.pmod(F.col("_h1"), F.lit(m_bits))
+    r2 = F.pmod(F.col("_h2"), F.lit(m_bits))
+    pos = F.explode(
+        F.array(
+            *[F.pmod(r1 + F.lit(i) * r2, F.lit(m_bits)) for i in range(k)]
+        )
+    ).alias("_p")
+    masks = (
+        base.select("_h1", "_h2", pos)
+        .select(
+            "_h1",
+            "_h2",
+            (F.col("_p") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(1L, CAST(pmod(_p, 64) AS INT))").alias("_b"),
+        )
+        .groupBy("_h1", "_h2", "w")
+        .agg(F.bit_or("_b").alias("mask"))
+    )
+    need = masks.groupBy("_h1", "_h2").agg(F.count("*").alias("need"))
+    admitted = (
+        masks.join(idx, "w")
+        .where(F.expr("(word & mask) = mask"))
+        .groupBy("_h1", "_h2", "rel")
+        .agg(F.count("*").alias("got"))
+        .join(need, ["_h1", "_h2"])
+        .where("got = need")
+        .select("rel")
+        .distinct()
+        .collect()
+    )
+    return {r["rel"] for r in admitted}
+
+
+def _bloom_point_keep(
+    spark, path: str, man: dict, col: str, values: list, rels: list[str]
+) -> list[str]:
+    """Filter ``rels`` to the files that can contain ``col IN values``
+    per the snapshot bloom sidecar: indexed files must be admitted,
+    unindexed files always survive (advice, not truth). No usable
+    sidecar → ``rels`` unchanged."""
+    from pyspark.sql import functions as F
+
+    meta = _snap_bloom_meta(path, col, man)
+    if meta is None:
+        return list(rels)
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return [rel for rel in rels if rel not in meta["files"]]
+    keys = spark.createDataFrame([(v,) for v in vals]).toDF("_v").select(
+        F.col("_v").cast(meta["type"]).alias("_v")
+    )
+    adm = _bloom_admitted_files(spark, meta, keys)
+    return [rel for rel in rels if rel not in meta["files"] or rel in adm]
+
+
+def _mor_bloom_point_pruned(
+    spark, path: str, man: dict, col: str, values: list
+):
+    """Bloom-point-prune a MOR manifest's base files AND delta chain
+    (the :func:`_mor_pruned_manifest` shape, membership form): ``col``
+    must be a MOR key column (:func:`_bloom_live_rels` raises
+    otherwise). Returns (pruned manifest, files surviving, files
+    total). Empty groups stay positionally (commit rank alignment)."""
+    rels = _bloom_live_rels(man, col)
+    keep = set(_bloom_point_keep(spark, path, man, col, values, rels))
+    pruned = {
+        "files": [rel for rel in man["files"] if rel in keep],
+        "schema": man["schema"],
+        "mor": {
+            **man["mor"],
+            "deltas": [
+                [rel for rel in grp if rel in keep]
+                for grp in man["mor"]["deltas"]
+            ],
+        },
+    }
+    for carry in ("column_mapping", "widened", "dropped"):
+        if man.get(carry):
+            pruned[carry] = man[carry]
+    return pruned, len(keep), len(rels)
+
+
+def read_snapshot_point(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """POINT LOOKUP on a snapshot table through the bloom sidecar:
+    return the selected version's rows with ``col IN values``, opening
+    only sidecar-admitted files plus any file the sidecar doesn't cover
+    — on a UUID-keyed 100 TB table where min/max stats prune nothing,
+    the lookup touches ~1 + fpr·files files instead of all of them.
+    Honors the full read contract of :func:`read_snapshot`: deletion
+    vectors anti-joined, column mapping translated, forced committed
+    schema, and MOR chains latest-wins-resolved (``col`` must then be a
+    MOR key column — the :func:`_bloom_live_rels` soundness rule; the
+    chain is pruned per-file BEFORE the window, sound because every
+    commit of a key fires the same bloom). The sidecar is advice:
+    absent, stale, or type-mismatched sidecars degrade to a full read
+    with the exact filter, never to a wrong answer."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {path!r}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(
+            f"version {v} not committed (have {versions}) — vacuumed?"
+        )
+    with open(os.path.join(_manifest_dir(path), f"v{v}.json")) as f:
+        man = json.load(f)
+    if man.get("mor"):
+        _bloom_live_rels(man, col)  # raises on non-key col
+    all_rels = _bloom_live_rels(man, col) if man.get("mor") else list(
+        man["files"]
+    )
+    keep = set(_bloom_point_keep(spark, path, man, col, values, all_rels))
+    pruned = {
+        "files": [rel for rel in man["files"] if rel in keep],
+        "schema": man["schema"],
+    }
+    if man.get("mor"):
+        pruned["mor"] = {
+            **man["mor"],
+            "deltas": [
+                [rel for rel in grp if rel in keep]
+                for grp in man["mor"]["deltas"]
+            ],
+        }
+    if man.get("dv"):
+        pruned["dv"] = {
+            rel: dv for rel, dv in man["dv"].items() if rel in keep
+        }
+    for carry in ("column_mapping", "widened", "dropped"):
+        if man.get(carry):
+            pruned[carry] = man[carry]
+    if not pruned["files"] and not any(
+        (pruned.get("mor") or {}).get("deltas") or []
+    ):
+        # every file provably key-free: typed empty frame, zero IO
+        # (_manifest_df's empty branch can't take a fully-pruned MOR
+        # manifest — _resolve_mor has no zero-path mode)
+        pruned.pop("mor", None)
+    return _manifest_df(spark, path, pruned).filter(F.col(col).isin(values))
 
 
 # ---------------------------------------------------------------------------
