@@ -1569,6 +1569,88 @@ def q89b_snapshot_branch(spark, sf_dir):
 
 
 @register(
+    "q89c_branch_dml_wap",
+    sql="""
+    WITH kept AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               o_totalprice AS tp
+        FROM orders WHERE o_totalprice >= 1000
+    )
+    SELECT CASE WHEN k % 100 = 0 THEN 'URGENT-AUDIT' ELSE pri END AS pri,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(
+               (CASE WHEN k % 500 = 0 THEN tp + 1000 ELSE tp END) * 100
+               + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM kept GROUP BY 1 ORDER BY 1
+    """,
+)
+def q89c_branch_dml_wap(spark, sf_dir):
+    """DML-complete WRITE-AUDIT-PUBLISH (r14 — ``branch=`` on the DML
+    triad): q89 stages a blind candidate write and q89b stages branch
+    WRITES, but a real audit session wants to stage the exact
+    delete/update/merge it would run on main. Here the quarantine flow
+    runs entirely on a branch — DELETE the sub-1000 orders, UPDATE the
+    century keys' priority, MERGE a CDC price adjustment
+    (``insert=False``: deleted keys in the batch match nothing and do
+    NOT resurrect) — while main provably still serves the unaudited
+    world (asserted mid-flight), then :func:`storage.fast_forward`
+    publishes all three staged commits as ONE metadata-only main
+    version. The oracle states the final world directly over orders;
+    a green row pins the branch-DML read/modify/commit chain, the
+    clause ordering, and the fast-forward publish. Racing-writer
+    refusal and vacuum interplay are pinned in tests/test_branches.py
+    (TestBranchDml)."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    path = tempfile.mkdtemp(prefix="q89c_branch_dml_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, base, path)
+        n_main = base.count()
+        storage.create_branch(path, "audit")
+        storage.delete_where_snapshot(
+            spark, path, F.col("tp") < 1000, branch="audit"
+        )
+        storage.update_where_snapshot(
+            spark, path, {"pri": F.lit("URGENT-AUDIT")},
+            F.col("k") % 100 == 0, branch="audit",
+        )
+        cdc = base.filter(F.col("k") % 500 == 0).select("k", "tp")
+        storage.merge_into_snapshot(
+            spark, path, cdc, ["k"],
+            update_set={"tp": "src_tp + 1000"}, insert=False,
+            branch="audit",
+        )
+        # audit gate: the branch world is clean, main is untouched
+        audited = storage.read_branch(spark, path, "audit")
+        assert audited.filter(F.col("tp") < 1000).count() == 0
+        assert storage.read_snapshot(spark, path).count() == n_main
+        storage.fast_forward(path, "audit")
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot(spark, path)
+            .groupBy("pri")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(cents).cast("long").alias("sum_cents"),
+            )
+            .orderBy("pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q91_update_where",
     sql="""
     WITH u AS (

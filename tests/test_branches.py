@@ -317,3 +317,180 @@ def test_branch_append_carries_partition_and_mapping(spark):
         assert 100 in {r["k"] for r in got_p.collect()}
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# r14: DML on branches — write-audit-publish with the verbs you actually
+# want to validate (delete/update/merge stage on the branch, main stays
+# untouched until fast_forward; racing branch writers refuse loudly)
+# ---------------------------------------------------------------------------
+
+
+class TestBranchDml:
+    def _seed(self, spark, path):
+        storage.write_snapshot(
+            spark,
+            _df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]),
+            path,
+        )
+        storage.create_branch(path, "audit")
+
+    def test_wap_delete_update_merge_then_publish(self, spark):
+        from pyspark.sql import functions as F
+
+        scratch, path = _mkpath()
+        try:
+            self._seed(spark, path)
+            r = storage.delete_where_snapshot(
+                spark, path, F.col("k") == 2, branch="audit"
+            )
+            assert r["rows_deleted"] == 1 and r["version"] == 1
+            r = storage.update_where_snapshot(
+                spark, path, {"val": F.lit("A")}, F.col("k") == 1,
+                branch="audit",
+            )
+            assert r["rows_updated"] == 1 and r["version"] == 2
+            src = _df(spark, [(3, "c3"), (9, "new")])
+            bv = storage.merge_into_snapshot(
+                spark, path, src, ["k"], update_set={"val": "src_val"},
+                branch="audit",
+            )
+            assert bv == 3
+            # three staged DML commits; main byte-for-byte untouched
+            assert _world(spark, storage.read_snapshot(spark, path)) == [
+                (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+            ]
+            assert _world(
+                spark, storage.read_branch(spark, path, "audit")
+            ) == [(1, "A"), (3, "c3"), (4, "d"), (9, "new")]
+            storage.fast_forward(path, "audit")
+            assert _world(spark, storage.read_snapshot(spark, path)) == [
+                (1, "A"), (3, "c3"), (4, "d"), (9, "new")
+            ]
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_dv_delete_on_branch(self, spark):
+        from pyspark.sql import functions as F
+
+        scratch, path = _mkpath()
+        try:
+            self._seed(spark, path)
+            r = storage.delete_where_snapshot(
+                spark, path, F.col("k") == 3, mode="dv", branch="audit"
+            )
+            assert r["rows_deleted"] == 1 and r["dv_files_written"] >= 1
+            # DV anti-join applies on the branch read; main clean
+            assert _world(
+                spark, storage.read_branch(spark, path, "audit")
+            ) == [(1, "a"), (2, "b"), (4, "d")]
+            assert len(storage.read_snapshot(spark, path).collect()) == 4
+            storage.fast_forward(path, "audit")
+            assert _world(spark, storage.read_snapshot(spark, path)) == [
+                (1, "a"), (2, "b"), (4, "d"),
+            ]
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_racing_branch_dml_refuses(self, spark):
+        scratch, path = _mkpath()
+        try:
+            self._seed(spark, path)
+            man = storage._branch_head_manifest(path, "audit")
+            # writer A claims b1 the legitimate way
+            storage.write_snapshot_to_branch(
+                spark, _df(spark, [(7, "x")]), path, "audit",
+                mode="append",
+            )
+            # writer B derived its manifest from the OLD head and tries
+            # to claim the same number: single-claim refusal, no silent
+            # renumber (a DML manifest is a read-modify-write product)
+            with pytest.raises(storage.ConcurrentCommitError,
+                               match="advanced concurrently"):
+                storage._commit_branch_manifest(
+                    path, "audit", dict(man), "tokB", 1
+                )
+            # the branch still reads as writer A left it
+            assert (7, "x") in _world(
+                spark, storage.read_branch(spark, path, "audit")
+            )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_mor_table_refuses_branch_dml(self, spark):
+        from pyspark.sql import functions as F
+
+        scratch, path = _mkpath()
+        try:
+            storage.write_snapshot(
+                spark,
+                spark.createDataFrame(
+                    [Row(k=1, val="a", seq=0)],
+                    "k bigint, val string, seq bigint",
+                ),
+                path,
+            )
+            storage.upsert_delta_snapshot(
+                spark, path,
+                spark.createDataFrame(
+                    [Row(k=2, val="b", seq=1)],
+                    "k bigint, val string, seq bigint",
+                ),
+                ["k"], "seq",
+            )
+            storage.create_branch(path, "audit")
+            for verb in (
+                lambda: storage.delete_where_snapshot(
+                    spark, path, F.col("k") == 1, branch="audit"
+                ),
+                lambda: storage.update_where_snapshot(
+                    spark, path, {"val": F.lit("z")}, F.col("k") == 1,
+                    branch="audit",
+                ),
+                lambda: storage.merge_into_snapshot(
+                    spark, path, _df(spark, [(1, "z")]), ["k"],
+                    update_set={"val": "src_val"}, branch="audit",
+                ),
+            ):
+                with pytest.raises(ValueError, match="MOR DML on a branch"):
+                    verb()
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_vacuum_retains_branch_dml_files(self, spark):
+        from pyspark.sql import functions as F
+
+        scratch, path = _mkpath()
+        try:
+            self._seed(spark, path)
+            storage.delete_where_snapshot(
+                spark, path, F.col("k") == 2, branch="audit"
+            )
+            # main moves on; old main versions expire — the branch's
+            # rewritten files and its fork point must survive
+            storage.write_snapshot(
+                spark, _df(spark, [(100, "z")]), path, mode="append"
+            )
+            storage.vacuum_snapshots(path, keep_last=1)
+            assert _world(
+                spark, storage.read_branch(spark, path, "audit")
+            ) == [(1, "a"), (3, "c"), (4, "d")]
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_ff_refuses_after_main_moves_past_dml_branch(self, spark):
+        from pyspark.sql import functions as F
+
+        scratch, path = _mkpath()
+        try:
+            self._seed(spark, path)
+            storage.delete_where_snapshot(
+                spark, path, F.col("k") == 2, branch="audit"
+            )
+            storage.write_snapshot(
+                spark, _df(spark, [(100, "z")]), path, mode="append"
+            )
+            with pytest.raises(ValueError, match="fast_forward refused"):
+                storage.fast_forward(path, "audit")
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
