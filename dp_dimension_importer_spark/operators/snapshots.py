@@ -1569,6 +1569,106 @@ def q89b_snapshot_branch(spark, sf_dir):
 
 
 @register(
+    "q86g_mor_branch_dml",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               o_totalprice AS tp
+        FROM orders
+    ), res1 AS (
+        SELECT k, pri,
+               CASE WHEN k % 10 = 3 THEN tp + 1000 ELSE tp END AS tp
+        FROM base
+    ), w AS (
+        SELECT k, pri,
+               CASE WHEN k % 100 = 0 THEN tp + 9
+                    WHEN k % 10 = 7 THEN tp + 55
+                    ELSE tp END AS tp
+        FROM res1
+        WHERE k % 10 = 7 OR NOT (pri = '3-MEDIUM' AND k % 5 = 0)
+    )
+    SELECT pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+)
+def q86g_mor_branch_dml(spark, sf_dir):
+    """Staged CDC on a LIVE MOR table (r14 — ``branch=`` on the
+    delta-chain verbs): fork an audit branch of a base+delta MOR table,
+    then stage three chain commits ON THE BRANCH — a tombstone DELETE
+    (medium-priority multiples of five), a CDC UPSERT batch (+55 on the
+    ``k%10=7`` keys, which RESURRECTS any of them the delete had
+    tombstoned — latest-wins across branch commits, pinned by the
+    oracle), and a MERGE price adjustment (+9 on century keys,
+    ``insert=False`` so tombstoned keys stay dead) — while main's chain
+    is asserted byte-identical mid-flight. :func:`storage.fast_forward`
+    publishes the staged chain as one metadata-only main version. The
+    oracle folds the same three ops over orders; a green row pins
+    branch-chain ordering, tombstone resurrection semantics and the
+    publish. Watermark/racing pins live in tests/test_branches.py."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    d1 = base.filter(F.col("k") % 10 == 3).withColumn(
+        "tp", F.col("tp") + 1000
+    ).withColumn("seq", F.lit(1).cast("long"))
+    path = tempfile.mkdtemp(prefix="q86g_mor_branch_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, base, path)
+        storage.upsert_delta_snapshot(spark, path, d1, ["k"], "seq")
+        main_v = storage.snapshot_versions(path)[-1]
+        n_main = base.count()
+        storage.create_branch(path, "audit")
+        r = storage.delete_where_snapshot(
+            spark, path, "pri = '3-MEDIUM' AND k % 5 = 0",
+            branch="audit",
+        )
+        assert r["files_rewritten"] == 0 and r["version"] == 1
+        res1 = storage.read_snapshot(spark, path)  # main view = base+d1
+        u2 = (
+            res1.filter(F.col("k") % 10 == 7)
+            .withColumn("tp", F.col("tp") + 55)
+            .withColumn("seq", F.lit(2).cast("long"))
+        )
+        assert storage.upsert_delta_snapshot(
+            spark, path, u2, ["k"], "seq", branch="audit"
+        ) == 2
+        src = res1.filter(F.col("k") % 100 == 0).select("k", "tp")
+        assert storage.merge_into_snapshot(
+            spark, path, src, ["k"], update_set={"tp": "src_tp + 9"},
+            insert=False, branch="audit",
+        ) == 3
+        # main untouched by three staged chain commits
+        assert storage.snapshot_versions(path)[-1] == main_v
+        assert storage.read_snapshot(spark, path).count() == n_main
+        storage.fast_forward(path, "audit")
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+        return (
+            storage.read_snapshot(spark, path)
+            .groupBy("pri")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(cents).cast("long").alias("sum_cents"),
+            )
+            .orderBy("pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q89c_branch_dml_wap",
     sql="""
     WITH kept AS (

@@ -2232,19 +2232,15 @@ def delete_where_snapshot(
     # (r11 verdict #1, Delta column-mapping parity)
     mapping = man.get("column_mapping") or {}
     if man.get("mor"):
-        if branch is not None:
-            raise ValueError(
-                "MOR DML on a branch is not supported — the delta-chain "
-                "commit protocol is main-only; fast_forward or "
-                "compact_mor first"
-            )
         # MOR tables take the delta-tombstone path regardless of mode
         # (r13): file-level COW probes would see superseded base rows,
         # and DVs can't mix with a delta chain — tombstones are the
-        # merge-on-read-native delete (zero base files touched)
+        # merge-on-read-native delete (zero base files touched).
+        # r14: ``branch`` stages the tombstone group as the next BRANCH
+        # commit — the chain grows on the branch manifest only
         return _delete_where_mor(
             spark, path, man, predicate, compression, prune,
-            partition_where, point,
+            partition_where, point, branch, head_id, expect_bv,
         )
     dv_map = man.get("dv") or {}
     probe_rels = list(man["files"])
@@ -2544,18 +2540,14 @@ def merge_into_snapshot(
 
     man, head_id, expect_bv = _dml_head(path, branch)
     if man.get("mor"):
-        if branch is not None:
-            raise ValueError(
-                "MOR DML on a branch is not supported — the delta-chain "
-                "commit protocol is main-only; fast_forward or "
-                "compact_mor first"
-            )
         # r13: lands as ONE delta group (tombstones + images), zero
-        # base rewrites — see _merge_into_mor
+        # base rewrites — see _merge_into_mor (r14: ``branch`` stages
+        # the group as the next branch commit)
         return _merge_into_mor(
             spark, path, man, source, key_cols, update_set,
             delete_condition, insert, insert_values, compression, txn,
-            partition_where, schema_evolution,
+            partition_where, schema_evolution, branch, head_id,
+            expect_bv,
         )
     if update_set is None and delete_condition is None and not insert:
         raise ValueError("MERGE INTO with no clauses is a no-op — pass "
@@ -2974,17 +2966,12 @@ def update_where_snapshot(
     man, head_id, expect_bv = _dml_head(path, branch)
     mapping = man.get("column_mapping") or {}  # scan logical, write physical
     if man.get("mor"):
-        if branch is not None:
-            raise ValueError(
-                "MOR DML on a branch is not supported — the delta-chain "
-                "commit protocol is main-only; fast_forward or "
-                "compact_mor first"
-            )
         # r13: updated images land as one plain upsert delta group —
         # zero base rewrites, the merge-on-read-native UPDATE
+        # (r14: ``branch`` stages the group on the branch chain)
         return _update_where_mor(
             spark, path, man, assignments, predicate, compression, prune,
-            partition_where, point,
+            partition_where, point, branch, head_id, expect_bv,
         )
     schema = man["schema"]
     missing = [c for c in assignments if c not in schema]
@@ -3348,6 +3335,7 @@ def upsert_delta_snapshot(
     seq_col: str,
     compression: str = PARQUET_CODEC,
     txn: tuple[str, int] | None = None,
+    branch: str | None = None,
 ) -> int:
     """MERGE-ON-READ upsert: ``changes`` lands as DELTA FILES — no base
     file is read, let alone rewritten, so the write costs O(changes)
@@ -3367,19 +3355,20 @@ def upsert_delta_snapshot(
     idempotence watermark as :func:`write_snapshot` — a redelivered
     micro-batch's delta is SKIPPED before any file is written, so a
     streaming CDC upsert sink is exactly-once with the manifest
-    hard-link as the only commit point. Returns the new version; prior
-    versions stay readable with exactly the delta prefix they
-    committed."""
+    hard-link as the only commit point. ``branch`` (r14): stage the
+    delta group on a BRANCH chain instead of main — the
+    write-audit-publish flow for streaming CDC (audit the staged chain
+    with :func:`read_branch`, publish with :func:`fast_forward`, whose
+    txn merge keeps the staged watermarks); returns the branch-local
+    commit number, racing branch writers refuse. Returns the new
+    version; prior versions stay readable with exactly the delta
+    prefix they committed."""
     import glob
     import json
     import os
     import uuid
 
-    versions = snapshot_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no committed snapshots under {path!r}")
-    with open(os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")) as f:
-        man = json.load(f)
+    man, head_id, expect_bv = _dml_head(path, branch)
     if man.get("dv"):
         raise ValueError(
             "MOR deltas and deletion vectors cannot mix — "
@@ -3399,7 +3388,7 @@ def upsert_delta_snapshot(
         )
     prev_txn = man.get("txn") or {}
     if txn is not None and txn[1] <= prev_txn.get(txn[0], -1):
-        return versions[-1]  # redelivered batch: idempotent skip
+        return head_id  # redelivered batch: idempotent skip
     new_schema = {f.name: f.dataType.simpleString() for f in changes.schema}
     _check_reserved(new_schema, ("_ci", "_rn", MOR_OP_COL))
     old_schema = man["schema"]
@@ -3527,11 +3516,11 @@ def upsert_delta_snapshot(
 
         shutil.rmtree(data_dir, ignore_errors=True)  # schema-only files
         if txn is None:
-            return versions[-1]
+            return head_id
         manifest = {k: man[k] for k in man}
         manifest["txn"] = dict(prev_txn)
         manifest["txn"][txn[0]] = txn[1]
-        return _commit_manifest(path, manifest, token)
+        return _commit_dml_manifest(path, manifest, token, branch, expect_bv)
     manifest = {
         "files": man["files"],
         "schema": merged_schema,
@@ -3664,7 +3653,9 @@ def upsert_delta_snapshot(
             m2["stats"] = {**(head.get("stats") or {}), **our_stats}
         return m2
 
-    return _commit_manifest(path, manifest, token, rebase=_rebase)
+    return _commit_dml_manifest(
+        path, manifest, token, branch, expect_bv, rebase=_rebase
+    )
 
 
 def _resolve_mor(
@@ -4041,6 +4032,7 @@ def _carry_partition_mor(
 def _commit_delta_group(
     path: str, man: dict, new_files: list, token: str,
     txn: tuple | None = None, rebase=None, new_values: dict | None = None,
+    branch: str | None = None, expect_bv: int | None = None,
 ) -> int:
     """Commit ``new_files`` as the next delta group of ``man``'s chain,
     declaring the op column (the group may carry tombstones). Base file
@@ -4074,7 +4066,9 @@ def _commit_delta_group(
         stats = dict(man["stats"])
         stats.update(_stats_logical(new_files, path, stats_cols, mapping))
         manifest["stats"] = stats
-    return _commit_manifest(path, manifest, token, rebase=rebase)
+    return _commit_dml_manifest(
+        path, manifest, token, branch, expect_bv, rebase=rebase
+    )
 
 
 def _delete_where_mor(
@@ -4082,6 +4076,8 @@ def _delete_where_mor(
     compression: str, prune: tuple | None,
     partition_where: dict | None = None,
     point: tuple | None = None,
+    branch: str | None = None, head_id: int | None = None,
+    expect_bv: int | None = None,
 ) -> dict:
     """MOR DELETE as a DELTA-GROUP commit (r12 verdict #1 — the largest
     interop wall: every DML verb refused on the streaming-CDC substrate,
@@ -4140,7 +4136,7 @@ def _delete_where_mor(
         )
     if not read_man["files"] and not any(read_man["mor"]["deltas"]):
         return {
-            "version": snapshot_versions(path)[-1], "rows_deleted": 0,
+            "version": head_id, "rows_deleted": 0,
             "files_rewritten": 0, "files_kept": len(man["files"]),
             "files_probed": 0, "delta_files_written": 0,
         }
@@ -4164,7 +4160,7 @@ def _delete_where_mor(
             ignore_errors=True,
         )
         return {
-            "version": snapshot_versions(path)[-1], "rows_deleted": 0,
+            "version": head_id, "rows_deleted": 0,
             "files_rewritten": 0, "files_kept": len(man["files"]),
             "files_probed": n_kept, "delta_files_written": 0,
         }
@@ -4177,7 +4173,8 @@ def _delete_where_mor(
         for rel in new_files
     )
     version = _commit_delta_group(
-        path, man, new_files, token, new_values=new_values
+        path, man, new_files, token, new_values=new_values,
+        branch=branch, expect_bv=expect_bv,
     )
     return {
         "version": version, "rows_deleted": n_rows,
@@ -4191,6 +4188,8 @@ def _update_where_mor(
     predicate, compression: str, prune: tuple | None,
     partition_where: dict | None = None,
     point: tuple | None = None,
+    branch: str | None = None, head_id: int | None = None,
+    expect_bv: int | None = None,
 ) -> dict:
     """MOR UPDATE as a DELTA-GROUP commit (r13, completing the DML triad
     on the streaming-CDC substrate): matched rows' UPDATED images land
@@ -4240,7 +4239,7 @@ def _update_where_mor(
             spark, path, read_man, point[0], list(point[1])
         )
     no_op = {
-        "version": snapshot_versions(path)[-1], "rows_updated": 0,
+        "version": head_id, "rows_updated": 0,
         "files_rewritten": 0, "files_kept": len(man["files"]),
         "files_probed": n_kept, "delta_files_written": 0,
     }
@@ -4286,7 +4285,8 @@ def _update_where_mor(
         for rel in new_files
     )
     version = _commit_delta_group(
-        path, man, new_files, token, new_values=new_values
+        path, man, new_files, token, new_values=new_values,
+        branch=branch, expect_bv=expect_bv,
     )
     return {
         "version": version, "rows_updated": n_rows,
@@ -4301,6 +4301,8 @@ def _merge_into_mor(
     insert_values, compression: str, txn: tuple | None,
     partition_where: dict | None = None,
     schema_evolution: bool = False,
+    branch: str | None = None, head_id: int | None = None,
+    expect_bv: int | None = None,
 ) -> int:
     """MERGE INTO a MOR table as ONE delta-group commit (r12 verdict
     #1): the source compacts against the RESOLVED view and lands a
@@ -4349,9 +4351,8 @@ def _merge_into_mor(
     if missing_keys:
         raise ValueError(f"source lacks merge key columns {missing_keys}")
     prev_txn = man.get("txn") or {}
-    versions = snapshot_versions(path)
     if txn is not None and txn[1] <= prev_txn.get(txn[0], -1):
-        return versions[-1]  # redelivered batch: idempotent skip
+        return head_id  # redelivered batch: idempotent skip
     dup = (
         source.groupBy(*key_cols).count().filter(F.col("count") > 1)
         .limit(1).count()
@@ -4510,7 +4511,7 @@ def _merge_into_mor(
             __import__("os").path.join(path, "data", token),
             ignore_errors=True,
         )
-        return versions[-1]  # matched nothing, inserted nothing
+        return head_id  # matched nothing, inserted nothing
 
     def _rebase(head: dict) -> dict:
         """Key-range-validated MOR MERGE rebase (r13): a racing delta
@@ -4607,6 +4608,7 @@ def _merge_into_mor(
     return _commit_delta_group(
         path, {**man, "schema": schema}, new_files, token, txn=txn,
         rebase=_rebase, new_values=new_values,
+        branch=branch, expect_bv=expect_bv,
     )
 
 
@@ -5514,9 +5516,16 @@ def fast_forward(path: str, name: str, drop: bool = True) -> int:
             drop_branch(path, name)
         return head  # nothing to publish: ff of an empty branch is a no-op
     manifest = dict(_branch_head_manifest(path, name))
-    latest_txn = _load_manifest(path, head).get("txn")
-    if latest_txn:
-        manifest["txn"] = latest_txn  # watermarks never regress
+    # watermarks never regress — and a branch that STAGED idempotent
+    # CDC commits (r14: upsert_delta_snapshot/DML with txn= on a
+    # branch) carries its own watermarks, which must survive the
+    # publish or a redelivered batch would re-land on main. Per-app
+    # max of both maps.
+    merged_txn = dict(_load_manifest(path, head).get("txn") or {})
+    for app, batch in (manifest.get("txn") or {}).items():
+        merged_txn[app] = max(batch, merged_txn.get(app, batch))
+    if merged_txn:
+        manifest["txn"] = merged_txn
     v = _commit_manifest(path, manifest, uuid.uuid4().hex[:12])
     if drop:
         drop_branch(path, name)

@@ -417,43 +417,108 @@ class TestBranchDml:
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
-    def test_mor_table_refuses_branch_dml(self, spark):
+    def _seed_mor(self, spark, path):
+        storage.write_snapshot(
+            spark,
+            spark.createDataFrame(
+                [Row(k=i, val=f"b{i}", seq=0) for i in range(10)],
+                "k bigint, val string, seq bigint",
+            ),
+            path,
+        )
+        storage.upsert_delta_snapshot(
+            spark, path,
+            spark.createDataFrame(
+                [Row(k=3, val="u3", seq=1)],
+                "k bigint, val string, seq bigint",
+            ),
+            ["k"], "seq",
+        )
+        storage.create_branch(path, "audit")
+
+    def test_mor_dml_stages_on_branch_chain(self, spark):
+        """r14: the MOR verbs stage delta groups on the BRANCH chain —
+        main's chain is byte-identical until fast_forward publishes."""
         from pyspark.sql import functions as F
 
         scratch, path = _mkpath()
         try:
-            storage.write_snapshot(
-                spark,
-                spark.createDataFrame(
-                    [Row(k=1, val="a", seq=0)],
-                    "k bigint, val string, seq bigint",
-                ),
-                path,
+            self._seed_mor(spark, path)
+            main_v = storage.snapshot_versions(path)[-1]
+            r = storage.delete_where_snapshot(
+                spark, path, F.col("k") == 7, branch="audit"
             )
-            storage.upsert_delta_snapshot(
+            assert r["rows_deleted"] == 1 and r["version"] == 1
+            assert r["delta_files_written"] >= 1
+            r = storage.update_where_snapshot(
+                spark, path, {"val": F.lit("X")}, F.col("k") == 9,
+                branch="audit",
+            )
+            assert r["rows_updated"] == 1 and r["version"] == 2
+            bv = storage.merge_into_snapshot(
                 spark, path,
-                spark.createDataFrame(
-                    [Row(k=2, val="b", seq=1)],
-                    "k bigint, val string, seq bigint",
-                ),
-                ["k"], "seq",
+                _df(spark, [(3, "m3"), (100, "m100")]), ["k"],
+                update_set={"val": "src_val"}, branch="audit",
             )
-            storage.create_branch(path, "audit")
-            for verb in (
-                lambda: storage.delete_where_snapshot(
-                    spark, path, F.col("k") == 1, branch="audit"
-                ),
-                lambda: storage.update_where_snapshot(
-                    spark, path, {"val": F.lit("z")}, F.col("k") == 1,
-                    branch="audit",
-                ),
-                lambda: storage.merge_into_snapshot(
-                    spark, path, _df(spark, [(1, "z")]), ["k"],
-                    update_set={"val": "src_val"}, branch="audit",
-                ),
-            ):
-                with pytest.raises(ValueError, match="MOR DML on a branch"):
-                    verb()
+            assert bv == 3
+            got = {
+                r["k"]: r["val"]
+                for r in storage.read_branch(spark, path, "audit")
+                .collect()
+            }
+            assert 7 not in got
+            assert got[9] == "X" and got[3] == "m3" and got[100] == "m100"
+            # main: version unmoved, chain unmoved, k=7 alive
+            assert storage.snapshot_versions(path)[-1] == main_v
+            assert (
+                storage.read_snapshot(spark, path)
+                .filter(F.col("k") == 7).count() == 1
+            )
+            storage.fast_forward(path, "audit")
+            got = {
+                r["k"]: r["val"]
+                for r in storage.read_snapshot(spark, path).collect()
+            }
+            assert 7 not in got and got[9] == "X" and got[100] == "m100"
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_mor_branch_upsert_txn_survives_publish(self, spark):
+        """Staged CDC with txn watermarks: redelivery skips ON the
+        branch, and the watermark survives fast_forward (per-app max
+        merge) so redelivery skips on MAIN after the publish too."""
+        scratch, path = _mkpath()
+        try:
+            self._seed_mor(spark, path)
+
+            def batch(val):
+                return spark.createDataFrame(
+                    [Row(k=5, val=val, seq=2)],
+                    "k bigint, val string, seq bigint",
+                )
+
+            b1 = storage.upsert_delta_snapshot(
+                spark, path, batch("u5"), ["k"], "seq",
+                txn=("cdc", 1), branch="audit",
+            )
+            assert b1 == 1
+            # redelivered batch on the branch: idempotent skip
+            assert storage.upsert_delta_snapshot(
+                spark, path, batch("DUP"), ["k"], "seq",
+                txn=("cdc", 1), branch="audit",
+            ) == 1
+            v = storage.fast_forward(path, "audit")
+            man = storage._load_manifest(path, v)
+            assert man.get("txn", {}).get("cdc") == 1
+            # post-publish redelivery on MAIN: skipped by the merged map
+            assert storage.upsert_delta_snapshot(
+                spark, path, batch("DUP2"), ["k"], "seq", txn=("cdc", 1)
+            ) == v
+            got = {
+                r["k"]: r["val"]
+                for r in storage.read_snapshot(spark, path).collect()
+            }
+            assert got[5] == "u5"
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
