@@ -2645,7 +2645,7 @@ def merge_into_snapshot(
             .where(F.col("_v").isNotNull())
             .distinct()
         )
-        adm = _bloom_admitted_files(spark, bmeta, keys)
+        adm = _bloom_admitted_files(spark, path, kc, bmeta, keys)
         probe_rels = [
             rel for rel in probe_rels
             if rel not in bmeta["files"] or rel in adm
@@ -4400,7 +4400,7 @@ def _merge_into_mor(
             .where(F.col("_v").isNotNull())
             .distinct()
         )
-        adm = _bloom_admitted_files(spark, bmeta, keys)
+        adm = _bloom_admitted_files(spark, path, kc, bmeta, keys)
         adm |= {
             rel for rel in _bloom_live_rels(read_man, kc)
             if rel not in bmeta["files"]
@@ -6051,10 +6051,16 @@ def read_bloom_pruned(
 # ---------------------------------------------------------------------------
 
 
+def _snap_bloom_dir(path: str, col: str) -> str:
+    import os
+
+    return os.path.join(path, "bloom", col)
+
+
 def _snap_bloom_path(path: str, col: str) -> str:
     import os
 
-    return os.path.join(path, "bloom", f"{col}.json")
+    return os.path.join(_snap_bloom_dir(path, col), "meta.json")
 
 
 def _file_uri_to_path(uri: str) -> str:
@@ -6068,10 +6074,12 @@ def _file_uri_to_path(uri: str) -> str:
 
 
 def _snap_bloom_meta(path: str, col: str, man: dict) -> dict | None:
-    """Load the snapshot bloom sidecar for ``col`` if it is USABLE under
-    ``man``: present, parseable, and built under the manifest's current
-    committed type for the column. Anything else returns None — the
-    caller plans as if no sidecar existed (conservative)."""
+    """Load the snapshot bloom sidecar's META for ``col`` if it is
+    USABLE under ``man``: present, parseable, and built under the
+    manifest's current committed type for the column. Anything else
+    returns None — the caller plans as if no sidecar existed
+    (conservative). ``meta["files"]`` is returned as a SET of indexed
+    rel paths."""
     import json
     import os
 
@@ -6085,6 +6093,7 @@ def _snap_bloom_meta(path: str, col: str, man: dict) -> dict | None:
         return None
     if meta.get("type") != (man.get("schema") or {}).get(col):
         return None  # widened/retyped since the build: hashes diverge
+    meta["files"] = set(meta.get("files") or [])
     return meta
 
 
@@ -6109,6 +6118,65 @@ def _bloom_live_rels(man: dict, col: str) -> list[str]:
     return rels
 
 
+def _bloom_word_frame(
+    spark, path: str, man: dict, rels: list[str], col: str,
+    m_bits: int, k: int,
+):
+    """(rel, w, word) bloom words for ``rels``, computed ENTIRELY
+    executor-side: rows explode to their k probe positions (pmod before
+    combine — ANSI longs never overflow), positions OR into 64-bit
+    words with a map-side-combinable bit_or keyed on (file, word), and
+    the rel path is derived from ``_metadata.file_path`` in the scan
+    itself — no row, word or path ever round-trips the driver."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ctype = man["schema"][col]
+    mapping = man.get("column_mapping") or {}
+    phys = mapping.get(col, col)
+    force = _phys_schema(man)
+    reader = spark.read
+    if force:
+        reader = reader.schema(_schema_ddl(force))
+    prefix = os.path.abspath(path) + os.sep
+    df = (
+        reader.parquet(*(os.path.join(path, rel) for rel in rels))
+        .select(
+            F.substring(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^file:/{0,2}", "/"
+                ),
+                len(prefix) + 1,
+                1_000_000,
+            ).alias("rel"),
+            F.col(phys).cast(ctype).alias("_v"),
+        )
+        # NULLs can't be point-looked-up (IN/join semantics) — a file
+        # of only NULLs contributes no words and rejects every key,
+        # which is exactly right
+        .filter(F.col("_v").isNotNull())
+    )
+    h1, h2 = F.xxhash64("_v"), F.xxhash64(F.lit(1), F.col("_v"))
+    r1 = F.pmod(h1, F.lit(m_bits))
+    r2 = F.pmod(h2, F.lit(m_bits))
+    pos = F.explode(
+        F.array(
+            *[F.pmod(r1 + F.lit(i) * r2, F.lit(m_bits)) for i in range(k)]
+        )
+    ).alias("_p")
+    return (
+        df.select("rel", pos)
+        .select(
+            "rel",
+            (F.col("_p") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(1L, CAST(pmod(_p, 64) AS INT))").alias("_b"),
+        )
+        .groupBy("rel", "w")
+        .agg(F.bit_or("_b").alias("word"))
+    )
+
+
 def index_bloom_snapshot(
     spark: SparkSession,
     path: str,
@@ -6117,138 +6185,158 @@ def index_bloom_snapshot(
     k: int = BLOOM_IDX_K,
 ) -> dict:
     """Build or INCREMENTALLY refresh the file-level bloom sidecar for a
-    SNAPSHOT table column (:func:`build_bloom_index`'s raw-parquet shape,
-    manifest-aware): index the LATEST manifest's live files — base and,
-    for a key column, the MOR delta chain — scanning ONLY the live files
-    missing from the existing sidecar; entries whose files left the
-    manifest (compaction, COW rewrites, vacuumed versions) are dropped.
-    A daily refresh after the nightly append therefore costs O(new
-    files), never a table rescan. Values are read under the FORCED
-    committed physical schema (narrow old files upcast in the vectorized
-    scan, column-mapped tables harvested by physical name) and hashed at
-    the committed logical type — the sidecar records that type and
-    :func:`_snap_bloom_meta` refuses to use it after a widening until
-    this verb rebuilds. Returns ``{"indexed", "carried", "dropped",
-    "files", "version"}``."""
+    SNAPSHOT table column (:func:`build_bloom_index`'s raw-parquet shape
+    grown manifest-aware): index the LATEST manifest's live files — base
+    and, for a key column, the MOR delta chain — scanning ONLY the live
+    files missing from the existing sidecar; entries whose files left
+    the manifest (compaction, COW rewrites, vacuumed versions) stop
+    being indexed. A daily refresh after the nightly append therefore
+    costs O(new files), never a table rescan.
+
+    SCALE SHAPE: the sidecar's (rel, word-index, word) rows live as a
+    PARQUET table under ``bloom/<col>/words-*/`` — written by Spark,
+    read by Spark, joined distributed at probe time — while
+    ``meta.json`` holds only the indexed-file list (manifest-scale, the
+    same O(files) every commit already carries) and is the atomic
+    commit point (tmp + replace). Nothing row- or word-shaped ever
+    reaches the driver, so a million-file table indexes and probes
+    without a driver bottleneck (the r13 probe_index lesson applied to
+    file skipping). A refresh that finds >half the indexed files dead
+    COMPACTS the words table (semi-join against the carried files into
+    a fresh directory); a crash anywhere leaves the previous meta
+    intact and at worst an orphan ``words-*`` directory, swept by the
+    next refresh.
+
+    Values are read under the FORCED committed physical schema (narrow
+    old files upcast in the vectorized scan, column-mapped tables
+    harvested by physical name) and hashed at the committed logical
+    type — meta records that type and :func:`_snap_bloom_meta` refuses
+    to use the sidecar after a widening until this verb rebuilds.
+    Returns ``{"indexed", "carried", "dropped", "files", "version"}``."""
+    import glob
     import json
     import os
+    import shutil
     import uuid
-
-    from pyspark.sql import functions as F
 
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {path!r}")
-    with open(
-        os.path.join(_manifest_dir(path), f"v{versions[-1]}.json")
-    ) as f:
-        man = json.load(f)
+    man = _load_manifest(path, versions[-1])
     schema = man.get("schema") or {}
     if col not in schema:
         raise ValueError(
             f"column {col!r} not in committed schema {sorted(schema)}"
         )
-    ctype = schema[col]
-    mapping = man.get("column_mapping") or {}
-    phys = mapping.get(col, col)
     live = _bloom_live_rels(man, col)
 
     old = _snap_bloom_meta(path, col, man)
     if old is not None and (old["m_bits"] != m_bits or old["k"] != k):
         old = None  # parameter change: full rebuild under the new shape
-    old_files = (old or {}).get("files") or {}
-    carried = {rel: old_files[rel] for rel in live if rel in old_files}
-    missing = [rel for rel in live if rel not in carried]
+    old_files = old["files"] if old else set()
+    carried = [rel for rel in live if rel in old_files]
+    missing = [rel for rel in live if rel not in old_files]
+    dropped = len(old_files) - len(carried)
 
-    fresh: dict[str, dict[str, int]] = {rel: {} for rel in missing}
-    if missing:
-        force = _phys_schema(man)
-        reader = spark.read
-        if force:
-            reader = reader.schema(_schema_ddl(force))
-        df = (
-            reader.parquet(*(os.path.join(path, rel) for rel in missing))
-            .select(
-                F.col("_metadata.file_path").alias("_file"),
-                F.col(phys).cast(ctype).alias("_v"),
+    bdir = _snap_bloom_dir(path, col)
+    os.makedirs(bdir, exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    compact = old is not None and dropped > len(old_files) // 2
+    if old is None or compact:
+        # fresh words directory: first build, rebuild, or a compaction
+        # folding the carried files' words in with the new batch
+        words_dir = f"words-{token}"
+        parts = []
+        if missing:
+            parts.append(
+                _bloom_word_frame(spark, path, man, missing, col, m_bits, k)
             )
-            # NULLs can't be point-looked-up (IN/join semantics) — a
-            # file of only NULLs keeps an EMPTY bloom that rejects
-            # every key, which is exactly right
-            .filter(F.col("_v").isNotNull())
-        )
-        h1, h2 = F.xxhash64("_v"), F.xxhash64(F.lit(1), F.col("_v"))
-        r1 = F.pmod(h1, F.lit(m_bits))
-        r2 = F.pmod(h2, F.lit(m_bits))
-        pos = F.explode(
-            F.array(
-                *[
-                    F.pmod(r1 + F.lit(i) * r2, F.lit(m_bits))
-                    for i in range(k)
-                ]
+        if compact and carried:
+            old_words = spark.read.parquet(os.path.join(bdir, old["words_dir"]))
+            keep = spark.createDataFrame(
+                [(r,) for r in carried], "rel string"
             )
-        ).alias("_p")
-        words = (
-            df.select("_file", pos)
-            .select(
-                "_file",
-                (F.col("_p") / 64).cast("long").alias("_w"),
-                F.expr(
-                    "shiftleft(1L, CAST(pmod(_p, 64) AS INT))"
-                ).alias("_b"),
-            )
-            .groupBy("_file", "_w")
-            .agg(F.bit_or("_b").alias("_word"))
-            .collect()
-        )
-        for r in words:
-            rel = os.path.relpath(_file_uri_to_path(r["_file"]), path)
-            fresh[rel][str(r["_w"])] = r["_word"]
+            parts.append(old_words.join(keep, "rel", "left_semi"))
+        if parts:
+            out = parts[0]
+            for extra in parts[1:]:
+                out = out.unionByName(extra)
+            out.write.mode("error").parquet(os.path.join(bdir, words_dir))
+        else:
+            os.makedirs(os.path.join(bdir, words_dir), exist_ok=True)
+    else:
+        # append the new batch's part files into the existing directory
+        # (attempt-unique names: a crashed refresh never collides)
+        words_dir = old["words_dir"]
+        if missing:
+            tmp = os.path.join(bdir, f".tmp-{token}")
+            _bloom_word_frame(
+                spark, path, man, missing, col, m_bits, k
+            ).write.mode("error").parquet(tmp)
+            os.makedirs(os.path.join(bdir, words_dir), exist_ok=True)
+            for i, part in enumerate(
+                sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+            ):
+                os.replace(
+                    part,
+                    os.path.join(bdir, words_dir, f"{token}-{i}.parquet"),
+                )
+            shutil.rmtree(tmp, ignore_errors=True)
     meta = {
         "col": col,
-        "type": ctype,
+        "type": schema[col],
         "m_bits": m_bits,
         "k": k,
         "version": versions[-1],
-        "files": {**carried, **fresh},
+        "words_dir": words_dir,
+        "files": carried + missing,
     }
-    os.makedirs(os.path.dirname(_snap_bloom_path(path, col)), exist_ok=True)
-    tmp = _snap_bloom_path(path, col) + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
+    tmp_meta = _snap_bloom_path(path, col) + f".tmp-{token}"
+    with open(tmp_meta, "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, _snap_bloom_path(path, col))
+    os.replace(tmp_meta, _snap_bloom_path(path, col))
+    # sweep words directories no meta references (orphans of crashed
+    # refreshes / superseded by a compaction) — safe AFTER the meta
+    # replace: concurrent readers resolved their directory from a meta
+    # they already loaded, and either meta names a complete directory
+    for d in glob.glob(os.path.join(bdir, "words-*")):
+        if os.path.basename(d) != words_dir:
+            shutil.rmtree(d, ignore_errors=True)
     return {
         "indexed": len(missing),
         "carried": len(carried),
-        "dropped": len(old_files) - len(carried),
+        "dropped": dropped,
         "files": len(live),
         "version": versions[-1],
     }
 
 
-def _bloom_admitted_files(spark, meta: dict, keys_df) -> set:
-    """DISTRIBUTED bloom membership: which of ``meta``'s indexed files
-    admit at least one key in ``keys_df`` (single ``_v`` column, already
-    cast to the sidecar's type). No key ever reaches the driver — keys
+def _bloom_admitted_files(
+    spark, path: str, col: str, meta: dict, keys_df
+) -> set:
+    """DISTRIBUTED bloom membership: which indexed files admit at least
+    one key in ``keys_df`` (single ``_v`` column, already cast to the
+    sidecar's type). No key or word ever reaches the driver — keys
     reduce to their two xxhash64 words, explode to k probe positions,
     fold per (key, word) into needed-bit masks, and equi-join the
-    sidecar's sparse (file, word) rows; a (key, file) pair is admitted
-    when every probed word has all its needed bits ((word & mask) =
-    mask, with absent sparse words = 0 rejecting). Only the admitted
-    rel list — bounded by |files|, not |keys| — is collected. The probe
-    side of a CDC merge therefore scales to millions of source keys:
-    masks are |keys| × ≤k rows, the join shuffles on the word index."""
+    words PARQUET table on the word index; a (key, file) pair is
+    admitted when every probed word has all its needed bits
+    ((word & mask) = mask — an absent sparse word is simply no row and
+    rejects). Only the admitted rel list — bounded by |files|, never
+    |keys| — is collected. A CDC merge therefore probes with millions
+    of source keys: masks are |keys| × ≤k rows, the join shuffles on
+    the word index. Entries for files no longer indexed are harmless
+    (callers intersect with their own rel lists)."""
+    import glob
+    import os
+
     from pyspark.sql import functions as F
 
     m_bits, k = meta["m_bits"], meta["k"]
-    idx_rows = [
-        (rel, int(w), int(word))
-        for rel, words in meta["files"].items()
-        for w, word in words.items()
-    ]
-    if not idx_rows:
-        return set()
-    idx = spark.createDataFrame(idx_rows, "rel string, w long, word long")
+    wdir = os.path.join(_snap_bloom_dir(path, meta["col"]), meta["words_dir"])
+    if not glob.glob(os.path.join(wdir, "*.parquet")):
+        return set()  # nothing indexed has any value (all-null files)
+    idx = spark.read.parquet(wdir)
     base = (
         keys_df.filter(F.col("_v").isNotNull())
         .select(
@@ -6308,7 +6396,7 @@ def _bloom_point_keep(
     keys = spark.createDataFrame([(v,) for v in vals]).toDF("_v").select(
         F.col("_v").cast(meta["type"]).alias("_v")
     )
-    adm = _bloom_admitted_files(spark, meta, keys)
+    adm = _bloom_admitted_files(spark, path, col, meta, keys)
     return [rel for rel in rels if rel not in meta["files"] or rel in adm]
 
 

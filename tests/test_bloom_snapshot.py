@@ -44,7 +44,7 @@ def _ids_df(spark, lo, hi, shards=4):
 
 
 def _sidecar(path, col):
-    with open(os.path.join(path, "bloom", f"{col}.json")) as f:
+    with open(os.path.join(path, "bloom", col, "meta.json")) as f:
         return json.load(f)
 
 
@@ -130,9 +130,22 @@ class TestIndexBuildAndPointRead:
             )
             storage.index_bloom_snapshot(spark, path, "id")
             meta = _sidecar(path, "id")
-            _, rels = _live_rels(path)
+            man, rels = _live_rels(path)
             assert set(meta["files"]) == set(rels)
-            assert any(not w for w in meta["files"].values())
+            # the null-only commit's file is indexed yet has ZERO words
+            # -> it rejects every key and point reads skip it entirely
+            with open(os.path.join(path, "_manifests", "v1.json")) as f:
+                null_rels = set(json.load(f)["files"])
+            words = spark.read.parquet(
+                os.path.join(path, "bloom", "id", meta["words_dir"])
+            )
+            assert words.filter(
+                words["rel"].isin(list(null_rels))
+            ).count() == 0
+            keep = storage._bloom_point_keep(
+                spark, path, man, "id", [3], rels
+            )
+            assert not (set(keep) & null_rels)
             got = storage.read_snapshot_point(spark, path, "id", [3])
             assert got.count() == 1  # null-only file skipped, key found
         finally:
@@ -471,7 +484,7 @@ class TestAdmissionExactness:
             }
             for key in range(0, 3000, 97):
                 adm = storage._bloom_admitted_files(
-                    spark, meta,
+                    spark, path, "id", meta,
                     spark.createDataFrame([(key,)], "_v bigint"),
                 )
                 holders = {
@@ -479,5 +492,53 @@ class TestAdmissionExactness:
                     for (f, k) in truth if k == key
                 }
                 assert holders <= adm, f"false negative for key {key}"
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+
+class TestWordsCompaction:
+    def test_dead_majority_compacts_words_and_sweeps(self, spark):
+        import glob
+
+        scratch, path = _mkpath()
+        try:
+            storage.write_snapshot(spark, _ids_df(spark, 0, 1000), path)
+            storage.index_bloom_snapshot(spark, path, "id")
+            d0 = _sidecar(path, "id")["words_dir"]
+            # overwrite: every indexed file dies -> refresh must compact
+            # into a fresh words dir and sweep the superseded one
+            storage.write_snapshot(spark, _ids_df(spark, 0, 800), path)
+            rep = storage.index_bloom_snapshot(spark, path, "id")
+            assert rep["carried"] == 0 and rep["dropped"] > 0
+            meta = _sidecar(path, "id")
+            assert meta["words_dir"] != d0
+            assert not os.path.exists(
+                os.path.join(path, "bloom", "id", d0)
+            )
+            assert (
+                storage.read_snapshot_point(spark, path, "id", [7]).count()
+                == 1
+            )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_orphan_words_dir_swept_on_refresh(self, spark):
+        scratch, path = _mkpath()
+        try:
+            storage.write_snapshot(spark, _ids_df(spark, 0, 200), path)
+            storage.index_bloom_snapshot(spark, path, "id")
+            orphan = os.path.join(path, "bloom", "id", "words-deadbeef")
+            os.makedirs(orphan)
+            storage.write_snapshot(
+                spark, _ids_df(spark, 200, 300, shards=1), path,
+                mode="append",
+            )
+            storage.index_bloom_snapshot(spark, path, "id")
+            assert not os.path.exists(orphan)
+            assert (
+                storage.read_snapshot_point(
+                    spark, path, "id", [250]
+                ).count() == 1
+            )
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
