@@ -153,6 +153,8 @@ from dp_dimension_importer_spark.storage import (  # noqa: F401
     build_bloom_index,
     index_bloom_snapshot,
     read_snapshot_point,
+    refresh_bloom_indexes,
+    list_bloom_indexes,
     compact_mor,
     drop_tag,
     list_tags,
@@ -287,6 +289,8 @@ __all__ = [
     "read_bloom_pruned",
     "index_bloom_snapshot",
     "read_snapshot_point",
+    "refresh_bloom_indexes",
+    "list_bloom_indexes",
     "read_snapshot",
     "read_snapshot_pruned",
     "write_snapshot",

@@ -3747,7 +3747,9 @@ def _resolve_mor(
 
 def compact_mor(spark: SparkSession, path: str,
                 compression: str = PARQUET_CODEC,
-                minor: bool = False) -> int:
+                minor: bool = False,
+                cluster_by: list[str] | None = None,
+                n_shards: int = 8) -> int:
     """COMPACTION of a MOR table. Default (major): resolve latest-wins
     ONCE and commit the result as a plain manifest — the delta chain is
     gone, reads are clean scans again, per-file stats are recomputed when
@@ -3765,7 +3767,17 @@ def compact_mor(spark: SparkSession, path: str,
     order-preserving: the fold ranks delta commits exactly as
     ``_resolve_mor`` does, and the folded group (one row per key) beats
     base per key just as any delta row did. No-op when the chain is
-    already ≤ 1 group."""
+    already ≤ 1 group.
+
+    ``cluster_by`` (r14, major only): the materialized base goes out
+    Z-order-clustered on the given columns with per-file stats for
+    them — the weekend major compaction is exactly when a 100 TB MOR
+    table can afford to fix its layout, so the rewrite it already pays
+    buys read-side file skipping too (on a partitioned table each
+    partition's files are range-sharded by the Morton code — clustering
+    composes with the hidden layout). Minor refuses ``cluster_by``:
+    a chain fold rewrites no base file, so there is nothing to
+    cluster."""
     import glob
     import json
     import os
@@ -3778,11 +3790,18 @@ def compact_mor(spark: SparkSession, path: str,
         man = json.load(f)
     if "mor" not in man:
         return versions[-1]
+    if minor and cluster_by:
+        raise ValueError(
+            "cluster_by is a MAJOR compaction option — a minor fold "
+            "rewrites no base file, so there is nothing to cluster"
+        )
     stats_cols = None
     if "stats" in man:
         stats_cols = sorted(
             {c for per_file in man["stats"].values() for c in per_file}
         )
+    if cluster_by:
+        stats_cols = sorted(set(stats_cols or []) | set(cluster_by))
     if minor:
         deltas = man["mor"]["deltas"]
         if len(deltas) <= 1:
@@ -3835,6 +3854,8 @@ def compact_mor(spark: SparkSession, path: str,
             manifest["stats"] = stats
         return _commit_manifest(path, manifest, token)
     resolved = read_snapshot(spark, path)
+    if cluster_by and not resolved.isEmpty():
+        resolved = zorder_layout(resolved, cluster_by, n_shards)
     part = man.get("partition")
     if part and part.get("specs"):
         # r14: a partitioned MOR table's major compaction keeps the
@@ -6309,6 +6330,46 @@ def index_bloom_snapshot(
         "files": len(live),
         "version": versions[-1],
     }
+
+
+def list_bloom_indexes(path: str) -> list[str]:
+    """Columns with a committed snapshot bloom sidecar under ``path``
+    (a ``bloom/<col>/meta.json`` exists)."""
+    import glob
+    import os
+
+    return sorted(
+        os.path.basename(os.path.dirname(p))
+        for p in glob.glob(os.path.join(path, "bloom", "*", "meta.json"))
+    )
+
+
+def refresh_bloom_indexes(spark: SparkSession, path: str) -> dict:
+    """Refresh EVERY snapshot bloom sidecar on the table — the one-call
+    maintenance tail for OPTIMIZE / compaction / nightly-append jobs
+    (each rewrite leaves its new files unindexed, which is correct but
+    unpruned; this restores skipping in O(new files) per column).
+    Sidecar parameters (m_bits/k) carry; a sidecar whose committed type
+    moved is rebuilt by :func:`index_bloom_snapshot`'s own rule. A
+    column that can no longer be indexed (dropped from the schema, or
+    the table became MOR on other key columns) is reported, not raised
+    — maintenance sweeps must not die on one stale sidecar. Returns
+    ``{col: refresh report | {"error": msg}}``."""
+    import json
+
+    out: dict[str, dict] = {}
+    for col in list_bloom_indexes(path):
+        try:
+            with open(_snap_bloom_path(path, col)) as f:
+                prev = json.load(f)
+            out[col] = index_bloom_snapshot(
+                spark, path, col,
+                m_bits=prev.get("m_bits", BLOOM_IDX_M),
+                k=prev.get("k", BLOOM_IDX_K),
+            )
+        except (ValueError, OSError) as e:
+            out[col] = {"error": str(e)}
+    return out
 
 
 def _bloom_admitted_files(

@@ -542,3 +542,119 @@ class TestWordsCompaction:
             )
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
+
+
+class TestMaintenance:
+    def test_refresh_all_after_major_compaction(self, spark):
+        scratch, path = _mkpath()
+        try:
+            base = spark.createDataFrame(
+                [Row(k=i, val=f"b{i}", seq=0) for i in range(400)],
+                "k bigint, val string, seq bigint",
+            ).repartition(4, "k")
+            storage.write_snapshot(spark, base, path)
+            storage.upsert_delta_snapshot(
+                spark, path,
+                spark.createDataFrame(
+                    [Row(k=7, val="u7", seq=1)],
+                    "k bigint, val string, seq bigint",
+                ),
+                ["k"], "seq",
+            )
+            storage.index_bloom_snapshot(spark, path, "k")
+            assert storage.list_bloom_indexes(path) == ["k"]
+            storage.compact_mor(spark, path)  # chain shed, files rewritten
+            # post-compaction: sidecar covers only dead files -> point
+            # reads degrade to full (correct), then refresh restores
+            assert (
+                storage.read_snapshot_point(spark, path, "k", [7])
+                .collect()[0]["val"] == "u7"
+            )
+            rep = storage.refresh_bloom_indexes(spark, path)
+            assert rep["k"]["indexed"] > 0 and rep["k"]["carried"] == 0
+            man, rels = _live_rels(path)
+            keep = storage._bloom_point_keep(
+                spark, path, man, "k", [7], rels
+            )
+            # every rewritten file is indexed again (a small table may
+            # compact into one file — admission still exact)
+            assert set(keep) <= set(rels)
+            assert (
+                storage.read_snapshot_point(spark, path, "k", [7])
+                .collect()[0]["val"] == "u7"
+            )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_refresh_reports_stale_sidecar_instead_of_raising(self, spark):
+        scratch, path = _mkpath()
+        try:
+            storage.write_snapshot(spark, _ids_df(spark, 0, 100), path)
+            storage.index_bloom_snapshot(spark, path, "val")
+            # the table becomes MOR keyed on id: 'val' can no longer be
+            # bloom-indexed (non-key chain pruning is unsound)
+            storage.upsert_delta_snapshot(
+                spark, path,
+                spark.range(1).select(
+                    F.lit(1000).cast("bigint").alias("id"),
+                    F.lit("x").alias("val"),
+                ).withColumn("seq", F.lit(1).cast("bigint")),
+                ["id"], "seq",
+            )
+            rep = storage.refresh_bloom_indexes(spark, path)
+            assert "error" in rep["val"]
+            assert "key column" in rep["val"]["error"]
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+
+class TestClusteredMajorCompaction:
+    def test_cluster_by_tightens_stats_for_pruning(self, spark):
+        scratch, path = _mkpath()
+        try:
+            # hash layout: every file spans the whole key range
+            base = (
+                spark.range(0, 4000)
+                .select(
+                    F.col("id").alias("k"),
+                    F.concat(F.lit("v"), F.col("id")).alias("val"),
+                    F.lit(0).cast("long").alias("seq"),
+                )
+                .repartition(8, "k")
+            )
+            storage.write_snapshot(spark, base, path, stats_cols=["k"])
+            storage.upsert_delta_snapshot(
+                spark, path,
+                spark.createDataFrame(
+                    [Row(k=5, val="u5", seq=1)],
+                    "k bigint, val string, seq bigint",
+                ),
+                ["k"], "seq",
+            )
+            with pytest.raises(ValueError, match="MAJOR compaction"):
+                storage.compact_mor(
+                    spark, path, minor=True, cluster_by=["k"]
+                )
+            v = storage.compact_mor(
+                spark, path, cluster_by=["k"], n_shards=8
+            )
+            man = storage._load_manifest(path, v)
+            assert not man.get("mor")  # chain shed
+            # range stats now prune: a 100-wide slice reads few files
+            stats = man["stats"]
+            n_hit = sum(
+                1 for rel in man["files"]
+                if not (
+                    stats[rel]["k"][1] < storage._stat_encode(1000)
+                    or stats[rel]["k"][0] > storage._stat_encode(1099)
+                )
+            )
+            assert n_hit <= 2, (
+                f"{n_hit}/{len(man['files'])} files intersect a 2.5% "
+                "key slice after cluster_by — layout not clustered"
+            )
+            got = storage.read_snapshot(spark, path)
+            assert got.count() == 4000  # k=5 upsert replaced, not added
+            assert got.filter("k = 5").collect()[0]["val"] == "u5"
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)

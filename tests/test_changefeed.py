@@ -1323,3 +1323,55 @@ def test_admission_is_conservative_superset_property(data):
                 f"missed change: {spec_t} value {v!r} satisfies "
                 f"{pred!r} but file was dropped (admitted {admitted})"
             )
+
+
+def test_fast_forwarded_mor_branch_chain_classifies_as_mor(spark):
+    """r14 interop: a branch that STAGED several MOR DML commits
+    publishes them all in ONE main version (fast_forward). The feed's
+    shape tests hold across the publish — base files identical, the
+    delta chain grew by a prefix-preserving run of groups — so the
+    transition classifies as kind='mor' and version_delta reads ONLY
+    the staged groups (O(changes)), never a two-version diff."""
+    from pyspark.sql import functions as F
+
+    scratch, path = _mkpath()
+    try:
+        storage.write_snapshot(
+            spark, _df(spark, [(i, f"b{i}", 0) for i in range(8)]), path
+        )
+        storage.upsert_delta_snapshot(
+            spark, path, _df(spark, [(3, "u3", 1)]), ["k"], "seq"
+        )
+        v_base = storage.snapshot_versions(path)[-1]
+        storage.create_branch(path, "audit")
+        storage.delete_where_snapshot(
+            spark, path, F.col("k") == 5, branch="audit"
+        )
+        storage.upsert_delta_snapshot(
+            spark, path, _df(spark, [(7, "u7", 2), (100, "n", 2)]),
+            ["k"], "seq", branch="audit",
+        )
+        storage.merge_into_snapshot(
+            spark, path, spark.createDataFrame(
+                [Row(k=1, val="m1")], "k bigint, val string"
+            ), ["k"], update_set={"val": "src_val"}, branch="audit",
+        )
+        v_pub = storage.fast_forward(path, "audit")
+        tr = storage.classify_transition(path, v_base, v_pub)
+        assert tr["kind"] == "mor", tr["kind"]
+        assert len(tr["new_groups"]) == 3  # delete + upsert + merge
+        changes = {
+            (r["k"], r["change_type"])
+            for r in storage.version_delta(
+                spark, path, v_pub, ["k"], base_version=v_base
+            ).collect()
+        }
+        # exactly the STAGED groups' keys — k=3's pre-fork delta must
+        # not replay (it was already in base_version's chain)
+        keys = sorted(k for k, _ in changes)
+        assert keys == [1, 5, 7, 100]
+        assert (5, "delete") in changes
+        assert (100, "insert") in changes
+        assert (1, "update") in changes and (7, "update") in changes
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
