@@ -6423,6 +6423,10 @@ def _bloom_admitted_files(
         )
         .groupBy("_h1", "_h2", "w")
         .agg(F.bit_or("_b").alias("mask"))
+        # consumed TWICE (the need count and the words join): pin the
+        # |keys| × ≤k rows once so a million-key CDC batch's distinct +
+        # hash + explode never runs a second time
+        .localCheckpoint(eager=True)
     )
     need = masks.groupBy("_h1", "_h2").agg(F.count("*").alias("need"))
     admitted = (

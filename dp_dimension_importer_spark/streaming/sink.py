@@ -410,6 +410,7 @@ def make_mor_upsert_handler(
     key_cols: list[str],
     seq_col: str,
     app_id: str = "stream",
+    branch: str | None = None,
 ):
     """foreachBatch handler landing each micro-batch as a MERGE-ON-READ
     delta commit (storage.upsert_delta_snapshot) with ``txn=(app_id,
@@ -423,7 +424,16 @@ def make_mor_upsert_handler(
     exactly what a CDC feed's per-batch compaction does. The FIRST batch
     bootstraps the table (write_snapshot, same txn); later batches land
     as deltas. Reads resolve latest-wins across the whole chain;
-    storage.compact_mor is the maintenance valve."""
+    storage.compact_mor is the maintenance valve.
+
+    ``branch`` (r14): the stream STAGES its delta chain on a branch —
+    streaming write-audit-publish. The table must already exist (the
+    branch forks from a committed main version; the bootstrap write
+    cannot target a branch of nothing), every micro-batch lands as the
+    next branch commit with the same txn idempotence, and
+    :func:`storage.fast_forward` publishes the audited chain — whose
+    per-app-max txn merge keeps the staged watermarks, so a redelivery
+    after the publish still skips on main."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as W
@@ -439,6 +449,13 @@ def make_mor_upsert_handler(
         )
         spark = batch_df.sparkSession
         if not storage.snapshot_versions(table_path):
+            if branch is not None:
+                raise ValueError(
+                    "streaming MOR upsert to a branch needs an existing "
+                    "table — a branch forks from a committed main "
+                    "version (write a base snapshot, create_branch, "
+                    "then start the staged stream)"
+                )
             storage.write_snapshot(
                 spark, one_per_key, table_path,
                 txn=(app_id, int(batch_id)),
@@ -446,7 +463,7 @@ def make_mor_upsert_handler(
         else:
             storage.upsert_delta_snapshot(
                 spark, table_path, one_per_key, key_cols, seq_col,
-                txn=(app_id, int(batch_id)),
+                txn=(app_id, int(batch_id)), branch=branch,
             )
 
     return handle
@@ -461,15 +478,17 @@ def run_stream_mor_upsert(
     seq_col: str,
     checkpoint: str | None = None,
     app_id: str = "stream",
+    branch: str | None = None,
 ) -> DataFrame:
     """Drive a file-source stream (1 file per micro-batch) through the
     MOR upsert sink with availableNow, then read the resolved table
-    back. Each micro-batch is one delta commit, so time travel reaches
-    the upsert state after any stream prefix."""
+    back (the BRANCH head when ``branch`` is given — the audit read of
+    a staged stream). Each micro-batch is one delta commit, so time
+    travel reaches the upsert state after any stream prefix."""
     from dp_dimension_importer_spark import storage
 
     handler = make_mor_upsert_handler(
-        table_path, key_cols, seq_col, app_id=app_id
+        table_path, key_cols, seq_col, app_id=app_id, branch=branch
     )
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_mor_")
     stream = (
@@ -489,6 +508,8 @@ def run_stream_mor_upsert(
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if branch is not None:
+        return storage.read_branch(spark, table_path, branch)
     return storage.read_snapshot(spark, table_path)
 
 

@@ -559,3 +559,67 @@ class TestBranchDml:
                 storage.fast_forward(path, "audit")
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
+
+
+class TestStreamingBranchStaging:
+    def test_stream_mor_upsert_stages_on_branch_then_publishes(self, spark):
+        """r14: streaming write-audit-publish — a CDC stream's delta
+        chain lands entirely on a branch (one commit per micro-batch),
+        main byte-untouched until fast_forward."""
+        from dp_dimension_importer_spark.streaming import sink as mor_sink
+
+        scratch, path = _mkpath()
+        try:
+            base = spark.createDataFrame(
+                [Row(k=i, val=f"b{i}", seq=0) for i in range(5)],
+                "k bigint, val string, seq bigint",
+            )
+            storage.write_snapshot(spark, base, path)
+            storage.create_branch(path, "audit")
+            replay = os.path.join(scratch, "replay")
+            spark.createDataFrame(
+                [Row(k=1, val="u1", seq=1)],
+                "k bigint, val string, seq bigint",
+            ).coalesce(1).write.parquet(replay)
+            spark.createDataFrame(
+                [Row(k=9, val="n9", seq=2)],
+                "k bigint, val string, seq bigint",
+            ).coalesce(1).write.mode("append").parquet(replay)
+            out = mor_sink.run_stream_mor_upsert(
+                spark, replay, base.schema, path,
+                key_cols=["k"], seq_col="seq",
+                checkpoint=os.path.join(scratch, "ckpt"),
+                branch="audit",
+            )
+            got = {r["k"]: r["val"] for r in out.collect()}
+            assert got[1] == "u1" and got[9] == "n9" and len(got) == 6
+            # one branch commit per micro-batch; main untouched
+            assert len(storage.branch_versions(path, "audit")) == 2
+            assert storage.read_snapshot(spark, path).count() == 5
+            storage.fast_forward(path, "audit")
+            got = {
+                r["k"]: r["val"]
+                for r in storage.read_snapshot(spark, path).collect()
+            }
+            assert got[1] == "u1" and got[9] == "n9" and len(got) == 6
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_branch_stream_bootstrap_refuses(self, spark):
+        from dp_dimension_importer_spark.streaming import sink as mor_sink
+
+        scratch, path = _mkpath()
+        try:
+            handler = mor_sink.make_mor_upsert_handler(
+                path, ["k"], "seq", branch="audit"
+            )
+            with pytest.raises(ValueError, match="existing table"):
+                handler(
+                    spark.createDataFrame(
+                        [Row(k=1, val="a", seq=0)],
+                        "k bigint, val string, seq bigint",
+                    ),
+                    0,
+                )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
