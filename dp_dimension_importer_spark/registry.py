@@ -117,6 +117,20 @@ _REPRIORITIZE: list[str] = [
     # mv_refresh_changefeed reads day-0 from the v1 snapshot. The four
     # r14-new queries (q93c/q86f/q97b/q92b) have no evidence and order
     # first by the no-row rule regardless.
+    #
+    # r14 second arc additionally changed: the DML verbs' head load +
+    # commit sink (_dml_head/_commit_dml_manifest — branch DML),
+    # upsert_delta_snapshot (branch param + same sink),
+    # _commit_delta_group (branch routing), fast_forward (txn
+    # watermark per-app-max merge — q89b rides it), compact_mor
+    # (cluster_by on major), the partition probe prune (now
+    # _partition_keep on the in-hand manifest), and MERGE/MOR-merge
+    # probe pruning consult bloom sidecars when present. Riders below
+    # already cover the DML/feed families; q89b joins for the ff
+    # change; the three r14b-new queries (q68b/q89c/q86g) have no rows
+    # and order first regardless.
+    "q89b_snapshot_branch",
+    "q89_write_audit_publish",
     "q86_upsert_mor",
     "q86b_mor_schema_evolution",
     "q86c_mor_pruned_read",
