@@ -1569,6 +1569,123 @@ def q89b_snapshot_branch(spark, sf_dir):
 
 
 @register(
+    "q86h_mor_partial_update",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               o_totalprice AS tp
+        FROM orders
+    ), eff AS (
+        SELECT k,
+               CASE WHEN k % 100 = 7 THEN 'X-PATCHED' ELSE pri END AS pri,
+               CASE WHEN k % 10 = 3 THEN tp + 1000 ELSE tp END AS tp,
+               (pri = '1-URGENT' AND k % 9 = 0 AND k % 100 <> 7)
+                   AS doomed
+        FROM base
+    ), fin AS (
+        SELECT CASE WHEN k % 500 = 0 AND doomed THEN NULL
+                    ELSE pri END AS pri,
+               CASE WHEN k % 500 = 0 THEN 999.5 ELSE tp END AS tp
+        FROM eff
+        WHERE k % 500 = 0 OR NOT doomed
+    ), ph AS (
+        SELECT 1 AS phase, pri, tp FROM fin
+        UNION ALL SELECT 2, pri, tp FROM fin
+    )
+    SELECT phase, pri, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(tp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM ph GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q86h_mor_partial_update(spark, sf_dir):
+    """PARTIAL-UPDATE MERGE MODE on a MOR table (r14 — Paimon
+    partial-update / Hudi PARTIAL_UPDATE payload, via
+    ``upsert_delta_snapshot(merge_mode='partial')``): delta rows patch
+    ONLY their non-NULL columns — NULL means "keep the prior value" —
+    so a CDC feed can send just the columns that changed instead of
+    full images, and resolution takes the NEWEST NON-NULL per column
+    (one key-partitioned window pass, no self-join). Exercised per
+    semantic: a tp-only patch keeps pri, a pri-only patch keeps tp
+    (including the earlier tp patch — per-COLUMN wins compose across
+    commits), a tombstone DELETE judged against the PATCHED view both
+    removes and RESETS its keys (a later tp-only patch re-creates them
+    with NULL pri — pre-delete values can never resurrect, pinned by
+    the NULL-pri oracle group), and phase 2 re-reads after MAJOR
+    compaction (the merged view materializes; partial chains refuse
+    tombstone-bearing minor folds by design). The feed's
+    resolved-image fallback and the UPDATE/MERGE walls are pinned in
+    tests/test_mor_partial.py."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tp"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    path = tempfile.mkdtemp(prefix="q86h_partial_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, base, path)
+        p1 = base.filter(F.col("k") % 10 == 3).select(
+            "k", (F.col("tp") + 1000).alias("tp"),
+            F.lit(1).cast("long").alias("seq"),
+        )
+        storage.upsert_delta_snapshot(
+            spark, path, p1, ["k"], "seq", merge_mode="partial"
+        )
+        p2 = base.filter(F.col("k") % 100 == 7).select(
+            "k", F.lit("X-PATCHED").alias("pri"),
+            F.lit(2).cast("long").alias("seq"),
+        )
+        storage.upsert_delta_snapshot(
+            spark, path, p2, ["k"], "seq", merge_mode="partial"
+        )
+        r = storage.delete_where_snapshot(
+            spark, path, "pri = '1-URGENT' AND k % 9 = 0"
+        )
+        assert r["files_rewritten"] == 0 and r["rows_deleted"] > 0
+        p3 = base.filter(F.col("k") % 500 == 0).select(
+            "k", F.lit(999.5).alias("tp"),
+            F.lit(4).cast("long").alias("seq"),
+        )
+        storage.upsert_delta_snapshot(
+            spark, path, p3, ["k"], "seq", merge_mode="partial"
+        )
+        cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
+
+        def agg(df, phase):
+            return (
+                df.groupBy("pri")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(cents).cast("long").alias("sum_cents"),
+                )
+                .select(F.lit(phase).alias("phase"), "*")
+            )
+
+        ph1 = agg(storage.read_snapshot(spark, path), 1)
+        storage.compact_mor(spark, path)
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        assert "mor" not in man, "major compaction must shed the chain"
+        ph2 = agg(storage.read_snapshot(spark, path), 2)
+        return (
+            ph1.unionByName(ph2)
+            .orderBy("phase", "pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q86g_mor_branch_dml",
     sql="""
     WITH base AS (

@@ -3336,6 +3336,7 @@ def upsert_delta_snapshot(
     compression: str = PARQUET_CODEC,
     txn: tuple[str, int] | None = None,
     branch: str | None = None,
+    merge_mode: str = "latest",
 ) -> int:
     """MERGE-ON-READ upsert: ``changes`` lands as DELTA FILES — no base
     file is read, let alone rewritten, so the write costs O(changes)
@@ -3362,7 +3363,17 @@ def upsert_delta_snapshot(
     txn merge keeps the staged watermarks); returns the branch-local
     commit number, racing branch writers refuse. Returns the new
     version; prior versions stay readable with exactly the delta
-    prefix they committed."""
+    prefix they committed.
+
+    ``merge_mode="partial"`` (r14 — Paimon partial-update / Hudi
+    PARTIAL_UPDATE payload): delta rows patch ONLY their non-NULL
+    columns; NULL means "keep the prior value". The mode is a TABLE
+    property fixed at the first delta commit. The documented trade:
+    explicit null-out is impossible (delete + re-upsert instead — a
+    tombstone RESETS the key, so later patches start from nothing);
+    UPDATE/MERGE DML refuse on partial tables (a full image whose NULL
+    really meant NULL would resurrect older values) — delete works,
+    and compact_mor major materializes the merged view."""
     import glob
     import json
     import os
@@ -3403,15 +3414,29 @@ def upsert_delta_snapshot(
             f"({drift}) — non-additive drift evolves via an overwrite "
             "commit, never a delta"
         )
+    if merge_mode not in ("latest", "partial"):
+        raise ValueError(f"unknown merge_mode {merge_mode!r}")
     mor = man.get("mor") or {
         "key_cols": list(key_cols),
         "seq_col": seq_col,
         "deltas": [],
+        **({"merge": "partial"} if merge_mode == "partial" else {}),
     }
     if mor["key_cols"] != list(key_cols) or mor["seq_col"] != seq_col:
         raise ValueError(
             f"MOR key/seq fixed at first upsert: "
             f"({mor['key_cols']}, {mor['seq_col']!r})"
+        )
+    if mor.get("merge", "latest") != merge_mode:
+        # r14 partial-update mode (Paimon partial-update / Hudi
+        # PARTIAL_UPDATE): the merge engine is a TABLE property fixed
+        # at the first delta commit — mixing per-commit semantics
+        # would make every read's meaning depend on which commit a
+        # value arrived in
+        raise ValueError(
+            f"MOR merge mode fixed at first upsert: table is "
+            f"{mor.get('merge', 'latest')!r}, commit asked for "
+            f"{merge_mode!r}"
         )
     required = list(mor["key_cols"]) + [mor["seq_col"]]
     absent = [c for c in required if c not in new_schema]
@@ -3730,6 +3755,67 @@ def _resolve_mor(
         u = part if u is None else u.unionByName(part)
     if u is None:
         raise ValueError("MOR manifest resolves zero commit groups")
+    if mor.get("merge") == "partial":
+        # Paimon partial-update / Hudi PARTIAL_UPDATE payload semantics
+        # (r14): a delta row patches ONLY its non-NULL columns; NULL
+        # means "keep the prior value" (the documented trade of every
+        # partial-update engine: explicit null-out is impossible —
+        # deletes go through tombstones, which also RESET the key: rows
+        # newer than the newest tombstone start from nothing, so a
+        # deleted key's old values can never resurrect under a later
+        # patch's NULLs). One pass, two windows: a cumulative tombstone
+        # count in newest-first order marks the eligible suffix, then
+        # per column the newest non-NULL among eligible rows wins
+        # (first+ignorenulls over the full frame) — no self-join, no
+        # per-column shuffle; the key-partitioned exchange is shared.
+        if keep_tombstones:
+            raise ValueError(
+                "partial-merge chains cannot fold minor — a fold "
+                "collapses commit ranks, and partial resolution needs "
+                "them to order patches against tombstones "
+                "(compact_mor major materializes instead)"
+            )
+        keys, seq = mor["key_cols"], mor["seq_col"]
+        # eqNullSafe: upsert rows carry a NULL op — a plain == would
+        # make the cumulative sum NULL for every key with no tombstone
+        # at all, silently dropping the whole key
+        is_tomb = (
+            F.col(op).eqNullSafe(MOR_DELETE_OP) if op else F.lit(False)
+        )
+        w_desc = W.partitionBy(*keys).orderBy(
+            F.col("_ci").desc(), F.col(seq).desc()
+        )
+        full = w_desc.rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        flagged = u.withColumn(
+            "_el",
+            F.sum(is_tomb.cast("int")).over(
+                w_desc.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ) == 0,
+        )
+        val_cols = [c for c in cols if c not in keys and c != seq]
+        merged = flagged.select(
+            *keys,
+            F.col(seq),
+            F.col("_el"),
+            F.row_number().over(
+                W.partitionBy(*keys).orderBy(
+                    F.col("_el").desc(),
+                    F.col("_ci").desc(),
+                    F.col(seq).desc(),
+                )
+            ).alias("_rn"),
+            *(
+                F.first(
+                    F.when(F.col("_el"), F.col(c)), ignorenulls=True
+                ).over(full).alias(c)
+                for c in val_cols
+            ),
+        )
+        return merged.filter(
+            (F.col("_rn") == 1) & F.col("_el")
+        ).select(*cols)
     w = W.partitionBy(*mor["key_cols"]).orderBy(
         F.col("_ci").desc(), F.col(mor["seq_col"]).desc()
     )
@@ -4225,6 +4311,14 @@ def _update_where_mor(
     from pyspark.sql import functions as F
 
     mor = man["mor"]
+    if mor.get("merge") == "partial":
+        raise ValueError(
+            "UPDATE on a partial-merge MOR table is not supported: a "
+            "full image whose NULL genuinely means NULL would read "
+            "back as 'keep prior value' and resurrect older data — "
+            "send partial upserts (and tombstone deletes), or "
+            "compact_mor (major) to materialize first"
+        )
     schema = man["schema"]
     _check_reserved(schema, (MOR_OP_COL,))
     key_cols, seq_col = mor["key_cols"], mor["seq_col"]
@@ -4347,6 +4441,14 @@ def _merge_into_mor(
     from pyspark.sql import functions as F
 
     mor = man["mor"]
+    if mor.get("merge") == "partial":
+        raise ValueError(
+            "MERGE INTO on a partial-merge MOR table is not supported: a "
+            "full image whose NULL genuinely means NULL would read "
+            "back as 'keep prior value' and resurrect older data — "
+            "send partial upserts (and tombstone deletes), or "
+            "compact_mor (major) to materialize first"
+        )
     schema = man["schema"]
     _check_reserved(schema, (MOR_OP_COL,))
     if mor["key_cols"] != list(key_cols):
@@ -4922,6 +5024,14 @@ def version_delta(
             _null_struct().alias("_old"),
             _vstruct(df).alias("_new"),
         )
+    if (
+        tr["kind"] == "mor"
+        and (tr["manifest"].get("mor") or {}).get("merge") == "partial"
+    ):
+        # r14 partial-merge chains: delta rows are PATCHES (NULL =
+        # keep) — no log-local image derivation; diff the resolved
+        # views instead (the documented slow path)
+        return snapshot_changes(spark, path, base_version, version, key_cols)
     if tr["kind"] == "mor":
         seq = tr["seq_col"]
         files = [f for grp in tr["new_groups"] for f in grp]

@@ -507,6 +507,17 @@ def make_changefeed_source():
             for v in rng:
                 tr = classify_transition(self.path, base, v)
                 kind = tr["kind"]
+                if (
+                    kind == "mor"
+                    and (tr["manifest"].get("mor") or {}).get("merge")
+                    == "partial"
+                ):
+                    # r14 partial-merge chains: a delta row is a PATCH,
+                    # not a full image — the log-local derivation would
+                    # emit NULL-means-keep columns as values. Fold these
+                    # transitions through the rewrite diff (resolved
+                    # views on both ends, _resolve_mor's partial path).
+                    kind = "rewrite"
                 # ADVICE r11 (medium), upgraded r12: instead of refusing
                 # mapped-era transitions, TRANSLATE them — read each
                 # era's files by their PHYSICAL names and emit the

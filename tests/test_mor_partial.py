@@ -1,0 +1,252 @@
+"""Partial-update MOR merge mode (r14 — Paimon partial-update / Hudi
+PARTIAL_UPDATE payload): a delta row patches ONLY its non-NULL columns,
+NULL means "keep the prior value"; tombstones delete AND reset (rows
+newer than the newest tombstone start from nothing, so a deleted key's
+old values can never resurrect under a later patch's NULLs).
+
+The walls are part of the contract and pinned here: the mode is a table
+property fixed at the first delta commit; UPDATE/MERGE DML refuse (a
+full image whose NULL genuinely means NULL would read back as "keep");
+minor compaction refuses on tombstone-bearing chains (a fold collapses
+the commit ranks partial resolution orders patches against); the change
+feed falls back to the resolved-view diff (a patch is not an image).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dp_dimension_importer_spark import storage
+
+
+def _mkpath():
+    scratch = tempfile.mkdtemp(prefix="pmor_test_")
+    return scratch, os.path.join(scratch, "t")
+
+
+def _seed(spark, path):
+    base = spark.createDataFrame(
+        [Row(k=1, a="a1", b="b1", seq=0), Row(k=2, a="a2", b="b2", seq=0)],
+        "k bigint, a string, b string, seq bigint",
+    )
+    storage.write_snapshot(spark, base, path)
+
+
+def _patch(spark, path, rows, ddl):
+    storage.upsert_delta_snapshot(
+        spark, path, spark.createDataFrame(rows, ddl), ["k"], "seq",
+        merge_mode="partial",
+    )
+
+
+def _world(spark, path):
+    return sorted(
+        (r["k"], r["a"], r["b"])
+        for r in storage.read_snapshot(spark, path).collect()
+    )
+
+
+class TestPartialResolution:
+    def test_column_patches_merge_newest_non_null(self, spark):
+        scratch, path = _mkpath()
+        try:
+            _seed(spark, path)
+            _patch(spark, path, [Row(k=1, a="A1", seq=1)],
+                   "k bigint, a string, seq bigint")
+            _patch(spark, path,
+                   [Row(k=1, b="B1", seq=2), Row(k=3, b="b3", seq=2)],
+                   "k bigint, b string, seq bigint")
+            assert _world(spark, path) == [
+                (1, "A1", "B1"),  # a from patch 1, b from patch 2
+                (2, "a2", "b2"),  # untouched
+                (3, None, "b3"),  # new key: unpatched column stays NULL
+            ]
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_newest_patch_wins_per_column(self, spark):
+        scratch, path = _mkpath()
+        try:
+            _seed(spark, path)
+            _patch(spark, path, [Row(k=2, a="x", seq=1)],
+                   "k bigint, a string, seq bigint")
+            _patch(spark, path, [Row(k=2, a="y", seq=2)],
+                   "k bigint, a string, seq bigint")
+            assert _world(spark, path) == [
+                (1, "a1", "b1"), (2, "y", "b2"),
+            ]
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_tombstone_deletes_and_resets(self, spark):
+        scratch, path = _mkpath()
+        try:
+            _seed(spark, path)
+            _patch(spark, path, [Row(k=1, a="A1", seq=1)],
+                   "k bigint, a string, seq bigint")
+            storage.delete_where_snapshot(spark, path, F.col("k") == 1)
+            assert _world(spark, path) == [(2, "a2", "b2")]
+            # fresh start: b must NOT resurrect from pre-delete history
+            _patch(spark, path, [Row(k=1, a="NEW", seq=9)],
+                   "k bigint, a string, seq bigint")
+            assert _world(spark, path) == [
+                (1, "NEW", None), (2, "a2", "b2"),
+            ]
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_pruned_read_parity(self, spark):
+        scratch, path = _mkpath()
+        try:
+            base = spark.createDataFrame(
+                [Row(k=i, a=f"a{i}", b=f"b{i}", seq=0) for i in range(50)],
+                "k bigint, a string, b string, seq bigint",
+            ).repartition(4, "k")
+            storage.write_snapshot(spark, base, path, stats_cols=["k"])
+            _patch(spark, path, [Row(k=7, a="P7", seq=1)],
+                   "k bigint, a string, seq bigint")
+            got = sorted(
+                (r["k"], r["a"], r["b"])
+                for r in storage.read_snapshot_pruned(
+                    spark, path, "k", 5, 9
+                ).collect()
+            )
+            want = [
+                (i, "P7" if i == 7 else f"a{i}", f"b{i}")
+                for i in range(5, 10)
+            ]
+            assert got == want
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_major_compaction_materializes(self, spark):
+        scratch, path = _mkpath()
+        try:
+            _seed(spark, path)
+            _patch(spark, path, [Row(k=1, a="A1", seq=1)],
+                   "k bigint, a string, seq bigint")
+            before = _world(spark, path)
+            v = storage.compact_mor(spark, path)
+            man = storage._load_manifest(path, v)
+            assert "mor" not in man
+            assert _world(spark, path) == before
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_minor_fold_ok_without_tombstones(self, spark):
+        scratch, path = _mkpath()
+        try:
+            _seed(spark, path)
+            _patch(spark, path, [Row(k=1, a="A1", seq=1)],
+                   "k bigint, a string, seq bigint")
+            _patch(spark, path, [Row(k=1, b="B1", seq=2)],
+                   "k bigint, b string, seq bigint")
+            before = _world(spark, path)
+            v = storage.compact_mor(spark, path, minor=True)
+            man = storage._load_manifest(path, v)
+            assert len(man["mor"]["deltas"]) == 1  # chain folded
+            assert _world(spark, path) == before
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+
+class TestPartialWalls:
+    def test_mode_fixed_at_first_commit_both_ways(self, spark):
+        scratch, path = _mkpath()
+        try:
+            _seed(spark, path)
+            _patch(spark, path, [Row(k=1, a="x", seq=1)],
+                   "k bigint, a string, seq bigint")
+            with pytest.raises(ValueError, match="merge mode fixed"):
+                storage.upsert_delta_snapshot(
+                    spark, path,
+                    spark.createDataFrame(
+                        [Row(k=1, a="y", seq=2)],
+                        "k bigint, a string, seq bigint",
+                    ),
+                    ["k"], "seq",  # default latest on a partial table
+                )
+            # and the reverse: latest table refuses a partial commit
+            scratch2, path2 = _mkpath()
+            try:
+                _seed(spark, path2)
+                storage.upsert_delta_snapshot(
+                    spark, path2,
+                    spark.createDataFrame(
+                        [Row(k=1, a="y", b="z", seq=1)],
+                        "k bigint, a string, b string, seq bigint",
+                    ),
+                    ["k"], "seq",
+                )
+                with pytest.raises(ValueError, match="merge mode fixed"):
+                    _patch(spark, path2, [Row(k=1, a="q", seq=2)],
+                           "k bigint, a string, seq bigint")
+            finally:
+                shutil.rmtree(scratch2, ignore_errors=True)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_update_and_merge_refuse(self, spark):
+        scratch, path = _mkpath()
+        try:
+            _seed(spark, path)
+            _patch(spark, path, [Row(k=1, a="x", seq=1)],
+                   "k bigint, a string, seq bigint")
+            with pytest.raises(ValueError, match="partial-merge"):
+                storage.update_where_snapshot(
+                    spark, path, {"a": F.lit("z")}, F.col("k") == 2
+                )
+            with pytest.raises(ValueError, match="partial-merge"):
+                storage.merge_into_snapshot(
+                    spark, path,
+                    spark.createDataFrame(
+                        [Row(k=2, a="m")], "k bigint, a string"
+                    ),
+                    ["k"], update_set={"a": "src_a"},
+                )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_minor_fold_refuses_with_tombstones(self, spark):
+        scratch, path = _mkpath()
+        try:
+            _seed(spark, path)
+            _patch(spark, path, [Row(k=1, a="x", seq=1)],
+                   "k bigint, a string, seq bigint")
+            storage.delete_where_snapshot(spark, path, F.col("k") == 2)
+            _patch(spark, path, [Row(k=1, b="y", seq=3)],
+                   "k bigint, b string, seq bigint")
+            with pytest.raises(ValueError, match="cannot fold minor"):
+                storage.compact_mor(spark, path, minor=True)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+
+class TestPartialChangeFeed:
+    def test_version_delta_emits_resolved_images(self, spark):
+        """The feed must emit the RESOLVED post-image (merged view),
+        never the raw patch (whose NULLs mean 'keep') — the partial
+        fast-path fallback to the resolved-view diff."""
+        scratch, path = _mkpath()
+        try:
+            _seed(spark, path)
+            _patch(spark, path, [Row(k=1, a="A1", seq=1)],
+                   "k bigint, a string, seq bigint")
+            v = storage.snapshot_versions(path)[-1]
+            rows = storage.version_delta(spark, path, v, ["k"]).collect()
+            got = {
+                (r["k"], r["change_type"]): r["_new"] for r in rows
+            }
+            assert set(got) == {(1, "update")}
+            img = got[(1, "update")]
+            # merged image: patched a, KEPT b (a raw-patch read would
+            # have shown b as NULL)
+            assert img["a"] == "A1" and img["b"] == "b1"
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
