@@ -1569,6 +1569,120 @@ def q89b_snapshot_branch(spark, sf_dir):
 
 
 @register(
+    "q86i_mor_aggregate",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), eff AS (
+        SELECT k, pri,
+               cents + CASE WHEN k % 10 = 3 THEN 100000 ELSE 0 END
+                     + CASE WHEN k % 100 = 7 THEN 5000 ELSE 0 END
+                   AS total,
+               GREATEST(cents,
+                        CASE WHEN k % 100 = 7 THEN cents * 2
+                             ELSE cents END) AS peak,
+               (pri = '2-HIGH' AND k % 11 = 0) AS doomed
+        FROM base
+    ), fin AS (
+        SELECT CASE WHEN doomed THEN NULL ELSE pri END AS pri,
+               CASE WHEN doomed THEN 700
+                    ELSE total
+                         + CASE WHEN k % 200 = 0 THEN 700 ELSE 0 END
+                   END AS total,
+               CASE WHEN doomed THEN NULL ELSE peak END AS peak
+        FROM eff
+        WHERE k % 200 = 0 OR NOT doomed
+    )
+    SELECT pri, COUNT(*) AS n,
+           CAST(SUM(total) AS BIGINT) AS sum_total,
+           CAST(SUM(COALESCE(peak, 0)) AS BIGINT) AS sum_peak
+    FROM fin GROUP BY 1 ORDER BY 1
+    """,
+)
+def q86i_mor_aggregate(spark, sf_dir):
+    """AGGREGATION MERGE ENGINE (r14 — Paimon's third merge engine,
+    ``upsert_delta_snapshot(merge_mode='aggregate', agg_spec=...)``):
+    each column folds by its declared function over the chain — here
+    ``total`` SUMs (delta rows carry increments, not totals — the
+    metrics-rollup CDC shape), ``peak`` takes MAX, ``pri`` keeps the
+    last non-null — with base rows as the initial accumulator and the
+    whole fold one key-partitioned window pass. A tombstone DELETE
+    (judged against the ACCUMULATED view) removes AND resets: a
+    later increment on a deleted century key re-creates it with ONLY
+    that increment (total=700, NULL pri/peak — pinned by the NULL
+    oracle group), never the pre-delete accumulation. Integer cents
+    throughout so every sum is bit-exact on both engines. Spec
+    immutability, the minor-fold associativity (partial accumulators
+    fold without tombstones), and the feed's accumulated-image
+    fallback are pinned in tests/test_mor_partial.py."""
+    import shutil
+    import tempfile
+
+    from dp_dimension_importer_spark import storage
+
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        cents.alias("total"),
+        cents.alias("peak"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    spec = {"total": "sum", "peak": "max", "pri": "last"}
+    path = tempfile.mkdtemp(prefix="q86i_agg_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(spark, base, path)
+
+        def up(df):
+            storage.upsert_delta_snapshot(
+                spark, path, df, ["k"], "seq",
+                merge_mode="aggregate", agg_spec=spec,
+            )
+
+        up(
+            base.filter(F.col("k") % 10 == 3).select(
+                "k", F.lit(100000).cast("long").alias("total"),
+                F.lit(1).cast("long").alias("seq"),
+            )
+        )
+        up(
+            base.filter(F.col("k") % 100 == 7).select(
+                "k", F.lit(5000).cast("long").alias("total"),
+                (F.col("peak") * 2).alias("peak"),
+                F.lit(2).cast("long").alias("seq"),
+            )
+        )
+        r = storage.delete_where_snapshot(
+            spark, path, "pri = '2-HIGH' AND k % 11 = 0"
+        )
+        assert r["files_rewritten"] == 0 and r["rows_deleted"] > 0
+        up(
+            base.filter(F.col("k") % 200 == 0).select(
+                "k", F.lit(700).cast("long").alias("total"),
+                F.lit(4).cast("long").alias("seq"),
+            )
+        )
+        return (
+            storage.read_snapshot(spark, path)
+            .groupBy("pri")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("total").cast("long").alias("sum_total"),
+                F.sum(F.coalesce(F.col("peak"), F.lit(0)))
+                .cast("long").alias("sum_peak"),
+            )
+            .orderBy("pri")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q86h_mor_partial_update",
     sql="""
     WITH base AS (

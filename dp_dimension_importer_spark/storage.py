@@ -3337,6 +3337,7 @@ def upsert_delta_snapshot(
     txn: tuple[str, int] | None = None,
     branch: str | None = None,
     merge_mode: str = "latest",
+    agg_spec: dict | None = None,
 ) -> int:
     """MERGE-ON-READ upsert: ``changes`` lands as DELTA FILES — no base
     file is read, let alone rewritten, so the write costs O(changes)
@@ -3373,7 +3374,16 @@ def upsert_delta_snapshot(
     tombstone RESETS the key, so later patches start from nothing);
     UPDATE/MERGE DML refuse on partial tables (a full image whose NULL
     really meant NULL would resurrect older values) — delete works,
-    and compact_mor major materializes the merged view."""
+    and compact_mor major materializes the merged view.
+
+    ``merge_mode="aggregate"`` (Paimon's aggregation merge engine):
+    each column folds by ``agg_spec[col]`` — ``sum`` (delta rows carry
+    INCREMENTS; declare the column wide enough, the fold casts back to
+    the committed type), ``max``, ``min``, or ``last`` (the partial
+    behavior; also the default for unspecified columns) — with base
+    rows as the initial accumulator. The spec is immutable alongside
+    the mode; the same walls apply, and a tombstone RESETS the
+    accumulator."""
     import glob
     import json
     import os
@@ -3414,13 +3424,37 @@ def upsert_delta_snapshot(
             f"({drift}) — non-additive drift evolves via an overwrite "
             "commit, never a delta"
         )
-    if merge_mode not in ("latest", "partial"):
+    if merge_mode not in ("latest", "partial", "aggregate"):
         raise ValueError(f"unknown merge_mode {merge_mode!r}")
+    if merge_mode == "aggregate":
+        if not agg_spec:
+            raise ValueError(
+                "merge_mode='aggregate' needs agg_spec={column: "
+                "'sum'|'max'|'min'|'last'}"
+            )
+        bad_fn = {c: f for c, f in agg_spec.items()
+                  if f not in ("sum", "max", "min", "last")}
+        if bad_fn:
+            raise ValueError(
+                f"unknown aggregate functions {bad_fn} — supported: "
+                "sum, max, min, last"
+            )
+        bad_col = sorted(
+            c for c in agg_spec
+            if c in key_cols or c == seq_col
+        )
+        if bad_col:
+            raise ValueError(
+                f"agg_spec cannot target key/seq columns {bad_col}"
+            )
+    elif agg_spec:
+        raise ValueError("agg_spec only applies to merge_mode='aggregate'")
     mor = man.get("mor") or {
         "key_cols": list(key_cols),
         "seq_col": seq_col,
         "deltas": [],
-        **({"merge": "partial"} if merge_mode == "partial" else {}),
+        **({"merge": merge_mode} if merge_mode != "latest" else {}),
+        **({"aggs": dict(agg_spec)} if merge_mode == "aggregate" else {}),
     }
     if mor["key_cols"] != list(key_cols) or mor["seq_col"] != seq_col:
         raise ValueError(
@@ -3428,15 +3462,24 @@ def upsert_delta_snapshot(
             f"({mor['key_cols']}, {mor['seq_col']!r})"
         )
     if mor.get("merge", "latest") != merge_mode:
-        # r14 partial-update mode (Paimon partial-update / Hudi
-        # PARTIAL_UPDATE): the merge engine is a TABLE property fixed
-        # at the first delta commit — mixing per-commit semantics
-        # would make every read's meaning depend on which commit a
-        # value arrived in
+        # r14 partial-update / aggregation modes (Paimon merge
+        # engines, Hudi PARTIAL_UPDATE): the merge engine is a TABLE
+        # property fixed at the first delta commit — mixing per-commit
+        # semantics would make every read's meaning depend on which
+        # commit a value arrived in
         raise ValueError(
             f"MOR merge mode fixed at first upsert: table is "
             f"{mor.get('merge', 'latest')!r}, commit asked for "
             f"{merge_mode!r}"
+        )
+    if (
+        merge_mode == "aggregate"
+        and agg_spec is not None
+        and dict(mor.get("aggs") or {}) != dict(agg_spec)
+    ):
+        raise ValueError(
+            f"aggregate spec fixed at first upsert: table folds "
+            f"{mor.get('aggs')}, commit asked for {dict(agg_spec)}"
         )
     required = list(mor["key_cols"]) + [mor["seq_col"]]
     absent = [c for c in required if c not in new_schema]
@@ -3755,27 +3798,31 @@ def _resolve_mor(
         u = part if u is None else u.unionByName(part)
     if u is None:
         raise ValueError("MOR manifest resolves zero commit groups")
-    if mor.get("merge") == "partial":
-        # Paimon partial-update / Hudi PARTIAL_UPDATE payload semantics
-        # (r14): a delta row patches ONLY its non-NULL columns; NULL
-        # means "keep the prior value" (the documented trade of every
-        # partial-update engine: explicit null-out is impossible —
-        # deletes go through tombstones, which also RESET the key: rows
-        # newer than the newest tombstone start from nothing, so a
-        # deleted key's old values can never resurrect under a later
-        # patch's NULLs). One pass, two windows: a cumulative tombstone
-        # count in newest-first order marks the eligible suffix, then
-        # per column the newest non-NULL among eligible rows wins
-        # (first+ignorenulls over the full frame) — no self-join, no
+    if mor.get("merge") in ("partial", "aggregate"):
+        # Paimon partial-update / aggregation merge engines, Hudi
+        # PARTIAL_UPDATE payload (r14): a delta row patches ONLY its
+        # non-NULL columns. Under "partial" every column takes its
+        # NEWEST non-NULL value; under "aggregate" each column folds by
+        # its declared function over the chain (sum/max/min; "last" =
+        # the partial behavior; base rows are the initial accumulator).
+        # NULL means "contributes nothing" — the documented trade of
+        # every such engine: explicit null-out is impossible — deletes
+        # go through tombstones, which also RESET the key: rows newer
+        # than the newest tombstone start from nothing, so a deleted
+        # key's old values can never resurrect (or keep accumulating).
+        # One pass, two windows: a cumulative tombstone count in
+        # newest-first order marks the eligible suffix, then per column
+        # a window fold over the full frame — no self-join, no
         # per-column shuffle; the key-partitioned exchange is shared.
         if keep_tombstones:
             raise ValueError(
-                "partial-merge chains cannot fold minor — a fold "
-                "collapses commit ranks, and partial resolution needs "
-                "them to order patches against tombstones "
-                "(compact_mor major materializes instead)"
+                f"{mor['merge']}-merge chains cannot fold minor over "
+                "tombstones — a fold collapses commit ranks, and "
+                "resolution needs them to order contributions against "
+                "tombstones (compact_mor major materializes instead)"
             )
         keys, seq = mor["key_cols"], mor["seq_col"]
+        aggs = mor.get("aggs") or {}
         # eqNullSafe: upsert rows carry a NULL op — a plain == would
         # make the cumulative sum NULL for every key with no tombstone
         # at all, silently dropping the whole key
@@ -3795,6 +3842,20 @@ def _resolve_mor(
             ) == 0,
         )
         val_cols = [c for c in cols if c not in keys and c != seq]
+
+        def _fold(c):
+            v = F.when(F.col("_el"), F.col(c))
+            fn = aggs.get(c, "last")
+            if fn == "sum":
+                # sum widens (int -> bigint): cast back to the
+                # committed type — declare the column wide enough
+                return F.sum(v).over(full).cast(proj_types[c])
+            if fn == "max":
+                return F.max(v).over(full)
+            if fn == "min":
+                return F.min(v).over(full)
+            return F.first(v, ignorenulls=True).over(full)
+
         merged = flagged.select(
             *keys,
             F.col(seq),
@@ -3806,12 +3867,7 @@ def _resolve_mor(
                     F.col(seq).desc(),
                 )
             ).alias("_rn"),
-            *(
-                F.first(
-                    F.when(F.col("_el"), F.col(c)), ignorenulls=True
-                ).over(full).alias(c)
-                for c in val_cols
-            ),
+            *(_fold(c).alias(c) for c in val_cols),
         )
         return merged.filter(
             (F.col("_rn") == 1) & F.col("_el")
@@ -4311,9 +4367,10 @@ def _update_where_mor(
     from pyspark.sql import functions as F
 
     mor = man["mor"]
-    if mor.get("merge") == "partial":
+    if mor.get("merge") in ("partial", "aggregate"):
         raise ValueError(
-            "UPDATE on a partial-merge MOR table is not supported: a "
+            "UPDATE on a partial/aggregate-merge MOR table is not "
+            "supported: a "
             "full image whose NULL genuinely means NULL would read "
             "back as 'keep prior value' and resurrect older data — "
             "send partial upserts (and tombstone deletes), or "
@@ -4441,9 +4498,10 @@ def _merge_into_mor(
     from pyspark.sql import functions as F
 
     mor = man["mor"]
-    if mor.get("merge") == "partial":
+    if mor.get("merge") in ("partial", "aggregate"):
         raise ValueError(
-            "MERGE INTO on a partial-merge MOR table is not supported: a "
+            "MERGE INTO on a partial/aggregate-merge MOR table is not "
+            "supported: a "
             "full image whose NULL genuinely means NULL would read "
             "back as 'keep prior value' and resurrect older data — "
             "send partial upserts (and tombstone deletes), or "
@@ -5026,7 +5084,8 @@ def version_delta(
         )
     if (
         tr["kind"] == "mor"
-        and (tr["manifest"].get("mor") or {}).get("merge") == "partial"
+        and (tr["manifest"].get("mor") or {}).get("merge")
+        in ("partial", "aggregate")
     ):
         # r14 partial-merge chains: delta rows are PATCHES (NULL =
         # keep) — no log-local image derivation; diff the resolved

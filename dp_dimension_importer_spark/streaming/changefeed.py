@@ -510,7 +510,7 @@ def make_changefeed_source():
                 if (
                     kind == "mor"
                     and (tr["manifest"].get("mor") or {}).get("merge")
-                    == "partial"
+                    in ("partial", "aggregate")
                 ):
                     # r14 partial-merge chains: a delta row is a PATCH,
                     # not a full image — the log-local derivation would

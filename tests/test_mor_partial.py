@@ -198,11 +198,11 @@ class TestPartialWalls:
             _seed(spark, path)
             _patch(spark, path, [Row(k=1, a="x", seq=1)],
                    "k bigint, a string, seq bigint")
-            with pytest.raises(ValueError, match="partial-merge"):
+            with pytest.raises(ValueError, match="partial/aggregate-merge"):
                 storage.update_where_snapshot(
                     spark, path, {"a": F.lit("z")}, F.col("k") == 2
                 )
-            with pytest.raises(ValueError, match="partial-merge"):
+            with pytest.raises(ValueError, match="partial/aggregate-merge"):
                 storage.merge_into_snapshot(
                     spark, path,
                     spark.createDataFrame(
@@ -248,5 +248,154 @@ class TestPartialChangeFeed:
             # merged image: patched a, KEPT b (a raw-patch read would
             # have shown b as NULL)
             assert img["a"] == "A1" and img["b"] == "b1"
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+
+class TestAggregateEngine:
+    """merge_mode='aggregate' (Paimon aggregation merge engine): each
+    column folds by its declared function over the chain — sum/max/min
+    accumulate, 'last' behaves like partial-update. Base rows are the
+    initial accumulator; tombstones delete AND reset it."""
+
+    SPEC = {"total": "sum", "peak": "max", "tag": "last"}
+    DDL = "k bigint, total bigint, peak bigint, tag string, seq bigint"
+
+    def _seed(self, spark, path):
+        storage.write_snapshot(
+            spark,
+            spark.createDataFrame(
+                [Row(k=1, total=10, peak=5, tag="t0", seq=0),
+                 Row(k=2, total=100, peak=50, tag="u0", seq=0)],
+                self.DDL,
+            ),
+            path,
+        )
+
+    def _up(self, spark, path, rows):
+        storage.upsert_delta_snapshot(
+            spark, path, spark.createDataFrame(rows, self.DDL),
+            ["k"], "seq", merge_mode="aggregate", agg_spec=self.SPEC,
+        )
+
+    def _world(self, spark, path):
+        return sorted(
+            (r["k"], r["total"], r["peak"], r["tag"])
+            for r in storage.read_snapshot(spark, path).collect()
+        )
+
+    def test_fold_functions_compose_across_commits(self, spark):
+        scratch, path = _mkpath()
+        try:
+            self._seed(spark, path)
+            self._up(spark, path,
+                     [Row(k=1, total=3, peak=2, tag=None, seq=1)])
+            self._up(spark, path,
+                     [Row(k=1, total=4, peak=None, tag="t2", seq=2),
+                      Row(k=3, total=7, peak=None, tag=None, seq=2)])
+            assert self._world(spark, path) == [
+                (1, 17, 5, "t2"),   # 10+3+4, max(5,2), last non-null
+                (2, 100, 50, "u0"),
+                (3, 7, None, None),
+            ]
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_tombstone_resets_accumulator(self, spark):
+        scratch, path = _mkpath()
+        try:
+            self._seed(spark, path)
+            self._up(spark, path,
+                     [Row(k=1, total=3, peak=None, tag=None, seq=1)])
+            storage.delete_where_snapshot(spark, path, F.col("k") == 1)
+            self._up(spark, path,
+                     [Row(k=1, total=9, peak=None, tag=None, seq=9)])
+            assert self._world(spark, path) == [
+                (1, 9, None, None),  # fresh accumulator, not 10+3+9
+                (2, 100, 50, "u0"),
+            ]
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_spec_guards(self, spark):
+        scratch, path = _mkpath()
+        try:
+            self._seed(spark, path)
+            with pytest.raises(ValueError, match="needs agg_spec"):
+                storage.upsert_delta_snapshot(
+                    spark, path,
+                    spark.createDataFrame(
+                        [Row(k=1, total=1, peak=None, tag=None, seq=1)],
+                        self.DDL,
+                    ),
+                    ["k"], "seq", merge_mode="aggregate",
+                )
+            with pytest.raises(ValueError, match="unknown aggregate"):
+                storage.upsert_delta_snapshot(
+                    spark, path,
+                    spark.createDataFrame(
+                        [Row(k=1, total=1, peak=None, tag=None, seq=1)],
+                        self.DDL,
+                    ),
+                    ["k"], "seq", merge_mode="aggregate",
+                    agg_spec={"total": "avg"},
+                )
+            with pytest.raises(ValueError, match="key/seq"):
+                storage.upsert_delta_snapshot(
+                    spark, path,
+                    spark.createDataFrame(
+                        [Row(k=1, total=1, peak=None, tag=None, seq=1)],
+                        self.DDL,
+                    ),
+                    ["k"], "seq", merge_mode="aggregate",
+                    agg_spec={"k": "sum"},
+                )
+            self._up(spark, path,
+                     [Row(k=1, total=1, peak=None, tag=None, seq=1)])
+            with pytest.raises(ValueError, match="spec fixed"):
+                storage.upsert_delta_snapshot(
+                    spark, path,
+                    spark.createDataFrame(
+                        [Row(k=1, total=1, peak=None, tag=None, seq=2)],
+                        self.DDL,
+                    ),
+                    ["k"], "seq", merge_mode="aggregate",
+                    agg_spec={"total": "max"},
+                )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_minor_fold_preserves_sums_without_tombstones(self, spark):
+        scratch, path = _mkpath()
+        try:
+            self._seed(spark, path)
+            self._up(spark, path,
+                     [Row(k=1, total=3, peak=None, tag=None, seq=1)])
+            self._up(spark, path,
+                     [Row(k=1, total=4, peak=60, tag=None, seq=2),
+                      Row(k=2, total=5, peak=None, tag=None, seq=2)])
+            before = self._world(spark, path)
+            v = storage.compact_mor(spark, path, minor=True)
+            man = storage._load_manifest(path, v)
+            assert len(man["mor"]["deltas"]) == 1
+            # the fold emitted PARTIAL accumulators (3+4), and final
+            # resolution adds base (10) — associativity is the point
+            assert self._world(spark, path) == before == [
+                (1, 17, 60, "t0"), (2, 105, 50, "u0"),
+            ]
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_version_delta_emits_accumulated_image(self, spark):
+        scratch, path = _mkpath()
+        try:
+            self._seed(spark, path)
+            self._up(spark, path,
+                     [Row(k=1, total=3, peak=None, tag=None, seq=1)])
+            v = storage.snapshot_versions(path)[-1]
+            rows = storage.version_delta(spark, path, v, ["k"]).collect()
+            got = {(r["k"], r["change_type"]): r["_new"] for r in rows}
+            assert set(got) == {(1, "update")}
+            assert got[(1, "update")]["total"] == 13  # 10+3, not 3
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
