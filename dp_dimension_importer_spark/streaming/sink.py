@@ -411,6 +411,8 @@ def make_mor_upsert_handler(
     seq_col: str,
     app_id: str = "stream",
     branch: str | None = None,
+    merge_mode: str = "latest",
+    agg_spec: dict | None = None,
 ):
     """foreachBatch handler landing each micro-batch as a MERGE-ON-READ
     delta commit (storage.upsert_delta_snapshot) with ``txn=(app_id,
@@ -433,7 +435,17 @@ def make_mor_upsert_handler(
     next branch commit with the same txn idempotence, and
     :func:`storage.fast_forward` publishes the audited chain — whose
     per-app-max txn merge keeps the staged watermarks, so a redelivery
-    after the publish still skips on main."""
+    after the publish still skips on main.
+
+    ``merge_mode``/``agg_spec`` (r14): on a partial/aggregate table the
+    per-batch compaction must match the TABLE's merge engine, not
+    latest-wins — under "aggregate" a newest-row collapse would DROP
+    every other increment in the batch, so the handler pre-folds the
+    batch with the same per-column functions (sum of the batch's
+    increments, max, last non-null in seq order) and keeps the newest
+    seq; under "partial" it takes each column's newest non-NULL. The
+    fold is exactly one delta row per key, and resolution composes it
+    with the chain by associativity (the minor-fold argument)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as W
@@ -441,12 +453,37 @@ def make_mor_upsert_handler(
 
         from dp_dimension_importer_spark import storage
 
-        w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
-        one_per_key = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        if merge_mode in ("partial", "aggregate"):
+            aggs = agg_spec or {}
+            val_cols = [
+                c for c in batch_df.columns
+                if c not in key_cols and c != seq_col
+            ]
+
+            def fold(c):
+                if merge_mode == "aggregate" and aggs.get(c) == "sum":
+                    t = batch_df.schema[c].dataType.simpleString()
+                    return F.sum(c).cast(t).alias(c)
+                if merge_mode == "aggregate" and aggs.get(c) == "max":
+                    return F.max(c).alias(c)
+                if merge_mode == "aggregate" and aggs.get(c) == "min":
+                    return F.min(c).alias(c)
+                # 'last': newest non-NULL in seq order
+                return F.max_by(
+                    c, F.when(F.col(c).isNotNull(), F.col(seq_col))
+                ).alias(c)
+
+            one_per_key = batch_df.groupBy(*key_cols).agg(
+                F.max(seq_col).alias(seq_col),
+                *(fold(c) for c in val_cols),
+            ).select(*batch_df.columns)
+        else:
+            w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+            one_per_key = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         spark = batch_df.sparkSession
         if not storage.snapshot_versions(table_path):
             if branch is not None:
@@ -464,6 +501,7 @@ def make_mor_upsert_handler(
             storage.upsert_delta_snapshot(
                 spark, table_path, one_per_key, key_cols, seq_col,
                 txn=(app_id, int(batch_id)), branch=branch,
+                merge_mode=merge_mode, agg_spec=agg_spec,
             )
 
     return handle
@@ -479,16 +517,21 @@ def run_stream_mor_upsert(
     checkpoint: str | None = None,
     app_id: str = "stream",
     branch: str | None = None,
+    merge_mode: str = "latest",
+    agg_spec: dict | None = None,
 ) -> DataFrame:
     """Drive a file-source stream (1 file per micro-batch) through the
     MOR upsert sink with availableNow, then read the resolved table
     back (the BRANCH head when ``branch`` is given — the audit read of
     a staged stream). Each micro-batch is one delta commit, so time
-    travel reaches the upsert state after any stream prefix."""
+    travel reaches the upsert state after any stream prefix.
+    ``merge_mode``/``agg_spec`` select the table's merge engine (see
+    :func:`make_mor_upsert_handler` — the per-batch fold matches it)."""
     from dp_dimension_importer_spark import storage
 
     handler = make_mor_upsert_handler(
-        table_path, key_cols, seq_col, app_id=app_id, branch=branch
+        table_path, key_cols, seq_col, app_id=app_id, branch=branch,
+        merge_mode=merge_mode, agg_spec=agg_spec,
     )
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_mor_")
     stream = (

@@ -399,3 +399,94 @@ class TestAggregateEngine:
             assert got[(1, "update")]["total"] == 13  # 10+3, not 3
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
+
+
+class TestStreamingMergeEngines:
+    def test_stream_aggregate_sink_folds_batches(self, spark):
+        """The sink's per-batch compaction must match the table's merge
+        engine: under 'aggregate' it pre-folds each micro-batch (sum of
+        the batch's increments, newest seq) instead of latest-wins —
+        a newest-row collapse would silently drop increments."""
+        from dp_dimension_importer_spark.streaming import sink as mor_sink
+
+        scratch, path = _mkpath()
+        try:
+            ddl = "k bigint, total bigint, seq bigint"
+            storage.write_snapshot(
+                spark,
+                spark.createDataFrame(
+                    [Row(k=1, total=10, seq=0), Row(k=2, total=20, seq=0)],
+                    ddl,
+                ),
+                path,
+            )
+            replay = os.path.join(scratch, "replay")
+            # batch 1: two increments for k=1 — BOTH must count
+            spark.createDataFrame(
+                [Row(k=1, total=3, seq=1), Row(k=1, total=4, seq=2)],
+                ddl,
+            ).coalesce(1).write.parquet(replay)
+            # batch 2: one increment each for k=1 and new k=3
+            spark.createDataFrame(
+                [Row(k=1, total=5, seq=3), Row(k=3, total=7, seq=3)],
+                ddl,
+            ).coalesce(1).write.mode("append").parquet(replay)
+            out = mor_sink.run_stream_mor_upsert(
+                spark, replay,
+                spark.createDataFrame([], ddl).schema, path,
+                key_cols=["k"], seq_col="seq",
+                checkpoint=os.path.join(scratch, "ckpt"),
+                merge_mode="aggregate", agg_spec={"total": "sum"},
+            )
+            got = sorted((r["k"], r["total"]) for r in out.collect())
+            assert got == [(1, 22), (2, 20), (3, 7)]  # 10+3+4+5
+            # redelivered batch: the txn watermark must skip the re-add
+            handler = mor_sink.make_mor_upsert_handler(
+                path, ["k"], "seq",
+                merge_mode="aggregate", agg_spec={"total": "sum"},
+            )
+            handler(
+                spark.createDataFrame([Row(k=1, total=3, seq=1)], ddl), 0
+            )
+            got = sorted(
+                (r["k"], r["total"])
+                for r in storage.read_snapshot(spark, path).collect()
+            )
+            assert got == [(1, 22), (2, 20), (3, 7)], (
+                "redelivered increment must not double-count"
+            )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_stream_partial_sink_folds_batches(self, spark):
+        from dp_dimension_importer_spark.streaming import sink as mor_sink
+
+        scratch, path = _mkpath()
+        try:
+            ddl = "k bigint, a string, b string, seq bigint"
+            storage.write_snapshot(
+                spark,
+                spark.createDataFrame(
+                    [Row(k=1, a="a1", b="b1", seq=0)], ddl
+                ),
+                path,
+            )
+            replay = os.path.join(scratch, "replay")
+            # one batch patching a and b in SEPARATE rows: the fold must
+            # keep both columns' newest non-NULLs, not the newest row
+            spark.createDataFrame(
+                [Row(k=1, a="A", b=None, seq=2),
+                 Row(k=1, a=None, b="B", seq=1)],
+                ddl,
+            ).coalesce(1).write.parquet(replay)
+            out = mor_sink.run_stream_mor_upsert(
+                spark, replay,
+                spark.createDataFrame([], ddl).schema, path,
+                key_cols=["k"], seq_col="seq",
+                checkpoint=os.path.join(scratch, "ckpt"),
+                merge_mode="partial",
+            )
+            got = [(r["k"], r["a"], r["b"]) for r in out.collect()]
+            assert got == [(1, "A", "B")]
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
