@@ -240,6 +240,16 @@ def main() -> None:
             # v1 snapshot instead (one slim scan).
             "mv_refresh_changefeed": "fixture-write-bound; day0 now "
             "reads v1 snapshot (r14)",
+            # r14: q90c grew a second table this round (the
+            # hidden-partitioned MOR leg, stat-free tuple-only
+            # admission — +80 fixture lines in the r13->r14 diff, a
+            # second streaming replay of its own version history), so
+            # its raw time rises with the extra replayed versions ×
+            # fixed per-trigger job latency; per-trigger admission work
+            # is still O(admitted files).
+            "q90c_changefeed_partitioned": "fixture grew the MOR leg "
+            "in r14 (a second replayed table); admission cost per "
+            "trigger unchanged",
         },
         "sections": _sections(timings),
         "queries": timings,

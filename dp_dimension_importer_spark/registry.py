@@ -127,8 +127,11 @@ _REPRIORITIZE: list[str] = [
     # _partition_keep on the in-hand manifest), and MERGE/MOR-merge
     # probe pruning consult bloom sidecars when present. Riders below
     # already cover the DML/feed families; q89b joins for the ff
-    # change; the three r14b-new queries (q68b/q89c/q86g) have no rows
-    # and order first regardless.
+    # change; the r14b-new queries (q68b/q89c/q86g/q86h/q86i) have no
+    # rows and order first regardless. _resolve_mor gained the
+    # partial/aggregate branch (latest path untouched) and the
+    # streaming sink folds batches by merge engine — the q86/q87
+    # riders below cover both.
     "q89b_snapshot_branch",
     "q89_write_audit_publish",
     "q86_upsert_mor",
