@@ -5087,10 +5087,151 @@ def version_delta(
         and (tr["manifest"].get("mor") or {}).get("merge")
         in ("partial", "aggregate")
     ):
-        # r14 partial-merge chains: delta rows are PATCHES (NULL =
-        # keep) — no log-local image derivation; diff the resolved
-        # views instead (the documented slow path)
-        return snapshot_changes(spark, path, base_version, version, key_cols)
+        # r14: LOG-LOCAL feed for the partial/aggregate merge engines —
+        # O(changes), same cost model as the latest-wins mor kind. The
+        # key argument is SUFFIX DECOMPOSABILITY of the fold: with no
+        # tombstone among the new rows, resolution over (old chain ∪
+        # new rows) equals the per-column combine of the base-version
+        # image with the new rows' fold (coalesce for last/partial,
+        # old+Σ for sum, greatest/least for max/min); with a tombstone,
+        # the key's image is the fold of the new rows' eligible suffix
+        # alone (old fully masked). So the feed folds ONLY the new
+        # groups, semi-joins the sliver of touched keys against the
+        # base image, and combines per column — the raw patch (whose
+        # NULLs mean "contributes nothing") is never emitted.
+        mor_blk = tr["manifest"]["mor"]
+        aggs = mor_blk.get("aggs") or {}
+        seq = tr["seq_col"]
+        files = [f for grp in tr["new_groups"] for f in grp]
+        gi = {
+            f: i for i, grp in enumerate(tr["new_groups"]) for f in grp
+        }
+        raw = spark.read.option("mergeSchema", "true").parquet(
+            *(os.path.join(path, rel) for rel in files)
+        )
+        raw = raw.withColumn("_fp", F.col("_metadata.file_path"))
+        raw = _apply_mapping(raw, man.get("column_mapping"))
+        tok = {
+            os.path.basename(os.path.dirname(f)): i for f, i in gi.items()
+        }
+        ci = F.create_map(
+            *(x for t_, i in tok.items() for x in (F.lit(t_), F.lit(i)))
+        )[F.element_at(F.split(F.col("_fp"), "/"), -2)]
+        raw = raw.withColumn("_vd_gi", ci)
+        op = mor_blk.get("op_col")
+        has_op = op is not None and op in raw.columns
+        is_tomb = (
+            F.col(op).eqNullSafe(MOR_DELETE_OP) if has_op else F.lit(False)
+        )
+        w_desc = W.partitionBy(*key_cols).orderBy(
+            F.col("_vd_gi").desc(), F.col(seq).desc()
+        )
+        flagged = raw.withColumn(
+            "_vd_el",
+            F.sum(is_tomb.cast("int")).over(
+                w_desc.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ) == 0,
+        )
+        have = set(flagged.columns)
+
+        def _fold_agg(c, t):
+            v = (
+                F.when(F.col("_vd_el"), F.col(c).cast(t))
+                if c in have else F.lit(None).cast(t)
+            )
+            fn = aggs.get(c, "last")
+            if fn == "sum":
+                return F.sum(v).cast(t).alias(f"_p_{c}")
+            if fn == "max":
+                return F.max(v).alias(f"_p_{c}")
+            if fn == "min":
+                return F.min(v).alias(f"_p_{c}")
+            return F.max_by(
+                v,
+                F.when(
+                    F.col("_vd_el") & v.isNotNull(),
+                    F.struct(F.col("_vd_gi"), F.col(seq)),
+                ),
+            ).alias(f"_p_{c}")
+
+        folded = flagged.groupBy(*key_cols).agg(
+            F.max(is_tomb.cast("int")).alias("_ht"),
+            F.max(F.col("_vd_el").cast("int")).alias("_he"),
+            *(_fold_agg(c, t) for c, t in val_cols),
+        )
+        old = read_snapshot(spark, path, version=base_version)
+        old_small = old.join(
+            F.broadcast(folded.select(*key_cols).distinct()),
+            key_cols,
+            "left_semi",
+        )
+        old_have = set(old_small.columns)
+        o2 = old_small.select(
+            *key_cols,
+            *(
+                (
+                    F.col(c).cast(t) if c in old_have
+                    else F.lit(None).cast(t)
+                ).alias(f"_o_{c}")
+                for c, t in val_cols
+            ),
+            F.lit(True).alias("_has_old"),
+        )
+        j = folded.join(F.broadcast(o2), key_cols, "left_outer")
+        has_old = F.coalesce(F.col("_has_old"), F.lit(False))
+
+        def _img(c, t):
+            P, O = F.col(f"_p_{c}"), F.col(f"_o_{c}")
+            fn = aggs.get(c, "last")
+            if fn == "sum":
+                z = F.lit(0).cast(t)
+                comb = F.when(
+                    P.isNull() & O.isNull(), F.lit(None).cast(t)
+                ).otherwise((F.coalesce(P, z) + F.coalesce(O, z)).cast(t))
+            elif fn == "max":
+                comb = F.greatest(P, O)
+            elif fn == "min":
+                comb = F.least(P, O)
+            else:
+                comb = F.coalesce(P, O)
+            # a tombstone among the new rows masks the old image: the
+            # eligible suffix alone is the fresh value
+            return F.when(F.col("_ht") == 1, P).otherwise(comb).alias(c)
+
+        old_struct = F.when(
+            has_old,
+            F.struct(
+                *(F.col(f"_o_{c}").alias(c) for c, t in val_cols)
+            ),
+        ).otherwise(_null_struct())
+        staged = j.select(
+            *key_cols,
+            F.col("_ht"),
+            F.col("_he"),
+            has_old.alias("_ho"),
+            old_struct.alias("_old"),
+            F.struct(*(_img(c, t) for c, t in val_cols)).alias("_new"),
+        )
+        dead_mask = (F.col("_ht") == 1) & (F.col("_he") == 0)
+        dels = staged.filter(dead_mask & F.col("_ho")).select(
+            *key_cols,
+            F.lit("delete").alias("change_type"),
+            "_old",
+            _null_struct().alias("_new"),
+        )
+        ups = (
+            staged.filter(~dead_mask)
+            .filter(~F.col("_old").eqNullSafe(F.col("_new")))
+            .select(
+                *key_cols,
+                F.when(F.col("_ho"), F.lit("update"))
+                .otherwise(F.lit("insert"))
+                .alias("change_type"),
+                "_old",
+                "_new",
+            )
+        )
+        return ups.unionByName(dels)
     if tr["kind"] == "mor":
         seq = tr["seq_col"]
         files = [f for grp in tr["new_groups"] for f in grp]

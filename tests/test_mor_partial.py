@@ -490,3 +490,104 @@ class TestStreamingMergeEngines:
             assert got == [(1, "A", "B")]
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
+
+
+class TestEngineFeedFastPath:
+    """r14: version_delta's LOG-LOCAL fold for the merge engines —
+    O(changes) like the latest-wins mor kind, pinned against the
+    generic resolved-view diff (snapshot_changes) on every case."""
+
+    def _parity(self, spark, path, v_from, v_to):
+        def canon(df):
+            return sorted(
+                (
+                    r["k"], r["change_type"],
+                    tuple(r["_old"]) if r["_old"] is not None else None,
+                    tuple(r["_new"]) if r["_new"] is not None else None,
+                )
+                for r in df.collect()
+            )
+        fast = storage.version_delta(
+            spark, path, v_to, ["k"], base_version=v_from
+        )
+        slow = storage.snapshot_changes(spark, path, v_from, v_to, ["k"])
+        assert canon(fast) == canon(slow)
+        return canon(fast)
+
+    def test_partial_multi_group_fold_with_reset(self, spark):
+        scratch, path = _mkpath()
+        try:
+            _seed(spark, path)  # v1: k1(a1,b1) k2(a2,b2)
+            v1 = storage.snapshot_versions(path)[-1]
+            _patch(spark, path, [Row(k=1, a="A", seq=1)],
+                   "k bigint, a string, seq bigint")
+            storage.delete_where_snapshot(spark, path, F.col("k") == 2)
+            _patch(spark, path,
+                   [Row(k=1, b="B", seq=3), Row(k=2, b="FRESH", seq=3)],
+                   "k bigint, b string, seq bigint")
+            v_to = storage.snapshot_versions(path)[-1]
+            got = self._parity(spark, path, v1, v_to)
+            by_key = {(k, ct): (o, n) for k, ct, o, n in got}
+            # k=1: folded patches combined with the old image
+            o, n = by_key[(1, "update")]
+            assert n[0] == "A" and n[1] == "B"
+            # k=2: tombstone + later patch IN THE RANGE -> update to a
+            # FRESH image (old a2 must not leak through the NULL)
+            o, n = by_key[(2, "update")]
+            assert n[0] is None and n[1] == "FRESH"
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_partial_delete_and_net_nothing(self, spark):
+        scratch, path = _mkpath()
+        try:
+            _seed(spark, path)
+            v1 = storage.snapshot_versions(path)[-1]
+            # insert a key then tombstone it in the same range (net
+            # nothing), and tombstone an old key (delete)
+            _patch(spark, path, [Row(k=9, a="tmp", seq=1)],
+                   "k bigint, a string, seq bigint")
+            storage.delete_where_snapshot(
+                spark, path, F.col("k").isin(9, 2)
+            )
+            v_to = storage.snapshot_versions(path)[-1]
+            got = self._parity(spark, path, v1, v_to)
+            kinds = {(k, ct) for k, ct, _, _ in got}
+            assert (2, "delete") in kinds
+            assert not any(k == 9 for k, _ in kinds)  # net nothing
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_aggregate_fold_parity(self, spark):
+        scratch, path = _mkpath()
+        try:
+            ddl = "k bigint, total bigint, peak bigint, seq bigint"
+            storage.write_snapshot(
+                spark,
+                spark.createDataFrame(
+                    [Row(k=1, total=10, peak=5, seq=0),
+                     Row(k=2, total=20, peak=9, seq=0)], ddl
+                ),
+                path,
+            )
+            v1 = storage.snapshot_versions(path)[-1]
+            spec = {"total": "sum", "peak": "max"}
+            for rows in (
+                [Row(k=1, total=3, peak=None, seq=1)],
+                [Row(k=1, total=4, peak=99, seq=2),
+                 Row(k=3, total=7, peak=None, seq=2)],
+            ):
+                storage.upsert_delta_snapshot(
+                    spark, path, spark.createDataFrame(rows, ddl),
+                    ["k"], "seq", merge_mode="aggregate", agg_spec=spec,
+                )
+            v_to = storage.snapshot_versions(path)[-1]
+            got = self._parity(spark, path, v1, v_to)
+            by_key = {(k, ct): (o, n) for k, ct, o, n in got}
+            o, n = by_key[(1, "update")]
+            assert n[0] == 17 and n[1] == 99  # 10+3+4, max(5,99)
+            o, n = by_key[(3, "insert")]
+            assert n[0] == 7 and n[1] is None
+            assert (2, "update") not in by_key  # untouched key silent
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
