@@ -44,6 +44,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by SIZE, not core count
+        # (optimization guide §2.2/§6): with the default
+        # parallelismFirst=true a kilobyte-sized shuffle still fans out to
+        # one task per core, so every small stage pays ~32 task launches
+        # and every snapshot commit writes ~32 tiny files that each later
+        # read/list must reopen. Size-first coalescing collapses those to
+        # a handful of right-sized tasks/files while leaving genuinely
+        # large shuffles untouched (coalescing only ever MERGES partitions
+        # below the advisory size — a stage whose partitions already
+        # exceed it keeps its full width). The advisory size is
+        # deployment-tuned: tiny default for the local bench's MB-scale
+        # shuffles, 64-256m on a real cluster (SPARK_GRAFT_ADVISORY).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY", "2m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
