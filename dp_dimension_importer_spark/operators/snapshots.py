@@ -1866,7 +1866,13 @@ def q86g_mor_branch_dml(spark, sf_dir):
             branch="audit",
         )
         assert r["files_rewritten"] == 0 and r["version"] == 1
-        res1 = storage.read_snapshot(spark, path)  # main view = base+d1
+        # main view = base+d1 — pinned: the branch upsert, the merge
+        # source and the mid-flight assert below all derive from it, and
+        # without the checkpoint each re-runs the MOR resolve window
+        # (guide §1.2: don't recompute what three consumers share)
+        res1 = storage.read_snapshot(spark, path).localCheckpoint(
+            eager=True
+        )
         u2 = (
             res1.filter(F.col("k") % 10 == 7)
             .withColumn("tp", F.col("tp") + 55)
@@ -3561,9 +3567,26 @@ def q86f_mor_update(spark, sf_dir):
             f"k <= {kmax // 2}"
         )
         main_rows = p1.filter(f"k <= {kmax // 2}")
-        assert sorted(map(tuple, twin_rows.collect())) == sorted(
-            map(tuple, main_rows.collect())
-        ), "prune parity broken"
+
+        # order-insensitive multiset equality WITHOUT collecting ~75k
+        # rows to the driver (guide §5 — the old sorted-collect compare
+        # was the single most expensive phase of this query at sf0.1):
+        # per-side count + sum of per-row xxhash64 over all columns,
+        # one tiny aggregate job each
+        def _sig(df):
+            cols = sorted(df.columns)
+            r_ = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal(38) accumulator: 75k 64-bit hashes sum to
+                # ~1e24, far inside decimal range (ANSI mode would
+                # overflow a long sum)
+                F.sum(
+                    F.xxhash64(*cols).cast("decimal(38,0)")
+                ).alias("h"),
+            ).first()
+            return (r_["n"], r_["h"])
+
+        assert _sig(twin_rows) == _sig(main_rows), "prune parity broken"
         cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
         u = (
             p1.withColumn("phase", F.lit(1))

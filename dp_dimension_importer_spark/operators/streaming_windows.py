@@ -1539,6 +1539,11 @@ def q90c_changefeed_partitioned(spark, sf_dir):
         r = storage.delete_where_snapshot(
             spark, path, "event_type = 'view' AND event_id % 10 = 4",
             mode="dv",
+            # the predicate is view-confined: probe only view partitions'
+            # files (r13 partition-tuple probe pruning — the production
+            # one-type delete never scans the other types' files; same
+            # matched rows, so the DV commit and the feed are unchanged)
+            partition_where={"event_type": ("=", "view")},
         )
         # r13 (r12 verdict #5): a COW rewrite confined to ANOTHER
         # partition ('click') — rewrite admission is now exact, so the

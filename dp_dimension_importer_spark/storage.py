@@ -2421,6 +2421,34 @@ def delete_where_snapshot(
     }
 
 
+def _source_key_profile(
+    source: DataFrame, key_cols: list[str]
+) -> tuple[int, int, dict]:
+    """ONE aggregate job over the (already pinned) MERGE source: row
+    count, distinct-key count, and per-key-column [min, max]. Shared by
+    both MERGE paths — replaces a duplicate-key check job plus one
+    bounds job per key column (optimization guide §1.2: fewer passes;
+    the source's lineage is an arbitrary caller query, so every extra
+    action re-ran it). Distinctness is over a STRUCT of the key columns,
+    which groups NULL keys together exactly like the groupBy the dup
+    check used to run."""
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct(F.struct(*key_cols)).alias("_nk"),
+    ]
+    for i, kc in enumerate(key_cols):
+        aggs.append(F.min(F.col(kc)).alias(f"_lo{i}"))
+        aggs.append(F.max(F.col(kc)).alias(f"_hi{i}"))
+    row = source.agg(*aggs).first()
+    bounds = {}
+    for i, kc in enumerate(key_cols):
+        if row[f"_lo{i}"] is not None:
+            bounds[kc] = (row[f"_lo{i}"], row[f"_hi{i}"])
+    return row["_n"], row["_nk"], bounds
+
+
 def _merge_evolution_cols(
     man: dict, source: DataFrame, key_cols: list[str],
     schema_evolution: bool,
@@ -2568,18 +2596,17 @@ def merge_into_snapshot(
     prev_txn = man.get("txn") or {}
     if txn is not None and txn[1] <= prev_txn.get(txn[0], -1):
         return head_id  # redelivered batch: idempotent skip
-    dup = (
-        source.groupBy(*key_cols).count().filter(F.col("count") > 1)
-        .limit(1).count()
-    )
-    if dup:
+    # pin the (possibly non-deterministic) source FIRST: the duplicate
+    # check, key bounds, probe and rewrite must all see the SAME rows —
+    # and pinning before the checks means the source's lineage (an
+    # arbitrary caller query) is computed once, not once per check
+    source = source.localCheckpoint(eager=True)
+    n_src, n_src_keys, raw_bounds = _source_key_profile(source, key_cols)
+    if n_src > n_src_keys:
         raise ValueError(
             "MERGE INTO source has duplicate keys — multiple source rows "
             "would match one target row (compact the source per key first)"
         )
-    # pin the (possibly non-deterministic) source: probe and rewrite
-    # must see the SAME rows
-    source = source.localCheckpoint(eager=True)
     mapping = man.get("column_mapping") or {}
     dv_map = man.get("dv") or {}
     force = _phys_schema(man)
@@ -2609,13 +2636,11 @@ def merge_into_snapshot(
     # source key bounds per key column — shared by the probe prune here
     # and the key-range-validated rebase below (r13), so they are
     # computed for EVERY key column, not just the stats-carrying ones
-    src_bounds: dict = {}
-    for kc in key_cols:
-        b = source.agg(
-            F.min(F.col(kc)).alias("lo"), F.max(F.col(kc)).alias("hi")
-        ).first()
-        if b["lo"] is not None:
-            src_bounds[kc] = (_stat_encode(b["lo"]), _stat_encode(b["hi"]))
+    # (one agg with the dup check above, r14: _source_key_profile)
+    src_bounds: dict = {
+        kc: (_stat_encode(lo), _stat_encode(hi))
+        for kc, (lo, hi) in raw_bounds.items()
+    }
     for kc, (elo, ehi) in src_bounds.items():
         if not any(kc in per for per in stats.values()):
             continue
@@ -2673,7 +2698,7 @@ def merge_into_snapshot(
     kept = [rel for rel in man["files"] if os.path.basename(rel) not in hit]
     if not touched and not insert:
         return head_id  # nothing matched, nothing to insert: no-op
-    if not touched and source.isEmpty():
+    if not touched and n_src == 0:
         return head_id
 
     src = source
@@ -4534,30 +4559,24 @@ def _merge_into_mor(
     prev_txn = man.get("txn") or {}
     if txn is not None and txn[1] <= prev_txn.get(txn[0], -1):
         return head_id  # redelivered batch: idempotent skip
-    dup = (
-        source.groupBy(*key_cols).count().filter(F.col("count") > 1)
-        .limit(1).count()
-    )
-    if dup:
+    # pin the (possibly non-deterministic) source FIRST: the duplicate
+    # check, key bounds, prune, join and write must all see the SAME
+    # rows — and pinning before the checks means the source's lineage
+    # (an arbitrary caller query, often a full MOR resolve) is computed
+    # once, not once per check. Bounds for EVERY key column: the pruner
+    # uses the stats-carrying ones, the key-range rebase below
+    # validates with all of them (one agg job: _source_key_profile).
+    source = source.localCheckpoint(eager=True)
+    n_src, n_src_keys, bounds = _source_key_profile(source, key_cols)
+    if n_src > n_src_keys:
         raise ValueError(
             "MERGE INTO source has duplicate keys — multiple source rows "
             "would match one target row (compact the source per key first)"
         )
-    # pin the (possibly non-deterministic) source: prune, join and
-    # write must see the SAME rows
-    source = source.localCheckpoint(eager=True)
-    # bounds for EVERY key column: the pruner uses the stats-carrying
-    # ones, the key-range rebase below validates with all of them
-    bounds, src_bounds = {}, {}
-    for kc in key_cols:
-        b = source.agg(
-            F.min(F.col(kc)).alias("lo"), F.max(F.col(kc)).alias("hi")
-        ).first()
-        if b["lo"] is not None:
-            bounds[kc] = (b["lo"], b["hi"])
-            src_bounds[kc] = (
-                _stat_encode(b["lo"]), _stat_encode(b["hi"])
-            )
+    src_bounds = {
+        kc: (_stat_encode(lo), _stat_encode(hi))
+        for kc, (lo, hi) in bounds.items()
+    }
     probe_man = man
     if partition_where is not None:
         # r14: partition-tuple probe pruning (caller contract is the

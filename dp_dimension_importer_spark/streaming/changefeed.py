@@ -690,6 +690,41 @@ def make_changefeed_source():
 
                         prev_man = _restrict(prev_man)
                         tr = {**tr, "manifest": _restrict(tr["manifest"])}
+                    # r14 (optimization round): EXACT empty-diff
+                    # short-circuit. When both (restricted) diff
+                    # endpoints are byte-identical — same file list, same
+                    # DV map, same delta chain, same schema/era contracts
+                    # — the two resolved views are equal by construction
+                    # and the diff is provably EMPTY, so emit no diff
+                    # partitions at all. Before this, a compaction or DML
+                    # confined to an UNSUBSCRIBED region still cost every
+                    # consumer a full double read of its subscribed slice
+                    # (both endpoints' version maps) just to emit
+                    # nothing; at 100 TB that is the difference between
+                    # "other regions' maintenance is free" and "every
+                    # consumer re-reads its slice on every maintenance
+                    # commit". Files are immutable once committed
+                    # (manifests define membership), so list equality
+                    # implies content equality.
+                    m_new = tr["manifest"]
+                    if (
+                        sorted(prev_man.get("files") or [])
+                        == sorted(m_new.get("files") or [])
+                        and (prev_man.get("dv") or {})
+                        == (m_new.get("dv") or {})
+                        and (prev_man.get("mor") or {}).get("deltas", [])
+                        == (m_new.get("mor") or {}).get("deltas", [])
+                        and (prev_man.get("schema") or {})
+                        == (m_new.get("schema") or {})
+                        and (prev_man.get("column_mapping") or {})
+                        == (m_new.get("column_mapping") or {})
+                        and (prev_man.get("widened") or {})
+                        == (m_new.get("widened") or {})
+                        and sorted(prev_man.get("dropped") or [])
+                        == sorted(m_new.get("dropped") or [])
+                    ):
+                        base = v
+                        continue
                     K = self.diff_parts
                     if K <= 0:  # auto: one key-hash range per ~256 MB
                         nbytes = 0
