@@ -1574,9 +1574,19 @@ def q90c_changefeed_partitioned(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-        log = spark.table(name).localCheckpoint(eager=True)
-        kinds = {x["change_type"] for x in log.select("change_type")
-                 .distinct().collect()}
+        # the drained log is O(changed rows) by design — orders of
+        # magnitude under a table scan — but the memory sink hands it
+        # back split across every micro-batch partition, and a
+        # checkpointed RDD's partition count rides into EVERY
+        # downstream scan stage (AQE can only coalesce post-shuffle
+        # partitions, not source scans). Coalesce before the
+        # checkpoint: narrow, no shuffle, and the fold's own window
+        # exchange re-spreads heavy work regardless (guide §2.2).
+        log = spark.table(name).coalesce(8).localCheckpoint(eager=True)
+        # one aggregate instead of a distinct+collect scan (guide §5)
+        kinds = set(
+            log.agg(F.collect_set("change_type")).collect()[0][0]
+        )
         assert kinds <= {"insert", "delete"}, kinds
         if r["dv_files_written"]:
             # the subscribed slice's deletes must have flowed
@@ -1611,16 +1621,23 @@ def q90c_changefeed_partitioned(spark, sf_dir):
             .start()
         )
         q2.awaitTermination()
-        log2 = spark.table(mname).localCheckpoint(eager=True)
+        log2 = spark.table(mname).coalesce(8).localCheckpoint(eager=True)
         # EXACT MOR admission pin: every row the feed delivered from
         # the MOR delta version is a subscribed ('view') row — with
         # stat-range admission (no stats recorded) non-view files
-        # would have flowed
-        mor_rows = log2.filter(F.col("_version") == v_mor)
-        assert mor_rows.count() > 0
-        assert (
-            mor_rows.filter(F.col("event_type") != "view").count() == 0
-        ), "MOR commit admitted a non-subscribed partition's file"
+        # would have flowed. ONE aggregate job for both pins (guide §5
+        # — was two separate count() actions over the same log)
+        is_mor = (F.col("_version") == v_mor).cast("int")
+        pins = log2.agg(
+            F.sum(is_mor).alias("n_mor"),
+            F.sum(
+                is_mor * (F.col("event_type") != "view").cast("int")
+            ).alias("n_bad"),
+        ).collect()[0]
+        assert pins["n_mor"] and pins["n_mor"] > 0
+        assert not pins["n_bad"], (
+            "MOR commit admitted a non-subscribed partition's file"
+        )
         live2 = changefeed.changefeed_fold(
             log2, ["event_type", "event_id"]
         )
