@@ -61,6 +61,17 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 os.environ.get("SPARK_GRAFT_ADVISORY", "2m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE coalesce the OUTPUT partitioning of cached plans too
+        # (off by default): without it every persist() materializes at
+        # the full spark.sql.shuffle.partitions width and each cache
+        # consumer pays a one-task-per-partition scan — the same tiny-
+        # partition tax the size-first coalescing removes for ordinary
+        # stages (guide §2.2; persist sites: bloom probe masks, simhash
+        # bit sums, connected-components edge cache).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")

@@ -6496,6 +6496,12 @@ def _bloom_live_rels(man: dict, col: str) -> list[str]:
     return rels
 
 
+#: the words table's one schema — written only by _bloom_word_frame
+#: below; readers force it so no probe/compact pays a schema-inference
+#: job (guide §6)
+_BLOOM_WORDS_DDL = "`rel` string, `w` bigint, `word` bigint"
+
+
 def _bloom_word_frame(
     spark, path: str, man: dict, rels: list[str], col: str,
     m_bits: int, k: int,
@@ -6630,7 +6636,9 @@ def index_bloom_snapshot(
                 _bloom_word_frame(spark, path, man, missing, col, m_bits, k)
             )
         if compact and carried:
-            old_words = spark.read.parquet(os.path.join(bdir, old["words_dir"]))
+            old_words = spark.read.schema(_BLOOM_WORDS_DDL).parquet(
+                os.path.join(bdir, old["words_dir"])
+            )
             keep = spark.createDataFrame(
                 [(r,) for r in carried], "rel string"
             )
@@ -6754,7 +6762,7 @@ def _bloom_admitted_files(
     wdir = os.path.join(_snap_bloom_dir(path, meta["col"]), meta["words_dir"])
     if not glob.glob(os.path.join(wdir, "*.parquet")):
         return set()  # nothing indexed has any value (all-null files)
-    idx = spark.read.parquet(wdir)
+    idx = spark.read.schema(_BLOOM_WORDS_DDL).parquet(wdir)
     base = (
         keys_df.filter(F.col("_v").isNotNull())
         .select(
