@@ -2213,7 +2213,9 @@ def dedup_minhash_incremental(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     docs = t.documents
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    # collect()[0], not first(): first()'s take-escalation runs up to
+    # three incremental jobs; a global aggregate is one (guide §1.2)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     # None guard (ADVICE r5, mirrors dedup_clusters_incremental): an empty
     # documents table yields a clean empty result, not a TypeError
     cut = 0 if lo is None else (int(lo) + int(hi) + 1) // 2
@@ -2231,7 +2233,11 @@ def dedup_minhash_incremental(spark, sf_dir):
         # day-1 job: batch signatures only
         sigs_b = minhash_signatures(batch)
         bands_b = minhash_bands(sigs_b)
-        stored = storage.read_partitioned(spark, idx)
+        # the band table layout is fixed by minhash_bands — pass its
+        # schema so the probe pays no footer-inference job (guide §6)
+        stored = storage.read_partitioned(
+            spark, idx, schema="`doc_id` bigint, `bkey` bigint, `band` int"
+        )
         cross = (
             stored.alias("c")
             .join(
@@ -2242,9 +2248,25 @@ def dedup_minhash_incremental(spark, sf_dir):
             .select(
                 F.col("c.doc_id").alias("da"), F.col("n.doc_id").alias("db")
             )
-            .dropDuplicates()
         )
-        cand = cross.unionByName(minhash_candidates(sigs_b)).dropDuplicates()
+        # batch-internal candidates, inlined WITHOUT minhash_candidates'
+        # trailing dropDuplicates: the union below distincts once for
+        # both sources, so the two inner distinct exchanges (cross +
+        # internal) were pure extra shuffles of the same pairs
+        # (guide §2.4 — a distinct feeding another distinct)
+        a, b = bands_b.alias("a"), bands_b.alias("b")
+        internal = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+            )
+        )
+        cand = cross.unionByName(internal).dropDuplicates()
 
         # exact verify — shingle sets for TOUCHED docs only
         ids = (

@@ -1386,12 +1386,14 @@ def _read_idx(spark, idx_path: str, rels: list) -> DataFrame:
     frame."""
     import os
 
+    ddl = ", ".join(f"`{c}` {t}" for c, t in _IDX_SCHEMA.items())
     if not rels:
-        return spark.createDataFrame(
-            [], ", ".join(f"`{c}` {t}" for c, t in _IDX_SCHEMA.items())
-        )
+        return spark.createDataFrame([], ddl)
+    # _IDX_SCHEMA is the writer's one layout (cell = hive partition
+    # col): force it so no probe pays a footer-inference job (guide §6)
     return (
         spark.read.option("basePath", idx_path)
+        .schema(ddl)
         .parquet(*(os.path.join(idx_path, r) for r in rels))
     )
 
@@ -1491,7 +1493,7 @@ def _read_tombstones(spark, idx_path: str):
     tdir = os.path.join(idx_path, "_tombstones")
     if not glob.glob(os.path.join(tdir, "*.parquet")):
         return None
-    return spark.read.parquet(tdir)
+    return spark.read.schema("`vec_id` bigint").parquet(tdir)
 
 
 def delete_from_index(spark, idx_path: str, ids: DataFrame) -> None:

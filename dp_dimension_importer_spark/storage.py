@@ -55,10 +55,16 @@ def write_partitioned(
      .partitionBy(*partition_cols).parquet(path))
 
 
-def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+def read_partitioned(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
     """Read a partitioned parquet table; filters on partition columns
-    prune directories before any file is opened."""
-    return spark.read.parquet(path)
+    prune directories before any file is opened. ``schema`` (DDL,
+    INCLUDING the partition columns) skips the footer-sampling
+    inference job when the caller knows the layout it wrote (guide §6)
+    — partition-directory discovery still applies."""
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(path)
 
 
 def write_bucketed(
