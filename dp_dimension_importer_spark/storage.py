@@ -8372,8 +8372,18 @@ def _write_partitioned_files(
         out = out.withColumnsRenamed(mapping)
     token = uuid.uuid4().hex[:12]
     data_dir = os.path.join(path, "data", token)
+    # EXPLICIT width (the session's tuned shuffle width): a bare
+    # repartition(*pcols) is an AQE-coalescible exchange, and with
+    # size-first coalescing a small commit collapses to ONE task that
+    # writes every partition directory SEQUENTIALLY — per-file writer
+    # setup serializes (measured 1.64s -> 1.03s for a 60-dir commit).
+    # An explicit numPartitions pins the exchange (AQE leaves it alone):
+    # tuples hash across the session's shuffle width, each tuple still
+    # lands wholly in one task (one file per tuple per commit), and
+    # file creation runs in parallel. Empty tasks write nothing.
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     w = (
-        out.repartition(*pcols)
+        out.repartition(width, *pcols)
         .write.mode("error")
         .option("compression", compression)
     )

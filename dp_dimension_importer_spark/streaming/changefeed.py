@@ -400,6 +400,17 @@ def make_changefeed_source():
             self.from_version = int(options.get("from_version", "0"))
             self.max_step = int(options.get("max_versions", "0"))
             self.max_bytes = int(options.get("max_bytes", "0"))
+            # One feed partition per ~split_bytes of admitted files
+            # (guide §2.2/§6 — scale-adaptive partitioning): a commit of
+            # many small files folds into few reader tasks (each task is
+            # a Python-worker round-trip), while large files keep one
+            # task each. 0 disables grouping (one file per partition).
+            self.split_bytes = int(
+                options.get(
+                    "split_bytes",
+                    os.environ.get("SPARK_GRAFT_FEED_SPLIT", str(128 << 20)),
+                )
+            )
             # 0 = auto: size the rewrite diff's key-hash ranges from the
             # endpoints' on-disk bytes (one range per ~256 MB, capped)
             self.diff_parts = int(options.get("diff_partitions", "0"))
@@ -486,6 +497,29 @@ def make_changefeed_source():
                 prev_files = cur
             return admitted
 
+        def _size_groups(self, items, size_of):
+            """Greedy size-bucketed grouping of ``items`` (order kept):
+            consecutive items pack into one group until ~split_bytes.
+            Every group is non-empty; a single oversized item stays its
+            own group. size_of failures count 0 (vacuum race —
+            grouping is best-effort, membership is not)."""
+            if self.split_bytes <= 0:
+                return [[it] for it in items]
+            groups, cur, acc = [], [], 0
+            for it in items:
+                try:
+                    sz = size_of(it)
+                except OSError:
+                    sz = 0
+                if cur and acc + sz > self.split_bytes:
+                    groups.append(cur)
+                    cur, acc = [], 0
+                cur.append(it)
+                acc += sz
+            if cur:
+                groups.append(cur)
+            return groups
+
         def partitions(self, start, end):
             s, e = int(start["v"]), int(end["v"])
             # learn the true checkpoint position (restart case): never
@@ -543,12 +577,17 @@ def make_changefeed_source():
                             (
                                 "files",
                                 v,
-                                os.path.join(self.path, rel),
+                                [os.path.join(self.path, r) for r in grp],
                                 tcols,
                                 self.arrow,
                             )
                         )
-                        for rel in rels
+                        for grp in self._size_groups(
+                            rels,
+                            lambda r: os.path.getsize(
+                                os.path.join(self.path, r)
+                            ),
+                        )
                     ]
                 elif kind == "mor":
                     # ADVICE r10 (low): carry the delta group's commit
@@ -595,7 +634,10 @@ def make_changefeed_source():
                             (
                                 "mor",
                                 v,
-                                os.path.join(self.path, rel),
+                                [
+                                    os.path.join(self.path, r)
+                                    for r in bucket
+                                ],
                                 tcols,
                                 self.arrow,
                                 gi,
@@ -603,7 +645,12 @@ def make_changefeed_source():
                             )
                         )
                         for gi, grp in groups
-                        for rel in grp
+                        for bucket in self._size_groups(
+                            grp,
+                            lambda r: os.path.getsize(
+                                os.path.join(self.path, r)
+                            ),
+                        )
                     ]
                 elif kind == "dv":
                     dv_rels = list(tr["dv_changed"])
@@ -623,13 +670,23 @@ def make_changefeed_source():
                                 "dv",
                                 v,
                                 self.path,
-                                rel,
-                                tr["dv_changed"][rel][0],
-                                tr["dv_changed"][rel][1],
+                                [
+                                    (
+                                        rel,
+                                        tr["dv_changed"][rel][0],
+                                        tr["dv_changed"][rel][1],
+                                    )
+                                    for rel in grp
+                                ],
                                 tcols,
                             )
                         )
-                        for rel in dv_rels
+                        for grp in self._size_groups(
+                            dv_rels,
+                            lambda r: os.path.getsize(
+                                os.path.join(self.path, r)
+                            ),
+                        )
                     ]
                 elif kind == "rewrite":
                     prev_man = (
@@ -775,66 +832,78 @@ def make_changefeed_source():
             if kind == "noop":
                 return
             if kind == "files":
-                _, v, abs_path, cols, arrow = p
-                if arrow:
-                    yield from _arrow_batches(abs_path, cols, "insert", v, 0)
-                else:
-                    yield from _emit(
-                        _read_parquet_rows(abs_path, cols),
-                        cols, "insert", v, 0,
-                    )
-                return
-            if kind == "mor":
-                _, v, abs_path, cols, arrow, gi, mop = p
-                has_op = False
-                if mop is not None:
-                    import pyarrow.parquet as pq
-
-                    has_op = (
-                        mop in pq.ParquetFile(abs_path).schema_arrow.names
-                    )
-                if not has_op:  # plain upsert group: hot path unchanged
+                _, v, abs_paths, cols, arrow = p
+                for abs_path in abs_paths:
                     if arrow:
                         yield from _arrow_batches(
-                            abs_path, cols, "upsert", v, gi
+                            abs_path, cols, "insert", v, 0
                         )
                     else:
                         yield from _emit(
                             _read_parquet_rows(abs_path, cols),
-                            cols, "upsert", v, gi,
+                            cols, "insert", v, 0,
                         )
-                    return
-                # op-carrying group (MOR DELETE/MERGE commit): split
-                # tombstones from images per row — row path (these
-                # groups are the DML sliver, not the ingest firehose)
-                rows = _read_parquet_rows(
-                    abs_path, cols + [(mop, mop, "string")]
-                )
-                yield from _emit(
-                    [r for r in rows if r.get(mop) != _MOR_DEL],
-                    cols, "upsert", v, gi,
-                )
-                yield from _emit(
-                    [r for r in rows if r.get(mop) == _MOR_DEL],
-                    cols, "delete", v, gi,
-                )
+                return
+            if kind == "mor":
+                _, v, abs_paths, cols, arrow, gi, mop = p
+                for abs_path in abs_paths:
+                    has_op = False
+                    if mop is not None:
+                        import pyarrow.parquet as pq
+
+                        has_op = (
+                            mop
+                            in pq.ParquetFile(abs_path).schema_arrow.names
+                        )
+                    if not has_op:  # plain upsert group: hot path
+                        if arrow:
+                            yield from _arrow_batches(
+                                abs_path, cols, "upsert", v, gi
+                            )
+                        else:
+                            yield from _emit(
+                                _read_parquet_rows(abs_path, cols),
+                                cols, "upsert", v, gi,
+                            )
+                        continue
+                    # op-carrying group (MOR DELETE/MERGE commit): split
+                    # tombstones from images per row — row path (these
+                    # groups are the DML sliver, not the ingest firehose)
+                    rows = _read_parquet_rows(
+                        abs_path, cols + [(mop, mop, "string")]
+                    )
+                    yield from _emit(
+                        [r for r in rows if r.get(mop) != _MOR_DEL],
+                        cols, "upsert", v, gi,
+                    )
+                    yield from _emit(
+                        [r for r in rows if r.get(mop) == _MOR_DEL],
+                        cols, "delete", v, gi,
+                    )
                 return
             if kind == "dv":
-                _, v, table_path, rel, old_dv, new_dv, cols = p
-                with open(os.path.join(table_path, new_dv), "rb") as fh:
-                    doomed = set(dv_decode(fh.read()))
-                if old_dv:
+                _, v, table_path, rel_dvs, cols = p
+                for rel, old_dv, new_dv in rel_dvs:
                     with open(
-                        os.path.join(table_path, old_dv), "rb"
+                        os.path.join(table_path, new_dv), "rb"
                     ) as fh:
-                        doomed -= set(dv_decode(fh.read()))
-                rows = _read_parquet_rows(
-                    os.path.join(table_path, rel), cols
-                )
-                picked = [
-                    rows[pos] for pos in sorted(doomed) if pos < len(rows)
-                ]
-                yield from _emit(picked, cols, "delete", v, 0)
+                        doomed = set(dv_decode(fh.read()))
+                    if old_dv:
+                        with open(
+                            os.path.join(table_path, old_dv), "rb"
+                        ) as fh:
+                            doomed -= set(dv_decode(fh.read()))
+                    rows = _read_parquet_rows(
+                        os.path.join(table_path, rel), cols
+                    )
+                    yield from _emit(
+                        [
+                            rows[pos]
+                            for pos in sorted(doomed)
+                            if pos < len(rows)
+                        ],
+                        cols, "delete", v, 0,
+                    )
                 return
             if kind == "diff":
                 (
