@@ -69,3 +69,21 @@ def take_deterministic(df: DataFrame, id_col: str, n: int, cols=None):
     )
     rows.sort(key=lambda r: r[id_col])
     return rows
+
+
+def run_concurrently(*thunks):
+    """Run independent driver-blocking work (fixture builds on disjoint
+    table paths, independent streaming replays) from a small thread pool
+    so later jobs back-fill the executors a prior job's tail leaves idle
+    (optimization guide §2.6 — Spark's scheduler happily runs several
+    jobs at once; actions are sequential only because driver code calls
+    them sequentially). Returns the thunks' results in order; the first
+    exception propagates after all threads finish. Only for work with NO
+    data dependency and NO shared table path — same-path verbs serialize
+    through the manifest protocol's optimistic-commit retries instead."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=min(3, len(thunks))) as pool:
+        return [f.result() for f in [pool.submit(t) for t in thunks]]

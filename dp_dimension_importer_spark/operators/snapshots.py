@@ -21,7 +21,10 @@ import datetime
 from pyspark.sql import functions as F
 
 from dp_dimension_importer_spark.catalog import load_tables
-from dp_dimension_importer_spark.operators.common import make_registry
+from dp_dimension_importer_spark.operators.common import (
+    make_registry,
+    run_concurrently,
+)
 
 QUERIES, ORACLE, register = make_registry()
 
@@ -3521,8 +3524,9 @@ def q86f_mor_update(spark, sf_dir):
     try:
         shutil.rmtree(path)
         shutil.rmtree(twin)
-        kmax = base.agg(F.max("k")).first()[0]
-        for p in (path, twin):
+        kmax = base.agg(F.max("k")).collect()[0][0]
+
+        def _fixture(p):
             # range-sharded base: per-file key stats are disjoint, so
             # the prune-parity assert below can actually skip files
             storage.write_snapshot(
@@ -3530,23 +3534,31 @@ def q86f_mor_update(spark, sf_dir):
                 stats_cols=["k"],
             )
             storage.upsert_delta_snapshot(spark, p, d1, ["k"], "seq")
+
+        # main and twin are disjoint table paths with no data
+        # dependency: build them concurrently (guide §2.6) so the second
+        # chain's jobs back-fill the first chain's stragglers
+        run_concurrently(lambda: _fixture(path), lambda: _fixture(twin))
         mdir = os.path.join(path, "_manifests")
         with open(os.path.join(mdir, "v2.json")) as f:
             pre_files = json.load(f)["files"]
         pred = "pri = '2-HIGH' AND k % 3 = 1"
-        r = storage.update_where_snapshot(
-            spark, path, {"tp": "tp + 50"}, pred
+        # the two updates hit disjoint tables — overlap them too
+        r, r2 = run_concurrently(
+            lambda: storage.update_where_snapshot(
+                spark, path, {"tp": "tp + 50"}, pred
+            ),
+            # prune parity: the same update, key-range-pruned, on twin
+            lambda: storage.update_where_snapshot(
+                spark, twin, {"tp": "tp + 50"},
+                pred + f" AND k <= {kmax // 2}",
+                prune=("k", 0, kmax // 2),
+            ),
         )
         assert r["files_rewritten"] == 0 and r["rows_updated"] > 0
         with open(os.path.join(mdir, f"v{r['version']}.json")) as f:
             man = json.load(f)
         assert man["files"] == pre_files, "MOR update touched base files"
-        # prune parity: the same update, key-range-pruned, on the twin
-        r2 = storage.update_where_snapshot(
-            spark, twin, {"tp": "tp + 50"},
-            pred + f" AND k <= {kmax // 2}",
-            prune=("k", 0, kmax // 2),
-        )
         assert r2["files_probed"] < r["files_probed"], (
             r2["files_probed"], r["files_probed"]
         )

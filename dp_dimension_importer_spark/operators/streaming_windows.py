@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dp_dimension_importer_spark.catalog import load_tables, table
-from dp_dimension_importer_spark.operators.common import make_registry
+from dp_dimension_importer_spark.operators.common import (
+    make_registry,
+    run_concurrently,
+)
 from dp_dimension_importer_spark.streaming.replay import (
     SENTINEL_TYPE,
     run_replay,
@@ -1529,34 +1532,63 @@ def q90c_changefeed_partitioned(spark, sf_dir):
     path = scratch + "/table"
     name = "q90c_feed_" + uuid.uuid4().hex[:8]
     try:
-        storage.write_snapshot_partitioned(
-            spark, ev.filter("event_id % 2 = 0"), path, spec
+        def _appends_leg_fixture():
+            storage.write_snapshot_partitioned(
+                spark, ev.filter("event_id % 2 = 0"), path, spec
+            )
+            storage.write_snapshot_partitioned(
+                spark, ev.filter("event_id % 2 = 1"), path, spec,
+                mode="append",
+            )
+            r = storage.delete_where_snapshot(
+                spark, path, "event_type = 'view' AND event_id % 10 = 4",
+                mode="dv",
+                # the predicate is view-confined: probe only view
+                # partitions' files (r13 partition-tuple probe pruning —
+                # the production one-type delete never scans the other
+                # types' files; same matched rows, so the DV commit and
+                # the feed are unchanged)
+                partition_where={"event_type": ("=", "view")},
+            )
+            # r13 (r12 verdict #5): a COW rewrite confined to ANOTHER
+            # partition ('click') — rewrite admission is now exact, so
+            # the 'view' subscriber's diff never reads it and the feed
+            # emits NOTHING for this version (pre-r13 the rewrite kind
+            # passed through as a conservative superset: every region's
+            # compaction reached every consumer)
+            storage.update_where_snapshot(
+                spark, path, {"value": F.col("value") + 1000.0},
+                "event_type = 'click' AND event_id % 20 = 2",
+                # r13: partition-tuple probe pruning — the click-confined
+                # predicate probes only click partitions' files
+                partition_where={"event_type": ("=", "click")},
+            )
+            return r
+
+        # ---- r14 MOR leg fixture (disjoint path — built concurrently
+        # with the appends leg, guide §2.6)
+        mpath = scratch + "/mor_table"
+        mname = "q90c_mor_" + uuid.uuid4().hex[:8]
+        ev2 = ev.filter("event_id % 9 = 0").withColumn(
+            "seq", F.lit(0).cast("long")
         )
-        storage.write_snapshot_partitioned(
-            spark, ev.filter("event_id % 2 = 1"), path, spec,
-            mode="append",
-        )
-        r = storage.delete_where_snapshot(
-            spark, path, "event_type = 'view' AND event_id % 10 = 4",
-            mode="dv",
-            # the predicate is view-confined: probe only view partitions'
-            # files (r13 partition-tuple probe pruning — the production
-            # one-type delete never scans the other types' files; same
-            # matched rows, so the DV commit and the feed are unchanged)
-            partition_where={"event_type": ("=", "view")},
-        )
-        # r13 (r12 verdict #5): a COW rewrite confined to ANOTHER
-        # partition ('click') — rewrite admission is now exact, so the
-        # 'view' subscriber's diff never reads it and the feed emits
-        # NOTHING for this version (pre-r13 the rewrite kind passed
-        # through as a conservative superset: every region's compaction
-        # reached every consumer)
-        storage.update_where_snapshot(
-            spark, path, {"value": F.col("value") + 1000.0},
-            "event_type = 'click' AND event_id % 20 = 2",
-            # r13: partition-tuple probe pruning — the click-confined
-            # predicate probes only click partitions' files
-            partition_where={"event_type": ("=", "click")},
+
+        def _mor_leg_fixture():
+            # NO stats_cols: the r13 stat-range fallback would admit
+            # every file — tuple admission is the only thing that can
+            # prune here
+            storage.write_snapshot_partitioned(
+                spark, ev2, mpath, [("identity", "event_type")]
+            )
+            delta = ev2.filter("event_id % 2 = 0").withColumn(
+                "value", F.col("value") + 500.0
+            ).withColumn("seq", F.lit(1).cast("long"))
+            return storage.upsert_delta_snapshot(
+                spark, mpath, delta, ["event_type", "event_id"], "seq"
+            )
+
+        r, v_mor = run_concurrently(
+            _appends_leg_fixture, _mor_leg_fixture
         )
         feed = changefeed.read_changes_stream(
             spark, path, key_cols=["event_id"],
@@ -1566,6 +1598,13 @@ def q90c_changefeed_partitioned(spark, sf_dir):
                        dt.datetime(2024, 1, 9, 23, 59, 59, 999999)),
             },
         )
+        feed2 = changefeed.read_changes_stream(
+            spark, mpath, key_cols=["event_type", "event_id"],
+            partition_where={"event_type": ("=", "view")},
+        )
+        # both replays are independent availableNow drains: start both,
+        # then await both — the second stream's micro-batch fills the
+        # executors the first one's tail leaves idle (guide §2.6)
         q = (
             feed.writeStream.format("memory")
             .queryName(name)
@@ -1573,7 +1612,15 @@ def q90c_changefeed_partitioned(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
+        q2 = (
+            feed2.writeStream.format("memory")
+            .queryName(mname)
+            .option("checkpointLocation", scratch + "/ckpt2")
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
+        q2.awaitTermination()
         # the drained log is O(changed rows) by design — orders of
         # magnitude under a table scan — but the memory sink hands it
         # back split across every micro-batch partition, and a
@@ -1593,34 +1640,7 @@ def q90c_changefeed_partitioned(spark, sf_dir):
             assert "delete" in kinds
         live = changefeed.changefeed_fold(log, ["event_id"])
         # ---- r14 MOR leg: partitioned MOR table, exact tuple admission
-        mpath = scratch + "/mor_table"
-        mname = "q90c_mor_" + uuid.uuid4().hex[:8]
-        ev2 = ev.filter("event_id % 9 = 0").withColumn(
-            "seq", F.lit(0).cast("long")
-        )
-        # NO stats_cols: the r13 stat-range fallback would admit every
-        # file — tuple admission is the only thing that can prune here
-        storage.write_snapshot_partitioned(
-            spark, ev2, mpath, [("identity", "event_type")]
-        )
-        delta = ev2.filter("event_id % 2 = 0").withColumn(
-            "value", F.col("value") + 500.0
-        ).withColumn("seq", F.lit(1).cast("long"))
-        v_mor = storage.upsert_delta_snapshot(
-            spark, mpath, delta, ["event_type", "event_id"], "seq"
-        )
-        feed2 = changefeed.read_changes_stream(
-            spark, mpath, key_cols=["event_type", "event_id"],
-            partition_where={"event_type": ("=", "view")},
-        )
-        q2 = (
-            feed2.writeStream.format("memory")
-            .queryName(mname)
-            .option("checkpointLocation", scratch + "/ckpt2")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q2.awaitTermination()
+        # (fixture + replay ran above, overlapped with the appends leg)
         log2 = spark.table(mname).coalesce(8).localCheckpoint(eager=True)
         # EXACT MOR admission pin: every row the feed delivered from
         # the MOR delta version is a subscribed ('view') row — with
