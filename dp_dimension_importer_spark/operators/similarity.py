@@ -1412,13 +1412,22 @@ def build_ivf_index(
 
     from dp_dimension_importer_spark import storage
 
-    cents = _fit_ivf_cells(embeddings, cells)
-    b = (
-        embeddings.select(F.posexplode("embedding"))
-        .groupBy("pos")
-        .agg(F.min("col").alias("lo"), F.max("col").alias("hi"))
-        .orderBy("pos")
-        .collect()
+    from dp_dimension_importer_spark.operators.common import (
+        run_concurrently,
+    )
+
+    # the centroid fit (a bounded orderBy+limit collect) and the per-dim
+    # SQ8 range aggregate are independent passes over the embeddings:
+    # overlap the two driver-blocking jobs (guide §2.6)
+    cents, b = run_concurrently(
+        lambda: _fit_ivf_cells(embeddings, cells),
+        lambda: (
+            embeddings.select(F.posexplode("embedding"))
+            .groupBy("pos")
+            .agg(F.min("col").alias("lo"), F.max("col").alias("hi"))
+            .orderBy("pos")
+            .collect()
+        ),
     )
     lo = np.array([r.lo for r in b], dtype=np.float64)
     step = np.array(
@@ -1668,7 +1677,11 @@ def probe_index_batch(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.explode(cells_of("embedding")).alias("cell"),
-    )
+    ).localCheckpoint(eager=False)
+    # pinned (lazy checkpoint): q feeds BOTH the distinct-cell collect
+    # below and the cogroup — without the pin the whole batch crosses
+    # the JVM->Python boundary twice to run the cells UDF twice
+    # (guide §4: the boundary is the cost, cross it once)
     # the only driver-side collect on this path: the DISTINCT probed
     # cell ids (ints, ≤ IVF_CELLS) — needed to prune the manifest's
     # file list so unprobed cell=N/ directories are never opened

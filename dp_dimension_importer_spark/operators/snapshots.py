@@ -94,12 +94,9 @@ def cdc_merge_upsert(spark, sf_dir):
     )
     path = tempfile.mkdtemp(prefix="cdc_merge_upsert_")
     try:
-        # align write tasks with partition values (write_bucketed's
-        # small-files rule): one file per priority instead of tasks×5
-        storage.write_partitioned(
-            existing.repartition(5, "o_orderpriority"), path,
-            ["o_orderpriority"],
-        )
+        # write_partitioned pins its own value-keyed exchange width
+        # (one file per priority, parallel file creation)
+        storage.write_partitioned(existing, path, ["o_orderpriority"])
         storage.merge_upsert(
             spark, path, changes,
             key_cols=["o_orderkey"], seq_col="seq",

@@ -1242,9 +1242,9 @@ def build_inverted_index(
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
-    storage.write_partitioned(
-        postings.repartition(n_buckets, "bucket"), path, ["bucket"]
-    )
+    # write_partitioned pins its own bucket-keyed exchange width (one
+    # file per bucket, parallel file creation)
+    storage.write_partitioned(postings, path, ["bucket"])
     # the fan-out is part of the hash contract — record it, never infer
     # it from the directory listing (a sparse vocabulary leaves bucket
     # directories empty and an inferred modulus probes the wrong ones)

@@ -48,10 +48,20 @@ def write_partitioned(
     compression: str = PARQUET_CODEC,
 ) -> None:
     """Write ``df`` as parquet partitioned by ``partition_cols`` (one
-    directory level per column, low-cardinality columns only — each value
-    is a directory; a high-cardinality partition column is the classic
-    small-files trap)."""
-    (df.write.mode(mode).option("compression", compression)
+    directory level per column, low-cardinality columns only — each
+    value is a directory; a high-cardinality partition column is the
+    classic small-files trap).
+
+    The explicit-width repartition pins the exchange against AQE
+    coalescing (the hive-writer lesson, ``_write_partitioned_files``):
+    without it a small write collapses to ONE task that opens every
+    partition directory's file sequentially; with it each partition
+    value lands wholly in one task (one file per value per write, fewer
+    files than the per-task-per-value fan-out) and file creation runs in
+    parallel across the session's shuffle width."""
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (df.repartition(width, *partition_cols)
+     .write.mode(mode).option("compression", compression)
      .partitionBy(*partition_cols).parquet(path))
 
 
