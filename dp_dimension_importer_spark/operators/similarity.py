@@ -51,6 +51,82 @@ def _dot(av, bv):
     return F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
 
 
+@F.pandas_udf(T.DoubleType())  # DataType instance: no session needed at import
+def _fold_cos_udf(qs: pd.Series, ns: pd.Series) -> pd.Series:
+    """Vectorized twin of the Catalyst fold-cosine, bit-identical by
+    construction (r14, guide §4.2): the interpreted higher-order
+    expressions (aggregate/zip_with/transform get NO codegen) cost
+    ~20 µs/row, and a batch probe reranks 10^5–10^6 candidate rows —
+    the rerank projection alone was ~5 s of dedup_semantic_persisted's
+    8 s. Here each Arrow batch upcasts to float64 and accumulates
+    PER DIMENSION IN ORDER (``acc += q[:, d] * n[:, d]``) — per row
+    that is exactly the left-to-right IEEE-double fold
+    ``aggregate(zip_with(q, n, x*y), 0.0, a+x)`` the expression form
+    computes, so cosines (and every downstream tie-break and oracle
+    hash) are bit-identical. np.sqrt / * / / are the same correctly
+    rounded IEEE ops as the JVM's. Ragged or null-bearing batches take
+    the row-wise fallback with the expression semantics (zip_with pads
+    with null, null poisons the fold -> NULL cosine). One documented
+    divergence: a NaN cosine (possible only from NaN embedding values,
+    which the corpus contract excludes) surfaces as NULL through the
+    pandas float-null convention rather than NaN."""
+
+    def _row_fallback():
+        out = []
+        for q, n in zip(qs.to_numpy(), ns.to_numpy()):
+            if q is None or n is None:
+                out.append(None)
+                continue
+            q = list(q)
+            n = list(n)
+            if len(q) != len(n) or any(v is None for v in q) or any(
+                v is None for v in n
+            ):
+                out.append(None)  # zip_with null pad / null element
+                continue
+            dot = qq = nn = 0.0
+            for x, y in zip(q, n):
+                x, y = float(x), float(y)
+                dot += x * y
+                qq += x * x
+                nn += y * y
+            import math
+
+            den = math.sqrt(qq) * math.sqrt(nn)
+            if den == 0.0:
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero-norm embedding in fold-cosine "
+                    "rerank (ANSI division-by-zero semantics preserved)"
+                )
+            out.append(dot / den)
+        return pd.Series(out, dtype="float64")
+
+    try:
+        q = np.vstack(qs.to_numpy()).astype(np.float64)
+        n = np.vstack(ns.to_numpy()).astype(np.float64)
+    except (ValueError, TypeError):
+        return _row_fallback()
+    if q.shape != n.shape:
+        return _row_fallback()  # length mismatch -> NULL, zip_with pad
+    dot = np.zeros(len(q))
+    qq = np.zeros(len(q))
+    nn = np.zeros(len(q))
+    for d in range(q.shape[1]):
+        qd, nd = q[:, d], n[:, d]
+        dot += qd * nd
+        qq += qd * qd
+        nn += nd * nd
+    den = np.sqrt(qq) * np.sqrt(nn)
+    if np.any(den == 0.0):
+        # the expression form this replaces runs under ANSI mode, where
+        # a 0.0 divisor is a loud job error, not a silent inf/NaN
+        raise ArithmeticError(
+            "[DIVIDE_BY_ZERO] zero-norm embedding in fold-cosine rerank "
+            "(ANSI division-by-zero semantics preserved)"
+        )
+    return pd.Series(dot / den)
+
+
 def _query_block(embeddings) -> tuple[np.ndarray, np.ndarray]:
     """(qids, unit-norm query matrix) for the pinned-size query block —
     the filter pushes to the parquet scan, so only N_QUERY rows are read
@@ -68,11 +144,13 @@ def _query_block(embeddings) -> tuple[np.ndarray, np.ndarray]:
 
 def _rerank_cos(embeddings, cand, queries=None):
     """(qid, nn_id, cos) with the bit-deterministic left-to-right DOUBLE
-    fold — computed ONLY for candidate rows. The interpreted higher-order
-    expressions (transform/zip_with/aggregate get no codegen) live in the
-    Project ABOVE the candidate joins, so the corpus-side scan streams raw
-    float arrays and never evaluates a lambda; round-1 profiling showed the
-    corpus-wide lambda Project was the dominant cost of the q43 pair.
+    fold — computed ONLY for candidate rows, as one vectorized Arrow
+    pass (:func:`_fold_cos_udf`; bit-identical to the expression fold)
+    ABOVE the candidate joins, so the corpus-side scan streams raw
+    float arrays and never evaluates a lambda; round-1 profiling showed
+    the corpus-wide lambda Project was the dominant cost of the q43
+    pair, and r14 profiling showed the interpreted per-candidate fold
+    dominating every batch-scale rerank (guide §4.2).
 
     ``queries`` (vec_id, embedding) supplies the query side explicitly;
     without it the fixture convention (corpus rows with vec_id <
@@ -89,19 +167,15 @@ def _rerank_cos(embeddings, cand, queries=None):
     raw_n = embeddings.select(
         F.col("vec_id").alias("nn_id"), F.col("embedding").alias("ne")
     )
-    qv = F.transform("qe", lambda x: x.cast("double"))
-    nv = F.transform("ne", lambda x: x.cast("double"))
-
-    def nrm(v):
-        return F.sqrt(
-            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-        )
-
-    cos = _dot(qv, nv) / (nrm(qv) * nrm(nv))
+    # r14 (guide §4.2): the fold-cosine runs as ONE vectorized Arrow
+    # pass (_fold_cos_udf, bit-identical per-dimension accumulation)
+    # instead of three interpreted higher-order expressions per row —
+    # batch probes rerank 10^5+ candidates and the interpreted fold was
+    # the single hottest projection in the similarity family.
     return (
         cand.join(F.broadcast(raw_q), "qid")
         .join(raw_n, "nn_id")
-        .select("qid", "nn_id", cos.alias("cos"))
+        .select("qid", "nn_id", _fold_cos_udf("qe", "ne").alias("cos"))
     )
 
 
