@@ -2396,6 +2396,23 @@ def prefix_filter_pairs(
             F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
         )
         .distinct()
+        # r14 (guide §2.2): the candidate list is BYTES-tiny (16 B/row)
+        # but each row's verify cost is an array_intersect over two
+        # whole shingle arrays — AQE's size-based coalescing collapsed
+        # the distinct's exchange to 2-3 partitions and the whole
+        # verify stage ran on that many tasks. A keyed repartition gets
+        # absorbed into the distinct's own (coalescible) exchange, so
+        # pin the verify fan-out with an explicit-width ROUND-ROBIN
+        # repartition: user-numbered, never absorbed, never coalesced.
+        # Width = the session's deployment-tuned shuffle partitions;
+        # the shuffled payload is only the 16-byte id pairs.
+        .repartition(
+            int(
+                documents.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions"
+                )
+            )
+        )
     )
     sets = per_doc.select(
         "doc_id",

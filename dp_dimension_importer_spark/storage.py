@@ -6754,7 +6754,7 @@ def refresh_bloom_indexes(spark: SparkSession, path: str) -> dict:
 
 
 def _bloom_admitted_files(
-    spark, path: str, col: str, meta: dict, keys_df
+    spark, path: str, col: str, meta: dict, keys_df, pin_masks: bool = True
 ) -> set:
     """DISTRIBUTED bloom membership: which indexed files admit at least
     one key in ``keys_df`` (single ``_v`` column, already cast to the
@@ -6804,11 +6804,16 @@ def _bloom_admitted_files(
         )
         .groupBy("_h1", "_h2", "w")
         .agg(F.bit_or("_b").alias("mask"))
+    )
+    if pin_masks:
         # consumed TWICE (the need count and the words join): pin the
         # |keys| × ≤k rows once so a million-key CDC batch's distinct +
-        # hash + explode never runs a second time
-        .localCheckpoint(eager=True)
-    )
+        # hash + explode never runs a second time. Point lookups
+        # (``pin_masks=False``: a handful of literal values in a local
+        # relation) skip the pin — recomputing the tiny local plan is
+        # free, and the eager checkpoint costs a whole extra
+        # driver-blocking job per probe (r14, guide §1.2)
+        masks = masks.localCheckpoint(eager=True)
     need = masks.groupBy("_h1", "_h2").agg(F.count("*").alias("need"))
     admitted = (
         masks.join(idx, "w")
@@ -6842,7 +6847,11 @@ def _bloom_point_keep(
     keys = spark.createDataFrame([(v,) for v in vals]).toDF("_v").select(
         F.col("_v").cast(meta["type"]).alias("_v")
     )
-    adm = _bloom_admitted_files(spark, path, col, meta, keys)
+    # literal point values = a local relation: recomputation is free,
+    # skip the masks pin's extra driver-blocking job
+    adm = _bloom_admitted_files(
+        spark, path, col, meta, keys, pin_masks=False
+    )
     return [rel for rel in rels if rel not in meta["files"] or rel in adm]
 
 
