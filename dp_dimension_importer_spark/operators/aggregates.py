@@ -1033,7 +1033,11 @@ def rollup_cascade_refresh(spark, hist, delta, root: str) -> dict:
     for u in _CASCADE_UNITS:
         storage.write_snapshot(spark, _roll_up_state(day_mv, u), paths[u])
     # ---- refresh: one pass over the delta, day grain ----
-    dd = _event_bucket_partial(delta, "day")
+    # pinned: the day-grain delta state feeds the day-MV merge write AND
+    # two uses per coarse unit (touched-bucket list + splice) — unpinned
+    # the delta scan+aggregate ran five times across the refresh commits
+    # (r14, guide §5; "the delta is scanned ONCE" is the contract)
+    dd = _event_bucket_partial(delta, "day").localCheckpoint(eager=False)
     storage.write_snapshot(
         spark,
         merge_agg_state(storage.read_snapshot(spark, paths["day"]), dd, keys),

@@ -2230,9 +2230,13 @@ def dedup_minhash_incremental(spark, sf_dir):
             minhash_bands(minhash_signatures(corpus)), idx, ["band"]
         )
 
-        # day-1 job: batch signatures only
+        # day-1 job: batch signatures only. Pinned: the band table feeds
+        # THREE plan branches (the stored-index probe and both sides of
+        # the batch-internal self-join) — unpinned, the whole
+        # shingle+32-permutation signature pipeline ran three times in
+        # one job tree (r14, guide §5 / §2.4)
         sigs_b = minhash_signatures(batch)
-        bands_b = minhash_bands(sigs_b)
+        bands_b = minhash_bands(sigs_b).localCheckpoint(eager=False)
         # the band table layout is fixed by minhash_bands — pass its
         # schema so the probe pays no footer-inference job (guide §6)
         stored = storage.read_partitioned(
