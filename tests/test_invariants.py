@@ -862,3 +862,114 @@ def test_pairs_cache_evicts_on_corpus_switch(spark):
     c = dedup._jaccard_pairs(spark, "/root/testdata/sf0.001")
     assert c.count() == n_small
     assert len(dedup._PAIRS_CACHE) == 1
+
+
+def test_fold_cos_udf_bit_identical_to_expression_fold(spark):
+    """r14: the vectorized Arrow rerank (_fold_cos_udf) must produce the
+    SAME 64 bits as the interpreted left-to-right expression fold it
+    replaced — oracle hashes and tie-breaks ride on exact equality —
+    and must keep zip_with null semantics on ragged/null rows."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark.operators.similarity import (
+        _dot,
+        _fold_cos_udf,
+    )
+    from dp_dimension_importer_spark.catalog import load_tables
+
+    e = load_tables(spark, SF_SMOKE).embeddings
+    q = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    n = e.select(F.col("vec_id").alias("nn"), F.col("embedding").alias("ne"))
+    pairs = q.join(n, F.col("qid") % 7 == F.col("nn") % 7)
+    qv = F.transform("qe", lambda x: x.cast("double"))
+    nv = F.transform("ne", lambda x: x.cast("double"))
+
+    def nrm(v):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+
+    old = _dot(qv, nv) / (nrm(qv) * nrm(nv))
+    rows = pairs.select(
+        old.alias("c_old"), _fold_cos_udf("qe", "ne").alias("c_new")
+    ).collect()
+    assert rows, "fixture produced no pairs"
+    for r in rows:
+        a, b = r["c_old"], r["c_new"]
+        if a is None or (isinstance(a, float) and math.isnan(a)):
+            assert b is None or (isinstance(b, float) and math.isnan(b))
+            continue
+        assert struct.pack("<d", a) == struct.pack("<d", b), (a, b)
+
+    # expression semantics on degenerate rows: ragged and null-bearing
+    # arrays -> NULL (zip_with pads with null, null poisons the fold)
+    edge = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], [1.0, 2.0, 3.0]),
+            (2, [1.0, None], [1.0, 2.0]),
+            (3, None, [1.0, 2.0]),
+        ],
+        "k long, qe array<float>, ne array<float>",
+    )
+    got = {
+        r["k"]: r["c"]
+        for r in edge.select(
+            "k", _fold_cos_udf("qe", "ne").alias("c")
+        ).collect()
+    }
+    assert got == {1: None, 2: None, 3: None}
+
+    # ANSI parity: a zero-norm embedding is a loud error, not inf/NaN
+    z = spark.createDataFrame(
+        [(5, [0.0, 0.0], [1.0, 1.0])],
+        "k long, qe array<float>, ne array<float>",
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        z.select(_fold_cos_udf("qe", "ne")).collect()
+
+
+def test_bloom_point_probe_unpinned_matches_pinned(spark):
+    """r14: point lookups skip _bloom_admitted_files' masks pin
+    (pin_masks=False) — the admitted file set must be identical to the
+    pinned (CDC-batch) path's on the same sidecar and keys."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dp_dimension_importer_spark import storage
+    from dp_dimension_importer_spark.catalog import load_tables
+
+    li = load_tables(spark, SF_SMOKE).lineitem.select(
+        "l_orderkey", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="bloom_pin_ab_")
+    try:
+        shutil.rmtree(path)
+        storage.write_snapshot(
+            spark, li.repartition(4, "l_orderkey"), path
+        )
+        storage.index_bloom_snapshot(spark, path, "l_orderkey")
+        man = storage._load_manifest(
+            path, storage.snapshot_versions(path)[-1]
+        )
+        meta = storage._snap_bloom_meta(path, "l_orderkey", man)
+        assert meta is not None
+        keys = spark.createDataFrame(
+            [(7,), (42,), (999999,)], "_v long"
+        ).select(F.col("_v").cast(meta["type"]).alias("_v"))
+        pinned = storage._bloom_admitted_files(
+            spark, path, "l_orderkey", meta, keys, pin_masks=True
+        )
+        unpinned = storage._bloom_admitted_files(
+            spark, path, "l_orderkey", meta, keys, pin_masks=False
+        )
+        assert pinned == unpinned
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -936,6 +936,27 @@ def test_prefix_filter_no_cartesian_and_no_python(spark):
     assert "Python" not in plan and "BatchEvalPython" not in plan, plan
 
 
+def test_prefix_filter_verify_stage_keeps_explicit_width(spark):
+    """r14: the exact-Jaccard verify joins whole shingle arrays onto a
+    BYTES-tiny candidate list, so AQE's size-based coalescing would run
+    the array_intersect stage on 2-3 tasks; the pipeline pins the
+    fan-out with an explicit-width round-robin repartition (which the
+    optimizer can neither absorb into the distinct's exchange nor
+    AQE-coalesce). Pin: the exchange is present with the session's
+    shuffle width."""
+    from dp_dimension_importer_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    docs = load_tables(spark, SF_SMOKE).documents
+    plan = plan_of(prefix_filter_pairs(docs), "simple")
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert (
+        f"Exchange RoundRobinPartitioning({width})" in plan
+        and "REPARTITION_BY_NUM" in plan
+    ), plan
+
+
 def test_dq_expectations_single_scan_per_table(spark):
     """The DQ suite's scale contract: N constraints over lineitem fold
     into aggregates over ONE lineitem scan feeding the stats branch plus
