@@ -118,6 +118,7 @@ def run_queries(
     calib = round(sorted(csamples)[1], 3)
 
     timings: dict[str, float] = {}
+    phases: dict[str, list[float]] = {}
     for name in names:
         n_samples = runs
         if runs > 1:
@@ -127,12 +128,33 @@ def run_queries(
                 n_samples = max(runs, 5)
             spark.sparkContext._jvm.System.gc()
         samples = []
+        fixture_samples = []
         for _ in range(n_samples):
+            # r15 (r14 verdict "Next round" #2): split each sample into the
+            # FIXTURE phase (the registry call — snapshot/MOR/streaming
+            # queries build their table fixtures eagerly inside it) and the
+            # VERB phase (the .count() that executes the returned plan).
+            # The timed quantity is their sum — identical methodology to
+            # the single-expression timing it replaces — but the stderr
+            # detail can now attribute a heavy query to cold fixture
+            # commits vs the operator under test without re-profiling.
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
-    return timings, calib
+            df = QUERIES[name](spark, sf_dir)
+            t1 = time.perf_counter()
+            df.count()
+            t2 = time.perf_counter()
+            samples.append(t2 - t0)
+            fixture_samples.append(t1 - t0)
+        mid = sorted(range(n_samples), key=lambda i: samples[i])[
+            n_samples // 2
+        ]
+        timings[name] = round(samples[mid], 3)
+        # fixture/verb split of the SAME sample the median came from
+        phases[name] = [
+            round(fixture_samples[mid], 3),
+            round(samples[mid] - fixture_samples[mid], 3),
+        ]
+    return timings, calib, phases
 
 
 def main() -> None:
@@ -144,9 +166,12 @@ def main() -> None:
     if child_names:
         # child mode: time only the assigned chunk in a fresh JVM, emit one
         # JSON line on stdout for the parent to merge.
-        timings, calib = run_queries(child_names.split(","), sf_dir, runs)
-        print(json.dumps({"timings": timings, "calib": calib},
-                         separators=(",", ":")),
+        timings, calib, phases = run_queries(
+            child_names.split(","), sf_dir, runs
+        )
+        print(json.dumps(
+            {"timings": timings, "calib": calib, "phases": phases},
+            separators=(",", ":")),
               flush=True)
         return
 
@@ -163,10 +188,11 @@ def main() -> None:
     # (or a single-chunk list) keeps the old in-process path for tests.
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "50"))
     timings = {}
+    phases: dict[str, list[float]] = {}
     calib_sec: list[float] = []
     reran: list[int] = []
     if chunk_size <= 0 or len(names) <= chunk_size:
-        timings, calib = run_queries(names, sf_dir, runs)
+        timings, calib, phases = run_queries(names, sf_dir, runs)
         calib_sec.append(calib)
     else:
         import subprocess
@@ -207,15 +233,34 @@ def main() -> None:
             for i in flagged:
                 retry = _run_chunk(chunks[i])
                 for k, v in retry["timings"].items():
-                    payloads[i]["timings"][k] = min(
-                        payloads[i]["timings"][k], v
-                    )
+                    if v < payloads[i]["timings"][k]:
+                        payloads[i]["timings"][k] = v
+                        if k in retry.get("phases", {}):
+                            payloads[i].setdefault("phases", {})[k] = (
+                                retry["phases"][k]
+                            )
                 calib_sec[i] = min(calib_sec[i], retry.get("calib", -1.0))
                 reran.append(i)
         for p in payloads:
             timings.update(p["timings"])
+            phases.update(p.get("phases", {}))
 
     total = round(sum(timings.values()), 3)
+    # r15 self-normalization (r14 verdict "Next round" #2): two consecutive
+    # driver runs differed 1.3x on identical code and the judge had to
+    # re-derive the correction from calib_sec each round. Emit the median
+    # calibration and a calibration-normalized total next to the raw value.
+    # REF_CALIB pins the reference machine: the r13 driver run's median q13
+    # calibration (BENCH_r13/VERDICT r14), so value_calibrated is directly
+    # comparable across rounds: value_calibrated = value * REF_CALIB/median.
+    REF_CALIB = 0.297
+    calib_median = 0.0
+    vals = sorted(c for c in calib_sec if c > 0)
+    if vals:
+        calib_median = vals[len(vals) // 2]
+    value_calibrated = (
+        round(total * REF_CALIB / calib_median, 3) if calib_median else total
+    )
     # Round-1 lesson (BENCH_r01.json): the driver keeps only the LAST 2000
     # bytes of stdout and json-parses that tail, so the summary line must fit
     # in <2000 bytes — compact separators, no config blob, and per-query
@@ -251,6 +296,14 @@ def main() -> None:
             "in r14 (a second replayed table); admission cost per "
             "trigger unchanged",
         },
+        # r15: [fixture_sec, verb_sec] split of each query's median sample —
+        # fixture = the registry call (eager table/stream fixture builds),
+        # verb = executing the returned plan. Reported for every query whose
+        # fixture phase is non-trivial (>= 0.05 s), so snapshot/MOR/streaming
+        # bench numbers separate cold fixture commits from the operator.
+        "phases": {
+            k: v for k, v in phases.items() if v and v[0] >= 0.05
+        },
         "sections": _sections(timings),
         "queries": timings,
     }
@@ -272,6 +325,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "calib_sec": calib_sec,
+                "calib_median": calib_median,
+                "value_calibrated": value_calibrated,
                 "sections": _sections(timings),
                 "queries": {k: round(v, ndigits) for k, v in qdict.items()},
                 "sf": sf,

@@ -741,47 +741,78 @@ def _components_star_contraction(pairs: DataFrame, max_rounds: int = 64) -> Data
     labeling is one groupBy away. Validated against single-task union-find
     on chains, stars, cliques, and random graphs
     (tests/test_invariants.py)."""
+    from pyspark.sql import Window
+
     e = (
         pairs.select(F.least("da", "db").alias("a"), F.greatest("da", "db").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates()
     )
+    # r15 fused round (guide §2.4, r14 verdict "Next round" #6). Two
+    # structural changes, set-identical edge transitions per round (pinned
+    # by the star-vs-union-find invariant test):
+    #
+    # * each phase's neighborhood minimum comes from ONE window-min over the
+    #   directed edges instead of groupBy + join back — the groupBy and the
+    #   join hashed the SAME key, so the pair paid two exchanges (agg input
+    #   + probe side) where the window pays one;
+    # * the two phases run in ONE lineage with a single dropDuplicates +
+    #   localCheckpoint per ROUND (was: one per phase). The large-star
+    #   output is persist()ed so the small-star's two directed branches
+    #   don't recompute it; duplicates it may carry collapse in the
+    #   round-end dropDuplicates, and every neighborhood MIN is unaffected
+    #   by multiplicity — the per-round edge SET is exactly the two-phase
+    #   sequence's.
+    from pyspark.sql import Observation
+
+    w = Window.partitionBy("u")
     prev_fp = None
-    for _ in range(max_rounds):
-        for phase in ("large", "small"):
-            both = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
-                e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    for _round in range(max_rounds):
+        both = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        large = (
+            both.withColumn(
+                "m", F.least(F.min("v").over(w), F.col("u"))
             )
-            if phase == "large":
-                g = both.groupBy("u").agg(
-                    F.least(F.min("v"), F.first("u")).alias("m")
-                )
-                out = (
-                    both.join(g, "u")
-                    .filter(F.col("v") > F.col("u"))
-                    .select(F.col("v").alias("x"), F.col("m").alias("y"))
-                )
-            else:
-                nle = both.filter(F.col("v") < F.col("u"))
-                g = nle.groupBy("u").agg(F.min("v").alias("m"))
-                out = (
-                    nle.join(g, "u")
-                    .filter(F.col("v") != F.col("m"))
-                    .select(F.col("v").alias("x"), F.col("m").alias("y"))
-                    .union(g.select(F.col("u").alias("x"), F.col("m").alias("y")))
-                )
-            e = (
-                out.select(
-                    F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
-                )
-                .filter(F.col("a") != F.col("b"))
-                .dropDuplicates()
-                .localCheckpoint()
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.least("v", "m").alias("a"),
+                F.greatest("v", "m").alias("b"),
             )
-        row = e.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
-        ).collect()[0]
+            .filter(F.col("a") != F.col("b"))
+            .persist()
+        )
+        both2 = large.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(large.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        nle = both2.filter(F.col("v") < F.col("u"))
+        tagged = nle.withColumn("m", F.min("v").over(w))
+        out = tagged.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("x"), F.col("m").alias("y")
+        ).union(tagged.select(F.col("u").alias("x"), F.col("m").alias("y")))
+        # convergence fingerprint rides the checkpoint job via observe()
+        # (guide §1.2/§5): the former separate count+bit_xor collect was
+        # one more full pass over the edge set per round; observed metrics
+        # are computed by the SAME tasks that materialize the checkpoint
+        # and cost nothing extra. bit_xor is order-independent, so the
+        # fingerprint value is identical to the collected one.
+        obs = Observation(f"star_fp_{_round}")
+        e = (
+            out.select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+            )
+            .localCheckpoint()
+        )
+        large.unpersist()
+        row = obs.get
         fp = (row["n"], row["h"])
         if fp == prev_fp:
             break

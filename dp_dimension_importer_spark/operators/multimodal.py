@@ -1447,8 +1447,17 @@ def image_dhash(assets: DataFrame, payload_col: str = "payload",
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for payload in pdf[payload_col]:
+            # r15 (guide §4.2): decode/resize stay per-image (generic
+            # containers), but the 64-step Python bit fold is replaced by
+            # one vectorized packbits over the whole batch — big-endian
+            # pack of the same comparison bits is the exact integer the
+            # shift loop built (pinned bit-identical in
+            # tests/test_invariants.py), and the int64 view is the same
+            # two's-complement wrap the explicit 1<<64 subtraction did.
+            bit_rows = []
+            valid = []
+            out = [None] * len(pdf)
+            for i, payload in enumerate(pdf[payload_col]):
                 try:
                     img = dec(bytes(payload))
                     if img.ndim == 3:
@@ -1456,16 +1465,19 @@ def image_dhash(assets: DataFrame, payload_col: str = "payload",
                             axis=2, dtype=np.float64
                         ).astype(np.uint8)
                     g = rez(img, 9, 8).astype(np.int16)
-                    bits = (g[:, 1:] > g[:, :-1]).flatten()
-                    h = 0
-                    for b in bits:
-                        h = (h << 1) | int(b)
-                    # to signed int64 (Spark long)
-                    if h >= 1 << 63:
-                        h -= 1 << 64
-                    out.append(h)
+                    bit_rows.append(g[:, 1:] > g[:, :-1])
+                    valid.append(i)
                 except (NotImplementedError, ValueError, IndexError):
-                    out.append(None)
+                    pass
+            if valid:
+                bits = np.stack(bit_rows).reshape(len(valid), 64)
+                packed = np.packbits(bits, axis=1)
+                hv = (
+                    packed.view(">u8").ravel().astype(np.uint64)
+                    .view(np.int64)
+                )
+                for j, i in enumerate(valid):
+                    out[i] = int(hv[j])
             yield pd.DataFrame(
                 {"asset_id": pdf[id_col], "dhash": pd.array(out, "Int64")}
             )
@@ -1531,6 +1543,12 @@ def multimodal_image_dedup(spark, sf_dir):
     t = load_tables(spark, sf_dir)
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r15 (guide §4.5): only 100 distinct base pictures exist
+        # (seed = doc_id % 100) — draw each ONCE per task and copy, instead
+        # of constructing a fresh RandomState per document (same draw, so
+        # payloads are byte-identical; the per-doc noise pixels still apply
+        # to the copy).
+        base: dict[int, "np.ndarray"] = {}
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
@@ -1539,9 +1557,12 @@ def multimodal_image_dedup(spark, sf_dir):
                 # picture per group (a linear gradient would share its
                 # horizontal-difference profile across groups and give
                 # dHash nothing to tell them apart by)
-                img = np.random.RandomState(k).randint(
-                    0, 256, (16, 16)
-                ).astype(np.uint8)
+                img = base.get(k)
+                if img is None:
+                    img = base[k] = np.random.RandomState(k).randint(
+                        0, 256, (16, 16)
+                    ).astype(np.uint8)
+                img = img.copy()
                 # per-doc low-amplitude noise: two pixels perturbed by
                 # <=7 grey levels — enough to flip the occasional dHash
                 # bit (pairs land at Hamming 0-4), far from the ~32-bit
@@ -1668,26 +1689,47 @@ def image_phash(assets: DataFrame, payload_col: str = "payload",
         )
         C[0] = np.sqrt(1.0 / N)
         for pdf in batches:
-            out = []
-            for payload in pdf[payload_col]:
+            # r15 (guide §4.2): decode/resize stay per-image, but the DCT
+            # runs as ONE stacked matmul over the batch (numpy's stacked
+            # matmul issues the identical per-slice dgemm the 2-D `@` did
+            # — bit-identical, pinned in tests/test_invariants.py), the
+            # per-image lower-median comes from one row-wise np.partition,
+            # and the 63-step Python bit fold becomes one packbits with a
+            # leading 0 bit (same integer; h < 2^63 so the sign wrap the
+            # loop guarded is unreachable, as it was before).
+            grays = []
+            valid = []
+            out = [None] * len(pdf)
+            for i, payload in enumerate(pdf[payload_col]):
                 try:
                     img = dec(bytes(payload))
                     if img.ndim == 3:
                         img = img.astype(np.uint16).mean(
                             axis=2, dtype=np.float64
                         ).astype(np.uint8)
-                    g = rez(img, N, N).astype(np.float64)
-                    d = C @ g @ C.T
-                    block = d[:8, :8].flatten()[1:]  # drop DC
-                    med = np.partition(block.copy(), 31)[31]  # lower median
-                    h = 0
-                    for v in block:
-                        h = (h << 1) | int(v > med)
-                    if h >= 1 << 63:
-                        h -= 1 << 64
-                    out.append(h)
+                    grays.append(rez(img, N, N).astype(np.float64))
+                    valid.append(i)
                 except (NotImplementedError, ValueError, IndexError):
-                    out.append(None)
+                    pass
+            if valid:
+                G = np.ascontiguousarray(np.stack(grays))
+                D = np.matmul(np.matmul(C, G), C.T)
+                blocks = D[:, :8, :8].reshape(len(valid), 64)[:, 1:]
+                med = np.partition(blocks.copy(), 31, axis=1)[:, 31]
+                bits = np.concatenate(
+                    [
+                        np.zeros((len(valid), 1), dtype=bool),
+                        blocks > med[:, None],
+                    ],
+                    axis=1,
+                )
+                packed = np.packbits(bits, axis=1)
+                hv = (
+                    packed.view(">u8").ravel().astype(np.uint64)
+                    .view(np.int64)
+                )
+                for j, i in enumerate(valid):
+                    out[i] = int(hv[j])
             yield pd.DataFrame(
                 {"asset_id": pdf[id_col], "phash": pd.array(out, "Int64")}
             )
@@ -1711,13 +1753,19 @@ def multimodal_image_phash(spark, sf_dir):
     t = load_tables(spark, sf_dir)
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r15: memoized base pictures, same rationale as
+        # multimodal_image_dedup's generator (byte-identical payloads).
+        base: dict[int, "np.ndarray"] = {}
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 k = int(doc_id) % 100
-                img = np.random.RandomState(k).randint(
-                    0, 256, (16, 16)
-                ).astype(np.uint8)
+                img = base.get(k)
+                if img is None:
+                    img = base[k] = np.random.RandomState(k).randint(
+                        0, 256, (16, 16)
+                    ).astype(np.uint8)
+                img = img.copy()
                 d = int(doc_id)
                 img[d % 16, (d // 16) % 16] ^= 7
                 img[(d * 7) % 16, (d * 13) % 16] ^= 5

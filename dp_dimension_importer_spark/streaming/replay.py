@@ -47,18 +47,31 @@ def write_replay_dir(
     (default ``df``). When ``df`` is a slice of a larger table, pass the FULL
     table — a sentinel anchored to the slice's max can land before the
     table's newest windows, and those would never flush in append mode."""
+    import shutil
+
+    from pyspark.sql import Window
+
     base = tempfile.mkdtemp(prefix="replay_")
-    # test-harness collect, explicitly bounded: limit(max_rows+1) caps what
-    # can ever reach the driver, and overflow fails loud instead of OOMing
-    # if someone points the harness at a production-sized table.
-    rows = df.orderBy(order_col, "event_id").limit(max_rows + 1).collect()
-    if len(rows) > max_rows:
+    # r15: the former shape — collect() + one createDataFrame+coalesce(1)
+    # write PER CHUNK — paid ~4.3 s per action: coalesce(1) over a
+    # parallelized local relation folds its ~32 pickled slices into ONE
+    # task that drains each slice through its own sequential Python-worker
+    # round-trip (guide §4: the boundary is per-partition, and coalesce
+    # multiplies partitions-per-task). All chunk files now come out of ONE
+    # distributed job: tag each row with its chunk (row_number over the
+    # same (order_col, event_id) total order the collect sorted by), one
+    # hive-partitioned write, then rename per-chunk files into place.
+    # Chunk membership and within-file row order are exactly the old
+    # collect-then-slice layout. The row cap stays: count the limited
+    # frame and fail loud instead of materializing an unbounded table.
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
         raise ValueError(
             f"write_replay_dir: input exceeds max_rows={max_rows}; the "
             "replay harness is driver-side by design — pass a slice, or "
             "raise max_rows deliberately."
         )
-    chunk = max(1, (len(rows) + n_files - 1) // n_files)
+    chunk = max(1, (n + n_files - 1) // n_files)
     spark = df.sparkSession
     schema = df.schema
     # mtimes must be strictly increasing in replay order (the file source
@@ -66,16 +79,48 @@ def write_replay_dir(
     # otherwise the watermark jumps early and real chunks get dropped as
     # late data.
     t0 = time.time() - 1000
-    n_chunks = 0
-    for i in range(0, len(rows), chunk):
-        part = spark.createDataFrame(rows[i : i + chunk], schema=schema)
-        path = os.path.join(base, f"chunk_{i // chunk:05d}.parquet")
-        _write_single_file(part, path, t0 + n_chunks)
-        n_chunks += 1
+    n_chunks = (n + chunk - 1) // chunk
+    if n:
+        w = Window.orderBy(order_col, "event_id")
+        tagged = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .withColumn(
+                "__chunk", ((F.col("__rn") - 1) / F.lit(chunk)).cast("int")
+            )
+            .drop("__rn")
+        )
+        stage = os.path.join(base, "__stage")
+        (
+            tagged.repartition(n_chunks, "__chunk")
+            .sortWithinPartitions("__chunk", order_col, "event_id")
+            .write.partitionBy("__chunk")
+            .parquet(stage)
+        )
+        for i in range(n_chunks):
+            d = os.path.join(stage, f"__chunk={i}")
+            parts = [
+                f for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith("_")
+            ]
+            if len(parts) != 1:  # one task per chunk value -> one file
+                raise RuntimeError(
+                    f"write_replay_dir: chunk {i} produced {len(parts)} "
+                    "files (expected exactly 1)"
+                )
+            dest = os.path.join(base, f"chunk_{i:05d}.parquet")
+            os.replace(os.path.join(d, parts[0]), dest)
+            os.utime(dest, (t0 + i, t0 + i))
+        shutil.rmtree(stage, ignore_errors=True)
     if sentinel:
         max_ts = (sentinel_base or df).agg(F.max(order_col)).collect()[0][0]
+        # single-slice local relation: the default createDataFrame
+        # parallelizes one row over ~32 slices, and the single-file write's
+        # coalesce(1) would drain each slice through its own sequential
+        # Python-worker round-trip (~4 s per sentinel file; see above)
         sent = spark.createDataFrame(
-            [(int(-1), max_ts, int(-1), SENTINEL_TYPE, None, "{}")],
+            spark.sparkContext.parallelize(
+                [(int(-1), max_ts, int(-1), SENTINEL_TYPE, None, "{}")], 1
+            ),
             schema=schema,
         ).withColumn(order_col, F.col(order_col) + F.expr("INTERVAL 10 DAYS"))
         # two sentinel batches: the first advances the watermark past every
