@@ -1250,16 +1250,27 @@ def ann_sq_topk(spark, sf_dir):
     (tests/test_recall.py; measured ≈1.0 at the fixture's dimensions —
     SQ8's per-dim error is far below the fixture's neighbor gaps)."""
     t = load_tables(spark, sf_dir)
-    b = (
-        t.embeddings.select(F.posexplode("embedding"))
-        .groupBy("pos")
-        .agg(F.min("col").alias("lo"), F.max("col").alias("hi"))
-        .orderBy("pos")
-        .collect()
-    )
-    lo = np.array([r.lo for r in b], dtype=np.float64)
+    # r15 (guide §2.3/§1.2): the per-dim ranges came from a posexplode →
+    # groupBy(dim) → orderBy → collect chain — a rows×DIM explode pass plus
+    # two exchanges, ~4 Spark jobs under AQE, just to fetch 128 scalars.
+    # One flat aggregate of min/max(element_at(d)) per dimension reads the
+    # corpus ONCE with map-side partials and no explode; min/max are exact
+    # selections, so every lo/step is bit-identical to the exploded path
+    # (the fixture's embeddings are fixed-DIM, which tests/test_recall.py
+    # pins via the recall gate against q43b).
+    aggs = []
+    for i in range(DIM):
+        el = F.element_at(F.col("embedding"), i + 1)
+        aggs.append(F.min(el).alias(f"lo{i}"))
+        aggs.append(F.max(el).alias(f"hi{i}"))
+    row = t.embeddings.agg(*aggs).collect()[0]
+    lo = np.array([row[f"lo{i}"] for i in range(DIM)], dtype=np.float64)
     step = np.array(
-        [(r.hi - r.lo) / 255.0 if r.hi > r.lo else 0.0 for r in b]
+        [
+            (row[f"hi{i}"] - row[f"lo{i}"]) / 255.0
+            if row[f"hi{i}"] > row[f"lo{i}"] else 0.0
+            for i in range(DIM)
+        ]
     )
     qids, qunit = _query_block(t.embeddings)
 

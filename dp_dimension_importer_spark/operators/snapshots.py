@@ -3521,7 +3521,6 @@ def q86f_mor_update(spark, sf_dir):
     try:
         shutil.rmtree(path)
         shutil.rmtree(twin)
-        kmax = base.agg(F.max("k")).collect()[0][0]
 
         def _fixture(p):
             # range-sharded base: per-file key stats are disjoint, so
@@ -3534,8 +3533,15 @@ def q86f_mor_update(spark, sf_dir):
 
         # main and twin are disjoint table paths with no data
         # dependency: build them concurrently (guide §2.6) so the second
-        # chain's jobs back-fill the first chain's stragglers
-        run_concurrently(lambda: _fixture(path), lambda: _fixture(twin))
+        # chain's jobs back-fill the first chain's stragglers. r15: the
+        # kmax bound (needed only by the post-fixture twin predicate,
+        # reads only the source table) rides the same window instead of
+        # serializing ahead of it.
+        _, _, kmax = run_concurrently(
+            lambda: _fixture(path),
+            lambda: _fixture(twin),
+            lambda: base.agg(F.max("k")).collect()[0][0],
+        )
         mdir = os.path.join(path, "_manifests")
         with open(os.path.join(mdir, "v2.json")) as f:
             pre_files = json.load(f)["files"]
@@ -3580,11 +3586,18 @@ def q86f_mor_update(spark, sf_dir):
         # order-insensitive multiset equality WITHOUT collecting ~75k
         # rows to the driver (guide §5 — the old sorted-collect compare
         # was the single most expensive phase of this query at sf0.1):
-        # per-side count + sum of per-row xxhash64 over all columns,
-        # one tiny aggregate job each
-        def _sig(df):
-            cols = sorted(df.columns)
-            r_ = df.agg(
+        # per-side count + sum of per-row xxhash64 over all columns.
+        # r15: BOTH sides ride one tagged-union aggregate — the former
+        # per-side .first() pair was two sequential driver-blocking jobs
+        # (3 AQE jobs each) scanning resolved views the scheduler could
+        # run in one (guide §1.2); values are identical (the tag column
+        # is excluded from the hash).
+        cols = sorted(twin_rows.columns)
+        sides = (
+            twin_rows.withColumn("_side", F.lit(0))
+            .unionByName(main_rows.withColumn("_side", F.lit(1)))
+            .groupBy("_side")
+            .agg(
                 F.count(F.lit(1)).alias("n"),
                 # decimal(38) accumulator: 75k 64-bit hashes sum to
                 # ~1e24, far inside decimal range (ANSI mode would
@@ -3592,10 +3605,11 @@ def q86f_mor_update(spark, sf_dir):
                 F.sum(
                     F.xxhash64(*cols).cast("decimal(38,0)")
                 ).alias("h"),
-            ).first()
-            return (r_["n"], r_["h"])
-
-        assert _sig(twin_rows) == _sig(main_rows), "prune parity broken"
+            )
+            .collect()
+        )
+        sigs = {r["_side"]: (r["n"], r["h"]) for r in sides}
+        assert sigs.get(0) == sigs.get(1), "prune parity broken"
         cents = F.floor(F.col("tp") * 100 + F.lit(0.5)).cast("long")
         u = (
             p1.withColumn("phase", F.lit(1))
@@ -3823,28 +3837,34 @@ def q92b_merge_evolve(spark, sf_dir):
         F.col("o_orderpriority").alias("pri"),
         F.col("o_totalprice").alias("tp"),
     )
-    mx = base.agg(F.max("k")).first()[0]
-    src = (
-        base.filter((F.col("k") % 10 == 7) & (F.col("k") <= mx // 4))
-        .select(
-            "k",
-            (F.col("tp") + 5).alias("tp"),
-            ((F.col("k") % 3).cast("double") / 10).alias("disc"),
-        )
-        .unionByName(
-            base.filter(F.col("k") % 50 == 1).select(
-                (F.col("k") + F.lit(mx)).alias("k"),
-                F.lit(100.0).alias("tp"),
-                F.lit(0.5).alias("disc"),
-            )
-        )
-    )
     path = tempfile.mkdtemp(prefix="q92b_merge_evo_")
     try:
         shutil.rmtree(path)
-        storage.write_snapshot(
-            spark, base.repartitionByRange(4, "k"), path,
-            stats_cols=["k"],
+        # r15 (guide §2.6): the kmax bound only parameterizes the MERGE
+        # source built below — it reads the source table while the fixture
+        # write lands on a fresh disjoint path, so the two driver-blocking
+        # steps overlap instead of serializing.
+        _, mx = run_concurrently(
+            lambda: storage.write_snapshot(
+                spark, base.repartitionByRange(4, "k"), path,
+                stats_cols=["k"],
+            ),
+            lambda: base.agg(F.max("k")).first()[0],
+        )
+        src = (
+            base.filter((F.col("k") % 10 == 7) & (F.col("k") <= mx // 4))
+            .select(
+                "k",
+                (F.col("tp") + 5).alias("tp"),
+                ((F.col("k") % 3).cast("double") / 10).alias("disc"),
+            )
+            .unionByName(
+                base.filter(F.col("k") % 50 == 1).select(
+                    (F.col("k") + F.lit(mx)).alias("k"),
+                    F.lit(100.0).alias("tp"),
+                    F.lit(0.5).alias("disc"),
+                )
+            )
         )
         mdir = os.path.join(path, "_manifests")
         with open(os.path.join(mdir, "v1.json")) as f:
