@@ -973,3 +973,108 @@ def test_bloom_point_probe_unpinned_matches_pinned(spark):
         assert pinned == unpinned
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_phash_dhash_vectorized_fold_bit_identical(spark):
+    """r15 pin: the vectorized image-hash internals (stacked-matmul DCT,
+    row-wise partition median, packbits bit fold) must reproduce the
+    r14 per-image reference loop BIT FOR BIT on the real corpus payloads
+    — the hashes feed Hamming banding, so a single flipped bit changes
+    gated pair sets."""
+    import numpy as np
+
+    from dp_dimension_importer_spark.operators.multimodal import (
+        decode_image,
+        image_dhash,
+        image_phash,
+        resize_nearest,
+    )
+    from dp_dimension_importer_spark.catalog import load_tables
+
+    docs = load_tables(spark, SF_SMOKE).documents.select("doc_id").limit(400)
+
+    def payload_of(doc_id: int) -> bytes:
+        img = np.random.RandomState(doc_id % 100).randint(
+            0, 256, (16, 16)
+        ).astype(np.uint8)
+        img[doc_id % 16, (doc_id // 16) % 16] ^= 7
+        img[(doc_id * 7) % 16, (doc_id * 13) % 16] ^= 5
+        return b"P5 16 16 255\n" + img.tobytes()
+
+    ids = [int(r["doc_id"]) for r in docs.collect()]
+    payloads = {i: payload_of(i) for i in ids}
+
+    # reference loops (r14 code, verbatim)
+    def ref_phash(payload: bytes) -> int:
+        N = 32
+        n_idx = np.arange(N)
+        k_idx = np.arange(N)[:, None]
+        C = np.sqrt(2.0 / N) * np.cos(
+            np.pi * (2 * n_idx[None, :] + 1) * k_idx / (2 * N)
+        )
+        C[0] = np.sqrt(1.0 / N)
+        img = decode_image(payload)
+        g = resize_nearest(img, N, N).astype(np.float64)
+        d = C @ g @ C.T
+        block = d[:8, :8].flatten()[1:]
+        med = np.partition(block.copy(), 31)[31]
+        h = 0
+        for v in block:
+            h = (h << 1) | int(v > med)
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    def ref_dhash(payload: bytes) -> int:
+        img = decode_image(payload)
+        g = resize_nearest(img, 9, 8).astype(np.int16)
+        h = 0
+        for b in (g[:, 1:] > g[:, :-1]).flatten():
+            h = (h << 1) | int(b)
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    assets = spark.createDataFrame(
+        [(i, payloads[i]) for i in ids], "asset_id long, payload binary"
+    )
+    got_p = {r["asset_id"]: r["phash"] for r in image_phash(assets).collect()}
+    got_d = {r["asset_id"]: r["dhash"] for r in image_dhash(assets).collect()}
+    for i in ids:
+        assert got_p[i] == ref_phash(payloads[i]), f"phash bit drift doc {i}"
+        assert got_d[i] == ref_dhash(payloads[i]), f"dhash bit drift doc {i}"
+
+
+def test_replay_dir_layout_matches_collect_slice(spark):
+    """r15 pin: the distributed one-pass replay writer must lay out
+    exactly the old collect-then-slice chunks — same file names, same
+    chunk membership, same within-file row order, mtimes increasing with
+    the sentinel strictly last (the file source replays by mtime)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dp_dimension_importer_spark.catalog import load_tables
+    from dp_dimension_importer_spark.streaming.replay import write_replay_dir
+
+    ev = load_tables(spark, SF_SMOKE).events
+    d = write_replay_dir(ev, n_files=4)
+    try:
+        files = sorted(os.listdir(d))
+        assert files == [
+            "chunk_00000.parquet", "chunk_00001.parquet",
+            "chunk_00002.parquet", "chunk_00003.parquet",
+            "zz_sentinel_0.parquet", "zz_sentinel_1.parquet",
+        ]
+        mtimes = [os.path.getmtime(os.path.join(d, f)) for f in files]
+        assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+        rows = ev.orderBy("ts", "event_id").collect()
+        chunk = (len(rows) + 3) // 4
+        for i in range(4):
+            got = pq.read_table(
+                os.path.join(d, f"chunk_{i:05d}.parquet")
+            ).to_pylist()
+            exp = rows[i * chunk : (i + 1) * chunk]
+            assert len(got) == len(exp), f"chunk {i} row count"
+            for g, e in zip(got, exp):
+                assert g["event_id"] == e["event_id"], f"chunk {i} order"
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
