@@ -1429,23 +1429,37 @@ def shortest_paths(
     the first level it is reached, which in an unweighted graph IS its
     minimum distance — no per-node min-fixpoint needed (that is what
     keeps each round's state |frontier|-sized, the Pregel trick)."""
+    from pyspark.sql import Observation
+
     spark = edges.sparkSession
     node_t = edges.schema["src"].dataType.simpleString()
     dist = spark.createDataFrame(
         [(source, 0)], f"node {node_t}, hops long"
     ).localCheckpoint()
     frontier = dist
-    for _ in range(max_iters):
+    for _round in range(max_iters):
         nxt = (
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
         )
-        new = nxt.join(dist, "node", "left_anti").localCheckpoint()
-        if not new.take(1):
+        # r15 (guide §1.2): each BFS round paid 3 driver-blocking jobs —
+        # frontier checkpoint, a take(1) emptiness probe, and a re-
+        # checkpoint of the GROWING settled set. The emptiness test now
+        # rides the frontier's checkpoint via observe() (same tasks, no
+        # extra pass), and the settled set stays a lazy union of already-
+        # checkpointed rounds — O(rounds) plan nodes over pinned scans,
+        # nothing recomputed, one job per round instead of three.
+        obs = Observation(f"bfs_new_{_round}")
+        new = (
+            nxt.join(dist, "node", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        if not obs.get["n"]:
             return dist
-        dist = dist.unionByName(new).localCheckpoint()
+        dist = dist.unionByName(new)
         frontier = new
     raise RuntimeError(f"shortest_paths: no fixpoint in {max_iters} rounds")
 
