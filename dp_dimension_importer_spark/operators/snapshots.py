@@ -1856,10 +1856,16 @@ def q86g_mor_branch_dml(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="q86g_mor_branch_")
     try:
         shutil.rmtree(path)
-        storage.write_snapshot(spark, base, path)
-        storage.upsert_delta_snapshot(spark, path, d1, ["k"], "seq")
+
+        def _fixture():
+            storage.write_snapshot(spark, base, path)
+            storage.upsert_delta_snapshot(spark, path, d1, ["k"], "seq")
+
+        # r15 (guide §2.6): the n_main row-count bound reads only the
+        # source table — it rides the fixture's window instead of
+        # serializing behind the two commits.
+        _, n_main = run_concurrently(_fixture, lambda: base.count())
         main_v = storage.snapshot_versions(path)[-1]
-        n_main = base.count()
         storage.create_branch(path, "audit")
         r = storage.delete_where_snapshot(
             spark, path, "pri = '3-MEDIUM' AND k % 5 = 0",
